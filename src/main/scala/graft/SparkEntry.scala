@@ -1,13 +1,50 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{Relational, Windows}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the declared operator inventory (SURVEY.md §2); each entry is a
+  * pure `(SparkSession, sfDir) => DataFrame`. SQL-expressible queries carry
+  * DuckDB oracle SQL in [[Oracle.sql]]; the rest are covered by scalatest.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.qAggHash(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_parquet"  -> (Relational.qScanParquet _),
+    "q_filter_pred"   -> (Relational.qFilterPred _),
+    "q_proj_derived"  -> (Relational.qProjDerived _),
+    "q_case_null"     -> (Relational.qCaseNull _),
+    "q_join_broadcast" -> (Relational.qJoinBroadcast _),
+    "q_join_shuffle"  -> (Relational.qJoinShuffle _),
+    "q_join_left"     -> (Relational.qJoinLeft _),
+    "q_join_semi"     -> (Relational.qJoinSemi _),
+    "q_join_anti"     -> (Relational.qJoinAnti _),
+    "q_agg_hash"      -> (Relational.qAggHash _),
+    "q_agg_distinct"  -> (Relational.qAggDistinct _),
+    "q_agg_having"    -> (Relational.qAggHaving _),
+    "q_agg_rollup"    -> (Relational.qAggRollup _),
+    "q_sort_limit"    -> (Relational.qSortLimit _),
+    "q_sort_nulls"    -> (Relational.qSortNulls _),
+    "q_union_batches" -> (Relational.qUnionBatches _),
+    "q_except"        -> (Relational.qExcept _),
+    "q_intersect"     -> (Relational.qIntersect _),
+    "q_win_rank"          -> (Windows.qWinRank _),
+    "q_win_scd2_enddate"  -> (Windows.qWinScd2EndDate _),
+    "q_win_running"       -> (Windows.qWinRunning _),
+    "q_win_range_frame"   -> (Windows.qWinRangeFrame _),
+    "q_win_topk_group"    -> (Windows.qWinTopkGroup _),
+    "q_join_range_scd2"   -> (Windows.qJoinRangeScd2 _),
+    "q_join_conditional_key" -> (Windows.qJoinConditionalKey _),
+    "q_self_join_pairing" -> (Windows.qSelfJoinPairing _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracle.sql
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md, FIXTURES.md §A).
+  *
+  * Parquet carries its own schema, so no inference risk; explicit StructTypes are
+  * reserved for the text-format ingest paths in [[graft.etl]] where they are
+  * mandatory (TPC-DI sources are header-less delimited / fixed-width text).
+  *
+  * At cluster scale these reads are partition-parallel columnar scans; filters and
+  * projections applied downstream push into the scan (verified via
+  * `explain`: `PushedFilters` / `ReadSchema`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright. Read it as a raw long (legacy nanosAsLong) and
+    * convert to a microsecond TimestampType with exact integer division —
+    * double division would lose precision above 2^53 ns. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TIMESTAMP_NTZ, matching how Spark 4 reads the other tables' naive
+    // timestamps (inferTimestampNTZ) and how DuckDB sees them — keeping every
+    // timestamp in the engine timezone-free (SURVEY.md §5.3).
+    load(spark, sfDir, "events")
+      .withColumn("ts",
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Exprs.{moneyAvg, moneySum}
+
+/** Relational operator block (SURVEY.md §2.1–2.4, §2.6, §2.7).
+  *
+  * Every query is a pure `(SparkSession, sfDir) => DataFrame`, ends in a
+  * deterministic `orderBy` over a unique key set, and rounds every floating
+  * aggregate (oracle-parity rules, SURVEY.md §5.3).
+  *
+  * Scale posture: all joins/aggs here are expressed declaratively so Catalyst
+  * picks broadcast vs sort-merge (AQE re-plans from runtime sizes); dimension
+  * joins are explicitly `broadcast()`-hinted where the dimension is bounded by
+  * the data model (region/nation/customer), which at 100 TB keeps the fact
+  * table shuffle-free for those lookups.
+  */
+object Relational {
+
+  /** §2.1 Columnar scan + projection pruning: ReadSchema must contain only the
+    * three selected columns (verified in RelationalSpec via the physical plan). */
+  def qScanParquet(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  /** §2.2 Compound predicates (AND/OR, IN, BETWEEN on timestamps, LIKE) —
+    * all push down to the parquet scan as data filters. */
+  def qFilterPred(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(
+        col("o_orderstatus").isin("F", "O") &&
+        col("o_orderdate").between(lit("1995-06-01").cast("timestamp_ntz"),
+                                   lit("1999-06-30").cast("timestamp_ntz")) &&
+        (col("o_totalprice") > 50000.0 || col("o_orderpriority").like("1-%")))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** §2.2 Derived column via nested CASE WHEN — the DimCustomer "marketing
+    * nameplate" rule chain (threshold tags concatenated) rebuilt over customer. */
+  def qProjDerived(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("nameplate", concat_ws("+",
+        when(col("c_acctbal") > 7500.0, lit("HighValue")),
+        when(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"), lit("Industrial")),
+        when(col("c_acctbal") < 0.0, lit("Credit"))))
+      .withColumn("nameplate",
+        when(col("nameplate") === "", lit(null).cast("string")).otherwise(col("nameplate")))
+      .select("c_custkey", "c_name", "nameplate")
+      .orderBy("c_custkey")
+
+  /** §2.2 Null semantics: NULLIF sentinel, COALESCE default, IS NULL flag. */
+  def qCaseNull(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("seg_nulled", nullif(col("c_mktsegment"), lit("AUTOMOBILE")))
+      .withColumn("seg_filled", coalesce(col("seg_nulled"), lit("UNKNOWN")))
+      .withColumn("is_auto", col("seg_nulled").isNull)
+      .select("c_custkey", "seg_nulled", "seg_filled", "is_auto")
+      .orderBy("c_custkey")
+
+  /** §2.3 Small-dimension lookup chain customer⋈nation⋈region, broadcast-hinted:
+    * nation/region are bounded small at any scale — no shuffle of the big side. */
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "n_name", "r_name")
+      .orderBy("c_custkey")
+
+  /** §2.3 Large equi-join lineitem⋈orders⋈customer with an aggregate on top —
+    * the FactCashBalances shape. Shuffles on the join keys; AQE picks
+    * broadcast for the customer side when it fits. */
+  def qJoinShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("c_custkey")
+
+  /** §2.3 Left outer join keeping unmatched dimension rows (Prospect↔DimCustomer
+    * IsCustomer shape): customers with no orders surface with NULL order columns. */
+  def qJoinLeft(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+
+  /** §2.3 Semi join (EXISTS): customers having at least one order. */
+  def qJoinSemi(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** §2.3 Anti join (NOT EXISTS): customers with no orders — the INACT/closed
+    * entity detection shape. */
+  def qJoinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 250000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** §2.4 Multi-measure hash aggregation — the TPC-H-Q1-shaped pricing summary
+    * (daily cash totals / OHLC shape). Partial aggregation is map-side, so the
+    * shuffle carries only |groups| rows per partition at any scale. */
+  def qAggHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+                   * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        moneyAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** §2.4 Distinct aggregation per group (audit-phase counts). */
+  def qAggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** §2.4 Post-aggregation filter (HAVING) — batch-validation thresholds. */
+  def qAggHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(moneySum(col("o_totalprice")).as("total_spent"),
+           count(lit(1)).as("n_orders"))
+      .filter(col("total_spent") > 300000.0)
+      .orderBy("o_custkey")
+
+  /** §2.4 Hierarchical subtotals region→nation via ROLLUP (audit roll-ups);
+    * grouping_id disambiguates subtotal rows from real NULL keys. */
+  def qAggRollup(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+    // Alias the grouping columns: rollup re-creates them with fresh exprIds,
+    // and ordering by the original names trips Spark's ambiguous-self-join
+    // detection. Unique aliases keep resolution unambiguous.
+    joined.rollup(col("r_name").as("r_name_g"), col("n_name").as("n_name_g"))
+      .agg(count(lit(1)).as("n_customers"),
+           moneySum(col("c_acctbal")).as("sum_bal"),
+           grouping_id().as("gid"))
+      .select(col("r_name_g").as("r_name"), col("n_name_g").as("n_name"),
+              col("n_customers"), col("sum_bal"), col("gid"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** §2.6 Global top-k with deterministic tie-break → TakeOrderedAndProject:
+    * no global sort, each partition keeps k rows, driver merges k·p rows. */
+  def qSortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** §2.6 Multi-column sort with explicit null placement (Spark and DuckDB
+    * default null order differ — both sides spell it out). */
+  def qSortNulls(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("seg_nulled", nullif(col("c_mktsegment"), lit("BUILDING")))
+      .select("c_custkey", "seg_nulled", "c_acctbal")
+      .orderBy(col("seg_nulled").asc_nulls_first, col("c_acctbal").desc, col("c_custkey"))
+
+  /** §2.7 Batch union (Batch1 ∪ Batch2 ∪ Batch3 / FINWIRE quarter concat) with
+    * union-distinct semantics. */
+  def qUnionBatches(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderstatus")
+      .unionByName(
+        o.filter(col("o_totalprice") > 200000.0)
+          .select("o_orderkey", "o_orderstatus"))
+      .distinct()
+      .orderBy("o_orderkey")
+  }
+
+  /** §2.7 Set difference (audit: source keys absent from warehouse). */
+  def qExcept(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .except(Tables.orders(spark, dir).filter(col("o_totalprice") > 250000.0)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** §2.7 Set intersection: customers present in both the F-status and
+    * O-status order batches. */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Window-function block + the TPC-DI-signature temporal joins
+  * (SURVEY.md §2.5, plus §2.3 `q_join_range_scd2` / `q_join_conditional_key` /
+  * `q_self_join_pairing`).
+  *
+  * Determinism rules: rank/dense_rank windows may order by tie-heavy columns
+  * (their outputs are tie-stable), but row_number windows always carry a unique
+  * tie-break key; top-k ranks compare ROUNDED measures so cross-engine float
+  * noise cannot flip orderings (SURVEY.md §5.3).
+  */
+object Windows {
+
+  /** §2.5 row_number / rank / dense_rank per partition — latest-record selection
+    * when applying CDC updates. */
+  def qWinRank(spark: SparkSession, dir: String): DataFrame = {
+    val wTies = Window.partitionBy("o_custkey").orderBy(col("o_orderpriority").asc)
+    val wUniq = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderpriority").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(wUniq))
+      .withColumn("rk", rank().over(wTies))
+      .withColumn("drk", dense_rank().over(wTies))
+      .filter(col("rn") <= 5)
+      .select("o_custkey", "o_orderkey", "o_orderpriority", "rn", "rk", "drk")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** §2.5 SCD2 end-dating: EndDate = lead(EffectiveDate), open-ended last row,
+    * IsCurrent = EndDate IS NULL — the DimCustomer/DimCompany history build,
+    * rebuilt over per-customer distinct order dates. */
+  def qWinScd2EndDate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("eff")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").as("eff"))
+      .distinct()
+      .withColumn("end_raw", lead(col("eff"), 1).over(w))
+      // Sentinel kept inside pandas/arrow ns-timestamp range (max 2262) so the
+      // driver-side compare can materialize it; 9999-12-31 would overflow.
+      .withColumn("end_date",
+        coalesce(col("end_raw"), lit("2200-01-01 00:00:00").cast("timestamp_ntz")))
+      .withColumn("is_current", col("end_raw").isNull)
+      .select("o_custkey", "eff", "end_date", "is_current")
+      .orderBy("o_custkey", "eff")
+  }
+
+  /** §2.5 Running balance: cumulative sum per account ordered by time — the
+    * FactCashBalances `Cash` column, rebuilt as cumulative event value per user. */
+  def qWinRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Decimal-cast before the window sum: engines may evaluate running frames
+    // with different accumulation structures (segment trees vs streaming), so
+    // only an exact sum is cross-engine stable (see Exprs).
+    Tables.events(spark, dir)
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+      .select("user_id", "event_id", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** §2.5 RANGE frame over time: 30-day rolling high per part — the
+    * FactMarketHistory 52-week-high shape. Spark range frames are numeric, so
+    * the timestamp is cast to an epoch-day int on BOTH engines (§5.3). */
+  def qWinRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy("l_partkey").orderBy("ship_day").rangeBetween(-30, 0)
+    Tables.lineitem(spark, dir)
+      .withColumn("ship_day", day)
+      .withColumn("rolling_high", round(max("l_extendedprice").over(w), 2))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "ship_day",
+              "rolling_high", "n_in_window")
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata — order by
+      // every output column for a cross-engine total order.
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "ship_day",
+               "rolling_high", "n_in_window")
+  }
+
+  /** §2.5 Top-N per group: top-3 parts by revenue per supplier (top holdings
+    * per account shape). Rank compares the ROUNDED measure + unique key. */
+  def qWinTopkGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("revenue").desc, col("l_partkey").asc)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(Exprs.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("l_suppkey", "l_partkey", "revenue", "rn")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** §2.3 Point-in-time (SCD2 interval) join — THE signature TPC-DI operator:
+    * every fact row resolves the dimension version current at fact time
+    * (DimTrade→DimSecurity shape). Intervals are derived from per-customer
+    * distinct order dates (eff inclusive, end exclusive, last open-ended).
+    *
+    * Scale note: the join keeps an EQUI component (custkey) with the interval
+    * predicate as residual, so Catalyst plans a sort-merge join, not a nested
+    * loop — the property that keeps this viable at 100 TB. */
+  def qJoinRangeScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("d_custkey").orderBy("eff")
+    val dim = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("d_custkey"), col("o_orderdate").as("eff"))
+      .distinct()
+      .withColumn("end_ts", lead(col("eff"), 1).over(w))
+    val fact = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"), col("l_shipdate"))
+    fact.join(dim,
+        col("o_custkey") === col("d_custkey") &&
+        col("l_shipdate") >= col("eff") &&
+        (col("end_ts").isNull || col("l_shipdate") < col("end_ts")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("eff").as("version_eff"))
+      .orderBy("l_orderkey", "l_linenumber", "version_eff")
+  }
+
+  /** §2.3 Per-row conditional join key — the FINWIRE CoNameOrCIK dispatch
+    * (join DimCompany on CIK when the field is numeric, else on name), rebuilt
+    * as a supplier lookup by id-string or by name. Implemented as two equi-join
+    * branches + union, so both paths stay hash/sort-merge joinable at scale
+    * (a single OR-condition join would force a nested loop). */
+  def qJoinConditionalKey(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("ref",
+        when(col("l_linenumber") % 2 === 0, col("l_suppkey").cast("string"))
+          .otherwise(concat(lit("Supplier#"),
+                            lpad(col("l_suppkey").cast("string"), 9, "0"))))
+      .select("l_orderkey", "l_linenumber", "ref")
+    val byId = li.filter(col("ref").rlike("^[0-9]+$"))
+      .join(sup, col("ref").cast("bigint") === col("s_suppkey"))
+    val byName = li.filter(!col("ref").rlike("^[0-9]+$"))
+      .join(sup, col("ref") === col("s_name"))
+    byId.unionByName(byName)
+      .select("l_orderkey", "l_linenumber", "s_suppkey", "s_name")
+      .orderBy("l_orderkey", "l_linenumber", "s_suppkey")
+  }
+
+  /** §2.3 Event pairing: each signup paired with the user's first later
+    * purchase (FactWatches ACTV/CNCL pairing shape). Join + min-aggregate
+    * rather than a per-row subquery — one shuffle on user_id. */
+  def qSelfJoinPairing(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+    signups
+      .join(purchases,
+        col("user_id") === col("p_user_id") && col("p_ts") > col("signup_ts"), "left")
+      .groupBy("user_id", "signup_id", "signup_ts")
+      .agg(min("p_ts").as("first_purchase_ts"))
+      .orderBy("user_id", "signup_id")
+  }
+}
