@@ -7,7 +7,10 @@ package graft
   * kept timezone-free.
   */
 object Oracle {
-  val sql: Map[String, String] = Map(
+  val sql: Map[String, String] =
+    relationalSql ++ scalarsSql ++ cdcSql ++ llmSql
+
+  private lazy val relationalSql: Map[String, String] = Map(
 
     "q_scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
@@ -238,5 +241,298 @@ object Oracle {
         |WHERE s.event_type = 'signup'
         |GROUP BY s.user_id, s.event_id, s.ts
         |ORDER BY s.user_id, signup_id""".stripMargin,
+  )
+
+  /** §2.8 scalar-function block. Dialect-parity notes baked in: DuckDB
+    * regexp_replace needs the 'g' flag for replace-all, date_trunc('month')
+    * returns DATE (Spark side casts to match), floor/ceil return DOUBLE
+    * (cast to BIGINT on both sides), dayofweek is 0=Sunday (Spark side
+    * subtracts 1). */
+  private lazy val scalarsSql: Map[String, String] = Map(
+
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  substring(p_name, 1, 4) AS name_pre,
+        |  length(p_name) AS name_len,
+        |  p_brand || ':' || p_type AS brand_type,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  trim('  ' || p_name || '  ') AS name_trim,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS name_us
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_regex_funcs" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '^([0-9]+)-(.*)$', 1) AS prio_num,
+        |  regexp_extract(o_orderpriority, '^([0-9]+)-(.*)$', 2) AS prio_word,
+        |  regexp_matches(o_orderpriority, '^[12]-') AS is_high,
+        |  regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g') AS prio_devowel
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  quarter(o_orderdate) AS qtr,
+        |  month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom,
+        |  dayofweek(o_orderdate) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  round(l_extendedprice * 0.07, 2) AS tax7,
+        |  round(abs(l_discount - 0.05), 6) AS disc_dev,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  pow(2.0, l_linenumber) AS pow2,
+        |  mod(l_partkey, 7) AS mod7,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         tax7, disc_dev, qty_floor, qty_sqrt""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+        |  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id, label,
+        |  len(embedding) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+  )
+
+  /** §2.10 CDC / event-time block. events.ts is TIMESTAMP_NS in the file:
+    * CAST(ts AS TIMESTAMP) floors it to µs exactly like Spark's
+    * `ts div 1000` read path (Tables.events); window sums of ints are cast
+    * to BIGINT because DuckDB SUM(INTEGER) yields HUGEINT. */
+  private lazy val cdcSql: Map[String, String] = Map(
+
+    "q_cdc_apply" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  ts AS last_ts
+        |FROM ranked
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+        |                   ORDER BY ts_us, event_id) IS NULL
+        |                 OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |                   ORDER BY ts_us, event_id) > 1800000000
+        |            THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        |FROM s
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+  )
+
+  /** 16-bit SimHash assembly: per bit position j (1-based hex char of the
+    * token md5), majority vote of ±1 over the doc's tokens. Generated
+    * programmatically — identical structure to the Spark side. */
+  private lazy val simhashBits: String = (0 until 16).map { j =>
+    s"(CASE WHEN sum(CASE WHEN substr(m,${j + 1},1) IN " +
+      s"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) > 0 " +
+      s"THEN ${1 << j} ELSE 0 END)"
+  }.mkString("\n    + ")
+
+  /** §2.9 LLM-pipeline block. md5 emits identical hex in both engines —
+    * the backbone of every cross-engine-checkable hash pipeline here.
+    * Vector math mirrors the Spark side op-for-op: float→double casts
+    * inside the lambdas, sequential sums, round(4) on scores. */
+  private lazy val llmSql: Map[String, String] = Map(
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY text_md5""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |shingles AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk)-1)]
+        |    ELSE tk END)) AS sh FROM t),
+        |sig AS (
+        |  SELECT doc_id,
+        |    min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
+        |    min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
+        |    min(md5('5:' || sh)) AS h5, min(md5('6:' || sh)) AS h6,
+        |    min(md5('7:' || sh)) AS h7, min(md5('8:' || sh)) AS h8
+        |  FROM shingles GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 1 AS band, md5(h1 || h2) AS bkey FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h3 || h4) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(h5 || h6) FROM sig
+        |  UNION ALL SELECT doc_id, 4, md5(h7 || h8) FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |h AS (SELECT doc_id, md5(t) AS m FROM tok),
+         |fp AS (
+         |  SELECT doc_id, $simhashBits AS simhash
+         |  FROM h GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming
+         |FROM fp a JOIN fp b
+         |  ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk)-1)]
+        |    ELSE tk END) AS grams FROM t),
+        |p AS (SELECT grams AS pg FROM g WHERE doc_id = 0)
+        |SELECT doc_id, len(grams) AS n_grams,
+        |  len(list_intersect(grams, pg)) AS n_inter,
+        |  round(CAST(len(list_intersect(grams, pg)) AS DOUBLE)
+        |        / (len(grams) + len(pg) - len(list_intersect(grams, pg))), 4) AS jacc
+        |FROM g, p
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_cosine" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_sum([v[i]*v[i] for i in generate_series(1, len(v))])) AS nrm,
+        |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v[17] > 0 THEN 2 ELSE 0 END)
+        |      + (CASE WHEN v[33] > 0 THEN 4 ELSE 0 END)
+        |      + (CASE WHEN v[49] > 0 THEN 8 ELSE 0 END) AS bkt
+        |  FROM e),
+        |pairs AS (
+        |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
+        |          / (a.nrm * b.nrm), 4) AS cos_sim
+        |  FROM n a JOIN n b
+        |    ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+        |SELECT label, id_a, id_b, cos_sim
+        |FROM pairs
+        |WHERE cos_sim >= 0.3
+        |ORDER BY label, id_a, id_b""".stripMargin,
+
+    "q_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_sum([v[i]*v[i] for i in generate_series(1, len(v))])) AS nrm
+        |  FROM e),
+        |p AS (SELECT v AS pv, nrm AS pnrm FROM n WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(list_sum([v[i]*pv[i] for i in generate_series(1, len(v))])
+        |        / (nrm * pnrm), 4) AS cos_sim
+        |FROM n, p
+        |ORDER BY cos_sim DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, token, COUNT(*) AS n
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY lang, token
+        |ORDER BY lang, token""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+        |  length(text) AS n_chars_actual,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n_chars_m,
+        |    string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  n_chars_m,
+        |  round(CAST(n_chars_m AS DOUBLE) / len(toks), 4) AS chars_per_token,
+        |  len(list_filter(toks, x -> x IN ('a', 'the'))) AS n_stop,
+        |  round(CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+        |        / len(toks), 4) AS stop_ratio,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('join','filter','order','table'))) AS s_sql,
+        |    len(list_filter(toks, x -> x IN ('hash','scan','merge','sort'))) AS s_exec,
+        |    len(list_filter(toks, x -> x IN ('vector','window','batch','line'))) AS s_vec
+        |  FROM t)
+        |SELECT doc_id, s_sql, s_exec, s_vec,
+        |  CASE WHEN s_sql >= s_exec AND s_sql >= s_vec THEN 'sql'
+        |       WHEN s_exec >= s_vec THEN 'exec'
+        |       ELSE 'vec' END AS lang_guess
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(text) AS exact_fp,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS shape_fp,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS rolling_fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
 }

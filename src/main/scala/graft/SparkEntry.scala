@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Relational, Windows}
+import graft.queries.{Cdc, Llm, Relational, Scalars, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,30 @@ object SparkEntry {
     "q_join_range_scd2"   -> (Windows.qJoinRangeScd2 _),
     "q_join_conditional_key" -> (Windows.qJoinConditionalKey _),
     "q_self_join_pairing" -> (Windows.qSelfJoinPairing _),
+    // §2.8 scalar functions
+    "q_str_funcs"   -> (Scalars.qStrFuncs _),
+    "q_regex_funcs" -> (Scalars.qRegexFuncs _),
+    "q_date_funcs"  -> (Scalars.qDateFuncs _),
+    "q_math_funcs"  -> (Scalars.qMathFuncs _),
+    "q_json_funcs"  -> (Scalars.qJsonFuncs _),
+    "q_array_funcs" -> (Scalars.qArrayFuncs _),
+    // §2.10 CDC / event-time (batch forms; stream wrappers in graft.stream)
+    "q_cdc_apply"       -> (Cdc.qCdcApply _),
+    "q_stream_tumbling" -> (Cdc.qStreamTumbling _),
+    "q_session_window"  -> (Cdc.qSessionWindow _),
+    // §2.9 LLM-data-pipeline block
+    "q_dedup_exact"    -> (Llm.qDedupExact _),
+    "q_dedup_minhash"  -> (Llm.qDedupMinhash _),
+    "q_dedup_simhash"  -> (Llm.qDedupSimhash _),
+    "q_ngram_jaccard"  -> (Llm.qNgramJaccard _),
+    "q_dedup_cosine"   -> (Llm.qDedupCosine _),
+    "q_knn_cosine"     -> (Llm.qKnnCosine _),
+    "q_knn_cosine_lsh" -> (Llm.qKnnCosineLsh _), // no-oracle: rows-only check + LlmSpec recall test
+    "q_text_stats"     -> (Llm.qTextStats _),
+    "q_token_count"    -> (Llm.qTokenCount _),
+    "q_text_quality"   -> (Llm.qTextQuality _),
+    "q_lang_id"        -> (Llm.qLangId _),
+    "q_doc_fingerprint" -> (Llm.qDocFingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -30,11 +30,17 @@ object Tables {
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
 
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Read it as a raw long (legacy nanosAsLong) and
+    * reader rejects outright. Read it as a raw long (requires the session conf
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by the Verify/Bench
+    * session builders and the test harness — NOT here: loaders stay pure) and
     * convert to a microsecond TimestampType with exact integer division —
-    * double division would lose precision above 2^53 ns. */
+    * double division would lose precision above 2^53 ns.
+    *
+    * Cross-engine note (SURVEY.md §5.3): `ts div 1000` floors ns→µs; DuckDB
+    * reads the same column natively as TIMESTAMP_NS, and its CAST(ts AS
+    * TIMESTAMP) also floors to µs — oracles that output or compare `ts`
+    * rely on that equivalence (the driver data is µs-aligned, verified). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // TIMESTAMP_NTZ, matching how Spark 4 reads the other tables' naive
     // timestamps (inferTimestampNTZ) and how DuckDB sees them — keeping every
     // timestamp in the engine timezone-free (SURVEY.md §5.3).

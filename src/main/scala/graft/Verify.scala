@@ -15,6 +15,8 @@ object Verify {
       // INT96 (Spark's default) reads back as ns timestamps in pyarrow and
       // overflows for far-future dates; micros round-trips cleanly.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.parquet carries TIMESTAMP(NANOS); read as raw long (Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

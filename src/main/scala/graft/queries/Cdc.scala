@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Exprs.moneySum
+
+/** CDC / event-time block (SURVEY.md §2.10) — TPC-DI's incremental Batches 2–3
+  * ARE micro-batch CDC application; these are the batch forms of the semantics
+  * (the Structured Streaming wrappers in [[graft.stream.Streams]] share the
+  * same shapes and are covered by MemoryStream scalatests, since the DuckDB
+  * oracle can only check batch output).
+  *
+  * Scale posture: latest-per-key is a single hash shuffle on the key + one
+  * sort per partition (no self-join); sessionization is gaps-and-islands —
+  * one shuffle + sort per user, linear in events; tumbling windows are a
+  * plain hash aggregation with map-side partials.
+  */
+object Cdc {
+
+  /** §2.10 CDC apply: latest record per key wins, delete-flag removes — the
+    * incremental Customer.txt/Account.txt I/U/D application. Rebuilt over
+    * `events`: per-user latest event is the current state; users whose latest
+    * event is `error` (the delete flag) drop out. */
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+              col("event_type").as("last_type"), col("ts").as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  /** §2.10 Tumbling event-time windows: per-hour per-type counts and sums —
+    * identical query body works on readStream (Structured Streaming's
+    * incrementalization model; stream variant in [[graft.stream.Streams]]). */
+  def qStreamTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           moneySum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** §2.10 Session windows, 30-min inactivity gap per user, batch parity via
+    * gaps-and-islands: flag rows starting a new session (gap > 30 min from
+    * the previous event), running-sum the flags into a session id, aggregate.
+    * Gap arithmetic in epoch-µs on both engines (events are µs-aligned). */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000000 // 30 minutes
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(running))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+}

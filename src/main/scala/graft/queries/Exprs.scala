@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
   * Summing doubles is order-dependent, and Spark's partial-aggregation order
   * varies with partitioning while DuckDB's varies with its own vectorization —
   * so a `round(sum(double), 2)` can flip at a rounding boundary between
-  * engines. Casting each element to DECIMAL(18,4) first makes the sum exact
+  * engines. Casting each element to DECIMAL(24,6) first makes the sum exact
   * and order-independent: the per-row value is computed in double (identical
-  * IEEE ops on identical inputs in both engines), snapped to 4 decimal digits,
+  * IEEE ops on identical inputs in both engines), snapped to 6 decimal digits,
   * then summed exactly. The final cast back to double is deterministic.
   */
 object Exprs {

@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-data-pipeline block (SURVEY.md §2.9, the north star): deduplication
+  * (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup),
+  * similarity search (brute-force + LSH-bucketed ANN), and text analysis
+  * (token counting, quality scoring, language-ID heuristic, fingerprinting).
+  *
+  * Everything is built-in Catalyst expressions — higher-order array functions
+  * for the vector math, `md5` for cross-engine-identical hashing (both Spark
+  * and DuckDB emit the same hex string, which is what makes the MinHash and
+  * SimHash pipelines oracle-checkable at all — seeded minwise hashing over
+  * md5("<seed>:" || shingle) string minima instead of engine-specific hash()).
+  *
+  * Scale posture (100 TB):
+  *  - every dedup is blocked (hash buckets / LSH bands / sign buckets) —
+  *    no all-pairs joins anywhere; candidate pairs come from equi-joins on
+  *    bucket keys, so they hash-partition and AQE handles band skew;
+  *  - signatures are per-doc aggregations with map-side partials;
+  *  - knn is one scan + TakeOrderedAndProject (no global sort); the LSH
+  *    variant prunes the scan to candidate buckets first.
+  */
+object Llm {
+
+  // ---- shared expression helpers -----------------------------------------
+
+  /** Distinct token bigrams ("shingles") of the space-tokenized text; docs
+    * with a single token fall back to the token itself. */
+  private def bigrams(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(toks))
+  }
+
+  /** Exact float→double promotion of a vector column. */
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential left-to-right double dot product — mirrors DuckDB's
+    * list_sum over the zipped products (identical IEEE ops both engines). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def l2(v: Column): Column = sqrt(dot(v, v))
+
+  /** 4-bit sign bucket over fixed coordinates — axis-aligned random-hyperplane
+    * LSH for cosine (sign of dot with basis vectors e1,e17,e33,e49). At
+    * production scale you would OR several such band tables to buy recall;
+    * one band keeps the declared query deterministic and cheap. */
+  private def signBucket(v: Column): Column =
+    Seq(1, 17, 33, 49).zipWithIndex.map { case (p, i) =>
+      when(element_at(v, p) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  // ---- deduplication ------------------------------------------------------
+
+  /** §2.9 Exact dedup: group by content hash, keep the smallest doc_id —
+    * the canonical "hash-groupBy" dedup; bucketed by md5 so it scales. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("text_md5")
+
+  /** §2.9 MinHash + LSH near-dup candidates: distinct bigram shingles →
+    * 8 seeded minwise hashes (min md5 string per seed — cross-engine
+    * identical) → 4 bands of 2 → band-bucket equi-join → candidate pairs.
+    * No all-pairs comparison at any point. */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("sh"))
+    val sig = sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("1:"), col("sh")))).as("h1"),
+      min(md5(concat(lit("2:"), col("sh")))).as("h2"),
+      min(md5(concat(lit("3:"), col("sh")))).as("h3"),
+      min(md5(concat(lit("4:"), col("sh")))).as("h4"),
+      min(md5(concat(lit("5:"), col("sh")))).as("h5"),
+      min(md5(concat(lit("6:"), col("sh")))).as("h6"),
+      min(md5(concat(lit("7:"), col("sh")))).as("h7"),
+      min(md5(concat(lit("8:"), col("sh")))).as("h8"))
+    def band(n: Int, c1: String, c2: String) =
+      sig.select(col("doc_id"), lit(n).as("band"),
+                 md5(concat(col(c1), col(c2))).as("bkey"))
+    val bands = band(1, "h1", "h2")
+      .unionByName(band(2, "h3", "h4"))
+      .unionByName(band(3, "h5", "h6"))
+      .unionByName(band(4, "h7", "h8"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+                         col("bkey").as("bkey_b"))
+    a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+              col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** §2.9 SimHash near-dup: 16-bit fingerprint from md5 hex-digit parity
+    * (per bit position: majority vote of ±1 over the doc's tokens), pairs
+    * blocked on the fingerprint's top byte, kept at Hamming distance ≤ 3.
+    * Hex-digit parity is a pure string test, so both engines derive
+    * identical bits from identical md5 strings. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("m", md5(col("t")))
+    val sums = (0 until 16).map { j =>
+      sum(when(substring(col("m"), j + 1, 1).isin(oddHex: _*), 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val fp = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
+          .reduce(_ + _).as("simhash"))
+    val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, expr("(sh_a div 256) = (sh_b div 256)") && col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** §2.9 n-gram Jaccard near-dup vs a probe document: distinct bigram sets,
+    * |∩| / |∪| against doc 0. One scan + a broadcast of the single probe
+    * row — the per-document score shape used for query-time near-dup checks. */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), bigrams(col("text")).as("grams"))
+    val probe = g.filter(col("doc_id") === 0).select(col("grams").as("pg"))
+    g.crossJoin(broadcast(probe))
+      .withColumn("n_grams", size(col("grams")))
+      .withColumn("n_inter", size(array_intersect(col("grams"), col("pg"))))
+      .withColumn("jacc", round(
+        col("n_inter").cast("double") /
+          (col("n_grams") + size(col("pg")) - col("n_inter")), 4))
+      .select("doc_id", "n_grams", "n_inter", "jacc")
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 Embedding-cosine near-dup pairs: blocked by (label, 4-bit sign
+    * bucket) — an equi-join, never all-pairs — then exact rounded cosine
+    * ≥ 0.3 within each block. Norms are precomputed per vector (one scan),
+    * so the pair stage pays one dot product per candidate. */
+  def qDedupCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2(col("v")))
+      .withColumn("bkt", signBucket(col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"),
+                     col("nrm").as("na"), col("bkt"))
+    val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+                     col("v").as("vb"), col("nrm").as("nb"), col("bkt").as("bkt_b"))
+    a.join(b, col("label") === col("label_b") && col("bkt") === col("bkt_b") &&
+              col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos_sim") >= 0.3)
+      .select("label", "id_a", "id_b", "cos_sim")
+      .orderBy("label", "id_a", "id_b")
+  }
+
+  // ---- similarity search --------------------------------------------------
+
+  /** §2.9 Brute-force top-k cosine similarity vs a probe vector (vec_id 0):
+    * one scan, rounded score, TakeOrderedAndProject — the exact baseline the
+    * ANN variant is tested against. */
+  def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2(col("v")))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("nrm").as("pnrm"))
+    e.crossJoin(broadcast(probe))
+      .withColumn("cos_sim", round(dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")), 4))
+      .select("vec_id", "label", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** §2.9 LSH-bucketed ANN (no-oracle; recall asserted vs [[qKnnCosine]] in
+    * LlmSpec): coarse stage prunes to vectors whose 4-bit sign bucket is
+    * within Hamming distance 1 of the probe's bucket (multi-probe), fine
+    * stage re-ranks the survivors by exact cosine. At 100 TB the coarse
+    * stage is a partition-pruning-friendly filter on a precomputed bucket
+    * column; here it is derived inline. */
+  def qKnnCosineLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2(col("v")))
+      .withColumn("bkt", signBucket(col("v")))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("nrm").as("pnrm"), col("bkt").as("pbkt"))
+    e.join(broadcast(probe), expr("bit_count(bkt ^ pbkt) <= 1"))
+      .withColumn("cos_sim", round(dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")), 4))
+      .select("vec_id", "label", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  // ---- text analysis ------------------------------------------------------
+
+  /** §2.9 Token frequencies per language — explode + hash aggregation (the
+    * wordcount shape; partial aggregation keeps the shuffle at |vocab| per
+    * partition). */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "token")
+
+  /** §2.9 Token counting: whitespace tokens, alphabetic tokens via regex,
+    * and a BPE-ish chars/4 approximation. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("n_alpha_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        ceil(length(col("text")) / lit(4.0)).cast("bigint").as("approx_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** §2.9 Quality scoring: chars-per-token, stopword ratio, type-token
+    * ratio — the standard cheap text-quality filters. */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stops = filter(toks, t => t.isin("a", "the"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("n_chars_m"),
+        round(length(col("text")).cast("double") / size(toks), 4).as("chars_per_token"),
+        size(stops).as("n_stop"),
+        round(size(stops).cast("double") / size(toks), 4).as("stop_ratio"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"))
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 Language-ID heuristic: marker-token votes per candidate class,
+    * argmax with a fixed precedence tie-break. (On real corpora the marker
+    * sets are per-language stopword lists; the mechanics — count marker
+    * hits per class, argmax — are identical.) */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def score(markers: String*): Column =
+      size(filter(toks, t => t.isin(markers: _*)))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        score("join", "filter", "order", "table").as("s_sql"),
+        score("hash", "scan", "merge", "sort").as("s_exec"),
+        score("vector", "window", "batch", "line").as("s_vec"))
+      .withColumn("lang_guess",
+        when(col("s_sql") >= col("s_exec") && col("s_sql") >= col("s_vec"), "sql")
+          .when(col("s_exec") >= col("s_vec"), "exec")
+          .otherwise("vec"))
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 Document fingerprinting: exact content hash, bag-of-words shape
+    * hash (sorted distinct tokens), and a polynomial rolling hash folded
+    * left-to-right over per-token codes mod 1e9+7 (bounds keep every
+    * intermediate < 2^63, so ANSI overflow checking never trips). */
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val codes = transform(toks, t => (ascii(t) * 31 + length(t)).cast("bigint"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("exact_fp"),
+        md5(concat_ws(" ", sort_array(array_distinct(toks)))).as("shape_fp"),
+        aggregate(codes, lit(0L), (acc, x) => (acc * 131 + x) % 1000000007L)
+          .as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+}

@@ -57,10 +57,11 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Decimal-cast before the window sum: engines may evaluate running frames
     // with different accumulation structures (segment trees vs streaming), so
-    // only an exact sum is cross-engine stable (see Exprs).
+    // only an exact sum is cross-engine stable (see Exprs). decimal(24,6)
+    // matches the oracle's CAST exactly — same snap scale on both sides.
     Tables.events(spark, dir)
       .withColumn("running_value",
-        sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+        sum(col("value").cast("decimal(24,6)")).over(w).cast("double"))
       .select("user_id", "event_id", "running_value")
       .orderBy("user_id", "event_id")
   }
@@ -146,19 +147,27 @@ object Windows {
   }
 
   /** §2.3 Event pairing: each signup paired with the user's first later
-    * purchase (FactWatches ACTV/CNCL pairing shape). Join + min-aggregate
-    * rather than a per-row subquery — one shuffle on user_id. */
+    * purchase (FactWatches ACTV/CNCL pairing shape).
+    *
+    * Window form, not a self-join: the r01 join+min-aggregate expanded to
+    * signups×purchases pairs per user before aggregating — quadratic on a
+    * skewed power-user key at scale. Here both event types are sorted once
+    * per user and each signup reads `min(purchase ts)` from a strictly-later
+    * RANGE frame over epoch-µs (strict `>` = range start +1µs, exact because
+    * events are µs-aligned — Tables.events) — one shuffle + sort, zero fanout. */
   def qSelfJoinPairing(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val signups = ev.filter(col("event_type") === "signup")
-      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("signup_ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"))
-    signups
-      .join(purchases,
-        col("user_id") === col("p_user_id") && col("p_ts") > col("signup_ts"), "left")
-      .groupBy("user_id", "signup_id", "signup_ts")
-      .agg(min("p_ts").as("first_purchase_ts"))
+    // timestamp_ntz has no direct unix_micros; the session TZ is pinned UTC so
+    // the ntz→ltz cast is instant-preserving.
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(1L, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("p_ts", when(col("event_type") === "purchase", col("ts")))
+      .withColumn("first_purchase_ts", min(col("p_ts")).over(w))
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+              col("ts").as("signup_ts"), col("first_purchase_ts"))
       .orderBy("user_id", "signup_id")
   }
 }
