@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (TestSpark); run them sequentially so no
+// suite observes another's jobs and memory stays bounded.
+Test / parallelExecution := false
 run / fork := true
 // Forward forked run stdout verbatim (no `[info]` prefix) so graft.Bench's
 // JSON result line stays machine-parseable by the driver.

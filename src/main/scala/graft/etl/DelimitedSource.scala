@@ -1,0 +1,43 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Delimited-text ingest (SURVEY.md §2.1 `q_scan_csv`): TPC-DI's Trade.txt /
+  * CashTransaction.txt / incremental Customer.txt family — header-less,
+  * pipe- or comma-separated, schema mandated by the spec. Schema inference
+  * is never viable on header-less files, so the schema is always explicit.
+  *
+  * At scale this is a splittable line-oriented scan: Spark parallelizes by
+  * HDFS-style byte ranges, so one big text file still fans out across the
+  * cluster; the explicit schema keeps the parser single-pass (no inference
+  * scan) and `columnNameOfCorruptRecord` captures reject rows instead of
+  * failing the batch (DImessages-style error handling).
+  */
+object DelimitedSource {
+
+  /** Timestamp format written/read by [[write]]/[[read]] round-trips —
+    * pinned so ingest is byte-stable regardless of Spark defaults. */
+  val TsFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  def read(spark: SparkSession, path: String, schema: StructType,
+           sep: String = "|"): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("sep", sep)
+      .option("header", "false")
+      .option("timestampNTZFormat", TsFormat)
+      .option("timestampFormat", TsFormat)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Inverse of [[read]] for round-trip tests and warehouse extracts. */
+  def write(df: DataFrame, path: String, sep: String = "|"): Unit =
+    df.write
+      .option("sep", sep)
+      .option("header", "false")
+      .option("timestampNTZFormat", TsFormat)
+      .option("timestampFormat", TsFormat)
+      .mode("overwrite")
+      .csv(path)
+}

@@ -1,0 +1,63 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic SCD2 (slowly-changing dimension, Type 2) machinery — the reusable
+  * semantics behind TPC-DI's DimCustomer/DimAccount/DimCompany/DimSecurity
+  * history builds and every fact table's point-in-time surrogate-key lookup
+  * (SURVEY.md §2.3 `q_join_range_scd2`, §2.5 `q_win_scd2_enddate`, §2.10
+  * `q_cdc_apply`).
+  *
+  * Conventions: `eff` (effective-from) inclusive, `end` exclusive, the
+  * current version has `end IS NULL`. Invariants (property-tested in
+  * Scd2Spec): per key the intervals tile time with no gaps or overlaps,
+  * and exactly one version per key is open.
+  *
+  * Scale notes: every operation here is a single hash-partition-by-key +
+  * sort-within-partition (window) or an equi-join keyed on the natural key
+  * with the interval predicate as residual — sort-merge-joinable, never a
+  * nested loop.
+  */
+object Scd2 {
+
+  /** Build versioned history from a change log: one row per (key, effective
+    * date, attributes) becomes a version end-dated by the next change. */
+  def fromChangeLog(log: DataFrame, keyCols: Seq[String], effCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(effCol))
+    log
+      .withColumn("end", lead(col(effCol), 1).over(w))
+      .withColumn("is_current", col("end").isNull)
+  }
+
+  /** Point-in-time resolve: each fact row joins the dimension version current
+    * at `factTime`. Equi component on the key keeps the join sort-merge; the
+    * interval test rides along as a residual predicate. */
+  def resolve(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+              factTime: String, effCol: String = "eff", endCol: String = "end"): DataFrame =
+    fact.join(dim,
+      fact(factKey) === dim(dimKey) &&
+        fact(factTime) >= dim(effCol) &&
+        (dim(endCol).isNull || fact(factTime) < dim(endCol)))
+
+  /** Apply a CDC micro-batch (I/U/D records with a sequence number) to a
+    * current-state snapshot: the latest CDC record per key wins; `D` deletes;
+    * snapshot rows for untouched keys pass through. Both inputs and the
+    * output share the snapshot's schema plus the CDC envelope columns on the
+    * batch side. One window + one anti-join, both keyed — no full rewrite of
+    * unaffected partitions at scale if the snapshot is bucketed by key. */
+  def applyCdc(snapshot: DataFrame, cdc: DataFrame, keyCols: Seq[String],
+               seqCol: String, flagCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = cdc
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val survivors = latest.filter(col(flagCol) =!= "D")
+      .drop(seqCol, flagCol)
+    val untouched = snapshot.join(latest.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    untouched.unionByName(survivors)
+  }
+}

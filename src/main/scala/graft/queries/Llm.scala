@@ -72,8 +72,13 @@ object Llm {
     * 8 seeded minwise hashes (min md5 string per seed — cross-engine
     * identical) → 4 bands of 2 → band-bucket equi-join → candidate pairs.
     * No all-pairs comparison at any point. */
-  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, dir))
+
+  /** MinHash-LSH core over any (doc_id, text) frame — reused by the declared
+    * query and property-tested on synthetic corpora in LlmSpec. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), explode(bigrams(col("text"))).as("sh"))
     val sig = sh.groupBy("doc_id").agg(
       min(md5(concat(lit("1:"), col("sh")))).as("h1"),
@@ -105,9 +110,14 @@ object Llm {
     * blocked on the fingerprint's top byte, kept at Hamming distance ≤ 3.
     * Hex-digit parity is a pure string test, so both engines derive
     * identical bits from identical md5 strings. */
-  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir))
+
+  /** SimHash core over any (doc_id, text) frame — reused by the declared
+    * query and property-tested in LlmSpec. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    val tok = Tables.documents(spark, dir)
+    val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .withColumn("m", md5(col("t")))
     val sums = (0 until 16).map { j =>

@@ -139,6 +139,20 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
 
+  /** §2.4 Approximate distinct count (HLL++) — the designed 100 TB answer to
+    * distinct counting: constant-size sketch per group, map-side partials,
+    * no expand. No oracle (estimators differ across engines); ±5% tolerance
+    * vs the exact count is asserted in RelationalSpec and visible here
+    * side-by-side. */
+  def qAggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .orderBy("l_returnflag")
+
   /** §2.4 Post-aggregation filter (HAVING) — batch-validation thresholds. */
   def qAggHaving(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -1,0 +1,55 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Exprs.moneySum
+
+/** Structured Streaming wrappers (SURVEY.md §2.10): the stream-native forms
+  * of the CDC/event-time semantics in [[graft.queries.Cdc]]. Each takes a
+  * DataFrame that may be batch (`spark.read`) or streaming (`readStream` /
+  * MemoryStream) — the bodies are identical in both modes, which is exactly
+  * how batch oracle coverage transfers to streaming (the driver's DuckDB
+  * oracle can only check batch output; stream-mode behavior — watermark
+  * late-drop, session merging, within-watermark dedup — is asserted in
+  * StreamingSpec via MemoryStream).
+  *
+  * Scale notes: watermarks bound the state store (windows older than the
+  * watermark are evicted); `session_window` state merges per key; dedup
+  * state is keyed by id and likewise watermark-bounded — all prerequisites
+  * for running these unbounded on a real cluster.
+  */
+object Streams {
+
+  /** Tumbling per-hour, per-type aggregation with a watermark: append-mode
+    * emits a window only once the watermark passes its end, and events
+    * arriving later than `delay` past the window are dropped. */
+  def tumblingCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  /** Native session windows (the streaming twin of Cdc.qSessionWindow's
+    * gaps-and-islands batch form): sessions close after `gap` inactivity. */
+  def sessionized(events: DataFrame, gap: String = "30 minutes",
+                  delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"), col("sum_value"))
+
+  /** Stateful streaming dedup: drops rows whose `event_id` was already seen
+    * within the watermark horizon (exactly-once ingest of an at-least-once
+    * CDC feed). */
+  def dedupedWithinWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+}

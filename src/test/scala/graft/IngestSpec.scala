@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{DelimitedSource, FixedWidthSource}
+import graft.etl.FixedWidthSource.FieldSpec
+
+/** Text ingest (SURVEY.md §2.1 no-oracle rows `q_scan_csv` /
+  * `q_scan_fixedwidth`): TPC-DI sources are header-less pipe-delimited and
+  * fixed-width text — prove both read paths against round-trip equality and
+  * synthetic FINWIRE lines (FIXTURES.md §B). */
+class IngestSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("q_scan_csv: pipe-delimited round-trip equals the parquet read") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    DelimitedSource.write(li, tmp)
+    val back = DelimitedSource.read(spark, tmp, li.schema)
+    assert(back.schema === li.schema)
+    assert(back.count() === li.count())
+    assert(back.exceptAll(li).count() === 0)
+    assert(li.exceptAll(back).count() === 0)
+  }
+
+  private val finwireLines = Seq(
+    //        PTS(15)        TYP(3) then per-type layout from offset 19
+    "20070102-120000CMP" + "Acme Corporation    " + "0000001234" + "ACTV",
+    "20070102-120001CMP" + "Globex Holdings     " + "0000005678" + "INAC",
+    "20070103-090000SEC" + "ACME           "      + "COMMON" + "0000001234",
+    "20070104-090000FIN" + "2007" + "1" + "000000017500.50",
+  )
+
+  private val layouts = Map(
+    "CMP" -> Seq(FieldSpec("pts", 1, 15), FieldSpec("company_name", 19, 20),
+                 FieldSpec("cik", 39, 10, LongType), FieldSpec("status", 49, 4)),
+    "SEC" -> Seq(FieldSpec("pts", 1, 15), FieldSpec("symbol", 19, 15),
+                 FieldSpec("issue_type", 34, 6), FieldSpec("co_cik", 40, 10, LongType)),
+    "FIN" -> Seq(FieldSpec("pts", 1, 15), FieldSpec("year", 19, 4, IntegerType),
+                 FieldSpec("quarter", 23, 1, IntegerType),
+                 FieldSpec("revenue", 24, 15, DoubleType)))
+
+  test("q_scan_fixedwidth: FINWIRE multi-record-type dispatch slices per layout") {
+    val tmp = Files.createTempDirectory("graft_fw").resolve("finwire.txt")
+    Files.write(tmp, finwireLines.mkString("\n").getBytes)
+    val byType = FixedWidthSource.readTyped(spark, tmp.toString, 16, 3, layouts)
+
+    val cmp = byType("CMP").orderBy("pts").collect()
+    assert(cmp.length === 2)
+    assert(cmp(0).getAs[String]("company_name") === "Acme Corporation")
+    assert(cmp(0).getAs[Long]("cik") === 1234L)
+    assert(cmp(1).getAs[String]("status") === "INAC")
+
+    val sec = byType("SEC").collect()
+    assert(sec.length === 1)
+    assert(sec(0).getAs[String]("symbol") === "ACME")
+    assert(sec(0).getAs[Long]("co_cik") === 1234L)
+
+    val fin = byType("FIN").collect()
+    assert(fin.length === 1)
+    assert(fin(0).getAs[Int]("year") === 2007)
+    assert(fin(0).getAs[Int]("quarter") === 1)
+    assert(fin(0).getAs[Double]("revenue") === 17500.50)
+  }
+
+  test("fixed-width single-layout read trims space padding") {
+    val tmp = Files.createTempDirectory("graft_fw1").resolve("pad.txt")
+    Files.write(tmp, "ab   42\nc     7".getBytes)
+    val df = FixedWidthSource.read(spark, tmp.toString,
+      Seq(FieldSpec("name", 1, 4), FieldSpec("n", 5, 3, IntegerType)))
+    val rows = df.orderBy("name").collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq ===
+           Seq(("ab", 42), ("c", 7)))
+  }
+}

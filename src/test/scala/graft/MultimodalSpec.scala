@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Multimodal
+import graft.sources.Multimodal.Asset
+
+/** Multimodal binary columns (SURVEY.md §2.9 "multimodal columns"): the
+  * storage schema round-trips parquet byte-exactly, and the (stubbed-codec)
+  * feature extraction is deterministic and partitioning-independent — the
+  * properties the real decoder plumbing must keep. */
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("binary payload + metadata round-trips parquet byte-exactly") {
+    val assets = Multimodal.syntheticAssets(spark, 50)
+    val tmp = Files.createTempDirectory("graft_mm").toString
+    assets.write.mode("overwrite").parquet(tmp)
+    val back = spark.read.parquet(tmp).as[Asset].collect().sortBy(_.asset_id)
+    val orig = assets.collect().sortBy(_.asset_id)
+    assert(back.length === orig.length)
+    back.zip(orig).foreach { case (b, o) =>
+      assert(b.kind === o.kind && b.width === o.width &&
+             b.sample_rate === o.sample_rate && b.format === o.format)
+      assert(java.util.Arrays.equals(b.payload, o.payload),
+        s"payload bytes differ for asset ${o.asset_id}")
+    }
+  }
+
+  test("feature extraction is deterministic and partition-count independent") {
+    val f1 = Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, 50))
+      .collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(
+        Multimodal.syntheticAssets(spark, 50).repartition(7))
+      .collect().sortBy(_.asset_id)
+    assert(f1.length === 50 && f2.length === 50)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.checksum === b.checksum)
+      assert(a.features.toSeq === b.features.toSeq)
+      assert(a.features.length === 8)
+      assert(a.features.forall(f => f >= 0f && f <= 1f))
+    }
+  }
+
+  test("feature frame keeps modality co-location and join key") {
+    val df = Multimodal.featureFrame(Multimodal.syntheticAssets(spark, 30))
+    assert(df.columns.toSet === Set("asset_id", "kind", "n_bytes", "checksum", "features"))
+    assert(df.count() === 30)
+    assert(df.select("kind").distinct().count() === 3)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Relational
+
+/** No-oracle relational coverage (SURVEY.md §2.4 `q_agg_approx_distinct`)
+  * plus plan-shape assertions from SURVEY.md §4: filters must reach the
+  * parquet scan, projections must prune the read schema. */
+class RelationalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("q_agg_approx_distinct: HLL estimate within 5% of exact per group") {
+    val rows = Relational.qAggApproxDistinct(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts")
+      val exact = r.getAs[Long]("exact_parts")
+      assert(exact > 0)
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"group ${r.get(0)}: approx=$approx exact=$exact off by >5%")
+    }
+  }
+
+  test("q_filter_pred pushes predicates into the parquet scan") {
+    val plan = Relational.qFilterPred(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in plan:\n$plan")
+    assert(!plan.contains("PushedFilters: []"), s"empty pushdown in plan:\n$plan")
+  }
+
+  test("q_scan_parquet prunes unreferenced columns from the read schema") {
+    val plan = Relational.qScanParquet(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), plan)
+    assert(plan.contains("l_orderkey"), plan)
+    assert(!plan.contains("l_quantity"),
+      s"unreferenced column not pruned from scan:\n$plan")
+  }
+
+  test("q_join_broadcast actually broadcasts the dimension side") {
+    val plan = Relational.qJoinBroadcast(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in plan:\n$plan")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stream.Streams
+
+/** One event row as fed through MemoryStream (top-level so the case-class
+  * Encoder has no outer pointer). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Structured Streaming semantics (SURVEY.md §2.10 no-oracle rows): watermark
+  * late-data drop, session-window merging, within-watermark dedup — driven
+  * through MemoryStream with controlled event times, asserted on memory-sink
+  * tables. The query bodies are the same ones the batch oracle covers. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "click") =
+    Ev(id, ts(t), user, typ, 1.0)
+
+  test("tumbling windows + watermark: append emits closed windows, drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("t_tumbling").outputMode("append")
+      .start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:50:00"))
+      q.processAllAvailable()
+      // watermark still inside hour 10 — nothing final yet
+      assert(spark.table("t_tumbling").count() === 0)
+
+      // event in hour 11 pushes the watermark past 11:00 → hour-10 window emits
+      mem.addData(ev(3, "2024-01-01 11:20:00"))
+      q.processAllAvailable()
+      val out1 = spark.table("t_tumbling")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+      assert(out1.toSeq === Seq(("2024-01-01 10:00:00.0", 2L)),
+        s"hour-10 window should emit once finalized, got ${out1.toSeq}")
+
+      // a row older than the watermark targets the already-closed window: dropped
+      mem.addData(ev(4, "2024-01-01 10:06:00"))
+      q.processAllAvailable()
+      val out2 = spark.table("t_tumbling")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+      assert(out2.toSeq === Seq(("2024-01-01 10:00:00.0", 2L)),
+        "late row must not reopen or re-emit the closed window")
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap and split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionized(mem.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("t_session").outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"), // one session
+        ev(3, "2024-01-01 11:30:00"),                               // new session
+        ev(4, "2024-01-01 13:00:00", user = 2L))                    // watermark push
+      q.processAllAvailable()
+      mem.addData(ev(5, "2024-01-01 15:00:00", user = 2L)) // close user-2 sessions too
+      q.processAllAvailable()
+      val sessions = spark.table("t_session")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+        .sortBy(s => (s._1, s._2))
+      // user 1: [10:00 .. 10:40) with 2 events, [11:30 .. 12:00) with 1
+      assert(sessions.count(_._1 == 1L) === 2)
+      assert(sessions.filter(_._1 == 1L).map(_._3).toSeq === Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupedWithinWatermark(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 10:00:00"),
+        ev(1, "2024-01-01 10:00:30"), // replay of id 1 within the watermark
+        ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      val ids = spark.table("t_dedup").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq === Seq(1L, 2L), s"duplicate id must be dropped, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+}

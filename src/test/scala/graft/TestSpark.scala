@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for every suite (never stopped — the forked test
+  * JVM's exit cleans it up; stopping in an afterAll would kill it for the
+  * suites that follow). Mirrors the Verify/Bench builder configs. */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    // events.parquet carries TIMESTAMP(NANOS); read as raw long (Tables.events)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  spark.sparkContext.setLogLevel("WARN")
+
+  val sfDir = "/root/testdata/sf0.001"
+}
