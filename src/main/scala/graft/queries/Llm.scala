@@ -138,18 +138,29 @@ object Llm {
   }
 
   /** §2.9 n-gram Jaccard near-dup vs a probe document: distinct bigram sets,
-    * |∩| / |∪| against doc 0. One scan + a broadcast of the single probe
-    * row — the per-document score shape used for query-time near-dup checks. */
+    * |∩| / |∪| against doc 0.
+    *
+    * Shape: explode the distinct grams once and count intersections with a
+    * broadcast hash semi-join on the gram string — every operator codegen'd.
+    * (A first version computed `array_intersect(grams, probe)` per row; the
+    * interpreted higher-order array ops cost ~1 ms/doc — 8× slower at bench
+    * scale and the wrong constant for 100 TB. Set intersection as a join is
+    * the scalable idiom.) */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.documents(spark, dir)
-      .select(col("doc_id"), bigrams(col("text")).as("grams"))
-    val probe = g.filter(col("doc_id") === 0).select(col("grams").as("pg"))
-    g.crossJoin(broadcast(probe))
-      .withColumn("n_grams", size(col("grams")))
-      .withColumn("n_inter", size(array_intersect(col("grams"), col("pg"))))
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("gram"))
+    val counts = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val probeGrams = g.filter(col("doc_id") === 0).select(col("gram").as("pgram"))
+    val probeSize = probeGrams.agg(count(lit(1)).as("pg_size"))
+    val inter = g.join(broadcast(probeGrams), col("gram") === col("pgram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_inter_raw"))
+    counts
+      .join(inter, Seq("doc_id"), "left")
+      .crossJoin(broadcast(probeSize))
+      .withColumn("n_inter", coalesce(col("n_inter_raw"), lit(0L)))
       .withColumn("jacc", round(
         col("n_inter").cast("double") /
-          (col("n_grams") + size(col("pg")) - col("n_inter")), 4))
+          (col("n_grams") + col("pg_size") - col("n_inter")), 4))
       .select("doc_id", "n_grams", "n_inter", "jacc")
       .orderBy("doc_id")
   }

@@ -1,7 +1,10 @@
 package graft.stream
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.queries.Exprs.moneySum
 
@@ -52,4 +55,31 @@ object Streams {
     events
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** foreachBatch upsert sink: folds every micro-batch into a parquet
+    * "current state" table as latest-per-key (the TPC-DI incremental-batch
+    * dimension upsert, stream-driven). Read → merge → write-aside → swap;
+    * a transactional table format would replace the swap with a MERGE, the
+    * merge plan itself is identical. */
+  def upsertToParquet(stream: DataFrame, statePath: String, keyCols: Seq[String],
+                      seqCol: String): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cur = new Path(statePath)
+        val existing =
+          if (fs.exists(cur)) spark.read.parquet(statePath) else batch.limit(0)
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+        val merged = existing.unionByName(batch)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+        val staging = new Path(statePath + "__staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(cur, true)
+        fs.rename(staging, cur)
+        ()
+    }
 }

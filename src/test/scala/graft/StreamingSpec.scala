@@ -78,6 +78,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert folds micro-batches into latest-per-key parquet state") {
+    implicit val sqlCtx = spark.sqlContext
+    val statePath = java.nio.file.Files.createTempDirectory("graft_upsert")
+      .resolve("state").toString
+    val mem = MemoryStream[Ev]
+    val q = Streams.upsertToParquet(mem.toDF(), statePath,
+      keyCols = Seq("user_id"), seqCol = "event_id").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", user = 1L, typ = "signup"),
+                  ev(2, "2024-01-01 10:01:00", user = 2L, typ = "click"))
+      q.processAllAvailable()
+      // second micro-batch supersedes user 1 and adds user 3
+      mem.addData(ev(3, "2024-01-01 10:05:00", user = 1L, typ = "purchase"),
+                  ev(4, "2024-01-01 10:06:00", user = 3L, typ = "view"))
+      q.processAllAvailable()
+      val state = spark.read.parquet(statePath)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+                             r.getAs[String]("event_type"))).sortBy(_._1)
+      assert(state.toSeq === Seq((1L, 3L, "purchase"), (2L, 2L, "click"),
+                                 (3L, 4L, "view")),
+        s"state must hold the latest event per user, got ${state.toSeq}")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
