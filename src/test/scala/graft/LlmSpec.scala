@@ -47,6 +47,26 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("near-dup pair stages are blocked equi-joins — never all-pairs") {
+    // The 100 TB contract: candidate pairs must come from hash-partitionable
+    // equi-joins on bucket keys, not nested-loop/cartesian expansion.
+    Seq(
+      Llm.qDedupMinhash(spark, TestSpark.sfDir),
+      Llm.qDedupSimhash(spark, TestSpark.sfDir),
+      Llm.qDedupCosine(spark, TestSpark.sfDir)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"all-pairs join in plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+    }
+  }
+
+  test("knn top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = Llm.qKnnCosine(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in plan:\n$plan")
+  }
+
   test("knn LSH: returns the probe first, overlaps brute force, sorted desc") {
     val exact = Llm.qKnnCosine(spark, TestSpark.sfDir).collect()
     val lsh = Llm.qKnnCosineLsh(spark, TestSpark.sfDir).collect()
