@@ -26,6 +26,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as raw long (Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native function surface (cosine_similarity et al.)
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

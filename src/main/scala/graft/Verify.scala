@@ -17,6 +17,8 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // events.parquet carries TIMESTAMP(NANOS); read as raw long (Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native function surface (cosine_similarity et al.)
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

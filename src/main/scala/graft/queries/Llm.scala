@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.expr.GraftFunctions
 
 /** LLM-data-pipeline block (SURVEY.md §2.9, the north star): deduplication
   * (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup),
@@ -48,6 +49,18 @@ object Llm {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def l2(v: Column): Column = sqrt(dot(v, v))
+
+  /** Reference higher-order-function cosine over float vectors — the
+    * formulation the oracled queries started with; kept as the bit-exact
+    * baseline LlmSpec checks the native Expression against. */
+  private[graft] def cosineHof(a: Column, b: Column): Column =
+    dot(asDouble(a), asDouble(b)) / (l2(asDouble(a)) * l2(asDouble(b)))
+
+  /** Native codegen cosine ([[graft.expr.CosineSimilarity]]): bit-identical
+    * to [[cosineHof]], ~100× cheaper per pair (tight primitive loop inside
+    * whole-stage codegen instead of interpreted per-element lambdas). */
+  private def cosine(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
 
   /** 4-bit sign bucket over fixed coordinates — axis-aligned random-hyperplane
     * LSH for cosine (sign of dot with basis vectors e1,e17,e33,e49). At
@@ -170,17 +183,17 @@ object Llm {
     * ≥ 0.3 within each block. Norms are precomputed per vector (one scan),
     * so the pair stage pays one dot product per candidate. */
   def qDedupCosine(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2(col("v")))
-      .withColumn("bkt", signBucket(col("v")))
-    val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"),
-                     col("nrm").as("na"), col("bkt"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("bkt", signBucket(col("embedding")))
+    val a = e.select(col("vec_id").as("id_a"), col("label"),
+                     col("embedding").as("va"), col("bkt"))
     val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
-                     col("v").as("vb"), col("nrm").as("nb"), col("bkt").as("bkt_b"))
+                     col("embedding").as("vb"), col("bkt").as("bkt_b"))
     a.join(b, col("label") === col("label_b") && col("bkt") === col("bkt_b") &&
               col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 4))
       .filter(col("cos_sim") >= 0.3)
       .select("label", "id_a", "id_b", "cos_sim")
       .orderBy("label", "id_a", "id_b")
@@ -192,13 +205,12 @@ object Llm {
     * one scan, rounded score, TakeOrderedAndProject — the exact baseline the
     * ANN variant is tested against. */
   def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2(col("v")))
-    val probe = e.filter(col("vec_id") === 0)
-      .select(col("v").as("pv"), col("nrm").as("pnrm"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
     e.crossJoin(broadcast(probe))
-      .withColumn("cos_sim", round(dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")), 4))
+      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
       .select("vec_id", "label", "cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
@@ -211,14 +223,14 @@ object Llm {
     * stage is a partition-pruning-friendly filter on a precomputed bucket
     * column; here it is derived inline. */
   def qKnnCosineLsh(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2(col("v")))
-      .withColumn("bkt", signBucket(col("v")))
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("bkt", signBucket(col("embedding")))
     val probe = e.filter(col("vec_id") === 0)
-      .select(col("v").as("pv"), col("nrm").as("pnrm"), col("bkt").as("pbkt"))
+      .select(col("embedding").as("pv"), col("bkt").as("pbkt"))
     e.join(broadcast(probe), expr("bit_count(bkt ^ pbkt) <= 1"))
-      .withColumn("cos_sim", round(dot(col("v"), col("pv")) / (col("nrm") * col("pnrm")), 4))
+      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
       .select("vec_id", "label", "cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)

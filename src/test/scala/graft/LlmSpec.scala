@@ -47,6 +47,34 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("native cosine_similarity matches the HOF formulation bit-exactly, in codegen") {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.col("embedding"))
+    import org.apache.spark.sql.functions._
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+    val both = e.crossJoin(broadcast(probe))
+      .withColumn("native", call_function("cosine_similarity", col("embedding"), col("pv")))
+      .withColumn("hof", Llm.cosineHof(col("embedding"), col("pv")))
+    // bit-exact: same float->double promotions, same sequential fold order
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    // codegen check on a native-only projection (the HOF baseline column is
+    // CodegenFallback and would evict any shared projection from WSCG);
+    // execute first — AQE shows the starred WSCG markers only in the final plan
+    val nativeOnly = e.crossJoin(broadcast(probe))
+      .select(call_function("cosine_similarity", col("embedding"), col("pv")).as("native"))
+    nativeOnly.collect()
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project.*"),
+      s"cosine_similarity projection fell out of whole-stage codegen:\n$plan")
+    // SQL surface works too (registered via GraftExtensions / ensureRegistered)
+    val viaSql = spark.sql(
+      "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").collect()(0).getDouble(0)
+    assert(math.abs(viaSql - 1.0) < 1e-12)
+  }
+
   test("near-dup pair stages are blocked equi-joins — never all-pairs") {
     // The 100 TB contract: candidate pairs must come from hash-partitionable
     // equi-joins on bucket keys, not nested-loop/cartesian expansion.
