@@ -120,6 +120,26 @@ object Oracle {
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
 
+    "q_batch_validation" ->
+      """SELECT tbl, n_rows, n_alerts FROM (
+        |  SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_quantity <= 0.0 OR l_discount < 0.0 OR l_discount > 1.0
+        |             THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'supplier', COUNT(*),
+        |    CAST(SUM(CASE WHEN s_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT 'part', COUNT(*),
+        |    CAST(SUM(CASE WHEN p_retailprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) FROM part
+        |) v
+        |ORDER BY tbl""".stripMargin,
+
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

@@ -29,6 +29,7 @@ object SparkEntry {
     "q_agg_distinct"  -> (Relational.qAggDistinct _),
     "q_agg_having"    -> (Relational.qAggHaving _),
     "q_agg_approx_distinct" -> (Relational.qAggApproxDistinct _), // no-oracle: HLL estimate; ±5% test in RelationalSpec
+    "q_batch_validation" -> (Relational.qBatchValidation _),
     "q_agg_rollup"    -> (Relational.qAggRollup _),
     "q_sort_limit"    -> (Relational.qSortLimit _),
     "q_sort_nulls"    -> (Relational.qSortNulls _),

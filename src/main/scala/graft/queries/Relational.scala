@@ -181,6 +181,26 @@ object Relational {
       .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** §2.4 Batch-validation / DImessages shape: per-table row counts plus a
+    * per-table alert count (invalid-value rules), one row per table — the
+    * TPC-DI batch validation query that runs after every load [SPEC:
+    * DImessages]. Each branch is an independent parallel scan with a
+    * map-side-combined aggregate; the union is |tables| rows. */
+  def qBatchValidation(spark: SparkSession, dir: String): DataFrame = {
+    def chk(name: String, alert: org.apache.spark.sql.Column): DataFrame =
+      Tables.load(spark, dir, name)
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(alert, 1).otherwise(0)).cast("bigint").as("n_alerts"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("n_alerts"))
+    chk("customer", col("c_acctbal").isNull)
+      .unionByName(chk("orders", col("o_totalprice") <= 0.0))
+      .unionByName(chk("lineitem",
+        col("l_quantity") <= 0.0 || col("l_discount") < 0.0 || col("l_discount") > 1.0))
+      .unionByName(chk("supplier", col("s_acctbal").isNull))
+      .unionByName(chk("part", col("p_retailprice") <= 0.0))
+      .orderBy("tbl")
+  }
+
   /** §2.6 Global top-k with deterministic tie-break → TakeOrderedAndProject:
     * no global sort, each partition keeps k rows, driver merges k·p rows. */
   def qSortLimit(spark: SparkSession, dir: String): DataFrame =
