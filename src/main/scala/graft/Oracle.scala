@@ -422,13 +422,15 @@ object Oracle {
         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 2
         |    THEN [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk)-1)]
         |    ELSE tk END)) AS sh FROM t),
+        |hashed AS (
+        |  SELECT doc_id, md5('a:' || sh) AS m1, md5('b:' || sh) AS m2 FROM shingles),
         |sig AS (
         |  SELECT doc_id,
-        |    min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
-        |    min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
-        |    min(md5('5:' || sh)) AS h5, min(md5('6:' || sh)) AS h6,
-        |    min(md5('7:' || sh)) AS h7, min(md5('8:' || sh)) AS h8
-        |  FROM shingles GROUP BY doc_id),
+        |    min(substr(m1,1,8)) AS h1, min(substr(m1,9,8)) AS h2,
+        |    min(substr(m1,17,8)) AS h3, min(substr(m1,25,8)) AS h4,
+        |    min(substr(m2,1,8)) AS h5, min(substr(m2,9,8)) AS h6,
+        |    min(substr(m2,17,8)) AS h7, min(substr(m2,25,8)) AS h8
+        |  FROM hashed GROUP BY doc_id),
         |bands AS (
         |  SELECT doc_id, 1 AS band, md5(h1 || h2) AS bkey FROM sig
         |  UNION ALL SELECT doc_id, 2, md5(h3 || h4) FROM sig

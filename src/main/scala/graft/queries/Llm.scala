@@ -82,26 +82,33 @@ object Llm {
       .orderBy("text_md5")
 
   /** §2.9 MinHash + LSH near-dup candidates: distinct bigram shingles →
-    * 8 seeded minwise hashes (min md5 string per seed — cross-engine
-    * identical) → 4 bands of 2 → band-bucket equi-join → candidate pairs.
-    * No all-pairs comparison at any point. */
+    * 8 minwise hashes (8-hex-char windows of two seeded md5s — one strong
+    * hash split into independent ranges, cross-engine identical) → 4 bands
+    * of 2 → band-bucket equi-join → candidate pairs. No all-pairs
+    * comparison at any point. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(spark, dir))
 
   /** MinHash-LSH core over any (doc_id, text) frame — reused by the declared
-    * query and property-tested on synthetic corpora in LlmSpec. */
+    * query and property-tested on synthetic corpora in LlmSpec. The two md5s
+    * are computed once per shingle in a projection BEFORE the aggregation
+    * (2 hashes/row, not 8 — the signature stage dominates minhash cost at
+    * bench scale). */
   def minhashPairs(docs: DataFrame): DataFrame = {
     val sh = docs
       .select(col("doc_id"), explode(bigrams(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        md5(concat(lit("a:"), col("sh"))).as("m1"),
+        md5(concat(lit("b:"), col("sh"))).as("m2"))
     val sig = sh.groupBy("doc_id").agg(
-      min(md5(concat(lit("1:"), col("sh")))).as("h1"),
-      min(md5(concat(lit("2:"), col("sh")))).as("h2"),
-      min(md5(concat(lit("3:"), col("sh")))).as("h3"),
-      min(md5(concat(lit("4:"), col("sh")))).as("h4"),
-      min(md5(concat(lit("5:"), col("sh")))).as("h5"),
-      min(md5(concat(lit("6:"), col("sh")))).as("h6"),
-      min(md5(concat(lit("7:"), col("sh")))).as("h7"),
-      min(md5(concat(lit("8:"), col("sh")))).as("h8"))
+      min(substring(col("m1"), 1, 8)).as("h1"),
+      min(substring(col("m1"), 9, 8)).as("h2"),
+      min(substring(col("m1"), 17, 8)).as("h3"),
+      min(substring(col("m1"), 25, 8)).as("h4"),
+      min(substring(col("m2"), 1, 8)).as("h5"),
+      min(substring(col("m2"), 9, 8)).as("h6"),
+      min(substring(col("m2"), 17, 8)).as("h7"),
+      min(substring(col("m2"), 25, 8)).as("h8"))
     def band(n: Int, c1: String, c2: String) =
       sig.select(col("doc_id"), lit(n).as("band"),
                  md5(concat(col(c1), col(c2))).as("bkey"))
