@@ -1,12 +1,13 @@
 package graft
 
 import java.nio.file.Files
+import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.etl.{FixedWidthSource, Scd2}
+import graft.etl.{FixedWidthSource, Scd2, XmlSource}
 import graft.etl.FixedWidthSource.FieldSpec
 
 /** End-to-end TPC-DI-shaped slice: FINWIRE fixed-width CMP records →
@@ -62,5 +63,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(resolved.map(_.getString(2)).toSeq === Seq("ACTV", "INAC", "ACTV", "ACTV"))
     // the fact dated exactly on a version boundary lands in the NEW version
     assert(resolved(1).getDate(3).toString === "2008-06-01")
+  }
+
+  private val customerMgmtXml =
+    """<TPCDI:Actions xmlns:TPCDI="http://www.tpc.org/tpc-di">
+      |  <TPCDI:Action ActionType="NEW" ActionTS="2007-01-02T00:00:01">
+      |    <Customer C_ID="42" C_TIER="2"/>
+      |  </TPCDI:Action>
+      |  <TPCDI:Action ActionType="UPDCUST" ActionTS="2010-03-14T00:00:01">
+      |    <Customer C_ID="42" C_TIER="3"/>
+      |  </TPCDI:Action>
+      |  <TPCDI:Action ActionType="NEW" ActionTS="2008-05-01T00:00:01">
+      |    <Customer C_ID="43" C_TIER="1"/>
+      |  </TPCDI:Action>
+      |</TPCDI:Actions>""".stripMargin
+
+  test("CustomerMgmt.xml action log -> SCD2 customer dimension (historical load)") {
+    val tmp = Files.createTempDirectory("graft_pipe_xml").resolve("customer_mgmt.xml")
+    Files.write(tmp, customerMgmtXml.getBytes)
+
+    val log = XmlSource.read(spark, tmp.toString, rowTag = "TPCDI:Action")
+      .select(
+        col("Customer._C_ID").cast("long").as("c_id"),
+        col("Customer._C_TIER").cast("int").as("tier"),
+        to_timestamp(col("_ActionTS")).as("eff"))
+
+    val dim = Scd2.fromChangeLog(log, Seq("c_id"), "eff")
+    val hist = dim.orderBy("c_id", "eff").collect()
+    assert(hist.length === 3)
+
+    // customer 42 has two versions: the NEW row end-dated by the UPDCUST row
+    val c42 = hist.filter(_.getAs[Long]("c_id") == 42L)
+    assert(c42.map(_.getAs[Int]("tier")).toSeq === Seq(2, 3))
+    assert(!c42(0).getAs[Boolean]("is_current") && c42(1).getAs[Boolean]("is_current"))
+    assert(c42(0).getAs[Timestamp]("end") === c42(1).getAs[Timestamp]("eff"))
+
+    // customer 43 has its single NEW version open-ended
+    val c43 = hist.filter(_.getAs[Long]("c_id") == 43L)
+    assert(c43.length === 1 && c43(0).getAs[Boolean]("is_current"))
   }
 }

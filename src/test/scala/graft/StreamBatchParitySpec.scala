@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stream.Streams
+
+/** Stream/batch unification (SURVEY.md §2.10): the SAME query body produces
+  * the same finalized windows whether driven as a batch DataFrame or through
+  * Structured Streaming — this is what lets the batch DuckDB oracle coverage
+  * of q_stream_tumbling vouch for the streaming path too. */
+class StreamBatchParitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 2.0),
+    Ev(2, ts("2024-01-01 10:40:00"), 2, "view", 1.0),
+    Ev(3, ts("2024-01-01 10:55:00"), 1, "click", 3.0),
+    Ev(4, ts("2024-01-01 11:10:00"), 3, "view", 5.0),
+    Ev(5, ts("2024-01-01 12:30:00"), 1, "purchase", 7.0)) // pushes watermark past 11:00
+
+  test("tumbling aggregation: batch run == streaming finalized windows") {
+    // batch: same body, no watermark semantics — every window present
+    val batch = Streams.tumblingCounts(events.toDF(), "10 minutes")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("t_parity").outputMode("append")
+      .start()
+    try {
+      mem.addData(events.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(events.last)
+      q.processAllAvailable()
+      val streamed = spark.table("t_parity")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // streaming emits only windows the watermark has closed (hours 10, 11);
+      // every emitted window must match the batch result exactly
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch),
+        s"streamed windows must equal their batch counterparts:\n" +
+          s"stream=$streamed\nbatch=$batch")
+      // hour-10 and hour-11 windows are closed by the 12:30 event
+      val closedHours = streamed.map(_._1.substring(0, 13)).toSeq.sorted
+      assert(closedHours.contains("2024-01-01 10") && closedHours.contains("2024-01-01 11"))
+    } finally q.stop()
+  }
+}
