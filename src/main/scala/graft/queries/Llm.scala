@@ -29,15 +29,23 @@ object Llm {
 
   // ---- shared expression helpers -----------------------------------------
 
-  /** Distinct token bigrams ("shingles") of the space-tokenized text; docs
-    * with a single token fall back to the token itself. */
-  private def bigrams(text: Column): Column = {
-    val toks = split(text, " ")
-    array_distinct(
-      when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(toks))
+  /** Exploded bigram-shingle rows (doc_id, gram), duplicates included:
+    * adjacent-token pairs via slice+arrays_zip, with the string concat AFTER
+    * the explode so it runs codegen'd per row rather than inside an
+    * interpreted per-element lambda (the transform() form cost ~0.5 ms/doc
+    * at bench scale). A single-token doc zips against [null] and concat_ws
+    * drops the null, yielding the bare token — the same fallback as the
+    * oracle SQL's CASE len<2 branch. Callers that need set semantics
+    * (Jaccard) dropDuplicates; minwise minima are multiset-invariant. */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val pairs = when(size(toks) >= 2,
+        arrays_zip(slice(toks, lit(1), size(toks) - 1),
+                   slice(toks, lit(2), size(toks) - 1)))
+      .otherwise(arrays_zip(toks, array(lit(null).cast("string"))))
+    docs.select(col("doc_id"), explode(pairs).as("pair"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("pair").getField("0"), col("pair").getField("1")).as("gram"))
   }
 
   /** Exact float→double promotion of a vector column. */
@@ -95,11 +103,10 @@ object Llm {
     * (2 hashes/row, not 8 — the signature stage dominates minhash cost at
     * bench scale). */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(bigrams(col("text"))).as("sh"))
+    val sh = shingleRows(docs)
       .select(col("doc_id"),
-        md5(concat(lit("a:"), col("sh"))).as("m1"),
-        md5(concat(lit("b:"), col("sh"))).as("m2"))
+        md5(concat(lit("a:"), col("gram"))).as("m1"),
+        md5(concat(lit("b:"), col("gram"))).as("m2"))
     val sig = sh.groupBy("doc_id").agg(
       min(substring(col("m1"), 1, 8)).as("h1"),
       min(substring(col("m1"), 9, 8)).as("h2"),
@@ -167,8 +174,8 @@ object Llm {
     * scale and the wrong constant for 100 TB. Set intersection as a join is
     * the scalable idiom.) */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(bigrams(col("text"))).as("gram"))
+    val g = shingleRows(Tables.documents(spark, dir))
+      .dropDuplicates("doc_id", "gram")
     val counts = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val probeGrams = g.filter(col("doc_id") === 0).select(col("gram").as("pgram"))
     val probeSize = probeGrams.agg(count(lit(1)).as("pg_size"))

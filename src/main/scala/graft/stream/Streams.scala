@@ -1,12 +1,20 @@
 package graft.stream
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 import graft.queries.Exprs.moneySum
+
+/** Typed event row for the custom-state operators (schema of the `events`
+  * table; top-level so Encoders derive cleanly). */
+case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                     event_type: String, value: Double)
+
+/** Emitted state of [[Streams.runningUserTotals]]. */
+case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming wrappers (SURVEY.md §2.10): the stream-native forms
   * of the CDC/event-time semantics in [[graft.queries.Cdc]]. Each takes a
@@ -55,6 +63,28 @@ object Streams {
     events
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state via `mapGroupsWithState` (SURVEY.md §2.10): a
+    * per-user running (count, sum) that survives across micro-batches in the
+    * state store — the shape for state machines the built-in window/session
+    * operators can't express. Works identically on a batch Dataset (state
+    * spans the single "batch"). Update output mode; state is per-key and
+    * constant-size, so the store stays bounded by |users| at any scale. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          evs.foreach { e => n += 1; total += e.value }
+          val next = UserTotals(user, n, total)
+          state.update(next)
+          next
+      }
+  }
 
   /** foreachBatch upsert sink: folds every micro-batch into a parquet
     * "current state" table as latest-per-key (the TPC-DI incremental-batch

@@ -102,6 +102,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps per-user running totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.UserEvent
+    val mem = MemoryStream[UserEvent]
+    val q = Streams.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 2.0),
+        UserEvent(2, ts("2024-01-01 10:01:00"), 1, "view", 3.0),
+        UserEvent(3, ts("2024-01-01 10:02:00"), 2, "click", 5.0))
+      q.processAllAvailable()
+      // second micro-batch must ACCUMULATE onto the stored state
+      mem.addData(UserEvent(4, ts("2024-01-01 10:10:00"), 1, "purchase", 10.0))
+      q.processAllAvailable()
+      val latest = spark.table("t_state")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(latest(1L) === ((1L, 3L, 15.0)),
+        s"user 1 state must span batches, got ${latest(1L)}")
+      assert(latest(2L) === ((2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
