@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{DelimitedSource, IncrementalLoad}
+
+/** End-to-end TPC-DI incremental updates: pipe-delimited CDC batch files
+  * (FIXTURES.md §B cdc_customer shape) ingested with an explicit schema and
+  * folded into the customer snapshot batch by batch — the Batches 2–3 flow
+  * of the benchmark, through the same DelimitedSource + Scd2 pieces the
+  * historical load uses. */
+class IncrementalLoadSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cdcSchema = StructType(Seq(
+    StructField("cdc_flag", StringType),
+    StructField("cdc_dsn", LongType),
+    StructField("c_id", LongType),
+    StructField("c_name", StringType),
+    StructField("c_tier", IntegerType)))
+
+  private def writeBatch(name: String, lines: Seq[String]): String = {
+    val p = Files.createTempDirectory(s"graft_cdc_$name")
+    Files.write(p.resolve(s"$name.txt"), lines.mkString("\n").getBytes)
+    p.toString
+  }
+
+  test("CDC batches fold into the snapshot: latest wins, deletes remove") {
+    val snapshot = Seq(
+      (1L, "Smith", 2), (2L, "Jones", 1), (3L, "Brown", 3))
+      .toDF("c_id", "c_name", "c_tier")
+
+    // batch 2: update customer 1 twice (seq 11 then 12 — 12 must win),
+    // insert customer 4, delete customer 2
+    val b2 = writeBatch("b2", Seq(
+      "U|11|1|Smith-A|2",
+      "U|12|1|Smith-B|3",
+      "I|13|4|New|1",
+      "D|14|2||"))
+    // batch 3: delete customer 4 (inserted in batch 2), update customer 3
+    val b3 = writeBatch("b3", Seq(
+      "D|21|4||",
+      "U|22|3|Brown-2|4"))
+
+    val batches = Seq(
+      "batch2" -> DelimitedSource.read(spark, b2, cdcSchema),
+      "batch3" -> DelimitedSource.read(spark, b3, cdcSchema))
+
+    val (finalState, reports) =
+      IncrementalLoad.run(snapshot, batches, keyCols = Seq("c_id"))
+
+    val rows = finalState.orderBy("c_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq === Seq(
+      (1L, "Smith-B", 3), // latest update in batch 2 won
+      (3L, "Brown-2", 4)  // updated in batch 3
+    ), s"unexpected final snapshot: ${rows.toSeq}")
+    // customers 2 and 4 are deleted; 4 existed only between the batches
+
+    assert(reports === Seq(
+      IncrementalLoad.BatchReport("batch2", 4, 3, 1),
+      IncrementalLoad.BatchReport("batch3", 2, 1, 1)))
+  }
+}
