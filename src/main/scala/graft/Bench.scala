@@ -40,17 +40,27 @@ object Bench {
       try evalOnce(n)
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: $e") }
     }
-    val results = names.map { n =>
-      val times = (1 to 2).map { _ =>
+    // A query that throws during a timed run must SURFACE, not silently
+    // shrink the total: it lands in "errors" (first exception message) and
+    // its per-query time is reported as -1 — an explicit broken marker the
+    // 2x gate can see, instead of a quietly-faster-looking bench.
+    val results: Seq[(String, Double, Option[String])] = names.map { n =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { evalOnce(n); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        try Right { evalOnce(n); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       }
-      n -> times.min
+      val ok = runs.collect { case Right(s) => s }
+      if (ok.nonEmpty) (n, ok.min, None)
+      else (n, -1.0, Some(runs.collectFirst { case Left(m) => m }.get))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val nErr = results.count(_._3.isDefined)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":$nErr,"errors":$errs,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
     println(json)
     spark.stop()

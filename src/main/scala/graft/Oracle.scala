@@ -395,14 +395,24 @@ object Oracle {
         |ORDER BY user_id, session_id""".stripMargin,
   )
 
-  /** 16-bit SimHash assembly: per bit position j (1-based hex char of the
-    * token md5), majority vote of ±1 over the doc's tokens. Generated
-    * programmatically — identical structure to the Spark side. */
-  private lazy val simhashBits: String = (0 until 16).map { j =>
-    s"(CASE WHEN sum(CASE WHEN substr(m,${j + 1},1) IN " +
+  /** 64-bit SimHash band k (of 4×16): global bit j = 16k+i is the majority
+    * vote over tokens of the parity of hex char j%32+1 of md5("a:"||t)
+    * (j < 32) or md5("b:"||t) (j ≥ 32). Generated programmatically —
+    * identical structure to the Spark side (Llm.simhashFingerprints). */
+  private def simhashBand(k: Int): String = (0 until 16).map { i =>
+    val j = 16 * k + i
+    val m = if (j < 32) "m1" else "m2"
+    s"(CASE WHEN sum(CASE WHEN substr($m,${j % 32 + 1},1) IN " +
       s"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) > 0 " +
-      s"THEN ${1 << j} ELSE 0 END)"
+      s"THEN ${1 << i} ELSE 0 END)"
   }.mkString("\n    + ")
+
+  /** 8-bit sign band over fixed coordinates — mirrors Llm.signBand over the
+    * shared Llm.cosineBandCoords, so Spark and the oracle can never drift. */
+  private def cosineBandSql(coords: Seq[Int]): String =
+    coords.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN v[$p] > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** §2.9 LLM-pipeline block. md5 emits identical hex in both engines —
     * the backbone of every cross-engine-checkable hash pipeline here.
@@ -443,15 +453,29 @@ object Oracle {
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-         |h AS (SELECT doc_id, md5(t) AS m FROM tok),
+         |h AS (SELECT doc_id, md5('a:' || t) AS m1, md5('b:' || t) AS m2 FROM tok),
          |fp AS (
-         |  SELECT doc_id, $simhashBits AS simhash
-         |  FROM h GROUP BY doc_id)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming
-         |FROM fp a JOIN fp b
-         |  ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
+         |  SELECT doc_id,
+         |    ${simhashBand(0)} AS b0,
+         |    ${simhashBand(1)} AS b1,
+         |    ${simhashBand(2)} AS b2,
+         |    ${simhashBand(3)} AS b3
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, b0 AS bval, b0, b1, b2, b3 FROM fp
+         |  UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM fp
+         |  UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM fp
+         |  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM fp),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+         |       + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+         |       + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+         |       + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) AS INT) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_ngram_jaccard" ->
@@ -468,25 +492,33 @@ object Oracle {
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cosine" ->
-      """WITH e AS (SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, label, v,
-        |    sqrt(list_sum([v[i]*v[i] for i in generate_series(1, len(v))])) AS nrm,
-        |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
-        |      + (CASE WHEN v[17] > 0 THEN 2 ELSE 0 END)
-        |      + (CASE WHEN v[33] > 0 THEN 4 ELSE 0 END)
-        |      + (CASE WHEN v[49] > 0 THEN 8 ELSE 0 END) AS bkt
-        |  FROM e),
-        |pairs AS (
-        |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
-        |          / (a.nrm * b.nrm), 4) AS cos_sim
-        |  FROM n a JOIN n b
-        |    ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
-        |SELECT label, id_a, id_b, cos_sim
-        |FROM pairs
-        |WHERE cos_sim >= 0.3
-        |ORDER BY label, id_a, id_b""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |    sqrt(list_sum([v[i]*v[i] for i in generate_series(1, len(v))])) AS nrm
+         |  FROM e),
+         |banded AS (
+         |  SELECT vec_id, label, 0 AS band,
+         |    ${cosineBandSql(graft.queries.Llm.cosineBandCoords(0))} AS bval FROM e
+         |  UNION ALL
+         |  SELECT vec_id, label, 1,
+         |    ${cosineBandSql(graft.queries.Llm.cosineBandCoords(1))} FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.label = b.label AND a.band = b.band AND a.bval = b.bval
+         |   AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT c.label, c.id_a, c.id_b,
+         |    round(list_sum([va.v[i] * vb.v[i] for i in generate_series(1, len(va.v))])
+         |          / (va.nrm * vb.nrm), 4) AS cos_sim
+         |  FROM cand c
+         |  JOIN n va ON c.id_a = va.vec_id
+         |  JOIN n vb ON c.id_b = vb.vec_id)
+         |SELECT label, id_a, id_b, cos_sim
+         |FROM pairs
+         |WHERE cos_sim >= 0.3
+         |ORDER BY label, id_a, id_b""".stripMargin,
 
     "q_knn_cosine" ->
       """WITH e AS (SELECT vec_id, label,

@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * remove. Emits a DImessages-style per-batch report alongside the final
   * state, mirroring the spec's batch-validation bookkeeping.
   *
-  * Scale note: each fold is one keyed window + one keyed anti-join
-  * (Scd2.applyCdc); at production batch counts the snapshot should be
-  * checkpointed/persisted between folds to truncate lineage — the fold
-  * structure itself is exactly what a foreachBatch streaming upsert runs
-  * per micro-batch (Streams.upsertToParquet).
+  * Scale posture: each fold is one keyed window + one keyed anti-join
+  * (Scd2.applyCdc); the per-batch report is ONE aggregation (count and
+  * delete-count in the same action), and between folds the snapshot is
+  * localCheckpoint'ed so lineage stays bounded at arbitrary batch counts —
+  * without it, fold N's plan re-derives every previous fold. On a real
+  * cluster the checkpoint would go to reliable storage
+  * (`sparkContext.setCheckpointDir` + `.checkpoint()`), or each fold would
+  * be a foreachBatch upsert into a keyed-bucketed table
+  * (Streams.upsertToParquet); local[n] uses executor-local storage.
   */
 object IncrementalLoad {
 
@@ -23,15 +27,22 @@ object IncrementalLoad {
                                n_upserts: Long, n_deletes: Long)
 
   /** Fold CDC batches (in order) into the snapshot; returns the final state
-    * and one report per batch. */
+    * and one report per batch. `truncateLineage=false` keeps the fold fully
+    * lazy (useful when the caller persists/writes per fold itself). */
   def run(snapshot: DataFrame, batches: Seq[(String, DataFrame)],
           keyCols: Seq[String], seqCol: String = "cdc_dsn",
-          flagCol: String = "cdc_flag"): (DataFrame, Seq[BatchReport]) =
+          flagCol: String = "cdc_flag",
+          truncateLineage: Boolean = true): (DataFrame, Seq[BatchReport]) =
     batches.foldLeft((snapshot, Vector.empty[BatchReport])) {
       case ((snap, reports), (name, cdc)) =>
-        val n = cdc.count()
-        val nDel = cdc.filter(col(flagCol) === "D").count()
-        val next = Scd2.applyCdc(snap, cdc, keyCols, seqCol, flagCol)
+        // one action per batch: total and delete counts in a single pass
+        val stats = cdc.agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(when(col(flagCol) === "D", 1L).otherwise(0L)), lit(0L))
+            .as("n_del")).head()
+        val (n, nDel) = (stats.getLong(0), stats.getLong(1))
+        val folded = Scd2.applyCdc(snap, cdc, keyCols, seqCol, flagCol)
+        val next = if (truncateLineage) folded.localCheckpoint(true) else folded
         (next, reports :+ BatchReport(name, n, n - nDel, nDel))
     }
 }

@@ -70,14 +70,42 @@ object Llm {
   private def cosine(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 
-  /** 4-bit sign bucket over fixed coordinates — axis-aligned random-hyperplane
-    * LSH for cosine (sign of dot with basis vectors e1,e17,e33,e49). At
-    * production scale you would OR several such band tables to buy recall;
-    * one band keeps the declared query deterministic and cheap. */
-  private def signBucket(v: Column): Column =
-    Seq(1, 17, 33, 49).zipWithIndex.map { case (p, i) =>
+  /** 8-bit sign band over fixed coordinates — axis-aligned random-hyperplane
+    * LSH for cosine (bit i = sign of the dot with basis vector e_coords(i)).
+    * Fixed coordinate subsets keep the bucketing expressible in both engines
+    * (DuckDB mirrors it verbatim), which is what makes `q_dedup_cosine`
+    * oracle-checkable; [[rpBandBuckets]] is the seeded dense-hyperplane
+    * variant for the no-oracle ANN path. */
+  private def signBand(v: Column, coords: Seq[Int]): Column =
+    coords.zipWithIndex.map { case (p, i) =>
       when(element_at(v, p) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** The two 8-coordinate bands `q_dedup_cosine` blocks on (64-dim vectors;
+    * interleaved offsets keep the bands independent). */
+  private[graft] val cosineBandCoords: Seq[Seq[Int]] = Seq(
+    Seq(1, 9, 17, 25, 33, 41, 49, 57),
+    Seq(5, 13, 21, 29, 37, 45, 53, 61))
+
+  /** Random-hyperplane band buckets: `bands`×`bits` dense ±1 hyperplanes with
+    * coefficients seeded from xxhash64(band, bit, coordinate) — a real RP-LSH
+    * sketch (every coordinate participates in every bit, unlike the
+    * axis-aligned oracle-parity bands). One explode + one grouped aggregation
+    * with map-side partials; emits (vec_id, bkt0..bkt{bands-1}).
+    * Spark-specific hashing is fine here: the consumers are no-oracle. */
+  private[graft] def rpBandBuckets(e: DataFrame, bands: Int, bits: Int): DataFrame = {
+    val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xd", col("x").cast("double"))
+    val dots: Seq[Column] = for (b <- 0 until bands; j <- 0 until bits) yield
+      sum(when(pmod(xxhash64(lit(b), lit(j), col("pos")), lit(2)) === 0,
+        col("xd")).otherwise(-col("xd"))).as(s"d_${b}_$j")
+    val agg = ex.groupBy("vec_id").agg(dots.head, dots.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      (0 until bits).map(j => when(col(s"d_${b}_$j") > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _).as(s"bkt$b")
+    }
+    agg.select(col("vec_id") +: bandCols: _*)
+  }
 
   // ---- deduplication ------------------------------------------------------
 
@@ -132,35 +160,66 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** §2.9 SimHash near-dup: 16-bit fingerprint from md5 hex-digit parity
-    * (per bit position: majority vote of ±1 over the doc's tokens), pairs
-    * blocked on the fingerprint's top byte, kept at Hamming distance ≤ 3.
-    * Hex-digit parity is a pure string test, so both engines derive
-    * identical bits from identical md5 strings. */
+  /** §2.9 SimHash near-dup: 64-bit fingerprint (four 16-bit bands) from the
+    * hex-digit parity of two seeded token md5s; candidate pairs come from an
+    * OR over the four band equi-joins, kept at Hamming distance ≤ 3.
+    *
+    * Why 4×16 bands (not the r2 top-byte block): pigeonhole — any pair at
+    * Hamming ≤ 3 over 64 bits differs in at most 3 of the 4 bands, so it
+    * MATCHES exactly in at least one band and is always a candidate (zero
+    * recall loss vs. the threshold); and band-bucket cardinality (2^16 per
+    * band) grows with corpus diversity instead of being a constant 256, so
+    * in-bucket pair counts stay data-proportional at 100 TB. Hex-digit
+    * parity is a pure string test, so both engines derive identical bits
+    * from identical md5 strings — the whole pipeline stays oracle-checkable. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir))
 
-  /** SimHash core over any (doc_id, text) frame — reused by the declared
-    * query and property-tested in LlmSpec. */
-  def simhashPairs(docs: DataFrame): DataFrame = {
+  /** 64-bit fingerprints as four 16-bit bands (doc_id, b0..b3): global bit
+    * j = majority vote over tokens of the parity of hex char j of
+    * md5("a:"||t)||md5("b:"||t); band k holds bits 16k..16k+15. */
+  private[graft] def simhashFingerprints(docs: DataFrame): DataFrame = {
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .withColumn("m", md5(col("t")))
-    val sums = (0 until 16).map { j =>
-      sum(when(substring(col("m"), j + 1, 1).isin(oddHex: _*), 1).otherwise(-1))
+      .select(col("doc_id"),
+        md5(concat(lit("a:"), col("t"))).as("m1"),
+        md5(concat(lit("b:"), col("t"))).as("m2"))
+    val sums = (0 until 64).map { j =>
+      val m = if (j < 32) col("m1") else col("m2")
+      sum(when(substring(m, j % 32 + 1, 1).isin(oddHex: _*), 1).otherwise(-1))
         .as(s"s$j")
     }
-    val fp = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 16).map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
-          .reduce(_ + _).as("simhash"))
-    val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, expr("(sh_a div 256) = (sh_b div 256)") && col("doc_a") < col("doc_b"))
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val bandCols = (0 until 4).map { k =>
+      (0 until 16).map(i =>
+          when(col(s"s${16 * k + i}") > 0, lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _).as(s"b$k")
+    }
+    agg.select(col("doc_id") +: bandCols: _*)
+  }
+
+  /** SimHash core over any (doc_id, text) frame — reused by the declared
+    * query; LlmSpec asserts the pigeonhole recall guarantee (every true
+    * Hamming≤3 pair is emitted) against exact all-pairs distances. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val fp = simhashFingerprints(docs)
+    val bands = (0 until 4).map { k =>
+      fp.select(col("doc_id"), lit(k).as("band"), col(s"b$k").as("bval"),
+                col("b0"), col("b1"), col("b2"), col("b3"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+      col("bval").as("bval_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    a.join(b, col("band") === col("band_b") && col("bval") === col("bval_b") &&
+              col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr(
+        "cast(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+        "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) as int)"))
       .filter(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -192,21 +251,37 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** §2.9 Embedding-cosine near-dup pairs: blocked by (label, 4-bit sign
-    * bucket) — an equi-join, never all-pairs — then exact rounded cosine
-    * ≥ 0.3 within each block. Norms are precomputed per vector (one scan),
-    * so the pair stage pays one dot product per candidate. */
+  /** §2.9 Embedding-cosine near-dup pairs: candidates blocked on
+    * (label, band, 8-bit sign bucket) with TWO interleaved coordinate bands
+    * OR'd — equi-joins end to end, never all-pairs — then exact rounded
+    * cosine ≥ 0.3 on the deduplicated candidates.
+    *
+    * Scale shape (the r2 fix): 8 bits/band gives 256 buckets per band whose
+    * occupancy tracks the data distribution (vs the old constant-16 bucket
+    * space → quadratic in-block growth), and the second OR'd band buys back
+    * the recall the finer blocking costs. The band frames carry only
+    * (id, label, band, bval); vectors are re-fetched for the surviving
+    * candidate pairs by vec_id equi-joins, so the wide embedding column
+    * never rides through the candidate-pair shuffle. */
   def qDedupCosine(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("bkt", signBucket(col("embedding")))
-    val a = e.select(col("vec_id").as("id_a"), col("label"),
-                     col("embedding").as("va"), col("bkt"))
-    val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
-                     col("embedding").as("vb"), col("bkt").as("bkt_b"))
-    a.join(b, col("label") === col("label_b") && col("bkt") === col("bkt_b") &&
-              col("id_a") < col("id_b"))
+    val banded = cosineBandCoords.zipWithIndex.map { case (coords, k) =>
+      e.select(col("vec_id"), col("label"), lit(k).as("band"),
+               signBand(col("embedding"), coords).as("bval"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col("vec_id").as("id_a"), col("label"),
+                          col("band"), col("bval"))
+    val b = banded.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+                          col("band").as("band_b"), col("bval").as("bval_b"))
+    val cand = a.join(b,
+        col("label") === col("label_b") && col("band") === col("band_b") &&
+        col("bval") === col("bval_b") && col("id_a") < col("id_b"))
+      .select("label", "id_a", "id_b").distinct()
+    val va = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val vb = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 4))
       .filter(col("cos_sim") >= 0.3)
       .select("label", "id_a", "id_b", "cos_sim")
@@ -215,39 +290,78 @@ object Llm {
 
   // ---- similarity search --------------------------------------------------
 
-  /** §2.9 Brute-force top-k cosine similarity vs a probe vector (vec_id 0):
-    * one scan, rounded score, TakeOrderedAndProject — the exact baseline the
-    * ANN variant is tested against. */
-  def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+  /** Brute-force top-k cosine core: one scan, rounded score,
+    * TakeOrderedAndProject. */
+  private[graft] def knnExact(e: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val probe = e.filter(col("vec_id") === probeId).select(col("embedding").as("pv"))
     e.crossJoin(broadcast(probe))
       .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
       .select("vec_id", "label", "cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
   }
 
-  /** §2.9 LSH-bucketed ANN (no-oracle; recall asserted vs [[qKnnCosine]] in
-    * LlmSpec): coarse stage prunes to vectors whose 4-bit sign bucket is
-    * within Hamming distance 1 of the probe's bucket (multi-probe), fine
-    * stage re-ranks the survivors by exact cosine. At 100 TB the coarse
-    * stage is a partition-pruning-friendly filter on a precomputed bucket
-    * column; here it is derived inline. */
+  /** §2.9 Brute-force top-k cosine similarity vs a probe vector (vec_id 0):
+    * the exact baseline the ANN variant is tested against. */
+  def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    qKnnCosine0(spark, dir)
+  }
+  private def qKnnCosine0(spark: SparkSession, dir: String): DataFrame =
+    knnExact(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")), 0L, 10)
+
+  /** ANN candidate set: vectors sharing ANY band bucket with the probe under
+    * multi-probe (all buckets within Hamming ≤ `radius` of the probe's, as
+    * exploded XOR masks — so the probe side is a tiny broadcast list and the
+    * candidate fetch is a broadcast EQUI-join on (band, bucket), never a
+    * residual-predicate scan). Exposed for the LlmSpec candidate-fraction
+    * assertion. */
+  private[graft] def knnLshCandidates(e: DataFrame, probeId: Long,
+                                      bands: Int, bits: Int, radius: Int): DataFrame = {
+    require(radius <= 1, "multi-probe masks generated for radius 0/1 only")
+    val bk = rpBandBuckets(e, bands, bits)
+    val masks = lit(0) +: (if (radius >= 1) (0 until bits).map(j => lit(1 << j)) else Nil)
+    val probes = (0 until bands).map { b =>
+      bk.filter(col("vec_id") === probeId)
+        .select(lit(b).as("band"),
+          explode(array(masks.map(m => col(s"bkt$b").bitwiseXOR(m)): _*)).as("bval"))
+    }.reduce(_ unionByName _)
+    val bandRows = (0 until bands).map { b =>
+      bk.select(col("vec_id"), lit(b).as("band"), col(s"bkt$b").as("bval"))
+    }.reduce(_ unionByName _)
+    bandRows.join(broadcast(probes), Seq("band", "bval"))
+      .select("vec_id").distinct()
+  }
+
+  /** §2.9 RP-LSH ANN (no-oracle; recall + candidate-fraction asserted in
+    * LlmSpec): coarse stage selects candidates from 3 OR'd 8-bit
+    * random-hyperplane band tables with Hamming≤1 multi-probe
+    * ([[rpBandBuckets]] / [[knnLshCandidates]]); fine stage re-ranks the
+    * survivors by exact codegen'd cosine.
+    *
+    * Scale shape: band buckets are data-distributed (2^8 per band, seeded
+    * dense hyperplanes), the probe side is a broadcast of `bands×(bits+1)`
+    * bucket ids, and the candidate fetch is an equi-join — at 100 TB the
+    * bucket columns are precomputed at ingest and the fetch partition-prunes
+    * on them. Recall is similarity-dependent (LSH property): near-duplicates
+    * (cos ≳ 0.9) are recovered at ≥ 8/10 while scanning a few percent of the
+    * corpus — asserted on a planted-near-dup corpus in LlmSpec; on
+    * uniform-random vectors no sublinear method separates cos≈0.3
+    * "neighbors" from the bulk. */
   def qKnnCosineLsh(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("bkt", signBucket(col("embedding")))
-    val probe = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("pv"), col("bkt").as("pbkt"))
-    e.join(broadcast(probe), expr("bit_count(bkt ^ pbkt) <= 1"))
-      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
-      .select("vec_id", "label", "cos_sim")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(10)
+    knnLsh(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")),
+      probeId = 0L, k = 10, bands = 3, bits = 8, radius = 1)
+  }
+
+  /** Parameterized ANN core — candidates (coarse) then exact re-rank (fine).
+    * Guarantees the probe itself is always a candidate (its own buckets). */
+  private[graft] def knnLsh(e: DataFrame, probeId: Long, k: Int,
+                            bands: Int, bits: Int, radius: Int): DataFrame = {
+    val cand = knnLshCandidates(e, probeId, bands, bits, radius)
+    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
   }
 
   // ---- text analysis ------------------------------------------------------
