@@ -120,6 +120,47 @@ object Oracle {
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
 
+    "q_agg_cube" ->
+      """SELECT r_name, n_name,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS sum_bal,
+        |  GROUPING_ID(r_name, n_name) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)
+        |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_groupsets" ->
+      """SELECT r_name, c_mktsegment AS seg,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS sum_bal,
+        |  GROUPING_ID(r_name, c_mktsegment) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        |ORDER BY gid, r_name ASC NULLS FIRST, seg ASC NULLS FIRST""".stripMargin,
+
+    "q_audit_referential" ->
+      """SELECT chk, n_violations FROM (
+        |  SELECT 'lineitem_orphan_order' AS chk, COUNT(*) AS n_violations
+        |  FROM lineitem WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_orphan_customer', COUNT(*)
+        |  FROM orders WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |  UNION ALL
+        |  SELECT 'customer_dup_key', COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+        |  UNION ALL
+        |  SELECT 'orders_dup_key', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_dup_line', COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |  FROM lineitem
+        |) a
+        |ORDER BY chk""".stripMargin,
+
     "q_batch_validation" ->
       """SELECT tbl, n_rows, n_alerts FROM (
         |  SELECT 'customer' AS tbl, COUNT(*) AS n_rows,

@@ -31,6 +31,9 @@ object SparkEntry {
     "q_agg_approx_distinct" -> (Relational.qAggApproxDistinct _), // no-oracle: HLL estimate; ±5% test in RelationalSpec
     "q_batch_validation" -> (Relational.qBatchValidation _),
     "q_agg_rollup"    -> (Relational.qAggRollup _),
+    "q_agg_cube"      -> (Relational.qAggCube _),
+    "q_agg_groupsets" -> (Relational.qAggGroupSets _),
+    "q_audit_referential" -> (Relational.qAuditReferential _),
     "q_sort_limit"    -> (Relational.qSortLimit _),
     "q_sort_nulls"    -> (Relational.qSortNulls _),
     "q_union_batches" -> (Relational.qUnionBatches _),

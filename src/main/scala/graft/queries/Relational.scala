@@ -181,6 +181,73 @@ object Relational {
       .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** §2.4 Full cross-tabulation via CUBE: every (region, nation) subtotal
+    * combination including nation-only — the audit cross-check matrix shape.
+    * Same aliasing rule as [[qAggRollup]]. */
+  def qAggCube(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+    joined.cube(col("r_name").as("r_name_g"), col("n_name").as("n_name_g"))
+      .agg(count(lit(1)).as("n_customers"),
+           moneySum(col("c_acctbal")).as("sum_bal"),
+           grouping_id().as("gid"))
+      .select(col("r_name_g").as("r_name"), col("n_name_g").as("n_name"),
+              col("n_customers"), col("sum_bal"), col("gid"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** §2.4 Explicit GROUPING SETS over MIXED dimensions — region totals,
+    * market-segment totals, and the grand total in one pass (one shuffle,
+    * Expand feeds a single hash aggregate; three separate groupBys would
+    * scan and shuffle three times). */
+  def qAggGroupSets(spark: SparkSession, dir: String): DataFrame = {
+    // Rename BEFORE grouping: groupingSets matches set entries against the
+    // grouping columns semantically, so aliases inside the call break the
+    // match (and post-agg references to the original names would trip the
+    // ambiguous-self-join detection, as in qAggRollup).
+    val joined = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("r_name_g"), col("c_mktsegment").as("seg_g"),
+              col("c_acctbal"))
+    joined.groupingSets(Seq(Seq(col("r_name_g")), Seq(col("seg_g")), Seq()),
+        col("r_name_g"), col("seg_g"))
+      .agg(count(lit(1)).as("n_customers"),
+           moneySum(col("c_acctbal")).as("sum_bal"),
+           grouping_id().as("gid"))
+      .select(col("r_name_g").as("r_name"), col("seg_g").as("seg"),
+              col("n_customers"), col("sum_bal"), col("gid"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first, col("seg").asc_nulls_first)
+  }
+
+  /** §2.4 Audit-phase referential cross-checks ([SPEC: audit]): orphan
+    * foreign keys (anti-joins) and key-uniqueness checksums
+    * (count − count distinct), one row per check — the warehouse-vs-source
+    * consistency queries that run after the batch validation. Each check is
+    * an independent keyed anti-join or map-side-combined aggregate. */
+  def qAuditReferential(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("chk"), col("n_violations"))
+    def dupKeys(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.agg((count(lit(1)) - countDistinct(col(keys.head), keys.tail.map(col): _*))
+          .as("n_violations"))
+        .select(lit(name).as("chk"), col("n_violations"))
+    counted("lineitem_orphan_order",
+        l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti"))
+      .unionByName(counted("orders_orphan_customer",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+      .unionByName(dupKeys("customer_dup_key", c, Seq("c_custkey")))
+      .unionByName(dupKeys("orders_dup_key", o, Seq("o_orderkey")))
+      .unionByName(dupKeys("lineitem_dup_line", l, Seq("l_orderkey", "l_linenumber")))
+      .orderBy("chk")
+  }
+
   /** §2.4 Batch-validation / DImessages shape: per-table row counts plus a
     * per-table alert count (invalid-value rules), one row per table — the
     * TPC-DI batch validation query that runs after every load [SPEC:
