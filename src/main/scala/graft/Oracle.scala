@@ -437,14 +437,16 @@ object Oracle {
   )
 
   /** 64-bit SimHash band k (of 4×16): global bit j = 16k+i is the majority
-    * vote over tokens of the parity of hex char j%32+1 of md5("a:"||t)
-    * (j < 32) or md5("b:"||t) (j ≥ 32). Generated programmatically —
-    * identical structure to the Spark side (Llm.simhashFingerprints). */
+    * vote over tokens of nibble bit0 (j < 32) / bit1 (j ≥ 32) of hex char
+    * j%32+1 of md5(t); the p0/p1 columns hold translate()-mapped '0'/'1'
+    * planes and majority `±1 sum > 0` ⟺ `2·ones > count`. Same bit values
+    * as the Spark side (Llm.simhashFingerprints) but independently
+    * formulated — Spark parses hex chunks to longs and shifts, the oracle
+    * reads per-char planes. */
   private def simhashBand(k: Int): String = (0 until 16).map { i =>
     val j = 16 * k + i
-    val m = if (j < 32) "m1" else "m2"
-    s"(CASE WHEN sum(CASE WHEN substr($m,${j % 32 + 1},1) IN " +
-      s"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) > 0 " +
+    val p = if (j < 32) "p0" else "p1"
+    s"(CASE WHEN 2 * sum(ascii(substr($p,${j % 32 + 1},1)) - 48) > count(*) " +
       s"THEN ${1 << i} ELSE 0 END)"
   }.mkString("\n    + ")
 
@@ -494,7 +496,9 @@ object Oracle {
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-         |h AS (SELECT doc_id, md5('a:' || t) AS m1, md5('b:' || t) AS m2 FROM tok),
+         |h AS (SELECT doc_id,
+         |  translate(md5(t), '0123456789abcdef', '0101010101010101') AS p0,
+         |  translate(md5(t), '0123456789abcdef', '0011001100110011') AS p1 FROM tok),
          |fp AS (
          |  SELECT doc_id,
          |    ${simhashBand(0)} AS b0,

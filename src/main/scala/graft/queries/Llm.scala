@@ -161,8 +161,8 @@ object Llm {
   }
 
   /** §2.9 SimHash near-dup: 64-bit fingerprint (four 16-bit bands) from the
-    * hex-digit parity of two seeded token md5s; candidate pairs come from an
-    * OR over the four band equi-joins, kept at Hamming distance ≤ 3.
+    * low two bits of each hex nibble of the token md5; candidate pairs come
+    * from an OR over the four band equi-joins, kept at Hamming distance ≤ 3.
     *
     * Why 4×16 bands (not the r2 top-byte block): pigeonhole — any pair at
     * Hamming ≤ 3 over 64 bits differs in at most 3 of the 4 bands, so it
@@ -175,25 +175,38 @@ object Llm {
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir))
 
-  /** 64-bit fingerprints as four 16-bit bands (doc_id, b0..b3): global bit
-    * j = majority vote over tokens of the parity of hex char j of
-    * md5("a:"||t)||md5("b:"||t); band k holds bits 16k..16k+15. */
+  /** 64-bit fingerprints as four 16-bit bands (doc_id, b0..b3): one md5 per
+    * token yields 32 hex nibbles; global bit j is the majority vote over
+    * tokens of nibble bit0 (j < 32) or nibble bit1 (j ≥ 32) of hex char
+    * j%32 — two independent uniform bits per nibble. Band k holds bits
+    * 16k..16k+15. Majority `sum(±1) > 0` ⟺ `2·ones > n_tok`.
+    *
+    * Hot-path shape (the signature aggregation dominates simhash cost):
+    * the 32-hex digest is parsed ONCE per token row into four longs via
+    * `conv(chunk,16,10)`, so each of the 64 per-bit aggregates is a
+    * primitive `(v >> k) & 1` — no per-bit string slicing. (The first cut
+    * summed `ascii(substring(plane,j,1))` per bit: 64 allocating UTF8String
+    * slices per row made the aggregate 4× slower than this form at bench
+    * scale.) The DuckDB oracle extracts the same bits per-char — identical
+    * values, independently formulated. */
   private[graft] def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"),
-        md5(concat(lit("a:"), col("t"))).as("m1"),
-        md5(concat(lit("b:"), col("t"))).as("m2"))
-    val sums = (0 until 64).map { j =>
-      val m = if (j < 32) col("m1") else col("m2")
-      sum(when(substring(m, j % 32 + 1, 1).isin(oddHex: _*), 1).otherwise(-1))
-        .as(s"s$j")
+      .select(col("doc_id"), md5(col("t")).as("m"))
+      .select(col("doc_id") +: (0 until 4).map(c =>
+        conv(substring(col("m"), 8 * c + 1, 8), 16, 10).cast("long").as(s"v$c")): _*)
+    // hex char q (0-based) of chunk c=q/8 sits at value bits 4*(7-q%8)..+3
+    def bit(j: Int): Column = {
+      val q = j % 32
+      val plane = if (j < 32) 0 else 1
+      shiftright(col(s"v${q / 8}"), 4 * (7 - q % 8) + plane).bitwiseAND(lit(1L))
     }
+    val sums = (0 until 64).map(j => sum(bit(j)).as(s"s$j")) :+
+      count(lit(1)).as("n_tok")
     val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
     val bandCols = (0 until 4).map { k =>
       (0 until 16).map(i =>
-          when(col(s"s${16 * k + i}") > 0, lit(1 << i)).otherwise(lit(0)))
+          when(col(s"s${16 * k + i}") * 2 > col("n_tok"), lit(1 << i)).otherwise(lit(0)))
         .reduce(_ + _).as(s"b$k")
     }
     agg.select(col("doc_id") +: bandCols: _*)
@@ -204,10 +217,12 @@ object Llm {
     * Hamming≤3 pair is emitted) against exact all-pairs distances. */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val fp = simhashFingerprints(docs)
-    val bands = (0 until 4).map { k =>
-      fp.select(col("doc_id"), lit(k).as("band"), col(s"b$k").as("bval"),
-                col("b0"), col("b1"), col("b2"), col("b3"))
-    }.reduce(_ unionByName _)
+    // ONE band frame via posexplode, not a 4-way union of projections over
+    // the aggregate — the union form re-evaluated the (dominant) signature
+    // aggregation once per branch per join side.
+    val bands = fp.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "bval")))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"),
       col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
