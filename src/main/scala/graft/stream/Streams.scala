@@ -86,6 +86,30 @@ object Streams {
       }
   }
 
+  /** Stream-stream inner join with event-time range bound: each purchase
+    * joins the same user's signups at most `gap` earlier (the FactWatches
+    * ACTV→CNCL pairing, both sides unbounded). The watermarks plus the
+    * range condition let Spark evict joined state — signup state older
+    * than watermark−gap and purchase state older than watermark are
+    * dropped — so both state stores stay bounded on unbounded streams;
+    * without the time bound the signup side would be retained forever. */
+  def pairedWithinWindow(signups: DataFrame, purchases: DataFrame,
+                         gap: String = "1 hour",
+                         delay: String = "10 minutes"): DataFrame = {
+    val s = signups.withWatermark("ts", delay)
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+              col("ts").as("signup_ts"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+    s.join(p,
+        col("s_user") === col("p_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"interval $gap"))
+      .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"),
+              col("signup_ts"), col("purchase_ts"))
+  }
+
   /** foreachBatch upsert sink: folds every micro-batch into a parquet
     * "current state" table as latest-per-key (the TPC-DI incremental-batch
     * dimension upsert, stream-driven). Read → merge → write-aside → swap;

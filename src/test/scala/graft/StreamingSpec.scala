@@ -127,6 +127,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs purchases with signups inside the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val signups = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.pairedWithinWindow(signups.toDF(), purchases.toDF(),
+        gap = "1 hour", delay = "10 minutes")
+      .writeStream.format("memory").queryName("t_ssjoin").outputMode("append")
+      .start()
+    try {
+      // signup arrives first; its purchase arrives in a LATER micro-batch —
+      // the join must buffer the signup in the state store across batches
+      signups.addData(ev(1, "2024-01-01 10:00:00", user = 1L, typ = "signup"),
+                      ev(2, "2024-01-01 10:00:00", user = 2L, typ = "signup"))
+      q.processAllAvailable()
+      purchases.addData(
+        ev(10, "2024-01-01 10:30:00", user = 1L, typ = "purchase"), // inside 1h
+        ev(11, "2024-01-01 12:30:00", user = 2L, typ = "purchase")) // outside 1h
+      q.processAllAvailable()
+      // push both watermarks forward so inner-join results finalize
+      // (distinct users so the pushers cannot pair with each other)
+      signups.addData(ev(3, "2024-01-01 14:00:00", user = 8L))
+      purchases.addData(ev(12, "2024-01-01 14:00:00", user = 9L))
+      q.processAllAvailable()
+      val pairs = spark.table("t_ssjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(pairs.toSeq.sorted === Seq((1L, 1L, 10L)),
+        s"only the in-window purchase may pair, got ${pairs.toSeq.sorted}")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -10,6 +10,10 @@ object TestSpark {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // bucketed-table tests (WarehouseSpec) use saveAsTable; keep the managed
+    // warehouse out of the repo tree
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     // events.parquet carries TIMESTAMP(NANOS); read as raw long (Tables.events)

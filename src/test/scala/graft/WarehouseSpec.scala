@@ -47,4 +47,31 @@ class WarehouseSpec extends AnyFunSuite {
     assert(scanPlan.contains("PartitionFilters"), s"no partition filters:\n$scanPlan")
     assert(one.count() > 0)
   }
+
+  test("bucketed tables co-locate the join: sort-merge with zero shuffle exchanges") {
+    // The 100-TB co-located-join layout: both sides bucketed (and sorted) on
+    // the join key at write time, so a key-equi join needs NO shuffle at
+    // read time — the per-bucket files already agree on the partitioning.
+    Tables.orders(spark, TestSpark.sfDir)
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt")
+    Tables.customer(spark, TestSpark.sfDir)
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bkt")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join must pick a partitioned strategy
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name")
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"scan did not report bucketed read:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
