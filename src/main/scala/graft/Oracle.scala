@@ -142,6 +142,28 @@ object Oracle {
         |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
         |ORDER BY gid, r_name ASC NULLS FIRST, seg ASC NULLS FIRST""".stripMargin,
 
+    "q_agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25), 4) AS iqr
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_pivot_segment" ->
+      """SELECT r_name,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
     "q_audit_referential" ->
       """SELECT chk, n_violations FROM (
         |  SELECT 'lineitem_orphan_order' AS chk, COUNT(*) AS n_violations

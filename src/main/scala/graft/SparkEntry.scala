@@ -34,6 +34,8 @@ object SparkEntry {
     "q_agg_cube"      -> (Relational.qAggCube _),
     "q_agg_groupsets" -> (Relational.qAggGroupSets _),
     "q_audit_referential" -> (Relational.qAuditReferential _),
+    "q_agg_percentile" -> (Relational.qAggPercentile _),
+    "q_pivot_segment" -> (Relational.qPivotSegment _),
     "q_sort_limit"    -> (Relational.qSortLimit _),
     "q_sort_nulls"    -> (Relational.qSortNulls _),
     "q_union_batches" -> (Relational.qUnionBatches _),

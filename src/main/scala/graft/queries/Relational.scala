@@ -222,6 +222,40 @@ object Relational {
       .orderBy(col("gid"), col("r_name").asc_nulls_first, col("seg").asc_nulls_first)
   }
 
+  /** §2.4 Exact percentiles per group (p50/p90 spend per order status —
+    * the audit/reporting distribution cuts). `percentile` is the exact
+    * sort-based aggregate with linear interpolation — the same definition
+    * as DuckDB's `quantile_cont`, so the oracle matches on values, unlike
+    * the sketch-based `approx_percentile`. At 100 TB prefer
+    * `approx_percentile` (mergeable sketch, no per-group sort); the exact
+    * form is the declared oracle-able variant. */
+  def qAggPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+           round(expr("percentile(o_totalprice, array(0.25, 0.75))[1]" +
+                      " - percentile(o_totalprice, array(0.25, 0.75))[0]"), 4)
+             .as("iqr"))
+      .orderBy("o_orderstatus")
+
+  /** §2.4 Pivot (long→wide cross-tab): customers per (region × market
+    * segment) with the segment domain pivoted to columns. The value list is
+    * EXPLICIT — at scale an implicit pivot first runs a distinct scan to
+    * discover the domain and caps it at `spark.sql.pivotMaxValues`; a
+    * declared domain keeps the plan a single pass. */
+  def qPivotSegment(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+      .select(col("r_name") +: segs.map(s => coalesce(col(s), lit(0L)).as(s)): _*)
+      .orderBy("r_name")
+  }
+
   /** §2.4 Audit-phase referential cross-checks ([SPEC: audit]): orphan
     * foreign keys (anti-joins) and key-uniqueness checksums
     * (count − count distinct), one row per check — the warehouse-vs-source
