@@ -282,10 +282,11 @@ object Llm {
     GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
-    val banded = cosineBandCoords.zipWithIndex.map { case (coords, k) =>
-      e.select(col("vec_id"), col("label"), lit(k).as("band"),
-               signBand(col("embedding"), coords).as("bval"))
-    }.reduce(_ unionByName _)
+    // both band values in ONE projection, posexploded — a union of per-band
+    // selects would scan the table once per band per join side
+    val banded = e.select(col("vec_id"), col("label"),
+      posexplode(array(cosineBandCoords.map(signBand(col("embedding"), _)): _*))
+        .as(Seq("band", "bval")))
     val a = banded.select(col("vec_id").as("id_a"), col("label"),
                           col("band"), col("bval"))
     val b = banded.select(col("vec_id").as("id_b"), col("label").as("label_b"),
@@ -336,15 +337,16 @@ object Llm {
                                       bands: Int, bits: Int, radius: Int): DataFrame = {
     require(radius <= 1, "multi-probe masks generated for radius 0/1 only")
     val bk = rpBandBuckets(e, bands, bits)
+    val bandArr = array((0 until bands).map(b => col(s"bkt$b")): _*)
+    // ONE posexplode band frame per side (a union of per-band projections
+    // would re-evaluate the bucket aggregation once per band per side)
+    val bandRows = bk.select(col("vec_id"),
+      posexplode(bandArr).as(Seq("band", "bval")))
     val masks = lit(0) +: (if (radius >= 1) (0 until bits).map(j => lit(1 << j)) else Nil)
-    val probes = (0 until bands).map { b =>
-      bk.filter(col("vec_id") === probeId)
-        .select(lit(b).as("band"),
-          explode(array(masks.map(m => col(s"bkt$b").bitwiseXOR(m)): _*)).as("bval"))
-    }.reduce(_ unionByName _)
-    val bandRows = (0 until bands).map { b =>
-      bk.select(col("vec_id"), lit(b).as("band"), col(s"bkt$b").as("bval"))
-    }.reduce(_ unionByName _)
+    val probes = bk.filter(col("vec_id") === probeId)
+      .select(posexplode(bandArr).as(Seq("band", "pb")))
+      .select(col("band"),
+        explode(array(masks.map(m => col("pb").bitwiseXOR(m)): _*)).as("bval"))
     bandRows.join(broadcast(probes), Seq("band", "bval"))
       .select("vec_id").distinct()
   }
