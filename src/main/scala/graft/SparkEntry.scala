@@ -68,6 +68,7 @@ object SparkEntry {
     "q_dedup_cosine"   -> (Llm.qDedupCosine _),
     "q_knn_cosine"     -> (Llm.qKnnCosine _),
     "q_knn_cosine_lsh" -> (Llm.qKnnCosineLsh _), // no-oracle: rows-only check + LlmSpec recall test
+    "q_knn_cosine_ivf" -> (Llm.qKnnCosineIvf _), // no-oracle: rows-only check + LlmSpec recall test
     "q_text_stats"     -> (Llm.qTextStats _),
     "q_token_count"    -> (Llm.qTokenCount _),
     "q_text_quality"   -> (Llm.qTextQuality _),

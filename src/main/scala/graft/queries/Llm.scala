@@ -381,6 +381,55 @@ object Llm {
     knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
   }
 
+  /** §2.9 IVF ANN (no-oracle; recall-tested in LlmSpec): the inverted-file
+    * alternative to [[qKnnCosineLsh]] — k-means centroids partition the
+    * corpus into `nlist` lists (cosine distance), a query probes only the
+    * `nprobe` lists whose centroids are nearest its vector, then re-ranks
+    * the list members exactly.
+    *
+    * Scale shape: training samples/iterates over the corpus ONCE at index
+    * build (here inline; in production the list assignment is a persisted
+    * column the scan partition-prunes on, exactly like the LSH buckets);
+    * centroids are driver-resident model metadata, so probe-list selection
+    * is O(nlist) driver math — the standard IVF query path, not a
+    * distributed collect. The probed fraction is nprobe/nlist of the data. */
+  def qKnnCosineIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    knnIvf(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")),
+      probeId = 0L, k = 10, nlist = 16, nprobe = 4)
+  }
+
+  /** IVF core: cluster (cosine k-means), assign lists, probe the nearest
+    * `nprobe` lists, exact re-rank. The probe's own list is always probed
+    * (distance 0 to its own assignment's centroid ranking includes it). */
+  private[graft] def knnIvf(e: DataFrame, probeId: Long, k: Int,
+                            nlist: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = e.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(7L).setMaxIter(10)
+      .setDistanceMeasure("cosine")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              col("prediction").as("list_id"))
+    // probe-list selection: centroids are a driver-side nlist×dim array
+    val probeVec = e.filter(col("vec_id") === probeId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    def cos(c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < c.length) { dot += c(i) * probeVec(i); na += c(i) * c(i)
+        nb += probeVec(i) * probeVec(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val lists = model.clusterCenters.map(_.toArray).zipWithIndex
+      .sortBy { case (c, _) => -cos(c) }.take(nprobe).map(_._2)
+    knnExact(assigned.filter(col("list_id").isin(lists: _*))
+      .select("vec_id", "label", "embedding"), probeId, k)
+  }
+
   // ---- text analysis ------------------------------------------------------
 
   /** §2.9 Token frequencies per language — explode + hash aggregation (the

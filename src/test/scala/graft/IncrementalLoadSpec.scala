@@ -65,4 +65,32 @@ class IncrementalLoadSpec extends AnyFunSuite {
       IncrementalLoad.BatchReport("batch2", 4, 3, 1),
       IncrementalLoad.BatchReport("batch3", 2, 1, 1)))
   }
+
+  test("ten-batch fold: correct final state, lineage truncated between folds") {
+    val snapshot = (1L to 50L).map(i => (i, s"name$i", 1))
+      .toDF("c_id", "c_name", "c_tier")
+    // batch k updates customer k and deletes customer 50-k+1
+    val batches = (1 to 10).map { k =>
+      s"b$k" -> Seq(
+        ("U", k * 100L + 1, k.toLong, s"name$k-v$k", k + 1),
+        ("D", k * 100L + 2, 50L - k + 1, "", 0))
+        .toDF("cdc_flag", "cdc_dsn", "c_id", "c_name", "c_tier")
+    }
+    val (state, reports) = IncrementalLoad.run(snapshot, batches, Seq("c_id"))
+
+    assert(reports.size === 10 &&
+      reports.forall(r => r.n_records == 2 && r.n_upserts == 1 && r.n_deletes == 1))
+    val rows = state.orderBy("c_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.length === 40, "10 of 50 customers deleted")
+    assert((1 to 10).forall(k => rows(k - 1) == ((k.toLong, s"name$k-v$k", k + 1))),
+      s"updated customers must carry their batch's values: ${rows.take(10).toSeq}")
+    assert(rows.forall(_._1 <= 40L), "customers 41..50 must be gone")
+
+    // the returned snapshot is checkpoint-backed, not a 10-fold plan: its
+    // logical plan is the materialized RDD, so fold N+1 never re-derives
+    // folds 1..N (the unbounded-lineage defect flagged in round 2)
+    assert(state.queryExecution.logical.toString.contains("LogicalRDD"),
+      s"final state should be checkpoint-backed:\n${state.queryExecution.logical}")
+  }
 }

@@ -175,5 +175,20 @@ class LlmSpec extends AnyFunSuite {
     val nCand = Llm.knnLshCandidates(e, 0L, 3, 8, 1).count()
     assert(nCand < all.size / 3,
       s"candidate set is not sublinear on planted corpus: $nCand of ${all.size}")
+
+    // IVF path on the same corpus: near-dups share the probe's centroid
+    // list, so nprobe/nlist of the data suffices for high recall
+    val ivf = Llm.knnIvf(e, 0L, 11, nlist = 16, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val ivfRecall = exact.intersect(ivf).size
+    assert(ivfRecall >= 8, s"IVF recall too low: $ivfRecall/11 (ivf=$ivf)")
+  }
+
+  test("knn IVF on the real table: 10 rows, probe first, sorted desc") {
+    val ivf = Llm.qKnnCosineIvf(spark, TestSpark.sfDir).collect()
+    assert(ivf.length === 10)
+    assert(ivf.head.getLong(0) === 0L, "probe is in its own list with cos 1.0")
+    val sims = ivf.map(_.getDouble(2)).toSeq
+    assert(sims === sims.sorted(Ordering[Double].reverse))
   }
 }
