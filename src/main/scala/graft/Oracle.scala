@@ -183,6 +183,34 @@ object Oracle {
         |) a
         |ORDER BY chk""".stripMargin,
 
+    "q_profile_columns" ->
+      """SELECT col_name, n_rows, n_nulls, min_val, max_val, n_distinct FROM (
+        |  SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    round(CAST(min(l_quantity) AS DOUBLE), 4) AS min_val,
+        |    round(CAST(max(l_quantity) AS DOUBLE), 4) AS max_val,
+        |    COUNT(DISTINCT l_quantity) AS n_distinct FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    round(CAST(min(l_extendedprice) AS DOUBLE), 4),
+        |    round(CAST(max(l_extendedprice) AS DOUBLE), 4),
+        |    COUNT(DISTINCT l_extendedprice) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    round(CAST(min(l_discount) AS DOUBLE), 4),
+        |    round(CAST(max(l_discount) AS DOUBLE), 4),
+        |    COUNT(DISTINCT l_discount) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    round(CAST(min(l_tax) AS DOUBLE), 4),
+        |    round(CAST(max(l_tax) AS DOUBLE), 4),
+        |    COUNT(DISTINCT l_tax) FROM lineitem
+        |) p
+        |ORDER BY col_name""".stripMargin,
+
     "q_batch_validation" ->
       """SELECT tbl, n_rows, n_alerts FROM (
         |  SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
@@ -600,6 +628,18 @@ object Oracle {
         |FROM n, p
         |ORDER BY cos_sim DESC, vec_id ASC
         |LIMIT 10""".stripMargin,
+
+    "q_text_clean" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_raw,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS n_chars_clean,
+        |  len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')), ' ')) AS n_tokens_clean,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')) AS text_clean
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, token, COUNT(*) AS n

@@ -70,6 +70,8 @@ object SparkEntry {
     "q_knn_cosine_lsh" -> (Llm.qKnnCosineLsh _), // no-oracle: rows-only check + LlmSpec recall test
     "q_knn_cosine_ivf" -> (Llm.qKnnCosineIvf _), // no-oracle: rows-only check + LlmSpec recall test
     "q_text_stats"     -> (Llm.qTextStats _),
+    "q_text_clean"     -> (Llm.qTextClean _),
+    "q_profile_columns" -> (Relational.qProfileColumns _),
     "q_token_count"    -> (Llm.qTokenCount _),
     "q_text_quality"   -> (Llm.qTextQuality _),
     "q_lang_id"        -> (Llm.qLangId _),

@@ -125,35 +125,39 @@ object Llm {
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(spark, dir))
 
-  /** MinHash-LSH core over any (doc_id, text) frame — reused by the declared
-    * query and property-tested on synthetic corpora in LlmSpec. The two md5s
-    * are computed once per shingle in a projection BEFORE the aggregation
-    * (2 hashes/row, not 8 — the signature stage dominates minhash cost at
-    * bench scale). */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs)
+  /** MinHash-LSH core over any (doc_id, text) frame, parameterized by the
+    * banding scheme (`bands` × `rowsPerBand` minwise hashes) — the declared
+    * query uses the default 4×2; a production near-dup pass tunes the pair
+    * (more rows/band → higher precision, more bands → higher recall) without
+    * touching the pipeline shape. Property-tested in LlmSpec.
+    *
+    * Hashes are 8-hex-char windows of seeded md5s computed once per shingle
+    * in a projection BEFORE the aggregation (⌈hashes/4⌉ md5s per row, not
+    * one per hash — the signature stage dominates minhash cost at bench
+    * scale); band keys come out of ONE posexplode frame so the signature
+    * aggregation is never re-evaluated per band branch. */
+  def minhashPairs(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val nHashes = bands * rowsPerBand
+    val nSeeds = (nHashes + 3) / 4
+    val sh = shingleRows(docs).select(
+      col("doc_id") +: (0 until nSeeds).map { s =>
+        md5(concat(lit(('a' + s).toChar.toString + ":"), col("gram"))).as(s"m$s")
+      }: _*)
+    val mins = (0 until nHashes).map { h =>
+      min(substring(col(s"m${h / 4}"), (h % 4) * 8 + 1, 8)).as(s"h$h")
+    }
+    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandKeys = (0 until bands).map { b =>
+      md5(concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+        .as(s"bk$b")
+    }
+    val bandRows = sig.select(col("doc_id") +: bandKeys: _*)
       .select(col("doc_id"),
-        md5(concat(lit("a:"), col("gram"))).as("m1"),
-        md5(concat(lit("b:"), col("gram"))).as("m2"))
-    val sig = sh.groupBy("doc_id").agg(
-      min(substring(col("m1"), 1, 8)).as("h1"),
-      min(substring(col("m1"), 9, 8)).as("h2"),
-      min(substring(col("m1"), 17, 8)).as("h3"),
-      min(substring(col("m1"), 25, 8)).as("h4"),
-      min(substring(col("m2"), 1, 8)).as("h5"),
-      min(substring(col("m2"), 9, 8)).as("h6"),
-      min(substring(col("m2"), 17, 8)).as("h7"),
-      min(substring(col("m2"), 25, 8)).as("h8"))
-    def band(n: Int, c1: String, c2: String) =
-      sig.select(col("doc_id"), lit(n).as("band"),
-                 md5(concat(col(c1), col(c2))).as("bkey"))
-    val bands = band(1, "h1", "h2")
-      .unionByName(band(2, "h3", "h4"))
-      .unionByName(band(3, "h5", "h6"))
-      .unionByName(band(4, "h7", "h8"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
-                         col("bkey").as("bkey_b"))
+        posexplode(array((0 until bands).map(b => col(s"bk$b")): _*))
+          .as(Seq("band", "bkey")))
+    val a = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = bandRows.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+                            col("bkey").as("bkey_b"))
     a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
               col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -467,6 +471,24 @@ object Llm {
         size(stops).as("n_stop"),
         round(size(stops).cast("double") / size(toks), 4).as("stop_ratio"),
         round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"))
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 Text normalization for training-data prep: lowercase, strip
+    * non-alphanumerics, collapse runs of whitespace, trim — the standard
+    * cleaning pass before dedup/tokenization. Pure per-row codegen'd
+    * string expressions; emits the cleaned text plus before/after sizes so
+    * a pipeline can gate on shrinkage. */
+  def qTextClean(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        cleaned.as("text_clean"))
+      .withColumn("n_chars_clean", length(col("text_clean")))
+      .withColumn("n_tokens_clean", size(split(col("text_clean"), " ")))
+      .select("doc_id", "n_chars_raw", "n_chars_clean", "n_tokens_clean", "text_clean")
       .orderBy("doc_id")
   }
 

@@ -282,6 +282,28 @@ object Relational {
       .orderBy("chk")
   }
 
+  /** §2.4 Column profiling (data-quality sweep a training pipeline runs
+    * before ingest): per-column row count, null count, min/max, exact
+    * distinct — one row per profiled column. Each branch is one scan with a
+    * map-side-combined aggregate; at 100 TB swap the exact distinct for
+    * `approx_count_distinct` (mergeable HLL sketch, same shape). */
+  def qProfileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def prof(name: String): DataFrame =
+      li.agg(count(lit(1)).as("n_rows"),
+             sum(when(col(name).isNull, 1L).otherwise(0L)).as("n_nulls"),
+             round(min(col(name)).cast("double"), 4).as("min_val"),
+             round(max(col(name)).cast("double"), 4).as("max_val"),
+             countDistinct(col(name)).as("n_distinct"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"),
+                col("min_val"), col("max_val"), col("n_distinct"))
+    prof("l_quantity")
+      .unionByName(prof("l_extendedprice"))
+      .unionByName(prof("l_discount"))
+      .unionByName(prof("l_tax"))
+      .orderBy("col_name")
+  }
+
   /** §2.4 Batch-validation / DImessages shape: per-table row counts plus a
     * per-table alert count (invalid-value rules), one row per table — the
     * TPC-DI batch validation query that runs after every load [SPEC:
