@@ -270,6 +270,18 @@ object Oracle {
         |WHERE rn <= 5
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "q_win_navigation" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q_win_scd2_enddate" ->
       """WITH versions AS (SELECT DISTINCT o_custkey, o_orderdate AS eff FROM orders),
         |scd AS (

@@ -42,6 +42,7 @@ object SparkEntry {
     "q_except"        -> (Relational.qExcept _),
     "q_intersect"     -> (Relational.qIntersect _),
     "q_win_rank"          -> (Windows.qWinRank _),
+    "q_win_navigation"    -> (Windows.qWinNavigation _),
     "q_win_scd2_enddate"  -> (Windows.qWinScd2EndDate _),
     "q_win_running"       -> (Windows.qWinRunning _),
     "q_win_range_frame"   -> (Windows.qWinRangeFrame _),

@@ -99,6 +99,24 @@ object Windows {
       .orderBy("l_suppkey", "rn")
   }
 
+  /** §2.5 Navigation + distribution window functions: lag/lead neighbors,
+    * running first value, quartile bucket, percent_rank/cume_dist — the
+    * per-account statement shape (prior balance, next trade, percentile of
+    * spend). Deterministic: the order key is unique per partition, and the
+    * ratio outputs are rounded on both engines. */
+  def qWinNavigation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("first_price", first(col("o_totalprice")).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** §2.3 Point-in-time (SCD2 interval) join — THE signature TPC-DI operator:
     * every fact row resolves the dimension version current at fact time
     * (DimTrade→DimSecurity shape). Intervals are derived from per-customer

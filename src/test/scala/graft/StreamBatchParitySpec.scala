@@ -56,4 +56,27 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(closedHours.contains("2024-01-01 10") && closedHours.contains("2024-01-01 11"))
     } finally q.stop()
   }
+
+  test("stream-stream join body: batch run == independently-computed pairs") {
+    // the SAME pairedWithinWindow body on batch inputs (watermarks are
+    // no-ops in batch) must equal a from-scratch batch formulation
+    val signups = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),
+      Ev(2, ts("2024-01-01 10:00:00"), 2, "signup", 0.0),
+      Ev(3, ts("2024-01-01 12:00:00"), 1, "signup", 0.0))
+    val purchases = Seq(
+      Ev(10, ts("2024-01-01 10:30:00"), 1, "purchase", 1.0), // pairs signup 1
+      Ev(11, ts("2024-01-01 12:30:00"), 2, "purchase", 1.0), // outside user-2's 1h
+      Ev(12, ts("2024-01-01 12:20:00"), 1, "purchase", 1.0)) // pairs signup 3
+    val got = Streams.pairedWithinWindow(signups.toDF(), purchases.toDF(), "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (for {
+      s <- signups; p <- purchases
+      if s.user_id == p.user_id &&
+        !p.ts.before(s.ts) &&
+        p.ts.getTime - s.ts.getTime <= 3600 * 1000L
+    } yield (s.user_id, s.event_id, p.event_id)).toSet
+    assert(got === expected, s"got=$got expected=$expected")
+    assert(got === Set((1L, 1L, 10L), (1L, 3L, 12L)))
+  }
 }
