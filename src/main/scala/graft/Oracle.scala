@@ -433,6 +433,16 @@ object Oracle {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    "q_struct_funcs" ->
+      """SELECT p_partkey,
+        |  struct_pack(brand := p_brand, sz := p_size) AS brand_info,
+        |  p_brand AS brand_field,
+        |  struct_pack(inner := struct_pack(brand := p_brand, sz := p_size),
+        |              ptype := p_type) AS nested,
+        |  (p_size > 25) AS is_large
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
     "q_array_funcs" ->
       """SELECT vec_id, label,
         |  len(embedding) AS dim,

@@ -57,6 +57,7 @@ object SparkEntry {
     "q_math_funcs"  -> (Scalars.qMathFuncs _),
     "q_json_funcs"  -> (Scalars.qJsonFuncs _),
     "q_array_funcs" -> (Scalars.qArrayFuncs _),
+    "q_struct_funcs" -> (Scalars.qStructFuncs _),
     // §2.10 CDC / event-time (batch forms; stream wrappers in graft.stream)
     "q_cdc_apply"       -> (Cdc.qCdcApply _),
     "q_stream_tumbling" -> (Cdc.qStreamTumbling _),

@@ -120,4 +120,21 @@ object Scalars {
         size(filter(emb, (x: Column) => x > 0)).as("n_pos"))
       .orderBy("vec_id")
   }
+
+  /** §2.8 Struct (nested-type) surface: build a named struct column, read a
+    * field back out, nest a struct in a struct — the typed-payload shape
+    * multimodal metadata and CDC envelopes use. Nested values survive the
+    * parquet round-trip and compare as dict values in the driver's oracle
+    * diff. */
+  def qStructFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val info = struct(col("p_brand").as("brand"), col("p_size").as("sz"))
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        info.as("brand_info"),
+        info.getField("brand").as("brand_field"),
+        struct(info.as("inner"), col("p_type").as("ptype")).as("nested"),
+        (col("p_size") > 25).as("is_large"))
+      .orderBy("p_partkey")
+  }
 }
