@@ -35,6 +35,7 @@ object SparkEntry {
     "q_agg_groupsets" -> (Relational.qAggGroupSets _),
     "q_audit_referential" -> (Relational.qAuditReferential _),
     "q_agg_percentile" -> (Relational.qAggPercentile _),
+    "q_agg_approx_percentile" -> (Relational.qAggApproxPercentile _), // no-oracle: sketch differs per engine; bounded vs exact in RelationalSpec
     "q_pivot_segment" -> (Relational.qPivotSegment _),
     "q_sort_limit"    -> (Relational.qSortLimit _),
     "q_sort_nulls"    -> (Relational.qSortNulls _),

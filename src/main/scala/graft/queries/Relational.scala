@@ -239,6 +239,17 @@ object Relational {
              .as("iqr"))
       .orderBy("o_orderstatus")
 
+  /** §2.4 Sketch percentiles (no-oracle: the t-digest-style estimator is
+    * engine-specific; RelationalSpec bounds it against [[qAggPercentile]]):
+    * `approx_percentile` is the 100 TB path — a mergeable sketch with
+    * map-side partials, no per-group sort of the raw values. */
+  def qAggApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+           expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
+      .orderBy("o_orderstatus")
+
   /** §2.4 Pivot (long→wide cross-tab): customers per (region × market
     * segment) with the segment domain pivoted to columns. The value list is
     * EXPLICIT — at scale an implicit pivot first runs a distinct scan to

@@ -1,10 +1,11 @@
 package graft.stream
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.queries.Exprs.moneySum
 
@@ -84,6 +85,41 @@ object Streams {
           state.update(next)
           next
       }
+  }
+
+  /** Per-user totals as a [[StatefulProcessor]] for `transformWithState` —
+    * the Spark 4 arbitrary-state API (successor to mapGroupsWithState):
+    * typed named state handles, TTL support, timers. State is one
+    * [[UserTotals]] per key in the state store (RocksDB provider required
+    * in streaming mode), so the store is bounded by |users|. */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, UserEvent, UserTotals] {
+    @transient private var totals: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals](
+        "totals", Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev = Option(totals.get()).getOrElse(UserTotals(user, 0L, 0.0))
+      var n = prev.n_events
+      var total = prev.total_value
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserTotals(user, n, total)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningUserTotals]] rebuilt on `transformWithState` — identical
+    * semantics, new-API form (StreamingSpec asserts both agree). */
+  def runningUserTotalsTws(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream inner join with event-time range bound: each purchase

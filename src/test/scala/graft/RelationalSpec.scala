@@ -22,6 +22,19 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_approx_percentile: sketch within 10% of the exact percentile per group") {
+    val approx = Relational.qAggApproxPercentile(spark, TestSpark.sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Relational.qAggPercentile(spark, TestSpark.sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet && approx.nonEmpty)
+    for ((g, (p50e, p90e)) <- exact) {
+      val (p50a, p90a) = approx(g)
+      assert(math.abs(p50a - p50e) / p50e <= 0.10, s"$g p50: approx=$p50a exact=$p50e")
+      assert(math.abs(p90a - p90e) / p90e <= 0.10, s"$g p90: approx=$p90a exact=$p90e")
+    }
+  }
+
   test("q_filter_pred pushes predicates into the parquet scan") {
     val plan = Relational.qFilterPred(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString

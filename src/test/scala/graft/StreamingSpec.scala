@@ -127,6 +127,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState keeps per-user totals across micro-batches (Spark 4 API)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.UserEvent
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[UserEvent]
+    val q = Streams.runningUserTotalsTws(mem.toDS())
+      .writeStream.format("memory").queryName("t_tws")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 2.0),
+        UserEvent(2, ts("2024-01-01 10:01:00"), 2, "click", 5.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(3, ts("2024-01-01 10:10:00"), 1, "purchase", 10.0))
+      q.processAllAvailable()
+      val latest = spark.table("t_tws")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(latest(1L) === ((1L, 2L, 12.0)),
+        s"user 1 state must span batches, got ${latest(1L)}")
+      assert(latest(2L) === ((2L, 1L, 5.0)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream join pairs purchases with signups inside the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val signups = MemoryStream[Ev]
