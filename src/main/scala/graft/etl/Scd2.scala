@@ -60,4 +60,43 @@ object Scd2 {
       keyCols, "left_anti")
     untouched.unionByName(survivors)
   }
+
+  /** Apply a CDC micro-batch to a VERSIONED history (the TPC-DI Type-2
+    * incremental semantics for DimCustomer/DimAccount: an update does not
+    * replace — it end-dates the open version and appends a new one;
+    * a delete end-dates the open version without a successor; history rows
+    * are never rewritten beyond closing their `end`).
+    *
+    * `history` carries `keyCols`, attributes, `effCol`, `end`, `is_current`
+    * ([[fromChangeLog]]'s shape); `cdc` carries `keyCols`, attributes,
+    * `effCol` (the change's effective time), plus the `seqCol`/`flagCol`
+    * envelope. The latest CDC record per key in the batch wins.
+    *
+    * Shape at scale: one keyed window over the batch, one keyed anti-join
+    * (untouched history), one keyed equi-join (closing the affected open
+    * versions) — no full-history shuffle beyond the affected keys. */
+  def applyCdcHistorized(history: DataFrame, cdc: DataFrame, keyCols: Seq[String],
+                         seqCol: String, flagCol: String,
+                         effCol: String = "eff"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = cdc
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val untouched = history.join(latest.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    // affected keys: close the open version at the incoming effective time
+    val touched = history.join(
+      latest.select((keyCols.map(col) :+ col(effCol).as("__new_eff")): _*), keyCols)
+      .withColumn("end",
+        when(col("is_current"), col("__new_eff")).otherwise(col("end")))
+      .withColumn("is_current", lit(false))
+      .drop("__new_eff")
+    // inserts/updates open a new current version; deletes add no successor
+    val newVersions = latest.filter(col(flagCol) =!= "D")
+      .drop(seqCol, flagCol)
+      .withColumn("end", lit(null).cast(history.schema("end").dataType))
+      .withColumn("is_current", lit(true))
+    untouched.unionByName(touched).unionByName(newVersions)
+  }
 }

@@ -23,6 +23,37 @@ class Scd2Spec extends AnyFunSuite {
           (1, 30, None, true), (2, 5, None, true)))
   }
 
+  test("applyCdcHistorized: updates version, deletes close, history never rewritten") {
+    // history for keys 1 (two versions) and 2 (one version) via fromChangeLog
+    val hist = Scd2.fromChangeLog(
+      Seq((1, 10, "a1"), (1, 20, "a2"), (2, 5, "b1")).toDF("k", "eff", "attr"),
+      Seq("k"), "eff")
+    // batch at eff=30: update key 1 (two records — seq 12 wins), delete key 2,
+    // insert key 3
+    val cdc = Seq(
+      ("U", 11L, 1, 30, "a3-lost"),
+      ("U", 12L, 1, 30, "a3"),
+      ("D", 13L, 2, 30, ""),
+      ("I", 14L, 3, 30, "c1"))
+      .toDF("flag", "seq", "k", "eff", "attr")
+    val next = Scd2.applyCdcHistorized(hist, cdc, Seq("k"), "seq", "flag")
+      .orderBy("k", "eff").collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Int]("eff"),
+                 Option(r.getAs[Any]("end")).map(_.asInstanceOf[Int]),
+                 r.getAs[Boolean]("is_current"), r.getAs[String]("attr")))
+
+    assert(next.toSeq === Seq(
+      (1, 10, Some(20), false, "a1"),   // closed history untouched
+      (1, 20, Some(30), false, "a2"),   // open version end-dated at batch eff
+      (1, 30, None, true, "a3"),        // latest batch record wins the new version
+      (2, 5, Some(30), false, "b1"),    // delete closes, no successor
+      (3, 30, None, true, "c1")))       // insert opens a first version
+
+    // invariants: at most one current version per key; deleted key has none
+    val currents = next.filter(_._4).groupBy(_._1).view.mapValues(_.length).toMap
+    assert(currents === Map(1 -> 1, 3 -> 1))
+  }
+
   test("resolve lands every fact in exactly one version") {
     val dim = Scd2.fromChangeLog(
       Seq((1, 10), (1, 20), (2, 5)).toDF("k", "eff"), Seq("k"), "eff")
