@@ -475,6 +475,42 @@ object Oracle {
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
 
+    "q_cdc_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS eff, event_type, event_id
+        |  FROM events),
+        |hist AS (
+        |  SELECT user_id, eff, event_type,
+        |    LEAD(eff) OVER (PARTITION BY user_id ORDER BY eff) AS end0
+        |  FROM e WHERE eff < TIMESTAMP '2024-01-20 00:00:00'),
+        |hist2 AS (
+        |  SELECT user_id, eff, event_type, end0, (end0 IS NULL) AS is_current
+        |  FROM hist),
+        |cdc AS (
+        |  SELECT user_id, eff, event_type, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS flag
+        |  FROM e WHERE eff >= TIMESTAMP '2024-01-20 00:00:00'),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT cdc.*, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn FROM cdc) r
+        |  WHERE rn = 1),
+        |unioned AS (
+        |  SELECT h.user_id, h.eff, h.end0 AS end_ts, h.is_current, h.event_type
+        |  FROM hist2 h
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = h.user_id)
+        |  UNION ALL
+        |  SELECT h.user_id, h.eff,
+        |    CASE WHEN h.is_current THEN l.eff ELSE h.end0 END AS end_ts,
+        |    FALSE, h.event_type
+        |  FROM hist2 h JOIN latest l ON h.user_id = l.user_id
+        |  UNION ALL
+        |  SELECT user_id, eff, CAST(NULL AS TIMESTAMP), TRUE, event_type
+        |  FROM latest WHERE flag <> 'D')
+        |SELECT user_id, eff, end_ts, is_current, event_type
+        |FROM unioned
+        |ORDER BY user_id, eff""".stripMargin,
+
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
         |  COUNT(*) AS n_events,

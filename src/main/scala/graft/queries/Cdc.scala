@@ -34,6 +34,29 @@ object Cdc {
       .orderBy("user_id")
   }
 
+  /** §2.10 Historized (Type-2) CDC apply — the true TPC-DI incremental
+    * dimension semantics, as a declared oracled query: events before the
+    * split date build the versioned history ([[graft.etl.Scd2.fromChangeLog]]),
+    * events after it form the CDC batch (latest per user wins, `error` =
+    * delete flag), and [[graft.etl.Scd2.applyCdcHistorized]] end-dates each
+    * affected open version at the change's effective time, appends the new
+    * current version, and closes deleted keys without a successor. */
+  def qCdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").as("eff"), col("event_type"), col("event_id"))
+    val hist = graft.etl.Scd2.fromChangeLog(
+      ev.filter(col("eff") < split).drop("event_id"), Seq("user_id"), "eff")
+    val cdc = ev.filter(col("eff") >= split)
+      .withColumn("flag",
+        when(col("event_type") === "error", "D").otherwise("U"))
+    val next = graft.etl.Scd2.applyCdcHistorized(
+      hist, cdc, Seq("user_id"), "event_id", "flag")
+    next.select(col("user_id"), col("eff"), col("end").as("end_ts"),
+                col("is_current"), col("event_type"))
+      .orderBy("user_id", "eff")
+  }
+
   /** §2.10 Tumbling event-time windows: per-hour per-type counts and sums —
     * identical query body works on readStream (Structured Streaming's
     * incrementalization model; stream variant in [[graft.stream.Streams]]). */
