@@ -48,6 +48,22 @@ class WarehouseSpec extends AnyFunSuite {
     assert(one.count() > 0)
   }
 
+  test("compaction collapses a fragmented dataset without changing its rows") {
+    val dir = Files.createTempDirectory("graft_compact").resolve("frag").toString
+    val orders = Tables.orders(spark, TestSpark.sfDir)
+    orders.repartition(64).write.mode("overwrite").parquet(dir)
+    def parquetFiles =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles === 64, "fixture should start fragmented")
+    val before = spark.read.parquet(dir).orderBy("o_orderkey").collect()
+
+    val written = graft.etl.Warehouse.compact(spark, dir, targetMB = 128)
+    assert(written === 1 && parquetFiles === 1,
+      s"small dataset should compact to one ~targetMB file, got $parquetFiles")
+    val after = spark.read.parquet(dir).orderBy("o_orderkey").collect()
+    assert(after.toSeq === before.toSeq, "compaction must be a pure rewrite")
+  }
+
   test("bucketed tables co-locate the join: sort-merge with zero shuffle exchanges") {
     // The 100-TB co-located-join layout: both sides bucketed (and sorted) on
     // the join key at write time, so a key-equi join needs NO shuffle at
