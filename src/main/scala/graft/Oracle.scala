@@ -355,6 +355,17 @@ object Oracle {
         |  WHERE NOT regexp_matches(r.ref, '^[0-9]+$')) u
         |ORDER BY l_orderkey, l_linenumber, s_suppkey""".stripMargin,
 
+    "q_join_asof" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type, value FROM events),
+        |c AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id AS p_id, value AS p_value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id AS click_id, c.ts,
+        |  p.p_id AS last_purchase_id, p.p_value AS last_purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, click_id""".stripMargin,
+
     "q_self_join_pairing" ->
       """SELECT s.user_id, s.event_id AS signup_id, s.ts AS signup_ts,
         |  MIN(p.ts) AS first_purchase_ts

@@ -51,6 +51,7 @@ object SparkEntry {
     "q_join_range_scd2"   -> (Windows.qJoinRangeScd2 _),
     "q_join_conditional_key" -> (Windows.qJoinConditionalKey _),
     "q_self_join_pairing" -> (Windows.qSelfJoinPairing _),
+    "q_join_asof"         -> (Windows.qJoinAsof _),
     // §2.8 scalar functions
     "q_str_funcs"   -> (Scalars.qStrFuncs _),
     "q_regex_funcs" -> (Scalars.qRegexFuncs _),

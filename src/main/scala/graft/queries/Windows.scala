@@ -164,6 +164,37 @@ object Windows {
       .orderBy("l_orderkey", "l_linenumber", "s_suppkey")
   }
 
+  /** §2.3 As-of join — each fact row picks the LATEST reference row of the
+    * same key at-or-before its time (quote-to-trade resolution; here: each
+    * click resolves the user's most recent purchase). Composed from
+    * built-ins, the scalable idiom: union-tag both sides, ONE window per
+    * key ordered by (time, side) with `last(_, ignoreNulls)` carrying the
+    * reference columns forward — one shuffle + sort, no interval build, no
+    * candidate fanout, facts with no prior reference keep nulls. Reference
+    * rows sort before same-instant facts so an equal-time match counts.
+    * The DuckDB oracle is an independent formulation: native `ASOF LEFT
+    * JOIN`. */
+  def qJoinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("is_fact"), lit(null).cast("long").as("p_id"),
+        lit(null).cast("double").as("p_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("is_fact"), col("event_id").as("p_id"), col("value").as("p_value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "is_fact")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_purchase_id", last(col("p_id"), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_value",
+        last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("is_fact") === 1)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"),
+              col("last_purchase_id"), col("last_purchase_value"))
+      .orderBy("user_id", "click_id")
+  }
+
   /** §2.3 Event pairing: each signup paired with the user's first later
     * purchase (FactWatches ACTV/CNCL pairing shape).
     *
