@@ -444,6 +444,15 @@ object Oracle {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    "q_map_funcs" ->
+      """SELECT p_partkey,
+        |  MAP {'brand': p_brand, 'type': p_type} AS attrs,
+        |  (MAP {'brand': p_brand, 'type': p_type})['brand'][1] AS brand_val,
+        |  array_to_string(map_keys(MAP {'brand': p_brand, 'type': p_type}), ',') AS key_list,
+        |  CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS INT) AS n_attrs
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
     "q_struct_funcs" ->
       """SELECT p_partkey,
         |  struct_pack(brand := p_brand, sz := p_size) AS brand_info,

@@ -60,6 +60,7 @@ object SparkEntry {
     "q_json_funcs"  -> (Scalars.qJsonFuncs _),
     "q_array_funcs" -> (Scalars.qArrayFuncs _),
     "q_struct_funcs" -> (Scalars.qStructFuncs _),
+    "q_map_funcs" -> (Scalars.qMapFuncs _),
     // §2.10 CDC / event-time (batch forms; stream wrappers in graft.stream)
     "q_cdc_apply"       -> (Cdc.qCdcApply _),
     "q_cdc_scd2"        -> (Cdc.qCdcScd2 _),

@@ -121,6 +121,24 @@ object Scalars {
       .orderBy("vec_id")
   }
 
+  /** §2.8 Map surface: build a map column from key/value arrays, scalar
+    * value access, key list, cardinality — the tags/properties payload
+    * shape. Keys are inserted in a fixed order so the parquet map entries
+    * compare deterministically against the oracle's `MAP {}` literal. */
+  def qMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val attrs = map_from_arrays(
+      array(lit("brand"), lit("type")),
+      array(col("p_brand"), col("p_type")))
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        attrs.as("attrs"),
+        element_at(attrs, "brand").as("brand_val"),
+        concat_ws(",", map_keys(attrs)).as("key_list"),
+        size(attrs).as("n_attrs"))
+      .orderBy("p_partkey")
+  }
+
   /** §2.8 Struct (nested-type) surface: build a named struct column, read a
     * field back out, nest a struct in a struct — the typed-payload shape
     * multimodal metadata and CDC envelopes use. Nested values survive the
