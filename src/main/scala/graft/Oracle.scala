@@ -585,6 +585,33 @@ object Oracle {
       s"(CASE WHEN v[$p] > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** MinHash-LSH candidate pairs (no ORDER BY — shared by q_dedup_minhash
+    * and, as the edge set of the recursive-closure components, by
+    * q_dedup_groups). */
+  private lazy val minhashPairsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |shingles AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 2
+      |    THEN [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk)-1)]
+      |    ELSE tk END)) AS sh FROM t),
+      |hashed AS (
+      |  SELECT doc_id, md5('a:' || sh) AS m1, md5('b:' || sh) AS m2 FROM shingles),
+      |sig AS (
+      |  SELECT doc_id,
+      |    min(substr(m1,1,8)) AS h1, min(substr(m1,9,8)) AS h2,
+      |    min(substr(m1,17,8)) AS h3, min(substr(m1,25,8)) AS h4,
+      |    min(substr(m2,1,8)) AS h5, min(substr(m2,9,8)) AS h6,
+      |    min(substr(m2,17,8)) AS h7, min(substr(m2,25,8)) AS h8
+      |  FROM hashed GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 1 AS band, md5(h1 || h2) AS bkey FROM sig
+      |  UNION ALL SELECT doc_id, 2, md5(h3 || h4) FROM sig
+      |  UNION ALL SELECT doc_id, 3, md5(h5 || h6) FROM sig
+      |  UNION ALL SELECT doc_id, 4, md5(h7 || h8) FROM sig)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+
   /** §2.9 LLM-pipeline block. md5 emits identical hex in both engines —
     * the backbone of every cross-engine-checkable hash pipeline here.
     * Vector math mirrors the Spark side op-for-op: float→double casts
@@ -597,30 +624,21 @@ object Oracle {
         |GROUP BY md5(text)
         |ORDER BY text_md5""".stripMargin,
 
-    "q_dedup_minhash" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |shingles AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 2
-        |    THEN [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk)-1)]
-        |    ELSE tk END)) AS sh FROM t),
-        |hashed AS (
-        |  SELECT doc_id, md5('a:' || sh) AS m1, md5('b:' || sh) AS m2 FROM shingles),
-        |sig AS (
-        |  SELECT doc_id,
-        |    min(substr(m1,1,8)) AS h1, min(substr(m1,9,8)) AS h2,
-        |    min(substr(m1,17,8)) AS h3, min(substr(m1,25,8)) AS h4,
-        |    min(substr(m2,1,8)) AS h5, min(substr(m2,9,8)) AS h6,
-        |    min(substr(m2,17,8)) AS h7, min(substr(m2,25,8)) AS h8
-        |  FROM hashed GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 1 AS band, md5(h1 || h2) AS bkey FROM sig
-        |  UNION ALL SELECT doc_id, 2, md5(h3 || h4) FROM sig
-        |  UNION ALL SELECT doc_id, 3, md5(h5 || h6) FROM sig
-        |  UNION ALL SELECT doc_id, 4, md5(h7 || h8) FROM sig)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_minhash" -> (minhashPairsSql + "\nORDER BY doc_a, doc_b"),
+
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql
+         |),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src)
+         |SELECT node AS doc_id, least(node, min(r)) AS group_id
+         |FROM reach GROUP BY node
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -706,6 +724,18 @@ object Oracle {
         |FROM n, p
         |ORDER BY cos_sim DESC, vec_id ASC
         |LIMIT 10""".stripMargin,
+
+    "q_doc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, tk,
+        |    unnest(generate_series(1, greatest(len(tk), 1), 20)) AS cs FROM t)
+        |SELECT doc_id,
+        |  CAST((cs - 1) // 20 AS INT) AS chunk_idx,
+        |  CAST(cs AS INT) AS chunk_start,
+        |  len(tk[cs : cs + 29]) AS n_chunk_tokens,
+        |  array_to_string(tk[cs : cs + 29], ' ') AS chunk_text
+        |FROM s
+        |ORDER BY doc_id, chunk_start""".stripMargin,
 
     "q_text_clean" ->
       """SELECT doc_id,

@@ -69,6 +69,7 @@ object SparkEntry {
     // §2.9 LLM-data-pipeline block
     "q_dedup_exact"    -> (Llm.qDedupExact _),
     "q_dedup_minhash"  -> (Llm.qDedupMinhash _),
+    "q_dedup_groups"   -> (Llm.qDedupGroups _),
     "q_dedup_simhash"  -> (Llm.qDedupSimhash _),
     "q_ngram_jaccard"  -> (Llm.qNgramJaccard _),
     "q_dedup_cosine"   -> (Llm.qDedupCosine _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q_knn_cosine_ivf" -> (Llm.qKnnCosineIvf _), // no-oracle: rows-only check + LlmSpec recall test
     "q_text_stats"     -> (Llm.qTextStats _),
     "q_text_clean"     -> (Llm.qTextClean _),
+    "q_doc_chunk"      -> (Llm.qDocChunk _),
     "q_profile_columns" -> (Relational.qProfileColumns _),
     "q_token_count"    -> (Llm.qTokenCount _),
     "q_text_quality"   -> (Llm.qTextQuality _),

@@ -242,6 +242,59 @@ object Llm {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** §2.9 Dedup GROUPS: connected components over the MinHash candidate
+    * pairs — a dedup pipeline keeps one document per component, so pairs
+    * alone aren't actionable. Distributed min-label propagation (the Pregel
+    * shape): every node starts as its own label; each round every node
+    * takes the min label across itself and its neighbors (one equi-join +
+    * one min-aggregate per round); converged when no label changes.
+    * Rounds needed = component diameter — near-dup components are
+    * tiny/dense, so a handful; each round localCheckpoints to keep lineage
+    * flat. The DuckDB oracle derives the same fixpoint independently via a
+    * recursive-CTE transitive closure (unique fixpoint ⇒ same answer). */
+  def qDedupGroups(spark: SparkSession, dir: String): DataFrame =
+    dedupGroups(minhashPairs(Tables.documents(spark, dir)))
+
+  /** Min-label connected components over an undirected edge list
+    * (doc_a, doc_b); returns (doc_id, group_id) for every node.
+    *
+    * Each round combines a one-hop neighbor min with a POINTER JUMP
+    * (label := label(label)) — plain neighbor propagation walks one hop per
+    * round, so a chain component of diameter d needs d rounds; the jump
+    * halves remaining distance every round (O(log d) total), which is what
+    * makes long near-dup chains converge inside the iteration budget.
+    * Labels always reference existing nodes, so the jump join is total. */
+  private[graft] def dedupGroups(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val oneHop = labels.unionByName(neighborLabels)
+        .groupBy("node").agg(min(col("label")).as("label"))
+      val jumped = oneHop
+        .join(oneHop.select(col("node").as("label"), col("label").as("label2")),
+              "label")
+        .select(col("node"), col("label2").as("label"))
+      val next = oneHop.unionByName(jumped)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+      .orderBy("doc_id")
+  }
+
   /** §2.9 n-gram Jaccard near-dup vs a probe document: distinct bigram sets,
     * |∩| / |∪| against doc 0.
     *
@@ -472,6 +525,28 @@ object Llm {
         round(size(stops).cast("double") / size(toks), 4).as("stop_ratio"),
         round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"))
       .orderBy("doc_id")
+  }
+
+  /** §2.9 Document chunking: overlapping token windows (30-token chunks,
+    * stride 20 → 10-token overlap) — the long-document preparation step
+    * before embedding/training. One explode of the per-doc start sequence;
+    * `slice` clamps the tail chunk, chunk ids derive from the start offset
+    * so no row-ordinality dependence crosses engines. */
+  def qDocChunk(spark: SparkSession, dir: String): DataFrame = {
+    val window = 30
+    val stride = 20
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(1), greatest(size(toks), lit(1)), lit(stride)))
+          .as("chunk_start"))
+      .withColumn("chunk", slice(col("toks"), col("chunk_start"), lit(window)))
+      .select(col("doc_id"),
+        expr(s"cast((chunk_start - 1) div $stride as int)").as("chunk_idx"),
+        col("chunk_start"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_start")
   }
 
   /** §2.9 Text normalization for training-data prep: lowercase, strip

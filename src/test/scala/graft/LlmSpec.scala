@@ -41,6 +41,15 @@ class LlmSpec extends AnyFunSuite {
     assert(r1 === r2)
   }
 
+  test("dedupGroups: chained pairs merge into one component, others stay apart") {
+    import spark.implicits._
+    // edges: 1-2, 2-3, 9-1 (one component via chaining), 5-6 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 1L)).toDF("doc_a", "doc_b")
+    val groups = Llm.dedupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("simhash: identical docs have hamming 0; pair survives the <=3 filter") {
     val rows = Llm.simhashPairs(docs(1L -> base, 2L -> base))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
