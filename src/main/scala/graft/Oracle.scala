@@ -711,6 +711,20 @@ object Oracle {
          |WHERE cos_sim >= 0.3
          |ORDER BY label, id_a, id_b""".stripMargin,
 
+    "q_embed_normalize" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_sum([x*x for x in v])) AS nrm,
+        |    list_max([abs(x) for x in v]) AS max_abs
+        |  FROM e)
+        |SELECT vec_id, label,
+        |  floor(nrm * 1000000.0) / 1000000.0 AS nrm,
+        |  [floor(x / nrm * 1000000.0) / 1000000.0 for x in v] AS unit_vec,
+        |  [CAST(floor(x * 127.0 / max_abs + 0.5) AS INT) for x in v] AS int8_vec
+        |FROM n
+        |ORDER BY vec_id""".stripMargin,
+
     "q_knn_cosine" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -487,6 +487,32 @@ object Llm {
       .select("vec_id", "label", "embedding"), probeId, k)
   }
 
+  /** §2.9 Embedding preparation: unit-normalization (rounded elements) and
+    * symmetric int8 quantization (scale = 127/max|x|) — the storage/serving
+    * transforms an embedding pipeline applies after extraction. Pure
+    * per-row array expressions; the quantized column shrinks the payload
+    * 4× for ANN serving. */
+  def qEmbedNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = asDouble(col("embedding"))
+    Tables.embeddings(spark, dir)
+      .withColumn("nrm", l2(dbl))
+      .withColumn("max_abs", array_max(transform(dbl, x => abs(x))))
+      // floor-snap, not round(): both engines hold the IDENTICAL double, and
+      // floor of the same double is engine-independent, while round()
+      // implementations break decimal ties differently (SURVEY §5.3).
+      // The snapped norm gets its alias only in the FINAL projection —
+      // Spark 4's lateral column alias resolution would otherwise rebind
+      // the divisions inside the lambdas to the snapped value.
+      .withColumn("unit_vec",
+        transform(dbl, x => floor(x / col("nrm") * 1e6) / 1e6))
+      .withColumn("int8_vec",
+        transform(dbl, x => floor(x * lit(127.0) / col("max_abs") + 0.5).cast("int")))
+      .select(col("vec_id"), col("label"),
+        (floor(col("nrm") * 1e6) / 1e6).as("nrm"),
+        col("unit_vec"), col("int8_vec"))
+      .orderBy("vec_id")
+  }
+
   // ---- text analysis ------------------------------------------------------
 
   /** §2.9 Token frequencies per language — explode + hash aggregation (the
