@@ -669,6 +669,24 @@ object Oracle {
          |WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql
+         |),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+         |grp AS (SELECT node AS doc_id, least(node, min(r)) AS group_id
+         |        FROM reach GROUP BY node),
+         |dropped AS (SELECT doc_id FROM grp WHERE doc_id <> group_id)
+         |SELECT doc_id, lang, length(text) AS n_chars_kept
+         |FROM documents
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = documents.doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 2

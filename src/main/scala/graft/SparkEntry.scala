@@ -70,6 +70,7 @@ object SparkEntry {
     "q_dedup_exact"    -> (Llm.qDedupExact _),
     "q_dedup_minhash"  -> (Llm.qDedupMinhash _),
     "q_dedup_groups"   -> (Llm.qDedupGroups _),
+    "q_dedup_keep"     -> (Llm.qDedupKeep _),
     "q_dedup_simhash"  -> (Llm.qDedupSimhash _),
     "q_ngram_jaccard"  -> (Llm.qNgramJaccard _),
     "q_dedup_cosine"   -> (Llm.qDedupCosine _),

@@ -255,6 +255,20 @@ object Llm {
   def qDedupGroups(spark: SparkSession, dir: String): DataFrame =
     dedupGroups(minhashPairs(Tables.documents(spark, dir)))
 
+  /** §2.9 The dedup ACTION: the corpus with every non-canonical near-dup
+    * dropped — each MinHash component keeps only its min-doc_id member
+    * (singletons untouched). One keyed anti-join against the non-canonical
+    * group members; the complete pipeline shape is
+    * candidates → components → kept corpus. */
+  def qDedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dropped = dedupGroups(minhashPairs(docs))
+      .filter(col("doc_id") =!= col("group_id"))
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Min-label connected components over an undirected edge list
     * (doc_a, doc_b); returns (doc_id, group_id) for every node.
     *
