@@ -55,12 +55,23 @@ object Bench {
       else (n, -1.0, Some(runs.collectFirst { case Left(m) => m }.get))
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
-      .mkString("{", ",", "}")
+    // The driver parses the JSON from a bounded tail of stdout (~2 KB): with
+    // 60+ queries, full-precision doubles overflow that window and the round
+    // report comes back unparsed. Keep the line compact — 3-decimal seconds
+    // (1 ms granularity is below run noise anyway) and error fields only
+    // when something actually failed.
+    def sec(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nErr = results.count(_._3.isDefined)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":$nErr,"errors":$errs,"sf":"$sfDir"}"""
+    val errPart =
+      if (nErr == 0) ""
+      else {
+        val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
+          .mkString("{", ",", "}")
+        s""","n_errors":$nErr,"errors":$errs"""
+      }
+    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
     println(json)
     spark.stop()

@@ -444,23 +444,37 @@ object Oracle {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // Map/struct columns stay internal to the query (pandas can't sort
+    // map/dict cells in the driver diff); every output column is a scalar
+    // derivation. DuckDB map access m['k'] yields a LIST — [1] unwraps it
+    // (and yields NULL for a missing key, matching Spark element_at).
     "q_map_funcs" ->
-      """SELECT p_partkey,
-        |  MAP {'brand': p_brand, 'type': p_type} AS attrs,
-        |  (MAP {'brand': p_brand, 'type': p_type})['brand'][1] AS brand_val,
-        |  array_to_string(map_keys(MAP {'brand': p_brand, 'type': p_type}), ',') AS key_list,
-        |  CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS INT) AS n_attrs
-        |FROM part
+      """WITH m AS (SELECT p_partkey,
+        |    MAP {'brand': p_brand, 'type': p_type} AS attrs FROM part)
+        |SELECT p_partkey,
+        |  attrs['brand'][1] AS brand_val,
+        |  attrs['type'][1] AS type_val,
+        |  attrs['nope'][1] AS missing_val,
+        |  array_to_string(map_keys(attrs), ',') AS key_list,
+        |  array_to_string(map_values(attrs), ',') AS val_list,
+        |  list_contains(map_keys(attrs), 'brand') AS has_brand,
+        |  CAST(cardinality(attrs) AS INT) AS n_attrs
+        |FROM m
         |ORDER BY p_partkey""".stripMargin,
 
     "q_struct_funcs" ->
-      """SELECT p_partkey,
-        |  struct_pack(brand := p_brand, sz := p_size) AS brand_info,
-        |  p_brand AS brand_field,
-        |  struct_pack(inner := struct_pack(brand := p_brand, sz := p_size),
-        |              ptype := p_type) AS nested,
+      """WITH s AS (SELECT p_partkey, p_size, p_type,
+        |    struct_pack(brand := p_brand, sz := p_size) AS info FROM part),
+        |n AS (SELECT *, struct_pack(inner := info, ptype := p_type) AS nested FROM s)
+        |SELECT p_partkey,
+        |  struct_extract(info, 'brand') AS brand_field,
+        |  struct_extract(info, 'sz') AS sz_field,
+        |  struct_extract(nested, 'ptype') AS nested_ptype,
+        |  struct_extract(struct_extract(nested, 'inner'), 'sz') AS nested_inner_sz,
+        |  concat_ws('|', struct_extract(info, 'brand'),
+        |            CAST(struct_extract(info, 'sz') AS VARCHAR)) AS info_str,
         |  (p_size > 25) AS is_large
-        |FROM part
+        |FROM n
         |ORDER BY p_partkey""".stripMargin,
 
     "q_array_funcs" ->
@@ -729,6 +743,9 @@ object Oracle {
          |WHERE cos_sim >= 0.3
          |ORDER BY label, id_a, id_b""".stripMargin,
 
+    // Arrays are emitted as comma-joined INTEGER strings (unit elements in
+    // 1e-6 units): integers render identically across engines, and scalar
+    // columns keep the driver's pandas row-sort happy.
     "q_embed_normalize" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -738,8 +755,10 @@ object Oracle {
         |  FROM e)
         |SELECT vec_id, label,
         |  floor(nrm * 1000000.0) / 1000000.0 AS nrm,
-        |  [floor(x / nrm * 1000000.0) / 1000000.0 for x in v] AS unit_vec,
-        |  [CAST(floor(x * 127.0 / max_abs + 0.5) AS INT) for x in v] AS int8_vec
+        |  array_to_string([CAST(CAST(floor(x / nrm * 1000000.0) AS BIGINT) AS VARCHAR)
+        |                   for x in v], ',') AS unit_vec_micro,
+        |  array_to_string([CAST(CAST(floor(x * 127.0 / max_abs + 0.5) AS INT) AS VARCHAR)
+        |                   for x in v], ',') AS int8_vec
         |FROM n
         |ORDER BY vec_id""".stripMargin,
 

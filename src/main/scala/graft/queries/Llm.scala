@@ -501,11 +501,15 @@ object Llm {
       .select("vec_id", "label", "embedding"), probeId, k)
   }
 
-  /** §2.9 Embedding preparation: unit-normalization (rounded elements) and
-    * symmetric int8 quantization (scale = 127/max|x|) — the storage/serving
-    * transforms an embedding pipeline applies after extraction. Pure
-    * per-row array expressions; the quantized column shrinks the payload
-    * 4× for ANN serving. */
+  /** §2.9 Embedding preparation: unit-normalization (micro-unit snapped
+    * elements) and symmetric int8 quantization (scale = 127/max|x|) — the
+    * storage/serving transforms an embedding pipeline applies after
+    * extraction. Pure per-row array expressions; the quantized column
+    * shrinks the payload 4× for ANN serving. The element arrays are emitted
+    * as comma-joined INTEGER strings (unit elements in 1e-6 units): integers
+    * render identically across engines and keep every output column scalar —
+    * the oracle harness sorts rows in pandas, where array cells are
+    * unhashable. */
   def qEmbedNormalize(spark: SparkSession, dir: String): DataFrame = {
     val dbl = asDouble(col("embedding"))
     Tables.embeddings(spark, dir)
@@ -517,13 +521,14 @@ object Llm {
       // The snapped norm gets its alias only in the FINAL projection —
       // Spark 4's lateral column alias resolution would otherwise rebind
       // the divisions inside the lambdas to the snapped value.
-      .withColumn("unit_vec",
-        transform(dbl, x => floor(x / col("nrm") * 1e6) / 1e6))
-      .withColumn("int8_vec",
-        transform(dbl, x => floor(x * lit(127.0) / col("max_abs") + 0.5).cast("int")))
+      .withColumn("unit_vec_micro", concat_ws(",",
+        transform(dbl, x => floor(x / col("nrm") * 1e6).cast("long").cast("string"))))
+      .withColumn("int8_vec", concat_ws(",",
+        transform(dbl,
+          x => floor(x * lit(127.0) / col("max_abs") + 0.5).cast("int").cast("string"))))
       .select(col("vec_id"), col("label"),
         (floor(col("nrm") * 1e6) / 1e6).as("nrm"),
-        col("unit_vec"), col("int8_vec"))
+        col("unit_vec_micro"), col("int8_vec"))
       .orderBy("vec_id")
   }
 

@@ -122,9 +122,11 @@ object Scalars {
   }
 
   /** §2.8 Map surface: build a map column from key/value arrays, scalar
-    * value access, key list, cardinality — the tags/properties payload
-    * shape. Keys are inserted in a fixed order so the parquet map entries
-    * compare deterministically against the oracle's `MAP {}` literal. */
+    * value access (hit and miss), key/value lists, membership, cardinality —
+    * the tags/properties payload shape. The map column itself stays internal:
+    * the oracle harness sorts output rows in pandas, where map cells are
+    * unhashable, so every output column is a scalar derivation of the map
+    * (the operators are still exercised; only the projection is flattened). */
   def qMapFuncs(spark: SparkSession, dir: String): DataFrame = {
     val attrs = map_from_arrays(
       array(lit("brand"), lit("type")),
@@ -132,26 +134,34 @@ object Scalars {
     Tables.part(spark, dir)
       .select(
         col("p_partkey"),
-        attrs.as("attrs"),
         element_at(attrs, "brand").as("brand_val"),
+        element_at(attrs, "type").as("type_val"),
+        element_at(attrs, "nope").as("missing_val"),
         concat_ws(",", map_keys(attrs)).as("key_list"),
+        concat_ws(",", map_values(attrs)).as("val_list"),
+        array_contains(map_keys(attrs), "brand").as("has_brand"),
         size(attrs).as("n_attrs"))
       .orderBy("p_partkey")
   }
 
-  /** §2.8 Struct (nested-type) surface: build a named struct column, read a
-    * field back out, nest a struct in a struct — the typed-payload shape
-    * multimodal metadata and CDC envelopes use. Nested values survive the
-    * parquet round-trip and compare as dict values in the driver's oracle
-    * diff. */
+  /** §2.8 Struct (nested-type) surface: build a named struct column, read
+    * fields back out, nest a struct in a struct and extract through both
+    * levels — the typed-payload shape multimodal metadata and CDC envelopes
+    * use. Structs stay internal (pandas can't sort dict cells in the oracle
+    * diff); the output is scalar field extractions plus a deterministic
+    * string rendering of the struct. */
   def qStructFuncs(spark: SparkSession, dir: String): DataFrame = {
     val info = struct(col("p_brand").as("brand"), col("p_size").as("sz"))
+    val nested = struct(info.as("inner"), col("p_type").as("ptype"))
     Tables.part(spark, dir)
       .select(
         col("p_partkey"),
-        info.as("brand_info"),
         info.getField("brand").as("brand_field"),
-        struct(info.as("inner"), col("p_type").as("ptype")).as("nested"),
+        info.getField("sz").as("sz_field"),
+        nested.getField("ptype").as("nested_ptype"),
+        nested.getField("inner").getField("sz").as("nested_inner_sz"),
+        concat_ws("|", info.getField("brand"),
+          info.getField("sz").cast("string")).as("info_str"),
         (col("p_size") > 25).as("is_large"))
       .orderBy("p_partkey")
   }
