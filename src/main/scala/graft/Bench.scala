@@ -55,12 +55,13 @@ object Bench {
       else (n, -1.0, Some(runs.collectFirst { case Left(m) => m }.get))
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")
-    // The driver parses the JSON from a bounded tail of stdout (~2 KB): with
-    // 60+ queries, full-precision doubles overflow that window and the round
-    // report comes back unparsed. Keep the line compact — 3-decimal seconds
-    // (1 ms granularity is below run noise anyway) and error fields only
-    // when something actually failed.
-    def sec(v: Double) = f"$v%.3f"
+    // The driver parses the JSON from a bounded 2000-char tail of stdout, and
+    // sbt's trailing "[success] ..." line consumes ~76 of those — the JSON
+    // line must stay under ~1900 chars or the round report comes back
+    // unparsed (r03 failed exactly this way at 67 full-precision doubles).
+    // Keep it compact: 2-decimal seconds (10 ms granularity is far below run
+    // noise) and error fields only when something actually failed.
+    def sec(v: Double) = f"$v%.2f"
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nErr = results.count(_._3.isDefined)
@@ -71,7 +72,8 @@ object Bench {
           .mkString("{", ",", "}")
         s""","n_errors":$nErr,"errors":$errs"""
       }
-    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfDir"}"""
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
     println(json)
     spark.stop()

@@ -444,6 +444,57 @@ object Oracle {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    "q_join_full" ->
+      """WITH o AS (SELECT o_custkey, count(*) AS n_ord FROM orders
+        |           WHERE o_totalprice > 150000 GROUP BY o_custkey),
+        |     c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  (c_custkey IS NOT NULL) AS has_cust,
+        |  (o_custkey IS NOT NULL) AS has_ord,
+        |  CAST(coalesce(n_ord, 0) AS BIGINT) AS n_ord
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retail' AS measure, p_retailprice AS val FROM part
+        |ORDER BY p_partkey, measure""".stripMargin,
+
+    // The salted-join contract: result identical to the unsalted join.
+    "q_skew_salt" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  floor(percent_rank() OVER w * 1000000.0) / 1000000.0 AS pct_rank,
+        |  floor(cume_dist() OVER w * 1000000.0) / 1000000.0 AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+        |           FROM orders GROUP BY 1),
+        |  b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        |  spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |            FROM b)
+        |SELECT spine.day, CAST(coalesce(d.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM spine LEFT JOIN d ON spine.day = d.day
+        |ORDER BY spine.day""".stripMargin,
+
     // Map/struct columns stay internal to the query (pandas can't sort
     // map/dict cells in the driver diff); every output column is a scalar
     // derivation. DuckDB map access m['k'] yields a LIST — [1] unwraps it
@@ -854,5 +905,29 @@ object Oracle {
         |    (a, b) -> (a * 131 + b) % 1000000007) AS rolling_fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // Hash-bucket sampling: md5 hex compares identically in both engines,
+    // so the per-stratum keep threshold is a plain string comparison.
+    "q_sample_hash" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM s
+        |WHERE CASE WHEN lang = 'en' THEN bucket < '40' ELSE bucket < '20' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_top_ngrams" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS v FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |  bg AS (SELECT lang,
+        |      unnest([v[i] || ' ' || v[i+1] for i in generate_series(1, len(v)-1)]) AS bigram
+        |    FROM t),
+        |  c AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+        |  r AS (SELECT lang, bigram, n,
+        |      row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+        |    FROM c)
+        |SELECT lang, bigram, n, CAST(rk AS INT) AS rk FROM r
+        |WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
   )
 }

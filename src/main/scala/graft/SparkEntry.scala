@@ -42,6 +42,10 @@ object SparkEntry {
     "q_union_batches" -> (Relational.qUnionBatches _),
     "q_except"        -> (Relational.qExcept _),
     "q_intersect"     -> (Relational.qIntersect _),
+    "q_join_full"     -> (Relational.qJoinFull _),
+    "q_agg_collect"   -> (Relational.qAggCollect _),
+    "q_unpivot"       -> (Relational.qUnpivot _),
+    "q_skew_salt"     -> (Relational.qSkewSalt _),
     "q_win_rank"          -> (Windows.qWinRank _),
     "q_win_navigation"    -> (Windows.qWinNavigation _),
     "q_win_scd2_enddate"  -> (Windows.qWinScd2EndDate _),
@@ -52,6 +56,8 @@ object SparkEntry {
     "q_join_conditional_key" -> (Windows.qJoinConditionalKey _),
     "q_self_join_pairing" -> (Windows.qSelfJoinPairing _),
     "q_join_asof"         -> (Windows.qJoinAsof _),
+    "q_win_ntile"         -> (Windows.qWinNtile _),
+    "q_gap_fill"          -> (Windows.qGapFill _),
     // §2.8 scalar functions
     "q_str_funcs"   -> (Scalars.qStrFuncs _),
     "q_regex_funcs" -> (Scalars.qRegexFuncs _),
@@ -86,6 +92,8 @@ object SparkEntry {
     "q_text_quality"   -> (Llm.qTextQuality _),
     "q_lang_id"        -> (Llm.qLangId _),
     "q_doc_fingerprint" -> (Llm.qDocFingerprint _),
+    "q_sample_hash"    -> (Llm.qSampleHash _),
+    "q_top_ngrams"     -> (Llm.qTopNgrams _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -648,5 +649,44 @@ object Llm {
         aggregate(codes, lit(0L), (acc, x) => (acc * 131 + x) % 1000000007L)
           .as("rolling_fp"))
       .orderBy("doc_id")
+  }
+
+  /** §2.9 Deterministic stratified corpus sampling: keep a per-language
+    * fraction of documents chosen by the first md5 byte of a seeded doc key —
+    * the downsample-by-source/language knob every training-data pipeline
+    * needs. Hash-bucket sampling (vs rand()) is reproducible run-to-run,
+    * stable under repartitioning, and pure map-side — properties `sample()`
+    * cannot give. Hex strings compare identically in both engines, so the
+    * bucket threshold ('40' = 64/256 = 25% for en, '20' = 12.5% for the
+    * long tail) is oracle-checkable as a plain string comparison. */
+  def qSampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2))
+      .filter(when(col("lang") === "en", col("bucket") < "40")
+        .otherwise(col("bucket") < "20"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
+  /** §2.9 Top-k n-grams per language: exploded bigrams → hash aggregation →
+    * per-group top-5 via row_number (partial-agg shuffles |vocab|, the
+    * window sees only per-gram counts — never raw token rows). The corpus
+    * vocabulary-profiling shape (stopword mining, boilerplate detection).
+    * Single-token docs yield no bigram on either engine. */
+  def qTopNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val pairs = arrays_zip(slice(toks, lit(1), size(toks) - 1),
+                           slice(toks, lit(2), size(toks) - 1))
+    val counts = Tables.documents(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(col("lang"), explode(pairs).as("pair"))
+      .select(col("lang"),
+        concat_ws(" ", col("pair").getField("0"), col("pair").getField("1")).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("bigram"), col("n"), col("rk"))
+      .orderBy("lang", "rk")
   }
 }

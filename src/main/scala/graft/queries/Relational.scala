@@ -379,4 +379,71 @@ object Relational {
       .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
       .orderBy("o_custkey")
   }
+
+  /** §2.3 Full outer join: reconcile two independently-filtered views of the
+    * customer base (the warehouse-vs-source reconciliation shape — rows only
+    * in one side surface as has_* = false). Both sides shuffle on the key;
+    * at 100 TB this is the one join family where neither side can broadcast,
+    * so it stays a hash-partitioned sort-merge by construction. */
+  def qJoinFull(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 150000.0)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+    val c = Tables.customer(spark, dir).filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), col("c_name"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.as("has_cust"),
+        col("o_custkey").isNotNull.as("has_ord"),
+        coalesce(col("n_ord"), lit(0L)).as("n_ord"))
+      .orderBy("custkey")
+  }
+
+  /** §2.4 Order-sensitive aggregation: collect_list sorted then joined —
+    * the string_agg / ARRAY_AGG(... ORDER BY) shape audits and report
+    * exports use. Sorting INSIDE the aggregate value (array_sort after
+    * collect_list) keeps the aggregation itself order-independent, so
+    * map-side partials still apply and the result is deterministic under
+    * any partitioning — the property that makes this safe at 100 TB (the
+    * per-group payload is bounded by group size, not table size). */
+  def qAggCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+
+  /** §2.2 Unpivot (wide → long melt): one row per (key, measure) — the
+    * EAV/metric-table export shape. Narrow transform, no shuffle; the
+    * measure columns must share a type so both are cast to double. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+              col("p_retailprice").as("retail"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
+               "measure", "val")
+      .orderBy("p_partkey", "measure")
+
+  /** §2.3 Salted join — the skew-mitigation pattern: the fact side derives a
+    * deterministic salt from a uniform column, the dimension side is
+    * replicated once per salt value, and the join key becomes
+    * (business key, salt), splitting any hot key's rows across `salts`
+    * reducers. Deterministic salt (orderkey mod 8, not rand()) keeps the
+    * result oracle-checkable — the output equals the unsalted join, which is
+    * exactly the correctness contract of salting. AQE's skew-join handles
+    * moderate skew automatically; explicit salting is the escape hatch for
+    * the pathological single-key case where one key exceeds an executor. */
+  def qSkewSalt(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(salts.toLong)).cast("int"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy("s_nationkey")
+  }
 }

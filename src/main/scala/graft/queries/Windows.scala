@@ -219,4 +219,37 @@ object Windows {
               col("ts").as("signup_ts"), col("first_purchase_ts"))
       .orderBy("user_id", "signup_id")
   }
+
+  /** §2.5 Distribution window functions: ntile / percent_rank / cume_dist —
+    * the quartile-bucketing and percentile-position shape (customer-tier
+    * assignment). The ordering includes the unique orderkey so bucket
+    * boundaries are deterministic; the doubles are floor-snapped (round()
+    * breaks decimal ties differently across engines, SURVEY §5.3). */
+  def qWinNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        (floor(percent_rank().over(w) * 1e6) / 1e6).as("pct_rank"),
+        (floor(cume_dist().over(w) * 1e6) / 1e6).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  /** §2.5 Time-series gap fill: a generated date spine left-joined against
+    * daily counts, missing days zero-filled — the calendar-densification
+    * shape reporting pipelines need. The spine is `sequence(min, max)` off a
+    * 1-row aggregate, so it is tiny regardless of fact size and broadcasts
+    * into the join; the only shuffle is the daily pre-aggregation. */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("day")
+  }
 }
