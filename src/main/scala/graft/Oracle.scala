@@ -916,6 +916,40 @@ object Oracle {
         |WHERE CASE WHEN lang = 'en' THEN bucket < '40' ELSE bucket < '20' END
         |ORDER BY doc_id""".stripMargin,
 
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+        |  CAST(cum - n_tokens - floor((cum - n_tokens) / 512.0) * 512 AS BIGINT)
+        |    AS pack_offset
+        |FROM c
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "q_mix_interleave" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    CASE WHEN source IN ('src0','src1') THEN 3.0 ELSE 1.0 END AS wt,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, rn / wt AS pos FROM w)
+        |SELECT doc_id, source,
+        |  CAST(row_number() OVER (ORDER BY pos, source, doc_id) AS BIGINT) AS mix_pos
+        |FROM m
+        |ORDER BY mix_pos""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH b AS (SELECT p_partkey, p_name, substr(p_name, 1, 4) AS pre, p_size
+        |           FROM part)
+        |SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+        |  a.p_name AS name_a, c.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist
+        |FROM b a JOIN b c ON a.pre = c.pre AND a.p_size = c.p_size
+        |                 AND a.p_partkey < c.p_partkey
+        |WHERE levenshtein(a.p_name, c.p_name) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_top_ngrams" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS v FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),

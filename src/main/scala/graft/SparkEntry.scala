@@ -94,6 +94,9 @@ object SparkEntry {
     "q_doc_fingerprint" -> (Llm.qDocFingerprint _),
     "q_sample_hash"    -> (Llm.qSampleHash _),
     "q_top_ngrams"     -> (Llm.qTopNgrams _),
+    "q_seq_pack"       -> (Llm.qSeqPack _),
+    "q_mix_interleave" -> (Llm.qMixInterleave _),
+    "q_fuzzy_match"    -> (Llm.qFuzzyMatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

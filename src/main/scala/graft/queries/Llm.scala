@@ -292,20 +292,31 @@ object Llm {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
+      // Materialize oneHop: it feeds BOTH sides of the jump joins and the
+      // union below — left lazy, the neighbor-join + min-aggregate would
+      // re-execute four times per round.
       val oneHop = labels.unionByName(neighborLabels)
         .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      // Pointer jump (label := label(label)): halves remaining chain
+      // distance each round — O(log d) rounds total.
       val jumped = oneHop
         .join(oneHop.select(col("node").as("label"), col("label").as("label2")),
               "label")
         .select(col("node"), col("label2").as("label"))
+      // The previous label rides along into the checkpoint, so convergence
+      // is a scan of already-materialized partitions — not a separate
+      // shuffle-join action per round.
       val next = oneHop.unionByName(jumped)
         .groupBy("node").agg(min(col("label")).as("label"))
+        .join(labels.withColumnRenamed("label", "prev"), "node")
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select("node", "label")
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged=$converged after $iter rounds")
     labels.select(col("node").as("doc_id"), col("label").as("group_id"))
       .orderBy("doc_id")
   }
@@ -667,6 +678,72 @@ object Llm {
         .otherwise(col("bucket") < "20"))
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
+
+  /** §2.9 Sequence packing: assign documents to fixed-token-budget training
+    * bins (budget 512) by cumulative token count per language — the
+    * pack-short-documents step before batching for training. The running
+    * sum is one window per language partition; pack_id derives from the
+    * document's START offset, so assignment is deterministic and
+    * reproducible under re-partitioning (it depends only on the ordered
+    * prefix sums, not on physical row order). */
+  def qSeqPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget.toDouble).as("pack_id"),
+        (col("cum") - col("n_tokens")
+          - floor((col("cum") - col("n_tokens")) / budget.toDouble) * budget)
+          .cast("bigint").as("pack_offset"))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** §2.9 Dataset mixing: weighted interleave of the per-source document
+    * streams (upweighted sources appear proportionally earlier/more often
+    * in the mixture prefix) — the corpus-mixing knob training pipelines
+    * schedule with. Each doc gets a virtual position rank/weight inside its
+    * source; the mixture is the global order of those positions. The final
+    * sequential index is a global window here; at 100 TB the same mixture
+    * materializes scalably by range-partitioning on `pos` and adding
+    * per-partition offsets (the zipWithIndex idiom) — the pos computation
+    * itself is embarrassingly parallel. */
+  def qMixInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Window.partitionBy("source").orderBy("doc_id")
+    val global = Window.orderBy("pos", "source", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("wt",
+        when(col("source").isin("src0", "src1"), 3.0).otherwise(1.0))
+      .withColumn("pos", row_number().over(perSource) / col("wt"))
+      .withColumn("mix_pos", row_number().over(global).cast("bigint"))
+      .select(col("doc_id"), col("source"), col("mix_pos"))
+      .orderBy("mix_pos")
+  }
+
+  /** §2.9 Blocked fuzzy matching: candidate pairs from a (name-prefix, size)
+    * block, scored with Levenshtein edit distance, kept at distance ≤ 3 —
+    * the entity-resolution shape (TPC-DI's Prospect↔DimCustomer match is
+    * this pattern: block on normalized attributes, score within block).
+    * Prefix blocking grows with the name vocabulary (it is not a constant
+    * bucket count), and the quadratic scoring is confined to each block. */
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"),
+        substring(col("p_name"), 1, 4).as("pre"), col("p_size"))
+    val a = base.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+      col("pre"), col("p_size"))
+    val b = base.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+      col("pre"), col("p_size"))
+    a.join(b, Seq("pre", "p_size"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
 
   /** §2.9 Top-k n-grams per language: exploded bigrams → hash aggregation →
     * per-group top-5 via row_number (partial-agg shuffles |vocab|, the
