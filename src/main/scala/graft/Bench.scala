@@ -60,8 +60,12 @@ object Bench {
     // line must stay under ~1900 chars or the round report comes back
     // unparsed (r03 failed exactly this way at 67 full-precision doubles).
     // Keep it compact: 2-decimal seconds (10 ms granularity is far below run
-    // noise) and error fields only when something actually failed.
-    def sec(v: Double) = f"$v%.2f"
+    // noise) with trailing zeros stripped, and error fields only when
+    // something actually failed.
+    def sec(v: Double) = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nErr = results.count(_._3.isDefined)

@@ -444,6 +444,63 @@ object Oracle {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // (user_id, ts) is unique in events (verified), so arg_min/arg_max on
+    // ts are deterministic — the same precondition Spark's min_by/max_by use.
+    "q_agg_ohlc" ->
+      """SELECT user_id,
+        |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |  arg_min(value, CAST(ts AS TIMESTAMP)) AS open,
+        |  arg_max(value, CAST(ts AS TIMESTAMP)) AS close,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000 AS lo,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    // Moments from exact decimal power sums (not built-in corr/var_pop):
+    // double summation is order-dependent and engine-divergent in the last
+    // ulp; the decimal sums are exact, so the derived doubles are identical
+    // and floor-snap identically.
+    "q_stats_moments" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  floor(sx / n * 10000.0) / 10000.0 AS mean_qty,
+        |  floor((sxx - sx*sx/n) / n * 10000.0) / 10000.0 AS var_qty,
+        |  floor((sxy - sx*sy/n)
+        |        / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) * 1000000.0) / 1000000.0
+        |    AS corr_qp
+        |FROM s
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Window order must end in the unique o_orderkey (a ROWS frame over a
+    // non-total order is nondeterministic), and the frame sum goes through
+    // exact DECIMAL: DuckDB's segment-tree sliding-window double sums can
+    // differ from Spark's sequential frame re-scan in the last ulp.
+    "q_win_moving_avg" ->
+      """SELECT o_orderkey, o_custkey,
+        |  floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) OVER w AS DOUBLE)
+        |        / count(*) OVER w * 1000000.0) / 1000000.0 AS ma7
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_join_full" ->
       """WITH o AS (SELECT o_custkey, count(*) AS n_ord FROM orders
         |           WHERE o_totalprice > 150000 GROUP BY o_custkey),

@@ -46,6 +46,9 @@ object SparkEntry {
     "q_agg_collect"   -> (Relational.qAggCollect _),
     "q_unpivot"       -> (Relational.qUnpivot _),
     "q_skew_salt"     -> (Relational.qSkewSalt _),
+    "q_agg_ohlc"      -> (Relational.qAggOhlc _),
+    "q_histogram"     -> (Relational.qHistogram _),
+    "q_stats_moments" -> (Relational.qStatsMoments _),
     "q_win_rank"          -> (Windows.qWinRank _),
     "q_win_navigation"    -> (Windows.qWinNavigation _),
     "q_win_scd2_enddate"  -> (Windows.qWinScd2EndDate _),
@@ -58,6 +61,7 @@ object SparkEntry {
     "q_join_asof"         -> (Windows.qJoinAsof _),
     "q_win_ntile"         -> (Windows.qWinNtile _),
     "q_gap_fill"          -> (Windows.qGapFill _),
+    "q_win_moving_avg"    -> (Windows.qWinMovingAvg _),
     // §2.8 scalar functions
     "q_str_funcs"   -> (Scalars.qStrFuncs _),
     "q_regex_funcs" -> (Scalars.qRegexFuncs _),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -378,6 +378,69 @@ object Relational {
     o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
       .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
       .orderBy("o_custkey")
+  }
+
+  /** §2.4 OHLC bars: open/close via min_by/max_by on event time, high/low
+    * via plain min/max, per (user, day) — the FactMarketHistory daily-bar
+    * shape [SPEC: FactMarketHistory]. min_by/max_by need a unique ordering
+    * key for determinism: (user_id, ts) is unique in events (verified), the
+    * same precondition DuckDB's arg_min/arg_max oracle relies on. One hash
+    * aggregation, map-side partials carry (argmin, argmax, min, max, n). */
+  def qAggOhlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max_by(col("value"), col("ts")).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id", "day")
+
+  /** §2.4 Histogram: fixed-width value bucketing by floor division — the
+    * distribution-profiling shape. Bucket id is pure map-side arithmetic;
+    * the aggregate shuffles one row per bucket. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 50000.0).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", col("bucket") * 50000)
+      .select("bucket", "lo", "n")
+      .orderBy("bucket")
+
+  /** §2.4 Statistical moments per group — mean/variance/correlation derived
+    * from exact decimal power sums (n, Σx, Σy, Σx², Σy², Σxy) instead of the
+    * built-in `corr`/`var_pop`: double summation is order-dependent, so the
+    * built-ins can differ across engines (and across partitionings!) in the
+    * last ulp; decimal sums are exact and order-independent, making the
+    * derived moments bit-reproducible. The sums are one hash aggregation
+    * with map-side partials — also exactly the mergeable-statistics shape a
+    * 100 TB profiling pass wants. */
+  def qStatsMoments(spark: SparkSession, dir: String): DataFrame = {
+    def d24(c: Column) = c.cast("decimal(24,6)")
+    def d30(c: Column) = c.cast("decimal(30,6)")
+    def snap(c: Column, s: Double) = floor(c * s) / s
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val s = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d24(x)).cast("double").as("sx"),
+        sum(d24(y)).cast("double").as("sy"),
+        sum(d30(x * x)).cast("double").as("sxx"),
+        sum(d30(y * y)).cast("double").as("syy"),
+        sum(d30(x * y)).cast("double").as("sxy"))
+    s.select(
+        col("l_returnflag"), col("n"),
+        snap(col("sx") / col("n"), 1e4).as("mean_qty"),
+        snap((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"), 1e4)
+          .as("var_qty"),
+        snap((col("sxy") - col("sx") * col("sy") / col("n"))
+          / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+               * (col("syy") - col("sy") * col("sy") / col("n"))), 1e6)
+          .as("corr_qp"))
+      .orderBy("l_returnflag")
   }
 
   /** §2.3 Full outer join: reconcile two independently-filtered views of the

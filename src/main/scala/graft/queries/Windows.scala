@@ -237,6 +237,27 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** §2.5 Trailing moving average over a ROWS frame (7-row window of order
+    * spend per customer) — the smoothing shape [SPEC: FactMarketHistory].
+    * Two determinism rules: the window order ends in the unique o_orderkey
+    * (a ROWS frame over a non-total order has nondeterministic contents —
+    * lineitem's (orderkey, linenumber) is NOT unique and even a single
+    * engine returns different frames run-to-run); and the frame sum goes
+    * through exact DECIMAL, not double — Spark re-scans the frame buffer
+    * sequentially while DuckDB aggregates sliding frames with a segment
+    * tree, so double sums can differ in the last ulp between engines. */
+  def qWinMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-6, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (floor(sum(col("o_totalprice").cast("decimal(24,6)")).over(w)
+                 .cast("double")
+               / count(lit(1)).over(w) * 1e6) / 1e6).as("ma7"))
+      .orderBy("o_orderkey")
+  }
+
   /** §2.5 Time-series gap fill: a generated date spine left-joined against
     * daily counts, missing days zero-filled — the calendar-densification
     * shape reporting pipelines need. The spine is `sequence(min, max)` off a
