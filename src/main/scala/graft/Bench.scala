@@ -59,14 +59,13 @@ object Bench {
     // sbt's trailing "[success] ..." line consumes ~76 of those — the JSON
     // line must stay under ~1900 chars or the round report comes back
     // unparsed (r03 failed exactly this way at 67 full-precision doubles).
-    // Keep it compact: 2-decimal seconds (10 ms granularity is far below run
-    // noise) with trailing zeros stripped, and error fields only when
-    // something actually failed.
-    def sec(v: Double) = {
-      val s = f"$v%.2f"
+    // Render at 2-decimal seconds (10 ms granularity is far below run noise)
+    // with trailing zeros stripped, then degrade to 1/0 decimals if the
+    // query count ever pushes the line over the window.
+    def sec(v: Double, dp: Int) = {
+      val s = s"%.${dp}f".format(v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nErr = results.count(_._3.isDefined)
     val errPart =
@@ -77,7 +76,12 @@ object Bench {
         s""","n_errors":$nErr,"errors":$errs"""
       }
     val sfName = Paths.get(sfDir).getFileName.toString
-    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
+    def render(dp: Int): String = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
+    }
+    val json = (2 to 0 by -1).map(render).find(_.length <= 1850).getOrElse(render(0))
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
     println(json)
     spark.stop()

@@ -200,4 +200,38 @@ class LlmSpec extends AnyFunSuite {
     val sims = ivf.map(_.getDouble(2)).toSeq
     assert(sims === sims.sorted(Ordering[Double].reverse))
   }
+
+  test("seq_pack: offsets stay inside the budget and packs advance monotonically") {
+    val rows = Llm.qSeqPack(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val off = r.getLong(4)
+      assert(off >= 0 && off < 512, s"pack_offset $off outside [0, 512)")
+    }
+    rows.groupBy(_.getString(1)).foreach { case (lang, docs) =>
+      val packs = docs.sortBy(_.getLong(0)).map(_.getLong(3)).toSeq
+      assert(packs === packs.sorted, s"$lang: pack ids not monotone over doc order")
+      assert(packs.head === 0L, s"$lang: first pack is not 0")
+    }
+  }
+
+  test("mix_interleave: upweighted source dominates the mixture prefix 3:1") {
+    val first = Llm.qMixInterleave(spark, TestSpark.sfDir).collect()
+      .sortBy(_.getLong(2)).take(120).map(_.getString(1))
+    val n0 = first.count(_ == "src0")
+    val n2 = first.count(_ == "src2")
+    assert(n0 > 2 * n2,
+      s"weight-3 src0 ($n0) should outnumber weight-1 src2 ($n2) ~3:1 in the prefix")
+  }
+
+  test("fuzzy_match: every pair is ordered, within distance, and block-local") {
+    val rows = Llm.qFuzzyMatch(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not ordered id_a < id_b")
+      assert(r.getInt(4) <= 3, s"distance ${r.getInt(4)} above threshold")
+      assert(r.getString(2).take(4) === r.getString(3).take(4),
+        "pair crosses the prefix block — blocking is broken")
+    }
+  }
 }

@@ -56,4 +56,33 @@ class RelationalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in plan:\n$plan")
   }
+
+  test("q_skew_salt: salted join output equals the plain unsalted join") {
+    import org.apache.spark.sql.functions._
+    val salted = Relational.qSkewSalt(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val sup = Tables.supplier(spark, TestSpark.sfDir)
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(24,6)")).cast("double").as("sum_qty"))
+      .orderBy("s_nationkey").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq === plain.toSeq,
+      "salting changed the join result — the correctness contract is identity")
+  }
+
+  test("q_gap_fill: spine join broadcasts and every day in range appears once") {
+    val gf = graft.queries.Windows.qGapFill(spark, TestSpark.sfDir)
+    val rows = gf.collect()
+    val days = rows.map(_.getDate(0).toLocalDate)
+    assert(days.length === days.distinct.length, "duplicate days in spine")
+    val span = java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last)
+    assert(days.length.toLong === span + 1,
+      s"spine has gaps: ${days.length} rows over $span+1 days")
+    val plan = gf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"spine-to-daily join is not broadcast:\n$plan")
+  }
 }
