@@ -90,4 +90,63 @@ class WarehouseSpec extends AnyFunSuite {
         s"scan did not report bucketed read:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("dynamic partition overwrite replaces only the loaded partitions") {
+    // The incremental-batch load pattern [SPEC: incremental updates]: each
+    // batch overwrites exactly the date partitions it carries; history
+    // partitions are untouched — no read-modify-write of the whole table.
+    val dir = Files.createTempDirectory("graft_dpo").resolve("fact").toString
+    val orders = Tables.orders(spark, TestSpark.sfDir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.write.mode("overwrite").partitionBy("o_month").parquet(dir)
+    val monthsBefore = spark.read.parquet(dir)
+      .groupBy("o_month").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // batch: a corrected reload of one month with half the rows
+      val target = monthsBefore.keys.min
+      val batch = orders.filter(col("o_month") === target)
+        .filter(col("o_orderkey") % 2 === 0)
+      val expected = batch.count()
+      batch.write.mode("overwrite").partitionBy("o_month").parquet(dir)
+
+      val after = spark.read.parquet(dir)
+        .groupBy("o_month").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after(target) === expected, "target partition not replaced")
+      assert(after.removed(target) === monthsBefore.removed(target),
+        "untouched partitions must survive a dynamic overwrite")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  test("selective join inserts a runtime bloom filter on the fact scan side") {
+    // Runtime filtering, the shuffle-side complement to DPP: a selective dim
+    // join plants a bloom filter built from the dim keys in front of the
+    // fact scan, so most fact rows drop before the join shuffle. Thresholds
+    // are lowered so the optimizer fires at test scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, TestSpark.sfDir)
+      val sel = Tables.orders(spark, TestSpark.sfDir)
+        .filter(col("o_totalprice") > 450000.0)
+        .select("o_orderkey")
+      val j = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom-filter probe on the fact-scan side:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"no bloom-filter build from the dim keys:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
