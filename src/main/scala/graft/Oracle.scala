@@ -444,6 +444,21 @@ object Oracle {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // Ties between equal cent values are interchangeable, so the top-3
+    // VALUE string is deterministic even though row_number's pick among
+    // ties is not.
+    "q_agg_topk" ->
+      """WITH c AS (SELECT user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT user_id, cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cents DESC) AS rk
+        |  FROM c)
+        |SELECT user_id,
+        |  string_agg(CAST(cents AS VARCHAR), ',' ORDER BY rk) AS top3
+        |FROM r WHERE rk <= 3
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     // (user_id, ts) is unique in events (verified), so arg_min/arg_max on
     // ts are deterministic — the same precondition Spark's min_by/max_by use.
     "q_agg_ohlc" ->

@@ -443,6 +443,25 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** §2.4/§2.11 Per-group top-k via a custom typed `Aggregator`
+    * ([[graft.expr.TopKLongsAgg]]) — top-3 event amounts (in cents) per
+    * user, emitted as a comma-joined descending string. Unlike the window
+    * formulation (`row_number() <= k`, which shuffles and sorts every raw
+    * row), the aggregator's k-bounded buffer participates in map-side
+    * partial aggregation: the shuffle carries at most k longs per group —
+    * the partial-top-k pattern that matters at 100 TB. Cents via
+    * floor(x*100 + 0.5): values carry 2 decimals, so the scaled double is
+    * within 1 ulp of an integer and floors identically in both engines. */
+  def qAggTopk(spark: SparkSession, dir: String): DataFrame = {
+    val top3 = udaf(new graft.expr.TopKLongsAgg(3))
+    Tables.events(spark, dir)
+      .select(col("user_id"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(concat_ws(",",
+        transform(top3(col("cents")), _.cast("string"))).as("top3"))
+      .orderBy("user_id")
+  }
+
   /** §2.3 Full outer join: reconcile two independently-filtered views of the
     * customer base (the warehouse-vs-source reconciliation shape — rows only
     * in one side surface as has_* = false). Both sides shuffle on the key;

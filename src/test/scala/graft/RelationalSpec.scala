@@ -57,6 +57,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in plan:\n$plan")
   }
 
+  test("q_agg_topk: custom aggregator matches the window row_number formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val agg = Relational.qAggTopk(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cents = Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy(col("cents").desc)
+    val win = cents.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .groupBy("user_id")
+      .agg(concat_ws(",", transform(array_sort(collect_list(col("cents")),
+        (a, b) => when(a < b, 1).when(a > b, -1).otherwise(0)), _.cast("string")))
+        .as("top3"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(agg === win, "aggregator top-k diverges from the window formulation")
+  }
+
+  test("TopKLongsAgg: reduce/merge keep the k largest regardless of order") {
+    val a = new graft.expr.TopKLongsAgg(3)
+    val vals = Seq(5L, 1L, 9L, 7L, 3L, 9L, 2L)
+    // reduce in several orders
+    for (perm <- Seq(vals, vals.reverse, vals.sorted)) {
+      val buf = perm.foldLeft(a.zero)(a.reduce)
+      assert(a.finish(buf).toSeq === Seq(9L, 9L, 7L), s"order $perm broke top-k")
+    }
+    // merge of arbitrary splits
+    for (cut <- 0 to vals.length) {
+      val (l, r) = vals.splitAt(cut)
+      val merged = a.merge(l.foldLeft(a.zero)(a.reduce), r.foldLeft(a.zero)(a.reduce))
+      assert(a.finish(merged).toSeq === Seq(9L, 9L, 7L), s"split at $cut broke merge")
+    }
+  }
+
   test("q_skew_salt: salted join output equals the plain unsalted join") {
     import org.apache.spark.sql.functions._
     val salted = Relational.qSkewSalt(spark, TestSpark.sfDir).collect()
