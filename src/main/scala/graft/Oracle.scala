@@ -444,6 +444,20 @@ object Oracle {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // This string IS the Spark query (qSqlText runs it through spark.sql
+    // over temp views) — one ANSI text, two engines, same result.
+    "q_sql_text" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_nationkey,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(spend AS DECIMAL(24,6))) AS DOUBLE) AS nation_spend
+        |FROM customer JOIN rev ON c_custkey = o_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
     // Ties between equal cent values are interchangeable, so the top-3
     // VALUE string is deterministic even though row_number's pick among
     // ties is not.

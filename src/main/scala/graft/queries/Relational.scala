@@ -462,6 +462,17 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** §2.1 SQL-text entry path: the same engine drives `spark.sql(...)` over
+    * registered temp views — a CTE + join + aggregate written once in ANSI
+    * SQL that runs verbatim in both Spark and DuckDB (the oracle IS this
+    * string). Demonstrates that a reference user can bring raw SQL, not
+    * just the DataFrame API, and Catalyst plans it identically. */
+  def qSqlText(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(graft.Oracle.sql("q_sql_text"))
+  }
+
   /** §2.3 Full outer join: reconcile two independently-filtered views of the
     * customer base (the warehouse-vs-source reconciliation shape — rows only
     * in one side surface as has_* = false). Both sides shuffle on the key;

@@ -15,6 +15,35 @@ import graft.etl.FixedWidthSource.FieldSpec
 class IngestSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("JSON-lines source round-trips with an explicit schema") {
+    // Schema given explicitly (never inferred — an inference scan is a
+    // second full read and type drift at 100 TB); timestamps excluded from
+    // the fixture since JSON carries no native timestamp type.
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val tmp = Files.createTempDirectory("graft_json").toString
+    docs.write.mode("overwrite").json(tmp)
+    val back = spark.read.schema(docs.schema).json(tmp)
+    assert(back.schema === docs.schema)
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(back).count() === 0)
+  }
+
+  test("ORC source/sink round-trips the columnar tables") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    li.write.mode("overwrite").orc(tmp)
+    val back = spark.read.orc(tmp)
+    assert(back.schema === li.schema)
+    assert(back.exceptAll(li).count() === 0)
+    assert(li.exceptAll(back).count() === 0)
+    // pushdown reaches the ORC scan too, same as parquet
+    val plan = back.filter(org.apache.spark.sql.functions.col("l_quantity") > 40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"no pushdown into the ORC scan:\n$plan")
+  }
+
   test("q_scan_csv: pipe-delimited round-trip equals the parquet read") {
     val li = Tables.lineitem(spark, TestSpark.sfDir)
     val tmp = Files.createTempDirectory("graft_csv").toString
