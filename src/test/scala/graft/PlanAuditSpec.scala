@@ -4,10 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Suite-wide physical-plan invariants over EVERY declared query
   * (SURVEY.md §4): the 100-TB contract is that no query may plan an
-  * all-pairs join. `CartesianProduct` is banned outright;
-  * `BroadcastNestedLoopJoin` is allowed only where the build side is a
-  * broadcast single-row probe (the knn/jaccard probe pattern), never as a
-  * fallback for a missed equi-join. */
+  * all-pairs join, and hot paths must stay inside whole-stage codegen.
+  * `CartesianProduct` is banned outright; `BroadcastNestedLoopJoin` is
+  * allowed only where the build side is a broadcast single-row probe (the
+  * knn/jaccard probe pattern), never as a fallback for a missed equi-join. */
 class PlanAuditSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
@@ -16,11 +16,19 @@ class PlanAuditSpec extends AnyFunSuite {
   private val oneRowProbeBnlj = Set(
     "q_knn_cosine", "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_ngram_jaccard")
 
-  test("no declared query plans a cartesian product; BNLJ only for 1-row probes") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+  // One evaluation pass over the full inventory; both audits read the
+  // final (post-AQE) plans from it. collect() — not a noop write — because
+  // a write spawns its OWN query execution: the DataFrame's queryExecution
+  // would stay un-finalized (isFinalPlan=false, no codegen stars).
+  private lazy val plans: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val df = fn(spark, TestSpark.sfDir)
-      df.write.format("noop").mode("overwrite").save()
-      val plan = df.queryExecution.executedPlan.toString
+      df.collect()
+      name -> df.queryExecution.executedPlan.toString
+    }
+
+  test("no declared query plans a cartesian product; BNLJ only for 1-row probes") {
+    val offenders = plans.flatMap { case (name, plan) =>
       val cartesian = plan.contains("CartesianProduct")
       val badBnlj = plan.contains("BroadcastNestedLoopJoin") &&
         !oneRowProbeBnlj.contains(name)
@@ -29,5 +37,16 @@ class PlanAuditSpec extends AnyFunSuite {
       else None
     }
     assert(offenders.isEmpty, s"all-pairs plans found:\n${offenders.mkString("\n")}")
+  }
+
+  test("every declared query keeps at least one whole-stage-codegen span") {
+    // post-AQE plan strings print codegen spans as "*(n) Op" stars
+    val offenders = plans.collect {
+      case (name, plan)
+          if !plan.contains("WholeStageCodegen") && !plan.contains("*(") =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"queries with zero codegen spans (fully interpreted plans):\n${offenders.mkString("\n")}")
   }
 }
