@@ -74,4 +74,39 @@ object Multimodal {
   def featureFrame(assets: Dataset[Asset]): DataFrame =
     extractFeatures(assets).toDF()
       .repartition(col("kind")) // co-locate per-modality processing downstream
+
+  /** One sampled frame of a video payload. */
+  final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: each video asset explodes into every k-th fixed-size
+    * frame — the one-to-many generator shape (typed flatMap keeps the
+    * explosion partition-parallel; no driver involvement, no shuffle).
+    * Frame extraction is a STUB byte-slice — a real demuxer yields decoded
+    * frames here with the same one-row-in, n-rows-out contract. */
+  def sampleFrames(assets: Dataset[Asset], frameSize: Int = 16,
+                   everyK: Int = 2): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").flatMap { a =>
+      val nFrames = a.payload.length / frameSize
+      (0 until nFrames by everyK).iterator.map { i =>
+        Frame(a.asset_id, i, a.payload.slice(i * frameSize, (i + 1) * frameSize))
+      }
+    }
+  }
+
+  /** Resize: payload rewritten for the target dimensions, metadata updated
+    * in the same row — the transform-in-place shape (pure map, the payload
+    * never leaves the executor). The pixel math is a STUB byte-stride
+    * subsample; a real implementation decodes, scales, and re-encodes in
+    * its place. */
+  def resize(assets: Dataset[Asset], targetW: Int, targetH: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.map { a =>
+      val targetLen = math.max(1, math.min(a.payload.length, targetW * targetH / 64))
+      val stride = math.max(1, a.payload.length / targetLen)
+      val resized = Array.tabulate[Byte](targetLen)(j =>
+        a.payload(math.min(j * stride, a.payload.length - 1)))
+      a.copy(payload = resized, width = targetW, height = targetH)
+    }
+  }
 }

@@ -51,4 +51,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.count() === 30)
     assert(df.select("kind").distinct().count() === 3)
   }
+
+  test("frame sampling explodes each video into every k-th fixed-size frame") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val frames = Multimodal.sampleFrames(assets, frameSize = 16, everyK = 2).collect()
+    val videos = assets.collect().filter(_.kind == "video")
+    assert(videos.nonEmpty && frames.nonEmpty)
+    val byAsset = frames.groupBy(_.asset_id)
+    assert(byAsset.keySet === videos.map(_.asset_id).toSet,
+      "every video (and only videos) should yield frames")
+    videos.foreach { v =>
+      val expected = (0 until v.payload.length / 16 by 2).toSeq
+      val got = byAsset(v.asset_id).map(_.frame_idx).toSeq.sorted
+      assert(got === expected, s"asset ${v.asset_id}: frame indices $got != $expected")
+      byAsset(v.asset_id).foreach { f =>
+        assert(f.frame_bytes.length === 16)
+        assert(f.frame_bytes.toSeq ===
+          v.payload.slice(f.frame_idx * 16, f.frame_idx * 16 + 16).toSeq)
+      }
+    }
+  }
+
+  test("resize rewrites payload and dimensions in place, keeping keys") {
+    val assets = Multimodal.syntheticAssets(spark, 20)
+    val orig = assets.collect().sortBy(_.asset_id)
+    val resized = Multimodal.resize(assets, 32, 24).collect().sortBy(_.asset_id)
+    assert(resized.length === orig.length)
+    resized.zip(orig).foreach { case (r, o) =>
+      assert(r.asset_id === o.asset_id && r.kind === o.kind)
+      assert(r.width === 32 && r.height === 24)
+      assert(r.payload.length <= o.payload.length && r.payload.nonEmpty)
+    }
+    // deterministic across runs
+    val again = Multimodal.resize(Multimodal.syntheticAssets(spark, 20), 32, 24)
+      .collect().sortBy(_.asset_id)
+    resized.zip(again).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.payload, b.payload))
+    }
+  }
 }
