@@ -1036,6 +1036,38 @@ object Oracle {
         |WHERE levenshtein(a.p_name, c.p_name) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // IDF as the exact ratio N/df (not ln): libm log rounding differs
+    // across engines; the ratio is a long division both compute identically
+    // and ln is monotone in it, so the ranking is the same.
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |    floor(tf.tf * (n.n_docs / CAST(dfreq.df AS DOUBLE)) * 1000000.0)
+        |      / 1000000.0 AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM s)
+        |SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM r
+        |WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "q_clip_outliers" ->
+      """WITH p AS (SELECT lang,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p05,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CAST(floor(least(greatest(CAST(d.n_chars AS DOUBLE), p.p05), p.p95))
+        |       AS BIGINT) AS n_chars_clipped,
+        |  (d.n_chars < p.p05 OR d.n_chars > p.p95) AS was_clipped
+        |FROM documents d JOIN p ON d.lang = p.lang
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_top_ngrams" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS v FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),

@@ -103,6 +103,8 @@ object SparkEntry {
     "q_seq_pack"       -> (Llm.qSeqPack _),
     "q_mix_interleave" -> (Llm.qMixInterleave _),
     "q_fuzzy_match"    -> (Llm.qFuzzyMatch _),
+    "q_tfidf"          -> (Llm.qTfidf _),
+    "q_clip_outliers"  -> (Llm.qClipOutliers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

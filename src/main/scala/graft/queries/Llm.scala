@@ -745,6 +745,49 @@ object Llm {
       .orderBy("id_a", "id_b")
   }
 
+  /** §2.9 TF-IDF top terms per document — term frequency × corpus rarity,
+    * the classic relevance weighting (keyword extraction / quality signals).
+    * IDF is the exact ratio N/df rather than ln(N/df): libm log is not
+    * guaranteed identically rounded across engines, while long division to
+    * double is — the ranking is unchanged (ln is monotone in the ratio) and
+    * the scores stay oracle-exact. Three hash aggregations (tf, df, N) and
+    * a window over per-(doc, term) rows — never over raw token rows. */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n)) // 1-row corpus count
+      .withColumn("tfidf",
+        floor(col("tf") * (col("n_docs") / col("df").cast("double")) * 1e6) / 1e6)
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** §2.9 Outlier winsorization: clip document lengths to the per-language
+    * [p05, p95] band — the heavy-tail taming step before length-based
+    * quality filtering. The percentile frame is one row per language, so it
+    * broadcasts; the clip itself is pure map-side `least`/`greatest`. At
+    * 100 TB swap the exact percentile for the mergeable approx sketch. */
+  def qClipOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val p = docs.groupBy("lang").agg(
+      expr("percentile(cast(n_chars as double), 0.05)").as("p05"),
+      expr("percentile(cast(n_chars as double), 0.95)").as("p95"))
+    docs.join(broadcast(p), "lang")
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        floor(least(greatest(col("n_chars").cast("double"), col("p05")), col("p95")))
+          .cast("bigint").as("n_chars_clipped"),
+        (col("n_chars") < col("p05") || col("n_chars") > col("p95")).as("was_clipped"))
+      .orderBy("doc_id")
+  }
+
   /** §2.9 Top-k n-grams per language: exploded bigrams → hash aggregation →
     * per-group top-5 via row_number (partial-agg shuffles |vocab|, the
     * window sees only per-gram counts — never raw token rows). The corpus

@@ -14,7 +14,8 @@ class PlanAuditSpec extends AnyFunSuite {
   /** Queries whose plan legitimately contains a 1-row broadcast nested
     * loop: a scalar probe (vector or gram-set size) joined to every row. */
   private val oneRowProbeBnlj = Set(
-    "q_knn_cosine", "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_ngram_jaccard")
+    "q_knn_cosine", "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_ngram_jaccard",
+    "q_tfidf") // corpus-count 1-row cross join
 
   // One evaluation pass over the full inventory; both audits read the
   // final (post-AQE) plans from it. collect() — not a noop write — because
