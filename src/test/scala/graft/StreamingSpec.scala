@@ -206,4 +206,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids.toSeq === Seq(1L, 2L), s"duplicate id must be dropped, got ${ids.toSeq}")
     } finally q.stop()
   }
+
+  test("file-source stream: AvailableNow drains the directory; checkpoint makes restarts incremental") {
+    // The production ingest path: parquet files land in a directory, the
+    // stream tracks processed files in the checkpoint, Trigger.AvailableNow
+    // drains whatever is present and stops — each restart processes ONLY
+    // files that arrived since the last run (exactly-once file tracking).
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+
+    def land(batch: Seq[Ev], name: String): Unit =
+      batch.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+
+    def drain(): Unit = {
+      val q = spark.readStream.schema(Seq.empty[Ev].toDF().schema).parquet(srcDir)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    land(Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00")), "b1")
+    drain()
+    assert(spark.read.parquet(outDir).count() === 2)
+
+    // second batch lands; restart picks up ONLY the new file
+    land(Seq(ev(3, "2024-01-01 10:02:00")), "b2")
+    drain()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 3, "restart must process exactly the new files")
+    assert(out.collect().map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
 }
