@@ -81,7 +81,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
     }
-    val json = (2 to 0 by -1).map(render).find(_.length <= 1850).getOrElse(render(0))
+    val json = (2 to 0 by -1).map(render).find(_.length <= 1800).getOrElse(render(0))
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
     println(json)
     spark.stop()

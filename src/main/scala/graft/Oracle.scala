@@ -1068,6 +1068,17 @@ object Oracle {
         |FROM documents d JOIN p ON d.lang = p.lang
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_label_balance" ->
+      """WITH g AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |             count(*) AS k_classes FROM g)
+        |SELECT lang, n_docs,
+        |  floor(n_docs / CAST(n_total AS DOUBLE) * 1000000.0) / 1000000.0 AS share,
+        |  floor(n_total / CAST(k_classes * n_docs AS DOUBLE) * 1000000.0) / 1000000.0
+        |    AS weight
+        |FROM g CROSS JOIN t
+        |ORDER BY lang""".stripMargin,
+
     "q_top_ngrams" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS v FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),

@@ -105,6 +105,7 @@ object SparkEntry {
     "q_fuzzy_match"    -> (Llm.qFuzzyMatch _),
     "q_tfidf"          -> (Llm.qTfidf _),
     "q_clip_outliers"  -> (Llm.qClipOutliers _),
+    "q_label_balance"  -> (Llm.qLabelBalance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -788,6 +788,26 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** §2.9 Class balance: per-language document share and inverse-frequency
+    * weight N/(K·n) — the rebalancing factors a skewed training corpus is
+    * sampled or loss-weighted with. One hash aggregation; the (N, K) totals
+    * are a 1-row broadcast. Ratios of exact longs divide identically in
+    * both engines; floor-snapped. */
+  def qLabelBalance(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val totals = perLang.agg(
+      sum(col("n_docs")).as("n_total"), count(lit(1)).as("k_classes"))
+    perLang.crossJoin(broadcast(totals))
+      .select(
+        col("lang"), col("n_docs"),
+        (floor(col("n_docs") / col("n_total").cast("double") * 1e6) / 1e6)
+          .as("share"),
+        (floor(col("n_total") / (col("k_classes") * col("n_docs")).cast("double")
+               * 1e6) / 1e6).as("weight"))
+      .orderBy("lang")
+  }
+
   /** §2.9 Top-k n-grams per language: exploded bigrams → hash aggregation →
     * per-group top-5 via row_number (partial-agg shuffles |vocab|, the
     * window sees only per-gram counts — never raw token rows). The corpus
