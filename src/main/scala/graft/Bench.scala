@@ -81,7 +81,11 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
     }
-    val json = (2 to 0 by -1).map(render).find(_.length <= 1800).getOrElse(render(0))
+    // Budget: the driver keeps a 2000-char stdout tail; sbt's trailing
+    // success line + newlines eat ~77, so the line must stay ≤ ~1920.
+    // 1870 leaves 50 chars of slack while still admitting 1-decimal
+    // precision at ~90 queries.
+    val json = (2 to 0 by -1).map(render).find(_.length <= 1870).getOrElse(render(0))
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
     println(json)
     spark.stop()
