@@ -458,6 +458,16 @@ object Oracle {
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
 
+    // Shared-string lateral: the per-nation dependent top-2 subquery runs
+    // verbatim in both engines (inner order ends in the unique c_name).
+    "q_sql_lateral" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
+
     // Ties between equal cent values are interchangeable, so the top-3
     // VALUE string is deterministic even though row_number's pick among
     // ties is not.

@@ -51,6 +51,7 @@ object SparkEntry {
     "q_stats_moments" -> (Relational.qStatsMoments _),
     "q_agg_topk"      -> (Relational.qAggTopk _),
     "q_sql_text"      -> (Relational.qSqlText _),
+    "q_sql_lateral"   -> (Relational.qSqlLateral _),
     "q_win_rank"          -> (Windows.qWinRank _),
     "q_win_navigation"    -> (Windows.qWinNavigation _),
     "q_win_scd2_enddate"  -> (Windows.qWinScd2EndDate _),

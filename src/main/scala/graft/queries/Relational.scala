@@ -473,6 +473,17 @@ object Relational {
     spark.sql(graft.Oracle.sql("q_sql_text"))
   }
 
+  /** §2.1/§2.3 Correlated LATERAL subquery (same shared-string pattern as
+    * [[qSqlText]]): top-2 customers per nation via a per-row dependent
+    * subquery with ORDER BY + LIMIT — the lateral/top-n-apply shape.
+    * Catalyst decorrelates it into a ranked window join; the inner sort key
+    * ends in the unique name so the top-2 cut is deterministic. */
+  def qSqlLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(graft.Oracle.sql("q_sql_lateral"))
+  }
+
   /** §2.3 Full outer join: reconcile two independently-filtered views of the
     * customer base (the warehouse-vs-source reconciliation shape — rows only
     * in one side surface as has_* = false). Both sides shuffle on the key;
