@@ -1078,6 +1078,26 @@ object Oracle {
         |FROM documents d JOIN p ON d.lang = p.lang
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Same recursive-closure oracle shape as q_dedup_groups, over the
+    // blocked Levenshtein pairs instead of MinHash bands.
+    "q_entity_groups" ->
+      """WITH RECURSIVE b AS (SELECT p_partkey, p_name,
+        |    substr(p_name, 1, 4) AS pre, p_size FROM part),
+        |pairs AS (
+        |  SELECT a.p_partkey AS doc_a, c.p_partkey AS doc_b
+        |  FROM b a JOIN b c ON a.pre = c.pre AND a.p_size = c.p_size
+        |                   AND a.p_partkey < c.p_partkey
+        |  WHERE levenshtein(a.p_name, c.p_name) <= 3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src)
+        |SELECT node AS part_id, least(node, min(r)) AS entity_id
+        |FROM reach GROUP BY node
+        |ORDER BY part_id""".stripMargin,
+
     "q_label_balance" ->
       """WITH g AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,

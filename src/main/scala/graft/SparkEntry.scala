@@ -107,6 +107,7 @@ object SparkEntry {
     "q_tfidf"          -> (Llm.qTfidf _),
     "q_clip_outliers"  -> (Llm.qClipOutliers _),
     "q_label_balance"  -> (Llm.qLabelBalance _),
+    "q_entity_groups"  -> (Llm.qEntityGroups _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

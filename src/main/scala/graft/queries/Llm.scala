@@ -808,6 +808,17 @@ object Llm {
       .orderBy("lang")
   }
 
+  /** §2.9 Entity resolution end-to-end: connected components over the
+    * blocked fuzzy-match pairs — name-variant records collapse into one
+    * entity id (the TPC-DI household/Prospect grouping shape; same
+    * min-label CC engine as the MinHash dedup groups, demonstrating the
+    * pairs→entities composition on a second pair source). */
+  def qEntityGroups(spark: SparkSession, dir: String): DataFrame =
+    dedupGroups(qFuzzyMatch(spark, dir)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(col("doc_id").as("part_id"), col("group_id").as("entity_id"))
+      .orderBy("part_id")
+
   /** §2.9 Top-k n-grams per language: exploded bigrams → hash aggregation →
     * per-group top-5 via row_number (partial-agg shuffles |vocab|, the
     * window sees only per-gram counts — never raw token rows). The corpus
