@@ -727,20 +727,40 @@ object Llm {
     * block, scored with Levenshtein edit distance, kept at distance ≤ 3 —
     * the entity-resolution shape (TPC-DI's Prospect↔DimCustomer match is
     * this pattern: block on normalized attributes, score within block).
-    * Prefix blocking grows with the name vocabulary (it is not a constant
-    * bucket count), and the quadratic scoring is confined to each block. */
+    *
+    * Scoring runs at the DISTINCT-NAME level, not the record level: record
+    * counts grow with the data while the name vocabulary grows far slower,
+    * so scoring record pairs is SF-quadratic (measured: 5k candidate pairs
+    * at sf0.01 → 500k at sf0.1 over the same 64-name vocabulary) where
+    * distinct-name pairs are vocabulary-bounded. The scored name pairs are
+    * then mapped back to record pairs by two equi-joins — the output (every
+    * matching record pair) is identical, only the O(n²) Levenshtein work is
+    * gone. The record-pair RESULT is still as large as the duplicate
+    * structure demands; consumers like the CC grouping handle that. */
   def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name"),
         substring(col("p_name"), 1, 4).as("pre"), col("p_size"))
-    val a = base.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
-      col("pre"), col("p_size"))
-    val b = base.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
-      col("pre"), col("p_size"))
-    a.join(b, Seq("pre", "p_size"))
-      .filter(col("id_a") < col("id_b"))
+    val names = base.select("pre", "p_size", "p_name").distinct()
+    val namePairs = names.select(col("pre"), col("p_size"), col("p_name").as("name_a"))
+      .join(names.select(col("pre"), col("p_size"), col("p_name").as("name_b")),
+            Seq("pre", "p_size"))
+      .filter(col("name_a") <= col("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 3)
+    // both orientations, so record pairs map regardless of which name sorts
+    // first lexicographically (same-name pairs stay single)
+    val sym = namePairs.unionByName(
+      namePairs.filter(col("name_a") =!= col("name_b"))
+        .select(col("pre"), col("p_size"), col("name_b").as("name_a"),
+                col("name_a").as("name_b"), col("dist")))
+    val ra = base.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+      col("pre"), col("p_size"))
+    val rb = base.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+      col("pre"), col("p_size"))
+    ra.join(sym, Seq("pre", "p_size", "name_a"))
+      .join(rb, Seq("pre", "p_size", "name_b"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
       .orderBy("id_a", "id_b")
   }
