@@ -82,10 +82,11 @@ object Bench {
       s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
     }
     // Budget: the driver keeps a 2000-char stdout tail; sbt's trailing
-    // success line + newlines eat ~77, so the line must stay ≤ ~1920.
-    // 1870 leaves 50 chars of slack while still admitting 1-decimal
-    // precision at ~90 queries.
-    val json = (2 to 0 by -1).map(render).find(_.length <= 1870).getOrElse(render(0))
+    // "[success] Total time: ..." line + newlines eat ~76, so the JSON line
+    // must stay ≤ ~1924. 1895 leaves ~30 chars of slack while admitting
+    // 1-decimal precision at ~90 queries (0-decimal loses all per-query
+    // signal — most queries run under 2 s).
+    val json = (2 to 0 by -1).map(render).find(_.length <= 1895).getOrElse(render(0))
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
     println(json)
     spark.stop()
