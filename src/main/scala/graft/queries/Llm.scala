@@ -705,20 +705,31 @@ object Llm {
     * streams (upweighted sources appear proportionally earlier/more often
     * in the mixture prefix) — the corpus-mixing knob training pipelines
     * schedule with. Each doc gets a virtual position rank/weight inside its
-    * source; the mixture is the global order of those positions. The final
-    * sequential index is a global window here; at 100 TB the same mixture
-    * materializes scalably by range-partitioning on `pos` and adding
-    * per-partition offsets (the zipWithIndex idiom) — the pos computation
-    * itself is embarrassingly parallel. */
+    * source; the mixture is the global order of those positions.
+    *
+    * The sequential index is assigned with the scalable zipWithIndex idiom:
+    * a distributed range sort on the position (every partition sorts its
+    * range in parallel) followed by per-partition offset numbering — NOT a
+    * partition-less window, which would drag the whole corpus through one
+    * task. The RDD hop is the documented exception for genuinely
+    * imperative per-partition logic; order is preserved because a sorted
+    * DataFrame's partitions are range-ordered. */
   def qMixInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
     val perSource = Window.partitionBy("source").orderBy("doc_id")
-    val global = Window.orderBy("pos", "source", "doc_id")
-    Tables.documents(spark, dir)
+    val positioned = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
       .withColumn("wt",
         when(col("source").isin("src0", "src1"), 3.0).otherwise(1.0))
       .withColumn("pos", row_number().over(perSource) / col("wt"))
-      .withColumn("mix_pos", row_number().over(global).cast("bigint"))
+      .orderBy("pos", "source", "doc_id")
+    val schema = positioned.schema.add("mix_pos", LongType, nullable = false)
+    val numbered = positioned.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark0.createDataFrame(numbered, schema)
       .select(col("doc_id"), col("source"), col("mix_pos"))
       .orderBy("mix_pos")
   }
