@@ -1,0 +1,99 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index persistence — the ingest-time half of the
+  * similarity-search story (SURVEY.md §2.9).
+  *
+  * [[build]] trains cosine k-means ONCE over the corpus and persists two
+  * artifacts under `indexDir`:
+  *
+  *   - `lists/`     — the corpus re-written `partitionBy("list_id")`, so a
+  *                    probe's candidate fetch is a partition-PRUNED scan of
+  *                    `nprobe` directories (`PartitionFilters` on `list_id`),
+  *                    never a full-corpus scan;
+  *   - `centroids/` — `nlist` rows of `(list_id, centroid)` — driver-resident
+  *                    model metadata, O(nlist·dim) bytes.
+  *
+  * This is the standard IVF split at 100 TB: the index build is a one-time
+  * (or incremental, per-ingest-batch) job; the QUERY path never trains
+  * anything — it ranks centroids with O(nlist·dim) driver math
+  * ([[nearestLists]]) and scans nprobe/nlist of the data ([[probeScan]]).
+  * The pruning is plan-asserted in LlmSpec (numPartitions metric ≤ nprobe).
+  */
+object AnnIndex {
+
+  /** Default on-disk location for the IVF index over one testdata SF dir:
+    * keyed by SF name and nlist so different scales/configs never collide.
+    * Lives in the JVM temp dir — the index is derived data, rebuildable from
+    * the corpus (seeded k-means ⇒ deterministic). */
+  def defaultIvfDir(sfDir: String, nlist: Int): String =
+    Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
+      s"ivf$nlist-${Paths.get(sfDir).getFileName}").toString
+
+  /** Marker written only after BOTH artifacts land, making [[ensure]] a
+    * metadata-only no-op on every later call (idempotent across the Verify /
+    * Bench / test processes; a crashed half-build has no marker and is
+    * rebuilt with mode=overwrite). */
+  private def readyMarker(indexDir: String) =
+    Paths.get(indexDir, "_GRAFT_INDEX_READY")
+
+  /** Train + persist the IVF index. `e` must carry
+    * `(vec_id long, label int, embedding array&lt;float&gt;)`. */
+  def build(e: DataFrame, indexDir: String, nlist: Int, seed: Long = 7L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = e.sparkSession
+    import spark.implicits._
+    val withVec = e.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setDistanceMeasure("cosine")
+      .fit(withVec)
+    model.transform(withVec)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              col("prediction").as("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/lists")
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    Files.write(readyMarker(indexDir), Array.emptyByteArray)
+  }
+
+  /** Build the index iff its ready-marker is absent. */
+  def ensure(e: DataFrame, indexDir: String, nlist: Int): Unit = synchronized {
+    if (!Files.exists(readyMarker(indexDir))) build(e, indexDir, nlist)
+  }
+
+  /** Probe-list selection: rank the persisted centroids by cosine similarity
+    * to the probe vector and keep the `nprobe` nearest list ids. The
+    * centroid table is nlist rows of model metadata — collecting it is the
+    * standard IVF query path (O(nlist·dim) driver math), not a distributed
+    * collect over data. */
+  def nearestLists(spark: SparkSession, indexDir: String,
+                   probeVec: Array[Double], nprobe: Int): Seq[Int] = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def cos(c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < c.length) { dot += c(i) * probeVec(i); na += c(i) * c(i)
+        nb += probeVec(i) * probeVec(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    cents.sortBy { case (_, c) => -cos(c) }.take(nprobe).map(_._1).toSeq
+  }
+
+  /** The partition-pruned candidate fetch: `list_id` is a PARTITION column
+    * of `lists/`, so the `isin` predicate becomes a `PartitionFilters` entry
+    * and only the chosen nprobe directories are listed and read. */
+  def probeScan(spark: SparkSession, indexDir: String, lists: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$indexDir/lists")
+      .filter(col("list_id").isin(lists: _*))
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.etl.AnnIndex
 import graft.expr.GraftFunctions
 
 /** LLM-data-pipeline block (SURVEY.md §2.9, the north star): deduplication
@@ -465,51 +466,39 @@ object Llm {
   }
 
   /** §2.9 IVF ANN (no-oracle; recall-tested in LlmSpec): the inverted-file
-    * alternative to [[qKnnCosineLsh]] — k-means centroids partition the
-    * corpus into `nlist` lists (cosine distance), a query probes only the
-    * `nprobe` lists whose centroids are nearest its vector, then re-ranks
-    * the list members exactly.
+    * alternative to [[qKnnCosineLsh]] — cosine k-means centroids partition
+    * the corpus into `nlist` lists, a query probes only the `nprobe` lists
+    * whose centroids are nearest its vector, then re-ranks the list members
+    * exactly.
     *
-    * Scale shape: training samples/iterates over the corpus ONCE at index
-    * build (here inline; in production the list assignment is a persisted
-    * column the scan partition-prunes on, exactly like the LSH buckets);
-    * centroids are driver-resident model metadata, so probe-list selection
-    * is O(nlist) driver math — the standard IVF query path, not a
-    * distributed collect. The probed fraction is nprobe/nlist of the data. */
+    * Scale shape: the index is PERSISTED at ingest ([[graft.etl.AnnIndex]]):
+    * the corpus is re-written `partitionBy(list_id)` and the centroids land
+    * as an nlist-row metadata table, so the query path contains NO training
+    * — `ensure` is a metadata-only marker check after the one-time build.
+    * Probe-list selection is O(nlist·dim) driver math over the centroid
+    * table; the candidate fetch is a partition-PRUNED scan reading
+    * nprobe/nlist of the data (numPartitions metric asserted in LlmSpec). */
   def qKnnCosineIvf(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    knnIvf(Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding")),
-      probeId = 0L, k = 10, nlist = 16, nprobe = 4)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
+    AnnIndex.ensure(e, idxDir, nlist = 16)
+    // 1-row pushed-down lookup against the base table (at 100 TB the probe
+    // vector arrives WITH the query; it is not derived from the corpus)
+    val probeVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    knnIvfProbe(spark, idxDir, probeVec, probeId = 0L, k = 10, nprobe = 4)
   }
 
-  /** IVF core: cluster (cosine k-means), assign lists, probe the nearest
-    * `nprobe` lists, exact re-rank. The probe's own list is always probed
-    * (distance 0 to its own assignment's centroid ranking includes it). */
-  private[graft] def knnIvf(e: DataFrame, probeId: Long, k: Int,
-                            nlist: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val withVec = e.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans()
-      .setK(nlist).setSeed(7L).setMaxIter(10)
-      .setDistanceMeasure("cosine")
-      .fit(withVec)
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("label"), col("embedding"),
-              col("prediction").as("list_id"))
-    // probe-list selection: centroids are a driver-side nlist×dim array
-    val probeVec = e.filter(col("vec_id") === probeId)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    def cos(c: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < c.length) { dot += c(i) * probeVec(i); na += c(i) * c(i)
-        nb += probeVec(i) * probeVec(i); i += 1 }
-      dot / math.sqrt(na * nb)
-    }
-    val lists = model.clusterCenters.map(_.toArray).zipWithIndex
-      .sortBy { case (c, _) => -cos(c) }.take(nprobe).map(_._2)
-    knnExact(assigned.filter(col("list_id").isin(lists: _*))
+  /** IVF query core over a persisted index: driver-side centroid ranking,
+    * partition-pruned candidate scan, exact re-rank. The probe's own list is
+    * always probed (its assigned centroid ranks first for its own vector). */
+  private[graft] def knnIvfProbe(spark: SparkSession, indexDir: String,
+                                 probeVec: Array[Double], probeId: Long,
+                                 k: Int, nprobe: Int): DataFrame = {
+    val lists = AnnIndex.nearestLists(spark, indexDir, probeVec, nprobe)
+    knnExact(AnnIndex.probeScan(spark, indexDir, lists)
       .select("vec_id", "label", "embedding"), probeId, k)
   }
 

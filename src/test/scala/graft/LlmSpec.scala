@@ -185,9 +185,13 @@ class LlmSpec extends AnyFunSuite {
     assert(nCand < all.size / 3,
       s"candidate set is not sublinear on planted corpus: $nCand of ${all.size}")
 
-    // IVF path on the same corpus: near-dups share the probe's centroid
-    // list, so nprobe/nlist of the data suffices for high recall
-    val ivf = Llm.knnIvf(e, 0L, 11, nlist = 16, nprobe = 4)
+    // IVF path on the same corpus, through the PERSISTED index: build once
+    // to a temp dir (the ingest job), then probe — no training anywhere in
+    // the query path. Near-dups share the probe's centroid list, so
+    // nprobe/nlist of the data suffices for high recall.
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    graft.etl.AnnIndex.build(e, idxDir, nlist = 16)
+    val ivf = Llm.knnIvfProbe(spark, idxDir, probe.map(_.toDouble), 0L, 11, nprobe = 4)
       .collect().map(_.getLong(0)).toSet
     val ivfRecall = exact.intersect(ivf).size
     assert(ivfRecall >= 8, s"IVF recall too low: $ivfRecall/11 (ivf=$ivf)")
@@ -199,6 +203,26 @@ class LlmSpec extends AnyFunSuite {
     assert(ivf.head.getLong(0) === 0L, "probe is in its own list with cos 1.0")
     val sims = ivf.map(_.getDouble(2)).toSeq
     assert(sims === sims.sorted(Ordering[Double].reverse))
+  }
+
+  test("IVF probe partition-prunes: every lists-scan reads ≤ nprobe of nlist dirs") {
+    val df = Llm.qKnnCosineIvf(spark, TestSpark.sfDir)
+    df.collect() // finalize AQE and populate the scan's driver metrics
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val listScans = scans(df.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("PartitionFilters", "").contains("list_id"))
+    assert(listScans.nonEmpty, "no partition-filtered scan over the IVF lists table")
+    listScans.foreach { s =>
+      val read = s.metrics("numPartitions").value
+      assert(read <= 4,
+        s"probe scan read $read list partitions — expected ≤ nprobe=4 of nlist=16")
+    }
   }
 
   test("seq_pack: offsets stay inside the budget and packs advance monotonically") {
