@@ -62,8 +62,10 @@ object Bench {
     // Render at 2-decimal seconds (10 ms granularity is far below run noise)
     // with trailing zeros stripped, then degrade to 1/0 decimals if the
     // query count ever pushes the line over the window.
+    // Locale.ROOT: a comma-decimal default locale (de_DE …) would render
+    // "1,00" and corrupt the JSON line.
     def sec(v: Double, dp: Int) = {
-      val s = s"%.${dp}f".format(v)
+      val s = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -79,7 +81,7 @@ object Bench {
     def render(dp: Int): String = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${sec(total, dp max 2)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
     }
     // Budget: the driver keeps a 2000-char stdout tail; sbt's trailing
     // "[success] Total time: ..." line + newlines eat ~76, so the JSON line
@@ -87,7 +89,10 @@ object Bench {
     // 1-decimal precision at ~90 queries (0-decimal loses all per-query
     // signal — most queries run under 2 s).
     val json = (2 to 0 by -1).map(render).find(_.length <= 1895).getOrElse(render(0))
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
+    // The file sidecar has no line-length budget: keep FULL 3-decimal
+    // precision there (±0.5 ms) so round-over-round comparison is not
+    // dominated by the stdout line's 1-decimal quantization.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), render(3)))
     println(json)
     spark.stop()
   }
