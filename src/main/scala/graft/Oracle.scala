@@ -1068,8 +1068,8 @@ object Oracle {
 
     "q_clip_outliers" ->
       """WITH p AS (SELECT lang,
-        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p05,
-        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95
+        |    floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.05) * 1e6) / 1e6 AS p05,
+        |    floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.95) * 1e6) / 1e6 AS p95
         |  FROM documents GROUP BY lang)
         |SELECT d.doc_id, d.lang, d.n_chars,
         |  CAST(floor(least(greatest(CAST(d.n_chars AS DOUBLE), p.p05), p.p95))

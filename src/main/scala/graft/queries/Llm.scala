@@ -251,8 +251,9 @@ object Llm {
     * takes the min label across itself and its neighbors (one equi-join +
     * one min-aggregate per round); converged when no label changes.
     * Rounds needed = component diameter — near-dup components are
-    * tiny/dense, so a handful; each round localCheckpoints to keep lineage
-    * flat. The DuckDB oracle derives the same fixpoint independently via a
+    * tiny/dense, so a handful; each round checkpoints to keep lineage flat
+    * (reliable checkpoint when a checkpoint dir is configured, executor-local
+    * otherwise). The DuckDB oracle derives the same fixpoint independently via a
     * recursive-CTE transitive closure (unique fixpoint ⇒ same answer). */
   def qDedupGroups(spark: SparkSession, dir: String): DataFrame =
     dedupGroups(minhashPairs(Tables.documents(spark, dir)))
@@ -281,12 +282,20 @@ object Llm {
     * makes long near-dup chains converge inside the iteration budget.
     * Labels always reference existing nodes, so the jump join is total. */
   private[graft] def dedupGroups(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    // Lineage pinning per round. localCheckpoint blocks are EXECUTOR-local:
+    // lose an executor mid-iteration on a real cluster and the job dies with
+    // no lineage to recompute from — fatal for a multi-hour dedup at round N.
+    // When the session has a checkpoint dir configured (HDFS/object store),
+    // pin with the RELIABLE checkpoint instead; locally the executor-local
+    // variant avoids the write amplification. Both modes are spec-asserted
+    // to produce identical components (LlmSpec).
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint(true)
+    val edges = pin(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = pin(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -296,9 +305,8 @@ object Llm {
       // Materialize oneHop: it feeds BOTH sides of the jump joins and the
       // union below — left lazy, the neighbor-join + min-aggregate would
       // re-execute four times per round.
-      val oneHop = labels.unionByName(neighborLabels)
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val oneHop = pin(labels.unionByName(neighborLabels)
+        .groupBy("node").agg(min(col("label")).as("label")))
       // Pointer jump (label := label(label)): halves remaining chain
       // distance each round — O(log d) rounds total.
       val jumped = oneHop
@@ -308,10 +316,9 @@ object Llm {
       // The previous label rides along into the checkpoint, so convergence
       // is a scan of already-materialized partitions — not a separate
       // shuffle-join action per round.
-      val next = oneHop.unionByName(jumped)
+      val next = pin(oneHop.unionByName(jumped)
         .groupBy("node").agg(min(col("label")).as("label"))
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .localCheckpoint(true)
+        .join(labels.withColumnRenamed("label", "prev"), "node"))
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       labels = next.select("node", "label")
       iter += 1
@@ -320,6 +327,30 @@ object Llm {
       System.err.println(s"[cc] converged=$converged after $iter rounds")
     labels.select(col("node").as("doc_id"), col("label").as("group_id"))
       .orderBy("doc_id")
+  }
+
+  /** ONE un-checkpointed CC round (neighbor-min + pointer jump) over the
+    * MinHash pairs, for plan audits: [[dedupGroups]] materializes this shape
+    * every round, but the converged query's own plan is only the final
+    * checkpoint scan — PlanDump records this round plan so the per-round
+    * cost (one equi-join + min-agg + jump join, all keyed) is on record. */
+  private[graft] def ccRoundForAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(Tables.documents(spark, dir))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val neighborLabels = edges
+      .join(labels.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), col("label"))
+    val oneHop = labels.unionByName(neighborLabels)
+      .groupBy("node").agg(min(col("label")).as("label"))
+    val jumped = oneHop
+      .join(oneHop.select(col("node").as("label"), col("label").as("label2")),
+            "label")
+      .select(col("node"), col("label2").as("label"))
+    oneHop.unionByName(jumped)
+      .groupBy("node").agg(min(col("label")).as("label"))
   }
 
   /** §2.9 n-gram Jaccard near-dup vs a probe document: distinct bigram sets,
@@ -796,9 +827,12 @@ object Llm {
     * 100 TB swap the exact percentile for the mergeable approx sketch. */
   def qClipOutliers(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // micro-unit floor-snap (§5.3): Spark's percentile and DuckDB's
+    // quantile_cont may differ in the last ulp when interpolating, which
+    // could flip a boundary row's was_clipped — snap both engines to 1e-6
     val p = docs.groupBy("lang").agg(
-      expr("percentile(cast(n_chars as double), 0.05)").as("p05"),
-      expr("percentile(cast(n_chars as double), 0.95)").as("p95"))
+      (floor(expr("percentile(cast(n_chars as double), 0.05)") * 1e6) / 1e6).as("p05"),
+      (floor(expr("percentile(cast(n_chars as double), 0.95)") * 1e6) / 1e6).as("p95"))
     docs.join(broadcast(p), "lang")
       .select(
         col("doc_id"), col("lang"), col("n_chars"),

@@ -225,6 +225,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupGroups: reliable-checkpoint mode produces identical components") {
+    // Cluster-durability option: with a checkpoint dir configured, each CC
+    // round pins to a RELIABLE checkpoint (survives executor loss) instead
+    // of executor-local blocks. Same unique fixpoint either way.
+    val pairs = Llm.minhashPairs(Tables.documents(spark, TestSpark.sfDir))
+    def run() = Llm.dedupGroups(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val local = run()
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString)
+    val reliable = run()
+    assert(reliable === local,
+      "reliable-checkpoint CC diverged from the executor-local run")
+  }
+
   test("seq_pack: offsets stay inside the budget and packs advance monotonically") {
     val rows = Llm.qSeqPack(spark, TestSpark.sfDir).collect()
     assert(rows.nonEmpty)
@@ -246,6 +261,29 @@ class LlmSpec extends AnyFunSuite {
     val n2 = first.count(_ == "src2")
     assert(n0 > 2 * n2,
       s"weight-3 src0 ($n0) should outnumber weight-1 src2 ($n2) ~3:1 in the prefix")
+  }
+
+  test("mix_interleave: mix_pos IS the dense (pos, source, doc_id) sort rank") {
+    // Guard for the one undocumented-contract dependency in the repo:
+    // zipWithIndex after orderBy relies on the range-sorted partition order
+    // surviving .rdd. If Spark ever stops preserving it, this fails loudly
+    // instead of only at oracle time.
+    val out = Llm.qMixInterleave(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._3).toSeq === (1L to out.length).toSeq,
+      "mix_pos is not a dense 1..n sequence in output order")
+    // independently recompute the intended interleave order on the driver
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val wt = if (src == "src0" || src == "src1") 3.0 else 1.0
+      rows.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+        ((i + 1).toDouble / wt, src, id)
+      }
+    }.sortBy(identity).map(_._3)
+    assert(out.map(_._1).toSeq === expected,
+      "mix_pos order diverged from the (pos, source, doc_id) sort")
   }
 
   test("fuzzy_match: every pair is ordered, within distance, and block-local") {
