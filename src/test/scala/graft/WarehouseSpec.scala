@@ -149,4 +149,65 @@ class WarehouseSpec extends AnyFunSuite {
         s"no bloom-filter build from the dim keys:\n$plan")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("PIT join stays sort-merge when the dimension cannot broadcast") {
+    // The 100-TB path of q_join_range_scd2 / Scd2.resolve: when the dim side
+    // exceeds the broadcast threshold, the equi component (key) must carry
+    // the join as SMJ with the interval test as residual — never a
+    // BroadcastNestedLoopJoin over raw intervals. Disabling broadcast
+    // entirely simulates the too-big-to-broadcast dimension.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.queries.Windows.qJoinRangeScd2(spark, TestSpark.sfDir)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"PIT join lost its SMJ:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"PIT join fell back to a nested loop:\n$plan")
+
+      val orders = Tables.orders(spark, TestSpark.sfDir)
+      val dim = graft.etl.Scd2.fromChangeLog(
+        orders.select(col("o_custkey").as("k"), col("o_orderdate").as("eff")).distinct(),
+        Seq("k"), "eff")
+      val fact = orders.select(col("o_custkey").as("fk"), col("o_orderkey"),
+        col("o_orderdate").as("t"))
+      val resolved = graft.etl.Scd2.resolve(fact, dim, "fk", "k", "t")
+      // collect, not count: a count() spawns its own query execution and
+      // would leave this DataFrame's AQE plan un-finalized
+      assert(resolved.collect().nonEmpty)
+      val rplan = resolved.queryExecution.executedPlan.toString
+      assert(rplan.contains("SortMergeJoin") && !rplan.contains("BroadcastNestedLoopJoin"),
+        s"Scd2.resolve fell back to a nested loop:\n$rplan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AQE splits a skewed join partition at runtime (isSkewJoin)") {
+    // The automatic complement to q_skew_salt's manual salting: one hot key
+    // dominates the left shuffle; AQE's skew-join rule must split that
+    // partition into parallel sub-joins. Thresholds lowered to fire at test
+    // scale; broadcast disabled so the join shuffles at all.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(0, 200000)
+        .select(when(col("id") < 180000, 0L).otherwise(col("id")).as("k"),
+                col("id").as("v"))
+      val right = spark.range(0, 1000)
+        .select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // collect, not count: count() would execute a different QueryExecution
+      assert(joined.collect().length === 180000) // all matches land on hot key 0
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkewJoin=true") || plan.contains("skewed"),
+        s"AQE did not mark the join as skew-handled:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
