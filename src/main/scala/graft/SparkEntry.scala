@@ -108,6 +108,7 @@ object SparkEntry {
     "q_clip_outliers"  -> (Llm.qClipOutliers _),
     "q_label_balance"  -> (Llm.qLabelBalance _),
     "q_entity_groups"  -> (Llm.qEntityGroups _),
+    "q_multimodal_features" -> (graft.sources.Multimodal.qMultimodalFeatures _), // no-oracle: synthetic corpus; contracts in MultimodalSpec
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

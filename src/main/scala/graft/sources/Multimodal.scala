@@ -75,6 +75,18 @@ object Multimodal {
     extractFeatures(assets).toDF()
       .repartition(col("kind")) // co-locate per-modality processing downstream
 
+  /** §2.9 multimodal (no-oracle; rows/schema smoke in CORRECTNESS, contracts
+    * in MultimodalSpec): the declared feature-extraction query over the
+    * deterministic synthetic corpus — the sfDir carries no media, so the
+    * corpus is generated (`sfDir` ignored); the feature vector is flattened
+    * to a CSV string so every output column is scalar. */
+  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    featureFrame(syntheticAssets(spark, 300))
+      .select(col("asset_id"), col("kind"), col("n_bytes"), col("checksum"),
+        array_join(transform(col("features"), f => f.cast("string")), ",")
+          .as("features_csv"))
+      .orderBy("asset_id")
+
   /** One sampled frame of a video payload. */
   final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 

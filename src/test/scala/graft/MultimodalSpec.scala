@@ -89,4 +89,16 @@ class MultimodalSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(a.payload, b.payload))
     }
   }
+
+  test("declared q_multimodal_features: 300 scalar rows, deterministic, all kinds") {
+    val rows = Multimodal.qMultimodalFeatures(spark, TestSpark.sfDir).collect()
+    assert(rows.length === 300)
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 300L).toSeq)
+    assert(rows.map(_.getString(1)).toSet === Set("image", "audio", "video"))
+    rows.foreach { r =>
+      assert(r.getString(4).split(",").length === 8, "8-dim feature vector flattened")
+    }
+    val again = Multimodal.qMultimodalFeatures(spark, TestSpark.sfDir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
