@@ -96,4 +96,37 @@ object AnnIndex {
   def probeScan(spark: SparkSession, indexDir: String, lists: Seq[Int]): DataFrame =
     spark.read.parquet(s"$indexDir/lists")
       .filter(col("list_id").isin(lists: _*))
+
+  // ---- LSH posting lists --------------------------------------------------
+
+  /** The LSH half of the persisted-ANN story: materialize each vector's
+    * random-hyperplane band buckets ([[graft.queries.Llm.rpBandBuckets]] —
+    * seeded, data-independent hyperplanes) as `(vec_id, band, bkt)` posting
+    * rows written `partitionBy(band, bkt)`. At 100 TB the posting lists are
+    * directories, and a probe's multi-probe candidate fetch is a
+    * partition-PRUNED scan of `bands×(bits+1)` of `bands×2^bits` cells —
+    * the "bucket columns precomputed at ingest" layout, demonstrated. */
+  def buildLsh(e: DataFrame, indexDir: String, bands: Int, bits: Int): Unit = {
+    val bk = graft.queries.Llm.rpBandBuckets(e, bands, bits)
+    val bandArr = array((0 until bands).map(b => col(s"bkt$b")): _*)
+    bk.select(col("vec_id"), posexplode(bandArr).as(Seq("band", "bkt")))
+      .write.mode("overwrite").partitionBy("band", "bkt")
+      .parquet(s"$indexDir/buckets")
+  }
+
+  /** Multi-probe candidate fetch over the persisted posting lists: `cells`
+    * holds the (band, bucket) pairs to visit — the probe's own buckets plus
+    * its Hamming-≤radius XOR neighbors, computed driver-side from the
+    * seeded hyperplanes (O(bands·bits) metadata math, data-independent).
+    * Both columns are PARTITION columns, so the OR-of-per-band-INs
+    * predicate prunes the scan to exactly those directories. */
+  def lshProbeScan(spark: SparkSession, indexDir: String,
+                   cells: Seq[(Int, Int)]): DataFrame = {
+    val pred = cells.groupBy(_._1).map { case (band, cs) =>
+      col("band") === band && col("bkt").isin(cs.map(_._2).distinct: _*)
+    }.reduce(_ || _)
+    spark.read.parquet(s"$indexDir/buckets")
+      .filter(pred)
+      .select("vec_id").distinct()
+  }
 }

@@ -476,7 +476,10 @@ object Llm {
     * dense hyperplanes), the probe side is a broadcast of `bands×(bits+1)`
     * bucket ids, and the candidate fetch is an equi-join — at 100 TB the
     * bucket columns are precomputed at ingest and the fetch partition-prunes
-    * on them. Recall is similarity-dependent (LSH property): near-duplicates
+    * on them (DEMONSTRATED: [[graft.etl.AnnIndex.buildLsh]] persists the
+    * posting lists `partitionBy(band, bkt)` and LlmSpec proves the pruned
+    * probe returns the identical candidate set). Recall is
+    * similarity-dependent (LSH property): near-duplicates
     * (cos ≳ 0.9) are recovered at ≥ 8/10 while scanning a few percent of the
     * corpus — asserted on a planted-near-dup corpus in LlmSpec; on
     * uniform-random vectors no sublinear method separates cos≈0.3
@@ -893,5 +896,88 @@ object Llm {
       .filter(col("rk") <= 5)
       .select(col("lang"), col("bigram"), col("n"), col("rk"))
       .orderBy("lang", "rk")
+  }
+
+  /** §2.9 Repetition filter (the Gopher-style repetition rules): per-document
+    * top-word fraction and duplicate-bigram fraction, flagged over
+    * thresholds — the heuristic that drops boilerplate/looping text before
+    * training.
+    *
+    * Both metrics are PER-ROW higher-order-function passes over the split
+    * words — no explode, no shuffle; the whole filter is map-side and the
+    * only exchange is the output sort, so it streams at any corpus size.
+    * Ratios are micro-unit floor-snapped (§5.3), formula mirrored
+    * operation-for-operation in the oracle (divide first, then ×1e6). */
+  def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")).cast("bigint"))
+      .withColumn("topc", expr(
+        "array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w))))")
+        .cast("bigint"))
+      .withColumn("bigrams", expr(
+        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
+      .withColumn("top_word_frac",
+        floor(col("topc").cast("double") / col("n_words") * 1e6) / 1e6)
+      .withColumn("dup_bigram_frac",
+        floor((lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
+          / size(col("bigrams"))) * 1e6) / 1e6)
+      .withColumn("flagged",
+        col("top_word_frac") > 0.15 || col("dup_bigram_frac") > 0.08)
+      .select("doc_id", "n_words", "top_word_frac", "dup_bigram_frac", "flagged")
+      .orderBy("doc_id")
+
+  /** §2.9 Benchmark decontamination: flag every training document sharing at
+    * least one word 4-gram with the held-out eval set (`source = 'src0'`
+    * stands in for the benchmark corpus) — the n-gram-overlap scrub every
+    * serious LLM pipeline runs before training (and after any eval refresh).
+    *
+    * Shape at scale: grams explode per doc, the eval side is DISTINCT grams
+    * (vocabulary-bounded, tiny next to the corpus), and the hit test is a
+    * hash EQUI-join on the gram string + a per-doc distinct count — never an
+    * all-pairs document comparison. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+    val grams = d.select(col("doc_id"), col("source"),
+      explode(expr(
+        "transform(sequence(1, size(w) - 3), i -> array_join(slice(w, i, 4), ' '))"))
+        .as("gram"))
+    val evalGrams = grams.filter(col("source") === "src0").select("gram").distinct()
+    val hits = grams.filter(col("source") =!= "src0")
+      .join(evalGrams, "gram")
+      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_shared"))
+    d.filter(col("source") =!= "src0")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 Temperature-scaled source mixture (the T5/UniMax sampling
+    * schedule): per-source sampling share ∝ n^α with α = 1/2 — flattens the
+    * natural distribution so small high-quality sources aren't drowned by
+    * bulk web text.
+    *
+    * §5.3 exactness: each source's sqrt weight is snapped to integer
+    * MICRO-units first (`floor(sqrt(n)·1e6)` — sqrt is deterministic IEEE,
+    * identical in both engines), so the denominator is an exact integer sum
+    * (order-independent — no float-summation-order divergence) and every
+    * share is a ratio of exact integers. The totals frame is one broadcast
+    * row. */
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("bigint"))
+    val tot = per.agg(sum(col("n_docs")).as("n_total"), sum(col("w_micro")).as("w_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (floor(col("n_docs").cast("double") / col("n_total") * 1e6) / 1e6).as("nat_share"),
+        (floor(col("w_micro").cast("double") / col("w_total") * 1e6) / 1e6).as("temp_share"),
+        (floor((col("w_micro").cast("double") * col("n_total"))
+          / (col("w_total").cast("double") * col("n_docs")) * 1e6) / 1e6).as("boost"))
+      .orderBy("source")
   }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.Llm
@@ -205,23 +206,58 @@ class LlmSpec extends AnyFunSuite {
     assert(sims === sims.sorted(Ordering[Double].reverse))
   }
 
+  /** Walk an executed (post-AQE) plan down into its query stages and
+    * collect every parquet scan node, for partition-pruning assertions. */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+    }.flatten
+  }
+
   test("IVF probe partition-prunes: every lists-scan reads ≤ nprobe of nlist dirs") {
     val df = Llm.qKnnCosineIvf(spark, TestSpark.sfDir)
     df.collect() // finalize AQE and populate the scan's driver metrics
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-      case f: FileSourceScanExec => Seq(f)
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec => scans(q.plan)
-    }.flatten
-    val listScans = scans(df.queryExecution.executedPlan)
+    val listScans = fileScans(df.queryExecution.executedPlan)
       .filter(_.metadata.getOrElse("PartitionFilters", "").contains("list_id"))
     assert(listScans.nonEmpty, "no partition-filtered scan over the IVF lists table")
     listScans.foreach { s =>
       val read = s.metrics("numPartitions").value
       assert(read <= 4,
         s"probe scan read $read list partitions — expected ≤ nprobe=4 of nlist=16")
+    }
+  }
+
+  test("persisted LSH posting lists: pruned probe matches the in-query candidates") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    graft.etl.AnnIndex.buildLsh(e, idx, bands = 3, bits = 8)
+    // probe cells: the probe's own buckets (seeded data-independent
+    // hyperplanes -> a 1-row job) plus every Hamming-1 XOR neighbor
+    val own = Llm.rpBandBuckets(e.filter(col("vec_id") === 0L), 3, 8).head()
+    val cells = for {
+      b <- 0 until 3
+      m <- 0 +: (0 until 8).map(1 << _).toList
+    } yield (b, own.getInt(1 + b) ^ m)
+    val probe = graft.etl.AnnIndex.lshProbeScan(spark, idx, cells)
+    val got = probe.collect().map(_.getLong(0)).toSet
+    val expected = Llm.knnLshCandidates(e, 0L, 3, 8, 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected,
+      "persisted-index candidate set diverges from the in-query LSH path")
+    // pruning proof: the posting scan reads at most |cells| of 3*256 dirs
+    val postingScans = fileScans(probe.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("PartitionFilters", "").contains("band"))
+    assert(postingScans.nonEmpty, "no partition-filtered scan over the posting lists")
+    postingScans.foreach { s =>
+      val read = s.metrics("numPartitions").value
+      assert(read <= cells.distinct.size,
+        s"posting scan read $read cells — expected ≤ ${cells.distinct.size} of 768")
     }
   }
 
