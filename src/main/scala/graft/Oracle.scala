@@ -1122,5 +1122,57 @@ object Oracle {
         |SELECT lang, bigram, n, CAST(rk AS INT) AS rk FROM r
         |WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
+
+    // Formula mirrored operation-for-operation with the Spark side
+    // (divide first, then *1e6, then floor) so the IEEE result is identical.
+    "q_repetition_filter" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wc AS (SELECT doc_id, x AS word, count(*) AS c
+        |       FROM d, unnest(w) AS t(x) GROUP BY doc_id, x),
+        |topw AS (SELECT doc_id, max(c) AS topc, sum(c) AS nw FROM wc GROUP BY doc_id),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |       FROM d, unnest(range(1, len(w))) AS r(i)),
+        |bgm AS (SELECT doc_id, count(*) AS nbg, count(DISTINCT bigram) AS dbg
+        |        FROM bg GROUP BY doc_id),
+        |m AS (SELECT t.doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  floor(CAST(topc AS DOUBLE) / nw * 1e6) / 1e6 AS top_word_frac,
+        |  floor((CAST(1 AS DOUBLE) - CAST(dbg AS DOUBLE) / nbg) * 1e6) / 1e6
+        |    AS dup_bigram_frac
+        |  FROM topw t JOIN bgm USING (doc_id))
+        |SELECT doc_id, n_words, top_word_frac, dup_bigram_frac,
+        |  (top_word_frac > 0.15 OR dup_bigram_frac > 0.08) AS flagged
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, source, array_to_string(w[i:i+3], ' ') AS gram
+        |      FROM d, unnest(range(1, len(w) - 2)) AS r(i)),
+        |e AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |h AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+        |      FROM g JOIN e USING (gram) WHERE g.source <> 'src0'
+        |      GROUP BY g.doc_id)
+        |SELECT d.doc_id, d.source,
+        |  CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(h.n_shared, 0) > 0 AS contaminated
+        |FROM d LEFT JOIN h USING (doc_id)
+        |WHERE d.source <> 'src0'
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs FROM documents
+        |             GROUP BY source),
+        |m AS (SELECT source, n_docs,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+        |  FROM per),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |             CAST(sum(w_micro) AS BIGINT) AS w_total FROM m)
+        |SELECT source, n_docs,
+        |  floor(CAST(n_docs AS DOUBLE) / n_total * 1e6) / 1e6 AS nat_share,
+        |  floor(CAST(w_micro AS DOUBLE) / w_total * 1e6) / 1e6 AS temp_share,
+        |  floor((CAST(w_micro AS DOUBLE) * n_total)
+        |        / (CAST(w_total AS DOUBLE) * n_docs) * 1e6) / 1e6 AS boost
+        |FROM m CROSS JOIN t
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -109,6 +109,9 @@ object SparkEntry {
     "q_label_balance"  -> (Llm.qLabelBalance _),
     "q_entity_groups"  -> (Llm.qEntityGroups _),
     "q_multimodal_features" -> (graft.sources.Multimodal.qMultimodalFeatures _), // no-oracle: synthetic corpus; contracts in MultimodalSpec
+    "q_repetition_filter" -> (Llm.qRepetitionFilter _),
+    "q_decontaminate"  -> (Llm.qDecontaminate _),
+    "q_mix_temperature" -> (Llm.qMixTemperature _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

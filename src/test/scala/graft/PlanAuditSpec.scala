@@ -15,7 +15,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * loop: a scalar probe (vector or gram-set size) joined to every row. */
   private val oneRowProbeBnlj = Set(
     "q_knn_cosine", "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_ngram_jaccard",
-    "q_tfidf", "q_label_balance") // corpus-total 1-row cross joins
+    "q_tfidf", "q_label_balance", "q_mix_temperature") // corpus-total 1-row cross joins
 
   // One evaluation pass over the full inventory; both audits read the
   // final (post-AQE) plans from it. collect() — not a noop write — because
