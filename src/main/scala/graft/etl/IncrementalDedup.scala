@@ -1,0 +1,80 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Llm
+
+/** Continuous-ingest near-duplicate control — the 100 TB reality of dedup:
+  * a corpus is never re-MinHashed per ingest; the pipeline keeps ONE
+  * append-only posting table `(band, bkey, doc_id)` and each batch does
+  * O(batch) work against it.
+  *
+  * Per [[ingest]] call:
+  *   1. posting rows are computed for the BATCH only
+  *      ([[graft.queries.Llm.minhashBandRows]] — the same signatures as the
+  *      batch dedup path, so batch and incremental agree);
+  *   2. batch docs colliding with a stored posting are dropped (hash
+  *      EQUI-join on `(band, bkey)` — candidates stay data-proportional,
+  *      no all-pairs anything);
+  *   3. the surviving batch self-dedups with the full connected-components
+  *      semantics of `q_dedup_keep` (min doc per component wins);
+  *   4. the kept docs' postings APPEND to the index — the only write.
+  *
+  * Invariant after any ingest sequence: every `(band, bkey)` cell holds at
+  * most ONE kept doc (two docs sharing a cell are by construction a
+  * candidate pair, and one of them always loses) — spec-asserted. A
+  * replayed doc that is already in the index is always dropped (it collides
+  * with its own stored postings).
+  *
+  * Cross-batch chains are resolved GREEDILY: a doc whose only near-dups
+  * were themselves dropped earlier (never indexed) is admitted — the
+  * standard streaming dedup semantics, since an ingest cannot see future
+  * members of a component, and its duplicates are genuinely absent from
+  * the kept corpus. */
+object IncrementalDedup {
+
+  private def postingsPath(indexDir: String) = s"$indexDir/postings"
+
+  private def hasIndex(indexDir: String): Boolean =
+    Files.exists(Paths.get(postingsPath(indexDir), "_SUCCESS"))
+
+  /** Dedup `batch` (`doc_id`, `text`, …) against the index at `indexDir`
+    * and within itself, append the survivors' postings, and return the kept
+    * rows (original batch columns). */
+  def ingest(batch: DataFrame, indexDir: String,
+             bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    // hash the batch ONCE; every later step reuses these postings
+    val posts = Llm.minhashBandRows(batch, bands, rowsPerBand)
+      .localCheckpoint(true)
+
+    // 1) drop batch docs colliding with the stored corpus
+    val survivorPosts =
+      if (!hasIndex(indexDir)) posts
+      else {
+        val stored = spark.read.parquet(postingsPath(indexDir))
+          .select(col("band"), col("bkey"))
+        val hit = posts.join(stored, Seq("band", "bkey"), "left_semi")
+          .select("doc_id").distinct()
+        posts.join(hit, Seq("doc_id"), "left_anti")
+      }
+
+    // 2) full CC dedup within the surviving batch (q_dedup_keep semantics)
+    val nonCanonical = Llm.dedupGroups(Llm.pairsFromBandRows(survivorPosts))
+      .filter(col("doc_id") =!= col("group_id"))
+      .select("doc_id")
+    val keptPosts = survivorPosts.join(nonCanonical, Seq("doc_id"), "left_anti")
+
+    // 3) append the kept docs' postings — the index stays bucket-unique
+    keptPosts.select("band", "bkey", "doc_id")
+      .write.mode("append").parquet(postingsPath(indexDir))
+    // kept = surviving hashed docs, plus any doc too short to shingle
+    // (no signature -> no duplicate evidence -> keep, never indexed)
+    batch.join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .unionByName(
+        batch.join(posts.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+  }
+}

@@ -138,7 +138,30 @@ object Llm {
     * one per hash — the signature stage dominates minhash cost at bench
     * scale); band keys come out of ONE posexplode frame so the signature
     * aggregation is never re-evaluated per band branch. */
-  def minhashPairs(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+  def minhashPairs(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    pairsFromBandRows(minhashBandRows(docs, bands, rowsPerBand))
+
+  /** Candidate pairs from posting rows: the band-bucket self-equi-join.
+    * Split out so the incremental path ([[graft.etl.IncrementalDedup]]) can
+    * hash a batch ONCE and reuse the postings for corpus-collision check,
+    * within-batch pairing, and the index append. */
+  private[graft] def pairsFromBandRows(bandRows: DataFrame): DataFrame = {
+    val a = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = bandRows.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+                            col("bkey").as("bkey_b"))
+    a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+              col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash band-bucket POSTING rows `(doc_id, band, bkey)` — the indexable
+    * stage of MinHash-LSH. [[minhashPairs]] self-joins these in one pass for
+    * the batch path; the continuous-ingest path persists them and joins each
+    * new batch's postings against the stored table instead of re-hashing the
+    * corpus ([[graft.etl.IncrementalDedup]]). */
+  private[graft] def minhashBandRows(docs: DataFrame, bands: Int = 4,
+                                     rowsPerBand: Int = 2): DataFrame = {
     val nHashes = bands * rowsPerBand
     val nSeeds = (nHashes + 3) / 4
     val sh = shingleRows(docs).select(
@@ -153,17 +176,10 @@ object Llm {
       md5(concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
         .as(s"bk$b")
     }
-    val bandRows = sig.select(col("doc_id") +: bandKeys: _*)
+    sig.select(col("doc_id") +: bandKeys: _*)
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(b => col(s"bk$b")): _*))
           .as(Seq("band", "bkey")))
-    val a = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-    val b = bandRows.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
-                            col("bkey").as("bkey_b"))
-    a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
-              col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** §2.9 SimHash near-dup: 64-bit fingerprint (four 16-bit bands) from the
