@@ -27,12 +27,23 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   /** Default on-disk location for the IVF index over one testdata SF dir:
-    * keyed by SF name and nlist so different scales/configs never collide.
+    * keyed by SF name, nlist, AND a byte-size fingerprint of the source
+    * parquet — if the corpus is regenerated, the key changes and the index
+    * rebuilds instead of a stale ready-marker masking wrong assignments.
     * Lives in the JVM temp dir — the index is derived data, rebuildable from
     * the corpus (seeded k-means ⇒ deterministic). */
-  def defaultIvfDir(sfDir: String, nlist: Int): String =
+  def defaultIvfDir(sfDir: String, nlist: Int): String = {
+    val src = Paths.get(sfDir, "embeddings.parquet")
+    val fp =
+      if (!Files.exists(src)) 0L
+      else if (Files.isDirectory(src)) {
+        val s = Files.list(src)
+        try s.mapToLong(p => if (Files.isRegularFile(p)) Files.size(p) else 0L).sum()
+        finally s.close()
+      } else Files.size(src)
     Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
-      s"ivf$nlist-${Paths.get(sfDir).getFileName}").toString
+      s"ivf$nlist-${Paths.get(sfDir).getFileName}-$fp").toString
+  }
 
   /** Marker written only after BOTH artifacts land, making [[ensure]] a
     * metadata-only no-op on every later call (idempotent across the Verify /
