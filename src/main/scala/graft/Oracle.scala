@@ -1159,6 +1159,25 @@ object Oracle {
         |WHERE d.source <> 'src0'
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Oracle is the NAIVE inequality join — an independent formulation of
+    // the overlap semantics the binned equi-join must reproduce exactly.
+    "q_join_interval_bin" ->
+      """WITH w AS (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)
+        |             AS w_start FROM orders),
+        |ww AS (SELECT w_start, w_start + 2 AS w_end FROM w),
+        |li AS (SELECT l_orderkey, l_linenumber,
+        |         CAST(l_shipdate AS DATE) AS svc_start,
+        |         CAST(l_shipdate AS DATE)
+        |           + CAST(1 + (l_orderkey + l_linenumber) % 30 AS INT) AS svc_end
+        |       FROM lineitem),
+        |hits AS (SELECT DISTINCT ww.w_start, li.l_orderkey, li.l_linenumber
+        |  FROM ww JOIN li
+        |    ON li.svc_start <= ww.w_end AND ww.w_start <= li.svc_end)
+        |SELECT w_start, count(*) AS n_lines,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM hits GROUP BY w_start
+        |ORDER BY w_start""".stripMargin,
+
     "q_mix_temperature" ->
       """WITH per AS (SELECT source, count(*) AS n_docs FROM documents
         |             GROUP BY source),

@@ -109,6 +109,7 @@ object SparkEntry {
     "q_label_balance"  -> (Llm.qLabelBalance _),
     "q_entity_groups"  -> (Llm.qEntityGroups _),
     "q_multimodal_features" -> (graft.sources.Multimodal.qMultimodalFeatures _), // no-oracle: synthetic corpus; contracts in MultimodalSpec
+    "q_join_interval_bin" -> (Windows.qJoinIntervalBin _),
     "q_repetition_filter" -> (Llm.qRepetitionFilter _),
     "q_decontaminate"  -> (Llm.qDecontaminate _),
     "q_mix_temperature" -> (Llm.qMixTemperature _),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -140,6 +140,45 @@ object Windows {
         (col("end_ts").isNull || col("l_shipdate") < col("end_ts")))
       .select(col("l_orderkey"), col("l_linenumber"), col("eff").as("version_eff"))
       .orderBy("l_orderkey", "l_linenumber", "version_eff")
+  }
+
+  /** §2.3 Interval-OVERLAP join via bin bucketing — the scalable form of a
+    * pure range join with NO equi key: monthly 3-day windows × lineitem
+    * [ship, receipt] service intervals. A raw inequality join can only plan
+    * a nested loop; binning both interval sets into fixed 32-day buckets
+    * turns it into a bucket EQUI-join (hash-partitionable, AQE-skew-
+    * splittable) with the true overlap test as residual and a distinct to
+    * collapse pairs discovered in two buckets. Candidate count scales with
+    * per-bucket interval density, not |A|×|B| — the property that keeps a
+    * both-sides-large overlap join alive at 100 TB. */
+  def qJoinIntervalBin(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1992-01-01")
+    val bin = 32
+    def bucketOf(d: Column) = floor(datediff(d, epoch) / bin)
+    val wins = Tables.orders(spark, dir)
+      .select(trunc(col("o_orderdate"), "month").as("w_start")).distinct()
+      .withColumn("w_end", date_add(col("w_start"), 2))
+      .withColumn("bucket",
+        explode(sequence(bucketOf(col("w_start")), bucketOf(col("w_end")))))
+    // service interval: ship date + a deterministic 1..30-day duration
+    // (the synthetic lineitem carries no receipt date; keyed arithmetic
+    // mirrors verbatim in the oracle)
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_shipdate").cast("date").as("svc_start"))
+      .withColumn("svc_end", date_add(col("svc_start"),
+        (lit(1) + pmod(col("l_orderkey") + col("l_linenumber"), lit(30))).cast("int")))
+      .withColumn("bucket",
+        explode(sequence(bucketOf(col("svc_start")), bucketOf(col("svc_end")))))
+    wins.join(lines, Seq("bucket"))
+      .filter(col("svc_start") <= col("w_end") && col("w_start") <= col("svc_end"))
+      // distinct line KEYS in service (also collapses the pair a line found
+      // in two buckets produces — and the synthetic lineitem carries
+      // duplicate (orderkey, linenumber) keys, so the oracle DISTINCTs too)
+      .select("w_start", "l_orderkey", "l_linenumber").distinct()
+      .groupBy("w_start")
+      .agg(count(lit(1)).as("n_lines"), countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("w_start")
   }
 
   /** §2.3 Per-row conditional join key — the FINWIRE CoNameOrCIK dispatch
