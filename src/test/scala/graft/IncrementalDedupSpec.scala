@@ -2,11 +2,17 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.etl.IncrementalDedup
 import graft.queries.Llm
+
+/** One document row for the streaming-ingest test (top-level so the
+  * case-class Encoder has no outer pointer). */
+case class Doc(doc_id: Long, text: String)
 
 /** Continuous-ingest dedup contracts (SURVEY.md §2.9 / §4): a batch is
   * deduped against the persisted posting index in O(batch) work — no
@@ -53,5 +59,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(replay.intersect(kept1).isEmpty,
       "replay re-admitted docs that are already in the index")
     assert(maxPerCell === 1L, "replay broke the bucket-unique invariant")
+  }
+
+  test("streaming ingest: foreachBatch drives the posting index per micro-batch") {
+    // The production wiring: a document stream dedups against the SAME
+    // persisted posting index, one O(batch) ingest per micro-batch — the
+    // batch and streaming paths share IncrementalDedup verbatim.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_inc_stream_idx").toString
+    val outDir = Files.createTempDirectory("graft_inc_stream_out").toString + "/kept"
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IncrementalDedup.ingest(batch, idx)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(
+        Doc(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        Doc(2L, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      mem.addData(
+        Doc(3L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+        Doc(4L, "completely fresh vocabulary nothing shared at all here"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 4L),
+        s"cross-micro-batch duplicate must drop against the index (kept=$kept)")
+    } finally q.stop()
   }
 }
