@@ -928,8 +928,17 @@ object Llm {
     Tables.documents(spark, dir)
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_words", size(col("words")).cast("bigint"))
+      // top-word count as the longest equal run of the SORTED words — one
+      // O(n log n) pass per row instead of the O(n·|vocab|) distinct×filter
+      // formulation (which benched 4× slower in interpreted lambda time)
       .withColumn("topc", expr(
-        "array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w))))")
+        """aggregate(sort_array(words),
+          |  named_struct('prev', '', 'run', 0, 'best', 0),
+          |  (a, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(x = a.prev, a.run + 1, 1),
+          |    'best', greatest(a.best, IF(x = a.prev, a.run + 1, 1))),
+          |  a -> a.best)""".stripMargin)
         .cast("bigint"))
       .withColumn("bigrams", expr(
         "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
