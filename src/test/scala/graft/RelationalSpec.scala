@@ -106,6 +106,33 @@ class RelationalSpec extends AnyFunSuite {
       "salting changed the join result — the correctness contract is identity")
   }
 
+  test("q_join_interval_bin: binned equi-join output equals the naive inequality join") {
+    // Engine-internal identity (the DuckDB oracle is the cross-engine leg):
+    // the bucket equi-join + residual + distinct must reproduce exactly what
+    // the raw inequality join computes — at test scale the naive form plans
+    // a nested loop over the broadcast window list, which is what the binned
+    // form exists to avoid at 100 TB.
+    import org.apache.spark.sql.functions._
+    val binned = graft.queries.Windows.qJoinIntervalBin(spark, TestSpark.sfDir)
+      .collect().map(_.toString).toSeq
+    val wins = Tables.orders(spark, TestSpark.sfDir)
+      .select(trunc(col("o_orderdate"), "month").as("w_start")).distinct()
+      .withColumn("w_end", date_add(col("w_start"), 2))
+    val lines = Tables.lineitem(spark, TestSpark.sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_shipdate").cast("date").as("svc_start"))
+      .withColumn("svc_end", date_add(col("svc_start"),
+        (lit(1) + pmod(col("l_orderkey") + col("l_linenumber"), lit(30))).cast("int")))
+    val naive = wins
+      .join(lines, col("svc_start") <= col("w_end") && col("w_start") <= col("svc_end"))
+      .select("w_start", "l_orderkey", "l_linenumber").distinct()
+      .groupBy("w_start")
+      .agg(count(lit(1)).as("n_lines"), countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("w_start")
+      .collect().map(_.toString).toSeq
+    assert(binned === naive, "bin bucketing changed the overlap-join result")
+  }
+
   test("q_gap_fill: spine join broadcasts and every day in range appears once") {
     val gf = graft.queries.Windows.qGapFill(spark, TestSpark.sfDir)
     val rows = gf.collect()
