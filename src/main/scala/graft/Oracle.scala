@@ -1012,6 +1012,25 @@ object Oracle {
         |WHERE CASE WHEN lang = 'en' THEN bucket < '40' ELSE bucket < '20' END
         |ORDER BY doc_id""".stripMargin,
 
+    "q_split_assign" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < 'cc' THEN 'train'
+        |       WHEN bucket < 'e6' THEN 'val' ELSE 'test' END AS split
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    md5('strat:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT doc_id, lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        |  FROM s)
+        |SELECT doc_id, lang, h, CAST(rk AS INT) AS rk FROM r
+        |WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
+
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
         |           FROM documents),

@@ -113,6 +113,8 @@ object SparkEntry {
     "q_repetition_filter" -> (Llm.qRepetitionFilter _),
     "q_decontaminate"  -> (Llm.qDecontaminate _),
     "q_mix_temperature" -> (Llm.qMixTemperature _),
+    "q_split_assign"   -> (Llm.qSplitAssign _),
+    "q_sample_stratified" -> (Llm.qSampleStratified _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

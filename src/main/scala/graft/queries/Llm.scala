@@ -718,6 +718,40 @@ object Llm {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
 
+  /** §2.9 Deterministic train/val/test split: each document's split follows
+    * the first hex byte of a seeded md5 of its id — 80/10/10 by hash range
+    * ('cc' = 204/256 ≈ 80%, 'e6' = 230/256 ≈ 90%), reproducible across
+    * runs/engines/partitionings, and stable under corpus growth (a doc's
+    * split never depends on other rows). Pure map-side projection — zero
+    * shuffles beyond the output sort. */
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < "cc", "train")
+          .when(col("bucket") < "e6", "val")
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+  /** §2.9 Exact k-per-stratum sample: the k smallest-hash docs per language
+    * — deterministic eval-set construction with a FIXED stratum size (vs
+    * [[qSampleHash]]'s rate-based Bernoulli sampling). One window over hash
+    * order per stratum; the window sees only (id, hash) rows, and at 100 TB
+    * the same semantics run as a per-partition top-k + merge (the TopKAgg
+    * pattern) — the window form is the declared, oracle-checkable shape. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("h", md5(concat(lit("strat:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("h"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
   /** §2.9 Sequence packing: assign documents to fixed-token-budget training
     * bins (budget 512) by cumulative token count per language — the
     * pack-short-documents step before batching for training. The running
