@@ -85,10 +85,24 @@ object Bench {
     }
     // Budget: the driver keeps a 2000-char stdout tail; sbt's trailing
     // "[success] Total time: ..." line + newlines eat ~76, so the JSON line
-    // must stay ≤ ~1924. 1895 leaves ~30 chars of slack while admitting
-    // 1-decimal precision at ~90 queries (0-decimal loses all per-query
-    // signal — most queries run under 2 s).
-    val json = (2 to 0 by -1).map(render).find(_.length <= 1895).getOrElse(render(0))
+    // must stay ≤ ~1924 (1895 leaves slack). At 95+ queries a UNIFORM
+    // decimal count no longer fits above 0 dp — which zeroes out every
+    // sub-second query (r05 regressed exactly this way). Instead spend the
+    // budget greedily: start everything at 0 decimals and upgrade queries
+    // to 2-decimal rendering from the SLOWEST down while the line fits —
+    // the expensive queries, where round-over-round deltas actually
+    // matter, keep their signal; the ~10 ms tail quantizes to 0 anyway.
+    def renderWith(dp: Map[String, Int]): String = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v, dp(k)) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
+    }
+    var dp = results.map { case (k, _, _) => k -> 0 }.toMap
+    for (k <- results.sortBy(-_._2).map(_._1)) {
+      val tryDp = dp + (k -> 2)
+      if (renderWith(tryDp).length <= 1895) dp = tryDp
+    }
+    val json = renderWith(dp)
     // The file sidecar has no line-length budget: keep FULL 3-decimal
     // precision there (±0.5 ms) so round-over-round comparison is not
     // dominated by the stdout line's 1-decimal quantization.

@@ -77,9 +77,38 @@ object AnnIndex {
     Files.write(readyMarker(indexDir), Array.emptyByteArray)
   }
 
-  /** Build the index iff its ready-marker is absent. */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(dir)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+
+  /** Build the index iff its ready-marker is absent.
+    *
+    * Cross-process safety: `synchronized` only covers one JVM, and Verify /
+    * Bench / test processes can overlap — so the build lands in a fresh temp
+    * sibling and is RENAMED into place atomically. Two racing processes both
+    * build; one rename wins, the loser discards its copy. No reader ever
+    * sees a half-written `lists/` behind a valid marker. */
   def ensure(e: DataFrame, indexDir: String, nlist: Int): Unit = synchronized {
-    if (!Files.exists(readyMarker(indexDir))) build(e, indexDir, nlist)
+    if (Files.exists(readyMarker(indexDir))) return
+    val target = Paths.get(indexDir)
+    val tmp = Paths.get(indexDir + s".build-${java.util.UUID.randomUUID()}")
+    build(e, tmp.toString, nlist)
+    try {
+      Option(target.getParent).foreach(Files.createDirectories(_))
+      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        if (Files.exists(readyMarker(indexDir))) deleteRecursively(tmp) // lost the race: theirs is complete
+        else { // stale partial dir from a crashed legacy build: replace it
+          deleteRecursively(target)
+          Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+    }
   }
 
   /** Probe-list selection: rank the persisted centroids by cosine similarity

@@ -27,7 +27,9 @@ import graft.queries.Llm
   * most ONE kept doc (two docs sharing a cell are by construction a
   * candidate pair, and one of them always loses) — spec-asserted. A
   * replayed doc that is already in the index is always dropped (it collides
-  * with its own stored postings).
+  * with its own stored postings). Docs with no shingle signature (null
+  * text) are indexed under a whole-text-hash cell in sentinel band -1, so
+  * the replay guarantee covers them too — spec-asserted.
   *
   * Cross-batch chains are resolved GREEDILY: a doc whose only near-dups
   * were themselves dropped earlier (never indexed) is admitted — the
@@ -48,8 +50,18 @@ object IncrementalDedup {
              bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val spark = batch.sparkSession
     // hash the batch ONCE; every later step reuses these postings
-    val posts = Llm.minhashBandRows(batch, bands, rowsPerBand)
-      .localCheckpoint(true)
+    val hashed = Llm.minhashBandRows(batch, bands, rowsPerBand)
+    // A doc with no shingle signature (null text) still gets ONE posting —
+    // a whole-text-hash cell in sentinel band -1 — so an exact replay
+    // collides with its own stored posting and is dropped like any other
+    // duplicate, instead of being re-admitted on every batch. Near-dups of
+    // unshingleable docs remain undetectable by construction (no signature
+    // to band); only EXACT repeats carry evidence, and the hash cell is it.
+    val unshingled = batch
+      .join(hashed.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(-1).as("band"),
+              md5(coalesce(col("text"), lit(""))).as("bkey"))
+    val posts = hashed.unionByName(unshingled).localCheckpoint(true)
 
     // 1) drop batch docs colliding with the stored corpus
     val survivorPosts =
@@ -68,13 +80,11 @@ object IncrementalDedup {
       .select("doc_id")
     val keptPosts = survivorPosts.join(nonCanonical, Seq("doc_id"), "left_anti")
 
-    // 3) append the kept docs' postings — the index stays bucket-unique
+    // 3) append the kept docs' postings — the index stays bucket-unique.
+    // EVERY doc carries at least one posting (minhash bands or the band=-1
+    // whole-text cell), so the kept corpus is exactly the kept-posting docs.
     keptPosts.select("band", "bkey", "doc_id")
       .write.mode("append").parquet(postingsPath(indexDir))
-    // kept = surviving hashed docs, plus any doc too short to shingle
-    // (no signature -> no duplicate evidence -> keep, never indexed)
     batch.join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-      .unionByName(
-        batch.join(posts.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
   }
 }

@@ -974,6 +974,10 @@ object Llm {
           |    'best', greatest(a.best, IF(x = a.prev, a.run + 1, 1))),
           |  a -> a.best)""".stripMargin)
         .cast("bigint"))
+      // docs with <2 words have no bigram; the oracle's inner join on the
+      // bigram group drops them, so drop them explicitly here (a bare
+      // sequence(0, -1) would be DESCENDING and fabricate a null bigram)
+      .filter(col("n_words") >= 2)
       .withColumn("bigrams", expr(
         "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
       .withColumn("top_word_frac",
@@ -998,9 +1002,15 @@ object Llm {
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("w", split(col("text"), " "))
+    // docs with <4 words have no 4-gram: guard the sequence (unguarded it
+    // runs DESCENDING into slice(w, 0, 4), which throws) and explode the
+    // empty array away — the doc still reaches the output via the left
+    // join below, mirroring the oracle's empty range(1, len-2).
     val grams = d.select(col("doc_id"), col("source"),
       explode(expr(
-        "transform(sequence(1, size(w) - 3), i -> array_join(slice(w, i, 4), ' '))"))
+        """CASE WHEN size(w) >= 4
+          |THEN transform(sequence(1, size(w) - 3), i -> array_join(slice(w, i, 4), ' '))
+          |ELSE CAST(array() AS array<string>) END""".stripMargin))
         .as("gram"))
     val evalGrams = grams.filter(col("source") === "src0").select("gram").distinct()
     val hits = grams.filter(col("source") =!= "src0")

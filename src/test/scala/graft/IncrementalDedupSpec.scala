@@ -61,6 +61,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(maxPerCell === 1L, "replay broke the bucket-unique invariant")
   }
 
+  test("unshingleable docs: exact replays drop via the band=-1 whole-text cell") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_inc_idx3").toString
+    // null text ⇒ no shingles ⇒ no minhash signature: the ONLY duplicate
+    // evidence such a doc can carry is its whole-text hash, indexed in
+    // sentinel band -1
+    val b1 = Seq((10L, null: String), (11L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val kept1 = IncrementalDedup.ingest(b1, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 === Set(10L, 11L), "first ingest must keep both docs")
+    val bands = spark.read.parquet(s"$idx/postings")
+      .filter(col("doc_id") === 10L).select("band")
+      .collect().map(_.getInt(0)).toSet
+    assert(bands === Set(-1), s"unshingleable doc must index ONLY the hash cell (got $bands)")
+    // replay: the unshingleable doc now collides with its own stored cell
+    val replay = IncrementalDedup.ingest(b1, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay.isEmpty, s"replayed docs re-admitted: $replay")
+    // and two identical unshingleable docs in ONE batch self-dedup too
+    val b2 = Seq((20L, null: String), (21L, null: String)).toDF("doc_id", "text")
+    val kept2 = IncrementalDedup.ingest(b2, Files.createTempDirectory("graft_inc_idx4").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 === Set(20L), s"within-batch null-text dup must lose (kept=$kept2)")
+  }
+
   test("streaming ingest: foreachBatch drives the posting index per micro-batch") {
     // The production wiring: a document stream dedups against the SAME
     // persisted posting index, one O(batch) ingest per micro-batch — the

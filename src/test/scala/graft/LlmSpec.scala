@@ -269,11 +269,22 @@ class LlmSpec extends AnyFunSuite {
     def run() = Llm.dedupGroups(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val local = run()
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString)
-    val reliable = run()
-    assert(reliable === local,
-      "reliable-checkpoint CC diverged from the executor-local run")
+    // TestSpark is shared across suites: restore the (unset) checkpoint dir
+    // afterwards so later dedupGroups calls don't silently switch modes, and
+    // remove the temp checkpoint files (cleanCheckpoints defaults to false).
+    val prev = spark.sparkContext.getCheckpointDir
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    try {
+      spark.sparkContext.setCheckpointDir(tmp.toString)
+      val reliable = run()
+      assert(reliable === local,
+        "reliable-checkpoint CC diverged from the executor-local run")
+    } finally {
+      spark.sparkContext.setCheckpointDir(prev.orNull)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("seq_pack: offsets stay inside the budget and packs advance monotonically") {
