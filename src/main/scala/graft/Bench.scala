@@ -35,7 +35,12 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Dev aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run to named
+    // queries while iterating on one plan. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { n =>
       try evalOnce(n)
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: $e") }

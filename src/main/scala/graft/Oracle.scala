@@ -483,6 +483,19 @@ object Oracle {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    // Oracle is the WINDOW formulation — an independent expression of the
+    // semantics the custom TopKPerGroup operator must reproduce. The
+    // (price DESC, orderkey, linenumber) ordering is total, so the rank-3
+    // cut is deterministic in both engines.
+    "q_topk_plan_native" ->
+      """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+        |FROM r WHERE rn <= 3
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
     // (user_id, ts) is unique in events (verified), so arg_min/arg_max on
     // ts are deterministic — the same precondition Spark's min_by/max_by use.
     "q_agg_ohlc" ->

@@ -50,6 +50,7 @@ object SparkEntry {
     "q_histogram"     -> (Relational.qHistogram _),
     "q_stats_moments" -> (Relational.qStatsMoments _),
     "q_agg_topk"      -> (Relational.qAggTopk _),
+    "q_topk_plan_native" -> (Relational.qTopkPlanNative _),
     "q_sql_text"      -> (Relational.qSqlText _),
     "q_sql_lateral"   -> (Relational.qSqlLateral _),
     "q_win_rank"          -> (Windows.qWinRank _),

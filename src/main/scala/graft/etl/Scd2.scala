@@ -72,9 +72,12 @@ object Scd2 {
     * `effCol` (the change's effective time), plus the `seqCol`/`flagCol`
     * envelope. The latest CDC record per key in the batch wins.
     *
-    * Shape at scale: one keyed window over the batch, one keyed anti-join
-    * (untouched history), one keyed equi-join (closing the affected open
-    * versions) — no full-history shuffle beyond the affected keys. */
+    * Shape at scale: one keyed window over the batch and ONE keyed left
+    * equi-join over the history — untouched rows (no batch match) pass
+    * through it unchanged and touched open versions close at the incoming
+    * effective time, in the same pass. (An anti-join + inner-join pair
+    * would express the same split but scan — and re-window — the history
+    * twice; the merged join halves the dominant cost.) */
   def applyCdcHistorized(history: DataFrame, cdc: DataFrame, keyCols: Seq[String],
                          seqCol: String, flagCol: String,
                          effCol: String = "eff"): DataFrame = {
@@ -83,20 +86,19 @@ object Scd2 {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val untouched = history.join(latest.select(keyCols.map(col): _*),
-      keyCols, "left_anti")
-    // affected keys: close the open version at the incoming effective time
-    val touched = history.join(
-      latest.select((keyCols.map(col) :+ col(effCol).as("__new_eff")): _*), keyCols)
+    val merged = history.join(
+      latest.select((keyCols.map(col) :+ col(effCol).as("__new_eff")): _*),
+      keyCols, "left")
       .withColumn("end",
-        when(col("is_current"), col("__new_eff")).otherwise(col("end")))
-      .withColumn("is_current", lit(false))
+        when(col("is_current") && col("__new_eff").isNotNull, col("__new_eff"))
+          .otherwise(col("end")))
+      .withColumn("is_current", col("is_current") && col("__new_eff").isNull)
       .drop("__new_eff")
     // inserts/updates open a new current version; deletes add no successor
     val newVersions = latest.filter(col(flagCol) =!= "D")
       .drop(seqCol, flagCol)
       .withColumn("end", lit(null).cast(history.schema("end").dataType))
       .withColumn("is_current", lit(true))
-    untouched.unionByName(touched).unionByName(newVersions)
+    merged.unionByName(newVersions)
   }
 }

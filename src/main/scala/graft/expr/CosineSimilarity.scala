@@ -103,6 +103,9 @@ object GraftFunctions {
 
 /** `--conf spark.sql.extensions=graft.expr.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((GraftFunctions.ident, GraftFunctions.info, GraftFunctions.builder))
+    // whole-operator surface (TopKPerGroup — SURVEY.md §2.11 option (c))
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+  }
 }

@@ -462,6 +462,25 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** §2.11(c) Per-group top-k as a WHOLE-ROW custom operator
+    * ([[graft.plans.TopKPerGroup]]): top-3 lineitems by price per supplier,
+    * planned by the injected [[graft.plans.GraftStrategy]] as
+    * partial-heap → one hash exchange → final-heap — the shuffle carries
+    * ≤ k rows per (group × map partition) instead of the whole table, and
+    * nothing ever fully sorts (contrast the window form the ORACLE uses:
+    * `row_number() OVER (...) <= 3`, an independent formulation of the same
+    * semantics). The (price desc, orderkey, linenumber) ordering is total,
+    * so both engines cut identical rows. Plan + shuffle-bound contracts in
+    * TopKPlanSpec. */
+  def qTopkPlanNative(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    graft.plans.TopK.perGroup(li, Seq("l_suppkey"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
+      .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+               col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** §2.1 SQL-text entry path: the same engine drives `spark.sql(...)` over
     * registered temp views — a CTE + join + aggregate written once in ANSI
     * SQL that runs verbatim in both Spark and DuckDB (the oracle IS this
