@@ -105,7 +105,11 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((GraftFunctions.ident, GraftFunctions.info, GraftFunctions.builder))
-    // whole-operator surface (TopKPerGroup — SURVEY.md §2.11 option (c))
+    // whole-operator surface (TopKPerGroup — SURVEY.md §2.11 option (c)):
+    // the planner strategy, plus the optimizer rule that un-blocks filter
+    // pushdown through the custom node (injected rules join the operator-
+    // optimization fixed point, so pushed predicates continue to the scan)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKPushdownRule)
   }
 }

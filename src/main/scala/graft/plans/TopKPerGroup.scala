@@ -3,12 +3,14 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeSet, Descending, PredicateHelper, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.internal.SQLConf
 
 /** Whole-operator extension path (SURVEY.md §2.11 option (c)): per-group
   * top-k as a custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`,
@@ -47,11 +49,43 @@ case class TopKPerGroup(groupCols: Seq[Attribute], ordering: Seq[SortOrder],
   * carrying the partials' ≤ k rows per (group × map partition), not the
   * input. */
 object GraftStrategy extends SparkStrategy {
+  /** Map-side group-map size at which the partial pass flushes (emits its
+    * heaps and resets) — bounds partial memory at `flush × k` rows per task
+    * when group cardinality per partition is huge, trading shuffle volume
+    * for memory exactly like hash aggregation's fallback. The final pass
+    * never flushes (a group's rows must meet in one map). */
+  val partialFlushKey = "spark.graft.topk.partialFlushGroups"
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, ord, k, child) =>
-      TopKPerGroupExec(g, ord, k, partial = false,
-        TopKPerGroupExec(g, ord, k, partial = true, planLater(child))) :: Nil
+      val flush = SQLConf.get.getConfString(partialFlushKey, "131072").toInt
+      TopKPerGroupExec(g, ord, k, partial = false, Int.MaxValue,
+        TopKPerGroupExec(g, ord, k, partial = true, flush, planLater(child))) :: Nil
     case _ => Nil
+  }
+}
+
+/** Optimizer integration for the custom node (SURVEY.md §4): Catalyst
+  * cannot move predicates through an operator it does not know, so an
+  * unknown node is a pushdown BARRIER — a filter written after
+  * [[TopK.perGroup]] would otherwise evaluate post-shuffle on the full
+  * top-k output instead of pruning the scan. This injected rule teaches
+  * the optimizer the one algebraic fact that makes the move sound: a
+  * deterministic predicate over the GROUP columns commutes with per-group
+  * top-k (it drops whole groups, never reorders rows within a kept group).
+  * Once below the node, the ordinary pushdown batch carries it into the
+  * scan ([[SQLConf]] fixed-point semantics — the rule runs inside the
+  * operator-optimization batch). */
+object TopKPushdownRule extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, t: TopKPerGroup) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(AttributeSet(t.groupCols)))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = t.copy(child = Filter(pushable.reduce(And), t.child))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }
 
@@ -62,8 +96,11 @@ object GraftStrategy extends SparkStrategy {
   * arbitrary partitioning; the final pass declares
   * [[ClusteredDistribution]] so every group's partials meet in one task. */
 case class TopKPerGroupExec(groupCols: Seq[Attribute], ordering: Seq[SortOrder],
-                            k: Int, partial: Boolean, child: SparkPlan)
+                            k: Int, partial: Boolean, flushGroups: Int,
+                            child: SparkPlan)
   extends UnaryExecNode {
+  require(partial || flushGroups == Int.MaxValue,
+    "only the partial pass may flush — a final-pass group must meet in one map")
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -83,13 +120,13 @@ case class TopKPerGroupExec(groupCols: Seq[Attribute], ordering: Seq[SortOrder],
     val ord = ordering
     val attrs = child.output
     val kk = k
+    val flush = flushGroups
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(grp, attrs)
       val rowOrd = GenerateOrdering.generate(ord, attrs)
       // max-heap under the sort order: head is the kept row that sorts LAST
-      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      var heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -101,9 +138,31 @@ case class TopKPerGroupExec(groupCols: Seq[Attribute], ordering: Seq[SortOrder],
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator)
-        .map { r => numOutputRows += 1; r }
+      def drain(): Iterator[InternalRow] = {
+        import scala.jdk.CollectionConverters._
+        val out = heaps
+        heaps = new java.util.HashMap()
+        out.values().iterator().asScala.flatMap(_.iterator)
+      }
+      // Streaming emit: rows flow out on each flush, not buffered to the
+      // partition's end — memory stays ≤ flushGroups × k rows regardless
+      // of per-partition group cardinality.
+      new scala.collection.AbstractIterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!pending.hasNext && iter.hasNext) {
+            insert(iter.next())
+            if (heaps.size > flush) pending = drain()
+          }
+          if (!pending.hasNext && !heaps.isEmpty) pending = drain()
+          pending.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty top-k iterator")
+          numOutputRows += 1
+          pending.next()
+        }
+      }
     }, preservesPartitioning = true)
   }
 
@@ -117,10 +176,14 @@ object TopK {
   /** Idempotent strategy registration on any session — mirrors
     * [[graft.expr.GraftFunctions.ensureRegistered]]; also injected
     * session-wide via `spark.sql.extensions=graft.expr.GraftExtensions`. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(GraftStrategy))
       spark.experimental.extraStrategies =
         GraftStrategy +: spark.experimental.extraStrategies
+    if (!spark.experimental.extraOptimizations.contains(TopKPushdownRule))
+      spark.experimental.extraOptimizations =
+        TopKPushdownRule +: spark.experimental.extraOptimizations
+  }
 
   /** The k first rows of each group under `orderSpec` (`(column, ascending)`
     * pairs, applied in sequence — include a tiebreaker to make it total).

@@ -62,6 +62,52 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(banned.isEmpty, s"window/sort nodes in the top-k plan: $banned")
   }
 
+  test("group-key filters push THROUGH the custom node into the parquet scan") {
+    // Without TopKPushdownRule the custom node is a pushdown barrier: the
+    // suppkey predicate would evaluate on the top-k output, post-shuffle.
+    // With it, the filter commutes below the node and reaches the scan as
+    // a PushedFilter — the scan prunes BEFORE any heap sees a row.
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val df = TopK.perGroup(li, Seq("l_suppkey"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
+      .filter(col("l_suppkey") < 5)
+    df.collect()
+    val nodes = collectNodes(df.queryExecution.executedPlan)
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata.getOrElse("PushedFilters", "").contains("l_suppkey")),
+      s"suppkey filter did not reach the scan: ${scans.map(_.metadata.getOrElse("PushedFilters", ""))}")
+    // and no Filter node survives ABOVE the final top-k pass
+    val preFiltered = TopK.perGroup(li.filter(col("l_suppkey") < 5), Seq("l_suppkey"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet === preFiltered,
+      "pushed plan diverges from filtering before the operator")
+  }
+
+  test("partial flush keeps results exact while bounding map-side memory") {
+    // flushGroups=1: the partial pass emits and resets its heap map almost
+    // every row — the worst case for reduction, the proof case for the
+    // bounded-memory path (hash-agg-fallback semantics: flushed partials
+    // re-merge in the final pass, so the answer cannot change).
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val key = graft.plans.GraftStrategy.partialFlushKey
+    spark.conf.set(key, "1")
+    try {
+      val flushed = TopK.perGroup(li, Seq("l_suppkey"),
+          Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
+        .collect().map(_.toSeq).toSet
+      spark.conf.unset(key)
+      val normal = TopK.perGroup(li, Seq("l_suppkey"),
+          Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
+        .collect().map(_.toSeq).toSet
+      assert(flushed === normal, "flushing partials changed the top-k result")
+    } finally spark.conf.unset(key)
+  }
+
   test("partial pass bounds the shuffle: ≤ k rows per group per map partition") {
     val li = Tables.lineitem(spark, TestSpark.sfDir)
       .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
