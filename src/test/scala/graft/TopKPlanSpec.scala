@@ -5,6 +5,8 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test => ScTest}
+import org.scalacheck.Prop.forAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.plans.{TopK, TopKPerGroupExec}
@@ -129,4 +131,34 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(out.length.toLong === 3L * nGroups,
       s"every supplier group has ≥3 lineitems at this SF — expected ${3 * nGroups} rows")
   }
+}
+
+/** Generative equivalence: on arbitrary (group, value, uniq) data and
+  * arbitrary k, the custom operator must return exactly the window
+  * `row_number() <= k` rows — duplicates in the value column included
+  * (the `uniq` tiebreaker keeps the cut total, as both forms require). */
+object TopKProps extends Properties("TopKPerGroup") {
+  private lazy val spark = TestSpark.spark
+
+  override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val genRows: Gen[List[(Int, Int)]] = for {
+    n <- Gen.choose(0, 60)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1, 6), Gen.choose(0, 9)))
+  } yield rows
+
+  property("matches window row_number()<=k on arbitrary data and k") =
+    forAll(genRows, Gen.choose(1, 5)) { (rows, k) =>
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i) }.toDF("g", "v", "uniq")
+      val custom = TopK.perGroup(df, Seq("g"), Seq(("v", false), ("uniq", true)), k)
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("uniq"))
+      val window = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(_.toSeq).toSet
+      custom == window
+    }
 }

@@ -91,6 +91,41 @@ class WarehouseSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("single-file sorted buckets: sort-merge join with zero exchanges AND zero sorts") {
+    // The full co-located layout: pre-shuffling by the bucket hash before a
+    // bucketBy+sortBy write leaves each bucket exactly ONE file (task i
+    // holds precisely bucket i's rows — repartition and bucketing share the
+    // Murmur3 hash), which is the condition under which the scan reports
+    // its sortBy order. A key-equi SMJ then needs neither a shuffle nor a
+    // sort on either side — the whole join cost is the merge. At 100 TB
+    // that turns the nightly fact/dim join into a streaming zip of
+    // pre-sorted bucket files.
+    Tables.orders(spark, TestSpark.sfDir)
+      .repartition(8, col("o_custkey"))
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt1")
+    Tables.customer(spark, TestSpark.sfDir)
+      .repartition(8, col("c_custkey"))
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bkt1")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_bkt1")
+        .join(spark.table("customer_bkt1"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name")
+      assert(j.count() > 0)
+      val exec = j.queryExecution.executedPlan
+      val plan = exec.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"single-file-bucket join must not shuffle:\n$plan")
+      val sorts = exec.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.isEmpty,
+        s"single-file sorted buckets must satisfy the SMJ ordering without Sort nodes:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("dynamic partition overwrite replaces only the loaded partitions") {
     // The incremental-batch load pattern [SPEC: incremental updates]: each
     // batch overwrites exactly the date partitions it carries; history
