@@ -310,8 +310,13 @@ object Llm {
       if (reliable) df.checkpoint() else df.localCheckpoint(true)
     val edges = pin(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = pin(edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")))
+    // Seed labels with min(node, min(neighbor)) — this IS round 1's
+    // neighbor-min, computed during the init aggregation instead of a full
+    // round (one fewer checkpoint + convergence action; the fixpoint is
+    // unchanged, it's just entered one hop closer).
+    var labels = pin(edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nbmin"))
+      .select(col("node"), least(col("node"), col("nbmin")).as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -324,7 +329,10 @@ object Llm {
       val oneHop = pin(labels.unionByName(neighborLabels)
         .groupBy("node").agg(min(col("label")).as("label")))
       // Pointer jump (label := label(label)): halves remaining chain
-      // distance each round — O(log d) rounds total.
+      // distance each round — O(log d) rounds total. (A second compose per
+      // round — label∘label∘label — was measured at sf0.1 and did NOT cut
+      // rounds on the minhash graphs while adding a join per round; the
+      // binding constraint is neighbor discovery, not chain compression.)
       val jumped = oneHop
         .join(oneHop.select(col("node").as("label"), col("label").as("label2")),
               "label")
