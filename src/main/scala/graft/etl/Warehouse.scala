@@ -25,7 +25,13 @@ object Warehouse {
     total
   }
 
-  /** Compact `path` in place; returns the file count written. */
+  /** Compact `path` in place; returns the file count written.
+    *
+    * NOTE: the delete-then-rename swap has a reader-visible window (a scan
+    * listing `path` between the two calls sees nothing) — acceptable for
+    * single-writer maintenance jobs, NOT for live tables. Live tables use
+    * the [[publish]]/[[readCurrent]] manifest layer below, whose commit is
+    * one atomic pointer rename with no window. */
   def compact(spark: SparkSession, path: String, targetMB: Int = 128): Int = {
     val nFiles = math.max(1L,
       (dataBytes(spark, path) + targetMB * 1024L * 1024 - 1) / (targetMB * 1024L * 1024))
@@ -38,5 +44,62 @@ object Warehouse {
     fs.delete(cur, true)
     fs.rename(staging, cur)
     nFiles.toInt
+  }
+
+  // ---- versioned manifest layer ------------------------------------------
+
+  /** Atomic full-table republish without a reader-visible window — the
+    * manifest-pointer pattern every transactional table format builds on
+    * (snapshot dirs + one mutable pointer): data lands in an immutable
+    * `v=N/` dir, and the COMMIT is a single atomic rename onto the
+    * `_CURRENT` pointer file. A reader resolves the pointer first
+    * ([[readCurrent]]) and then scans only that snapshot dir, so it sees
+    * entirely-old or entirely-new — never a mix, never an empty table.
+    * Old snapshots stay readable (time travel) until [[vacuum]].
+    *
+    * Returns the published version. Concurrent publishers both succeed
+    * (distinct version dirs; last pointer rename wins — snapshot isolation,
+    * not serialized writes: the right default for full-table refresh). */
+  def publish(spark: SparkSession, tableDir: String,
+              write: String => Unit): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(tableDir))
+    val version = System.nanoTime() // monotone enough per publisher; dirs are immutable
+    write(s"$tableDir/v=$version")
+    val tmp = Paths.get(tableDir, s"_CURRENT.tmp-$version")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, Paths.get(tableDir, "_CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    version
+  }
+
+  /** The version the `_CURRENT` pointer names (fails if never published). */
+  def currentVersion(tableDir: String): Long = {
+    import java.nio.file.{Files, Paths}
+    Files.readString(Paths.get(tableDir, "_CURRENT")).trim.toLong
+  }
+
+  /** Scan the current snapshot: resolve the pointer ONCE, then read only
+    * that immutable dir — the scan cannot straddle a republish. Pass an
+    * explicit `version` for time travel. */
+  def readCurrent(spark: SparkSession, tableDir: String,
+                  version: Option[Long] = None) = {
+    val v = version.getOrElse(currentVersion(tableDir))
+    spark.read.parquet(s"$tableDir/v=$v")
+  }
+
+  /** Drop every snapshot dir except the current one (and any newer). */
+  def vacuum(tableDir: String): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val cur = currentVersion(tableDir)
+    val doomed = Files.list(Paths.get(tableDir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("v=") &&
+        p.getFileName.toString.stripPrefix("v=").toLong < cur)
+      .toSeq
+    doomed.foreach { d =>
+      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    doomed.size
   }
 }

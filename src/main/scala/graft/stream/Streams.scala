@@ -148,28 +148,29 @@ object Streams {
 
   /** foreachBatch upsert sink: folds every micro-batch into a parquet
     * "current state" table as latest-per-key (the TPC-DI incremental-batch
-    * dimension upsert, stream-driven). Read → merge → write-aside → swap;
-    * a transactional table format would replace the swap with a MERGE, the
-    * merge plan itself is identical. */
+    * dimension upsert, stream-driven). Each batch publishes a new snapshot
+    * through the [[graft.etl.Warehouse]] manifest layer — the commit is ONE
+    * atomic pointer rename, so a concurrent reader resolving the pointer
+    * sees entirely-old or entirely-new state, never a mix and never an
+    * empty window (the flaw of a delete-then-rename swap). A transactional
+    * table format would replace the republish with a MERGE; the merge plan
+    * itself is identical. */
   def upsertToParquet(stream: DataFrame, statePath: String, keyCols: Seq[String],
                       seqCol: String): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = new Path(statePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val cur = new Path(statePath)
         val existing =
-          if (fs.exists(cur)) spark.read.parquet(statePath) else batch.limit(0)
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(statePath, "_CURRENT")))
+            graft.etl.Warehouse.readCurrent(spark, statePath)
+          else batch.limit(0)
         val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
         val merged = existing.unionByName(batch)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__rn")
-        val staging = new Path(statePath + "__staging")
-        merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(cur, true)
-        fs.rename(staging, cur)
+        graft.etl.Warehouse.publish(spark, statePath,
+          dir => merged.write.mode("overwrite").parquet(dir))
         ()
     }
 }

@@ -93,7 +93,7 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(ev(3, "2024-01-01 10:05:00", user = 1L, typ = "purchase"),
                   ev(4, "2024-01-01 10:06:00", user = 3L, typ = "view"))
       q.processAllAvailable()
-      val state = spark.read.parquet(statePath)
+      val state = graft.etl.Warehouse.readCurrent(spark, statePath)
         .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
                              r.getAs[String]("event_type"))).sortBy(_._1)
       assert(state.toSeq === Seq((1L, 3L, "purchase"), (2L, 2L, "click"),

@@ -64,6 +64,32 @@ class WarehouseSpec extends AnyFunSuite {
     assert(after.toSeq === before.toSeq, "compaction must be a pure rewrite")
   }
 
+  test("manifest publish: atomic pointer commit, time travel, vacuum") {
+    import graft.etl.Warehouse
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val v1 = Warehouse.publish(spark, dir,
+      d => Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(d))
+    // a reader that resolved the pointer BEFORE the republish keeps its
+    // snapshot: the v1 dir is immutable, only the pointer moves
+    val pinnedV1 = Warehouse.readCurrent(spark, dir)
+    assert(Warehouse.currentVersion(dir) === v1)
+    val v2 = Warehouse.publish(spark, dir,
+      d => Seq((1, "a2"), (3, "c")).toDF("k", "v").write.parquet(d))
+    assert(Warehouse.currentVersion(dir) === v2)
+    assert(Warehouse.readCurrent(spark, dir).collect().map(_.getString(1)).sorted
+      === Array("a2", "c"), "current read must see the new snapshot")
+    assert(pinnedV1.collect().map(_.getString(1)).sorted === Array("a", "b"),
+      "pre-republish reader must still see its pinned snapshot (no mix, no window)")
+    assert(Warehouse.readCurrent(spark, dir, Some(v1))
+      .collect().map(_.getString(1)).sorted === Array("a", "b"), "time travel to v1")
+    // the pointer file is never absent mid-commit: ATOMIC_MOVE replaces
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_CURRENT")))
+    assert(Warehouse.vacuum(dir) === 1, "vacuum drops exactly the superseded snapshot")
+    assert(Warehouse.readCurrent(spark, dir).count() === 2,
+      "current snapshot survives vacuum")
+  }
+
   test("bucketed tables co-locate the join: sort-merge with zero shuffle exchanges") {
     // The 100-TB co-located-join layout: both sides bucketed (and sorted) on
     // the join key at write time, so a key-equi join needs NO shuffle at
