@@ -669,6 +669,34 @@ object Oracle {
         |WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
 
+    // Both snapshots derive from the same latest-per-key rule q_cdc_apply
+    // uses; unchanged keys are filtered on the exact event_id equality, so
+    // the surviving I/U/D set is deterministic.
+    "q_snapshot_diff" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, event_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |s2 AS (
+        |  SELECT user_id, event_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e)
+        |  WHERE rn = 1 AND event_type <> 'error')
+        |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'I'
+        |       WHEN s2.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+        |  s1.event_id AS old_event_id, s2.event_id AS new_event_id
+        |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+        |   OR s1.event_id <> s2.event_id
+        |ORDER BY user_id""".stripMargin,
+
     "q_cdc_scd2" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS eff, event_type, event_id

@@ -78,6 +78,7 @@ object SparkEntry {
     // §2.10 CDC / event-time (batch forms; stream wrappers in graft.stream)
     "q_cdc_apply"       -> (Cdc.qCdcApply _),
     "q_cdc_scd2"        -> (Cdc.qCdcScd2 _),
+    "q_snapshot_diff"   -> (Cdc.qSnapshotDiff _),
     "q_stream_tumbling" -> (Cdc.qStreamTumbling _),
     "q_session_window"  -> (Cdc.qSessionWindow _),
     // §2.9 LLM-data-pipeline block

@@ -146,11 +146,26 @@ object AnnIndex {
     * directories, and a probe's multi-probe candidate fetch is a
     * partition-PRUNED scan of `bands×(bits+1)` of `bands×2^bits` cells —
     * the "bucket columns precomputed at ingest" layout, demonstrated. */
-  def buildLsh(e: DataFrame, indexDir: String, bands: Int, bits: Int): Unit = {
+  def buildLsh(e: DataFrame, indexDir: String, bands: Int, bits: Int): Unit =
+    writeLsh(e, indexDir, bands, bits, "overwrite")
+
+  /** Incremental ingest: the hyperplanes are seeded and DATA-INDEPENDENT,
+    * so a new batch's bucket assignment is identical whether computed at
+    * build time or later — its posting rows simply APPEND. Each ingest is
+    * O(batch) work touching only the `(band, bkt)` partition dirs the batch
+    * lands in; nothing is rebuilt, and probes immediately see old + new
+    * vectors through the same pruned scan (spec-asserted equal to a
+    * from-scratch build). This is the LSH mirror of
+    * [[IncrementalDedup]]'s append-only posting table. */
+  def appendLsh(batch: DataFrame, indexDir: String, bands: Int, bits: Int): Unit =
+    writeLsh(batch, indexDir, bands, bits, "append")
+
+  private def writeLsh(e: DataFrame, indexDir: String, bands: Int, bits: Int,
+                       mode: String): Unit = {
     val bk = graft.queries.Llm.rpBandBuckets(e, bands, bits)
     val bandArr = array((0 until bands).map(b => col(s"bkt$b")): _*)
     bk.select(col("vec_id"), posexplode(bandArr).as(Seq("band", "bkt")))
-      .write.mode("overwrite").partitionBy("band", "bkt")
+      .write.mode(mode).partitionBy("band", "bkt")
       .parquet(s"$indexDir/buckets")
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,38 @@ object Cdc {
     next.select(col("user_id"), col("eff"), col("end").as("end_ts"),
                 col("is_current"), col("event_type"))
       .orderBy("user_id", "eff")
+  }
+
+  /** §2.10 Snapshot diff / reconciliation: classify every key as Inserted /
+    * Updated / Deleted between the table's state at a cut timestamp and its
+    * state now — the audit step after any incremental load (does replaying
+    * the CDC batches land exactly on the rebuilt snapshot?), and the
+    * change-feed generator when a source system only hands you full dumps.
+    *
+    * Shape at scale: each snapshot is one keyed window (latest-per-key);
+    * the comparison is a FULL OUTER equi-join on the key — sort-merge-able,
+    * no residuals — and unchanged keys drop before the output. */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val split = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    def stateAt(cut: Option[Column]): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val base = Tables.events(spark, dir)
+      cut.map(c => base.filter(col("ts") < c)).getOrElse(base)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select("user_id", "event_id")
+    }
+    val old = stateAt(Some(split))
+      .select(col("user_id").as("u1"), col("event_id").as("old_event_id"))
+    val now = stateAt(None)
+      .select(col("user_id").as("u2"), col("event_id").as("new_event_id"))
+    old.join(now, col("u1") === col("u2"), "full")
+      .filter(col("u1").isNull || col("u2").isNull ||
+        col("old_event_id") =!= col("new_event_id"))
+      .select(coalesce(col("u1"), col("u2")).as("user_id"),
+        when(col("u1").isNull, "I").when(col("u2").isNull, "D").otherwise("U").as("op"),
+        col("old_event_id"), col("new_event_id"))
+      .orderBy("user_id")
   }
 
   /** §2.10 Tumbling event-time windows: per-hour per-type counts and sums —

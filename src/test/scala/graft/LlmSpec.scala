@@ -261,6 +261,33 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH index append: incremental batches probe identically to a full build") {
+    // Seeded data-independent hyperplanes make ingest incremental: bucket
+    // assignment for a vector is the same whenever it is computed, so a
+    // half-then-half build must equal the one-shot build cell for cell.
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val full = java.nio.file.Files.createTempDirectory("graft_lsh_full").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
+    graft.etl.AnnIndex.buildLsh(e, full, bands = 3, bits = 8)
+    graft.etl.AnnIndex.buildLsh(e.filter(col("vec_id") < 250), inc, bands = 3, bits = 8)
+    graft.etl.AnnIndex.appendLsh(e.filter(col("vec_id") >= 250), inc, bands = 3, bits = 8)
+    def postings(dir: String) = spark.read.parquet(s"$dir/buckets")
+      .select("vec_id", "band", "bkt").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(postings(inc) === postings(full),
+      "incrementally-built posting lists diverge from the one-shot build")
+    // and a pruned probe over the appended index returns the same candidates
+    val own = Llm.rpBandBuckets(e.filter(col("vec_id") === 0L), 3, 8).head()
+    val cells = for { b <- 0 until 3; m <- 0 +: (0 until 8).map(1 << _).toList }
+      yield (b, own.getInt(1 + b) ^ m)
+    val got = graft.etl.AnnIndex.lshProbeScan(spark, inc, cells)
+      .collect().map(_.getLong(0)).toSet
+    val expected = graft.etl.AnnIndex.lshProbeScan(spark, full, cells)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected, "probe over the appended index diverges")
+  }
+
   test("dedupGroups: reliable-checkpoint mode produces identical components") {
     // Cluster-durability option: with a checkpoint dir configured, each CC
     // round pins to a RELIABLE checkpoint (survives executor loss) instead
