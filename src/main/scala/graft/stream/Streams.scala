@@ -154,7 +154,10 @@ object Streams {
     * sees entirely-old or entirely-new state, never a mix and never an
     * empty window (the flaw of a delete-then-rename swap). A transactional
     * table format would replace the republish with a MERGE; the merge plan
-    * itself is identical. */
+    * itself is identical. Superseded snapshots accumulate one dir per
+    * micro-batch until `Warehouse.vacuum(statePath)` — production wiring
+    * vacuums on a cadence (e.g. every Nth batch), kept out of this sink so
+    * readers pinned to older versions choose their own retention. */
   def upsertToParquet(stream: DataFrame, statePath: String, keyCols: Seq[String],
                       seqCol: String): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
