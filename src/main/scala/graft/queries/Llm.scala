@@ -323,11 +323,15 @@ object Llm {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
-      // Materialize oneHop: it feeds BOTH sides of the jump joins and the
-      // union below — left lazy, the neighbor-join + min-aggregate would
-      // re-execute four times per round.
-      val oneHop = pin(labels.unionByName(neighborLabels)
-        .groupBy("node").agg(min(col("label")).as("label")))
+      // oneHop stays LAZY: it feeds both sides of the jump join and the
+      // union below, but its expensive part — the neighbor-join shuffle +
+      // the min-aggregate exchange — is an identical subtree at each
+      // consumer, so exchange reuse materializes it once and only the
+      // cheap post-shuffle aggregation re-runs per consumer. Pinning it
+      // (the previous shape) cost a SECOND eager checkpoint job per round,
+      // which benched slower than the re-aggregation it saved.
+      val oneHop = labels.unionByName(neighborLabels)
+        .groupBy("node").agg(min(col("label")).as("label"))
       // Pointer jump (label := label(label)): halves remaining chain
       // distance each round — O(log d) rounds total. (A second compose per
       // round — label∘label∘label — was measured at sf0.1 and did NOT cut
