@@ -59,12 +59,33 @@ object Warehouse {
     *
     * Returns the published version. Concurrent publishers both succeed
     * (distinct version dirs; last pointer rename wins — snapshot isolation,
-    * not serialized writes: the right default for full-table refresh). */
+    * not serialized writes: the right default for full-table refresh).
+    * The snapshot dir is pre-created to claim its number, so `write` must
+    * use `mode("overwrite")` (or any writer tolerant of an existing empty
+    * dir). */
   def publish(spark: SparkSession, tableDir: String,
               write: String => Unit): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, FileAlreadyExistsException, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
     Files.createDirectories(Paths.get(tableDir))
-    val version = System.nanoTime() // monotone enough per publisher; dirs are immutable
+    // Claim max(existing)+1 by ATOMIC directory creation: versions stay
+    // dense and monotone across process restarts (a clock- or
+    // nanoTime-based id would not be — nanoTime's origin is arbitrary per
+    // JVM), and two concurrent publishers can never land in the same
+    // snapshot dir — the loser of the create races to the next number.
+    def existingMax: Long = {
+      val s = Files.list(Paths.get(tableDir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+        .foldLeft(0L)(math.max)
+      finally s.close()
+    }
+    var version = existingMax + 1
+    var claimed = false
+    while (!claimed) {
+      try { Files.createDirectory(Paths.get(tableDir, s"v=$version")); claimed = true }
+      catch { case _: FileAlreadyExistsException => version += 1 }
+    }
     write(s"$tableDir/v=$version")
     val tmp = Paths.get(tableDir, s"_CURRENT.tmp-$version")
     Files.writeString(tmp, version.toString)
