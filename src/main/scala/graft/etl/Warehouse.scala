@@ -109,15 +109,23 @@ object Warehouse {
     spark.read.parquet(s"$tableDir/v=$v")
   }
 
-  /** Drop every snapshot dir except the current one (and any newer). */
+  /** Drop every snapshot dir except the current one (and any newer), plus
+    * any `_CURRENT.tmp-*` left by a publish that crashed between staging
+    * its pointer and the atomic rename. Returns dropped snapshot count. */
   def vacuum(tableDir: String): Int = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val cur = currentVersion(tableDir)
-    val doomed = Files.list(Paths.get(tableDir)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("v=") &&
-        p.getFileName.toString.stripPrefix("v=").toLong < cur)
-      .toSeq
+    val entries = {
+      val s = Files.list(Paths.get(tableDir))
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    entries.filter(_.getFileName.toString.startsWith("_CURRENT.tmp-"))
+      .foreach(Files.deleteIfExists(_))
+    val doomed = entries.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("v=") && n.stripPrefix("v=").toLong < cur
+    }
     doomed.foreach { d =>
       Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
