@@ -353,6 +353,12 @@ object Llm {
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged=$converged after $iter rounds")
+    // Never return a silently-unconverged labeling: with pointer jumping,
+    // maxIters=25 covers component diameters up to ~2^25 — hitting the cap
+    // means something is structurally wrong (or maxIters was lowered), and
+    // wrong dedup groups are far worse than a loud failure.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIters rounds")
     labels.select(col("node").as("doc_id"), col("label").as("group_id"))
       .orderBy("doc_id")
   }
