@@ -964,6 +964,25 @@ object Oracle {
         |ORDER BY cos_sim DESC, vec_id ASC
         |LIMIT 10""".stripMargin,
 
+    // Batch variant: same mirrored cosine formula per (corpus, probe) pair;
+    // the rn<=k cut and the output sort share the total (rounded sim DESC,
+    // vec_id) ordering, so both engines cut identical rows.
+    "q_knn_batch" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_sum([v[i]*v[i] for i in generate_series(1, len(v))])) AS nrm
+        |  FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM n WHERE vec_id < 5),
+        |s AS (SELECT p.probe_id, n.vec_id, n.label,
+        |    round(list_sum([v[i]*pv[i] for i in generate_series(1, len(v))])
+        |          / (nrm * pnrm), 4) AS cos_sim
+        |  FROM n, p),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+        |SELECT probe_id, vec_id, label, cos_sim FROM r WHERE rn <= 5
+        |ORDER BY probe_id, cos_sim DESC, vec_id""".stripMargin,
+
     "q_doc_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |s AS (SELECT doc_id, tk,

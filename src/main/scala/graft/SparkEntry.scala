@@ -90,6 +90,7 @@ object SparkEntry {
     "q_ngram_jaccard"  -> (Llm.qNgramJaccard _),
     "q_dedup_cosine"   -> (Llm.qDedupCosine _),
     "q_knn_cosine"     -> (Llm.qKnnCosine _),
+    "q_knn_batch"      -> (Llm.qKnnBatch _),
     "q_embed_normalize" -> (Llm.qEmbedNormalize _),
     "q_knn_cosine_lsh" -> (Llm.qKnnCosineLsh _), // no-oracle: rows-only check + LlmSpec recall test
     "q_knn_cosine_ivf" -> (Llm.qKnnCosineIvf _), // no-oracle: rows-only check + LlmSpec recall test

@@ -468,6 +468,31 @@ object Llm {
 
   /** §2.9 Brute-force top-k cosine similarity vs a probe vector (vec_id 0):
     * the exact baseline the ANN variant is tested against. */
+  /** §2.9 BATCH KNN: top-k cosine neighbors for EVERY probe in a set — the
+    * batch-retrieval shape (score a training batch against the corpus,
+    * attach neighbors to each example) rather than m single-probe queries.
+    *
+    * Shape at scale: the m probes broadcast (bounded batch, not data-sized);
+    * scoring is one codegen'd [[graft.expr.CosineSimilarity]] per
+    * (corpus row × probe) — map-side only, no shuffle of scored rows; the
+    * per-probe cut runs on the custom [[graft.plans.TopKPerGroup]] operator,
+    * so the only shuffle carries ≤ k rows per (probe × map partition)
+    * instead of the m·n scored relation a window formulation would sort.
+    * The (rounded sim DESC, vec_id) ordering is total → oracle-exact. */
+  def qKnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val scored = e.crossJoin(broadcast(probes))
+      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), 5)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
   def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     qKnnCosine0(spark, dir)

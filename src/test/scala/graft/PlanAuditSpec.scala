@@ -11,11 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
-  /** Queries whose plan legitimately contains a 1-row broadcast nested
-    * loop: a scalar probe (vector or gram-set size) joined to every row. */
+  /** Queries whose plan legitimately contains a bounded-build broadcast
+    * nested loop: a scalar or small fixed probe set (vector(s) or gram-set
+    * size) joined to every row — never a data-sized side. */
   private val oneRowProbeBnlj = Set(
     "q_knn_cosine", "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_ngram_jaccard",
-    "q_tfidf", "q_label_balance", "q_mix_temperature") // corpus-total 1-row cross joins
+    "q_tfidf", "q_label_balance", "q_mix_temperature", // corpus-total 1-row cross joins
+    "q_knn_batch") // m-row probe batch (bounded), broadcast
 
   // One evaluation pass over the full inventory; both audits read the
   // final (post-AQE) plans from it. collect() — not a noop write — because
