@@ -1272,5 +1272,55 @@ object Oracle {
         |        / (CAST(w_total AS DOUBLE) * n_docs) * 1e6) / 1e6 AS boost
         |FROM m CROSS JOIN t
         |ORDER BY source""".stripMargin,
+
+    // Oracle is the plain vocabulary-wide GROUP BY the sketch-then-verify
+    // plan must reproduce exactly (the MG candidate set is complete for
+    // support 2% > 1/(k+1), so the engine's bounded two-pass is bit-exact).
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+        |             FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM tok),
+        |c AS (SELECT word, count(*) AS n FROM tok GROUP BY 1)
+        |SELECT word, n, floor(CAST(n AS DOUBLE) / n_total * 1e6) / 1e6 AS frac
+        |FROM c CROSS JOIN n
+        |WHERE CAST(n AS DOUBLE) >= n_total * 0.02
+        |ORDER BY n DESC, word""".stripMargin,
+
+    // ln argument assembled left-to-right identically to the Spark side
+    // (§5.3): (n_pair·cu·cu) / (cb·c1a·c1b), then ln, then micro-floor.
+    "q_word_pmi" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY 1),
+        |nu AS (SELECT CAST(sum(c1) AS BIGINT) AS cu FROM uni),
+        |d AS (SELECT string_split(text, ' ') AS v FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT v[i] AS w1, v[i+1] AS w2
+        |       FROM d, unnest(range(1, len(v))) AS r(i)),
+        |pc AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(n_pair) AS BIGINT) AS cb FROM pc),
+        |s AS (SELECT w1, w2, n_pair,
+        |    floor(ln((CAST(n_pair AS DOUBLE) * cu) * cu
+        |             / ((CAST(cb AS DOUBLE) * a.c1) * b.c1)) * 1e6) / 1e6 AS pmi
+        |  FROM pc
+        |  JOIN uni a ON pc.w1 = a.w
+        |  JOIN uni b ON pc.w2 = b.w
+        |  CROSS JOIN nu CROSS JOIN nb
+        |  WHERE n_pair >= 5)
+        |SELECT w1, w2, n_pair, pmi FROM s
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // Textbook self-join-on-gram formulation; the engine states the same
+    // result via one collect_set aggregation + in-row pair expansion.
+    "q_source_overlap" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS v FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT DISTINCT source, v[i] || ' ' || v[i+1] AS gram
+        |      FROM d, unnest(range(1, len(v))) AS r(i))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       count(*) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

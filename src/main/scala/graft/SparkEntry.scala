@@ -116,6 +116,9 @@ object SparkEntry {
     "q_repetition_filter" -> (Llm.qRepetitionFilter _),
     "q_decontaminate"  -> (Llm.qDecontaminate _),
     "q_mix_temperature" -> (Llm.qMixTemperature _),
+    "q_heavy_hitters"  -> (Llm.qHeavyHitters _),
+    "q_word_pmi"       -> (Llm.qWordPmi _),
+    "q_source_overlap" -> (Llm.qSourceOverlap _),
     "q_split_assign"   -> (Llm.qSplitAssign _),
     "q_sample_stratified" -> (Llm.qSampleStratified _),
   )

@@ -991,6 +991,103 @@ object Llm {
       .orderBy("lang", "rk")
   }
 
+  /** §2.9 Exact heavy hitters (words above 2% of the token stream) via the
+    * sketch-then-verify two-pass: pass 1 runs the Misra–Gries `Aggregator`
+    * ([[graft.expr.MisraGriesAgg]], k=64) as ONE global aggregation whose
+    * map-side partials each carry ≤ 64 entries — a complete candidate set
+    * for any support s > 1/65 ≈ 1.5% by the MG guarantee — and pass 2
+    * re-counts ONLY the candidates through a broadcast semi-join and applies
+    * the exact ≥ 2% cut. The result is bit-exact (the oracle is the plain
+    * vocabulary GROUP BY), but the shuffle never carries the vocabulary:
+    * at 100 TB pass 1 moves k entries per map partition and pass 2 moves
+    * ≤ k words — the mergeable-summaries shape, not a vocab-wide exchange.
+    * Total token count rides along in the same pass-1 aggregation, so the
+    * corpus is scanned exactly twice. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new graft.expr.MisraGriesAgg(64))
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val sketch = toks.agg(mg(col("word")).as("sk"), count(lit(1)).as("n_total"))
+    val cands = sketch.select(explode(map_keys(col("sk"))).as("word"))
+    val totals = sketch.select(col("n_total"))
+    toks.join(broadcast(cands), Seq("word"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals))
+      .filter(col("n").cast("double") >= col("n_total") * 0.02)
+      .withColumn("frac", floor(col("n").cast("double") / col("n_total") * 1e6) / 1e6)
+      .select(col("word"), col("n"), col("frac"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
+  /** §2.9 Bigram PMI (pointwise mutual information) — the collocation /
+    * multi-word-expression miner a corpus-analysis pass runs before
+    * tokenizer training: pmi(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2))), top-20
+    * pairs with support ≥ 5.
+    *
+    * Shape at scale: unigram and bigram counts are two hash aggregations
+    * with map-side partials (vocabulary-bounded outputs ≪ corpus); the
+    * probability join fetches the two unigram counts by broadcast equi-join
+    * (the vocabulary broadcasts; were it ever too large it degrades to a
+    * keyed shuffle join, never a cross); the final top-20 is
+    * TakeOrderedAndProject over the vocab²-bounded pair frame — no global
+    * sort of anything corpus-sized. The ln argument is assembled
+    * left-to-right identically in both engines (§5.3) and micro-floor
+    * snapped. */
+  def qWordPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = split(col("text"), " ")
+    val docs = Tables.documents(spark, dir)
+    val uni = docs.select(explode(toksCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).as("cu"))
+    val pairs = docs.filter(size(toksCol) >= 2)
+      .select(explode(arrays_zip(slice(toksCol, lit(1), size(toksCol) - 1),
+                                 slice(toksCol, lit(2), size(toksCol) - 1))).as("p"))
+      .select(col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
+    val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val nb = pc.agg(sum(col("n_pair")).as("cb"))
+    pc.filter(col("n_pair") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1b"))), "w2")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(nb))
+      .withColumn("pmi",
+        floor(log((col("n_pair").cast("double") * col("cu")) * col("cu")
+            / ((col("cb").cast("double") * col("c1a")) * col("c1b"))) * 1e6) / 1e6)
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** §2.9 Cross-source n-gram overlap matrix — provenance / contamination
+    * analytics: for every source pair, how many distinct bigram shingles
+    * they share. The per-gram source set is aggregated ONCE (`collect_set`
+    * over the distinct (gram, source) frame — set size bounded by the
+    * source count, not the corpus) and the ordered pairs are emitted by a
+    * higher-order transform over that tiny sorted array, so no gram ever
+    * fans out through a self-join: a gram present in s sources costs
+    * s·(s-1)/2 emitted pairs inside the aggregation's output row, and the
+    * final count is one hash aggregation over source-pair keys (≤ |sources|²
+    * rows). The DuckDB oracle states the same result as the textbook
+    * self-join on gram. */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = split(col("text"), " ")
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.filter(size(toksCol) >= 2)
+      .select(col("source"), explode(arrays_zip(
+        slice(toksCol, lit(1), size(toksCol) - 1),
+        slice(toksCol, lit(2), size(toksCol) - 1))).as("p"))
+      .select(col("source"),
+        concat_ws(" ", col("p").getField("0"), col("p").getField("1")).as("gram"))
+      .distinct()
+    grams.groupBy("gram").agg(array_sort(collect_set(col("source"))).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.a").as("source_a"), col("pr.b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** §2.9 Repetition filter (the Gopher-style repetition rules): per-document
     * top-word fraction and duplicate-bigram fraction, flagged over
     * thresholds — the heuristic that drops boilerplate/looping text before
