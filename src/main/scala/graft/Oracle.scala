@@ -1322,5 +1322,31 @@ object Oracle {
         |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // Centroid in exact integer micro-units (floor(x*1e6) longs summed —
+    // order-independent), then the mirrored sequential cosine (§5.3).
+    "q_embed_outliers" ->
+      """WITH x AS (SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS m
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |c AS (SELECT label, i,
+        |    floor(CAST(sum(m) AS DOUBLE) / count(*)) / 1e6 AS cv
+        |  FROM x GROUP BY 1, 2),
+        |cen AS (SELECT label, list(cv ORDER BY i) AS cen FROM c GROUP BY 1),
+        |e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT e.vec_id, e.label,
+        |    round(list_sum([v[i]*cen[i] for i in generate_series(1, len(v))])
+        |      / (sqrt(list_sum([v[i]*v[i] for i in generate_series(1, len(v))]))
+        |       * sqrt(list_sum([cen[i]*cen[i] for i in generate_series(1, len(cen))]))),
+        |      4) AS cos_sim
+        |  FROM e JOIN cen USING (label)),
+        |r AS (SELECT vec_id, label, cos_sim,
+        |    row_number() OVER (PARTITION BY label ORDER BY cos_sim, vec_id) AS rk
+        |  FROM s)
+        |SELECT label, vec_id, cos_sim, CAST(rk AS INT) AS rk FROM r
+        |WHERE rk <= 3
+        |ORDER BY label, rk""".stripMargin,
   )
 }

@@ -626,6 +626,42 @@ object Llm {
       .orderBy("vec_id")
   }
 
+  /** §2.9 Embedding-space outlier detection: each vector's cosine similarity
+    * to its own label's centroid; the bottom-3 per label are the mislabel /
+    * contamination candidates an embedding-QA pass reviews. The centroid is
+    * computed in EXACT integer micro-units — each float element floor-snaps
+    * to `floor(x·1e6)` (identical IEEE multiply+floor both engines) and the
+    * per-(label, position) sums are plain long sums, order-independent under
+    * any partitioning — so the derived centroid is bit-reproducible where a
+    * double `avg` would drift with partition order (§5.3; the same exactness
+    * trick as `q_stats_moments`, in integer rather than decimal form; at
+    * extreme row counts the long sum would widen to decimal).
+    *
+    * Shape at scale: one posexplode + hash agg with map-side partials
+    * (output = |labels|·dim rows), centroids re-assembled sorted-inside-
+    * aggregate and broadcast back onto the corpus (labels ≪ corpus), cosine
+    * per row, one keyed window over (label) for the bottom-k cut. */
+  def qEmbedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val x = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("m", floor(col("x").cast("double") * 1e6).cast("long"))
+    val cen = x.groupBy("label", "pos")
+      .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+      .withColumn("cv", floor(col("sm").cast("double") / col("n")) / 1e6)
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("cen"))
+    val scored = e.join(broadcast(cen), "label")
+      .withColumn("cos_sim", round(
+        dot(asDouble(col("embedding")), col("cen"))
+          / (l2(asDouble(col("embedding"))) * l2(col("cen"))), 4))
+    val w = Window.partitionBy("label").orderBy(col("cos_sim"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("label"), col("vec_id"), col("cos_sim"), col("rk"))
+      .orderBy("label", "rk")
+  }
+
   // ---- text analysis ------------------------------------------------------
 
   /** §2.9 Token frequencies per language — explode + hash aggregation (the
