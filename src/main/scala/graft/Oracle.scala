@@ -1323,6 +1323,24 @@ object Oracle {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    // Linear term assembled left-to-right exactly as the Spark side; the
+    // keep flag tests z >= 0 (== score >= 0.5) so it never depends on exp().
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, length(text) AS nc,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(nc AS DOUBLE) / len(toks) AS f1,
+        |    CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+        |      / len(toks) AS f2,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS f3
+        |  FROM t),
+        |z AS (SELECT doc_id, -2.0 + 0.3 * f1 - 4.0 * f2 + 3.0 * f3 AS z FROM f)
+        |SELECT doc_id,
+        |  floor(1.0 / (1.0 + exp(-z)) * 1e6) / 1e6 AS score,
+        |  z >= 0 AS kept
+        |FROM z
+        |ORDER BY doc_id""".stripMargin,
+
     // Centroid in exact integer micro-units (floor(x*1e6) longs summed —
     // order-independent), then the mirrored sequential cosine (§5.3).
     "q_embed_outliers" ->

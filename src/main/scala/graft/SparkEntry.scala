@@ -120,6 +120,7 @@ object SparkEntry {
     "q_word_pmi"       -> (Llm.qWordPmi _),
     "q_source_overlap" -> (Llm.qSourceOverlap _),
     "q_embed_outliers" -> (Llm.qEmbedOutliers _),
+    "q_quality_score"  -> (Llm.qQualityScore _),
     "q_split_assign"   -> (Llm.qSplitAssign _),
     "q_sample_stratified" -> (Llm.qSampleStratified _),
   )

@@ -702,6 +702,30 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** §2.9 Quality-classifier scoring: a fixed-weight logistic model over the
+    * quality features (chars/token, stopword ratio, type-token ratio) — the
+    * fastText-style learned quality gate every LLM corpus pass runs, with
+    * the model INFERENCE expressed as plain Catalyst expressions. The whole
+    * scorer — features, dot product, sigmoid, threshold — compiles into one
+    * whole-stage-codegen'd map over the scan: zero shuffles, zero UDFs, so
+    * at 100 TB the gate runs at scan speed. The linear term is assembled
+    * left-to-right identically in both engines and the sigmoid output is
+    * micro-floor snapped (§5.3); the keep flag tests z ≥ 0 directly
+    * (algebraically `score ≥ 0.5`) so the cut never depends on the
+    * transcendental's last ulp. */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val f1 = length(col("text")).cast("double") / size(toks)
+    val f2 = size(filter(toks, t => t.isin("a", "the"))).cast("double") / size(toks)
+    val f3 = size(array_distinct(toks)).cast("double") / size(toks)
+    val z = lit(-2.0) + lit(0.3) * f1 - lit(4.0) * f2 + lit(3.0) * f3
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1e6) / 1e6).as("score"),
+        (z >= 0).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** §2.9 Document chunking: overlapping token windows (30-token chunks,
     * stride 20 → 10-token overlap) — the long-document preparation step
     * before embedding/training. One explode of the per-doc start sequence;
