@@ -1323,6 +1323,33 @@ object Oracle {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    "q_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_span_dup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+        |      FROM d, unnest(range(1, len(w) - 2)) AS r(i)
+        |      WHERE len(w) >= 4),
+        |dfreq AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY 1),
+        |m AS (SELECT g.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN dfreq.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+        |  FROM g JOIN dfreq USING (gram) GROUP BY 1)
+        |SELECT doc_id, n_grams, CAST(n_shared AS BIGINT) AS n_shared,
+        |  floor(CAST(n_shared AS DOUBLE) / n_grams * 1e6) / 1e6 AS dup_frac,
+        |  floor(CAST(n_shared AS DOUBLE) / n_grams * 1e6) / 1e6 > 0.5 AS flagged
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
     // Linear term assembled left-to-right exactly as the Spark side; the
     // keep flag tests z >= 0 (== score >= 0.5) so it never depends on exp().
     "q_quality_score" ->

@@ -41,7 +41,9 @@ object SparkEntry {
     "q_sort_nulls"    -> (Relational.qSortNulls _),
     "q_union_batches" -> (Relational.qUnionBatches _),
     "q_except"        -> (Relational.qExcept _),
+    "q_except_all"    -> (Relational.qExceptAll _),
     "q_intersect"     -> (Relational.qIntersect _),
+    "q_intersect_all" -> (Relational.qIntersectAll _),
     "q_join_full"     -> (Relational.qJoinFull _),
     "q_agg_collect"   -> (Relational.qAggCollect _),
     "q_unpivot"       -> (Relational.qUnpivot _),
@@ -121,6 +123,7 @@ object SparkEntry {
     "q_source_overlap" -> (Llm.qSourceOverlap _),
     "q_embed_outliers" -> (Llm.qEmbedOutliers _),
     "q_quality_score"  -> (Llm.qQualityScore _),
+    "q_span_dup"       -> (Llm.qSpanDup _),
     "q_split_assign"   -> (Llm.qSplitAssign _),
     "q_sample_stratified" -> (Llm.qSampleStratified _),
   )

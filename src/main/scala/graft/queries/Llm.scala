@@ -1224,6 +1224,40 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** §2.9 Cross-document span duplication profiling (the C4/RefinedWeb
+    * boilerplate rule at shingle granularity): per document, the fraction
+    * of its DISTINCT 4-gram spans that also appear in at least one OTHER
+    * document — templated/boilerplate docs score high and get flagged.
+    * Distinct from [[qRepetitionFilter]] (within-doc loops) and
+    * [[qDecontaminate]] (overlap vs a held-out set): this measures
+    * corpus-internal duplication below the whole-doc level that exact and
+    * near dedup both miss.
+    *
+    * Shape at scale: one gram explode → per-gram doc-frequency hash agg
+    * (output = |distinct grams|, with map-side partials) → equi-join back
+    * onto the per-doc distinct gram frame → per-doc counting agg. Every
+    * exchange is keyed on gram or doc_id; nothing is ever all-pairs. */
+  def qSpanDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+    val grams = d.filter(size(col("w")) >= 4)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 3), i -> array_join(slice(w, i, 4), ' '))"))
+          .as("gram"))
+      .distinct()
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+    grams.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_frac",
+        floor(col("n_shared").cast("double") / col("n_grams") * 1e6) / 1e6)
+      .withColumn("flagged", col("dup_frac") > 0.5)
+      .select("doc_id", "n_grams", "n_shared", "dup_frac", "flagged")
+      .orderBy("doc_id")
+  }
+
   /** §2.9 Temperature-scaled source mixture (the T5/UniMax sampling
     * schedule): per-source sampling share ∝ n^α with α = 1/2 — flattens the
     * natural distribution so small high-quality sources aren't drowned by

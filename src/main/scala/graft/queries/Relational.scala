@@ -380,6 +380,27 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** §2.7 Multiset difference (EXCEPT ALL): order keys per customer with
+    * multiplicity — the batch-reconciliation form where HOW MANY rows went
+    * missing matters, not just which keys (a plain EXCEPT would hide a
+    * partial loss of duplicate-keyed rows). One hash shuffle per side on
+    * the compare key. */
+  def qExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_totalprice") > 150000.0).select(col("o_custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** §2.7 Multiset intersection (INTERSECT ALL): per-key common multiplicity
+    * across two order batches. */
+  def qIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersectAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
   /** §2.4 OHLC bars: open/close via min_by/max_by on event time, high/low
     * via plain min/max, per (user, day) — the FactMarketHistory daily-bar
     * shape [SPEC: FactMarketHistory]. min_by/max_by need a unique ordering
