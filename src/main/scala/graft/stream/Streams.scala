@@ -44,6 +44,20 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Continuous heavy-hitters monitoring: the Misra–Gries sketch
+    * ([[graft.expr.MisraGriesAgg]]) as a streaming GLOBAL aggregation —
+    * the trending-tokens / hot-keys dashboard over an unbounded stream.
+    * The state store holds exactly ONE k-bounded buffer (the same mergeable
+    * summary the batch `q_heavy_hitters` uses for its candidate pass), so
+    * state stays O(k) forever regardless of stream length or vocabulary —
+    * the property that makes a frequency monitor runnable unbounded where
+    * a per-word streaming count would grow state without limit. Complete
+    * output mode: each micro-batch emits the current sketch. */
+  def streamingWordSketch(words: DataFrame, k: Int): DataFrame = {
+    val mg = udaf(new graft.expr.MisraGriesAgg(k))
+    words.agg(mg(col("word")).as("sketch"))
+  }
+
   /** Native session windows (the streaming twin of Cdc.qSessionWindow's
     * gaps-and-islands batch form): sessions close after `gap` inactivity. */
   def sessionized(events: DataFrame, gap: String = "30 minutes",

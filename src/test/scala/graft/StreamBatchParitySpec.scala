@@ -79,4 +79,30 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(got === expected, s"got=$got expected=$expected")
     assert(got === Set((1L, 1L, 10L), (1L, 3L, 12L)))
   }
+
+  test("streaming Misra-Gries sketch: O(k) state, heavy items survive across micro-batches") {
+    // heavy words split ACROSS micro-batches — the sketch state must carry
+    // them; vocabulary (40) > k (8) so decrements genuinely fire in-stream
+    val b1 = Seq.fill(250)("alpha") ++ (0 until 40).flatMap(i => Seq.fill(5)(s"w$i"))
+    val b2 = Seq.fill(250)("alpha") ++ Seq.fill(400)("beta") ++
+      (0 until 40).flatMap(i => Seq.fill(5)(s"w$i"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Streams.streamingWordSketch(mem.toDF().toDF("word"), k = 8)
+      .writeStream.format("memory").queryName("mg_sketch").outputMode("complete")
+      .start()
+    try {
+      mem.addData(scala.util.Random.shuffle(b1): _*)
+      q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2): _*)
+      q.processAllAvailable()
+      val sketch = spark.table("mg_sketch").collect()
+      assert(sketch.length === 1, "complete mode must emit one global sketch row")
+      val keys = sketch.head.getMap[String, Long](0).keySet
+      assert(keys.size <= 8, s"state exceeded k: $keys")
+      // alpha (500) and beta (400) are far above n/(k+1) of the full stream
+      assert(keys.contains("alpha") && keys.contains("beta"),
+        s"heavy items lost across micro-batches: $keys")
+    } finally q.stop()
+  }
 }
