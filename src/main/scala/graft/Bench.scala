@@ -90,24 +90,32 @@ object Bench {
     }
     // Budget: the driver keeps a 2000-char stdout tail; sbt's trailing
     // "[success] Total time: ..." line + newlines eat ~76, so the JSON line
-    // must stay ≤ ~1924 (1895 leaves slack). At 95+ queries a UNIFORM
-    // decimal count no longer fits above 0 dp — which zeroes out every
-    // sub-second query (r05 regressed exactly this way). Instead spend the
-    // budget greedily: start everything at 0 decimals and upgrade queries
-    // to 2-decimal rendering from the SLOWEST down while the line fits —
-    // the expensive queries, where round-over-round deltas actually
-    // matter, keep their signal; the ~10 ms tail quantizes to 0 anyway.
-    def renderWith(dp: Map[String, Int]): String = {
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v, dp(k)) }
+    // must stay ≤ ~1924 (1895 leaves slack). Past ~105 queries even a
+    // UNIFORM 0-decimal map no longer fits — and 0-decimal values carry no
+    // signal for the sub-second majority anyway. So the stdout line carries
+    // the SLOWEST queries at 2-decimal precision, included greedily while
+    // the line fits, and self-describes what it dropped ("n_omitted" fast
+    // queries summing to "omitted_total" seconds). "value" is always the
+    // full-suite total. The $SPARK_GRAFT_BENCH_OUT file sidecar has no
+    // length budget and remains the authoritative per-query record (all
+    // queries, 3 decimals). Errored queries (-1 sentinel) are always
+    // included so a broken query can never hide in the omitted tail.
+    def renderTop(include: Set[String]): String = {
+      val inc = results.filter { case (k, _, _) => include.contains(k) }
+      val omitted = results.filterNot { case (k, _, _) => include.contains(k) }
+      val qs = inc.map { case (k, v, _) => "\"" + k + "\":" + sec(v, 2) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
+      val omitPart =
+        if (omitted.isEmpty) ""
+        else s""","n_omitted":${omitted.length},"omitted_total":${sec(omitted.map(_._2).filter(_ >= 0).sum, 2)}"""
+      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$omitPart$errPart,"sf":"$sfName"}"""
     }
-    var dp = results.map { case (k, _, _) => k -> 0 }.toMap
-    for (k <- results.sortBy(-_._2).map(_._1)) {
-      val tryDp = dp + (k -> 2)
-      if (renderWith(tryDp).length <= 1895) dp = tryDp
+    var include = results.filter(_._3.isDefined).map(_._1).toSet // errors always
+    for (k <- results.sortBy(-_._2).map(_._1) if !include.contains(k)) {
+      val tryInc = include + k
+      if (renderTop(tryInc).length <= 1895) include = tryInc
     }
-    val json = renderWith(dp)
+    val json = renderTop(include)
     // The file sidecar has no line-length budget: keep FULL 3-decimal
     // precision there (±0.5 ms) so round-over-round comparison is not
     // dominated by the stdout line's 1-decimal quantization.

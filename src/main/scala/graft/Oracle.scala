@@ -1323,6 +1323,19 @@ object Oracle {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    // Bucket id = length(bin(n)) = floor(log2 n)+1: integer/string ops,
+    // bit-identical across engines (libm log2 could round at band edges).
+    "q_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |b AS (SELECT CAST(length(bin(n)) AS INT) AS bucket, count(*) AS n_keys,
+        |    min(n) AS min_count, max(n) AS max_count, sum(n) AS sn
+        |  FROM c GROUP BY 1)
+        |SELECT bucket, n_keys, min_count, max_count,
+        |  floor(CAST(sn AS DOUBLE) / total * 1e6) / 1e6 AS row_share
+        |FROM b CROSS JOIN t
+        |ORDER BY bucket""".stripMargin,
+
     "q_except_all" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
         |EXCEPT ALL

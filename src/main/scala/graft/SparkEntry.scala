@@ -48,6 +48,7 @@ object SparkEntry {
     "q_agg_collect"   -> (Relational.qAggCollect _),
     "q_unpivot"       -> (Relational.qUnpivot _),
     "q_skew_salt"     -> (Relational.qSkewSalt _),
+    "q_skew_profile"  -> (Relational.qSkewProfile _),
     "q_agg_ohlc"      -> (Relational.qAggOhlc _),
     "q_histogram"     -> (Relational.qHistogram _),
     "q_stats_moments" -> (Relational.qStatsMoments _),

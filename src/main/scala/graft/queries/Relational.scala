@@ -401,6 +401,29 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** §2.4 Join-key skew profiling: the count-of-counts histogram over
+    * per-key row counts (power-of-two buckets) — the pre-flight audit run
+    * before sizing a 100 TB join: how many keys live in each frequency
+    * band, and what share of all rows the hot bands carry (the numbers
+    * that decide between a plain shuffle join, AQE skew splitting, and
+    * manual salting — see `q_skew_salt`). Two hash aggregations, both with
+    * map-side partials; the bucket id is `length(bin(n))` =
+    * floor(log2 n)+1 — pure integer/string ops, bit-identical across
+    * engines where a libm log2 could round differently at band edges. */
+  def qSkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).as("total"))
+    c.groupBy(length(bin(col("n"))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"), min(col("n")).as("min_count"),
+           max(col("n")).as("max_count"), sum(col("n")).as("sn"))
+      .crossJoin(broadcast(t))
+      .withColumn("row_share",
+        floor(col("sn").cast("double") / col("total") * 1e6) / 1e6)
+      .select("bucket", "n_keys", "min_count", "max_count", "row_share")
+      .orderBy("bucket")
+  }
+
   /** §2.4 OHLC bars: open/close via min_by/max_by on event time, high/low
     * via plain min/max, per (user, day) — the FactMarketHistory daily-bar
     * shape [SPEC: FactMarketHistory]. min_by/max_by need a unique ordering
