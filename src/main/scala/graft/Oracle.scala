@@ -789,9 +789,10 @@ object Oracle {
 
   /** MinHash-LSH candidate pairs (no ORDER BY — shared by q_dedup_minhash
     * and, as the edge set of the recursive-closure components, by
-    * q_dedup_groups). */
-  private lazy val minhashPairsSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    * q_dedup_groups; `q_corpus_curate` re-instantiates it over the funnel's
+    * stage-4 survivor CTE via [[minhashPairsSqlOver]]). */
+  private def minhashPairsSqlOver(rel: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $rel),
       |shingles AS (
       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 2
       |    THEN [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk)-1)]
@@ -813,6 +814,8 @@ object Oracle {
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+
+  private lazy val minhashPairsSql: String = minhashPairsSqlOver("documents")
 
   /** §2.9 LLM-pipeline block. md5 emits identical hex in both engines —
     * the backbone of every cross-engine-checkable hash pipeline here.
@@ -1322,6 +1325,72 @@ object Oracle {
         |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // The whole curation funnel re-stated independently: each stage CTE
+    // mirrors its declared-query oracle (quality z, repetition fractions,
+    // md5 dedup, MinHash pairs + recursive-CTE closure over the stage-4
+    // survivors, 4-gram decontamination), counted per stage.
+    "q_corpus_curate" ->
+      s"""WITH RECURSIVE
+         |d0 AS (SELECT doc_id, text, source FROM documents),
+         |d1 AS (SELECT * FROM d0 WHERE source <> 'src0'),
+         |qt AS (SELECT doc_id, length(text) AS nc,
+         |    string_split(text, ' ') AS toks FROM documents),
+         |qz AS (SELECT doc_id,
+         |    -2.0 + 0.3 * (CAST(nc AS DOUBLE) / len(toks))
+         |    - 4.0 * (CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+         |             / len(toks))
+         |    + 3.0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS z
+         |  FROM qt),
+         |d2 AS (SELECT d1.* FROM d1 JOIN qz USING (doc_id) WHERE qz.z >= 0),
+         |rd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |rwc AS (SELECT doc_id, x AS word, count(*) AS c
+         |        FROM rd, unnest(w) AS t(x) GROUP BY doc_id, x),
+         |rtop AS (SELECT doc_id, max(c) AS topc, sum(c) AS nw FROM rwc GROUP BY doc_id),
+         |rbg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+         |        FROM rd, unnest(range(1, len(w))) AS r(i)),
+         |rbgm AS (SELECT doc_id, count(*) AS nbg, count(DISTINCT bigram) AS dbg
+         |         FROM rbg GROUP BY doc_id),
+         |calm AS (SELECT t.doc_id FROM rtop t JOIN rbgm USING (doc_id)
+         |  WHERE NOT (floor(CAST(topc AS DOUBLE) / nw * 1e6) / 1e6 > 0.15
+         |          OR floor((CAST(1 AS DOUBLE) - CAST(dbg AS DOUBLE) / nbg) * 1e6) / 1e6
+         |             > 0.08)),
+         |d3 AS (SELECT d2.* FROM d2 JOIN calm USING (doc_id)),
+         |e4 AS (SELECT min(doc_id) AS doc_id FROM d3 GROUP BY md5(text)),
+         |d4 AS (SELECT d3.* FROM d3 JOIN e4 USING (doc_id)),
+         |pairs AS (
+         |${minhashPairsSqlOver("d4")}
+         |),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+         |grp AS (SELECT node AS doc_id, least(node, min(r)) AS group_id
+         |        FROM reach GROUP BY node),
+         |drop5 AS (SELECT doc_id FROM grp WHERE doc_id <> group_id),
+         |d5 AS (SELECT d4.* FROM d4
+         |  WHERE NOT EXISTS (SELECT 1 FROM drop5 WHERE drop5.doc_id = d4.doc_id)),
+         |gw5 AS (SELECT doc_id, string_split(text, ' ') AS w FROM d5),
+         |g5 AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+         |       FROM gw5, unnest(range(1, len(w) - 2)) AS r(i) WHERE len(w) >= 4),
+         |gw0 AS (SELECT string_split(text, ' ') AS w FROM d0 WHERE source = 'src0'),
+         |eg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS gram
+         |       FROM gw0, unnest(range(1, len(w) - 2)) AS r(i) WHERE len(w) >= 4),
+         |contaminated AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN eg USING (gram)),
+         |d6 AS (SELECT d5.* FROM d5
+         |  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d5.doc_id))
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+         |         count(*) AS n_docs FROM d0
+         |  UNION ALL SELECT 1, 'holdout_excluded', count(*) FROM d1
+         |  UNION ALL SELECT 2, 'quality_gate', count(*) FROM d2
+         |  UNION ALL SELECT 3, 'repetition_filter', count(*) FROM d3
+         |  UNION ALL SELECT 4, 'exact_dedup', count(*) FROM d4
+         |  UNION ALL SELECT 5, 'near_dedup', count(*) FROM d5
+         |  UNION ALL SELECT 6, 'decontaminate', count(*) FROM d6)
+         |ORDER BY stage_idx""".stripMargin,
 
     // Bucket id = length(bin(n)) = floor(log2 n)+1: integer/string ops,
     // bit-identical across engines (libm log2 could round at band edges).

@@ -125,6 +125,7 @@ object SparkEntry {
     "q_embed_outliers" -> (Llm.qEmbedOutliers _),
     "q_quality_score"  -> (Llm.qQualityScore _),
     "q_span_dup"       -> (Llm.qSpanDup _),
+    "q_corpus_curate"  -> (graft.etl.CorpusPipeline.qCorpusCurate _),
     "q_split_assign"   -> (Llm.qSplitAssign _),
     "q_sample_stratified" -> (Llm.qSampleStratified _),
   )

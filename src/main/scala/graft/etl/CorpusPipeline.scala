@@ -1,0 +1,146 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Llm
+
+/** End-to-end corpus curation — the standard LLM training-data funnel
+  * composed from the engine's declared operators, in the order a production
+  * pass runs them (cheap map-side gates first, joins and near-dup last, so
+  * every expensive stage sees an already-shrunk corpus):
+  *
+  *   0 input                  the raw documents table
+  *   1 holdout_excluded       the held-out eval source (src0) leaves the
+  *                            training corpus entirely
+  *   2 quality_gate           logistic quality score ≥ 0.5 (q_quality_score)
+  *   3 repetition_filter      Gopher-style repetition rules (q_repetition_filter)
+  *   4 exact_dedup            one survivor per md5(text) (q_dedup_exact rule)
+  *   5 near_dedup             MinHash-LSH candidates → connected components →
+  *                            min-doc_id survivor per component (q_dedup_keep
+  *                            rule, run on the stage-4 survivors)
+  *   6 decontaminate          drop docs sharing any word 4-gram with the
+  *                            held-out source (q_decontaminate rule)
+  *
+  * Stage predicates REUSE the declared query bodies (joins against their
+  * outputs / the same shared helpers), so the funnel cannot drift from the
+  * operators it advertises; CorpusPipelineSpec asserts that stage-by-stage
+  * equivalence in-engine, and the `q_corpus_curate` oracle re-states the
+  * whole funnel independently in DuckDB SQL.
+  *
+  * Scale shape: stages 1–3 are pure map-side filters over the scan; stage 4
+  * is one content-hash aggregation; stage 5 runs banded LSH + iterative CC
+  * on the already-filtered corpus; stage 6 is a gram equi-join against the
+  * (small) holdout gram set. The declared report query recomputes the stage
+  * frames per count for purity — a production run materializes each stage
+  * boundary once (checkpoint / snapshot publish) instead. */
+object CorpusPipeline {
+
+  /** Exploded distinct-per-doc word 4-grams — the decontamination unit
+    * (same gram definition as `q_decontaminate`/`q_span_dup`). */
+  private def grams4(df: DataFrame): DataFrame = df
+    .withColumn("w", split(col("text"), " "))
+    .filter(size(col("w")) >= 4)
+    .select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, size(w) - 3), i -> array_join(slice(w, i, 4), ' '))"))
+        .as("gram"))
+
+  /** The six stage frames, in funnel order, each a subset of its
+    * predecessor. Head is the raw input. */
+  def stages(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val d0 = Tables.documents(spark, dir)
+    val d1 = d0.filter(col("source") =!= "src0")
+
+    val kept = Llm.qQualityScore(spark, dir)
+      .filter(col("kept")).select("doc_id")
+    val d2 = d1.join(kept, "doc_id")
+
+    val calm = Llm.qRepetitionFilter(spark, dir)
+      .filter(!col("flagged")).select("doc_id")
+    val d3 = d2.join(calm, "doc_id")
+
+    val canonical = d3.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val d4 = d3.join(canonical, "doc_id")
+
+    val nonCanonical = Llm.dedupGroups(Llm.minhashPairs(d4))
+      .filter(col("doc_id") =!= col("group_id"))
+      .select("doc_id")
+    val d5 = d4.join(nonCanonical, Seq("doc_id"), "left_anti")
+
+    val evalGrams = grams4(d0.filter(col("source") === "src0"))
+      .select("gram").distinct()
+    val contaminated = grams4(d5)
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    val d6 = d5.join(contaminated, Seq("doc_id"), "left_anti")
+
+    Seq("input" -> d0, "holdout_excluded" -> d1, "quality_gate" -> d2,
+        "repetition_filter" -> d3, "exact_dedup" -> d4,
+        "near_dedup" -> d5, "decontaminate" -> d6)
+  }
+
+  /** The curated training corpus (the last stage frame). */
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    stages(spark, dir).last._2
+
+  /** §2.9 Declared funnel report: docs remaining after each stage — the
+    * curation run's audit artifact (every real pipeline logs exactly this
+    * table; a stage suddenly dropping 90% is how regressions surface).
+    *
+    * Counted via per-doc survival FLAGS in one labeled frame rather than a
+    * union of per-stage count branches: a union recomputes every expensive
+    * stage prefix once per branch (measured 11.5 s vs ~4 s at sf0.1),
+    * while the flag frame computes each stage set exactly once and reduces
+    * to a single aggregation — also the shape a 100 TB funnel audit wants
+    * (one pass over the corpus with six boolean sums, not seven jobs).
+    * CorpusPipelineSpec asserts this formulation equals [[stages]]' frame
+    * counts in-engine; the DuckDB oracle restates the funnel a third way. */
+  def qCorpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables.documents(spark, dir)
+    val qok = Llm.qQualityScore(spark, dir)
+      .filter(col("kept")).select(col("doc_id"), lit(true).as("qok"))
+    val rok = Llm.qRepetitionFilter(spark, dir)
+      .filter(!col("flagged")).select(col("doc_id"), lit(true).as("rok"))
+    val f3 = d0.select(col("doc_id"), col("source"), col("text"))
+      .join(qok, Seq("doc_id"), "left")
+      .join(rok, Seq("doc_id"), "left")
+      .withColumn("s1", col("source") =!= "src0")
+      .withColumn("s2", col("s1") && coalesce(col("qok"), lit(false)))
+      .withColumn("s3", col("s2") && coalesce(col("rok"), lit(false)))
+    val canonical = f3.filter(col("s3"))
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("cok"))
+    val f4 = f3.join(canonical, Seq("doc_id"), "left")
+      .withColumn("s4", col("s3") && coalesce(col("cok"), lit(false)))
+    val ccDrop = Llm.dedupGroups(
+        Llm.minhashPairs(f4.filter(col("s4")).select("doc_id", "text")))
+      .filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id"), lit(true).as("ccd"))
+    val f5 = f4.join(ccDrop, Seq("doc_id"), "left")
+      .withColumn("s5", col("s4") && !coalesce(col("ccd"), lit(false)))
+    val evalGrams = grams4(d0.filter(col("source") === "src0"))
+      .select("gram").distinct()
+    val contaminated = grams4(f5.filter(col("s5")))
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("con", lit(true))
+    val f6 = f5.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("s6", col("s5") && !coalesce(col("con"), lit(false)))
+    def n(c: Column) = sum(c.cast("long"))
+    f6.agg(n(lit(true)).as("n0"), n(col("s1")).as("n1"), n(col("s2")).as("n2"),
+           n(col("s3")).as("n3"), n(col("s4")).as("n4"), n(col("s5")).as("n5"),
+           n(col("s6")).as("n6"))
+      .select(expr(
+        """stack(7,
+          |  0, 'input', n0, 1, 'holdout_excluded', n1, 2, 'quality_gate', n2,
+          |  3, 'repetition_filter', n3, 4, 'exact_dedup', n4,
+          |  5, 'near_dedup', n5, 6, 'decontaminate', n6)
+          |  AS (stage_idx, stage, n_docs)""".stripMargin))
+      .withColumn("stage_idx", col("stage_idx").cast("int"))
+      .orderBy("stage_idx")
+  }
+}
