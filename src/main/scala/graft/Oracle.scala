@@ -1417,6 +1417,27 @@ object Oracle {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
 
+    // Per-word nll floor-snaps to micro-units BEFORE the per-doc sum (long
+    // sums are order-independent; a double sum-of-ln would drift in the
+    // last ulp with partition order), mirroring the Spark side exactly.
+    "q_lm_perplexity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY 1),
+        |nu AS (SELECT CAST(sum(c1) AS BIGINT) AS cu FROM uni),
+        |s AS (SELECT doc_id, count(*) AS n_words,
+        |    sum(CAST(floor(ln(CAST(cu AS DOUBLE) / c1) * 1e6) AS BIGINT))
+        |      AS nll_micro
+        |  FROM tok JOIN uni USING (w) CROSS JOIN nu GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    floor(CAST(nll_micro AS DOUBLE) / n_words) / 1e6 AS avg_nll
+        |  FROM s),
+        |p AS (SELECT floor(quantile_cont(avg_nll, 0.9) * 1e6) / 1e6 AS p90
+        |      FROM sc)
+        |SELECT doc_id, n_words, avg_nll, avg_nll > p90 AS flagged
+        |FROM sc CROSS JOIN p
+        |ORDER BY doc_id""".stripMargin,
+
     "q_span_dup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram

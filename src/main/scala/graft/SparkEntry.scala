@@ -126,6 +126,7 @@ object SparkEntry {
     "q_quality_score"  -> (Llm.qQualityScore _),
     "q_span_dup"       -> (Llm.qSpanDup _),
     "q_corpus_curate"  -> (graft.etl.CorpusPipeline.qCorpusCurate _),
+    "q_lm_perplexity"  -> (Llm.qLmPerplexity _),
     "q_split_assign"   -> (Llm.qSplitAssign _),
     "q_sample_stratified" -> (Llm.qSampleStratified _),
   )

@@ -1224,6 +1224,48 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** §2.9 Unigram-LM perplexity filtering (the CCNet/KenLM quality signal,
+    * reduced to its order-0 form): score every document by the average
+    * negative log-probability of its words under the corpus's own unigram
+    * distribution and flag the worst decile — low-perplexity ≈ fluent /
+    * typical text, high ≈ noise. Distinct from the heuristic gates
+    * ([[qTextQuality]], [[qQualityScore]]): this one scores against a
+    * LEARNED (corpus-estimated) model, the shape any LM-based filter takes.
+    *
+    * Shape at scale: the "model" is the unigram count table (vocabulary-
+    * bounded, broadcast); scoring is explode → broadcast equi-join →
+    * per-doc sum — map-side model inference plus one doc-keyed aggregation.
+    * Every word is in-vocabulary by construction (the model is estimated
+    * on the same corpus), so no smoothing term is needed; the ln argument
+    * is the exact count ratio, each word's nll floor-snaps to integer
+    * MICRO-units BEFORE the per-doc sum (long sums are order-independent
+    * under any partitioning — a double Σln would drift in the last ulp
+    * with partition order; same discipline as [[qMixTemperature]]'s sqrt
+    * weights), and the per-doc mean divides after. The decile cut compares
+    * the micro-snapped score against the micro-snapped global P90 so both
+    * engines cut identical rows. */
+  def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).as("cu"))
+    val scored = toks
+      .join(broadcast(uni), "w")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(floor(log(col("cu").cast("double") / col("c1")) * 1e6)
+             .cast("long")).as("nll_micro"))
+      .withColumn("avg_nll",
+        floor(col("nll_micro").cast("double") / col("n_words")) / 1e6)
+    val p90 = scored.agg(
+      (floor(percentile(col("avg_nll"), lit(0.9)) * 1e6) / 1e6).as("p90"))
+    scored.crossJoin(broadcast(p90))
+      .withColumn("flagged", col("avg_nll") > col("p90"))
+      .select("doc_id", "n_words", "avg_nll", "flagged")
+      .orderBy("doc_id")
+  }
+
   /** §2.9 Cross-document span duplication profiling (the C4/RefinedWeb
     * boilerplate rule at shingle granularity): per document, the fraction
     * of its DISTINCT 4-gram spans that also appear in at least one OTHER

@@ -360,6 +360,32 @@ class LlmSpec extends AnyFunSuite {
       "mix_pos order diverged from the (pos, source, doc_id) sort")
   }
 
+  test("source_overlap: in-row pair expansion equals the self-join formulation") {
+    import org.apache.spark.sql.functions._
+    // the declared query expands source pairs from one collect_set row per
+    // gram; re-state it as the textbook self-join on gram (what the DuckDB
+    // oracle also does, but HERE both run in-engine on identical input)
+    val got = Llm.qSourceOverlap(spark, TestSpark.sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val toks = split(col("text"), " ")
+    val grams = Tables.documents(spark, TestSpark.sfDir)
+      .filter(size(toks) >= 2)
+      .select(col("source"), explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as("p"))
+      .select(col("source"),
+        concat_ws(" ", col("p").getField("0"), col("p").getField("1")).as("gram"))
+      .distinct()
+    val joined = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === joined,
+      "collect_set pair expansion diverged from the self-join on gram")
+  }
+
   test("fuzzy_match: every pair is ordered, within distance, and block-local") {
     val rows = Llm.qFuzzyMatch(spark, TestSpark.sfDir).collect()
     assert(rows.nonEmpty)
