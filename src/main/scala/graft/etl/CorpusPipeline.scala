@@ -66,21 +66,34 @@ object CorpusPipeline {
       .select("doc_id")
     val d4 = d3.join(canonical, "doc_id")
 
+    val Seq((_, d5), (_, d6)) =
+      finishFromExactDeduped(d4, d0.filter(col("source") === "src0"))
+
+    Seq("input" -> d0, "holdout_excluded" -> d1, "quality_gate" -> d2,
+        "repetition_filter" -> d3, "exact_dedup" -> d4,
+        "near_dedup" -> d5, "decontaminate" -> d6)
+  }
+
+  /** Resume the funnel from a MATERIALIZED stage-4 boundary (any frame with
+    * `doc_id`/`text`) — the production shape: a long curation run persists
+    * each stage (e.g. through [[Warehouse.publish]] snapshots) and the
+    * expensive near-dedup + decontamination stages restart from the
+    * snapshot rather than recomputing the gates. Returns the last two
+    * stage frames; [[stages]] routes through this same code, and
+    * CorpusPipelineSpec proves snapshot-resumed output equals the pure
+    * in-memory funnel. */
+  def finishFromExactDeduped(d4: DataFrame, holdout: DataFrame): Seq[(String, DataFrame)] = {
     val nonCanonical = Llm.dedupGroups(Llm.minhashPairs(d4))
       .filter(col("doc_id") =!= col("group_id"))
       .select("doc_id")
     val d5 = d4.join(nonCanonical, Seq("doc_id"), "left_anti")
 
-    val evalGrams = grams4(d0.filter(col("source") === "src0"))
-      .select("gram").distinct()
+    val evalGrams = grams4(holdout).select("gram").distinct()
     val contaminated = grams4(d5)
       .join(evalGrams, Seq("gram"), "left_semi")
       .select("doc_id").distinct()
     val d6 = d5.join(contaminated, Seq("doc_id"), "left_anti")
-
-    Seq("input" -> d0, "holdout_excluded" -> d1, "quality_gate" -> d2,
-        "repetition_filter" -> d3, "exact_dedup" -> d4,
-        "near_dedup" -> d5, "decontaminate" -> d6)
+    Seq("near_dedup" -> d5, "decontaminate" -> d6)
   }
 
   /** The curated training corpus (the last stage frame). */

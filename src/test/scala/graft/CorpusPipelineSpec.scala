@@ -71,6 +71,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "single-pass flag counting diverged from the materialized stage frames")
   }
 
+  test("resuming from a published stage-4 snapshot equals the in-memory funnel") {
+    // the production shape: the exact-dedup boundary is materialized through
+    // the atomic manifest layer, and the expensive near-dedup +
+    // decontamination stages restart from the snapshot
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_funnel_stage4").toString
+    val d4 = stages(4)._2.select("doc_id", "text")
+    graft.etl.Warehouse.publish(spark, tableDir,
+      dir => d4.write.mode("overwrite").parquet(dir))
+    val resumed = graft.etl.CorpusPipeline.finishFromExactDeduped(
+        graft.etl.Warehouse.readCurrent(spark, tableDir),
+        Tables.documents(spark, TestSpark.sfDir).filter(col("source") === "src0"))
+      .last._2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(resumed === ids.last._2,
+      "snapshot-resumed curation diverged from the in-memory funnel")
+  }
+
   test("curation is deterministic across runs") {
     val a = CorpusPipeline.qCorpusCurate(spark, TestSpark.sfDir).collect().toSeq
     val b = CorpusPipeline.qCorpusCurate(spark, TestSpark.sfDir).collect().toSeq
