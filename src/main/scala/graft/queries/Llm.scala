@@ -1061,18 +1061,19 @@ object Llm {
     * vocabulary GROUP BY), but the shuffle never carries the vocabulary:
     * at 100 TB pass 1 moves k entries per map partition and pass 2 moves
     * ≤ k words — the mergeable-summaries shape, not a vocab-wide exchange.
-    * Total token count rides along in the same pass-1 aggregation, so the
-    * corpus is scanned exactly twice. */
+    * Total token count rides along in the same pass-1 aggregation AND on
+    * every exploded candidate row, so the sketch frame has exactly one
+    * consumer and the corpus is scanned exactly twice — a second branch
+    * off the sketch (e.g. a totals cross-join) would re-run the MG pass. */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val mg = udaf(new graft.expr.MisraGriesAgg(64))
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
-    val sketch = toks.agg(mg(col("word")).as("sk"), count(lit(1)).as("n_total"))
-    val cands = sketch.select(explode(map_keys(col("sk"))).as("word"))
-    val totals = sketch.select(col("n_total"))
-    toks.join(broadcast(cands), Seq("word"), "left_semi")
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(totals))
+    val cands = toks
+      .agg(mg(col("word")).as("sk"), count(lit(1)).as("n_total"))
+      .select(explode(map_keys(col("sk"))).as("word"), col("n_total"))
+    toks.join(broadcast(cands), "word")
+      .groupBy("word", "n_total").agg(count(lit(1)).as("n"))
       .filter(col("n").cast("double") >= col("n_total") * 0.02)
       .withColumn("frac", floor(col("n").cast("double") / col("n_total") * 1e6) / 1e6)
       .select(col("word"), col("n"), col("frac"))

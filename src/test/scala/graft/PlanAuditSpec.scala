@@ -17,7 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val oneRowProbeBnlj = Set(
     "q_knn_cosine", "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_ngram_jaccard",
     "q_tfidf", "q_label_balance", "q_mix_temperature", // corpus-total 1-row cross joins
-    "q_heavy_hitters", "q_word_pmi", "q_skew_profile", // 1-row totals + ≤k-word candidate broadcasts
+    "q_word_pmi", "q_skew_profile", // 1-row totals broadcasts
     "q_lm_perplexity", // 1-row corpus-total and P90 broadcasts
     "q_knn_batch") // m-row probe batch (bounded), broadcast
 
