@@ -135,9 +135,13 @@ object CorpusPipeline {
       .select(col("doc_id"), lit(true).as("ccd"))
     val f5 = f4.join(ccDrop, Seq("doc_id"), "left")
       .withColumn("s5", col("s4") && !coalesce(col("ccd"), lit(false)))
+    // contamination is per-doc INDEPENDENT of the earlier gates, so the
+    // flag computes corpus-wide from the raw input — s6 = s5 ∧ ¬con is the
+    // same set either way, and this branch carries no dependency on the
+    // f5 chain (which the gram pass would otherwise re-evaluate)
     val evalGrams = grams4(d0.filter(col("source") === "src0"))
       .select("gram").distinct()
-    val contaminated = grams4(f5.filter(col("s5")))
+    val contaminated = grams4(d0)
       .join(evalGrams, Seq("gram"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("con", lit(true))
