@@ -741,6 +741,20 @@ object Oracle {
         |GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
 
+    // Sliding windows: each event expands to len/slide = 2 window starts
+    // (floor-hour and floor-hour minus 1h), mirroring Spark's epoch-aligned
+    // window(ts, '2 hours', '1 hour') expansion.
+    "q_sliding_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value
+        |           FROM events),
+        |x AS (SELECT date_trunc('hour', t) - i * INTERVAL 1 HOUR AS w_start,
+        |             event_type, value
+        |      FROM e, unnest([0, 1]) AS u(i))
+        |SELECT w_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+
     "q_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_cdc_scd2"        -> (Cdc.qCdcScd2 _),
     "q_snapshot_diff"   -> (Cdc.qSnapshotDiff _),
     "q_stream_tumbling" -> (Cdc.qStreamTumbling _),
+    "q_sliding_window"  -> (Cdc.qSlidingWindow _),
     "q_session_window"  -> (Cdc.qSessionWindow _),
     // §2.9 LLM-data-pipeline block
     "q_dedup_exact"    -> (Llm.qDedupExact _),

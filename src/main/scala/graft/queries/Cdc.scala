@@ -101,6 +101,23 @@ object Cdc {
               col("n_events"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  /** §2.10 SLIDING event-time windows (2-hour windows every hour): each
+    * event lands in window_len/slide = 2 overlapping windows — the
+    * trailing-window monitoring shape (rates "over the last 2 h" refreshed
+    * hourly). Spark's `window(ts, len, slide)` expands the per-row window
+    * list before the hash aggregation, so the cost is slide-factor × the
+    * tumbling aggregate, still map-side-partial and identical on
+    * readStream; the oracle mirrors the expansion with an explicit
+    * 2-element unnest. */
+  def qSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           moneySum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
   /** §2.10 Session windows, 30-min inactivity gap per user, batch parity via
     * gaps-and-islands: flag rows starting a new session (gap > 30 min from
     * the previous event), running-sum the flags into a session id, aggregate.
