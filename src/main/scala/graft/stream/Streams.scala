@@ -44,6 +44,17 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Sliding windows on a stream (the streaming twin of Cdc.qSlidingWindow):
+    * 2-hour windows every hour with a watermark; append mode emits each
+    * overlapping window once the watermark passes its end. */
+  def slidingCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
   /** Continuous heavy-hitters monitoring: the Misra–Gries sketch
     * ([[graft.expr.MisraGriesAgg]]) as a streaming GLOBAL aggregation —
     * the trending-tokens / hot-keys dashboard over an unbounded stream.

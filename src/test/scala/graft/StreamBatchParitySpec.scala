@@ -57,6 +57,36 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding aggregation: batch run == streaming finalized windows") {
+    val batch = Streams.slidingCounts(events.toDF(), "10 minutes")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.slidingCounts(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("s_parity").outputMode("append")
+      .start()
+    try {
+      mem.addData(events.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(events.last)
+      q.processAllAvailable()
+      val streamed = spark.table("s_parity")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch),
+        s"streamed sliding windows must equal their batch counterparts:\n" +
+          s"stream=$streamed\nbatch=$batch")
+      // an event in hour 10 must appear in BOTH its overlapping windows
+      // once they close (09:00-11:00 and 10:00-12:00 close by 12:30)
+      val starts = streamed.map(_._1.substring(0, 13))
+      assert(starts.contains("2024-01-01 09") && starts.contains("2024-01-01 10"))
+    } finally q.stop()
+  }
+
   test("stream-stream join body: batch run == independently-computed pairs") {
     // the SAME pairedWithinWindow body on batch inputs (watermarks are
     // no-ops in batch) must equal a from-scratch batch formulation
