@@ -1303,6 +1303,17 @@ object Oracle {
         |WHERE CAST(n AS DOUBLE) >= n_total * 0.02
         |ORDER BY n DESC, word""".stripMargin,
 
+    "q_heavy_hitters_grouped" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |             FROM documents),
+        |t AS (SELECT lang, count(*) AS n_total FROM tok GROUP BY 1),
+        |c AS (SELECT lang, word, count(*) AS n FROM tok GROUP BY 1, 2)
+        |SELECT c.lang, word, n,
+        |  floor(CAST(n AS DOUBLE) / n_total * 1e6) / 1e6 AS frac
+        |FROM c JOIN t USING (lang)
+        |WHERE CAST(n AS DOUBLE) >= n_total * 0.02
+        |ORDER BY lang, n DESC, word""".stripMargin,
+
     // ln argument assembled left-to-right identically to the Spark side
     // (§5.3): (n_pair·cu·cu) / (cb·c1a·c1b), then ln, then micro-floor.
     "q_word_pmi" ->

@@ -121,6 +121,7 @@ object SparkEntry {
     "q_decontaminate"  -> (Llm.qDecontaminate _),
     "q_mix_temperature" -> (Llm.qMixTemperature _),
     "q_heavy_hitters"  -> (Llm.qHeavyHitters _),
+    "q_heavy_hitters_grouped" -> (Llm.qHeavyHittersGrouped _),
     "q_word_pmi"       -> (Llm.qWordPmi _),
     "q_source_overlap" -> (Llm.qSourceOverlap _),
     "q_embed_outliers" -> (Llm.qEmbedOutliers _),

@@ -1080,6 +1080,30 @@ object Llm {
       .orderBy(col("n").desc, col("word"))
   }
 
+  /** §2.9 GROUPED exact heavy hitters: the Misra–Gries sketch as a KEYED
+    * aggregation — one k-bounded buffer per language, the per-domain
+    * trending-terms shape (each group's candidate set is complete for its
+    * own n_g/(k+1) bound, so the per-group ≥ 2% cut is exact). Same
+    * sketch-then-verify discipline as [[qHeavyHitters]]; the candidate
+    * broadcast carries ≤ k·|groups| rows and each group's token total
+    * rides on its candidate rows, so the sketch aggregation has exactly
+    * one consumer. */
+  def qHeavyHittersGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new graft.expr.MisraGriesAgg(64))
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    val cands = toks.groupBy("lang")
+      .agg(mg(col("word")).as("sk"), count(lit(1)).as("n_total"))
+      .select(col("lang"), explode(map_keys(col("sk"))).as("word"),
+              col("n_total"))
+    toks.join(broadcast(cands), Seq("lang", "word"))
+      .groupBy("lang", "word", "n_total").agg(count(lit(1)).as("n"))
+      .filter(col("n").cast("double") >= col("n_total") * 0.02)
+      .withColumn("frac", floor(col("n").cast("double") / col("n_total") * 1e6) / 1e6)
+      .select(col("lang"), col("word"), col("n"), col("frac"))
+      .orderBy(col("lang"), col("n").desc, col("word"))
+  }
+
   /** §2.9 Bigram PMI (pointwise mutual information) — the collocation /
     * multi-word-expression miner a corpus-analysis pass runs before
     * tokenizer training: pmi(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2))), top-20
