@@ -744,6 +744,41 @@ object Oracle {
     // Sliding windows: each event expands to len/slide = 2 window starts
     // (floor-hour and floor-hour minus 1h), mirroring Spark's epoch-aligned
     // window(ts, '2 hours', '1 hour') expansion.
+    // Interp ratio divides the day-int deltas FIRST (mirrored op order);
+    // filled value floor-snaps to 1e-4; edge gaps take the nearest known.
+    "q_interpolate" ->
+      """WITH base AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT min(day) AS lo, max(day) AS hi FROM base),
+        |spine AS (SELECT p.prio, d.day
+        |  FROM (SELECT DISTINCT prio FROM base) p,
+        |       (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+        |               AS DATE) AS day FROM r) d),
+        |j AS (SELECT s.prio, s.day, b.v FROM spine s
+        |      LEFT JOIN base b ON s.prio = b.prio AND s.day = b.day),
+        |w AS (SELECT prio, day, v,
+        |  last_value(v IGNORE NULLS) OVER pw AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |    OVER pw AS pd,
+        |  first_value(v IGNORE NULLS) OVER fw AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |    OVER fw AS nd
+        |  FROM j WINDOW
+        |    pw AS (PARTITION BY prio ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fw AS (PARTITION BY prio ORDER BY day
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT prio, day,
+        |  floor((CASE WHEN v IS NOT NULL THEN v
+        |        WHEN pd IS NOT NULL AND nd IS NOT NULL THEN
+        |          pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+        |                            / CAST(date_diff('day', pd, nd) AS DOUBLE))
+        |        ELSE COALESCE(pv, nv) END) * 1e4) / 1e4 AS filled,
+        |  v IS NULL AS was_gap
+        |FROM w ORDER BY prio, day""".stripMargin,
+
     "q_sliding_window" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value
         |           FROM events),

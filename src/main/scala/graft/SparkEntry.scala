@@ -68,6 +68,7 @@ object SparkEntry {
     "q_join_asof"         -> (Windows.qJoinAsof _),
     "q_win_ntile"         -> (Windows.qWinNtile _),
     "q_gap_fill"          -> (Windows.qGapFill _),
+    "q_interpolate"       -> (Windows.qInterpolate _),
     "q_win_moving_avg"    -> (Windows.qWinMovingAvg _),
     // §2.8 scalar functions
     "q_str_funcs"   -> (Scalars.qStrFuncs _),

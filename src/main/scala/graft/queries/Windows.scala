@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.queries.Exprs.moneySum
 
 /** Window-function block + the TPC-DI-signature temporal joins
   * (SURVEY.md §2.5, plus §2.3 `q_join_range_scd2` / `q_join_conditional_key` /
@@ -302,6 +303,47 @@ object Windows {
     * shape reporting pipelines need. The spine is `sequence(min, max)` off a
     * 1-row aggregate, so it is tiny regardless of fact size and broadcasts
     * into the join; the only shuffle is the daily pre-aggregation. */
+  /** §2.5 Time-series gap INTERPOLATION — [[qGapFill]]'s zero-fill upgraded
+    * to linear interpolation: per order-priority daily revenue, missing days
+    * take the value linearly interpolated between their nearest present
+    * neighbors (edge gaps take the nearest known value) — the resampling
+    * step before any regular-interval time-series model.
+    *
+    * Shape: the per-group spine is a bounded cross of |groups| × the 1-row
+    * exploded day range; neighbor lookup is `last/first(..., ignoreNulls)`
+    * over two keyed window frames — one shuffle on the group key, linear
+    * scan per partition, no self-join against the known-day set. The
+    * interpolation ratio is computed as (day-int deltas) divide-first in
+    * both engines, and the filled value floor-snaps to 1e-4. */
+  def qInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"),
+               col("o_orderdate").cast("date").as("day"))
+      .agg(moneySum(col("o_totalprice")).as("v"))
+    val days = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val spine = base.select("prio").distinct().crossJoin(broadcast(days))
+    val wP = Window.partitionBy("prio").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("prio").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val kd = when(col("v").isNotNull, col("day"))
+    val j = spine.join(base, Seq("prio", "day"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wP))
+      .withColumn("pd", last(kd, ignoreNulls = true).over(wP))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wF))
+      .withColumn("nd", first(kd, ignoreNulls = true).over(wF))
+    j.select(col("prio"), col("day"),
+        (floor((when(col("v").isNotNull, col("v"))
+          .when(col("pd").isNotNull && col("nd").isNotNull,
+            col("pv") + (col("nv") - col("pv")) *
+              (datediff(col("day"), col("pd")).cast("double")
+               / datediff(col("nd"), col("pd")).cast("double")))
+          .otherwise(coalesce(col("pv"), col("nv")))) * 1e4) / 1e4).as("filled"),
+        col("v").isNull.as("was_gap"))
+      .orderBy("prio", "day")
+  }
+
   def qGapFill(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(spark, dir)
       .groupBy(col("o_orderdate").cast("date").as("day"))

@@ -19,6 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_tfidf", "q_label_balance", "q_mix_temperature", // corpus-total 1-row cross joins
     "q_word_pmi", "q_skew_profile", // 1-row totals broadcasts
     "q_lm_perplexity", // 1-row corpus-total and P90 broadcasts
+    "q_interpolate", // |groups| × 1-row-exploded day-range spine cross
     "q_knn_batch") // m-row probe batch (bounded), broadcast
 
   // One evaluation pass over the full inventory; both audits read the
