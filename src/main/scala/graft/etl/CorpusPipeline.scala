@@ -37,19 +37,18 @@ import graft.queries.Llm
   * boundary once (checkpoint / snapshot publish) instead. */
 object CorpusPipeline {
 
-  /** Exploded distinct-per-doc word 4-grams — the decontamination unit
-    * (same gram definition as `q_decontaminate`/`q_span_dup`). */
+  /** Exploded per-doc word 4-grams — the decontamination unit (same gram
+    * definition as `q_decontaminate`/`q_span_dup`, via the native
+    * [[graft.expr.WordNgrams]] generator; short docs explode away). */
   private def grams4(df: DataFrame): DataFrame = df
     .withColumn("w", split(col("text"), " "))
-    .filter(size(col("w")) >= 4)
     .select(col("doc_id"),
-      explode(expr(
-        "transform(sequence(1, size(w) - 3), i -> array_join(slice(w, i, 4), ' '))"))
-        .as("gram"))
+      explode(call_function("word_ngrams", col("w"), lit(4))).as("gram"))
 
   /** The six stage frames, in funnel order, each a subset of its
     * predecessor. Head is the raw input. */
   def stages(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
     val d0 = Tables.documents(spark, dir)
     val d1 = d0.filter(col("source") =!= "src0")
 
@@ -83,6 +82,7 @@ object CorpusPipeline {
     * CorpusPipelineSpec proves snapshot-resumed output equals the pure
     * in-memory funnel. */
   def finishFromExactDeduped(d4: DataFrame, holdout: DataFrame): Seq[(String, DataFrame)] = {
+    graft.expr.GraftFunctions.ensureRegistered(d4.sparkSession)
     val nonCanonical = Llm.dedupGroups(Llm.minhashPairs(d4))
       .filter(col("doc_id") =!= col("group_id"))
       .select("doc_id")
@@ -113,6 +113,7 @@ object CorpusPipeline {
     * CorpusPipelineSpec asserts this formulation equals [[stages]]' frame
     * counts in-engine; the DuckDB oracle restates the funnel a third way. */
   def qCorpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
     val d0 = Tables.documents(spark, dir)
     val qok = Llm.qQualityScore(spark, dir)
       .filter(col("kept")).select(col("doc_id"), lit(true).as("qok"))

@@ -95,9 +95,32 @@ object GraftFunctions {
     CosineSimilarity(children.head, children(1))
   }
 
+  private[expr] val ngramsIdent = FunctionIdentifier("word_ngrams")
+  private[expr] val ngramsInfo =
+    new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams")
+  private[expr] val ngramsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "word_ngrams takes exactly 2 arguments")
+    val n = children(1) match {
+      case lit if lit.foldable => lit.eval() match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams n must be an int literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "word_ngrams n must be a literal")
+    }
+    WordNgrams(children.head, n)
+  }
+
+  private val all = Seq(
+    (ident, info, builder),
+    (ngramsIdent, ngramsInfo, ngramsBuilder))
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    all.foreach { case (id, inf, b) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, inf, b)
+    }
   }
 }
 
@@ -105,6 +128,8 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((GraftFunctions.ident, GraftFunctions.info, GraftFunctions.builder))
+    ext.injectFunction((GraftFunctions.ngramsIdent, GraftFunctions.ngramsInfo,
+      GraftFunctions.ngramsBuilder))
     // whole-operator surface (TopKPerGroup — SURVEY.md §2.11 option (c)):
     // the planner strategy, plus the optimizer rule that un-blocks filter
     // pushdown through the custom node (injected rules join the operator-

@@ -1225,18 +1225,17 @@ object Llm {
     * hash EQUI-join on the gram string + a per-doc distinct count — never an
     * all-pairs document comparison. */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     val d = Tables.documents(spark, dir)
       .withColumn("w", split(col("text"), " "))
-    // docs with <4 words have no 4-gram: guard the sequence (unguarded it
-    // runs DESCENDING into slice(w, 0, 4), which throws) and explode the
-    // empty array away — the doc still reaches the output via the left
-    // join below, mirroring the oracle's empty range(1, len-2).
+    // native codegen'd gram generator ([[graft.expr.WordNgrams]]): docs with
+    // <4 words yield an empty array that explodes away — the doc still
+    // reaches the output via the left join below, mirroring the oracle's
+    // empty range(1, len-2). (The HOF form this replaces needed an explicit
+    // size guard against a descending sequence, and ran an interpreted
+    // lambda per position.)
     val grams = d.select(col("doc_id"), col("source"),
-      explode(expr(
-        """CASE WHEN size(w) >= 4
-          |THEN transform(sequence(1, size(w) - 3), i -> array_join(slice(w, i, 4), ' '))
-          |ELSE CAST(array() AS array<string>) END""".stripMargin))
-        .as("gram"))
+      explode(call_function("word_ngrams", col("w"), lit(4))).as("gram"))
     val evalGrams = grams.filter(col("source") === "src0").select("gram").distinct()
     val hits = grams.filter(col("source") =!= "src0")
       .join(evalGrams, "gram")
@@ -1305,13 +1304,12 @@ object Llm {
     * onto the per-doc distinct gram frame → per-doc counting agg. Every
     * exchange is keyed on gram or doc_id; nothing is ever all-pairs. */
   def qSpanDup(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     val d = Tables.documents(spark, dir)
       .withColumn("w", split(col("text"), " "))
-    val grams = d.filter(size(col("w")) >= 4)
+    val grams = d
       .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(w) - 3), i -> array_join(slice(w, i, 4), ' '))"))
-          .as("gram"))
+        explode(call_function("word_ngrams", col("w"), lit(4))).as("gram"))
       .distinct()
     val df = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
     grams.join(df, "gram")

@@ -122,6 +122,32 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(viaSql - 1.0) < 1e-12)
   }
 
+  test("native word_ngrams matches the HOF formulation exactly, in codegen") {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions._
+    // corpus docs + every short-doc edge case (0..3 words yield EMPTY)
+    val edge = docs(100L -> "", 101L -> "a", 102L -> "a b", 103L -> "a b c",
+                    104L -> "a b c d", 105L -> "x x x x x")
+    val corpus = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text")).unionByName(edge)
+      .withColumn("w", split(col("text"), " "))
+    val both = corpus
+      .withColumn("native", call_function("word_ngrams", col("w"), lit(4)))
+      .withColumn("hof", expr(
+        """CASE WHEN size(w) >= 4
+          |THEN transform(sequence(1, size(w) - 3), i -> array_join(slice(w, i, 4), ' '))
+          |ELSE CAST(array() AS array<string>) END""".stripMargin))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() === 0,
+      "native gram arrays diverge from the HOF formulation")
+    // the native projection must stay inside whole-stage codegen
+    val nativeOnly = corpus
+      .select(call_function("word_ngrams", col("w"), lit(4)).as("g"))
+    nativeOnly.collect()
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project.*"),
+      s"word_ngrams projection fell out of whole-stage codegen:\n$plan")
+  }
+
   test("near-dup pair stages are blocked equi-joins — never all-pairs") {
     // The 100 TB contract: candidate pairs must come from hash-partitionable
     // equi-joins on bucket keys, not nested-loop/cartesian expansion.
