@@ -31,6 +31,25 @@ object DelimitedSource {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** [[read]] with REJECT CAPTURE — the DImessages-style error channel:
+    * malformed lines surface as rows whose `_reject` column carries the raw
+    * line (all data fields null) instead of failing the batch or silently
+    * nulling. Callers split `_reject IS NULL` into the load path and route
+    * the rest to the error table. Parsing stays single-pass and splittable;
+    * the corrupt-record column is Spark's native PERMISSIVE-mode channel,
+    * not a second validation scan. */
+  def readWithRejects(spark: SparkSession, path: String, schema: StructType,
+                      sep: String = "|"): DataFrame =
+    spark.read
+      .schema(schema.add("_reject", org.apache.spark.sql.types.StringType))
+      .option("sep", sep)
+      .option("header", "false")
+      .option("timestampNTZFormat", TsFormat)
+      .option("timestampFormat", TsFormat)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_reject")
+      .csv(path)
+
   /** Inverse of [[read]] for round-trip tests and warehouse extracts. */
   def write(df: DataFrame, path: String, sep: String = "|"): Unit =
     df.write

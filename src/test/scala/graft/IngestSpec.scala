@@ -55,6 +55,30 @@ class IngestSpec extends AnyFunSuite {
     assert(li.exceptAll(back).count() === 0)
   }
 
+  test("csv reject capture: malformed lines land in _reject, good rows load clean") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+    val schema = new StructType().add("id", IntegerType).add("name", StringType)
+      .add("qty", IntegerType)
+    val tmp = Files.createTempDirectory("graft_rej").resolve("batch.txt")
+    Files.write(tmp, Seq(
+      "1|alpha|10",
+      "2|beta|not_a_number", // unparseable int -> reject
+      "3|gamma|30",
+      "4|delta|5|EXTRA|COLS" // arity overflow -> reject
+    ).mkString("\n").getBytes)
+    val rows = DelimitedSource.readWithRejects(spark, tmp.toString, schema)
+      .cache() // Spark cannot filter on ONLY the corrupt column of a lazy scan
+    val good = rows.filter(col("_reject").isNull)
+    val bad = rows.filter(col("_reject").isNotNull)
+    assert(good.count() === 2)
+    assert(good.select("id").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 3))
+    val rejects = bad.select("_reject").collect().map(_.getString(0)).sorted.toSeq
+    assert(rejects === Seq("2|beta|not_a_number", "4|delta|5|EXTRA|COLS"),
+      "reject column must carry the raw malformed lines")
+    rows.unpersist()
+  }
+
   private val finwireLines = Seq(
     //        PTS(15)        TYP(3) then per-type layout from offset 19
     "20070102-120000CMP" + "Acme Corporation    " + "0000001234" + "ACTV",
