@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning-invariance contract (SURVEY.md §5.3): every cross-engine
+  * exactness trick in the engine — decimal-snap sums, integer micro-unit
+  * snapping BEFORE summation, md5 hashing, range-sort + zipWithIndex —
+  * exists so results cannot depend on HOW the data was partitioned. This
+  * suite enforces that directly: the same query on the same data must
+  * return byte-identical rows under a radically different
+  * `spark.sql.shuffle.partitions` (3 vs the suite's 32), which reshuffles
+  * every aggregation/join/window layout. A query that drifts here would
+  * also drift between cluster sizes at 100 TB — and between Spark and the
+  * DuckDB oracle. */
+class DeterminismSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private lazy val alt = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 3)
+    s
+  }
+
+  // queries whose internals are most partition-sensitive: double-derived
+  // aggregations, sketches, global orderings, iterative CC
+  private val sensitive: Seq[String] = Seq(
+    "q_stats_moments",    // decimal power sums -> derived moments
+    "q_agg_hash",         // money sums
+    "q_heavy_hitters",    // MG sketch merge tree changes with partitioning
+    "q_lm_perplexity",    // micro-snapped nll sums + percentile cut
+    "q_embed_outliers",   // integer micro-unit centroids
+    "q_mix_interleave",   // range sort + zipWithIndex global positions
+    "q_mix_temperature",  // micro-snapped sqrt weight sums
+    "q_dedup_groups",     // iterative min-label CC
+    "q_win_running",      // decimal running sums over windows
+    "q_interpolate")      // ignoreNulls window neighbors + interp arithmetic
+
+  sensitive.foreach { name =>
+    test(s"$name is byte-identical under shuffle.partitions 32 vs 3") {
+      val base = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+        .collect().map(_.toString).toSeq
+      val re = SparkEntry.queries(name)(alt, TestSpark.sfDir)
+        .collect().map(_.toString).toSeq
+      assert(base === re, s"$name drifted under a different partitioning")
+      assert(base.nonEmpty)
+    }
+  }
+}
