@@ -1117,7 +1117,9 @@ object Llm {
     * TakeOrderedAndProject over the vocab²-bounded pair frame — no global
     * sort of anything corpus-sized. The ln argument is assembled
     * left-to-right identically in both engines (§5.3) and micro-floor
-    * snapped. */
+    * snapped. (The declared query re-derives the `uni`/`pc` count frames
+    * per consumer for purity; a production run persists both — they are
+    * vocabulary-bounded — so the corpus is scanned twice, not per-branch.) */
   def qWordPmi(spark: SparkSession, dir: String): DataFrame = {
     val toksCol = split(col("text"), " ")
     val docs = Tables.documents(spark, dir)
