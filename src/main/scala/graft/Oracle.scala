@@ -1477,6 +1477,26 @@ object Oracle {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
 
+    // Boundary rule = md5 prefix (cross-engine identical); chunk id =
+    // boundaries strictly before the position (running window sum).
+    "q_content_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(w[i:i+3], ' ') AS gram
+        |  FROM d, unnest(range(1, len(w) - 2)) AS r(i) WHERE len(w) >= 4),
+        |b AS (SELECT doc_id, pos,
+        |    CASE WHEN md5(gram) LIKE '0%' THEN 1 ELSE 0 END AS bnd
+        |  FROM g),
+        |c AS (SELECT doc_id, pos,
+        |    CAST(COALESCE(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+        |      AS chunk_idx
+        |  FROM b)
+        |SELECT doc_id, chunk_idx, min(pos) AS start_pos, max(pos) AS end_pos,
+        |  count(*) AS n_grams
+        |FROM c GROUP BY 1, 2
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // Per-word nll floor-snaps to micro-units BEFORE the per-doc sum (long
     // sums are order-independent; a double sum-of-ln would drift in the
     // last ulp with partition order), mirroring the Spark side exactly.

@@ -130,6 +130,7 @@ object SparkEntry {
     "q_span_dup"       -> (Llm.qSpanDup _),
     "q_corpus_curate"  -> (graft.etl.CorpusPipeline.qCorpusCurate _),
     "q_lm_perplexity"  -> (Llm.qLmPerplexity _),
+    "q_content_chunks" -> (Llm.qContentChunks _),
     "q_split_assign"   -> (Llm.qSplitAssign _),
     "q_sample_stratified" -> (Llm.qSampleStratified _),
   )

@@ -1250,6 +1250,43 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** §2.9 Content-defined chunking: chunk boundaries fall where the hash of
+    * the local 4-gram window has a fixed prefix (P = 1/16 per position) —
+    * so boundaries are determined by CONTENT, not offsets, and inserting a
+    * sentence shifts only the chunk it lands in while every later chunk
+    * re-aligns (the property fixed-size chunking lacks, and the reason
+    * storage-level dedup and patch-resilient document stores chunk this
+    * way). Expected chunk length = 1/P = 16 grams.
+    *
+    * Shape: native [[graft.expr.WordNgrams]] explode → per-row md5 prefix
+    * test → one keyed running-sum window per doc (chunk id = boundaries
+    * seen before this position) → per-(doc, chunk) aggregation. md5 keeps
+    * the boundary rule cross-engine-identical, same §5.3 discipline as the
+    * MinHash stack. */
+  def qContentChunks(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    contentChunkFrame(Tables.documents(spark, dir))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Chunking core over any (doc_id, text) frame — split out so the
+    * insertion-stability property (LlmSpec) runs on crafted documents. */
+  private[graft] def contentChunkFrame(docs: DataFrame): DataFrame = {
+    val g = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(call_function("word_ngrams", col("w"), lit(4)))
+          .as(Seq("pos", "gram")))
+      .withColumn("b", when(md5(col("gram")).startsWith("0"), 1L).otherwise(0L))
+    val upToPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("chunk_idx",
+        coalesce(sum(col("b")).over(upToPrev), lit(0L)).cast("int"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
+           count(lit(1)).as("n_grams"))
+  }
+
   /** §2.9 Unigram-LM perplexity filtering (the CCNet/KenLM quality signal,
     * reduced to its order-0 form): score every document by the average
     * negative log-probability of its words under the corpus's own unigram

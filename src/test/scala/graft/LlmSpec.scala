@@ -122,6 +122,30 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(viaSql - 1.0) < 1e-12)
   }
 
+  test("content-defined chunks re-align after an insertion (fixed-size chunks cannot)") {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    // a long pseudo-doc; insert one word near the front of the copy
+    val words = (0 until 400).map(i => s"tok${i % 60}_${(i * 7) % 13}")
+    val orig = words.mkString(" ")
+    val edited = (words.take(10) ++ Seq("INSERTED") ++ words.drop(10)).mkString(" ")
+    def chunkTexts(id: Long, text: String): Set[String] = {
+      val ws = text.split(" ")
+      Llm.contentChunkFrame(docs(id -> text)).collect()
+        .map(r => ws.slice(r.getAs[Int]("start_pos"),
+                           r.getAs[Int]("end_pos") + 4).mkString(" "))
+        .toSet
+    }
+    val a = chunkTexts(1L, orig)
+    val b = chunkTexts(2L, edited)
+    // every chunk not touching the insertion point must re-align exactly:
+    // only the chunk(s) containing the edit may differ on either side
+    val shared = a.intersect(b)
+    assert(a.size - shared.size <= 2 && b.size - shared.size <= 2,
+      s"insertion destroyed ${a.size - shared.size}/${a.size} chunks — " +
+        "boundaries are not content-defined")
+    assert(shared.nonEmpty && a != b)
+  }
+
   test("native word_ngrams matches the HOF formulation exactly, in codegen") {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     import org.apache.spark.sql.functions._
