@@ -1492,7 +1492,8 @@ object Oracle {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
         |      AS chunk_idx
         |  FROM b)
-        |SELECT doc_id, chunk_idx, min(pos) AS start_pos, max(pos) AS end_pos,
+        |SELECT doc_id, chunk_idx,
+        |  CAST(min(pos) AS INT) AS start_pos, CAST(max(pos) AS INT) AS end_pos,
         |  count(*) AS n_grams
         |FROM c GROUP BY 1, 2
         |ORDER BY doc_id, chunk_idx""".stripMargin,

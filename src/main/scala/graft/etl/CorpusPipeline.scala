@@ -37,13 +37,11 @@ import graft.queries.Llm
   * boundary once (checkpoint / snapshot publish) instead. */
 object CorpusPipeline {
 
-  /** Exploded per-doc word 4-grams — the decontamination unit (same gram
-    * definition as `q_decontaminate`/`q_span_dup`, via the native
-    * [[graft.expr.WordNgrams]] generator; short docs explode away). */
-  private def grams4(df: DataFrame): DataFrame = df
-    .withColumn("w", split(col("text"), " "))
-    .select(col("doc_id"),
-      explode(call_function("word_ngrams", col("w"), lit(4))).as("gram"))
+  /** Exploded per-doc word 4-grams — delegates to the ONE shared gram
+    * definition ([[Llm.gram4Rows]]) so the funnel's contamination stage can
+    * never de-synchronize from `q_decontaminate`/`q_span_dup`. */
+  private def grams4(df: DataFrame): DataFrame =
+    Llm.gram4Rows(df).select("doc_id", "gram")
 
   /** The six stage frames, in funnel order, each a subset of its
     * predecessor. Head is the raw input. */

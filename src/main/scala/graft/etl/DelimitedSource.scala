@@ -20,8 +20,10 @@ object DelimitedSource {
     * pinned so ingest is byte-stable regardless of Spark defaults. */
   val TsFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
-  def read(spark: SparkSession, path: String, schema: StructType,
-           sep: String = "|"): DataFrame =
+  /** The one shared option block: [[read]] and [[readWithRejects]] MUST
+    * parse identically (a format fix reaching only one path would turn
+    * clean rows into spurious rejects, or vice versa). */
+  private def reader(spark: SparkSession, schema: StructType, sep: String) =
     spark.read
       .schema(schema)
       .option("sep", sep)
@@ -29,24 +31,24 @@ object DelimitedSource {
       .option("timestampNTZFormat", TsFormat)
       .option("timestampFormat", TsFormat)
       .option("mode", "PERMISSIVE")
-      .csv(path)
+
+  def read(spark: SparkSession, path: String, schema: StructType,
+           sep: String = "|"): DataFrame =
+    reader(spark, schema, sep).csv(path)
 
   /** [[read]] with REJECT CAPTURE — the DImessages-style error channel:
     * malformed lines surface as rows whose `_reject` column carries the raw
-    * line (all data fields null) instead of failing the batch or silently
-    * nulling. Callers split `_reject IS NULL` into the load path and route
-    * the rest to the error table. Parsing stays single-pass and splittable;
-    * the corrupt-record column is Spark's native PERMISSIVE-mode channel,
-    * not a second validation scan. */
+    * line instead of failing the batch or silently nulling. (PERMISSIVE
+    * semantics: fields parsed BEFORE the failure point are kept, only the
+    * failed-and-later ones are null — classify rows by `_reject`, never by
+    * data-field nullness.) Callers split `_reject IS NULL` into the load
+    * path and route the rest to the error table. Parsing stays single-pass
+    * and splittable; the corrupt-record column is Spark's native
+    * PERMISSIVE-mode channel, not a second validation scan. */
   def readWithRejects(spark: SparkSession, path: String, schema: StructType,
                       sep: String = "|"): DataFrame =
-    spark.read
-      .schema(schema.add("_reject", org.apache.spark.sql.types.StringType))
-      .option("sep", sep)
-      .option("header", "false")
-      .option("timestampNTZFormat", TsFormat)
-      .option("timestampFormat", TsFormat)
-      .option("mode", "PERMISSIVE")
+    reader(spark,
+        schema.add("_reject", org.apache.spark.sql.types.StringType), sep)
       .option("columnNameOfCorruptRecord", "_reject")
       .csv(path)
 

@@ -28,6 +28,12 @@ import org.apache.spark.sql.Encoder
   * vocabulary, and the verify pass is a broadcast semi-join. That bounded
   * two-pass shape is the whole point at 100 TB: exact answers without ever
   * shuffling a vocabulary-sized aggregation.
+  *
+  * Per-token cost: the immutable HAMT buffer pays O(log k) and a couple of
+  * small allocations per reduce — dominated by the upstream split/explode;
+  * if the sketch pass ever surfaces in profiles, a sorted primitive-array
+  * buffer (the [[TopKLongsAgg]] layout, generalized to string keys) is the
+  * next lever.
   */
 final class MisraGriesAgg(k: Int)
     extends Aggregator[String, Map[String, Long], Map[String, Long]] {

@@ -50,6 +50,21 @@ object Llm {
         concat_ws(" ", col("pair").getField("0"), col("pair").getField("1")).as("gram"))
   }
 
+  /** Exploded word 4-grams over any frame with a `text` column, keeping the
+    * input columns — the SHARED gram unit of `q_decontaminate`, `q_span_dup`
+    * and the curation funnel (one definition, so the contracts between those
+    * operators and their oracles cannot de-synchronize). Native generator
+    * ([[graft.expr.WordNgrams]]); docs shorter than 4 words explode away.
+    * ([[contentChunkFrame]] needs gram POSITIONS and keeps its own
+    * posexplode of the same generator.) */
+  private[graft] def gram4Rows(docs: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val in = docs.columns.map(col)
+    docs.withColumn("__w", split(col("text"), " "))
+      .select(in :+
+        explode(call_function("word_ngrams", col("__w"), lit(4))).as("gram"): _*)
+  }
+
   /** Exact float→double promotion of a vector column. */
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
@@ -1227,17 +1242,11 @@ object Llm {
     * hash EQUI-join on the gram string + a per-doc distinct count — never an
     * all-pairs document comparison. */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
     val d = Tables.documents(spark, dir)
-      .withColumn("w", split(col("text"), " "))
-    // native codegen'd gram generator ([[graft.expr.WordNgrams]]): docs with
-    // <4 words yield an empty array that explodes away — the doc still
-    // reaches the output via the left join below, mirroring the oracle's
-    // empty range(1, len-2). (The HOF form this replaces needed an explicit
-    // size guard against a descending sequence, and ran an interpreted
-    // lambda per position.)
-    val grams = d.select(col("doc_id"), col("source"),
-      explode(call_function("word_ngrams", col("w"), lit(4))).as("gram"))
+    // shared native gram unit ([[gram4Rows]]): docs with <4 words yield no
+    // gram rows — the doc still reaches the output via the left join below,
+    // mirroring the oracle's empty range(1, len-2)
+    val grams = gram4Rows(d).select("doc_id", "source", "gram")
     val evalGrams = grams.filter(col("source") === "src0").select("gram").distinct()
     val hits = grams.filter(col("source") =!= "src0")
       .join(evalGrams, "gram")
@@ -1305,8 +1314,12 @@ object Llm {
     * under any partitioning — a double Σln would drift in the last ulp
     * with partition order; same discipline as [[qMixTemperature]]'s sqrt
     * weights), and the per-doc mean divides after. The decile cut compares
-    * the micro-snapped score against the micro-snapped global P90 so both
-    * engines cut identical rows. */
+    * the micro-snapped score against the micro-snapped exact P90 — the
+    * interpolation inside `percentile`/`quantile_cont` is the one step not
+    * mirrored op-for-op (engine-internal, like [[qClipOutliers]]'s bands):
+    * both engines interpolate between the SAME two micro-snapped order
+    * statistics, so a flip requires the interpolated value to land within
+    * an ulp of a micro boundary. */
   def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -1343,12 +1356,8 @@ object Llm {
     * onto the per-doc distinct gram frame → per-doc counting agg. Every
     * exchange is keyed on gram or doc_id; nothing is ever all-pairs. */
   def qSpanDup(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val d = Tables.documents(spark, dir)
-      .withColumn("w", split(col("text"), " "))
-    val grams = d
-      .select(col("doc_id"),
-        explode(call_function("word_ngrams", col("w"), lit(4))).as("gram"))
+    val grams = gram4Rows(Tables.documents(spark, dir))
+      .select("doc_id", "gram")
       .distinct()
     val df = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
     grams.join(df, "gram")
