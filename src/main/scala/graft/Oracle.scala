@@ -1498,6 +1498,35 @@ object Oracle {
         |FROM c GROUP BY 1, 2
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    // Chunk text reassembled by position from the token array (1-based
+    // inclusive slice mirrors Spark's slice(start+1, len)), md5-hashed.
+    "q_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(w[i:i+3], ' ') AS gram
+        |  FROM d, unnest(range(1, len(w) - 2)) AS r(i) WHERE len(w) >= 4),
+        |b AS (SELECT doc_id, pos,
+        |    CASE WHEN md5(gram) LIKE '0%' THEN 1 ELSE 0 END AS bnd
+        |  FROM g),
+        |c AS (SELECT doc_id, pos,
+        |    COALESCE(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        |  FROM b),
+        |ch AS (SELECT doc_id, chunk_idx,
+        |    min(pos) AS start_pos, max(pos) AS end_pos
+        |  FROM c GROUP BY 1, 2),
+        |h AS (SELECT d.source,
+        |    md5(array_to_string(d.w[ch.start_pos + 1 : ch.end_pos + 4], ' '))
+        |      AS chash
+        |  FROM ch JOIN d USING (doc_id))
+        |SELECT source, count(*) AS n_chunks,
+        |  count(DISTINCT chash) AS n_distinct,
+        |  floor((1.0 - CAST(count(DISTINCT chash) AS DOUBLE) / count(*)) * 1e6)
+        |    / 1e6 AS dup_ratio
+        |FROM h GROUP BY source
+        |ORDER BY source""".stripMargin,
+
     // Per-word nll floor-snaps to micro-units BEFORE the per-doc sum (long
     // sums are order-independent; a double sum-of-ln would drift in the
     // last ulp with partition order), mirroring the Spark side exactly.

@@ -131,6 +131,7 @@ object SparkEntry {
     "q_corpus_curate"  -> (graft.etl.CorpusPipeline.qCorpusCurate _),
     "q_lm_perplexity"  -> (Llm.qLmPerplexity _),
     "q_content_chunks" -> (Llm.qContentChunks _),
+    "q_chunk_dedup"    -> (Llm.qChunkDedup _),
     "q_split_assign"   -> (Llm.qSplitAssign _),
     "q_sample_stratified" -> (Llm.qSampleStratified _),
   )

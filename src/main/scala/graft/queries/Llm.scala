@@ -1296,6 +1296,33 @@ object Llm {
            count(lit(1)).as("n_grams"))
   }
 
+  /** §2.9 Chunk-level storage dedup analytics: content-defined chunks
+    * ([[qContentChunks]]) hashed by their word content and counted per
+    * source — unique vs total chunks is exactly the storage a
+    * chunk-deduplicating store saves, and because boundaries are
+    * content-defined the sharing survives insertions that would misalign
+    * fixed-size blocks. Chunk text is reassembled from the token array by
+    * position (slice start..end+3), hashed with md5, and aggregated twice
+    * (per-source totals + distinct-hash counts) — all hash-keyed, nothing
+    * all-pairs. */
+  def qChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = contentChunkFrame(Tables.documents(spark, dir))
+    val hashed = chunks
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("w")), "doc_id")
+      .select(col("source"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("start_pos") + 1,
+                col("end_pos") - col("start_pos") + 4))).as("chash"))
+    hashed.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+           countDistinct(col("chash")).as("n_distinct"))
+      .withColumn("dup_ratio",
+        floor((lit(1.0) - col("n_distinct").cast("double") / col("n_chunks")) * 1e6) / 1e6)
+      .select("source", "n_chunks", "n_distinct", "dup_ratio")
+      .orderBy("source")
+  }
+
   /** §2.9 Unigram-LM perplexity filtering (the CCNet/KenLM quality signal,
     * reduced to its order-0 form): score every document by the average
     * negative log-probability of its words under the corpus's own unigram

@@ -45,4 +45,22 @@ class DeterminismSpec extends AnyFunSuite {
       assert(base.nonEmpty)
     }
   }
+
+  // AQE rewrites plans at runtime (coalesced partitions, runtime join
+  // strategy swaps, skew splits) — none of which may change RESULTS
+  private lazy val noAqe = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  Seq("q_stats_moments", "q_heavy_hitters", "q_dedup_groups").foreach { name =>
+    test(s"$name is byte-identical with AQE disabled") {
+      val base = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+        .collect().map(_.toString).toSeq
+      val re = SparkEntry.queries(name)(noAqe, TestSpark.sfDir)
+        .collect().map(_.toString).toSeq
+      assert(base === re, s"$name drifted when AQE replanning was disabled")
+    }
+  }
 }
