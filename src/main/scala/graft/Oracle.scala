@@ -741,6 +741,24 @@ object Oracle {
         |GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
 
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_signup FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_view
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t_signup GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_view GROUP BY 1)
+        |SELECT s1.user_id, s1.t_signup, s2.t_view, s3.t_purchase,
+        |  CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+        |       WHEN s2.t_view IS NOT NULL THEN 2 ELSE 1 END AS INT)
+        |    AS stage_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
     // Sliding windows: each event expands to len/slide = 2 window starts
     // (floor-hour and floor-hour minus 1h), mirroring Spark's epoch-aligned
     // window(ts, '2 hours', '1 hour') expansion.

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_stream_tumbling" -> (Cdc.qStreamTumbling _),
     "q_sliding_window"  -> (Cdc.qSlidingWindow _),
     "q_session_window"  -> (Cdc.qSessionWindow _),
+    "q_event_funnel"    -> (Cdc.qEventFunnel _),
     // §2.9 LLM-data-pipeline block
     "q_dedup_exact"    -> (Llm.qDedupExact _),
     "q_dedup_minhash"  -> (Llm.qDedupMinhash _),

@@ -118,6 +118,35 @@ object Cdc {
               col("n_events"), col("sum_value"))
       .orderBy("w_start", "event_type")
 
+  /** §2.10 Sequential event funnel: per user, the earliest signup, the
+    * earliest view strictly after it, and the earliest purchase strictly
+    * after that — ordered-sequence analytics (conversion funnels, ordered
+    * audit trails), which plain per-type aggregation cannot express because
+    * each stage's window OPENS at the previous stage's time.
+    *
+    * Shape at scale: one filtered keyed aggregation per stage + keyed
+    * equi-joins carrying the opening timestamp as a residual — no windows
+    * over raw rows, no self-join fanout (each stage joins one row per
+    * user), left joins preserve users who fall out mid-funnel. */
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def stage(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"))
+    val s1 = stage("signup").groupBy("user_id").agg(min(col("ts")).as("t_signup"))
+    val s2 = stage("view").join(s1, "user_id")
+      .filter(col("ts") > col("t_signup"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val s3 = stage("purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_view"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_view").isNotNull, 2).otherwise(1).as("stage_reached"))
+      .orderBy("user_id")
+  }
+
   /** §2.10 Session windows, 30-min inactivity gap per user, batch parity via
     * gaps-and-islands: flag rows starting a new session (gap > 30 min from
     * the previous event), running-sum the flags into a session id, aggregate.
