@@ -741,6 +741,24 @@ object Oracle {
         |GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
 
+    // Week indices are integer day arithmetic vs a fixed epoch — never
+    // calendar week-start conventions (engine/locale-dependent).
+    "q_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |           event_type FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT
+        |  CAST(floor(date_diff('day', DATE '2024-01-01', f.first_day) / 7)
+        |       AS INT) AS cohort_wk,
+        |  CAST(floor(date_diff('day', f.first_day, e.day) / 7) AS INT)
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |WHERE e.day >= f.first_day
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events),

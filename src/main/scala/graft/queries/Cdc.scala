@@ -147,6 +147,34 @@ object Cdc {
       .orderBy("user_id")
   }
 
+  /** §2.10 Cohort retention matrix: users grouped by the week of their first
+    * signup, activity counted per week-offset since that signup — the
+    * companion analysis to [[qEventFunnel]] (how many of each cohort are
+    * still active N weeks in). Week indices are PURE integer day arithmetic
+    * against a fixed epoch (`floor(datediff/7)`), sidestepping the calendar
+    * week-start conventions that differ across engines/locales (§5.3).
+    *
+    * Shape: first-signup per user is one keyed aggregation; the activity
+    * frame joins it back by user (equi), derives both week indices
+    * map-side, and the matrix is one hash aggregation with a distinct-user
+    * count per cell. */
+  def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("2024-01-01").cast("date")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+              col("event_type"))
+    val first = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("day")).as("first_day"))
+    ev.join(first, "user_id")
+      .filter(col("day") >= col("first_day"))
+      .select(col("user_id"),
+        floor(datediff(col("first_day"), epoch) / 7).cast("int").as("cohort_wk"),
+        floor(datediff(col("day"), col("first_day")) / 7).cast("int").as("week_offset"))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   /** §2.10 Session windows, 30-min inactivity gap per user, batch parity via
     * gaps-and-islands: flag rows starting a new session (gap > 30 min from
     * the previous event), running-sum the flags into a session id, aggregate.
