@@ -759,6 +759,21 @@ object Oracle {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
+    "q_markov_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |           event_type FROM events),
+        |p AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM e),
+        |c AS (SELECT cur, nxt, count(*) AS n FROM p
+        |      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.n,
+        |  floor(CAST(c.n AS DOUBLE) / t.row_total * 1e6) / 1e6 AS p
+        |FROM c JOIN t USING (cur)
+        |ORDER BY cur, nxt""".stripMargin,
+
     "q_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events),

@@ -88,6 +88,7 @@ object SparkEntry {
     "q_session_window"  -> (Cdc.qSessionWindow _),
     "q_event_funnel"    -> (Cdc.qEventFunnel _),
     "q_retention_cohorts" -> (Cdc.qRetentionCohorts _),
+    "q_markov_transitions" -> (Cdc.qMarkovTransitions _),
     // §2.9 LLM-data-pipeline block
     "q_dedup_exact"    -> (Llm.qDedupExact _),
     "q_dedup_minhash"  -> (Llm.qDedupMinhash _),

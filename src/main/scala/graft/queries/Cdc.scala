@@ -175,6 +175,30 @@ object Cdc {
       .orderBy("cohort_wk", "week_offset")
   }
 
+  /** §2.10 Event-transition matrix (order-1 Markov estimate): for every
+    * (current → next) event-type pair within a user's stream, the count and
+    * the row-normalized transition probability — the session-modeling /
+    * anomaly-baseline companion to sessionization (a spike in an off-matrix
+    * transition is the alert). One keyed window (`lead` per user by time)
+    * produces the pairs; counts and row totals are hash aggregations, and
+    * the probability is a ratio of exact longs, micro-floor snapped (§5.3).
+    * Ties in `ts` are broken by event_id so the sequence is total on both
+    * engines. */
+  def qMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("cur").agg(sum(col("n")).as("row_total"))
+    pairs.join(totals, "cur")
+      .withColumn("p", floor(col("n").cast("double") / col("row_total") * 1e6) / 1e6)
+      .select("cur", "nxt", "n", "p")
+      .orderBy("cur", "nxt")
+  }
+
   /** §2.10 Session windows, 30-min inactivity gap per user, batch parity via
     * gaps-and-islands: flag rows starting a new session (gap > 30 min from
     * the previous event), running-sum the flags into a session id, aggregate.
