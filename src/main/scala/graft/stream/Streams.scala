@@ -17,6 +17,12 @@ case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Emitted state of [[Streams.runningUserTotals]]. */
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+/** Per-user funnel progress emitted by [[Streams.funnelTws]]: epoch-micros
+  * of each reached stage (-1 = not reached), `stage_reached` mirrors the
+  * batch `q_event_funnel` encoding. */
+case class FunnelProgress(user_id: Long, t_signup: Long, t_view: Long,
+                          t_purchase: Long, stage_reached: Int)
+
 /** Structured Streaming wrappers (SURVEY.md §2.10): the stream-native forms
   * of the CDC/event-time semantics in [[graft.queries.Cdc]]. Each takes a
   * DataFrame that may be batch (`spark.read`) or streaming (`readStream` /
@@ -145,6 +151,59 @@ object Streams {
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The sequential conversion funnel (batch twin: `Cdc.qEventFunnel`) as a
+    * `transformWithState` STATE MACHINE — real-time stage tracking where
+    * each stage's window opens at the previous stage's event: signup opens
+    * the funnel, the first view strictly after the recorded signup advances
+    * it, the first purchase strictly after the recorded view completes it.
+    * State is one fixed-size [[FunnelProgress]] per user (bounded by
+    * |users| forever); each micro-batch emits the keys whose stage
+    * advanced. Events may arrive across micro-batches — the recorded
+    * timestamps persist, which is exactly what the batch equi-join + min
+    * aggregation formulation computes on the full history.
+    *
+    * Caveat vs batch: within the stream, rows are processed in arrival
+    * order per micro-batch; the parity spec feeds time-ordered batches
+    * (the at-least-once CDC contract upstream ingest provides via
+    * [[dedupedWithinWatermark]] + source ordering). */
+  class FunnelProcessor
+      extends StatefulProcessor[Long, UserEvent, FunnelProgress] {
+    @transient private var st: ValueState[FunnelProgress] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelProgress](
+        "funnel", Encoders.product[FunnelProgress], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[FunnelProgress] = {
+      var cur = Option(st.get()).getOrElse(FunnelProgress(user, -1L, -1L, -1L, 0))
+      val before = cur
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val us = e.ts.getTime * 1000L
+        e.event_type match {
+          case "signup" if cur.t_signup < 0 =>
+            cur = cur.copy(t_signup = us, stage_reached = 1)
+          case "view" if cur.t_signup >= 0 && cur.t_view < 0 && us > cur.t_signup =>
+            cur = cur.copy(t_view = us, stage_reached = 2)
+          case "purchase" if cur.t_view >= 0 && cur.t_purchase < 0 && us > cur.t_view =>
+            cur = cur.copy(t_purchase = us, stage_reached = 3)
+          case _ => ()
+        }
+      }
+      if (cur == before) Iterator.empty
+      else { st.update(cur); Iterator.single(cur) }
+    }
+  }
+
+  /** `Cdc.qEventFunnel` driven as a stream: emits a user's funnel progress
+    * whenever a micro-batch advances it. */
+  def funnelTws(events: Dataset[UserEvent]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream inner join with event-time range bound: each purchase

@@ -110,6 +110,53 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(got === Set((1L, 1L, 10L), (1L, 3L, 12L)))
   }
 
+  test("funnel state machine: cross-batch stage advancement matches batch semantics") {
+    import graft.stream.UserEvent
+    def ue(id: Long, t: String, u: Long, typ: String) =
+      UserEvent(id, ts(t), u, typ, 0.0)
+    // user 1 completes the funnel ACROSS batches; user 2's view precedes
+    // its signup (must not advance); user 3 signs up and stalls
+    val batch1 = Seq(
+      ue(1, "2024-01-01 10:00:00", 1, "signup"),
+      ue(2, "2024-01-01 10:05:00", 1, "view"),
+      ue(3, "2024-01-01 10:00:00", 2, "view"),    // before user 2's signup
+      ue(4, "2024-01-01 10:30:00", 2, "signup"),
+      ue(5, "2024-01-01 10:00:00", 3, "signup"))
+    val batch2 = Seq(
+      ue(6, "2024-01-01 11:00:00", 1, "purchase"), // completes user 1
+      ue(7, "2024-01-01 11:30:00", 2, "view"))     // now after signup -> stage 2
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[UserEvent]
+    val q = Streams.funnelTws(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_tws").outputMode("update")
+      .start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      // latest emission per user = final funnel state
+      val got = spark.table("funnel_tws")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .groupBy(_._1).map { case (u, rows) =>
+          u -> rows.map(_._2).maxBy(_._4) }
+      def us(t: String) = ts(t).getTime * 1000L
+      assert(got(1L) === (us("2024-01-01 10:00:00"), us("2024-01-01 10:05:00"),
+                          us("2024-01-01 11:00:00"), 3))
+      assert(got(2L) === (us("2024-01-01 10:30:00"), us("2024-01-01 11:30:00"), -1L, 2))
+      assert(got(3L) === (us("2024-01-01 10:00:00"), -1L, -1L, 1))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming Misra-Gries sketch: O(k) state, heavy items survive across micro-batches") {
     // heavy words split ACROSS micro-batches — the sketch state must carry
     // them; vocabulary (40) > k (8) so decrements genuinely fire in-stream
