@@ -104,25 +104,44 @@ object CorpusPipeline {
     *
     * Counted via per-doc survival FLAGS in one labeled frame rather than a
     * union of per-stage count branches: a union recomputes every expensive
-    * stage prefix once per branch (measured 11.5 s vs ~4 s at sf0.1),
-    * while the flag frame computes each stage set exactly once and reduces
-    * to a single aggregation — also the shape a 100 TB funnel audit wants
-    * (one pass over the corpus with six boolean sums, not seven jobs).
+    * stage prefix once per branch, while the flag frame computes each stage
+    * set exactly once and reduces to a single aggregation — also the shape
+    * a 100 TB funnel audit wants (one pass over the corpus with six boolean
+    * sums, not seven jobs).
+    *
+    * The stage-1..3 gates are pure per-row predicates, so they compute as
+    * ONE fused scan projection via the shared gate columns ([[Llm.qualityZ]],
+    * [[Llm.withRepetitionMetrics]] — the same definitions the declared
+    * queries evaluate) and the gated frame is PINNED (stage-boundary
+    * materialization — reliable checkpoint when a checkpoint dir is set,
+    * executor-local otherwise, the same discipline as the CC loop). Both
+    * matter, measured at sf0.1/local[32]: the r7 formulation joined the
+    * declared queries' outputs on doc_id and re-evaluated that join lineage
+    * in the CC-edge job and again under the final aggregate — 10.8 s; fusing
+    * the gates map-side WITHOUT pinning made it 18.3 s, because the
+    * higher-order-function gate expressions (interpreted, outside codegen
+    * CSE) re-evaluated in every consumer branch — the join shuffles had
+    * been accidental materialization barriers; fusing AND pinning computes
+    * the text featurization exactly once and every downstream stage reads
+    * the 6-column flag frame — 4.7 s (the residual is near-dedup:
+    * MinHash + iterative CC on the s4 survivors). This is also the 100 TB shape: a
+    * production funnel persists each stage boundary (the resume path below)
+    * rather than re-deriving gates under every consumer.
     * CorpusPipelineSpec asserts this formulation equals [[stages]]' frame
     * counts in-engine; the DuckDB oracle restates the funnel a third way. */
   def qCorpusCurate(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val d0 = Tables.documents(spark, dir)
-    val qok = Llm.qQualityScore(spark, dir)
-      .filter(col("kept")).select(col("doc_id"), lit(true).as("qok"))
-    val rok = Llm.qRepetitionFilter(spark, dir)
-      .filter(!col("flagged")).select(col("doc_id"), lit(true).as("rok"))
-    val f3 = d0.select(col("doc_id"), col("source"), col("text"))
-      .join(qok, Seq("doc_id"), "left")
-      .join(rok, Seq("doc_id"), "left")
+    val gated = Llm.withRepetitionMetrics(
+        d0.select(col("doc_id"), col("source"), col("text"))
+          .withColumn("words", split(col("text"), " ")))
       .withColumn("s1", col("source") =!= "src0")
-      .withColumn("s2", col("s1") && coalesce(col("qok"), lit(false)))
-      .withColumn("s3", col("s2") && coalesce(col("rok"), lit(false)))
+      .withColumn("s2", col("s1") && Llm.qualityZ(col("text"), col("words")) >= 0)
+      .withColumn("s3", col("s2") && col("n_words") >= 2 && !col("flagged"))
+      .select("doc_id", "source", "text", "s1", "s2", "s3")
+    val f3 =
+      if (spark.sparkContext.getCheckpointDir.isDefined) gated.checkpoint()
+      else gated.localCheckpoint(true)
     val canonical = f3.filter(col("s3"))
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("cok"))

@@ -729,16 +729,25 @@ object Llm {
     * (algebraically `score ≥ 0.5`) so the cut never depends on the
     * transcendental's last ulp. */
   def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val f1 = length(col("text")).cast("double") / size(toks)
-    val f2 = size(filter(toks, t => t.isin("a", "the"))).cast("double") / size(toks)
-    val f3 = size(array_distinct(toks)).cast("double") / size(toks)
-    val z = lit(-2.0) + lit(0.3) * f1 - lit(4.0) * f2 + lit(3.0) * f3
+    val z = qualityZ(col("text"), split(col("text"), " "))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         (floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1e6) / 1e6).as("score"),
         (z >= 0).as("kept"))
       .orderBy("doc_id")
+  }
+
+  /** The quality model's linear term, as a pure per-row Column — the ONE
+    * definition shared by [[qQualityScore]] and the corpus-curation funnel's
+    * map-side gate ([[graft.etl.CorpusPipeline]]), so the funnel can fuse
+    * the gate into its scan projection without joining the declared query's
+    * output (and without any possibility of the two drifting —
+    * CorpusPipelineSpec additionally asserts stage equivalence). */
+  private[graft] def qualityZ(text: Column, toks: Column): Column = {
+    val f1 = length(text).cast("double") / size(toks)
+    val f2 = size(filter(toks, t => t.isin("a", "the"))).cast("double") / size(toks)
+    val f3 = size(array_distinct(toks)).cast("double") / size(toks)
+    lit(-2.0) + lit(0.3) * f1 - lit(4.0) * f2 + lit(3.0) * f3
   }
 
   /** §2.9 Document chunking: overlapping token windows (30-token chunks,
@@ -1201,9 +1210,23 @@ object Llm {
     * Ratios are micro-unit floor-snapped (§5.3), formula mirrored
     * operation-for-operation in the oracle (divide first, then ×1e6). */
   def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("n_words", size(col("words")).cast("bigint"))
+    withRepetitionMetrics(
+        Tables.documents(spark, dir).withColumn("words", split(col("text"), " ")))
+      // docs with <2 words have no bigram; the oracle's inner join on the
+      // bigram group drops them, so drop them from the declared output (the
+      // metric columns CaseWhen-guard the <2 case — see the helper)
+      .filter(col("n_words") >= 2)
+      .select("doc_id", "n_words", "top_word_frac", "dup_bigram_frac", "flagged")
+      .orderBy("doc_id")
+
+  /** The Gopher-rule repetition metrics over a staged `words` column — the
+    * ONE definition shared by [[qRepetitionFilter]] and the curation
+    * funnel's map-side gate ([[graft.etl.CorpusPipeline]]). Adds `n_words`,
+    * `top_word_frac`, `dup_bigram_frac` (NULL when <2 words: no bigram
+    * exists, and the CaseWhen guard keeps ANSI array indexing away from a
+    * descending `sequence(0, -1)`), and `flagged`. */
+  private[graft] def withRepetitionMetrics(df: DataFrame): DataFrame =
+    df.withColumn("n_words", size(col("words")).cast("bigint"))
       // top-word count as the longest equal run of the SORTED words — one
       // O(n log n) pass per row instead of the O(n·|vocab|) distinct×filter
       // formulation (which benched 4× slower in interpreted lambda time)
@@ -1216,21 +1239,16 @@ object Llm {
           |    'best', greatest(a.best, IF(x = a.prev, a.run + 1, 1))),
           |  a -> a.best)""".stripMargin)
         .cast("bigint"))
-      // docs with <2 words have no bigram; the oracle's inner join on the
-      // bigram group drops them, so drop them explicitly here (a bare
-      // sequence(0, -1) would be DESCENDING and fabricate a null bigram)
-      .filter(col("n_words") >= 2)
-      .withColumn("bigrams", expr(
-        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
+      .withColumn("bigrams", when(col("n_words") >= 2, expr(
+        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))")))
       .withColumn("top_word_frac",
         floor(col("topc").cast("double") / col("n_words") * 1e6) / 1e6)
       .withColumn("dup_bigram_frac",
-        floor((lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
-          / size(col("bigrams"))) * 1e6) / 1e6)
+        when(col("n_words") >= 2,
+          floor((lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
+            / size(col("bigrams"))) * 1e6) / 1e6))
       .withColumn("flagged",
         col("top_word_frac") > 0.15 || col("dup_bigram_frac") > 0.08)
-      .select("doc_id", "n_words", "top_word_frac", "dup_bigram_frac", "flagged")
-      .orderBy("doc_id")
 
   /** §2.9 Benchmark decontamination: flag every training document sharing at
     * least one word 4-gram with the held-out eval set (`source = 'src0'`
