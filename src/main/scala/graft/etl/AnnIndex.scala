@@ -27,22 +27,56 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   /** Default on-disk location for the IVF index over one testdata SF dir:
-    * keyed by SF name, nlist, AND a byte-size fingerprint of the source
+    * keyed by SF name, nlist, AND a CONTENT fingerprint of the source
     * parquet — if the corpus is regenerated, the key changes and the index
     * rebuilds instead of a stale ready-marker masking wrong assignments.
     * Lives in the JVM temp dir — the index is derived data, rebuildable from
     * the corpus (seeded k-means ⇒ deterministic). */
-  def defaultIvfDir(sfDir: String, nlist: Int): String = {
-    val src = Paths.get(sfDir, "embeddings.parquet")
-    val fp =
-      if (!Files.exists(src)) 0L
-      else if (Files.isDirectory(src)) {
-        val s = Files.list(src)
-        try s.mapToLong(p => if (Files.isRegularFile(p)) Files.size(p) else 0L).sum()
-        finally s.close()
-      } else Files.size(src)
+  def defaultIvfDir(sfDir: String, nlist: Int): String =
     Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
-      s"ivf$nlist-${Paths.get(sfDir).getFileName}-$fp").toString
+      s"ivf$nlist-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
+
+  /** Default on-disk location for the LSH posting-list index — same keying
+    * discipline as [[defaultIvfDir]]. */
+  def defaultLshDir(sfDir: String, bands: Int, bits: Int): String =
+    Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
+      s"lsh$bands-$bits-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
+
+  /** Content fingerprint of a corpus file/directory: md5 over each data
+    * file's name, byte size, and head/tail 4 KiB. Byte size ALONE can alias
+    * a regenerated corpus of identical size (silently reusing stale list
+    * assignments behind a valid ready-marker); sampling real bytes closes
+    * that — the parquet footer lives in the tail and encodes row counts,
+    * column stats, and row-group offsets, so a same-size regeneration
+    * changes the digest. O(files · 8 KiB) driver-side reads: metadata-cheap
+    * at any corpus size, no Spark job. */
+  private[graft] def corpusFingerprint(src: java.nio.file.Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def feed(f: java.nio.file.Path): Unit = {
+      md.update(f.getFileName.toString.getBytes("UTF-8"))
+      val size = Files.size(f)
+      md.update(java.nio.ByteBuffer.allocate(8).putLong(size).array())
+      val ch = java.nio.channels.FileChannel.open(f)
+      try {
+        def sample(at: Long): Unit = {
+          val buf = java.nio.ByteBuffer.allocate(4096)
+          var pos = at
+          var n = ch.read(buf, pos)
+          while (n > 0 && buf.hasRemaining) { pos += n; n = ch.read(buf, pos) }
+          buf.flip(); md.update(buf)
+        }
+        sample(0L)
+        if (size > 4096) sample(size - 4096)
+      } finally ch.close()
+    }
+    if (Files.isDirectory(src)) {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(src)
+      try s.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+        .filter(Files.isRegularFile(_)).foreach(feed)
+      finally s.close()
+    } else if (Files.exists(src)) feed(src)
+    md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
   /** Marker written only after BOTH artifacts land, making [[ensure]] a
@@ -92,11 +126,24 @@ object AnnIndex {
     * sibling and is RENAMED into place atomically. Two racing processes both
     * build; one rename wins, the loser discards its copy. No reader ever
     * sees a half-written `lists/` behind a valid marker. */
-  def ensure(e: DataFrame, indexDir: String, nlist: Int): Unit = synchronized {
+  def ensure(e: DataFrame, indexDir: String, nlist: Int): Unit =
+    ensureBuilt(indexDir)(tmp => build(e, tmp, nlist))
+
+  /** [[ensure]]'s twin for the LSH posting lists: build iff the ready-marker
+    * is absent, land atomically. Gives the declared `q_knn_cosine_lsh` the
+    * same query-path contract as IVF — the query never hashes the corpus;
+    * it probes the persisted, partition-pruned posting lists. */
+  def ensureLsh(e: DataFrame, indexDir: String, bands: Int, bits: Int): Unit =
+    ensureBuilt(indexDir) { tmp =>
+      buildLsh(e, tmp, bands, bits)
+      Files.write(readyMarker(tmp), Array.emptyByteArray)
+    }
+
+  private def ensureBuilt(indexDir: String)(doBuild: String => Unit): Unit = synchronized {
     if (Files.exists(readyMarker(indexDir))) return
     val target = Paths.get(indexDir)
     val tmp = Paths.get(indexDir + s".build-${java.util.UUID.randomUUID()}")
-    build(e, tmp.toString, nlist)
+    doBuild(tmp.toString)
     try {
       Option(target.getParent).foreach(Files.createDirectories(_))
       Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -173,14 +220,27 @@ object AnnIndex {
     * holds the (band, bucket) pairs to visit — the probe's own buckets plus
     * its Hamming-≤radius XOR neighbors, computed driver-side from the
     * seeded hyperplanes (O(bands·bits) metadata math, data-independent).
-    * Both columns are PARTITION columns, so the OR-of-per-band-INs
-    * predicate prunes the scan to exactly those directories. */
+    *
+    * The probed cells are addressed DIRECTLY as `band=/bkt=` paths under a
+    * `basePath` — O(cells) existence checks instead of discovering the full
+    * `bands×2^bits` directory tree before pruning (measured: tree discovery
+    * cost ~1 s per query at sf0.1 locally, and on an object store a
+    * full-prefix listing is exactly the metadata storm a 100 TB probe must
+    * not make). The band/bkt partition predicate stays on the scan, so the
+    * plan still carries `PartitionFilters` over only the probed cells
+    * (plan-asserted in LlmSpec). */
   def lshProbeScan(spark: SparkSession, indexDir: String,
                    cells: Seq[(Int, Int)]): DataFrame = {
+    val base = s"$indexDir/buckets"
+    val existing = cells.distinct
+      .filter { case (b, k) => Files.exists(Paths.get(base, s"band=$b", s"bkt=$k")) }
     val pred = cells.groupBy(_._1).map { case (band, cs) =>
       col("band") === band && col("bkt").isin(cs.map(_._2).distinct: _*)
     }.reduce(_ || _)
-    spark.read.parquet(s"$indexDir/buckets")
+    if (existing.isEmpty)
+      return spark.range(0).select(col("id").as("vec_id"))
+    spark.read.option("basePath", base)
+      .parquet(existing.map { case (b, k) => s"$base/band=$b/bkt=$k" }: _*)
       .filter(pred)
       .select("vec_id").distinct()
   }

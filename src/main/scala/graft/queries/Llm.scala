@@ -541,18 +541,21 @@ object Llm {
   }
 
   /** §2.9 RP-LSH ANN (no-oracle; recall + candidate-fraction asserted in
-    * LlmSpec): coarse stage selects candidates from 3 OR'd 8-bit
-    * random-hyperplane band tables with Hamming≤1 multi-probe
-    * ([[rpBandBuckets]] / [[knnLshCandidates]]); fine stage re-ranks the
-    * survivors by exact codegen'd cosine.
+    * LlmSpec): coarse stage fetches candidates from the PERSISTED posting
+    * lists ([[graft.etl.AnnIndex.ensureLsh]] — built once at ingest,
+    * `partitionBy(band, bkt)`), probing the probe's own 3×8-bit
+    * random-hyperplane buckets plus every Hamming-1 XOR neighbor
+    * (multi-probe); fine stage re-ranks the survivors by exact codegen'd
+    * cosine.
     *
-    * Scale shape: band buckets are data-distributed (2^8 per band, seeded
-    * dense hyperplanes), the probe side is a broadcast of `bands×(bits+1)`
-    * bucket ids, and the candidate fetch is an equi-join — at 100 TB the
-    * bucket columns are precomputed at ingest and the fetch partition-prunes
-    * on them (DEMONSTRATED: [[graft.etl.AnnIndex.buildLsh]] persists the
-    * posting lists `partitionBy(band, bkt)` and LlmSpec proves the pruned
-    * probe returns the identical candidate set). Recall is
+    * Scale shape — the same contract as the IVF twin: the query path never
+    * hashes the corpus. `ensureLsh` is a metadata-only marker check after
+    * the one-time build; probe-cell selection is O(bands·bits) driver math
+    * over the probe's own bucket row; the candidate fetch is a
+    * partition-PRUNED scan of `bands×(bits+1)` of `bands×2^bits` posting
+    * directories (plan-asserted in LlmSpec, which also proves the pruned
+    * candidate set identical to the in-query [[knnLshCandidates]] path and
+    * the appended-index probe identical to a from-scratch build). Recall is
     * similarity-dependent (LSH property): near-duplicates
     * (cos ≳ 0.9) are recovered at ≥ 8/10 while scanning a few percent of the
     * corpus — asserted on a planted-near-dup corpus in LlmSpec; on
@@ -560,9 +563,27 @@ object Llm {
     * "neighbors" from the bulk. */
   def qKnnCosineLsh(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    knnLsh(Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding")),
-      probeId = 0L, k = 10, bands = 3, bits = 8, radius = 1)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultLshDir(dir, bands = 3, bits = 8)
+    AnnIndex.ensureLsh(e, idxDir, bands = 3, bits = 8)
+    val cand = AnnIndex.lshProbeScan(spark, idxDir,
+      lshProbeCells(e, probeId = 0L, bands = 3, bits = 8, radius = 1))
+    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId = 0L, k = 10)
+  }
+
+  /** Driver-side multi-probe cell selection: the probe vector's own band
+    * buckets (a 1-row job over the seeded data-independent hyperplanes —
+    * the LSH mirror of the IVF centroid ranking) expanded to every
+    * Hamming-≤radius XOR neighbor. O(bands·(bits+1)) cells. */
+  private[graft] def lshProbeCells(e: DataFrame, probeId: Long, bands: Int,
+                                   bits: Int, radius: Int): Seq[(Int, Int)] = {
+    require(radius <= 1, "multi-probe masks generated for radius 0/1 only")
+    val own = rpBandBuckets(e.filter(col("vec_id") === probeId), bands, bits).head()
+    for {
+      b <- 0 until bands
+      m <- 0 +: (if (radius >= 1) (0 until bits).map(1 << _).toList else Nil)
+    } yield (b, own.getInt(1 + b) ^ m)
   }
 
   /** Parameterized ANN core — candidates (coarse) then exact re-rank (fine).

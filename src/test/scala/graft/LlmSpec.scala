@@ -193,17 +193,50 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("knn LSH on the real table: probe first, sorted desc, candidate set << n") {
-    val lsh = Llm.qKnnCosineLsh(spark, TestSpark.sfDir).collect()
+    val df = Llm.qKnnCosineLsh(spark, TestSpark.sfDir)
+    val lsh = df.collect()
     assert(lsh.length === 10)
     // probe (vec_id 0) has cos 1.0 with itself and always probes its own bucket
     assert(lsh.head.getLong(0) === 0L)
     val sims = lsh.map(_.getDouble(2)).toSeq
     assert(sims === sims.sorted(Ordering[Double].reverse), "not sorted by cos desc")
+    // the DECLARED query path reads the persisted posting lists through a
+    // partition-pruned scan (bands×(bits+1) = 27 of 768 cells), not an
+    // in-query corpus hash — the same contract the IVF twin certifies
+    val postingScans = fileScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("PartitionFilters", "").contains("band"))
+    assert(postingScans.nonEmpty,
+      "declared LSH query has no partition-filtered posting-list scan")
+    postingScans.foreach { s =>
+      val read = s.metrics("numPartitions").value
+      assert(read <= 27, s"posting scan read $read cells — expected ≤ 27 of 768")
+    }
     // the coarse stage must prune, not scan: candidates well under the corpus
     val e = Tables.embeddings(spark, TestSpark.sfDir)
     val n = e.count()
     val nCand = Llm.knnLshCandidates(e, 0L, bands = 3, bits = 8, radius = 1).count()
     assert(nCand < n / 3, s"ANN candidate set is not sublinear: $nCand of $n")
+  }
+
+  test("ANN index cache key: same-size regenerated corpus changes the key") {
+    // Byte size alone can alias a regenerated corpus; the key must derive
+    // from content. Write two same-size, different-content "corpora" and
+    // assert their default index dirs differ (and rename-stability: the
+    // same bytes give the same key).
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    val f = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    java.nio.file.Files.write(f, Array.fill[Byte](8192)(1))
+    val k1 = graft.etl.AnnIndex.defaultIvfDir(dir, nlist = 16)
+    val k1b = graft.etl.AnnIndex.defaultIvfDir(dir, nlist = 16)
+    assert(k1 === k1b, "fingerprint must be deterministic")
+    val bytes = Array.fill[Byte](8192)(1); bytes(5000) = 2 // same size, one byte differs
+    java.nio.file.Files.write(f, bytes)
+    val k2 = graft.etl.AnnIndex.defaultIvfDir(dir, nlist = 16)
+    assert(k1 !== k2, "same-size different-content corpus must change the index key")
+    val l1 = graft.etl.AnnIndex.defaultLshDir(dir, bands = 3, bits = 8)
+    java.nio.file.Files.write(f, Array.fill[Byte](8192)(1))
+    val l2 = graft.etl.AnnIndex.defaultLshDir(dir, bands = 3, bits = 8)
+    assert(l1 !== l2, "LSH key must track content too")
   }
 
   test("knn LSH: recall >= 8/10 on a corpus with genuine near neighbors") {
