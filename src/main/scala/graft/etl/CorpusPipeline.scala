@@ -115,18 +115,29 @@ object CorpusPipeline {
     * queries evaluate) and the gated frame is PINNED (stage-boundary
     * materialization — reliable checkpoint when a checkpoint dir is set,
     * executor-local otherwise, the same discipline as the CC loop). Both
-    * matter, measured at sf0.1/local[32]: the r7 formulation joined the
-    * declared queries' outputs on doc_id and re-evaluated that join lineage
-    * in the CC-edge job and again under the final aggregate — 10.8 s; fusing
-    * the gates map-side WITHOUT pinning made it 18.3 s, because the
-    * higher-order-function gate expressions (interpreted, outside codegen
-    * CSE) re-evaluated in every consumer branch — the join shuffles had
-    * been accidental materialization barriers; fusing AND pinning computes
-    * the text featurization exactly once and every downstream stage reads
-    * the 6-column flag frame — 4.7 s (the residual is near-dedup:
-    * MinHash + iterative CC on the s4 survivors). This is also the 100 TB shape: a
-    * production funnel persists each stage boundary (the resume path below)
-    * rather than re-deriving gates under every consumer.
+    * matter, measured at sf0.1/local[32]: joining the declared queries'
+    * outputs on doc_id re-evaluated that join lineage in the CC-edge job
+    * and again under the final aggregate — 10.8 s; fusing the gates
+    * map-side WITHOUT pinning made it 18.3 s, because the higher-order-
+    * function gate expressions (interpreted, outside codegen CSE)
+    * re-evaluated in every consumer branch — the join shuffles had been
+    * accidental materialization barriers; fusing AND pinning computes the
+    * text featurization exactly once — ~4.3 s (the residual is near-dedup:
+    * MinHash + iterative CC on the s4 survivors).
+    *
+    * What gets pinned is the r8 refinement: flags + the 16-byte content
+    * hash, NOT the text payload. The r7 shape checkpointed the full `text`
+    * column, which made the eager materialization corpus-sized — benign on
+    * an idle machine but the one part of the plan whose cost scales with
+    * storage/disk pressure from the rest of a long-running session (the r7
+    * driver round recorded 11.3 s for a plan that reproduces at 4.3 s
+    * in-suite on an idle machine; repeated same-code runs here swing
+    * 4.3→5.9 s with background load, so the driver number is environment,
+    * not plan — PLANS.md "q_corpus_curate reconciliation"). The narrow
+    * frame caps that exposure and is the 100 TB discipline anyway: persist
+    * small stage boundaries, re-scan the immutable corpus for the one
+    * payload stage (MinHash shingling) via a pruned (doc_id, text)
+    * columnar read + semi-join.
     * CorpusPipelineSpec asserts this formulation equals [[stages]]' frame
     * counts in-engine; the DuckDB oracle restates the funnel a third way. */
   def qCorpusCurate(spark: SparkSession, dir: String): DataFrame = {
@@ -138,17 +149,30 @@ object CorpusPipeline {
       .withColumn("s1", col("source") =!= "src0")
       .withColumn("s2", col("s1") && Llm.qualityZ(col("text"), col("words")) >= 0)
       .withColumn("s3", col("s2") && col("n_words") >= 2 && !col("flagged"))
-      .select("doc_id", "source", "text", "s1", "s2", "s3")
+      .withColumn("h", md5(col("text")))
+      .select("doc_id", "h", "s1", "s2", "s3")
     val f3 =
       if (spark.sparkContext.getCheckpointDir.isDefined) gated.checkpoint()
       else gated.localCheckpoint(true)
+    // The pinned frame is flags + a 16-byte content hash — NOT the corpus:
+    // the exact-dedup stage groups on the pinned `h` directly (no text
+    // re-read), and the one stage that genuinely needs the payload
+    // (MinHash shingling) re-reads it from the immutable columnar corpus
+    // and semi-joins the surviving ids. Pinning the full `text` column was
+    // the r7 shape; a narrow flag frame makes the eager materialization
+    // metadata-sized and insensitive to storage-memory/disk pressure from
+    // the rest of a long-running session. This is also the 100 TB
+    // discipline: persist SMALL stage boundaries (id + hash + flags),
+    // re-scan the immutable corpus for payload stages, never park the
+    // corpus itself in executor storage.
     val canonical = f3.filter(col("s3"))
-      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("cok"))
     val f4 = f3.join(canonical, Seq("doc_id"), "left")
       .withColumn("s4", col("s3") && coalesce(col("cok"), lit(false)))
     val ccDrop = Llm.dedupGroups(
-        Llm.minhashPairs(f4.filter(col("s4")).select("doc_id", "text")))
+        Llm.minhashPairs(d0.select("doc_id", "text").join(
+          f4.filter(col("s4")).select("doc_id"), "doc_id")))
       .filter(col("doc_id") =!= col("group_id"))
       .select(col("doc_id"), lit(true).as("ccd"))
     val f5 = f4.join(ccDrop, Seq("doc_id"), "left")

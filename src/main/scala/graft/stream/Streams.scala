@@ -180,8 +180,16 @@ object Streams {
                                  timerValues: TimerValues): Iterator[FunnelProgress] = {
       var cur = Option(st.get()).getOrElse(FunnelProgress(user, -1L, -1L, -1L, 0))
       val before = cur
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val us = e.ts.getTime * 1000L
+      // Full-precision epoch micros: getTime alone is milli-resolution and
+      // would truncate the ingest format's .SSSSSS fraction — two funnel
+      // events inside the same millisecond would compare equal under the
+      // strict `us > prev` advancement checks where the batch twin (full
+      // timestamp comparison) advances. getNanos carries the sub-second
+      // part exactly.
+      def micros(ts: java.sql.Timestamp): Long =
+        Math.floorDiv(ts.getTime, 1000) * 1000000L + ts.getNanos / 1000
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val us = micros(e.ts)
         e.event_type match {
           case "signup" if cur.t_signup < 0 =>
             cur = cur.copy(t_signup = us, stage_reached = 1)

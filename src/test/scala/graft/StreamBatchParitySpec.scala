@@ -157,6 +157,45 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("funnel state machine: sub-millisecond event spacing still advances stages") {
+    // The ingest timestamp format carries .SSSSSS — two funnel events inside
+    // the SAME millisecond must still satisfy the strict `us > prev` checks.
+    // A milli-resolution conversion (getTime*1000) truncates both to the
+    // same micros and the funnel stalls where the batch twin advances.
+    import graft.stream.UserEvent
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00.000100")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00.000400") // same ms
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00.000900") // same ms
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[UserEvent]
+    val q = Streams.funnelTws(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_subms").outputMode("update")
+      .start()
+    try {
+      mem.addData(
+        UserEvent(1, t0, 7, "signup", 0.0),
+        UserEvent(2, t1, 7, "view", 0.0),
+        UserEvent(3, t2, 7, "purchase", 0.0))
+      q.processAllAvailable()
+      val fin = spark.table("funnel_subms")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .maxBy(_._4)
+      def us(t: java.sql.Timestamp) =
+        Math.floorDiv(t.getTime, 1000) * 1000000L + t.getNanos / 1000
+      assert(fin === (us(t0), us(t1), us(t2), 3),
+        "sub-millisecond spacing must advance the funnel with true-micro timestamps")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming Misra-Gries sketch: O(k) state, heavy items survive across micro-batches") {
     // heavy words split ACROSS micro-batches — the sketch state must carry
     // them; vocabulary (40) > k (8) so decrements genuinely fire in-stream
