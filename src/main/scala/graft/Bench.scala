@@ -93,9 +93,10 @@ object Bench {
     // must stay ≤ ~1924 (1895 leaves slack). Past ~105 queries even a
     // UNIFORM 0-decimal map no longer fits — and 0-decimal values carry no
     // signal for the sub-second majority anyway. So the stdout line carries
-    // the SLOWEST queries at 2-decimal precision, included greedily while
-    // the line fits, and self-describes what it dropped ("n_omitted" fast
-    // queries summing to "omitted_total" seconds). "value" is always the
+    // a STRICT slowest-prefix at 2-decimal precision (every omitted query
+    // is no slower than every included one), and self-describes what it
+    // dropped ("n_omitted" fast queries summing to "omitted_total" seconds
+    // — by construction each ≤ the fastest included). "value" is always the
     // full-suite total. The $SPARK_GRAFT_BENCH_OUT file sidecar has no
     // length budget and remains the authoritative per-query record (all
     // queries, 3 decimals). Errored queries (-1 sentinel) are always
@@ -111,10 +112,17 @@ object Bench {
       s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$omitPart$errPart,"sf":"$sfName"}"""
     }
     var include = results.filter(_._3.isDefined).map(_._1).toSet // errors always
-    for (k <- results.sortBy(-_._2).map(_._1) if !include.contains(k)) {
-      val tryInc = include + k
-      if (renderTop(tryInc).length <= 1895) include = tryInc
-    }
+    // STRICT slowest-prefix: stop at the first query that no longer fits,
+    // rather than greedily back-filling faster ones — greedy could include
+    // a fast query while omitting a slower one, so a regression in an
+    // omitted query could hide behind "n_omitted fast queries". With the
+    // strict prefix, every omitted query is no slower than every included
+    // one; the file sidecar remains the authoritative full record.
+    val bySlowest = results.sortBy(-_._2).map(_._1).filterNot(include.contains)
+    val fits = bySlowest.indices.find { i =>
+      renderTop(include ++ bySlowest.take(i + 1)).length > 1895
+    }.getOrElse(bySlowest.length)
+    include ++= bySlowest.take(fits)
     val json = renderTop(include)
     // The file sidecar has no line-length budget: keep FULL 3-decimal
     // precision there (±0.5 ms) so round-over-round comparison is not
