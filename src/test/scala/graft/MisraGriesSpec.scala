@@ -71,7 +71,7 @@ object MisraGriesProps extends Properties("MisraGries") {
   property("sequential reduce keeps every item above n/(k+1)") =
     forAll(genStream, genK) { (s, k) =>
       val a = new MisraGriesAgg(k)
-      val sketch = s.foldLeft(a.zero)(a.reduce)
+      val sketch = a.finish(s.foldLeft(a.zero)(a.reduce))
       val bound = s.size.toDouble / (k + 1)
       sketch.size <= k &&
         truth(s).forall { case (w, c) => c <= bound || sketch.contains(w) }
@@ -81,13 +81,22 @@ object MisraGriesProps extends Properties("MisraGries") {
     forAll(genStream, genK, Gen.choose(2, 6)) { (s, k, parts) =>
       val a = new MisraGriesAgg(k)
       val chunks = s.grouped(math.max(1, s.size / parts)).toList
-      val sketch = chunks.map(_.foldLeft(a.zero)(a.reduce))
-        .foldLeft(a.zero)(a.merge)
+      val sketch = a.finish(chunks.map(_.foldLeft(a.zero)(a.reduce))
+        .foldLeft(a.zero)(a.merge))
       val bound = s.size.toDouble / (k + 1)
       val t = truth(s)
       sketch.size <= k &&
         t.forall { case (w, c) => c <= bound || sketch.contains(w) } &&
         sketch.forall { case (w, r) =>
           r <= t.getOrElse(w, 0L) && t(w) - r <= bound + 1e-9 }
+    }
+
+  property("buffer invariant: live prefix stays strictly sorted and positive") =
+    forAll(genStream, genK) { (s, k) =>
+      val a = new MisraGriesAgg(k)
+      val buf = s.foldLeft(a.zero)(a.reduce)
+      (0 until buf.n - 1).forall(i => buf.words(i).compareTo(buf.words(i + 1)) < 0) &&
+        (0 until buf.n).forall(i => buf.counts(i) > 0) &&
+        buf.words.length == k && buf.counts.length == k
     }
 }
