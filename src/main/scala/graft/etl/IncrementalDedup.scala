@@ -48,6 +48,22 @@ object IncrementalDedup {
     * rows (original batch columns). */
   def ingest(batch: DataFrame, indexDir: String,
              bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val keptPosts = keptPostings(batch, indexDir, bands, rowsPerBand)
+    commitPostings(keptPosts, indexDir)
+    batch.join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+  }
+
+  /** Steps 1–2 of [[ingest]] as a PURE computation — the batch's surviving
+    * posting rows against the CURRENT index, no writes. Exposed so a
+    * composed at-least-once pipeline (e.g.
+    * [[graft.stream.Streams.corpusIngest]]) can stage its idempotent
+    * effects (snapshot publish, ANN posting append) BEFORE
+    * [[commitPostings]], which is the batch's commit point: once the
+    * postings land, a replayed batch collides with its own cells and every
+    * stage becomes a no-op. Deterministic for a fixed index state, so a
+    * preview and a later commit in the same micro-batch agree. */
+  def keptPostings(batch: DataFrame, indexDir: String,
+                   bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val spark = batch.sparkSession
     // hash the batch ONCE; every later step reuses these postings
     val hashed = Llm.minhashBandRows(batch, bands, rowsPerBand)
@@ -78,13 +94,14 @@ object IncrementalDedup {
     val nonCanonical = Llm.dedupGroups(Llm.pairsFromBandRows(survivorPosts))
       .filter(col("doc_id") =!= col("group_id"))
       .select("doc_id")
-    val keptPosts = survivorPosts.join(nonCanonical, Seq("doc_id"), "left_anti")
+    survivorPosts.join(nonCanonical, Seq("doc_id"), "left_anti")
+  }
 
-    // 3) append the kept docs' postings — the index stays bucket-unique.
-    // EVERY doc carries at least one posting (minhash bands or the band=-1
-    // whole-text cell), so the kept corpus is exactly the kept-posting docs.
+  /** Step 3 of [[ingest]]: append the kept docs' postings — the only write,
+    * and the batch's commit point. The index stays bucket-unique: EVERY doc
+    * carries at least one posting (minhash bands or the band=-1 whole-text
+    * cell), so the kept corpus is exactly the kept-posting docs. */
+  def commitPostings(keptPosts: DataFrame, indexDir: String): Unit =
     keptPosts.select("band", "bkey", "doc_id")
       .write.mode("append").parquet(postingsPath(indexDir))
-    batch.join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-  }
 }

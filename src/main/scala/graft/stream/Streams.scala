@@ -268,4 +268,66 @@ object Streams {
           dir => merged.write.mode("overwrite").parquet(dir))
         ()
     }
+
+  /** CONTINUOUS CORPUS INGEST — the end-to-end composition of the engine's
+    * incremental pieces, each individually spec-proven, as one foreachBatch
+    * pipeline: documents arrive as a stream →
+    *
+    *   1. near-dup gate: [[graft.etl.IncrementalDedup.keptPostings]] dedups
+    *      the batch against the append-only posting index and within itself
+    *      (O(batch) work, banded equi-joins, never all-pairs);
+    *   2. atomic corpus publish: survivors merge into the
+    *      [[graft.etl.Warehouse]] manifest table — the commit is one
+    *      pointer rename, readers see entirely-old or entirely-new;
+    *   3. ANN maintenance: survivors' embeddings APPEND to the LSH posting
+    *      lists ([[graft.etl.AnnIndex.appendLsh]] — data-independent
+    *      hyperplanes, so the append probes identically to a rebuild);
+    *   4. dedup-index commit: [[graft.etl.IncrementalDedup.commitPostings]]
+    *      lands the survivors' posting rows LAST.
+    *
+    * The effect ORDER is the at-least-once story: foreachBatch may replay a
+    * batch after a crash, and every stage before the final commit is
+    * idempotent under replay — the corpus merge dedups by doc_id (replayed
+    * survivors collapse onto the published rows), a double LSH append only
+    * duplicates posting rows (probes `distinct()` candidates), and the
+    * posting commit is what flips the batch to "seen": after it lands, a
+    * replayed batch collides with its own cells, survives nothing, and
+    * every stage is a no-op. Crash BEFORE the commit ⇒ full replay
+    * reconverges (the preview is deterministic for a fixed index state);
+    * crash AFTER ⇒ replay no-ops. No stage can lose a doc that a reader
+    * already saw.
+    *
+    * The survivor frame is pinned once (localCheckpoint) and feeds all
+    * three effects. Per-batch the publish rewrites the current snapshot
+    * (the manifest layer's full-republish contract — a transactional table
+    * format would append data files under the same pointer-commit
+    * semantics); postings and LSH cells are pure appends. */
+  def corpusIngest(docs: DataFrame, dedupDir: String, lshDir: String,
+                   corpusDir: String, lshBands: Int = 3, lshBits: Int = 8)
+      : DataStreamWriter[Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir)
+          .localCheckpoint(true)
+        val kept = batch
+          .join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        if (!kept.isEmpty) {
+          val docCols = kept.drop("embedding")
+          val existing =
+            if (java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(corpusDir, "_CURRENT")))
+              graft.etl.Warehouse.readCurrent(spark, corpusDir)
+            else docCols.limit(0)
+          val merged = existing.unionByName(docCols).dropDuplicates("doc_id")
+          graft.etl.Warehouse.publish(spark, corpusDir,
+            dir => merged.write.mode("overwrite").parquet(dir))
+          graft.etl.AnnIndex.appendLsh(
+            kept.select(col("doc_id").as("vec_id"), col("embedding")),
+            lshDir, lshBands, lshBits)
+          graft.etl.IncrementalDedup.commitPostings(keptPosts, dedupDir)
+        }
+        ()
+    }
 }

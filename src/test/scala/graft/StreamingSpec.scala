@@ -12,6 +12,9 @@ import graft.stream.Streams
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+/** One document-with-embedding row for the composed ingest pipeline. */
+case class IngestDoc(doc_id: Long, text: String, embedding: Array[Float])
+
 /** Structured Streaming semantics (SURVEY.md §2.10 no-oracle rows): watermark
   * late-data drop, session-window merging, within-watermark dedup — driven
   * through MemoryStream with controlled event times, asserted on memory-sink
@@ -239,5 +242,61 @@ class StreamingSpec extends AnyFunSuite {
     val out = spark.read.parquet(outDir)
     assert(out.count() === 3, "restart must process exactly the new files")
     assert(out.collect().map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("composed corpus ingest: dedup gate -> atomic publish -> ANN append, replay-safe") {
+    // The continuous-ingest story end-to-end: documents stream in, each
+    // micro-batch is near-dup-gated against the append-only posting index,
+    // survivors publish atomically into the manifest corpus table and their
+    // embeddings append to the LSH posting lists. An at-least-once REPLAY
+    // of a processed batch must change nothing anywhere.
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_ci_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_ci_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_ci_corpus").toString
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    def doc(id: Long, text: String) = IngestDoc(id, text, emb(id.toInt))
+    val b1 = Seq(
+      doc(1, "alpha bravo charlie delta echo"),
+      doc(2, "foxtrot golf hotel india juliet"))
+    val b2 = Seq(
+      doc(3, "alpha bravo charlie delta echo"),   // exact dup of doc 1: dropped
+      doc(4, "kilo lima mike november oscar"))    // novel: kept
+    val mem = MemoryStream[IngestDoc]
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val v2 = graft.etl.Warehouse.currentVersion(corpusDir)
+      val corpus = graft.etl.Warehouse.readCurrent(spark, corpusDir)
+        .collect().map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+      assert(corpus === Seq(1L, 2L, 4L),
+        s"corpus must hold the near-dup-gated survivors, got $corpus")
+      val indexed = spark.read.parquet(s"$lshDir/buckets")
+        .select("vec_id").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(indexed === Seq(1L, 2L, 4L),
+        s"LSH index must hold exactly the kept docs' vectors, got $indexed")
+
+      // at-least-once replay of batch 2: every doc collides with its own
+      // stored postings -> no new survivors -> no publish, no append
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(graft.etl.Warehouse.currentVersion(corpusDir) === v2,
+        "a replayed batch must not publish a new corpus snapshot")
+      val corpusAfter = graft.etl.Warehouse.readCurrent(spark, corpusDir)
+        .collect().map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+      assert(corpusAfter === Seq(1L, 2L, 4L))
+      val indexedAfter = spark.read.parquet(s"$lshDir/buckets")
+        .select("vec_id").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(indexedAfter === Seq(1L, 2L, 4L),
+        "a replayed batch must not append new vectors to the ANN index")
+
+      // the published corpus schema is the doc payload (no embedding column)
+      assert(!graft.etl.Warehouse.readCurrent(spark, corpusDir)
+        .columns.contains("embedding"))
+    } finally q.stop()
   }
 }
