@@ -1194,6 +1194,23 @@ object Oracle {
         |WHERE rk <= 20
         |ORDER BY lang, rk""".stripMargin,
 
+    "q_source_budget" ->
+      """SELECT doc_id, source, n_tokens, cum_tokens, cum_tokens <= 1000 AS kept
+        |FROM (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(SUM(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pseudonymize" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS masked_name,
+        |  md5('pepper:' || regexp_extract(c_name, '([0-9]+)', 1)) AS surrogate_id,
+        |  length(regexp_extract(c_name, '([0-9]+)', 1)) > 0 AS has_id
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
         |           FROM documents),

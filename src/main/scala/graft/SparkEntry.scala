@@ -137,6 +137,8 @@ object SparkEntry {
     "q_chunk_dedup"    -> (Llm.qChunkDedup _),
     "q_split_assign"   -> (Llm.qSplitAssign _),
     "q_sample_stratified" -> (Llm.qSampleStratified _),
+    "q_source_budget"  -> (Llm.qSourceBudget _),
+    "q_pseudonymize"   -> (Relational.qPseudonymize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

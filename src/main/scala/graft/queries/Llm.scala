@@ -900,6 +900,31 @@ object Llm {
       .orderBy("lang", "rk")
   }
 
+  /** §2.9 Per-source token-budget curation cut: each source contributes at
+    * most `budget` tokens to the mixture, docs admitted in seeded-hash
+    * order until the budget is exhausted — how a mixture spec ("≤ N tokens
+    * from source X") is enforced deterministically: the admitted set is a
+    * pure function of (doc_id, source), independent of partitioning or
+    * arrival order, and STABLE under corpus growth in other sources. One
+    * running-sum window per source partition over (id, hash, n_tokens)
+    * rows only — never the text; at 100 TB each source's window is a
+    * per-partition prefix sum over a few-byte frame. Emits the full audit
+    * frame (every doc with its cumulative position and kept flag), the
+    * same report-not-filter discipline as [[qCorpusCurate]]. */
+  def qSourceBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000
+    val w = Window.partitionBy("source").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept", col("cum_tokens") <= budget)
+      .select("doc_id", "source", "n_tokens", "cum_tokens", "kept")
+      .orderBy("doc_id")
+  }
+
   /** §2.9 Sequence packing: assign documents to fixed-token-budget training
     * bins (budget 512) by cumulative token count per language — the
     * pack-short-documents step before batching for training. The running

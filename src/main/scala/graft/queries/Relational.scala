@@ -315,6 +315,25 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** §2.4 PII pseudonymization — the GDPR-style masking pass a warehouse
+    * (or a training corpus carrying user-generated records) runs before
+    * data leaves the trust boundary: the embedded numeric identifier is
+    * replaced by a salted-hash SURROGATE (stable — the same identifier
+    * always maps to the same token, so joins/dedup on the surrogate still
+    * work downstream) and the display string is digit-masked. Pure per-row
+    * codegen'd regexp/hash expressions — no shuffle, scales as a map-only
+    * pass; the salt would be a secret in production (a literal here so the
+    * oracle can restate it). */
+  def qPseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val id = regexp_extract(col("c_name"), "([0-9]+)", 1)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "X").as("masked_name"),
+        md5(concat(lit("pepper:"), id)).as("surrogate_id"),
+        (length(id) > 0).as("has_id"))
+      .orderBy("c_custkey")
+  }
+
   /** §2.4 Batch-validation / DImessages shape: per-table row counts plus a
     * per-table alert count (invalid-value rules), one row per table — the
     * TPC-DI batch validation query that runs after every load [SPEC:
