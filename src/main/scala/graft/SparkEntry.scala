@@ -139,6 +139,7 @@ object SparkEntry {
     "q_sample_stratified" -> (Llm.qSampleStratified _),
     "q_source_budget"  -> (Llm.qSourceBudget _),
     "q_pseudonymize"   -> (Relational.qPseudonymize _),
+    "q_knn_cosine_int8" -> (Llm.qKnnCosineInt8 _), // no-oracle: recall + int8-error bound in LlmSpec
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -42,6 +42,11 @@ object AnnIndex {
     Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
       s"lsh$bands-$bits-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
 
+  /** [[defaultIvfDir]]'s twin for the SQ8 (int8-quantized) scan index. */
+  def defaultSq8Dir(sfDir: String): String =
+    Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
+      s"sq8-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
+
   /** Content fingerprint of a corpus file/directory: md5 over each data
     * file's name, byte size, and head/tail 4 KiB. Byte size ALONE can alias
     * a regenerated corpus of identical size (silently reusing stale list
@@ -183,6 +188,45 @@ object AnnIndex {
   def probeScan(spark: SparkSession, indexDir: String, lists: Seq[Int]): DataFrame =
     spark.read.parquet(s"$indexDir/lists")
       .filter(col("list_id").isin(lists: _*))
+
+  // ---- SQ8 quantized scan index ------------------------------------------
+
+  /** Persist the int8-quantized twin of the corpus: `(vec_id, qvec BINARY,
+    * qnorm DOUBLE)` — 4× less scan bandwidth than the float vectors, which
+    * is what a brute-force COARSE pass is bound by at 100 TB. The
+    * per-vector symmetric scale cancels in cosine, so ranking needs only
+    * the quantized dot ([[graft.expr.Int8Dot]]) over the stored quantized
+    * norms; no scale column exists. Build is one codegen projection over
+    * the corpus ([[graft.expr.Int8Pack]]). */
+  def buildSq8(e: DataFrame, indexDir: String): Unit = {
+    graft.expr.GraftFunctions.ensureRegistered(e.sparkSession)
+    e.select(col("vec_id"),
+        call_function("int8_pack", col("embedding")).as("qvec"))
+      .withColumn("qnorm",
+        sqrt(call_function("int8_dot", col("qvec"), col("qvec")).cast("double")))
+      .write.mode("overwrite").parquet(s"$indexDir/sq8")
+  }
+
+  /** [[ensure]]'s twin for the SQ8 index. */
+  def ensureSq8(e: DataFrame, indexDir: String): Unit =
+    ensureBuilt(indexDir) { tmp =>
+      buildSq8(e, tmp)
+      Files.write(readyMarker(tmp), Array.emptyByteArray)
+    }
+
+  /** The persisted quantized corpus `(vec_id, qvec, qnorm)`. */
+  def sq8Scan(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/sq8")
+
+  /** Driver-side probe quantization — the same formula as
+    * [[graft.expr.Int8Pack]] (`round(127·x/max|x|)`), spec-asserted
+    * identical, so a probe vector arriving WITH the query (never from the
+    * corpus) scores against the index consistently. */
+  def quantizeInt8(v: Array[Double]): Array[Byte] = {
+    val maxAbs = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x)))
+    if (maxAbs == 0.0) new Array[Byte](v.length)
+    else v.map(x => Math.round(127.0 * x / maxAbs).toByte)
+  }
 
   // ---- LSH posting lists --------------------------------------------------
 

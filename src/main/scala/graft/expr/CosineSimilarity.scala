@@ -112,9 +112,27 @@ object GraftFunctions {
     WordNgrams(children.head, n)
   }
 
+  private[expr] val packIdent = FunctionIdentifier("int8_pack")
+  private[expr] val packInfo =
+    new ExpressionInfo(classOf[Int8Pack].getName, "int8_pack")
+  private[expr] val packBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "int8_pack takes exactly 1 argument")
+    Int8Pack(children.head)
+  }
+
+  private[expr] val dotIdent = FunctionIdentifier("int8_dot")
+  private[expr] val dotInfo =
+    new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot")
+  private[expr] val dotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "int8_dot takes exactly 2 arguments")
+    Int8Dot(children.head, children(1))
+  }
+
   private val all = Seq(
     (ident, info, builder),
-    (ngramsIdent, ngramsInfo, ngramsBuilder))
+    (ngramsIdent, ngramsInfo, ngramsBuilder),
+    (packIdent, packInfo, packBuilder),
+    (dotIdent, dotInfo, dotBuilder))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -130,6 +148,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((GraftFunctions.ident, GraftFunctions.info, GraftFunctions.builder))
     ext.injectFunction((GraftFunctions.ngramsIdent, GraftFunctions.ngramsInfo,
       GraftFunctions.ngramsBuilder))
+    ext.injectFunction((GraftFunctions.packIdent, GraftFunctions.packInfo,
+      GraftFunctions.packBuilder))
+    ext.injectFunction((GraftFunctions.dotIdent, GraftFunctions.dotInfo,
+      GraftFunctions.dotBuilder))
     // whole-operator surface (TopKPerGroup — SURVEY.md §2.11 option (c)):
     // the planner strategy, plus the optimizer rule that un-blocks filter
     // pushdown through the custom node (injected rules join the operator-

@@ -620,6 +620,52 @@ object Llm {
     knnIvfProbe(spark, idxDir, probeVec, probeId = 0L, k = 10, nprobe = 4)
   }
 
+  /** §2.9 SQ8 ANN (no-oracle; recall + quantization-error tested in
+    * LlmSpec): the int8-quantized coarse-scan alternative to the bucketed
+    * ANN paths — every vector is scored, but against the PERSISTED 4×-
+    * smaller quantized index ([[graft.etl.AnnIndex.buildSq8]]), which is
+    * what a bandwidth-bound brute-force pass costs at scale; the top
+    * oversampled candidates re-rank exactly on the full-precision vectors.
+    *
+    * The symmetric per-vector scale cancels in cosine, so the coarse score
+    * is just `int8_dot(qvec, probe_q) / qnorm` — pure integer multiply-adds
+    * in one codegen loop ([[graft.expr.Int8Dot]]) and a stored norm; the
+    * coarse cut is a TakeOrdered (per-partition top-C + merge, never a full
+    * sort). Recall is near-perfect at 4× oversampling because int8 cosine
+    * error is ≲1e-2 — the quantized ordering only confuses genuinely-tied
+    * neighbors (bounded in LlmSpec). Complements LSH/IVF: no bucketing
+    * assumptions, exact-ish results on ANY geometry, at linear-but-4×-
+    * cheaper scan cost — the standard first rung of the quantized-ANN
+    * ladder (SQ8 before PQ). */
+  def qKnnCosineInt8(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultSq8Dir(dir)
+    AnnIndex.ensureSq8(e, idxDir)
+    val probeVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    knnSq8Probe(spark, idxDir, e, probeVec, probeId = 0L, k = 10, oversample = 4)
+  }
+
+  /** SQ8 query core over a persisted index: quantize the probe driver-side
+    * (the [[graft.etl.AnnIndex.quantizeInt8]] twin of the build-time
+    * expression), coarse-score the quantized corpus, TakeOrdered the top
+    * `oversample·k`, re-rank exactly. */
+  private[graft] def knnSq8Probe(spark: SparkSession, indexDir: String,
+                                 e: DataFrame, probeVec: Array[Double],
+                                 probeId: Long, k: Int, oversample: Int): DataFrame = {
+    val pq = AnnIndex.quantizeInt8(probeVec)
+    val cand = AnnIndex.sq8Scan(spark, indexDir)
+      .filter(col("qnorm") > 0)
+      .withColumn("score8",
+        call_function("int8_dot", col("qvec"), lit(pq)).cast("double") / col("qnorm"))
+      .orderBy(col("score8").desc, col("vec_id"))
+      .limit(oversample * k)
+      .select("vec_id")
+    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
+  }
+
   /** IVF query core over a persisted index: driver-side centroid ranking,
     * partition-pruned candidate scan, exact re-rank. The probe's own list is
     * always probed (its assigned centroid ranks first for its own vector). */

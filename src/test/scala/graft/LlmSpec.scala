@@ -279,6 +279,61 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val ivfRecall = exact.intersect(ivf).size
     assert(ivfRecall >= 8, s"IVF recall too low: $ivfRecall/11 (ivf=$ivf)")
+
+    // SQ8 path on the same corpus, through the persisted quantized index:
+    // int8 cosine error is ~1e-2, so at 4x oversampling recall on planted
+    // near-dups should be essentially perfect (>=10/11).
+    val sq8Dir = java.nio.file.Files.createTempDirectory("graft_sq8_idx").toString
+    graft.etl.AnnIndex.buildSq8(e, sq8Dir)
+    val sq8 = Llm.knnSq8Probe(spark, sq8Dir, e, probe.map(_.toDouble), 0L,
+        k = 11, oversample = 4)
+      .collect().map(_.getLong(0)).toSet
+    val sq8Recall = exact.intersect(sq8).size
+    assert(sq8Recall >= 10, s"SQ8 recall too low: $sq8Recall/11 (sq8=$sq8)")
+  }
+
+  test("knn SQ8 on the real table: probe first, sorted desc, quantized coarse scan") {
+    val df = Llm.qKnnCosineInt8(spark, TestSpark.sfDir)
+    val rows = df.collect()
+    assert(rows.length === 10)
+    assert(rows.head.getLong(0) === 0L, "probe must rank first (cos 1.0 with itself)")
+    val sims = rows.map(_.getDouble(2)).toSeq
+    assert(sims === sims.sorted(Ordering[Double].reverse), "not sorted by cos desc")
+  }
+
+  test("int8 quantization: driver twin matches the expression; cosine error bounded") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    // driver-side quantizeInt8 must be byte-identical to the codegen
+    // int8_pack (a probe arriving with the query scores consistently)
+    val packed = e.select(col("vec_id"), col("embedding"),
+        call_function("int8_pack", col("embedding")).as("qvec"))
+      .collect()
+    packed.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val fromExpr = r.getAs[Array[Byte]]("qvec")
+      assert(java.util.Arrays.equals(fromExpr, graft.etl.AnnIndex.quantizeInt8(v)),
+        s"driver quantizer diverged from int8_pack for vec ${r.getLong(0)}")
+    }
+    // quantized cosine (int8_dot over quantized norms — scales cancel) must
+    // track exact cosine within the int8 error budget
+    val q = e.select(col("vec_id"), col("embedding"),
+      call_function("int8_pack", col("embedding")).as("qvec"))
+    val probeRow = q.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("p_emb"), col("qvec").as("p_q")).head()
+    val err = q.select(
+        call_function("cosine_similarity", col("embedding"),
+          lit(probeRow.getSeq[Float](0).toArray)).as("exact_cos"),
+        (call_function("int8_dot", col("qvec"), lit(probeRow.getAs[Array[Byte]](1)))
+          .cast("double") /
+          (sqrt(call_function("int8_dot", col("qvec"), col("qvec")).cast("double")) *
+           math.sqrt(graft.etl.AnnIndex.quantizeInt8(
+             probeRow.getSeq[Float](0).map(_.toDouble).toArray)
+             .map(b => b.toDouble * b).sum))).as("approx_cos"))
+      .select(max(abs(col("exact_cos") - col("approx_cos"))).as("max_err"))
+      .head().getDouble(0)
+    assert(err < 0.03, s"int8 cosine error too large: $err")
   }
 
   test("knn IVF on the real table: 10 rows, probe first, sorted desc") {

@@ -15,7 +15,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * nested loop: a scalar or small fixed probe set (vector(s) or gram-set
     * size) joined to every row — never a data-sized side. */
   private val oneRowProbeBnlj = Set(
-    "q_knn_cosine", "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_ngram_jaccard",
+    "q_knn_cosine", "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_int8",
+    "q_ngram_jaccard",
     "q_tfidf", "q_label_balance", "q_mix_temperature", // corpus-total 1-row cross joins
     "q_word_pmi", "q_skew_profile", // 1-row totals broadcasts
     "q_lm_perplexity", // 1-row corpus-total and P90 broadcasts
