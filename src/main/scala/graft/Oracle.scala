@@ -992,6 +992,28 @@ object Oracle {
          |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = documents.doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    "q_cross_source_keep" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql
+         |),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+         |grp AS (SELECT node AS doc_id, least(node, min(r)) AS group_id
+         |        FROM reach GROUP BY node),
+         |g2 AS (SELECT d.doc_id, d.source,
+         |         coalesce(g.group_id, d.doc_id) AS group_id,
+         |         CASE WHEN d.source = 'src1' THEN 0
+         |              WHEN d.source = 'src3' THEN 1 ELSE 2 END AS priority
+         |       FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id)
+         |SELECT doc_id, source, group_id, priority,
+         |  row_number() OVER (PARTITION BY group_id ORDER BY priority, doc_id) = 1 AS kept
+         |FROM g2
+         |ORDER BY doc_id""".stripMargin,
+
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 2

@@ -140,6 +140,7 @@ object SparkEntry {
     "q_source_budget"  -> (Llm.qSourceBudget _),
     "q_pseudonymize"   -> (Relational.qPseudonymize _),
     "q_knn_cosine_int8" -> (Llm.qKnnCosineInt8 _), // no-oracle: recall + int8-error bound in LlmSpec
+    "q_cross_source_keep" -> (Llm.qCrossSourceKeep _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -303,6 +303,34 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** §2.9 Cross-source priority dedup: when a near-dup component spans
+    * SOURCES, the mixture spec decides who survives — the member from the
+    * highest-priority source (curated beats web-crawl), doc_id breaking
+    * ties — not blindly the smallest id ([[qDedupKeep]]'s rule). The keep
+    * decision is the standard multi-source corpus-merge semantics
+    * (licensed/curated copies win over scraped ones). Emits the full audit
+    * frame: every doc with its component, priority, and kept flag.
+    *
+    * Scale shape: same banded-LSH → CC engine as every dedup path; the
+    * survivor election is one row_number window over (priority, doc_id)
+    * within components — the window sees |docs| narrow rows, and component
+    * cardinality is near-dup-bounded, never corpus-sized. */
+  def qCrossSourceKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val priority = when(col("source") === "src1", 0)
+      .when(col("source") === "src3", 1)
+      .otherwise(2)
+    val groups = dedupGroups(minhashPairs(docs))
+    val withGrp = docs
+      .join(groups, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+      .withColumn("priority", priority)
+    val w = Window.partitionBy("group_id").orderBy(col("priority"), col("doc_id"))
+    withGrp.withColumn("kept", row_number().over(w) === 1)
+      .select("doc_id", "source", "group_id", "priority", "kept")
+      .orderBy("doc_id")
+  }
+
   /** Min-label connected components over an undirected edge list
     * (doc_a, doc_b); returns (doc_id, group_id) for every node.
     *

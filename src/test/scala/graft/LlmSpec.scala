@@ -292,6 +292,26 @@ class LlmSpec extends AnyFunSuite {
     assert(sq8Recall >= 10, s"SQ8 recall too low: $sq8Recall/11 (sq8=$sq8)")
   }
 
+  test("cross_source_keep: one survivor per component, priority-min wins") {
+    val rows = Llm.qCrossSourceKeep(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))
+    val byGroup = rows.groupBy(_._3)
+    byGroup.foreach { case (g, members) =>
+      val kept = members.filter(_._5)
+      assert(kept.length === 1, s"component $g must keep exactly one member")
+      val best = members.minBy(m => (m._4, m._1))
+      assert(kept.head._1 === best._1,
+        s"component $g kept ${kept.head._1}, expected priority-min ${best._1}")
+    }
+    // the priority rule must actually bite somewhere: some multi-source
+    // component keeps a member that is NOT its min doc_id
+    val overridden = byGroup.values.exists { members =>
+      members.length > 1 && members.filter(_._5).head._1 != members.map(_._1).min
+    }
+    assert(overridden, "no component exercised the priority-over-min-id rule " +
+      "(corpus may lack cross-source near-dups; widen the fixture)")
+  }
+
   test("knn SQ8 on the real table: probe first, sorted desc, quantized coarse scan") {
     val df = Llm.qKnnCosineInt8(spark, TestSpark.sfDir)
     val rows = df.collect()
