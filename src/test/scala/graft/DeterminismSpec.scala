@@ -33,7 +33,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_mix_temperature",  // micro-snapped sqrt weight sums
     "q_dedup_groups",     // iterative min-label CC
     "q_win_running",      // decimal running sums over windows
-    "q_interpolate")      // ignoreNulls window neighbors + interp arithmetic
+    "q_interpolate",      // ignoreNulls window neighbors + interp arithmetic
+    "q_source_budget",    // per-source running token sums in hash order
+    "q_cross_source_keep") // CC + priority window survivor election
 
   sensitive.foreach { name =>
     test(s"$name is byte-identical under shuffle.partitions 32 vs 3") {
