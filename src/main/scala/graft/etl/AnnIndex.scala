@@ -163,6 +163,37 @@ object AnnIndex {
     }
   }
 
+  /** Incremental IVF ingest: assign each batch vector to its nearest
+    * EXISTING centroid (cosine argmax — the same rule `build`'s k-means
+    * model applies) and append the rows into the `lists/` partition dirs.
+    * Centroids stay FROZEN — the standard IVF serving discipline: ingest
+    * assigns, a periodic offline rebuild retrains (exactly [[build]]).
+    * O(batch·nlist·dim) map-side work: the nlist-row centroid table is
+    * driver metadata, the per-row argmax is a codegen cosine per centroid,
+    * nothing shuffles, and probes immediately see old + new vectors through
+    * the same pruned scan. The IVF mirror of [[appendLsh]] — spec-asserted
+    * in LlmSpec (appended near-dups are recovered by the pruned probe;
+    * every appended vector lands in exactly one list). */
+  def appendIvf(batch: DataFrame, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).map(_.toFloat).toArray))
+      .sortBy(_._1)
+    // argmax over nlist (cos, list_id) structs: struct ordering compares
+    // cos first, so array_max picks the best-scoring centroid (larger id
+    // breaks exact ties — the same vector always lands in the same list)
+    val scored = array(cents.map { case (i, c) =>
+      struct(
+        call_function("cosine_similarity", col("embedding"), lit(c)).as("cos"),
+        lit(i).as("list_id"))
+    }: _*)
+    batch
+      .withColumn("list_id", array_max(scored).getField("list_id"))
+      .select("vec_id", "label", "embedding", "list_id")
+      .write.mode("append").partitionBy("list_id").parquet(s"$indexDir/lists")
+  }
+
   /** Probe-list selection: rank the persisted centroids by cosine similarity
     * to the probe vector and keep the `nprobe` nearest list ids. The
     * centroid table is nlist rows of model metadata — collecting it is the

@@ -446,6 +446,41 @@ class LlmSpec extends AnyFunSuite {
     assert(got === expected, "probe over the appended index diverges")
   }
 
+  test("IVF index append: frozen-centroid assignment, appended near-dups probeable") {
+    // The IVF ingest discipline: centroids train once (build), later
+    // batches ASSIGN to the frozen centroids and append into the list
+    // partitions — a probe immediately sees old + new vectors through the
+    // same pruned scan. Near-copies of the probe arriving in the append
+    // batch share the probe's centroid geometry, so nprobe lists recover
+    // them.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val probe = vec()
+    val base = ((0L -> probe) +: (100L until 300L).map(i => i -> vec()))
+      .map { case (id, v) => (id, (id % 10).toInt, v) }
+      .toDF("vec_id", "label", "embedding")
+    val batch = (1000L to 1009L)
+      .map(i => (i, (i % 10).toInt,
+        probe.map(x => x + 0.15f * rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    graft.etl.AnnIndex.build(base, idxDir, nlist = 16)
+    graft.etl.AnnIndex.appendIvf(batch, idxDir)
+    // every appended vector lands in exactly ONE list partition
+    val lists = spark.read.parquet(s"$idxDir/lists")
+      .filter(col("vec_id") >= 1000L)
+      .groupBy("vec_id").count().collect()
+    assert(lists.length === 10, s"expected 10 appended vectors, got ${lists.length}")
+    assert(lists.forall(_.getLong(1) === 1L), "a vector appended into multiple lists")
+    // the pruned probe recovers the appended near-dups
+    val found = Llm.knnIvfProbe(spark, idxDir, probe.map(_.toDouble),
+        probeId = 0L, k = 11, nprobe = 4)
+      .collect().map(_.getLong(0)).filter(_ >= 1000L).toSet
+    assert(found.size >= 8,
+      s"appended near-dups not recovered by the pruned probe: $found")
+  }
+
   test("dedupGroups: reliable-checkpoint mode produces identical components") {
     // Cluster-durability option: with a checkpoint dir configured, each CC
     // round pins to a RELIABLE checkpoint (survives executor loss) instead
