@@ -124,7 +124,7 @@ object PlanDump {
          |TypedImperativeAggregate could remove if it ever matters.
          |Properties and the bit-exact heavy-hitters oracle stay green.
          |
-         |Scale-growth smoke (r8, `graft.ScaleSmoke`): 13 headline queries
+         |Scale-growth smoke (r8, `graft.ScaleSmoke`): 16 headline queries
          |timed at sf0.001/0.01/0.1 under the driver config; asserts
          |per-decade growth ≤ 10^1.3 (0.3 s scheduling-overhead floor) and
          |≤ 400× across the endpoints — the automated version of the hand

@@ -40,7 +40,10 @@ object ScaleSmoke {
     "q_agg_hash", "q_join_shuffle", "q_win_running", "q_join_range_scd2",
     "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_fuzzy_match",
     "q_dedup_groups", "q_knn_cosine_lsh", "q_heavy_hitters", "q_tfidf",
-    "q_corpus_curate")
+    "q_corpus_curate",
+    "q_cross_source_keep", // CC + priority window (r8)
+    "q_knn_cosine_int8",   // quantized coarse scan — must stay linear (r8)
+    "q_source_budget")     // per-source running-sum window (r8)
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata")
