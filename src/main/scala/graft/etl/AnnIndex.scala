@@ -229,14 +229,8 @@ object AnnIndex {
     * the quantized dot ([[graft.expr.Int8Dot]]) over the stored quantized
     * norms; no scale column exists. Build is one codegen projection over
     * the corpus ([[graft.expr.Int8Pack]]). */
-  def buildSq8(e: DataFrame, indexDir: String): Unit = {
-    graft.expr.GraftFunctions.ensureRegistered(e.sparkSession)
-    e.select(col("vec_id"),
-        call_function("int8_pack", col("embedding")).as("qvec"))
-      .withColumn("qnorm",
-        sqrt(call_function("int8_dot", col("qvec"), col("qvec")).cast("double")))
-      .write.mode("overwrite").parquet(s"$indexDir/sq8")
-  }
+  def buildSq8(e: DataFrame, indexDir: String): Unit =
+    writeSq8(e, indexDir, "overwrite")
 
   /** [[ensure]]'s twin for the SQ8 index. */
   def ensureSq8(e: DataFrame, indexDir: String): Unit =
@@ -248,6 +242,22 @@ object AnnIndex {
   /** The persisted quantized corpus `(vec_id, qvec, qnorm)`. */
   def sq8Scan(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/sq8")
+
+  /** Incremental SQ8 ingest: quantization is per-vector (no corpus
+    * statistics), so a batch's quantized rows simply APPEND — the cheapest
+    * of the three index-append paths (one codegen projection, no driver
+    * metadata at all). */
+  def appendSq8(batch: DataFrame, indexDir: String): Unit =
+    writeSq8(batch, indexDir, "append")
+
+  private def writeSq8(e: DataFrame, indexDir: String, mode: String): Unit = {
+    graft.expr.GraftFunctions.ensureRegistered(e.sparkSession)
+    e.select(col("vec_id"),
+        call_function("int8_pack", col("embedding")).as("qvec"))
+      .withColumn("qnorm",
+        sqrt(call_function("int8_dot", col("qvec"), col("qvec")).cast("double")))
+      .write.mode(mode).parquet(s"$indexDir/sq8")
+  }
 
   /** Driver-side probe quantization — the same formula as
     * [[graft.expr.Int8Pack]] (`round(127·x/max|x|)`), spec-asserted

@@ -281,7 +281,10 @@ object Streams {
     *      pointer rename, readers see entirely-old or entirely-new;
     *   3. ANN maintenance: survivors' embeddings APPEND to the LSH posting
     *      lists ([[graft.etl.AnnIndex.appendLsh]] — data-independent
-    *      hyperplanes, so the append probes identically to a rebuild);
+    *      hyperplanes, so the append probes identically to a rebuild) and
+    *      to the SQ8 quantized scan index
+    *      ([[graft.etl.AnnIndex.appendSq8]] — per-vector quantization, one
+    *      codegen projection);
     *   4. dedup-index commit: [[graft.etl.IncrementalDedup.commitPostings]]
     *      lands the survivors' posting rows LAST.
     *
@@ -303,7 +306,8 @@ object Streams {
     * format would append data files under the same pointer-commit
     * semantics); postings and LSH cells are pure appends. */
   def corpusIngest(docs: DataFrame, dedupDir: String, lshDir: String,
-                   corpusDir: String, lshBands: Int = 3, lshBits: Int = 8)
+                   corpusDir: String, lshBands: Int = 3, lshBits: Int = 8,
+                   sq8Dir: Option[String] = None)
       : DataStreamWriter[Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
@@ -323,9 +327,9 @@ object Streams {
           val merged = existing.unionByName(docCols).dropDuplicates("doc_id")
           graft.etl.Warehouse.publish(spark, corpusDir,
             dir => merged.write.mode("overwrite").parquet(dir))
-          graft.etl.AnnIndex.appendLsh(
-            kept.select(col("doc_id").as("vec_id"), col("embedding")),
-            lshDir, lshBands, lshBits)
+          val vecs = kept.select(col("doc_id").as("vec_id"), col("embedding"))
+          graft.etl.AnnIndex.appendLsh(vecs, lshDir, lshBands, lshBits)
+          sq8Dir.foreach(graft.etl.AnnIndex.appendSq8(vecs, _))
           graft.etl.IncrementalDedup.commitPostings(keptPosts, dedupDir)
         }
         ()

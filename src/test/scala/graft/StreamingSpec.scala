@@ -264,8 +264,10 @@ class StreamingSpec extends AnyFunSuite {
     val b2 = Seq(
       doc(3, "alpha bravo charlie delta echo"),   // exact dup of doc 1: dropped
       doc(4, "kilo lima mike november oscar"))    // novel: kept
+    val sq8Dir = Files.createTempDirectory("graft_ci_sq8").toString
     val mem = MemoryStream[IngestDoc]
-    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir).start()
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
+      sq8Dir = Some(sq8Dir)).start()
     try {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
@@ -279,6 +281,10 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(indexed === Seq(1L, 2L, 4L),
         s"LSH index must hold exactly the kept docs' vectors, got $indexed")
+      val quantized = spark.read.parquet(s"$sq8Dir/sq8")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(quantized === Seq(1L, 2L, 4L),
+        s"SQ8 index must hold exactly the kept docs' vectors, got $quantized")
 
       // at-least-once replay of batch 2: every doc collides with its own
       // stored postings -> no new survivors -> no publish, no append
@@ -293,6 +299,8 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(indexedAfter === Seq(1L, 2L, 4L),
         "a replayed batch must not append new vectors to the ANN index")
+      assert(spark.read.parquet(s"$sq8Dir/sq8").count() === 3,
+        "a replayed batch must not append rows to the SQ8 index")
 
       // the published corpus schema is the doc payload (no embedding column)
       assert(!graft.etl.Warehouse.readCurrent(spark, corpusDir)
