@@ -29,6 +29,31 @@ class IngestSpec extends AnyFunSuite {
     assert(docs.exceptAll(back).count() === 0)
   }
 
+  test("json reject capture: malformed lines land in _reject, good rows load clean") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+    val schema = new StructType()
+      .add("id", IntegerType).add("name", StringType)
+    val tmp = Files.createTempDirectory("graft_json_rej").toString
+    Files.write(java.nio.file.Paths.get(tmp, "part-0.json"), java.util.List.of(
+      """{"id": 1, "name": "ok"}""",
+      """{"id": 2 "name": "missing-comma"}""", // malformed JSON
+      """{"id": "notanint", "name": "bad-type"}""", // schema violation
+      """{"id": 3, "name": "fine"}"""))
+    // Spark disallows queries whose referenced columns are ONLY the
+    // corrupt-record column of a raw JSON scan — materialize first (the
+    // production path writes clean/reject tables, which reads every column)
+    val rows = graft.etl.JsonSource.readWithRejects(spark, tmp, schema).cache()
+    rows.count()
+    val clean = rows.filter(col("_reject").isNull)
+    val rejects = rows.filter(col("_reject").isNotNull)
+    assert(clean.count() === 2, "exactly the two well-formed records load")
+    assert(clean.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 3))
+    assert(rejects.count() === 2, "both malformed lines are captured, not dropped")
+    // the reject channel carries the raw line for the error table
+    assert(rejects.collect().forall(_.getAs[String]("_reject").nonEmpty))
+  }
+
   test("ORC source/sink round-trips the columnar tables") {
     val li = Tables.lineitem(spark, TestSpark.sfDir)
     val tmp = Files.createTempDirectory("graft_orc").toString
