@@ -200,17 +200,27 @@ object AnnIndex {
     * standard IVF query path (O(nlist·dim) driver math), not a distributed
     * collect over data. */
   def nearestLists(spark: SparkSession, indexDir: String,
-                   probeVec: Array[Double], nprobe: Int): Seq[Int] = {
+                   probeVec: Array[Double], nprobe: Int): Seq[Int] =
+    nearestListsBatch(spark, indexDir, Seq(probeVec), nprobe).head
+
+  /** Batch probe-list selection: rank the persisted centroids for EVERY
+    * probe in a bounded batch with ONE centroid-table read — m separate
+    * [[nearestLists]] calls would re-read the (tiny) centroid parquet per
+    * probe. Still O(m·nlist·dim) driver math over model metadata; returns
+    * the probed list ids aligned with the input order. */
+  def nearestListsBatch(spark: SparkSession, indexDir: String,
+                        probeVecs: Seq[Array[Double]], nprobe: Int): Seq[Seq[Int]] = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    def cos(c: Array[Double]): Double = {
+    def cos(c: Array[Double], p: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < c.length) { dot += c(i) * probeVec(i); na += c(i) * c(i)
-        nb += probeVec(i) * probeVec(i); i += 1 }
+      while (i < c.length) { dot += c(i) * p(i); na += c(i) * c(i)
+        nb += p(i) * p(i); i += 1 }
       dot / math.sqrt(na * nb)
     }
-    cents.sortBy { case (_, c) => -cos(c) }.take(nprobe).map(_._1).toSeq
+    probeVecs.map(p =>
+      cents.sortBy { case (_, c) => -cos(c, p) }.take(nprobe).map(_._1).toSeq)
   }
 
   /** The partition-pruned candidate fetch: `list_id` is a PARTITION column

@@ -705,6 +705,59 @@ object Llm {
       .select("vec_id", "label", "embedding"), probeId, k)
   }
 
+  /** §2.9 BATCH IVF ANN (no-oracle; LlmSpec asserts per-probe parity with
+    * the single-probe IVF path and exact union-pruning): top-k neighbors
+    * for EVERY probe in a bounded batch through the PERSISTED IVF index —
+    * [[qKnnBatch]]'s retrieval shape at [[qKnnCosineIvf]]'s index-serving
+    * cost. This is the shape that matters in production: retrieval runs in
+    * batches (score a training batch, attach neighbors per example), and m
+    * single-probe queries would re-list and re-read every overlapping list.
+    *
+    * Scale shape: probe-list selection is ONE centroid-table read +
+    * O(m·nlist·dim) driver math ([[graft.etl.AnnIndex.nearestListsBatch]] —
+    * model metadata, not data); the candidate fetch is ONE partition-pruned
+    * scan of the UNION of all probed lists (≤ min(m·nprobe, nlist) dirs,
+    * shared across probes); scoring joins candidates to probes on `list_id`
+    * EQUALITY (a broadcast of m·nprobe probe rows), so each candidate row
+    * scores only against the probes that actually probe its list — map-side
+    * codegen cosine, never an m×corpus cross product; the per-probe cut is
+    * the custom [[graft.plans.TopKPerGroup]] operator (the only shuffle
+    * carries ≤ k rows per probe per map partition). */
+  def qKnnBatchIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
+    AnnIndex.ensure(e, idxDir, nlist = 16)
+    // bounded probe batch — at 100 TB the probe vectors arrive WITH the
+    // query (a training batch), not from the corpus; the pushed-down m-row
+    // fetch here stands in for that
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    knnIvfBatchProbe(spark, idxDir, probes, k = 5, nprobe = 4)
+  }
+
+  /** Batch IVF query core: one centroid ranking pass, one pruned union
+    * scan, list-equality scoring, per-probe TopKPerGroup cut. */
+  private[graft] def knnIvfBatchProbe(spark: SparkSession, indexDir: String,
+                                      probes: Seq[(Long, Array[Float])],
+                                      k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val probed = AnnIndex.nearestListsBatch(spark, indexDir,
+      probes.map(_._2.map(_.toDouble)), nprobe)
+    val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
+      ls.map(l => (pid, pv, l))
+    }.toDF("probe_id", "pv", "list_id")
+    val scored = AnnIndex.probeScan(spark, indexDir, probed.flatten.distinct)
+      .join(broadcast(probeLists), Seq("list_id"))
+      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), k)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** §2.9 Embedding preparation: unit-normalization (micro-unit snapped
     * elements) and symmetric int8 quantization (scale = 127/max|x|) — the
     * storage/serving transforms an embedding pipeline applies after

@@ -364,6 +364,44 @@ class LlmSpec extends AnyFunSuite {
     assert(sims === sims.sorted(Ordering[Double].reverse))
   }
 
+  test("batch IVF: per-probe results equal the single-probe IVF path; union scan pruned") {
+    // The batch path shares one centroid ranking + one pruned union scan
+    // across m probes, but per probe it must return EXACTLY what m
+    // independent single-probe queries would — the list-equality join means
+    // a candidate only ever scores against probes that probe its list, so
+    // parity with knnIvfProbe is the whole correctness contract.
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = graft.etl.AnnIndex.defaultIvfDir(TestSpark.sfDir, nlist = 16)
+    graft.etl.AnnIndex.ensure(e, idxDir, nlist = 16)
+    val batch = Llm.qKnnBatchIvf(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    assert(batch.length === probes.length * 5, "expected k rows per probe")
+    probes.foreach { case (pid, pv) =>
+      val single = Llm.knnIvfProbe(spark, idxDir, pv, pid, k = 5, nprobe = 4)
+        .collect().map(r => (pid, r.getLong(0), r.getDouble(2))).toSeq
+      val got = batch.filter(_._1 == pid).toSeq
+      assert(got === single, s"probe $pid: batch result diverges from single-probe IVF")
+    }
+    // pruning proof: the ONE candidate scan reads exactly the union of the
+    // probed lists, not all nlist partitions
+    val union = graft.etl.AnnIndex.nearestListsBatch(spark, idxDir,
+      probes.map(_._2).toSeq, nprobe = 4).flatten.distinct
+    val df = Llm.qKnnBatchIvf(spark, TestSpark.sfDir)
+    df.collect()
+    val listScans = fileScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("PartitionFilters", "").contains("list_id"))
+    assert(listScans.nonEmpty, "no partition-filtered scan over the IVF lists table")
+    listScans.foreach { s =>
+      val read = s.metrics("numPartitions").value
+      assert(read <= union.size,
+        s"batch probe scan read $read list partitions — expected ≤ union=${union.size}")
+    }
+  }
+
   /** Walk an executed (post-AQE) plan down into its query stages and
     * collect every parquet scan node, for partition-pruning assertions. */
   private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
