@@ -103,6 +103,7 @@ object SparkEntry {
     "q_knn_cosine_lsh" -> (Llm.qKnnCosineLsh _), // no-oracle: rows-only check + LlmSpec recall test
     "q_knn_cosine_ivf" -> (Llm.qKnnCosineIvf _), // no-oracle: rows-only check + LlmSpec recall test
     "q_knn_batch_ivf"  -> (Llm.qKnnBatchIvf _),  // no-oracle: per-probe parity with single-probe IVF in LlmSpec
+    "q_knn_batch_lsh"  -> (Llm.qKnnBatchLsh _),  // no-oracle: per-probe parity with single-probe LSH in LlmSpec
     "q_text_stats"     -> (Llm.qTextStats _),
     "q_text_clean"     -> (Llm.qTextClean _),
     "q_doc_chunk"      -> (Llm.qDocChunk _),

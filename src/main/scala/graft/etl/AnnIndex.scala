@@ -325,18 +325,27 @@ object AnnIndex {
     * plan still carries `PartitionFilters` over only the probed cells
     * (plan-asserted in LlmSpec). */
   def lshProbeScan(spark: SparkSession, indexDir: String,
-                   cells: Seq[(Int, Int)]): DataFrame = {
+                   cells: Seq[(Int, Int)]): DataFrame =
+    lshPostingScan(spark, indexDir, cells).select("vec_id").distinct()
+
+  /** The raw pruned posting rows `(vec_id, band, bkt)` for a cell set —
+    * [[lshProbeScan]] without the per-probe distinct, so a BATCH probe can
+    * join the shared scan against a broadcast (probe, band, bkt) cell table
+    * and recover per-probe candidate sets from one read. */
+  def lshPostingScan(spark: SparkSession, indexDir: String,
+                     cells: Seq[(Int, Int)]): DataFrame = {
     val base = s"$indexDir/buckets"
     val existing = cells.distinct
       .filter { case (b, k) => Files.exists(Paths.get(base, s"band=$b", s"bkt=$k")) }
+    if (existing.isEmpty)
+      return spark.range(0).select(col("id").as("vec_id"),
+        lit(0).as("band"), lit(0).as("bkt"))
     val pred = cells.groupBy(_._1).map { case (band, cs) =>
       col("band") === band && col("bkt").isin(cs.map(_._2).distinct: _*)
     }.reduce(_ || _)
-    if (existing.isEmpty)
-      return spark.range(0).select(col("id").as("vec_id"))
     spark.read.option("basePath", base)
       .parquet(existing.map { case (b, k) => s"$base/band=$b/bkt=$k" }: _*)
       .filter(pred)
-      .select("vec_id").distinct()
+      .select("vec_id", "band", "bkt")
   }
 }

@@ -622,6 +622,53 @@ object Llm {
     knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
   }
 
+  /** §2.9 BATCH LSH ANN (no-oracle; LlmSpec asserts per-probe parity with
+    * the single-probe LSH path): [[qKnnBatchIvf]]'s twin over the persisted
+    * posting lists — top-k for every probe in a bounded batch with ONE
+    * pruned posting scan shared across probes.
+    *
+    * Scale shape: all probes' own band buckets compute in ONE job over the
+    * seeded data-independent hyperplanes (m rows — vs m 1-row jobs);
+    * multi-probe cell expansion is O(m·bands·bits) driver metadata math;
+    * the candidate fetch is one partition-pruned scan of the UNION of all
+    * probed cells ([[graft.etl.AnnIndex.lshPostingScan]] — direct
+    * `band=/bkt=` path addressing, no directory-tree discovery), joined to
+    * a broadcast (probe_id, band, bkt) cell table so each posting row fans
+    * out only to the probes whose cells it sits in; scoring re-ranks each
+    * probe's distinct candidates by exact codegen cosine and cuts per probe
+    * on [[graft.plans.TopKPerGroup]] (≤ k rows per probe per map partition
+    * shuffled). */
+  def qKnnBatchLsh(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultLshDir(dir, bands = 3, bits = 8)
+    AnnIndex.ensureLsh(e, idxDir, bands = 3, bits = 8)
+    // every probe's own buckets in one m-row job, then Hamming-1 expansion
+    val own = rpBandBuckets(e.filter(col("vec_id") < 5), bands = 3, bits = 8).collect()
+    val probeCells = own.toSeq.flatMap { r =>
+      for {
+        b <- 0 until 3
+        m <- 0 +: (0 until 8).map(1 << _).toList
+      } yield (r.getLong(0), b, r.getInt(1 + b) ^ m)
+    }
+    val posting = AnnIndex.lshPostingScan(spark, idxDir,
+      probeCells.map(c => (c._2, c._3)).distinct)
+    val cand = posting
+      .join(broadcast(probeCells.toDF("probe_id", "band", "bkt")), Seq("band", "bkt"))
+      .select("probe_id", "vec_id").distinct()
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val scored = e.join(cand, Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), 10)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** §2.9 IVF ANN (no-oracle; recall-tested in LlmSpec): the inverted-file
     * alternative to [[qKnnCosineLsh]] — cosine k-means centroids partition
     * the corpus into `nlist` lists, a query probes only the `nprobe` lists

@@ -428,6 +428,23 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("batch LSH: per-probe results equal the single-probe LSH path") {
+    // Same contract as the batch-IVF parity test: one shared pruned posting
+    // scan + broadcast cell-table join must reproduce, per probe, exactly
+    // what the single-probe candidates-then-re-rank path returns.
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val batch = Llm.qKnnBatchLsh(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(batch.map(_._1).distinct.length === 5, "expected results for all 5 probes")
+    (0L until 5L).foreach { pid =>
+      val single = Llm.knnLsh(e, pid, k = 10, bands = 3, bits = 8, radius = 1)
+        .collect().map(r => (pid, r.getLong(0), r.getDouble(2))).toSeq
+      val got = batch.filter(_._1 == pid).toSeq
+      assert(got === single, s"probe $pid: batch LSH diverges from single-probe path")
+    }
+  }
+
   test("persisted LSH posting lists: pruned probe matches the in-query candidates") {
     val e = Tables.embeddings(spark, TestSpark.sfDir)
       .select(col("vec_id"), col("label"), col("embedding"))
