@@ -1696,5 +1696,79 @@ object Oracle {
         |SELECT label, vec_id, cos_sim, CAST(rk AS INT) AS rk FROM r
         |WHERE rk <= 3
         |ORDER BY label, rk""".stripMargin,
+
+    // idf micro-floor-snapped straight after ln, per-(doc,term) scores
+    // snapped to BIGINT micros BEFORE the doc sum (order-independent).
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('spark','table','join') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |idf AS (SELECT term,
+        |    floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0) / 1000000.0 AS idf
+        |  FROM dfreq, st),
+        |sc AS (SELECT t.doc_id,
+        |    CAST(floor(i.idf * (t.tf * 2.2)
+        |      / (t.tf + 1.2 * (0.25 + 0.75 * (d.dl / (CAST(st.total_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+        |      * 1000000.0) AS BIGINT) AS s_micro
+        |  FROM tf t JOIN idf i USING(term) JOIN dl d USING(doc_id), st)
+        |SELECT s.doc_id, d.dl AS n_tokens, count(*) AS n_terms_hit, sum(s.s_micro) AS score_micro
+        |FROM sc s JOIN dl d USING(doc_id)
+        |GROUP BY s.doc_id, d.dl
+        |ORDER BY score_micro DESC, s.doc_id LIMIT 100""".stripMargin,
+
+    // The NAIVE quadratic gram×gram join — deliberately: the Spark side's
+    // prefix filter (PPJoin pigeonhole) must be lossless against exactly
+    // this formulation. Integer threshold test on both sides.
+    "q_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk)-1)]
+        |    ELSE tk END) AS grams FROM t),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM gl),
+        |sz AS (SELECT doc_id, len(grams) AS n FROM gl),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |  round(CAST(n_inter AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+        |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE 5 * n_inter >= 4 * least(sa.n, sb.n)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_block_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |b AS (SELECT doc_id, CAST((cs-1)//10 AS INT) AS block_idx,
+        |        array_to_string(w[cs : cs+9], ' ') AS block_text
+        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 10)) AS cs FROM t)),
+        |k AS (SELECT doc_id, block_idx, block_text,
+        |        row_number() OVER (PARTITION BY block_text ORDER BY doc_id, block_idx) = 1 AS kept
+        |      FROM b)
+        |SELECT doc_id, count(*) AS n_blocks, count(*) FILTER (kept) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN kept THEN block_text END, ' ' ORDER BY block_idx), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // 5 unrolled power-iteration CTEs in exact BIGINT nano-units
+    // (0.85 = 17/20; integer div throughout) — bit-identical to the
+    // Spark loop under any partitioning because every sum is integral.
+    "q_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s""",r$i AS (SELECT od.node, od.outdeg,
+           |    CAST(150000000 // n.n_nodes + sum((p.r*17)//20//p.outdeg) AS BIGINT) AS r
+           |  FROM $prev p JOIN e ON p.node = e.src JOIN od ON e.dst = od.node, n
+           |  GROUP BY od.node, od.outdeg, n.n_nodes)""".stripMargin
+      }.mkString("\n")
+      s"""WITH e0 AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+         |                            'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+         |n AS (SELECT count(*) AS n_nodes FROM od),
+         |r0 AS (SELECT node, outdeg, CAST(1000000000 // n_nodes AS BIGINT) AS r FROM od, n)
+         |$iters
+         |SELECT node, r AS rank_nano FROM r5 ORDER BY rank_nano DESC, node LIMIT 20""".stripMargin
+    },
   )
 }

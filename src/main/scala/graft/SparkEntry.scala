@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Cdc, Llm, Relational, Scalars, Windows}
+import graft.queries.{Cdc, Graph, Llm, Relational, Scalars, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -143,6 +143,10 @@ object SparkEntry {
     "q_pseudonymize"   -> (Relational.qPseudonymize _),
     "q_knn_cosine_int8" -> (Llm.qKnnCosineInt8 _), // no-oracle: recall + int8-error bound in LlmSpec
     "q_cross_source_keep" -> (Llm.qCrossSourceKeep _),
+    "q_bm25"           -> (Llm.qBm25 _),
+    "q_containment"    -> (Llm.qContainment _),
+    "q_block_dedup"    -> (Llm.qBlockDedup _),
+    "q_pagerank"       -> (Graph.qPagerank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

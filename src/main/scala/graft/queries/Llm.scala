@@ -1220,6 +1220,141 @@ object Llm {
       .orderBy("doc_id", "rk")
   }
 
+  /** §2.9 BM25 relevance scoring (r8) — the classic retrieval ranking over
+    * the corpus for a fixed query-term set (k1=1.2, b=0.75), the scoring
+    * step of query-based corpus filtering ("keep documents relevant to X").
+    *
+    * Cross-engine parity: unlike [[qTfidf]] (which dodges `ln` entirely),
+    * BM25 IS its log-damped idf, so the idf is micro-floor-snapped straight
+    * after the `ln` — a libm ulp difference between engines only flips the
+    * snap when ln(x)·1e6 lands within an ulp of an integer, and the gate SF
+    * exercises exactly three df values. Per-(doc,term) scores are then
+    * floor-snapped to BIGINT micros BEFORE the per-doc sum (the
+    * [[qLmPerplexity]] trick), so the final aggregation is an
+    * order-independent integer sum — bit-exact under any partitioning.
+    *
+    * Scale shape: tokens explode once; `tf` filters to the query terms
+    * map-side BEFORE its shuffle (the tf frame is O(n_docs·|q|), never the
+    * token stream); df and idf are |q|-row broadcasts; the dl join and the
+    * final agg share the doc_id partitioning (exchange reuse). */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val qTerms = Seq("spark", "table", "join")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val tf = tok.filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = dfreq.crossJoin(broadcast(st))
+      .select(col("term"),
+        (floor(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * 1e6) / 1e6).as("idf"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val sc = tf.join(broadcast(idf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("dl"),
+        floor(col("idf") * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))
+          * 1e6).cast("bigint").as("s_micro"))
+    sc.groupBy("doc_id", "dl")
+      .agg(count(lit(1)).as("n_terms_hit"), sum("s_micro").as("score_micro"))
+      .select(col("doc_id"), col("dl").as("n_tokens"), col("n_terms_hit"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** §2.9 Exact set-containment join (r8) — all document pairs with bigram
+    * containment |A∩B| / min(|A|,|B|) ≥ 0.8: the asymmetric near-dup shape
+    * (a short document pasted inside a longer one) that symmetric Jaccard
+    * under-scores, caught EXACTLY rather than by MinHash estimate.
+    *
+    * Scale shape — prefix filtering (the PPJoin family), lossless by
+    * pigeonhole: order grams globally by (df asc, gram); with required
+    * overlap α = ceil(0.8·n_A) for the SMALLER side A, A has only α−1 grams
+    * OUTSIDE its first n_A−α+1 grams, so any qualifying pair must share a
+    * gram in the smaller side's prefix. Candidates therefore come from
+    * prefix ⨝ full postings — rare-gram posting lists, never all-pairs and
+    * never the full gram×gram join the naive formulation (and the DuckDB
+    * oracle, which IS the naive quadratic) performs. α is computed in exact
+    * integer arithmetic ((4n+4) div 5) — a double 0.8·n can land on the
+    * wrong side of ceil (5·0.8 rounds above 4.0) and silently shrink the
+    * prefix, breaking losslessness. Verification re-joins the candidate
+    * pairs against the gram table twice (keyed equi-joins) and keeps the
+    * exact integer test 5·|A∩B| ≥ 4·min(n_A,n_B). */
+  def qContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir))
+
+  /** The reusable prefix-filtered containment join behind [[qContainment]]
+    * (τ = 4/5) — takes any frame with (doc_id, text), returns the exact
+    * qualifying pairs. Split out so specs can plant adversarial corpora
+    * (a short doc pasted inside a long one — high containment, LOW
+    * Jaccard). */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    val g = shingleRows(docs).dropDuplicates("doc_id", "gram")
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val prefix = g.join(dfreq, "gram")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("gdf"), col("gram"))))
+      .join(sz, "doc_id")
+      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id").as("id_p"), col("gram"))
+    val cand = prefix.join(g.select(col("doc_id").as("id_f"), col("gram")), "gram")
+      .filter(col("id_p") =!= col("id_f"))
+      .select(least(col("id_p"), col("id_f")).as("id_a"),
+              greatest(col("id_p"), col("id_f")).as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(g.select(col("doc_id").as("id_a"), col("gram")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("gram")), Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(lit(5) * col("n_inter") >= lit(4) * least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"),
+        round(col("n_inter").cast("double") / least(col("n_a"), col("n_b")), 4)
+          .as("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** §2.9 Cross-corpus block dedup with document reassembly (r8) — the
+    * C4-style cleanup: split every document into consecutive 10-word
+    * blocks, keep only each distinct block's FIRST occurrence corpus-wide
+    * (ordered by doc_id, then position), and stitch the surviving blocks
+    * back into a cleaned document. This is removal-WITHIN-documents —
+    * [[qDedupExact]]/[[qDedupMinhash]] drop whole documents, this excises
+    * the duplicated spans and keeps the rest.
+    *
+    * Scale shape: one window keyed on the block text (hash-partitions by
+    * block — the same shuffle a fingerprint groupBy would cost, and the
+    * text must ride to reassembly anyway; at 100 TB partition on a 128-bit
+    * fingerprint and re-join the text by (doc_id, block_idx)), then one
+    * groupBy doc_id for reassembly. Conditional collect_list skips dropped
+    * blocks (collect_list ignores NULL), array_sort restores document
+    * order. */
+  def qBlockDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = split(col("text"), " ")
+    val blocks = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), (expr("(size(split(text, ' ')) + 9) div 10")).cast("int") - 1),
+        i => array_join(slice(w, i * lit(10) + lit(1), lit(10)), " ")))
+        .as(Seq("block_idx", "block_text")))
+    val kept = blocks.withColumn("kept",
+      row_number().over(Window.partitionBy("block_text").orderBy("doc_id", "block_idx")) === 1)
+    kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count(when(col("kept"), lit(1))).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("block_idx"), col("block_text"))))),
+          b => b.getField("block_text"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** §2.9 Outlier winsorization: clip document lengths to the per-language
     * [p05, p95] band — the heavy-tail taming step before length-based
     * quality filtering. The percentile frame is one row per language, so it

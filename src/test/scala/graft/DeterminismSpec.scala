@@ -35,7 +35,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_win_running",      // decimal running sums over windows
     "q_interpolate",      // ignoreNulls window neighbors + interp arithmetic
     "q_source_budget",    // per-source running token sums in hash order
-    "q_cross_source_keep") // CC + priority window survivor election
+    "q_cross_source_keep", // CC + priority window survivor election
+    "q_bm25",             // snapped idf + integer micro score sums
+    "q_pagerank")         // iterative integer nano-unit rank sums
 
   sensitive.foreach { name =>
     test(s"$name is byte-identical under shuffle.partitions 32 vs 3") {

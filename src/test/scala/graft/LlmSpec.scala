@@ -644,4 +644,48 @@ class LlmSpec extends AnyFunSuite {
         "pair crosses the prefix block — blocking is broken")
     }
   }
+
+  test("containment: catches the short-doc-pasted-in-long-doc case Jaccard misses") {
+    // doc 2 = doc 1 verbatim + 5x unrelated filler: containment of the
+    // smaller side is 1.0 while Jaccard is ~0.2 — the asymmetric near-dup
+    // the symmetric metrics under-score. doc 3 shares nothing.
+    import org.apache.spark.sql.functions._
+    val filler = (1 to 80).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> s"$base $filler", 3L -> "alpha beta gamma delta")
+    val rows = Llm.containmentPairs(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(rows.contains((1L, 2L)), "pasted containment pair missed")
+    assert(rows((1L, 2L)) >= 0.99, "smaller side is fully contained")
+    assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc must not pair")
+  }
+
+  test("containment: prefix filter is lossless vs the naive all-pairs formulation") {
+    // Independent naive Spark restatement (full gram x gram join) over the
+    // real corpus — the prefix-filtered candidates must reproduce it
+    // exactly (the pigeonhole argument, checked empirically; the DuckDB
+    // oracle re-proves it cross-engine at the gate).
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, TestSpark.sfDir)
+    val tok = d.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val g = tok.select(col("doc_id"),
+        explode(expr(
+          "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk)-1), i -> concat_ws(' ', tk[i-1], tk[i])) ELSE tk END"))
+          .as("gram"))
+      .distinct()
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val naive = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("o"))
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(lit(5) * col("o") >= lit(4) * least(col("na"), col("nb")))
+      .select("id_a", "id_b", "o")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+    val pruned = Llm.qContainment(spark, TestSpark.sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toSet
+    assert(pruned === naive, "prefix filter dropped or invented a qualifying pair")
+    assert(pruned.nonEmpty)
+  }
 }
