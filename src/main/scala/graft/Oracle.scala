@@ -1724,9 +1724,10 @@ object Oracle {
     // this formulation. Integer threshold test on both sides.
     "q_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 2
-        |    THEN [array_to_string(tk[i:i+1], ' ') for i in generate_series(1, len(tk)-1)]
-        |    ELSE tk END) AS grams FROM t),
+        |gl AS (SELECT doc_id,
+        |    list_distinct([array_to_string(tk[i:i+3], ' ')
+        |                   for i in generate_series(1, len(tk)-3)]) AS grams
+        |  FROM t WHERE len(tk) >= 4),
         |g AS (SELECT doc_id, unnest(grams) AS gram FROM gl),
         |sz AS (SELECT doc_id, len(grams) AS n FROM gl),
         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -1770,5 +1771,82 @@ object Oracle {
          |$iters
          |SELECT node, r AS rank_nano FROM r5 ORDER BY rank_nano DESC, node LIMIT 20""".stripMargin
     },
+
+    // Naive a<b<c closure over the same canonical pair CTE the Spark side
+    // consumes — orientation-independent, so the Spark degree-ordered
+    // enumeration must reproduce it exactly (integer counts end to end).
+    "q_graph_triangles" ->
+      s"""WITH pairs AS (
+         |$minhashPairsSql
+         |),
+         |tri AS (
+         |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |  FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a
+         |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |nodes AS (SELECT a AS doc_id FROM tri
+         |          UNION ALL SELECT b FROM tri
+         |          UNION ALL SELECT c FROM tri)
+         |SELECT doc_id, count(*) AS n_tri FROM nodes GROUP BY doc_id
+         |ORDER BY n_tri DESC, doc_id""".stripMargin,
+
+    // |c − μ| > 2σ multiplied through by n²: (n·c − S)² > 4·(n·Q − S²) —
+    // pure BIGINT on both engines (no division, sqrt, or doubles).
+    "q_event_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |        FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(n_events) AS BIGINT) AS s,
+        |        CAST(sum(n_events*n_events) AS BIGINT) AS q
+        |       FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n_events,
+        |  CASE WHEN st.n_days*d.n_events > st.s THEN 'high' ELSE 'low' END AS direction
+        |FROM daily d JOIN st USING(event_type)
+        |WHERE (st.n_days*d.n_events - st.s)*(st.n_days*d.n_events - st.s)
+        |      > 4*(st.n_days*st.q - st.s*st.s)
+        |ORDER BY event_type, day""".stripMargin,
+
+    // Exact cross-engine Bernoulli: 5-hex md5 uniform vs the micro-snapped
+    // sigmoid rescaled to hex range in integer arithmetic, compared as
+    // equal-length hex strings (numeric compare with no float thresholds).
+    "q_sample_weighted" ->
+      """WITH t AS (SELECT doc_id, lang, length(text) AS nc,
+        |    string_split(text,' ') AS toks FROM documents),
+        |z AS (SELECT doc_id, lang,
+        |    -2.0 + 0.3*(CAST(nc AS DOUBLE)/len(toks))
+        |    - 4.0*(CAST(len(list_filter(toks, x -> x IN ('a','the'))) AS DOUBLE)/len(toks))
+        |    + 3.0*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)) AS z FROM t),
+        |s AS (SELECT doc_id, lang,
+        |    least(CAST(floor(1.0/(1.0+exp(-z))*1e6) AS BIGINT), 999999) AS score_micro FROM z)
+        |SELECT doc_id, lang, score_micro,
+        |  substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 5) AS u5
+        |FROM s
+        |WHERE substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 5)
+        |      < lpad(lower(hex(score_micro * 1048576 // 1000000)), 5, '0')
+        |ORDER BY doc_id""".stripMargin,
+
+    // The counter table IS the sketch (d=4 × w=16, seeded-md5 string
+    // buckets); deterministic hashing makes an approximate algorithm
+    // fully oracle-checkable. cms_n >= exact_n by construction.
+    "q_count_min" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS term FROM documents),
+        |counters AS (
+        |  SELECT j, substr(md5('cms' || CAST(j AS VARCHAR) || ':' || term), 1, 1) AS bucket,
+        |         count(*) AS cnt
+        |  FROM tok, (SELECT unnest([0,1,2,3]) AS j)
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT unnest(['spark','table','join','data','line','key','value','zzz_absent']) AS term),
+        |pb AS (SELECT p.term, j.j,
+        |         substr(md5('cms' || CAST(j.j AS VARCHAR) || ':' || p.term), 1, 1) AS bucket
+        |       FROM probes p, (SELECT unnest([0,1,2,3]) AS j) j),
+        |est AS (SELECT pb.term, min(coalesce(c.cnt, CAST(0 AS BIGINT))) AS cms_n
+        |        FROM pb LEFT JOIN counters c ON pb.j = c.j AND pb.bucket = c.bucket
+        |        GROUP BY pb.term),
+        |ex AS (SELECT term, count(*) AS n FROM tok
+        |       WHERE term IN ('spark','table','join','data','line','key','value','zzz_absent')
+        |       GROUP BY term)
+        |SELECT e.term, coalesce(x.n, CAST(0 AS BIGINT)) AS exact_n, e.cms_n,
+        |  e.cms_n - coalesce(x.n, CAST(0 AS BIGINT)) AS overcount
+        |FROM est e LEFT JOIN ex x USING(term)
+        |ORDER BY term""".stripMargin,
   )
 }

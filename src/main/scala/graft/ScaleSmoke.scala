@@ -43,7 +43,10 @@ object ScaleSmoke {
     "q_corpus_curate",
     "q_cross_source_keep", // CC + priority window (r8)
     "q_knn_cosine_int8",   // quantized coarse scan — must stay linear (r8)
-    "q_source_budget")     // per-source running-sum window (r8)
+    "q_source_budget",     // per-source running-sum window (r8)
+    "q_containment",       // prefix-filtered set join — the naive shape IS quadratic (r8)
+    "q_pagerank",          // 5 × (edge join + agg) rounds (r8)
+    "q_graph_triangles")   // degree-ordered wedge closure, O(m^1.5) cap (r8)
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata")

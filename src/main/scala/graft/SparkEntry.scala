@@ -147,6 +147,10 @@ object SparkEntry {
     "q_containment"    -> (Llm.qContainment _),
     "q_block_dedup"    -> (Llm.qBlockDedup _),
     "q_pagerank"       -> (Graph.qPagerank _),
+    "q_graph_triangles" -> (Graph.qTriangles _),
+    "q_event_anomaly"  -> (Cdc.qEventAnomaly _),
+    "q_sample_weighted" -> (Llm.qSampleWeighted _),
+    "q_count_min"      -> (Llm.qCountMin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

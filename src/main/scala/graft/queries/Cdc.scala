@@ -199,6 +199,38 @@ object Cdc {
       .orderBy("cur", "nxt")
   }
 
+  /** §2.10 Daily-count anomaly flags (r8): days whose per-type event count
+    * deviates from that type's mean by more than 2σ — the monitoring query
+    * every event pipeline runs against its volume baseline (a traffic drop
+    * or bot spike surfaces here before it corrupts downstream aggregates).
+    *
+    * Cross-engine parity: |c − μ| > 2σ is evaluated ENTIRELY in integer
+    * arithmetic — with per-type day count n, sum S, and sum-of-squares Q,
+    * the test multiplies through by n²:  (n·c − S)² > 4·(n·Q − S²).  No
+    * division, no sqrt, no doubles: both engines compare the same BIGINTs
+    * (headroom: the left side peaks at (n·c)² ≲ 10¹⁰ at bench SF, vs 2⁶³).
+    *
+    * Shape: daily counts are one hash agg on (type, day); the stats frame
+    * is |event_types| rows (broadcast); flags compute map-side on the join
+    * output. The partial first/last calendar day of the feed flags "low"
+    * by construction — the canary that proves the detector live. */
+  def qEventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      sum(col("n_events")).as("s"),
+      sum(col("n_events") * col("n_events")).as("q"))
+    val dev = col("n_days") * col("n_events") - col("s")
+    daily.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(4L) * (col("n_days") * col("q") - col("s") * col("s")))
+      .select(col("event_type"), col("day"), col("n_events"),
+        when(col("n_days") * col("n_events") > col("s"), lit("high"))
+          .otherwise(lit("low")).as("direction"))
+      .orderBy("event_type", "day")
+  }
+
   /** §2.10 Session windows, 30-min inactivity gap per user, batch parity via
     * gaps-and-islands: flag rows starting a new session (gap > 30 min from
     * the previous event), running-sum the flags into a session id, aggregate.

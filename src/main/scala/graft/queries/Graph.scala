@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Tables
+
 /** Graph analytics block (SURVEY.md §2.9 adjacency): iterative computations
   * over an edge table derived from the relational schema — the Pregel shape
   * (per-iteration keyed join + aggregate) expressed as static DataFrame
@@ -52,5 +54,55 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_nano"))
       .orderBy(col("rank_nano").desc, col("node"))
       .limit(20)
+  }
+
+  /** §2.9 Triangle counting (r8) over the MinHash near-dup candidate graph
+    * ([[Llm.minhashPairs]] — the same edge set the CC dedup operators
+    * consume): per-document triangle participation, the cluster-cohesion
+    * profile of the near-dup graph (a duplicate cluster whose members all
+    * pair with each other is a confident cluster; a long chain with no
+    * triangles is likely LSH band noise stitching unrelated docs).
+    *
+    * Scale shape — degree-ordered orientation (the node-iterator++ bound):
+    * each undirected edge is directed toward its higher-(degree, id)
+    * endpoint, wedges form only at each edge pair's lowest corner, and a
+    * wedge closes via one keyed equi-join against the canonical (a<b) edge
+    * set. Total wedge count is bounded by O(m^1.5) REGARDLESS of skew —
+    * under id-ordering a single high-degree hub (one viral boilerplate doc
+    * pasted everywhere) mints deg² wedges, while degree-ordering caps every
+    * node's fan-out at √m. Every step is a keyed join or hash agg; the
+    * all-pairs closure never materializes. Each triangle is counted exactly
+    * once (its minimum-(deg, id) corner owns it), then exploded to its 3
+    * corners for the per-node profile — integer counts end to end, so the
+    * result is bit-identical cross-engine and under any partitioning. */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOver(Llm.minhashPairs(Tables.documents(spark, dir)))
+
+  /** The reusable degree-ordered triangle enumeration behind [[qTriangles]]
+    * — takes any canonical (doc_a < doc_b) distinct edge frame, returns
+    * (doc_id, n_tri). Split out so specs can plant adversarial graphs
+    * (a star hub that would mint deg² wedges under id-ordering). */
+  private[graft] def trianglesOver(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc_a").as("node"))
+      .union(pairs.select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val aFirst = // orient toward the higher-(deg, id) endpoint
+      col("deg_a") < col("deg_b") ||
+        (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
+    val oriented = pairs
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+      .select(when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+              when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"))
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("s"), col("o1.dst").as("x"), col("o2.dst").as("y"))
+    val tri = wedges // close against the canonical edge set: x < y by id
+      .join(pairs, col("x") === col("doc_a") && col("y") === col("doc_b"))
+      .select("s", "x", "y")
+    tri.select(explode(array(col("s"), col("x"), col("y"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("doc_id"))
   }
 }

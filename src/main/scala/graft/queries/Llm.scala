@@ -1040,6 +1040,41 @@ object Llm {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
 
+  /** §2.9 Quality-WEIGHTED downsampling (r8): each document survives with
+    * probability equal to its own quality score — the importance-sampling
+    * cut (DoReMi-style reweighting by deletion) that keeps high-quality
+    * documents almost surely while thinning the low end, where
+    * [[qSampleHash]]'s flat per-language rate treats a spam page and an
+    * encyclopedia entry identically.
+    *
+    * Exact cross-engine Bernoulli: the uniform draw is the first 5 hex
+    * chars of a seeded md5 (an integer in [0, 16^5) that both engines
+    * derive identically) and the acceptance threshold is the micro-snapped
+    * sigmoid score ([[qualityZ]] — the SAME model the quality gate runs)
+    * rescaled to hex range in integer arithmetic (·2^20 div 10^6) and
+    * rendered as a zero-padded hex string: equal-length hex compare IS the
+    * numeric compare, so `u5 < thr` is bit-identical in both engines with
+    * no float thresholds anywhere. The score is clamped to 999999 so the
+    * threshold can never overflow 5 hex digits (a sigmoid that rounds to
+    * exactly 1.0 in double would otherwise render 6 and break the padding).
+    *
+    * Pure map-side projection — zero shuffles beyond the output sort; a
+    * doc's fate never depends on other rows (stable under corpus growth,
+    * same as every sampling op here). */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val z = qualityZ(col("text"), split(col("text"), " "))
+    Tables.documents(spark, dir)
+      .withColumn("score_micro",
+        least(floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1e6).cast("long"), lit(999999L)))
+      .withColumn("u5",
+        substring(md5(concat(lit("wsample:"), col("doc_id").cast("string"))), 1, 5))
+      .withColumn("thr",
+        lpad(lower(hex(expr("score_micro * 1048576 div 1000000"))), 5, "0"))
+      .filter(col("u5") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("score_micro"), col("u5"))
+      .orderBy("doc_id")
+  }
+
   /** §2.9 Deterministic train/val/test split: each document's split follows
     * the first hex byte of a seeded md5 of its id — 80/10/10 by hash range
     * ('cc' = 204/256 ≈ 80%, 'e6' = 230/256 ≈ 90%), reproducible across
@@ -1127,29 +1162,47 @@ object Llm {
     * schedule with. Each doc gets a virtual position rank/weight inside its
     * source; the mixture is the global order of those positions.
     *
-    * The sequential index is assigned with the scalable zipWithIndex idiom:
-    * a distributed range sort on the position (every partition sorts its
-    * range in parallel) followed by per-partition offset numbering — NOT a
-    * partition-less window, which would drag the whole corpus through one
-    * task. The RDD hop is the documented exception for genuinely
-    * imperative per-partition logic; order is preserved because a sorted
-    * DataFrame's partitions are range-ordered. */
+    * The global index is CLOSED-FORM, not enumerated (r8 — this removed
+    * the query layer's one RDD/zipWithIndex touch): a row's mix_pos is the
+    * number of rows at-or-before its key in the (pos, source, doc_id)
+    * order, and for any OTHER source that count depends only on the row's
+    * ordinal and the two weights — #{rn' : rn'/w' < rn/w} =
+    * ⌊(rn·w' − 1)/w⌋ clamped to that source's row count, +1 on the exact-
+    * tie boundary (rn·w' ≡ 0 mod w) when the other source sorts first.
+    * Cross-multiplied INTEGER comparisons throughout (never the double
+    * `pos` itself), so the assignment is exact, byte-stable under any
+    * partitioning, and equal to the oracle's global row_number. Per-source
+    * (count, weight) stats ride along as one broadcast 1-row array; the
+    * summation is a per-row `aggregate` over |sources| entries — zero
+    * shuffles beyond one keyed window for the ordinal, and whole-stage
+    * codegen instead of an RDD hop. */
   def qMixInterleave(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
     val perSource = Window.partitionBy("source").orderBy("doc_id")
-    val positioned = Tables.documents(spark, dir)
+    val r = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
-      .withColumn("wt",
-        when(col("source").isin("src0", "src1"), 3.0).otherwise(1.0))
-      .withColumn("pos", row_number().over(perSource) / col("wt"))
-      .orderBy("pos", "source", "doc_id")
-    val schema = positioned.schema.add("mix_pos", LongType, nullable = false)
-    val numbered = positioned.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark0.createDataFrame(numbered, schema)
+      .withColumn("w",
+        when(col("source").isin("src0", "src1"), 3L).otherwise(1L))
+      .withColumn("rn", row_number().over(perSource).cast("long"))
+    val stats = r.groupBy(col("source").as("s2"))
+      .agg(count(lit(1)).as("n2"), max(col("w")).as("w2"))
+      .agg(collect_list(struct(col("s2"), col("n2"), col("w2"))).as("ss"))
+    // exact integer floor/exact-division via pmod (a − a mod b) / b: the
+    // double division is of an exact multiple, so no rounding anywhere
+    def exDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    r.crossJoin(broadcast(stats))
+      .withColumn("mix_pos",
+        col("rn") + aggregate(
+          filter(col("ss"), s => s.getField("s2") =!= col("source")),
+          lit(0L),
+          (acc, s) => {
+            val aw = col("rn") * s.getField("w2") // rn·w' (cross-multiplied)
+            val lt = least(s.getField("n2"), exDiv(aw - 1, col("w")))
+            val eq = when(pmod(aw, col("w")) === 0 &&
+                          exDiv(aw, col("w")) <= s.getField("n2") &&
+                          s.getField("s2") < col("source"), 1L).otherwise(0L)
+            acc + lt + eq
+          }))
       .select(col("doc_id"), col("source"), col("mix_pos"))
       .orderBy("mix_pos")
   }
@@ -1265,10 +1318,18 @@ object Llm {
       .limit(100)
   }
 
-  /** §2.9 Exact set-containment join (r8) — all document pairs with bigram
-    * containment |A∩B| / min(|A|,|B|) ≥ 0.8: the asymmetric near-dup shape
-    * (a short document pasted inside a longer one) that symmetric Jaccard
-    * under-scores, caught EXACTLY rather than by MinHash estimate.
+  /** §2.9 Exact set-containment join (r8) — all document pairs with word
+    * 4-gram containment |A∩B| / min(|A|,|B|) ≥ 0.8: the asymmetric
+    * near-dup shape (a short document pasted inside a longer one) that
+    * symmetric Jaccard under-scores, caught EXACTLY rather than by MinHash
+    * estimate. The gram unit is the shared [[gram4Rows]] 4-gram (the
+    * decontaminate/span-dup unit), NOT the MinHash bigram: prefix
+    * filtering lives and dies by posting-list sparsity, and on a
+    * small-vocabulary corpus the bigram space is so dense that every
+    * "rare" gram still posts to most documents — measured 56 s at bench
+    * SF for the bigram formulation vs sub-second with 4-grams (24 k
+    * distinct grams, max df 4 at gate SF). Docs under 4 words carry no
+    * gram and exit the operator on both engines.
     *
     * Scale shape — prefix filtering (the PPJoin family), lossless by
     * pigeonhole: order grams globally by (df asc, gram); with required
@@ -1292,7 +1353,8 @@ object Llm {
     * (a short doc pasted inside a long one — high containment, LOW
     * Jaccard). */
   private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
-    val g = shingleRows(docs).dropDuplicates("doc_id", "gram")
+    val g = gram4Rows(docs.select(col("doc_id"), col("text")))
+      .select("doc_id", "gram").dropDuplicates("doc_id", "gram")
     val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfreq = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
     val prefix = g.join(dfreq, "gram")
@@ -1444,6 +1506,53 @@ object Llm {
     * every exploded candidate row, so the sketch frame has exactly one
     * consumer and the corpus is scanned exactly twice — a second branch
     * off the sketch (e.g. a totals cross-join) would re-run the MG pass. */
+  /** §2.9 Count-Min Sketch point-frequency estimates (r8), expressed
+    * relationally: the counter table (d=4 hash rows × w=16 buckets, seeded
+    * md5 bucket keys) IS the sketch, and Spark's partial aggregation gives
+    * the sketch's defining property for free — map-side partials are
+    * per-partition sketches, the shuffle reduce is exactly CMS merge
+    * (counter-wise sum) — so the "mergeable sketch" needs no custom
+    * buffer here the way exact heavy hitters do ([[qHeavyHitters]]'s
+    * Misra–Gries `Aggregator`). Estimates for a fixed probe-term set ride
+    * next to their exact counts, so the output exhibits the CMS contract:
+    * `cms_n ≥ exact_n` always (one-sided error), with the min-over-rows
+    * shrinking the overcount vs any single row (visible in the result —
+    * several probes land collision-free while singles collide).
+    *
+    * Cross-engine parity: buckets are md5-derived STRINGS (no hex→int
+    * conversion exists in both dialects; 1 hex char = 16 buckets keyed by
+    * the character itself), counts are longs — the whole sketch is
+    * deterministic and bit-identical, so an approximate algorithm gets a
+    * full oracle. At 100 TB the counter table is w·d rows total
+    * (monitoring-cheap); the probe lookup is a |probes|·d-row broadcast. */
+  def qCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = 4
+    val probes = Seq("spark", "table", "join", "data", "line", "key", "value",
+      "zzz_absent")
+    def bucket(j: Int, term: Column): Column =
+      substring(md5(concat(lit(s"cms$j:"), term)), 1, 1)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val counters = toks
+      .select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"), bucket(j, col("term")).as("bucket"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val pb = probes.toDF("term")
+      .select(col("term"), explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"), bucket(j, col("term")).as("bucket"))): _*)).as("jb"))
+      .select(col("term"), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    val est = pb.join(counters, Seq("j", "bucket"), "left")
+      .groupBy("term").agg(min(coalesce(col("cnt"), lit(0L))).as("cms_n"))
+    val exact = toks.filter(col("term").isin(probes: _*))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"), coalesce(col("n"), lit(0L)).as("exact_n"),
+        col("cms_n"), (col("cms_n") - coalesce(col("n"), lit(0L))).as("overcount"))
+      .orderBy("term")
+  }
+
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val mg = udaf(new graft.expr.MisraGriesAgg(64))
     val toks = Tables.documents(spark, dir)

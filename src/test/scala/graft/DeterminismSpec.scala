@@ -29,7 +29,7 @@ class DeterminismSpec extends AnyFunSuite {
     "q_heavy_hitters",    // MG sketch merge tree changes with partitioning
     "q_lm_perplexity",    // micro-snapped nll sums + percentile cut
     "q_embed_outliers",   // integer micro-unit centroids
-    "q_mix_interleave",   // range sort + zipWithIndex global positions
+    "q_mix_interleave",   // closed-form global positions (integer cross-multiply)
     "q_mix_temperature",  // micro-snapped sqrt weight sums
     "q_dedup_groups",     // iterative min-label CC
     "q_win_running",      // decimal running sums over windows
@@ -37,7 +37,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_source_budget",    // per-source running token sums in hash order
     "q_cross_source_keep", // CC + priority window survivor election
     "q_bm25",             // snapped idf + integer micro score sums
-    "q_pagerank")         // iterative integer nano-unit rank sums
+    "q_pagerank",         // iterative integer nano-unit rank sums
+    "q_graph_triangles")  // degree-ordered wedge closure, integer counts
 
   sensitive.foreach { name =>
     test(s"$name is byte-identical under shuffle.partitions 32 vs 3") {

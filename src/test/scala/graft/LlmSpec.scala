@@ -646,9 +646,10 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("containment: catches the short-doc-pasted-in-long-doc case Jaccard misses") {
-    // doc 2 = doc 1 verbatim + 5x unrelated filler: containment of the
-    // smaller side is 1.0 while Jaccard is ~0.2 — the asymmetric near-dup
-    // the symmetric metrics under-score. doc 3 shares nothing.
+    // doc 2 = doc 1 verbatim + 5x unrelated filler: 4-gram containment of
+    // the smaller side is ~1.0 while Jaccard is ~0.2 — the asymmetric
+    // near-dup the symmetric metrics under-score. doc 3 shares nothing
+    // (4 words → exactly one 4-gram, absent from both others).
     import org.apache.spark.sql.functions._
     val filler = (1 to 80).map(i => s"w$i").mkString(" ")
     val d = docs(1L -> base, 2L -> s"$base $filler", 3L -> "alpha beta gamma delta")
@@ -668,9 +669,10 @@ class LlmSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val d = Tables.documents(spark, TestSpark.sfDir)
     val tok = d.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 4)
     val g = tok.select(col("doc_id"),
         explode(expr(
-          "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk)-1), i -> concat_ws(' ', tk[i-1], tk[i])) ELSE tk END"))
+          "transform(sequence(1, size(tk)-3), i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1], tk[i+2]))"))
           .as("gram"))
       .distinct()
     val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -19,6 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_ngram_jaccard",
     "q_tfidf", "q_label_balance", "q_mix_temperature", // corpus-total 1-row cross joins
     "q_bm25", "q_pagerank", // 1-row corpus-stats / node-count broadcasts
+    "q_mix_interleave", // 1-row per-source-stats array broadcast (r8)
     "q_word_pmi", "q_skew_profile", // 1-row totals broadcasts
     "q_lm_perplexity", // 1-row corpus-total and P90 broadcasts
     "q_interpolate", // |groups| × 1-row-exploded day-range spine cross
