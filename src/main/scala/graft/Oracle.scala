@@ -1714,7 +1714,8 @@ object Oracle {
         |      / (t.tf + 1.2 * (0.25 + 0.75 * (d.dl / (CAST(st.total_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
         |      * 1000000.0) AS BIGINT) AS s_micro
         |  FROM tf t JOIN idf i USING(term) JOIN dl d USING(doc_id), st)
-        |SELECT s.doc_id, d.dl AS n_tokens, count(*) AS n_terms_hit, sum(s.s_micro) AS score_micro
+        |SELECT s.doc_id, d.dl AS n_tokens, count(*) AS n_terms_hit,
+        |  CAST(sum(s.s_micro) AS BIGINT) AS score_micro
         |FROM sc s JOIN dl d USING(doc_id)
         |GROUP BY s.doc_id, d.dl
         |ORDER BY score_micro DESC, s.doc_id LIMIT 100""".stripMargin,
