@@ -44,9 +44,19 @@ object Tables {
     // TIMESTAMP_NTZ, matching how Spark 4 reads the other tables' naive
     // timestamps (inferTimestampNTZ) and how DuckDB sees them — keeping every
     // timestamp in the engine timezone-free (SURVEY.md §5.3).
-    load(spark, sfDir, "events")
-      .withColumn("ts",
-        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    //
+    // Generation-robust: early testdata drops stored ts as TIMESTAMP(NANOS)
+    // (surfacing as a raw long under nanosAsLong=true — floor-divide ns→µs);
+    // the round-9 regeneration stores TIMESTAMP(MICROS), which Spark reads
+    // natively. Dispatch on the loaded type so both keep working.
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

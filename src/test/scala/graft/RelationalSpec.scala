@@ -35,6 +35,34 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_profile_columns: approx (100 TB) mode matches exact mode within 10% on distincts, exactly elsewhere") {
+    val exact = Relational.profileColumns(spark, TestSpark.sfDir, approx = false).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val appr = Relational.profileColumns(spark, TestSpark.sfDir, approx = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet === appr.keySet && exact.size === 4)
+    for ((c, e) <- exact) {
+      val a = appr(c)
+      // non-sketch measures are identical in both modes
+      assert(a.getAs[Long]("n_rows") === e.getAs[Long]("n_rows"), c)
+      assert(a.getAs[Long]("n_nulls") === e.getAs[Long]("n_nulls"), c)
+      assert(a.getAs[Double]("min_val") === e.getAs[Double]("min_val"), c)
+      assert(a.getAs[Double]("max_val") === e.getAs[Double]("max_val"), c)
+      val (nd, nde) = (a.getAs[Long]("n_distinct"), e.getAs[Long]("n_distinct"))
+      assert(nde > 0 && math.abs(nd - nde).toDouble / nde <= 0.10,
+        s"$c: approx distinct $nd vs exact $nde off by >10%")
+    }
+  }
+
+  test("q_profile_columns reads lineitem in a single scan (both modes)") {
+    for (approx <- Seq(false, true)) {
+      val plan = Relational.profileColumns(spark, TestSpark.sfDir, approx)
+        .queryExecution.executedPlan.toString
+      val nScans = "Scan parquet".r.findAllIn(plan).length
+      assert(nScans === 1, s"approx=$approx: expected 1 scan, got $nScans:\n$plan")
+    }
+  }
+
   test("q_filter_pred pushes predicates into the parquet scan") {
     val plan = Relational.qFilterPred(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
