@@ -1720,6 +1720,52 @@ object Oracle {
         |GROUP BY s.doc_id, d.dl
         |ORDER BY score_micro DESC, s.doc_id LIMIT 100""".stripMargin,
 
+    // RRF = integer-micro reciprocal ranks summed as BIGINT — no float
+    // path. Arms restate the q_bm25 / q_knn_cosine oracles (top-100 cuts),
+    // ranks cut to INT to match Spark's row_number type.
+    "q_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('spark','table','join') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |idf AS (SELECT term,
+        |    floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0) / 1000000.0 AS idf
+        |  FROM dfreq, st),
+        |sc AS (SELECT t.doc_id,
+        |    CAST(floor(i.idf * (t.tf * 2.2)
+        |      / (t.tf + 1.2 * (0.25 + 0.75 * (d.dl / (CAST(st.total_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+        |      * 1000000.0) AS BIGINT) AS s_micro
+        |  FROM tf t JOIN idf i USING(term) JOIN dl d USING(doc_id), st),
+        |bm AS (SELECT s.doc_id, CAST(sum(s.s_micro) AS BIGINT) AS score_micro
+        |  FROM sc s GROUP BY s.doc_id
+        |  ORDER BY score_micro DESC, s.doc_id LIMIT 100),
+        |lex AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS lex_rank
+        |  FROM bm),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |nn AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i]*v[i] for i in generate_series(1, len(v))])) AS nrm
+        |  FROM e),
+        |p AS (SELECT v AS pv, nrm AS pnrm FROM nn WHERE vec_id = 0),
+        |knn AS (SELECT vec_id,
+        |    round(list_sum([v[i]*pv[i] for i in generate_series(1, len(v))])
+        |          / (nrm * pnrm), 4) AS cos_sim
+        |  FROM nn, p
+        |  ORDER BY cos_sim DESC, vec_id ASC LIMIT 100),
+        |vec AS (SELECT vec_id AS doc_id,
+        |    CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS vec_rank
+        |  FROM knn)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |  COALESCE(l.lex_rank, 0) AS lex_rank,
+        |  COALESCE(v.vec_rank, 0) AS vec_rank,
+        |  CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+        |     + COALESCE(1000000 // (60 + v.vec_rank), 0) AS BIGINT) AS rrf_micro
+        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 50""".stripMargin,
+
     // The NAIVE quadratic gram×gram join — deliberately: the Spark side's
     // prefix filter (PPJoin pigeonhole) must be lossless against exactly
     // this formulation. Integer threshold test on both sides.

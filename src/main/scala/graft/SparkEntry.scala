@@ -142,8 +142,10 @@ object SparkEntry {
     "q_source_budget"  -> (Llm.qSourceBudget _),
     "q_pseudonymize"   -> (Relational.qPseudonymize _),
     "q_knn_cosine_int8" -> (Llm.qKnnCosineInt8 _), // no-oracle: recall + int8-error bound in LlmSpec
+    "q_knn_batch_int8"  -> (Llm.qKnnBatchInt8 _),  // no-oracle: per-probe parity with single-probe SQ8 in LlmSpec
     "q_cross_source_keep" -> (Llm.qCrossSourceKeep _),
     "q_bm25"           -> (Llm.qBm25 _),
+    "q_hybrid_rrf"     -> (Llm.qHybridRrf _),
     "q_containment"    -> (Llm.qContainment _),
     "q_block_dedup"    -> (Llm.qBlockDedup _),
     "q_pagerank"       -> (Graph.qPagerank _),

@@ -445,6 +445,33 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("batch SQ8: per-probe results equal the single-probe SQ8 path") {
+    // One quantized-index scan scores all probes (map-side literal explode);
+    // per probe the coarse TopKPerGroup cut at oversample*k uses the same
+    // (score8 desc, vec_id) order as the single-probe TakeOrdered, so the
+    // candidate set — and therefore the exact re-rank — must match m
+    // independent single-probe queries row for row.
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = graft.etl.AnnIndex.defaultSq8Dir(TestSpark.sfDir)
+    graft.etl.AnnIndex.ensureSq8(e, idxDir)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val batch = Llm.knnSq8BatchProbe(spark, idxDir, e, probes, k = 10, oversample = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(batch.length === probes.length * 10, "expected k rows per probe")
+    probes.foreach { case (pid, pv) =>
+      val single = Llm.knnSq8Probe(spark, idxDir, e, pv, pid, k = 10, oversample = 4)
+        .collect().map(r => (pid, r.getLong(0), r.getDouble(2))).toSeq
+      val got = batch.filter(_._1 == pid).toSeq
+      assert(got === single, s"probe $pid: batch SQ8 diverges from single-probe path")
+    }
+    // registered query: k=5 over the same 5 probes, 25 rows
+    val reg = Llm.qKnnBatchInt8(spark, TestSpark.sfDir).collect()
+    assert(reg.length === 25)
+  }
+
   test("persisted LSH posting lists: pruned probe matches the in-query candidates") {
     val e = Tables.embeddings(spark, TestSpark.sfDir)
       .select(col("vec_id"), col("label"), col("embedding"))
