@@ -27,12 +27,22 @@ case class Int8Pack(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "int8_pack"
 
+  // A NULL ELEMENT nulls the whole result (checked before getFloat, which
+  // would otherwise silently read a null slot as 0.0/garbage): a vector
+  // with missing dimensions has no meaningful quantization, and a null
+  // row is visible downstream where a corrupted byte vector is not.
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i)) return null
       val v = math.abs(x.getFloat(i).toDouble)
       if (v > maxAbs) maxAbs = v
       i += 1
@@ -52,24 +62,33 @@ case class Int8Pack(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val maxAbs = ctx.freshName("maxAbs")
+      val hasNull = ctx.freshName("hasNull")
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
       val out = ctx.freshName("out")
       s"""
          |int $n = $a.numElements();
+         |boolean $hasNull = false;
          |double $maxAbs = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
-         |  if ($v > $maxAbs) $maxAbs = $v;
-         |}
-         |byte[] $out = new byte[$n];
-         |if ($maxAbs > 0.0) {
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $out[$i] = (byte) java.lang.Math.round(
-         |      127.0 * (double) $a.getFloat($i) / $maxAbs);
+         |for (int $i = 0; $i < $n && !$hasNull; $i++) {
+         |  if ($a.isNullAt($i)) { $hasNull = true; }
+         |  else {
+         |    double $v = java.lang.Math.abs((double) $a.getFloat($i));
+         |    if ($v > $maxAbs) $maxAbs = $v;
          |  }
          |}
-         |${ev.value} = $out;
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  byte[] $out = new byte[$n];
+         |  if ($maxAbs > 0.0) {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $out[$i] = (byte) java.lang.Math.round(
+         |        127.0 * (double) $a.getFloat($i) / $maxAbs);
+         |    }
+         |  }
+         |  ${ev.value} = $out;
+         |}
        """.stripMargin
     })
 

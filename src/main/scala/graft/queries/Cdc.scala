@@ -207,13 +207,13 @@ object Cdc {
     * Cross-engine parity: |c − μ| > 2σ is evaluated ENTIRELY in integer
     * arithmetic — with per-type day count n, sum S, and sum-of-squares Q,
     * the test multiplies through by n²:  (n·c − S)² > 4·(n·Q − S²).  No
-    * division, no sqrt, no doubles: both engines compare the same BIGINTs
-    * (headroom: the left side peaks at (n·c)² ≲ 10¹⁰ at bench SF, vs 2⁶³).
-    *
-    * Shape: daily counts are one hash agg on (type, day); the stats frame
-    * is |event_types| rows (broadcast); flags compute map-side on the join
-    * output. The partial first/last calendar day of the feed flags "low"
-    * by construction — the canary that proves the detector live. */
+    * division, no sqrt, no doubles. The squared terms are computed in
+    * DECIMAL(38,0): in BIGINT, S² alone overflows int64 once a type's
+    * total event count passes ~3·10⁹ (easily reached at 100 TB), and Spark
+    * would silently wrap under default non-ANSI mode while DuckDB promotes
+    * to HUGEINT — the flags would diverge exactly at scale. Decimal(38,0)
+    * is exact to 10³⁸, i.e. per-type totals up to ~10¹⁹ (beyond long
+    * itself), and DuckDB's HUGEINT compares identically in that range. */
   def qEventAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
@@ -222,11 +222,13 @@ object Cdc {
       count(lit(1)).as("n_days"),
       sum(col("n_events")).as("s"),
       sum(col("n_events") * col("n_events")).as("q"))
-    val dev = col("n_days") * col("n_events") - col("s")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val dev = dec(col("n_days")) * dec(col("n_events")) - dec(col("s"))
     daily.join(broadcast(stats), "event_type")
-      .filter(dev * dev > lit(4L) * (col("n_days") * col("q") - col("s") * col("s")))
+      .filter(dev * dev >
+        dec(lit(4L)) * (dec(col("n_days")) * dec(col("q")) - dec(col("s")) * dec(col("s"))))
       .select(col("event_type"), col("day"), col("n_events"),
-        when(col("n_days") * col("n_events") > col("s"), lit("high"))
+        when(dec(col("n_days")) * dec(col("n_events")) > dec(col("s")), lit("high"))
           .otherwise(lit("low")).as("direction"))
       .orderBy("event_type", "day")
   }

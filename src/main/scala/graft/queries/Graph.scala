@@ -29,15 +29,24 @@ object Graph {
     * edge table on src (AQE broadcasts the rank side while it fits — it is
     * node-count-sized, not edge-count-sized) followed by one hash
     * aggregation on dst: the Pregel round shape, O(edges) shuffled per
-    * round with map-side partial sums. 5 static rounds keep the lineage
-    * shallow; a production run at higher iteration counts would checkpoint
-    * every ~10 rounds like the CC operators do. */
+    * round with map-side partial sums. The edge and out-degree frames are
+    * PINNED once before the loop (reliable checkpoint when a checkpoint dir
+    * is configured, executor-local otherwise — the [[Llm.dedupGroups]]
+    * policy): every round re-reads them, and without the pin a lost
+    * executor late in round 5 recomputes the `distinct` from scratch while
+    * lineage depth grows with the iteration count. 5 static rounds keep
+    * the rank lineage itself shallow; a production run at higher iteration
+    * counts would pin the rank frame every ~10 rounds like the CC
+    * operators do. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint(true)
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val e0 = li.select(concat(lit("S"), col("l_suppkey")).as("src"),
                        concat(lit("P"), col("l_partkey")).as("dst")).distinct()
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    val od = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edges = pin(e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+    val od = pin(edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
     val n = od.agg(count(lit(1)).as("n_nodes"))
     var ranks = od.crossJoin(broadcast(n))
       .select(col("src").as("node"), col("outdeg"),

@@ -356,6 +356,36 @@ class LlmSpec extends AnyFunSuite {
     assert(err < 0.03, s"int8 cosine error too large: $err")
   }
 
+  test("int8_pack: a null element nulls the whole result, in both eval paths") {
+    import org.apache.spark.sql.functions._
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    // array<float> with containsNull=true: element 1 of row "bad" is null
+    val df = spark.sql(
+      """SELECT id, CASE WHEN id = 'bad'
+        |  THEN array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT))
+        |  ELSE array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)) END AS v
+        |FROM VALUES ('good'), ('bad') AS t(id)""".stripMargin)
+    // codegen path (projection over a relation stays in whole-stage codegen)
+    val gen = df.select(col("id"), call_function("int8_pack", col("v")).as("q"))
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(gen("bad") == null, "null element must null the packed vector")
+    assert(gen("good") != null)
+    // interpreted path (eval via an explicit filter on the expression result)
+    val interp = graft.expr.Int8Pack(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, -2.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true)))
+      .eval(null)
+    assert(interp != null)
+    val interpNull = graft.expr.Int8Pack(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[java.lang.Float](1.0f, null),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true)))
+      .eval(null)
+    assert(interpNull == null, "interpreted eval must also null on null element")
+  }
+
   test("knn IVF on the real table: 10 rows, probe first, sorted desc") {
     val ivf = Llm.qKnnCosineIvf(spark, TestSpark.sfDir).collect()
     assert(ivf.length === 10)
