@@ -1720,6 +1720,43 @@ object Oracle {
         |GROUP BY s.doc_id, d.dl
         |ORDER BY score_micro DESC, s.doc_id LIMIT 100""".stripMargin,
 
+    // The SAME greedy loop as graft.functions.Bpe (lowest rank, leftmost,
+    // one occurrence per step) as a recursive CTE over the identical
+    // merges VALUES table; per-word results join back to (doc, word)
+    // frequencies. Merges must stay in lockstep with Bpe.merges.
+    "q_token_bpe" ->
+      """WITH RECURSIVE
+        |mg(rk, l, r) AS (SELECT * FROM (VALUES
+        |  (1,'t','h'),(2,'th','e'),(3,'a','n'),(4,'i','n'),(5,'e','r'),
+        |  (6,'r','e'),(7,'o','r'),(8,'s','t'),(9,'a','r'),(10,'l','e'),
+        |  (11,'o','w'),(12,'a','t'),(13,'b','le'),(14,'a','ble'),
+        |  (15,'t','able'),(16,'s','c'),(17,'sc','an'),(18,'o','u'),
+        |  (19,'w','in'),(20,'d','ow'),(21,'win','dow'),(22,'f','a'),
+        |  (23,'fa','st'),(24,'d','at')) t),
+        |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |wf AS (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY doc_id, w),
+        |words AS (SELECT DISTINCT w FROM wf),
+        |bpe(w, s) AS (
+        |  SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' FROM words
+        |  UNION ALL
+        |  SELECT w, substr(s, 1, p - 1) || ' ' || l || r || ' ' ||
+        |         substr(s, p + length(' ' || l || ' ' || r || ' '))
+        |  FROM (SELECT b.w, b.s, m.l, m.r, strpos(b.s, ' '||m.l||' '||m.r||' ') AS p,
+        |          row_number() OVER (PARTITION BY b.w ORDER BY m.rk) AS pick
+        |        FROM bpe b JOIN mg m ON strpos(b.s, ' '||m.l||' '||m.r||' ') > 0)
+        |  WHERE pick = 1),
+        |final AS (SELECT w, s FROM bpe b
+        |          WHERE NOT EXISTS (SELECT 1 FROM mg
+        |                            WHERE strpos(b.s, ' '||mg.l||' '||mg.r||' ') > 0)),
+        |wtok AS (SELECT w,
+        |    length(trim(s)) - length(replace(trim(s), ' ', '')) + 1 AS n_bpe
+        |  FROM final)
+        |SELECT wf.doc_id, CAST(sum(wf.n) AS BIGINT) AS n_ws_tokens,
+        |  CAST(sum(wf.n * wt.n_bpe) AS BIGINT) AS n_bpe_tokens
+        |FROM wf JOIN wtok wt USING (w)
+        |GROUP BY wf.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // RRF = integer-micro reciprocal ranks summed as BIGINT — no float
     // path. Arms restate the q_bm25 / q_knn_cosine oracles (top-100 cuts),
     // ranks cut to INT to match Spark's row_number type.

@@ -146,6 +146,7 @@ object SparkEntry {
     "q_cross_source_keep" -> (Llm.qCrossSourceKeep _),
     "q_bm25"           -> (Llm.qBm25 _),
     "q_hybrid_rrf"     -> (Llm.qHybridRrf _),
+    "q_token_bpe"      -> (Llm.qTokenBpe _),
     "q_containment"    -> (Llm.qContainment _),
     "q_block_dedup"    -> (Llm.qBlockDedup _),
     "q_pagerank"       -> (Graph.qPagerank _),

@@ -957,6 +957,30 @@ object Llm {
         ceil(length(col("text")) / lit(4.0)).cast("bigint").as("approx_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** §2.9 REAL-vocabulary token counting (r9) — per-doc model-token counts
+    * from the [[graft.functions.Bpe]] merges table, next to the whitespace
+    * proxy: the fidelity upgrade the token proxies in [[qTokenCount]]
+    * approximate, and what budget enforcement ([[qSourceBudget]] /
+    * [[qSeqPack]] in their `useBpe` mode) meters at production.
+    *
+    * Scale shape: BPE runs ONLY over the distinct-word frame (vocabulary-
+    * sized mapPartitions with the merges broadcast — never the token
+    * stream); the corpus side is one (doc, word) hash agg, a broadcast
+    * join to the word→count map, and one per-doc sum. The oracle restates
+    * the same greedy lowest-rank/leftmost/one-occurrence loop as a DuckDB
+    * recursive CTE over the identical merges VALUES table. */
+  def qTokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val wtok = graft.functions.Bpe.tokenCounts(spark, wf.select("w").distinct())
+    wf.join(broadcast(wtok), "w")
+      .groupBy("doc_id")
+      .agg(sum("n").cast("bigint").as("n_ws_tokens"),
+           sum(col("n") * col("n_bpe")).cast("bigint").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** §2.9 Quality scoring: chars-per-token, stopword ratio, type-token
     * ratio — the standard cheap text-quality filters. */
   def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -1182,14 +1206,35 @@ object Llm {
     * per-partition prefix sum over a few-byte frame. Emits the full audit
     * frame (every doc with its cumulative position and kept flag), the
     * same report-not-filter discipline as [[qCorpusCurate]]. */
-  def qSourceBudget(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 1000
+  def qSourceBudget(spark: SparkSession, dir: String): DataFrame =
+    sourceBudget(spark, dir, useBpe = false)
+
+  /** `useBpe = true` meters the budget in REAL model tokens from the
+    * [[graft.functions.Bpe]] merges table instead of the whitespace proxy
+    * (same admission order, same window — only the metered unit changes);
+    * the declared oracle query keeps the proxy, the BPE mode is
+    * spec-asserted against [[qTokenBpe]]'s per-doc counts (LlmSpec). */
+  private[graft] def sourceBudget(spark: SparkSession, dir: String,
+                                  useBpe: Boolean): DataFrame = {
+    val budget = if (useBpe) 1200 else 1000 // BPE counts run higher than whitespace
     val w = Window.partitionBy("source").orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).as("n_tokens"),
-        md5(col("doc_id").cast("string")).as("h"))
+    val base = Tables.documents(spark, dir)
+    val counted =
+      if (!useBpe)
+        base.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_tokens"))
+      else {
+        val wf = base.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+        val wtok = graft.functions.Bpe.tokenCounts(spark, wf.select("w").distinct())
+        base.select(col("doc_id"), col("source"))
+          .join(wf.join(broadcast(wtok), "w")
+            .groupBy("doc_id")
+            .agg(sum(col("n") * col("n_bpe")).cast("int").as("n_tokens")), "doc_id")
+      }
+    counted
+      .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("kept", col("cum_tokens") <= budget)
       .select("doc_id", "source", "n_tokens", "cum_tokens", "kept")
@@ -1203,12 +1248,31 @@ object Llm {
     * document's START offset, so assignment is deterministic and
     * reproducible under re-partitioning (it depends only on the ordered
     * prefix sums, not on physical row order). */
-  def qSeqPack(spark: SparkSession, dir: String): DataFrame = {
+  def qSeqPack(spark: SparkSession, dir: String): DataFrame =
+    seqPack(spark, dir, useBpe = false)
+
+  /** `useBpe = true` packs by REAL model-token counts ([[qTokenBpe]]'s
+    * unit) instead of the whitespace proxy — same windows, same pack
+    * arithmetic; spec-asserted consistent with [[qTokenBpe]] (LlmSpec). */
+  private[graft] def seqPack(spark: SparkSession, dir: String,
+                             useBpe: Boolean): DataFrame = {
     val budget = 512
     val w = Window.partitionBy("lang").orderBy("doc_id")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).as("n_tokens"))
+    val base = Tables.documents(spark, dir)
+    val counted =
+      if (!useBpe)
+        base.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"))
+      else {
+        val wf = base.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+        val wtok = graft.functions.Bpe.tokenCounts(spark, wf.select("w").distinct())
+        base.select(col("doc_id"), col("lang"))
+          .join(wf.join(broadcast(wtok), "w")
+            .groupBy("doc_id")
+            .agg(sum(col("n") * col("n_bpe")).cast("int").as("n_tokens")), "doc_id")
+      }
+    counted
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / budget.toDouble).as("pack_id"),

@@ -356,6 +356,58 @@ class LlmSpec extends AnyFunSuite {
     assert(err < 0.03, s"int8 cosine error too large: $err")
   }
 
+  test("BPE tokenizer: greedy merge ladder segments known words; counts are plausible") {
+    import org.apache.spark.sql.functions.{explode, split}
+    import graft.functions.Bpe
+    // full ladders collapse these corpus words to one token
+    assert(Bpe.tokenize("table") === Vector("table"))
+    assert(Bpe.tokenize("window") === Vector("window"))
+    assert(Bpe.tokenize("scan") === Vector("scan"))
+    assert(Bpe.tokenize("fast") === Vector("fast"))
+    // no applicable merge: stays fully character-split
+    assert(Bpe.tokenize("value") === Vector("v", "a", "l", "u", "e"))
+    // partial merges, rank order decides: s t -> st first, then r e -> re
+    assert(Bpe.tokenize("stream") === Vector("st", "re", "a", "m"))
+    assert(Bpe.tokenize("the") === Vector("the"))
+    assert(Bpe.tokenize("a") === Vector("a"))
+    // every corpus word: 1 <= n_bpe <= chars, and the distributed pass agrees
+    val words = Tables.documents(spark, TestSpark.sfDir)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+    val counts = Bpe.tokenCounts(spark, words).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(counts.nonEmpty)
+    counts.foreach { case (w, n) =>
+      assert(n === Bpe.tokenCount(w), s"distributed count diverges for '$w'")
+      assert(n >= 1 && n <= w.length)
+    }
+  }
+
+  test("source budget / seq pack in BPE mode meter exactly q_token_bpe's counts") {
+    val bpeCounts = Llm.qTokenBpe(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val budget = Llm.sourceBudget(spark, TestSpark.sfDir, useBpe = true).collect()
+    assert(budget.nonEmpty)
+    budget.foreach { r =>
+      assert(r.getInt(2).toLong === bpeCounts(r.getLong(0)),
+        s"budget n_tokens diverges from q_token_bpe for doc ${r.getLong(0)}")
+    }
+    // admission stays a prefix per source: ordered by cum, each row's cum is
+    // the previous cum plus its own BPE token count (a true running sum)
+    budget.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_.getLong(3))
+      ordered.foldLeft(0L) { (prev, r) =>
+        assert(r.getLong(3) === prev + r.getInt(2),
+          s"source $src: cum_tokens is not a running sum of BPE counts")
+        r.getLong(3)
+      }
+    }
+    val pack = Llm.seqPack(spark, TestSpark.sfDir, useBpe = true).collect()
+    pack.foreach { r =>
+      assert(r.getInt(2).toLong === bpeCounts(r.getLong(0)),
+        s"seq pack n_tokens diverges from q_token_bpe for doc ${r.getLong(0)}")
+    }
+  }
+
   test("int8_pack: a null element nulls the whole result, in both eval paths") {
     import org.apache.spark.sql.functions._
     graft.expr.GraftFunctions.ensureRegistered(spark)
