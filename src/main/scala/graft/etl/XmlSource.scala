@@ -18,4 +18,21 @@ object XmlSource {
     val reader = spark.read.format("xml").option("rowTag", rowTag)
     schema.fold(reader)(reader.schema).load(path)
   }
+
+  /** [[read]] with REJECT CAPTURE — the XML twin of
+    * [[JsonSource.readWithRejects]]: records that fail to parse against the
+    * explicit schema surface with the raw record text in `_reject`
+    * (PERMISSIVE corrupt-record semantics) instead of silently loading as
+    * nulls. Callers split on `_reject IS NULL` exactly as with CSV/JSON.
+    * Schema is REQUIRED here: reject capture is meaningless under inference
+    * (inference adapts the schema to the malformation instead of flagging
+    * it). */
+  def readWithRejects(spark: SparkSession, path: String, rowTag: String,
+                      schema: StructType): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_reject")
+      .schema(schema.add("_reject", org.apache.spark.sql.types.StringType))
+      .load(path)
 }

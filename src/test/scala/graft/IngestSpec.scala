@@ -144,6 +144,68 @@ class IngestSpec extends AnyFunSuite {
     assert(fin(0).getAs[Double]("revenue") === 17500.50)
   }
 
+  test("fixed-width reject capture: short and cast-failing lines land in _reject") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_fw_rej").resolve("batch.txt")
+    Files.write(tmp, Seq(
+      "ab   42", // clean
+      "cd   4x", // cast failure: '4x' is not an int -> reject
+      "ef",      // truncated below the layout extent -> reject
+      "gh    7"  // clean (space-padded int)
+    ).mkString("\n").getBytes)
+    val rows = FixedWidthSource.readWithRejects(spark, tmp.toString,
+      Seq(FieldSpec("name", 1, 4), FieldSpec("n", 5, 3, IntegerType)))
+    val good = rows.filter(col("_reject").isNull)
+    val bad = rows.filter(col("_reject").isNotNull)
+    assert(good.count() === 2)
+    assert(good.orderBy("name").collect().map(_.getString(0)).toSeq === Seq("ab", "gh"))
+    assert(bad.select("_reject").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("cd   4x", "ef"), "reject column must carry the raw malformed lines")
+  }
+
+  test("fixed-width typed reject capture: unknown record tags are accounted, not dropped") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_fw_rej2").resolve("finwire.txt")
+    Files.write(tmp, (finwireLines :+
+      ("20070105-090000XXX" + "mystery-payload") :+          // unknown tag
+      ("20070106-090000FIN" + "20x7" + "1" + "000000017500.50") // FIN year cast fail
+    ).mkString("\n").getBytes)
+    val byType = FixedWidthSource.readTypedWithRejects(spark, tmp.toString, 16, 3, layouts)
+    // clean frames match the no-reject reader's rows
+    assert(byType("CMP").filter(col("_reject").isNull).count() === 2)
+    assert(byType("SEC").filter(col("_reject").isNull).count() === 1)
+    assert(byType("FIN").filter(col("_reject").isNull).count() === 1)
+    val finBad = byType("FIN").filter(col("_reject").isNotNull).collect()
+    assert(finBad.length === 1 && finBad.head.getAs[String]("_reject").contains("20x7"))
+    val unknown = byType("_unknown").collect()
+    assert(unknown.length === 1)
+    assert(unknown.head.getAs[String]("rec_type") === "XXX")
+    assert(unknown.head.getAs[String]("_reject").contains("mystery-payload"))
+  }
+
+  test("xml reject capture: malformed records land in _reject, good rows load clean") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+    val schema = new StructType().add("id", IntegerType).add("name", StringType)
+    val tmp = Files.createTempDirectory("graft_xml_rej").resolve("batch.xml")
+    Files.write(tmp, Seq(
+      "<rows>",
+      "<row><id>1</id><name>ok</name></row>",
+      "<row><id>notanint</id><name>bad-type</name></row>", // schema violation
+      "<row><id>3</id><name>fine</name></row>",
+      "</rows>").mkString("\n").getBytes)
+    val rows = graft.etl.XmlSource
+      .readWithRejects(spark, tmp.toString, "row", schema).cache()
+    rows.count()
+    val clean = rows.filter(col("_reject").isNull)
+    val rejects = rows.filter(col("_reject").isNotNull)
+    assert(clean.count() === 2, "exactly the two well-formed records load")
+    assert(clean.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 3))
+    assert(rejects.count() === 1, "the malformed record is captured, not dropped")
+    assert(rejects.collect().forall(_.getAs[String]("_reject").nonEmpty))
+    rows.unpersist()
+  }
+
   test("fixed-width single-layout read trims space padding") {
     val tmp = Files.createTempDirectory("graft_fw1").resolve("pad.txt")
     Files.write(tmp, "ab   42\nc     7".getBytes)
