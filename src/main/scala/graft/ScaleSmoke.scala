@@ -46,7 +46,11 @@ object ScaleSmoke {
     "q_source_budget",     // per-source running-sum window (r8)
     "q_containment",       // prefix-filtered set join — the naive shape IS quadratic (r8)
     "q_pagerank",          // 5 × (edge join + agg) rounds (r8)
-    "q_graph_triangles")   // degree-ordered wedge closure, O(m^1.5) cap (r8)
+    "q_graph_triangles",   // degree-ordered wedge closure, O(m^1.5) cap (r8)
+    "q_token_bpe",         // vocabulary-sized BPE pass + corpus agg (r9)
+    "q_hybrid_rrf",        // two arm cuts + bounded fusion — arms dominate (r9)
+    "q_knn_batch_int8",    // batch quantized coarse scan — m× map cost, linear (r9)
+    "q_profile_columns")   // stack + cascade distinct — the r9 one-scan rewrite
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata")

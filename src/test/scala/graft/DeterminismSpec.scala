@@ -38,7 +38,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q_cross_source_keep", // CC + priority window survivor election
     "q_bm25",             // snapped idf + integer micro score sums
     "q_pagerank",         // iterative integer nano-unit rank sums
-    "q_graph_triangles")  // degree-ordered wedge closure, integer counts
+    "q_graph_triangles",  // degree-ordered wedge closure, integer counts
+    "q_token_bpe",        // vocabulary BPE pass + per-doc integer sums (r9)
+    "q_hybrid_rrf",       // two arm cuts + integer-micro rank fusion (r9)
+    "q_event_anomaly",    // decimal(38,0) variance test terms (r9)
+    "q_profile_columns")  // stack + cascade exact-distinct rewrite (r9)
 
   sensitive.foreach { name =>
     test(s"$name is byte-identical under shuffle.partitions 32 vs 3") {
