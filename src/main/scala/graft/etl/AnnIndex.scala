@@ -47,6 +47,11 @@ object AnnIndex {
     Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
       s"sq8-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
 
+  /** [[defaultIvfDir]]'s twin for the PQ (product-quantized) scan index. */
+  def defaultPqDir(sfDir: String, m: Int, k: Int): String =
+    Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
+      s"pq$m-$k-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
+
   /** Content fingerprint of a corpus file/directory: md5 over each data
     * file's name, byte size, and head/tail 4 KiB. Byte size ALONE can alias
     * a regenerated corpus of identical size (silently reusing stale list
@@ -277,6 +282,119 @@ object AnnIndex {
     val maxAbs = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x)))
     if (maxAbs == 0.0) new Array[Byte](v.length)
     else v.map(x => Math.round(127.0 * x / maxAbs).toByte)
+  }
+
+  // ---- PQ (product quantization) ------------------------------------------
+
+  /** Train + persist the PQ index — the rung BELOW SQ8 on the quantized-ANN
+    * ladder: the D-dim vector splits into `m` contiguous subspaces, each
+    * subspace gets its own k-means codebook of `k` centroids, and a vector
+    * stores only its m code bytes (+ one reconstruction norm) — D·4 bytes →
+    * m bytes (e.g. 64-dim float32 → 4 bytes at m=4: 64× less scan
+    * bandwidth, vs SQ8's 4×), at correspondingly coarser scores; the final
+    * answer re-ranks exactly, as everywhere on the ladder.
+    *
+    * Artifacts:
+    *   - `codes/`     — `(vec_id, code BINARY(m), rnorm)` where rnorm is the
+    *                    reconstruction's norm (exact from codebook norms:
+    *                    subspaces are disjoint coordinates, so ‖x̂‖² =
+    *                    Σ_s ‖c_s‖²);
+    *   - `codebooks/` — m·k rows of `(sub_id, code_id, centroid)` — driver-
+    *                    resident model metadata, O(m·k·D/m) = O(k·D) bytes.
+    *
+    * Code assignment is a map-only pass with the codebooks broadcast
+    * (argmin over k sub-centroids per subspace per row) — no shuffle, the
+    * same incremental-append story as SQ8. Training is m seeded
+    * `ml.KMeans` fits over the subspace projections (build-time only; the
+    * query path never trains). */
+  def buildPq(e: DataFrame, indexDir: String, m: Int, k: Int, seed: Long = 7L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = e.sparkSession
+    import spark.implicits._
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val codebooks: Seq[(Int, Int, Array[Double])] = (0 until m).flatMap { s =>
+      val subVec = expr(
+        s"transform(slice(embedding, ${s * sub + 1}, $sub), x -> cast(x AS double))")
+      val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
+        .fit(e.select(array_to_vector(subVec).as("features")))
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
+    }
+    writePqCodes(e, indexDir, codebooks, "overwrite")
+    codebooks.toDF("sub_id", "code_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** [[ensure]]'s twin for the PQ index. */
+  def ensurePq(e: DataFrame, indexDir: String, m: Int, k: Int): Unit =
+    ensureBuilt(indexDir) { tmp =>
+      buildPq(e, tmp, m, k)
+      Files.write(readyMarker(tmp), Array.emptyByteArray)
+    }
+
+  /** The persisted code table `(vec_id, code, rnorm)`. */
+  def pqScan(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/codes")
+
+  /** Driver-side codebook load — m·k rows of model metadata. */
+  def pqCodebooks(spark: SparkSession, indexDir: String): Seq[(Int, Int, Array[Double])] =
+    spark.read.parquet(s"$indexDir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray)).toSeq
+
+  /** Incremental PQ ingest: codebooks are FROZEN (the IVF-append policy —
+    * retraining would orphan every already-stored code); a batch encodes
+    * against the existing books and appends. */
+  def appendPq(batch: DataFrame, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    writePqCodes(batch, indexDir, pqCodebooks(spark, indexDir), "append")
+  }
+
+  private def writePqCodes(e: DataFrame, indexDir: String,
+                           codebooks: Seq[(Int, Int, Array[Double])],
+                           mode: String): Unit = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val m = codebooks.map(_._1).max + 1
+    val k = codebooks.map(_._2).max + 1
+    val books: Array[Array[Array[Double]]] = {
+      val a = Array.ofDim[Array[Double]](m, k)
+      codebooks.foreach { case (s, c, v) => a(s)(c) = v }
+      a
+    }
+    val bc = spark.sparkContext.broadcast(books)
+    e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bk = bc.value
+        val mm = bk.length
+        it.map { case (id, emb) =>
+          val sub = emb.length / mm
+          val code = new Array[Byte](mm)
+          var rn2 = 0.0
+          var s = 0
+          while (s < mm) {
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < bk(s).length) {
+              val cent = bk(s)(c)
+              var d = 0.0; var j = 0
+              while (j < sub) {
+                val diff = emb(s * sub + j) - cent(j); d += diff * diff; j += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            code(s) = best.toByte
+            val cent = bk(s)(best)
+            var j = 0
+            while (j < sub) { rn2 += cent(j) * cent(j); j += 1 }
+            s += 1
+          }
+          (id, code, math.sqrt(rn2))
+        }
+      }.toDF("vec_id", "code", "rnorm")
+      .write.mode(mode).parquet(s"$indexDir/codes")
   }
 
   // ---- LSH posting lists --------------------------------------------------

