@@ -23,6 +23,16 @@ case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 case class FunnelProgress(user_id: Long, t_signup: Long, t_view: Long,
                           t_purchase: Long, stage_reached: Int)
 
+/** Input row of [[Streams.sourceBudgetTws]] — a doc arriving at ingest with
+  * its token count already metered (whitespace proxy or the
+  * [[graft.functions.Bpe]] real count; the gate is unit-agnostic). */
+case class DocTokens(doc_id: Long, source: String, n_tokens: Long)
+
+/** Admission decision emitted by [[Streams.sourceBudgetTws]] — mirrors the
+  * batch `q_source_budget` audit columns. */
+case class BudgetAdmission(doc_id: Long, source: String, n_tokens: Long,
+                           cum_tokens: Long, kept: Boolean)
+
 /** Structured Streaming wrappers (SURVEY.md §2.10): the stream-native forms
   * of the CDC/event-time semantics in [[graft.queries.Cdc]]. Each takes a
   * DataFrame that may be batch (`spark.read`) or streaming (`readStream` /
@@ -212,6 +222,58 @@ object Streams {
     events
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The batch `q_source_budget` mixture gate as a STREAMING admission
+    * control (`transformWithState`): every arriving doc consumes its token
+    * count from its source's running total and is admitted while the
+    * cumulative stays within budget — the ingest-time enforcement of
+    * "≤ N tokens from source X" that the batch query audits after the
+    * fact. State is ONE long per source (bounded by |sources| forever).
+    *
+    * Ordering semantics: within a micro-batch, docs are admitted in the
+    * batch query's seeded-hash order (md5 of doc_id — recomputed here with
+    * the identical formula, so a single-batch replay of a corpus emits
+    * EXACTLY `q_source_budget`'s rows: the parity spec); across
+    * micro-batches, arrival order governs — the honest streaming
+    * semantics, where an ingest gate cannot reorder the future. Rejected
+    * docs still consume budget (the batch prefix rule: `kept ⇔
+    * cum ≤ budget` with cum accumulating every doc). */
+  class SourceBudgetProcessor(budget: Long)
+      extends StatefulProcessor[String, DocTokens, BudgetAdmission]
+      with Serializable {
+    @transient private var cum: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum", Encoders.scalaLong, TTLConfig.NONE)
+
+    private def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+
+    override def handleInputRows(source: String, rows: Iterator[DocTokens],
+                                 timerValues: TimerValues): Iterator[BudgetAdmission] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = rows.toSeq.sortBy(d => md5hex(d.doc_id.toString)).map { d =>
+        c += d.n_tokens
+        BudgetAdmission(d.doc_id, source, d.n_tokens, c, c <= budget)
+      }
+      cum.update(c)
+      out.iterator
+    }
+  }
+
+  /** [[graft.queries.Llm.qSourceBudget]] driven as a stream — one admission
+    * row per arriving doc. */
+  def sourceBudgetTws(docs: Dataset[DocTokens],
+                      budget: Long = 1000L): Dataset[BudgetAdmission] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new SourceBudgetProcessor(budget),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream inner join with event-time range bound: each purchase

@@ -196,6 +196,62 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming source-budget gate: single-batch replay == q_source_budget; state carries across batches") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    import graft.stream.DocTokens
+    // the corpus, metered exactly as the batch query meters it
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .collect().map(r => DocTokens(r.getLong(0), r.getString(1), r.getLong(2)))
+    val batch = graft.queries.Llm.qSourceBudget(spark, TestSpark.sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2).toLong, r.getLong(3), r.getBoolean(4))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // (1) whole corpus in ONE micro-batch: per-source in-batch hash ordering
+    // makes the stream emit exactly the batch audit rows
+    val mem = MemoryStream[DocTokens]
+    val q = Streams.sourceBudgetTws(mem.toDS())
+      .writeStream.format("memory").queryName("budget_tws").outputMode("update")
+      .start()
+    // (2) a second stream fed the SAME corpus split across two micro-batches:
+    // cumulative state must carry over (totals equal, admissions a prefix)
+    val mem2 = MemoryStream[DocTokens]
+    val q2 = Streams.sourceBudgetTws(mem2.toDS())
+      .writeStream.format("memory").queryName("budget_tws2").outputMode("update")
+      .start()
+    try {
+      mem.addData(docs.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("budget_tws").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      assert(got.size === batch.size)
+      assert(got === batch, "one-batch streaming replay must equal the batch audit")
+
+      val (b1, b2) = docs.partition(_.doc_id % 2 == 0)
+      mem2.addData(b1.toSeq: _*); q2.processAllAvailable()
+      mem2.addData(b2.toSeq: _*); q2.processAllAvailable()
+      val crossBySource = spark.table("budget_tws2").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).groupBy(_._1)
+      // per source: the final cumulative equals the batch total (state
+      // carried), even though admission order differed across batches
+      val batchTotals = graft.queries.Llm.qSourceBudget(spark, TestSpark.sfDir)
+        .collect().map(r => (r.getString(1), r.getInt(2).toLong)).groupBy(_._1)
+        .map { case (s, rows) => s -> rows.map(_._2).sum }
+      crossBySource.foreach { case (src, rows) =>
+        assert(rows.map(_._3).max === batchTotals(src),
+          s"source $src: cross-batch cumulative diverged from the batch total")
+      }
+    } finally {
+      q.stop(); q2.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming Misra-Gries sketch: O(k) state, heavy items survive across micro-batches") {
     // heavy words split ACROSS micro-batches — the sketch state must carry
     // them; vocabulary (40) > k (8) so decrements genuinely fire in-stream
