@@ -791,6 +791,70 @@ object Llm {
     knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
   }
 
+  /** §2.9 BATCH PQ ANN (r9, no-oracle; LlmSpec asserts per-probe parity
+    * with the single-probe PQ path): the batch form of [[qKnnCosinePq]],
+    * closing the ladder — every persisted index (LSH, IVF, SQ8, PQ) now
+    * serves both single-probe and batch retrieval. ONE code-table scan
+    * scores all m probes: the m per-probe ADC lookup tables are a
+    * driver-built literal exploded map-side (m·m_sub·k doubles of model
+    * metadata — no join, no cartesian), each row costing m_sub lookups per
+    * probe in the [[graft.expr.PqAdc]] codegen loop; per-probe coarse cut
+    * on [[graft.plans.TopKPerGroup]] at oversample·k, exact re-rank of the
+    * ≤ m·C survivors, per-probe final cut. */
+  def qKnnBatchPq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultPqDir(dir, m = 4, k = 16)
+    AnnIndex.ensurePq(e, idxDir, m = 4, k = 16)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    knnPqBatchProbe(spark, idxDir, e, probes, k = 5, oversample = 8)
+  }
+
+  /** Batch PQ query core: one scan, per-probe literal LUT explode, ADC
+    * coarse cut per probe, exact re-rank. */
+  private[graft] def knnPqBatchProbe(spark: SparkSession, indexDir: String,
+                                     e: DataFrame, probes: Seq[(Long, Array[Double])],
+                                     k: Int, oversample: Int): DataFrame = {
+    import spark.implicits._
+    val books = AnnIndex.pqCodebooks(spark, indexDir)
+    val m = books.map(_._1).max + 1
+    val nCodes = books.map(_._2).max + 1
+    val luts = probes.map { case (pid, pv) =>
+      val sub = pv.length / m
+      val lut = new Array[Double](m * nCodes)
+      books.foreach { case (s, c, cent) =>
+        var acc = 0.0
+        var j = 0
+        while (j < sub) { acc += pv(s * sub + j) * cent(j); j += 1 }
+        lut(s * nCodes + c) = acc
+      }
+      (pid, lut)
+    }
+    val coarse = AnnIndex.pqScan(spark, indexDir)
+      .filter(col("rnorm") > 0)
+      .select(col("vec_id"), col("rnorm"), col("code"),
+        explode(typedLit(luts)).as("p"))
+      .select(col("vec_id"), col("p._1").as("probe_id"),
+        (call_function("pq_adc", col("code"), col("p._2")) / col("rnorm"))
+          .as("score_pq"))
+    val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
+        Seq(("score_pq", false), ("vec_id", true)), oversample * k)
+      .select("probe_id", "vec_id")
+    val probeVecs = e
+      .join(broadcast(probes.map(_._1).toDF("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val scored = e.join(cand, Seq("vec_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), k)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** §2.9 BATCH SQ8 ANN (no-oracle; LlmSpec asserts per-probe parity with
     * the single-probe SQ8 path): completes the batch ladder —
     * [[qKnnBatchLsh]]/[[qKnnBatchIvf]] batch the bucketed indexes; this

@@ -632,6 +632,31 @@ class LlmSpec extends AnyFunSuite {
     assert(reg.length === 25)
   }
 
+  test("batch PQ: per-probe results equal the single-probe PQ path") {
+    // Same contract as the other batch-ladder parity tests: the per-probe
+    // ADC coarse cut at oversample*k uses the single-probe (score desc,
+    // vec_id) order, so candidates — and the exact re-rank — must match m
+    // independent single-probe queries row for row.
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = graft.etl.AnnIndex.defaultPqDir(TestSpark.sfDir, m = 4, k = 16)
+    graft.etl.AnnIndex.ensurePq(e, idxDir, m = 4, k = 16)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val batch = Llm.knnPqBatchProbe(spark, idxDir, e, probes, k = 10, oversample = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(batch.length === probes.length * 10, "expected k rows per probe")
+    probes.foreach { case (pid, pv) =>
+      val single = Llm.knnPqProbe(spark, idxDir, e, pv, pid, k = 10, oversample = 8)
+        .collect().map(r => (pid, r.getLong(0), r.getDouble(2))).toSeq
+      val got = batch.filter(_._1 == pid).toSeq
+      assert(got === single, s"probe $pid: batch PQ diverges from single-probe path")
+    }
+    val reg = Llm.qKnnBatchPq(spark, TestSpark.sfDir).collect()
+    assert(reg.length === 25)
+  }
+
   test("persisted LSH posting lists: pruned probe matches the in-query candidates") {
     val e = Tables.embeddings(spark, TestSpark.sfDir)
       .select(col("vec_id"), col("label"), col("embedding"))
