@@ -145,6 +145,7 @@ object SparkEntry {
     "q_knn_batch_int8"  -> (Llm.qKnnBatchInt8 _),  // no-oracle: per-probe parity with single-probe SQ8 in LlmSpec
     "q_knn_cosine_pq"   -> (Llm.qKnnCosinePq _),   // no-oracle: recall + ADC/codebook contracts in LlmSpec
     "q_knn_batch_pq"    -> (Llm.qKnnBatchPq _),    // no-oracle: per-probe parity with single-probe PQ in LlmSpec
+    "q_knn_cosine_ivfpq" -> (Llm.qKnnCosineIvfPq _), // no-oracle: recall + pruning + code-parity in LlmSpec
     "q_cross_source_keep" -> (Llm.qCrossSourceKeep _),
     "q_bm25"           -> (Llm.qBm25 _),
     "q_hybrid_rrf"     -> (Llm.qHybridRrf _),

@@ -351,51 +351,125 @@ object AnnIndex {
     writePqCodes(batch, indexDir, pqCodebooks(spark, indexDir), "append")
   }
 
+  /** Nearest-codebook encode of one vector: per subspace, argmin-L2 code;
+    * rnorm is the exact reconstruction norm (disjoint coordinates ⇒
+    * ‖x̂‖² = Σ_s ‖c_s‖²). Shared by the flat-PQ and IVF-PQ writers. */
+  private def encodePqRow(bk: Array[Array[Array[Double]]],
+                          emb: Array[Float]): (Array[Byte], Double) = {
+    val mm = bk.length
+    val sub = emb.length / mm
+    val code = new Array[Byte](mm)
+    var rn2 = 0.0
+    var s = 0
+    while (s < mm) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < bk(s).length) {
+        val cent = bk(s)(c)
+        var d = 0.0; var j = 0
+        while (j < sub) {
+          val diff = emb(s * sub + j) - cent(j); d += diff * diff; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code(s) = best.toByte
+      val cent = bk(s)(best)
+      var j = 0
+      while (j < sub) { rn2 += cent(j) * cent(j); j += 1 }
+      s += 1
+    }
+    (code, math.sqrt(rn2))
+  }
+
+  private def booksArray(codebooks: Seq[(Int, Int, Array[Double])])
+      : Array[Array[Array[Double]]] = {
+    val m = codebooks.map(_._1).max + 1
+    val k = codebooks.map(_._2).max + 1
+    val a = Array.ofDim[Array[Double]](m, k)
+    codebooks.foreach { case (s, c, v) => a(s)(c) = v }
+    a
+  }
+
   private def writePqCodes(e: DataFrame, indexDir: String,
                            codebooks: Seq[(Int, Int, Array[Double])],
                            mode: String): Unit = {
     val spark = e.sparkSession
     import spark.implicits._
-    val m = codebooks.map(_._1).max + 1
-    val k = codebooks.map(_._2).max + 1
-    val books: Array[Array[Array[Double]]] = {
-      val a = Array.ofDim[Array[Double]](m, k)
-      codebooks.foreach { case (s, c, v) => a(s)(c) = v }
-      a
-    }
-    val bc = spark.sparkContext.broadcast(books)
+    val bc = spark.sparkContext.broadcast(booksArray(codebooks))
     e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions { it =>
         val bk = bc.value
-        val mm = bk.length
         it.map { case (id, emb) =>
-          val sub = emb.length / mm
-          val code = new Array[Byte](mm)
-          var rn2 = 0.0
-          var s = 0
-          while (s < mm) {
-            var best = 0; var bestD = Double.MaxValue
-            var c = 0
-            while (c < bk(s).length) {
-              val cent = bk(s)(c)
-              var d = 0.0; var j = 0
-              while (j < sub) {
-                val diff = emb(s * sub + j) - cent(j); d += diff * diff; j += 1
-              }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            code(s) = best.toByte
-            val cent = bk(s)(best)
-            var j = 0
-            while (j < sub) { rn2 += cent(j) * cent(j); j += 1 }
-            s += 1
-          }
-          (id, code, math.sqrt(rn2))
+          val (code, rnorm) = encodePqRow(bk, emb)
+          (id, code, rnorm)
         }
       }.toDF("vec_id", "code", "rnorm")
       .write.mode(mode).parquet(s"$indexDir/codes")
   }
+
+  // ---- IVF-PQ (composite) -------------------------------------------------
+
+  /** [[defaultIvfDir]]'s twin for the IVF-PQ composite index. */
+  def defaultIvfPqDir(sfDir: String, nlist: Int, m: Int, k: Int): String =
+    Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
+      s"ivfpq$nlist-$m-$k-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
+
+  /** Build the IVF-PQ composite over an EXISTING IVF index — the standard
+    * production ANN layout (FAISS's IVFPQ): the IVF half prunes WHICH
+    * partitions are read (nprobe of nlist directories), the PQ half shrinks
+    * WHAT is read per row (m code bytes instead of the float vector) — the
+    * two compressions are orthogonal and multiply. Codebooks train over the
+    * full corpus exactly as [[buildPq]] (same seed ⇒ same books ⇒ same
+    * codes — spec-asserted), codes re-use the IVF `list_id` assignment and
+    * land `partitionBy(list_id)`, so a probe's candidate fetch is a
+    * partition-PRUNED scan of m-byte codes. */
+  def buildIvfPq(e: DataFrame, ivfDir: String, indexDir: String,
+                 m: Int, k: Int, seed: Long = 7L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = e.sparkSession
+    import spark.implicits._
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val codebooks: Seq[(Int, Int, Array[Double])] = (0 until m).flatMap { s =>
+      val subVec = expr(
+        s"transform(slice(embedding, ${s * sub + 1}, $sub), x -> cast(x AS double))")
+      val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
+        .fit(e.select(array_to_vector(subVec).as("features")))
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
+    }
+    val bc = spark.sparkContext.broadcast(booksArray(codebooks))
+    spark.read.parquet(s"$ivfDir/lists")
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val bk = bc.value
+        it.map { case (id, emb, list) =>
+          val (code, rnorm) = encodePqRow(bk, emb)
+          (id, code, rnorm, list)
+        }
+      }.toDF("vec_id", "code", "rnorm", "list_id")
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/codes")
+    codebooks.toDF("sub_id", "code_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** [[ensure]]'s twin for the IVF-PQ composite (the IVF index must already
+    * be ensured — its centroids drive probe-list selection). */
+  def ensureIvfPq(e: DataFrame, ivfDir: String, indexDir: String,
+                  m: Int, k: Int): Unit =
+    ensureBuilt(indexDir) { tmp =>
+      buildIvfPq(e, ivfDir, tmp, m, k)
+      Files.write(readyMarker(tmp), Array.emptyByteArray)
+    }
+
+  /** Partition-pruned scan of the probed lists' code table. */
+  def ivfPqScan(spark: SparkSession, indexDir: String, lists: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$indexDir/codes")
+      .filter(col("list_id").isInCollection(lists))
 
   // ---- LSH posting lists --------------------------------------------------
 

@@ -791,6 +791,57 @@ object Llm {
     knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
   }
 
+  /** §2.9 IVF-PQ ANN (r9, no-oracle; recall + pruning + code-parity
+    * contracts in LlmSpec) — the composite the production indexes actually
+    * ship (FAISS IVFPQ): IVF prunes WHICH partitions are read (nprobe of
+    * nlist directories, `PartitionFilters` on `list_id`), PQ shrinks WHAT
+    * is read per row (m code bytes, ADC-scored via [[graft.expr.PqAdc]]) —
+    * orthogonal compressions that multiply: nprobe/nlist of the data ×
+    * m bytes of it. The exact re-rank reads full vectors only for the
+    * oversampled survivors, same as every rung of the ladder. */
+  def qKnnCosineIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ivfDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
+    AnnIndex.ensure(e, ivfDir, nlist = 16)
+    val idxDir = AnnIndex.defaultIvfPqDir(dir, nlist = 16, m = 4, k = 16)
+    AnnIndex.ensureIvfPq(e, ivfDir, idxDir, m = 4, k = 16)
+    val probeVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    knnIvfPqProbe(spark, ivfDir, idxDir, e, probeVec, probeId = 0L,
+      k = 10, nprobe = 4, oversample = 8)
+  }
+
+  /** IVF-PQ query core: centroid ranking picks nprobe lists (IVF half),
+    * the pruned code scan ADC-scores only those lists (PQ half), exact
+    * re-rank of the oversampled survivors. */
+  private[graft] def knnIvfPqProbe(spark: SparkSession, ivfDir: String,
+                                   indexDir: String, e: DataFrame,
+                                   probeVec: Array[Double], probeId: Long, k: Int,
+                                   nprobe: Int, oversample: Int): DataFrame = {
+    val lists = AnnIndex.nearestLists(spark, ivfDir, probeVec, nprobe)
+    val books = AnnIndex.pqCodebooks(spark, indexDir)
+    val m = books.map(_._1).max + 1
+    val nCodes = books.map(_._2).max + 1
+    val sub = probeVec.length / m
+    val lut = new Array[Double](m * nCodes)
+    books.foreach { case (s, c, cent) =>
+      var acc = 0.0
+      var j = 0
+      while (j < sub) { acc += probeVec(s * sub + j) * cent(j); j += 1 }
+      lut(s * nCodes + c) = acc
+    }
+    val cand = AnnIndex.ivfPqScan(spark, indexDir, lists)
+      .filter(col("rnorm") > 0)
+      .withColumn("score_pq",
+        call_function("pq_adc", col("code"), typedLit(lut)) / col("rnorm"))
+      .orderBy(col("score_pq").desc, col("vec_id"))
+      .limit(oversample * k)
+      .select("vec_id")
+    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
+  }
+
   /** §2.9 BATCH PQ ANN (r9, no-oracle; LlmSpec asserts per-probe parity
     * with the single-probe PQ path): the batch form of [[qKnnCosinePq]],
     * closing the ladder — every persisted index (LSH, IVF, SQ8, PQ) now

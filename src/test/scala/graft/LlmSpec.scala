@@ -303,6 +303,44 @@ class LlmSpec extends AnyFunSuite {
     assert(pqRecall >= 8, s"PQ recall too low: $pqRecall/11 (pq=$pq)")
   }
 
+  test("ivfpq: codes match flat PQ (same seed, same books); probe scan partition-prunes; recall holds") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ivfDir = graft.etl.AnnIndex.defaultIvfDir(TestSpark.sfDir, nlist = 16)
+    graft.etl.AnnIndex.ensure(e, ivfDir, nlist = 16)
+    val flatDir = graft.etl.AnnIndex.defaultPqDir(TestSpark.sfDir, m = 4, k = 16)
+    graft.etl.AnnIndex.ensurePq(e, flatDir, m = 4, k = 16)
+    val compDir = graft.etl.AnnIndex.defaultIvfPqDir(TestSpark.sfDir, nlist = 16, m = 4, k = 16)
+    graft.etl.AnnIndex.ensureIvfPq(e, ivfDir, compDir, m = 4, k = 16)
+    // same corpus + same seed => identical codebooks => identical codes:
+    // the composite only ADDS the list partitioning, it never changes scores
+    val flat = graft.etl.AnnIndex.pqScan(spark, flatDir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Array[Byte]]("code").toSeq, r.getAs[Double]("rnorm"))).toMap
+    val comp = spark.read.parquet(s"$compDir/codes").collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Array[Byte]]("code").toSeq, r.getAs[Double]("rnorm"))).toMap
+    assert(comp.size === flat.size)
+    assert(comp === flat, "IVF-PQ codes must equal flat-PQ codes for identical books")
+    // probe path: pruned scan reads <= nprobe of nlist partitions
+    val probeVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val df = Llm.knnIvfPqProbe(spark, ivfDir, compDir, e, probeVec, 0L,
+      k = 10, nprobe = 4, oversample = 8)
+    val rows = df.collect()
+    df.queryExecution // finalize
+    assert(rows.length === 10)
+    assert(rows.head.getLong(0) === 0L, "probe must top its own pruned lists")
+    val listScans = fileScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("PartitionFilters", "").contains("list_id"))
+    assert(listScans.nonEmpty, "no partition-filtered scan over the IVF-PQ code table")
+    listScans.foreach { s =>
+      val read = s.metrics("numPartitions").value
+      assert(read <= 4, s"IVF-PQ probe read $read list partitions, expected <= nprobe=4")
+    }
+    // registered query end to end
+    assert(Llm.qKnnCosineIvfPq(spark, TestSpark.sfDir).collect().length === 10)
+  }
+
   test("pq_adc: codegen lookup equals the driver-side ADC sum; codes address the right book") {
     import org.apache.spark.sql.functions._
     graft.expr.GraftFunctions.ensureRegistered(spark)

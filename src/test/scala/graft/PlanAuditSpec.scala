@@ -17,6 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val oneRowProbeBnlj = Set(
     "q_knn_cosine", "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_int8",
     "q_knn_cosine_pq", // 1-row probe broadcast in the exact re-rank (r9)
+    "q_knn_cosine_ivfpq", // 1-row probe broadcast in the exact re-rank (r9)
     "q_ngram_jaccard",
     "q_tfidf", "q_label_balance", "q_mix_temperature", // corpus-total 1-row cross joins
     "q_bm25", "q_pagerank", // 1-row corpus-stats / node-count broadcasts
