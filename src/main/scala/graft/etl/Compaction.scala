@@ -1,0 +1,87 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Small-file compaction for the append-maintained index tables — the
+  * 100 TB maintenance job the incremental paths make necessary: every
+  * per-batch append ([[IncrementalDedup.ingest]], [[AnnIndex.appendLsh]] /
+  * `appendIvf` / `appendSq8`) lands at least one new parquet file per
+  * touched partition directory, and after thousands of ingest batches a
+  * probe's "pruned" scan opens thousands of KB-sized files — the scan cost
+  * becomes file-open bound, not byte bound. Compaction rewrites a table to
+  * one file per partition directory (`repartition` on the partition
+  * columns → each directory's rows land in exactly one task) and swaps the
+  * rewrite into place.
+  *
+  * Contract: compaction changes FILE LAYOUT only — the row set, the
+  * partition-directory structure (so `PartitionFilters` pruning keeps
+  * working), and every probe result are unchanged (spec-asserted for the
+  * LSH and dedup-posting tables).
+  *
+  * The directory swap is rename-based: correct for this repo's local-FS
+  * persistence and the quiet-window maintenance pattern; a production
+  * object-store deployment would run the same rewrite under a table format
+  * (manifest commit) instead of a rename. */
+object Compaction {
+
+  /** Rewrite the parquet table at `path` to one file per partition
+    * directory (or `numFiles` total when `partitionCols` is empty — size
+    * it to the table at scale; the default 1 fits the gate-SF indexes) and
+    * swap it into place. Returns (dataFilesBefore, dataFilesAfter). */
+  def compactParquet(spark: SparkSession, path: String,
+                     partitionCols: Seq[String],
+                     numFiles: Int = 1): (Long, Long) = {
+    val before = dataFileCount(Paths.get(path))
+    val df = spark.read.parquet(path)
+    val tmp = path + ".compact-" + java.util.UUID.randomUUID()
+    val repartitioned =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df.repartition(numFiles)
+    val writer = repartitioned.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp)
+    // swap: retire the old tree, move the rewrite into place
+    val old = Paths.get(path + ".old-" + java.util.UUID.randomUUID())
+    Files.move(Paths.get(path), old)
+    Files.move(Paths.get(tmp), Paths.get(path))
+    deleteRecursively(old)
+    (before, dataFileCount(Paths.get(path)))
+  }
+
+  /** [[AnnIndex]] convenience wrappers — partition columns match each
+    * index's declared layout. */
+  def compactLshPostings(spark: SparkSession, indexDir: String): (Long, Long) =
+    compactParquet(spark, s"$indexDir/buckets", Seq("band", "bkt"))
+  def compactIvfLists(spark: SparkSession, indexDir: String): (Long, Long) =
+    compactParquet(spark, s"$indexDir/lists", Seq("list_id"))
+  def compactSq8(spark: SparkSession, indexDir: String): (Long, Long) =
+    compactParquet(spark, s"$indexDir/sq8", Nil)
+  def compactPqCodes(spark: SparkSession, indexDir: String): (Long, Long) =
+    compactParquet(spark, s"$indexDir/codes", Nil)
+
+  /** The dedup posting table ([[IncrementalDedup]]) — unpartitioned
+    * appends, joined on (band, bkey) per ingest batch. */
+  def compactDedupPostings(spark: SparkSession, indexDir: String): (Long, Long) =
+    compactParquet(spark, s"$indexDir/postings", Nil)
+
+  private def dataFileCount(root: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root)
+    try s.iterator().asScala.count { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.endsWith(".parquet") && !n.startsWith(".")
+    }
+    finally s.close()
+  }
+
+  private def deleteRecursively(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(dir)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+}
