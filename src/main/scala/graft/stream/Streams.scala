@@ -369,30 +369,69 @@ object Streams {
     * semantics); postings and LSH cells are pure appends. */
   def corpusIngest(docs: DataFrame, dedupDir: String, lshDir: String,
                    corpusDir: String, lshBands: Int = 3, lshBits: Int = 8,
-                   sq8Dir: Option[String] = None)
+                   sq8Dir: Option[String] = None,
+                   budgetPerSource: Option[Long] = None)
       : DataStreamWriter[Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        import spark.implicits._
         val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir)
           .localCheckpoint(true)
-        val kept = batch
+        val deduped = batch
           .join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
           .localCheckpoint(true)
+        val existing0 =
+          if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(corpusDir, "_CURRENT")))
+            Some(graft.etl.Warehouse.readCurrent(spark, corpusDir))
+          else None
+        // Optional mixture-budget gate (the q_source_budget rule at ingest):
+        // a source's PRIOR consumption is derived from the PUBLISHED corpus
+        // — no extra state, so the gate is replay-safe by construction. The
+        // batch's own doc_ids are EXCLUDED from the prior (a crash between
+        // publish and posting-commit replays the batch: with itself counted
+        // the replay would see its own tokens as prior spend and flip its
+        // admissions; excluded, the replay decides identically and every
+        // stage re-converges to a no-op). In-batch admission follows the
+        // batch query's seeded-hash order; budget-rejected docs consume
+        // nothing, are not published, and are NOT indexed — their postings
+        // never commit, so a later budget raise can still admit them.
+        val kept = budgetPerSource match {
+          case None => deduped
+          case Some(budget) =>
+            val prior = existing0 match {
+              case None => Seq.empty[(String, Long)].toDF("source", "t0")
+              case Some(ex) =>
+                ex.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+                  .groupBy("source")
+                  .agg(sum(size(split(col("text"), " ")).cast("long")).as("t0"))
+            }
+            val w = Window.partitionBy("source").orderBy("h")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            deduped
+              .withColumn("h", md5(col("doc_id").cast("string")))
+              .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+              .join(broadcast(prior), Seq("source"), "left")
+              .withColumn("cum",
+                coalesce(col("t0"), lit(0L)) + sum(col("n_tok")).over(w))
+              .filter(col("cum") <= budget)
+              .drop("h", "n_tok", "t0", "cum")
+              .localCheckpoint(true)
+        }
         if (!kept.isEmpty) {
           val docCols = kept.drop("embedding")
-          val existing =
-            if (java.nio.file.Files.exists(
-                  java.nio.file.Paths.get(corpusDir, "_CURRENT")))
-              graft.etl.Warehouse.readCurrent(spark, corpusDir)
-            else docCols.limit(0)
+          val existing = existing0.getOrElse(docCols.limit(0))
           val merged = existing.unionByName(docCols).dropDuplicates("doc_id")
           graft.etl.Warehouse.publish(spark, corpusDir,
             dir => merged.write.mode("overwrite").parquet(dir))
           val vecs = kept.select(col("doc_id").as("vec_id"), col("embedding"))
           graft.etl.AnnIndex.appendLsh(vecs, lshDir, lshBands, lshBits)
           sq8Dir.foreach(graft.etl.AnnIndex.appendSq8(vecs, _))
-          graft.etl.IncrementalDedup.commitPostings(keptPosts, dedupDir)
+          graft.etl.IncrementalDedup.commitPostings(
+            keptPosts.join(kept.select("doc_id").distinct(),
+              Seq("doc_id"), "left_semi"),
+            dedupDir)
         }
         ()
     }

@@ -15,6 +15,10 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 /** One document-with-embedding row for the composed ingest pipeline. */
 case class IngestDoc(doc_id: Long, text: String, embedding: Array[Float])
 
+/** [[IngestDoc]] with a source tag, for the budget-gated ingest test. */
+case class SourcedDoc(doc_id: Long, text: String, source: String,
+                      embedding: Array[Float])
+
 /** Structured Streaming semantics (SURVEY.md §2.10 no-oracle rows): watermark
   * late-data drop, session-window merging, within-watermark dedup — driven
   * through MemoryStream with controlled event times, asserted on memory-sink
@@ -306,5 +310,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(!graft.etl.Warehouse.readCurrent(spark, corpusDir)
         .columns.contains("embedding"))
     } finally q.stop()
+  }
+
+  test("budget-gated corpus ingest: per-source cap from published totals, replay-safe, raise re-admits") {
+    // The mixture budget as part of the composed pipeline: prior spend is
+    // derived from the PUBLISHED corpus (no extra state), budget-rejected
+    // docs are neither published nor indexed — so they stay eligible if
+    // the budget is ever raised — and replays change nothing.
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_bci_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_bci_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_bci_corpus").toString
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    def doc(id: Long, src: String, text: String) = SourcedDoc(id, text, src, emb(id.toInt))
+    val b1 = Seq(
+      doc(1, "A", "alpha bravo charlie delta echo"),      // 5 tokens, admitted
+      doc(2, "B", "foxtrot golf hotel india juliet"))     // 5 tokens, admitted
+    val b2 = Seq(
+      doc(3, "A", "kilo lima mike november oscar"),       // A at 5+5 > 8: REJECTED
+      doc(4, "B", "papa quebec romeo"))                   // B at 5+3 = 8: admitted
+    val mem = MemoryStream[SourcedDoc]
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
+      budgetPerSource = Some(8L)).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      def corpusIds = graft.etl.Warehouse.readCurrent(spark, corpusDir)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      def indexedIds = spark.read.parquet(s"$lshDir/buckets")
+        .select("vec_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      assert(corpusIds === Seq(1L, 2L, 4L),
+        s"budget must cut doc 3 and admit doc 4, got $corpusIds")
+      assert(indexedIds === Seq(1L, 2L, 4L),
+        "rejected docs must not reach the ANN index")
+      // replay: admitted docs drop at dedup; the rejected doc re-evaluates
+      // against unchanged totals and is rejected again
+      val v = graft.etl.Warehouse.currentVersion(corpusDir)
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(graft.etl.Warehouse.currentVersion(corpusDir) === v)
+      assert(corpusIds === Seq(1L, 2L, 4L))
+    } finally q.stop()
+    // budget raise: the rejected doc was never indexed, so a new run with a
+    // bigger budget admits it
+    val mem2 = MemoryStream[SourcedDoc]
+    val q2 = Streams.corpusIngest(mem2.toDF(), dedupDir, lshDir, corpusDir,
+      budgetPerSource = Some(20L)).start()
+    try {
+      mem2.addData(doc(3, "A", "kilo lima mike november oscar")); q2.processAllAvailable()
+      val ids = graft.etl.Warehouse.readCurrent(spark, corpusDir)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L, 4L),
+        s"a raised budget must admit the previously rejected doc, got $ids")
+    } finally q2.stop()
   }
 }
