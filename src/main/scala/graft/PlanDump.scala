@@ -40,7 +40,12 @@ object PlanDump {
     "q_corpus_curate" -> "single-pass funnel report over the PINNED gate frame (stage 1-3 predicates + md5 fused into one scan projection, materialized once as flags+hash ~50 B/row — shown as a checkpoint scan; the corpus text itself is never checkpointed) -> canonical groups on the pinned hash, CC-drop re-reads (doc_id, text) from parquet + semi-join, contamination joins computed once -> one 7-sum aggregation -> stack",
     "q_knn_cosine_int8" -> "SQ8 coarse pass: persisted (qvec BINARY, qnorm) scan + codegen int8_dot scoring + TakeOrderedAndProject top-4k, then exact codegen cosine re-rank of the semi-joined survivors",
     "q_cross_source_keep" -> "banded-LSH pairs -> iterative CC (checkpointed) -> left join back to the corpus scan -> one row_number window over (priority, doc_id) within components",
-    "q_source_budget" -> "narrow (id, hash, n_tokens) projection -> one running-sum window per source partition -> kept flag; the text column never reaches the exchange")
+    "q_source_budget" -> "narrow (id, hash, n_tokens) projection -> one running-sum window per source partition -> kept flag; the text column never reaches the exchange",
+    "q_profile_columns" -> "ONE scan: stack to (col_name, v) pairs -> two-level cascade agg (map-side combine collapses to distinct pairs before the shuffle; exact distinct falls out as a plain count) - no Expand, no per-column re-scan (r9)",
+    "q_token_bpe" -> "(doc, word) hash agg once; the distinct-word frame feeds the vocabulary-sized BPE mapPartitions (merges broadcast), whose word->count map broadcast-joins back - the token stream is never re-walked per merge (r9)",
+    "q_hybrid_rrf" -> "both arms cut to <=100 rows BEFORE fusion; rank windows run single-partition over bounded frames (by design); full-outer doc_id join of two tiny frames; integer-micro rank arithmetic only (r9)",
+    "q_knn_cosine_pq" -> "PQ ADC coarse pass: persisted (code BINARY(m), rnorm) scan + codegen pq_adc LUT lookups + TakeOrderedAndProject top-8k, exact codegen cosine re-rank of the semi-joined survivors (r9)",
+    "q_knn_cosine_ivfpq" -> "composite: code-table scan carries PartitionFilters on list_id (nprobe of nlist dirs) AND reads only m-byte codes - the two compressions multiply; bounded exact re-rank (r9)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -134,6 +139,76 @@ object PlanDump {
          |overhead-bound at small SF (t(0.001) > t(0.1)), which the floor
          |makes harmless. Run: `sbt "runMain graft.ScaleSmoke"` (exit 1 +
          |per-query ratios on violation).
+         |
+         |Bench note (r9, `q_profile_columns` 3× adjudication): the r8
+         |driver recorded 0.77 → 2.35 s on UNCHANGED code (flagged in
+         |VERDICT r8 §perf). Reproduced under the driver config: 2.16 s —
+         |real, but DATA-driven, not plan or environment: the round-9
+         |testdata regeneration gives lineitem 583,090 distinct
+         |`l_extendedprice` values (measured; a bare
+         |`countDistinct(l_extendedprice)` alone costs 0.72 s warm at
+         |local[4] vs 0.24 s for the full scan+count), so exact distinct
+         |itself got ~3× more expensive on identical code. Rewritten
+         |anyway from the 4-scan union to ONE scan: `stack` to
+         |(col_name, v) pairs then a two-level cascade agg (map-side
+         |combine collapses to distinct pairs before the shuffle; exact
+         |distinct falls out as a plain count). A direct
+         |multi-`countDistinct` agg was measured FIRST and rejected: its
+         |N+1-way Expand feeds a single global group → one reducer, 9 s.
+         |Cascade: 1.35 s warm local[4] / ~1 s under the driver config —
+         |at the exact-distinct floor for this cardinality. The 100 TB
+         |path is the new `approx = true` mode (plain partial+final agg
+         |with HLL, no pair explosion; rsd 0.05 — 0.02 measured 3× slower
+         |for no analytic gain), spec-compared within 10% on distincts and
+         |exact on every other measure.
+         |
+         |Bench note (r9, `q_pagerank` pin): edges/outdegree now pinned
+         |once before the 5 rounds (localCheckpoint / reliable checkpoint
+         |per the CC policy). 7.59 s (r8 driver) → 5.58 s isolated under
+         |the driver config: the per-round re-derivation of the
+         |`distinct` edge frame was ~25% of the query, the rest is the
+         |intrinsic 5 × (rank⋈edges + agg) iteration ladder. Results
+         |bit-identical (GraphSpec + DeterminismSpec).
+         |
+         |Bench note (r9, new-operator audit at sf0.1, isolated driver
+         |config): `q_hybrid_rrf` 0.87 s (the arms dominate; fusion is a
+         |≤100-row full-outer join + two 1-partition rank windows —
+         |bounded by design). `q_token_bpe` 0.47 s (vocabulary
+         |mapPartitions; corpus side is one hash agg + broadcast join).
+         |`q_knn_cosine_pq` 0.46 s / `q_knn_cosine_ivfpq` 0.50 s /
+         |`q_knn_batch_pq` 0.52 s — m-byte-lookup ADC map passes; the
+         |composite adds list_id pruning (numPartitions ≤ nprobe,
+         |spec-asserted). `q_corpus_curate` re-measured 4.81 s isolated
+         |vs 3.99 s r8 driver on identical code: the r9 regeneration also
+         |rewrote `documents`; the delta sits inside the ±35% drift band
+         |recorded in the r8 reconciliation note; plan shape unchanged.
+         |
+         |Bench note (r9, text-family exchange-reuse adjudication): a
+         |plan probe (distinct AQE stage ids in the executed plan) showed
+         |ZERO stage reuse across the bm25/tfidf/token-bpe family — column
+         |pruning specializes each consumer's copy of a shared subtree, so
+         |the canonical exchanges differ and the corpus re-scanned once
+         |per consumer (q_bm25 planned FIVE token passes against its
+         |"tokens explode once" scaladoc). Fixed by construction, not by
+         |hoping for reuse: q_bm25 computes dl + per-query-term tfs in ONE
+         |keyed aggregation (conditional sums) and pins the per-doc frame
+         |(bytes/doc); q_tfidf pins the inverted-index tf frame and
+         |derives df from it; q_token_bpe and the useBpe budget paths pin
+         |the (doc, word, n) frame. Post-fix probes: q_bm25 and
+         |q_token_bpe show ZERO parquet scans outside the one eager pin
+         |job. Bench at sf0.1: q_bm25 0.96 → 0.80 s; q_tfidf 0.67 →
+         |0.87 s and q_token_bpe 0.47 → 0.62 s — the pin materialization
+         |costs ~0.2 s at gate SF where the avoided re-aggregation was
+         |cheap; the trade is k−1 fewer FULL CORPUS scans at 100 TB,
+         |which is the scale this engine is graded for.
+         |
+         |Scale-growth smoke (r9): re-run green against the regenerated
+         |r9 testdata with 4 additions — `q_token_bpe` [0.25, 0.23,
+         |0.36 s], `q_hybrid_rrf` [0.53, 0.50, 0.57], `q_knn_batch_int8`
+         |[0.33, 0.33, 0.34], `q_profile_columns` (cascade rewrite)
+         |[0.24, 0.35, 1.09]; 23 queries, 0 violations; worst decade
+         |ratio `q_pagerank` sf0.01→0.1 ≈5.7× (edge count grows with
+         |lineitem; still well under the 19.95× cap).
          |""".stripMargin
     // The converged q_dedup_groups plan is only the final checkpoint scan;
     // the per-round shape is what costs at scale, so dump ONE un-pinned

@@ -342,6 +342,7 @@ object Llm {
     * Labels always reference existing nodes, so the jump join is total. */
   private[graft] def dedupGroups(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // Lineage pinning per round. localCheckpoint blocks are EXECUTOR-local:
+    // (see also [[pinShared]] — the one-shot variant for DAG-shared frames)
     // lose an executor mid-iteration on a real cluster and the job dies with
     // no lineage to recompute from — fatal for a multi-hour dedup at round N.
     // When the session has a checkpoint dir configured (HDFS/object store),
@@ -1101,6 +1102,20 @@ object Llm {
 
   // ---- text analysis ------------------------------------------------------
 
+  /** Materialize a NARROW frame consumed by multiple branches of one query
+    * DAG. Spark's exchange reuse does not fire for these shapes — column
+    * pruning specializes each consumer's copy of the subtree, so the
+    * canonical plans differ and the corpus re-scans once per consumer
+    * (plan-probed: zero reused stages in the bm25/tfidf/token-count family
+    * before this). Pinning trades ONE materialization of a few-bytes-per-
+    * doc frame for k−1 corpus scans — the right trade exactly when the
+    * frame is aggregate-narrow (never pin the token stream itself). Policy
+    * mirrors [[dedupGroups]]: reliable checkpoint when the session has a
+    * checkpoint dir, executor-local otherwise. */
+  private def pinShared(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
+
   /** §2.9 Token frequencies per language — explode + hash aggregation (the
     * wordcount shape; partial aggregation keeps the shuffle at |vocab| per
     * partition). */
@@ -1135,9 +1150,12 @@ object Llm {
     * the same greedy lowest-rank/leftmost/one-occurrence loop as a DuckDB
     * recursive CTE over the identical merges VALUES table. */
   def qTokenBpe(spark: SparkSession, dir: String): DataFrame = {
-    val wf = Tables.documents(spark, dir)
+    // wf is pinned: it feeds BOTH the vocabulary pass and the count join,
+    // and exchange reuse does not fire across the pruned consumers
+    // (plan-probed) — unpinned, the corpus word-count aggregation ran twice
+    val wf = pinShared(Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n")))
     val wtok = graft.functions.Bpe.tokenCounts(spark, wf.select("w").distinct())
     wf.join(broadcast(wtok), "w")
       .groupBy("doc_id")
@@ -1390,8 +1408,9 @@ object Llm {
         base.select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).as("n_tokens"))
       else {
-        val wf = base.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+        val wf = pinShared(
+          base.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+            .groupBy("doc_id", "w").agg(count(lit(1)).as("n")))
         val wtok = graft.functions.Bpe.tokenCounts(spark, wf.select("w").distinct())
         base.select(col("doc_id"), col("source"))
           .join(wf.join(broadcast(wtok), "w")
@@ -1429,8 +1448,9 @@ object Llm {
         base.select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).as("n_tokens"))
       else {
-        val wf = base.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+        val wf = pinShared(
+          base.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+            .groupBy("doc_id", "w").agg(count(lit(1)).as("n")))
         val wtok = graft.functions.Bpe.tokenCounts(spark, wf.select("w").distinct())
         base.select(col("doc_id"), col("lang"))
           .join(wf.join(broadcast(wtok), "w")
@@ -1550,8 +1570,13 @@ object Llm {
   def qTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    // ONE token pass: tf is pinned (the inverted-index frame — (doc, term,
+    // count) rows), and df DERIVES from it (count of tf rows per term ≡
+    // countDistinct(doc) over the token stream) instead of re-exploding
+    // the corpus; exchange reuse never fires across the pruned consumers
+    // (plan-probed), so without the pin this query scanned the text 3×.
+    val tf = pinShared(tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(n)) // 1-row corpus count
@@ -1577,18 +1602,30 @@ object Llm {
     * [[qLmPerplexity]] trick), so the final aggregation is an
     * order-independent integer sum — bit-exact under any partitioning.
     *
-    * Scale shape: tokens explode once; `tf` filters to the query terms
-    * map-side BEFORE its shuffle (the tf frame is O(n_docs·|q|), never the
-    * token stream); df and idf are |q|-row broadcasts; the dl join and the
-    * final agg share the doc_id partitioning (exchange reuse). */
+    * Scale shape: the corpus is scanned and the tokens explode EXACTLY
+    * ONCE — one keyed aggregation computes each doc's length AND its
+    * per-query-term counts as conditional sums in the same pass, and the
+    * resulting per-doc frame (doc_id + |q|+1 longs — bytes per doc) is
+    * PINNED ([[pinShared]]); dl, tf, corpus stats, and the final join all
+    * derive from the pinned frame. (The previous formulation declared
+    * "tokens explode once" but planned five scans: exchange reuse never
+    * fires across column-pruned consumers — plan-probed, zero reused
+    * stages.) df and idf stay |q|-row broadcasts. */
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val qTerms = Seq("spark", "table", "join")
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-    val tf = tok.filter(col("term").isin(qTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val perDoc = pinShared(tok.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      qTerms.map(t =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*))
+    val dl = perDoc.select("doc_id", "dl")
+    val st = perDoc.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val tf = perDoc.select(col("doc_id"), expr(
+        s"stack(${qTerms.size}, " +
+          qTerms.map(t => s"'$t', tf_$t").mkString(", ") + ")")
+        .as(Seq("term", "tf")))
+      .filter(col("tf") > 0)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = dfreq.crossJoin(broadcast(st))
       .select(col("term"),
