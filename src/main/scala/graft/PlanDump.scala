@@ -209,6 +209,18 @@ object PlanDump {
          |~0.2 s per query at gate SF where the avoided re-aggregation
          |was cheap; the trade is k−1 fewer FULL CORPUS scans per query
          |at 100 TB, which is the scale this engine is graded for.
+         |The dedup/graph family got the same treatment where the pinned
+         |frame is an EDGE/BAND list (narrow): `pairsFromBandRows` pins
+         |the band frame so the candidate self-join's two sides share
+         |one MinHash computation (benefits every LSH consumer),
+         |`trianglesOver` pins the canonical edge frame (4 consumers)
+         |and the oriented frame (self-joined twice), `q_dedup_cosine`
+         |pins its sign-band frame, `q_ngram_jaccard` its shingle
+         |postings. There the pin WINS at gate SF too, because the
+         |recomputed subtree was the expensive MinHash/hash pass:
+         |q_dedup_keep 3.32 → 2.72 s, q_cross_source_keep 3.61 → 2.68,
+         |q_graph_triangles 2.21 → 1.70, q_dedup_groups 2.97 → 2.73,
+         |q_dedup_minhash 1.30 → 1.14 (isolated driver config).
          |
          |Scale-growth smoke (r9): re-run green against the regenerated
          |r9 testdata with 4 additions — `q_token_bpe` [0.25, 0.23,

@@ -91,18 +91,28 @@ object Graph {
     * — takes any canonical (doc_a < doc_b) distinct edge frame, returns
     * (doc_id, n_tri). Split out so specs can plant adversarial graphs
     * (a star hub that would mint deg² wedges under id-ordering). */
-  private[graft] def trianglesOver(pairs: DataFrame): DataFrame = {
+  private[graft] def trianglesOver(pairs0: DataFrame): DataFrame = {
+    // The canonical edge frame feeds FOUR consumers (both degree unions,
+    // the orientation join, the wedge-closure join) and `oriented` feeds
+    // its own self-join twice; exchange reuse does not fire across the
+    // pruned copies (plan-probed: the upstream MinHash pair generation —
+    // the expensive part — recomputed ~4×). Both frames are two-long-
+    // column edge lists: pin once, derive everything.
+    val reliable = pairs0.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint(true)
+    val pairs = pin(pairs0)
     val deg = pairs.select(col("doc_a").as("node"))
       .union(pairs.select(col("doc_b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val aFirst = // orient toward the higher-(deg, id) endpoint
       col("deg_a") < col("deg_b") ||
         (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
-    val oriented = pairs
+    val oriented = pin(pairs
       .join(deg.select(col("node").as("doc_a"), col("deg").as("deg_a")), "doc_a")
       .join(deg.select(col("node").as("doc_b"), col("deg").as("deg_b")), "doc_b")
       .select(when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
-              when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"))
+              when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst")))
     val wedges = oriented.as("o1")
       .join(oriented.as("o2"),
         col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))

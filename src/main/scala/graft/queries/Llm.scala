@@ -160,7 +160,13 @@ object Llm {
     * Split out so the incremental path ([[graft.etl.IncrementalDedup]]) can
     * hash a batch ONCE and reuse the postings for corpus-collision check,
     * within-batch pairing, and the index append. */
-  private[graft] def pairsFromBandRows(bandRows: DataFrame): DataFrame = {
+  private[graft] def pairsFromBandRows(bandRows0: DataFrame): DataFrame = {
+    // the self-join consumes the band frame twice, and exchange reuse does
+    // not fire across the two aliased copies (plan-probed) — unpinned, the
+    // full MinHash computation (shingle explode + md5 minima + band keys)
+    // ran once per side; the pinned frame is ~`bands` rows of three small
+    // columns per doc
+    val bandRows = pinShared(bandRows0)
     val a = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val b = bandRows.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
                             col("bkey").as("bkey_b"))
@@ -441,8 +447,11 @@ object Llm {
     * scale and the wrong constant for 100 TB. Set intersection as a join is
     * the scalable idiom.) */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val g = shingleRows(Tables.documents(spark, dir))
-      .dropDuplicates("doc_id", "gram")
+    // the deduped shingle posting table feeds counts, the probe's gram
+    // set, and the intersection semi-join — pin once (the containment
+    // rationale; plan-probed ~3.5 corpus passes unpinned)
+    val g = pinShared(shingleRows(Tables.documents(spark, dir))
+      .dropDuplicates("doc_id", "gram"))
     val counts = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val probeGrams = g.filter(col("doc_id") === 0).select(col("gram").as("pgram"))
     val probeSize = probeGrams.agg(count(lit(1)).as("pg_size"))
@@ -476,10 +485,12 @@ object Llm {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
     // both band values in ONE projection, posexploded — a union of per-band
-    // selects would scan the table once per band per join side
-    val banded = e.select(col("vec_id"), col("label"),
+    // selects would scan the table once per band per join side; pinned so
+    // the self-join's two sides share ONE hashing pass (plan-probed: reuse
+    // does not fire across the aliased copies)
+    val banded = pinShared(e.select(col("vec_id"), col("label"),
       posexplode(array(cosineBandCoords.map(signBand(col("embedding"), _)): _*))
-        .as(Seq("band", "bval")))
+        .as(Seq("band", "bval"))))
     val a = banded.select(col("vec_id").as("id_a"), col("label"),
                           col("band"), col("bval"))
     val b = banded.select(col("vec_id").as("id_b"), col("label").as("label_b"),
