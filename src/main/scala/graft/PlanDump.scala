@@ -220,7 +220,15 @@ object PlanDump {
          |recomputed subtree was the expensive MinHash/hash pass:
          |q_dedup_keep 3.32 → 2.72 s, q_cross_source_keep 3.61 → 2.68,
          |q_graph_triangles 2.21 → 1.70, q_dedup_groups 2.97 → 2.73,
-         |q_dedup_minhash 1.30 → 1.14 (isolated driver config).
+         |q_dedup_minhash 1.30 → 1.14 (isolated driver config). Also
+         |covered: `q_dedup_simhash`'s band frame (self-join sides share
+         |the signature aggregation), `q_interpolate`'s per-(prio, day)
+         |base (3 consumers → one orders pass, 1.63 → 1.52 s) and
+         |`q_gap_fill`'s daily frame. `pinShared` lives in
+         |`queries.Exprs` with the full rationale. Full-sweep bench after
+         |the pass: 82.7 s vs 96.5 s mid-round and 91.6 s at r8 — the
+         |pins win in the warm sweep JVM even where isolated timings
+         |showed overhead.
          |
          |Scale-growth smoke (r9): re-run green against the regenerated
          |r9 testdata with 4 additions — `q_token_bpe` [0.25, 0.23,

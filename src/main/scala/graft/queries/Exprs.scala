@@ -26,4 +26,15 @@ object Exprs {
   /** Order-independent mean: exact decimal sum, double division, round(4). */
   def moneyAvg(c: Column): Column =
     round(sum(c.cast("decimal(24,6)")).cast("double") / count(lit(1)), 4)
+
+  /** Materialize a NARROW frame consumed by multiple branches of one query
+    * DAG (PLANS.md r9 adjudication: Spark's exchange reuse does not fire
+    * across column-pruned consumer copies, so a shared subtree recomputes —
+    * full source scans included — once per consumer). Pin only frames that
+    * are aggregate-narrow relative to their source; policy mirrors the CC
+    * operators: reliable checkpoint when the session has a checkpoint dir,
+    * executor-local otherwise. */
+  def pinShared(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
 }

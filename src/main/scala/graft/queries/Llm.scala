@@ -262,10 +262,14 @@ object Llm {
     val fp = simhashFingerprints(docs)
     // ONE band frame via posexplode, not a 4-way union of projections over
     // the aggregate — the union form re-evaluated the (dominant) signature
-    // aggregation once per branch per join side.
-    val bands = fp.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+    // aggregation once per branch per join side. PINNED so the self-join's
+    // two aliased sides also share that one signature pass (exchange reuse
+    // does not fire across the pruned copies — the pairsFromBandRows
+    // diagnosis); the frame is 4 rows of six small columns per doc.
+    val bands = pinShared(fp.select(
+      col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("band", "bval")))
+        .as(Seq("band", "bval"))))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"),
       col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
@@ -1120,12 +1124,8 @@ object Llm {
     * (plan-probed: zero reused stages in the bm25/tfidf/token-count family
     * before this). Pinning trades ONE materialization of a few-bytes-per-
     * doc frame for k−1 corpus scans — the right trade exactly when the
-    * frame is aggregate-narrow (never pin the token stream itself). Policy
-    * mirrors [[dedupGroups]]: reliable checkpoint when the session has a
-    * checkpoint dir, executor-local otherwise. */
-  private def pinShared(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint(true)
+    * frame is aggregate-narrow (never pin the token stream itself). */
+  private def pinShared(df: DataFrame): DataFrame = Exprs.pinShared(df)
 
   /** §2.9 Token frequencies per language — explode + hash aggregation (the
     * wordcount shape; partial aggregation keeps the shuffle at |vocab| per

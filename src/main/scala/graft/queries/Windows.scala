@@ -316,10 +316,14 @@ object Windows {
     * interpolation ratio is computed as (day-int deltas) divide-first in
     * both engines, and the filled value floor-snaps to 1e-4. */
   def qInterpolate(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(spark, dir)
+    // base feeds the day-bounds aggregate, the spine's distinct priorities,
+    // AND the fill join — pinned (prio×days rows of three columns) so the
+    // orders scan + aggregation runs once, not three times (Exprs.pinShared
+    // rationale, PLANS.md r9)
+    val base = Exprs.pinShared(Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority").as("prio"),
                col("o_orderdate").cast("date").as("day"))
-      .agg(moneySum(col("o_totalprice")).as("v"))
+      .agg(moneySum(col("o_totalprice")).as("v")))
     val days = base.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
     val spine = base.select("prio").distinct().crossJoin(broadcast(days))
@@ -345,9 +349,11 @@ object Windows {
   }
 
   def qGapFill(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.orders(spark, dir)
+    // daily feeds the spine bounds AND the fill join — pinned (days rows)
+    // so the orders scan + aggregation runs once (Exprs.pinShared, r9)
+    val daily = Exprs.pinShared(Tables.orders(spark, dir)
       .groupBy(col("o_orderdate").cast("date").as("day"))
-      .agg(count(lit(1)).as("n_orders"))
+      .agg(count(lit(1)).as("n_orders")))
     val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
     spine.join(daily, Seq("day"), "left")
