@@ -146,6 +146,7 @@ object SparkEntry {
     "q_knn_cosine_pq"   -> (Llm.qKnnCosinePq _),   // no-oracle: recall + ADC/codebook contracts in LlmSpec
     "q_knn_batch_pq"    -> (Llm.qKnnBatchPq _),    // no-oracle: per-probe parity with single-probe PQ in LlmSpec
     "q_knn_cosine_ivfpq" -> (Llm.qKnnCosineIvfPq _), // no-oracle: recall + pruning + code-parity in LlmSpec
+    "q_knn_batch_ivfpq" -> (Llm.qKnnBatchIvfPq _),   // no-oracle: per-probe parity with single-probe IVF-PQ in LlmSpec
     "q_cross_source_keep" -> (Llm.qCrossSourceKeep _),
     "q_bm25"           -> (Llm.qBm25 _),
     "q_hybrid_rrf"     -> (Llm.qHybridRrf _),

@@ -858,6 +858,80 @@ object Llm {
     knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
   }
 
+  /** §2.9 BATCH IVF-PQ ANN (r9, no-oracle; LlmSpec asserts per-probe
+    * parity with the single-probe composite path): the last cell of the
+    * ladder matrix — every index (LSH, IVF, SQ8, PQ, IVF-PQ) now serves
+    * batch retrieval. [[qKnnBatchIvf]]'s shape at [[qKnnCosineIvfPq]]'s
+    * cost: ONE centroid-table read ranks lists for all m probes, ONE
+    * partition-pruned scan of the union of probed lists reads only m-byte
+    * codes, and candidates join the broadcast (probe, lut, list) rows on
+    * `list_id` EQUALITY — each code row ADC-scores only against the probes
+    * that probe its list; per-probe coarse cut on TopKPerGroup, exact
+    * re-rank of the survivors. */
+  def qKnnBatchIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ivfDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
+    AnnIndex.ensure(e, ivfDir, nlist = 16)
+    val idxDir = AnnIndex.defaultIvfPqDir(dir, nlist = 16, m = 4, k = 16)
+    AnnIndex.ensureIvfPq(e, ivfDir, idxDir, m = 4, k = 16)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    knnIvfPqBatchProbe(spark, ivfDir, idxDir, e, probes,
+      k = 5, nprobe = 4, oversample = 8)
+  }
+
+  /** Batch IVF-PQ query core: one centroid ranking pass, one pruned union
+    * code scan, list-equality ADC scoring, per-probe cuts, exact re-rank. */
+  private[graft] def knnIvfPqBatchProbe(spark: SparkSession, ivfDir: String,
+                                        indexDir: String, e: DataFrame,
+                                        probes: Seq[(Long, Array[Double])],
+                                        k: Int, nprobe: Int,
+                                        oversample: Int): DataFrame = {
+    import spark.implicits._
+    val probed = AnnIndex.nearestListsBatch(spark, ivfDir,
+      probes.map(_._2), nprobe)
+    val books = AnnIndex.pqCodebooks(spark, indexDir)
+    val m = books.map(_._1).max + 1
+    val nCodes = books.map(_._2).max + 1
+    def lutFor(pv: Array[Double]): Array[Double] = {
+      val sub = pv.length / m
+      val lut = new Array[Double](m * nCodes)
+      books.foreach { case (s, c, cent) =>
+        var acc = 0.0
+        var j = 0
+        while (j < sub) { acc += pv(s * sub + j) * cent(j); j += 1 }
+        lut(s * nCodes + c) = acc
+      }
+      lut
+    }
+    val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
+      val lut = lutFor(pv)
+      ls.map(l => (pid, lut, l))
+    }.toDF("probe_id", "lut", "list_id")
+    val coarse = AnnIndex.ivfPqScan(spark, indexDir, probed.flatten.distinct)
+      .filter(col("rnorm") > 0)
+      .join(broadcast(probeLists), Seq("list_id"))
+      .select(col("vec_id"), col("probe_id"),
+        (call_function("pq_adc", col("code"), col("lut")) / col("rnorm"))
+          .as("score_pq"))
+    val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
+        Seq(("score_pq", false), ("vec_id", true)), oversample * k)
+      .select("probe_id", "vec_id")
+    val probeVecs = e
+      .join(broadcast(probes.map(_._1).toDF("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val scored = e.join(cand, Seq("vec_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), k)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** §2.9 BATCH PQ ANN (r9, no-oracle; LlmSpec asserts per-probe parity
     * with the single-probe PQ path): the batch form of [[qKnnCosinePq]],
     * closing the ladder — every persisted index (LSH, IVF, SQ8, PQ) now

@@ -341,6 +341,33 @@ class LlmSpec extends AnyFunSuite {
     assert(Llm.qKnnCosineIvfPq(spark, TestSpark.sfDir).collect().length === 10)
   }
 
+  test("batch IVF-PQ: per-probe results equal the single-probe composite path") {
+    // list-equality ADC scoring over ONE pruned union scan must reproduce,
+    // per probe, exactly what m independent single-probe composite queries
+    // return (same candidate domain, same coarse order, same re-rank).
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ivfDir = graft.etl.AnnIndex.defaultIvfDir(TestSpark.sfDir, nlist = 16)
+    graft.etl.AnnIndex.ensure(e, ivfDir, nlist = 16)
+    val compDir = graft.etl.AnnIndex.defaultIvfPqDir(TestSpark.sfDir, nlist = 16, m = 4, k = 16)
+    graft.etl.AnnIndex.ensureIvfPq(e, ivfDir, compDir, m = 4, k = 16)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val batch = Llm.knnIvfPqBatchProbe(spark, ivfDir, compDir, e, probes,
+        k = 10, nprobe = 4, oversample = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(batch.length === probes.length * 10, "expected k rows per probe")
+    probes.foreach { case (pid, pv) =>
+      val single = Llm.knnIvfPqProbe(spark, ivfDir, compDir, e, pv, pid,
+          k = 10, nprobe = 4, oversample = 8)
+        .collect().map(r => (pid, r.getLong(0), r.getDouble(2))).toSeq
+      val got = batch.filter(_._1 == pid).toSeq
+      assert(got === single, s"probe $pid: batch IVF-PQ diverges from single-probe path")
+    }
+    assert(Llm.qKnnBatchIvfPq(spark, TestSpark.sfDir).collect().length === 25)
+  }
+
   test("pq_adc: codegen lookup equals the driver-side ADC sum; codes address the right book") {
     import org.apache.spark.sql.functions._
     graft.expr.GraftFunctions.ensureRegistered(spark)
