@@ -224,6 +224,34 @@ object Streams {
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** STREAMING ANN serving — the online half of the retrieval story: a
+    * stream of probe vectors (a training batch, a query feed) is answered
+    * per micro-batch through the PERSISTED IVF index via the batch probe
+    * core ([[graft.queries.Llm.knnIvfBatchProbe]] — one centroid ranking +
+    * one pruned union scan + list-equality scoring per micro-batch), so
+    * serving cost scales with the batch's probed lists, never the corpus.
+    * The index is never touched by the serving path; ingest appends to it
+    * independently ([[corpusIngest]]) and each micro-batch probes whatever
+    * index state is current.
+    *
+    * At-least-once safety: results land under `batch_id=<id>` with
+    * overwrite, so a replayed micro-batch rewrites its own partition
+    * instead of appending duplicates — readers see each batch's answers
+    * exactly once. */
+  def annServe(probes: DataFrame, ivfDir: String, outDir: String,
+               k: Int = 5, nprobe: Int = 4): DataStreamWriter[Row] =
+    probes.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val ps = batch.select("probe_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        if (ps.nonEmpty) {
+          graft.queries.Llm.knnIvfBatchProbe(spark, ivfDir, ps, k, nprobe)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+        ()
+    }
+
   /** The batch `q_source_budget` mixture gate as a STREAMING admission
     * control (`transformWithState`): every arriving doc consumes its token
     * count from its source's running total and is admitted while the

@@ -312,6 +312,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN serving: per-batch probes equal the batch core; replay rewrites, not duplicates") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ivfDir = graft.etl.AnnIndex.defaultIvfDir(TestSpark.sfDir, nlist = 16)
+    graft.etl.AnnIndex.ensure(e, ivfDir, nlist = 16)
+    val outDir = Files.createTempDirectory("graft_ann_serve").toString
+    val probeRows = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("probe_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.stream.Streams.annServe(
+      mem.toDF().toDF("probe_id", "embedding"), ivfDir, outDir, k = 5, nprobe = 4)
+      .start()
+    try {
+      mem.addData(probeRows.take(3): _*); q.processAllAvailable()
+      mem.addData(probeRows.drop(3): _*); q.processAllAvailable()
+      val served = spark.read.option("basePath", outDir).parquet(outDir)
+      assert(served.count() === 6 * 5, "k rows per probe across both batches")
+      // per-probe parity with the batch core run directly
+      val expected = graft.queries.Llm
+        .knnIvfBatchProbe(spark, ivfDir, probeRows, k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).sorted.toSeq
+      val got = served.select("probe_id", "vec_id", "cos_sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(got === expected, "served results diverge from the batch probe core")
+      // replay of batch 2's probes arrives as a NEW batch id: new partition,
+      // but a true checkpoint-replay of the same id overwrites its own dir —
+      // emulate by rewriting batch_id=1's path directly through the core
+      graft.queries.Llm
+        .knnIvfBatchProbe(spark, ivfDir, probeRows.drop(3), k = 5, nprobe = 4)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=1")
+      assert(spark.read.option("basePath", outDir).parquet(outDir).count() === 30,
+        "a replayed batch id must rewrite its partition, not append duplicates")
+    } finally q.stop()
+  }
+
   test("budget-gated corpus ingest: per-source cap from published totals, replay-safe, raise re-admits") {
     // The mixture budget as part of the composed pipeline: prior spend is
     // derived from the PUBLISHED corpus (no extra state), budget-rejected
