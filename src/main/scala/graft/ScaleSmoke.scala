@@ -52,6 +52,7 @@ object ScaleSmoke {
     "q_knn_batch_int8",    // batch quantized coarse scan — m× map cost, linear (r9)
     "q_knn_cosine_pq",     // PQ ADC coarse scan — m byte lookups/row, linear (r9)
     "q_knn_cosine_ivfpq",  // composite: pruned lists × byte codes (r9)
+    "q_knn_batch_ivfpq",   // batch composite: union-pruned, list-equality ADC (r9)
     "q_profile_columns")   // stack + cascade distinct — the r9 one-scan rewrite
 
   def main(args: Array[String]): Unit = {
