@@ -1906,8 +1906,10 @@ object Llm {
     * are a 1-row broadcast. Ratios of exact longs divide identically in
     * both engines; floor-snapped. */
   def qLabelBalance(spark: SparkSession, dir: String): DataFrame = {
-    val perLang = Tables.documents(spark, dir)
-      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    // |langs| rows feeding the totals AND the weight projection — pinned
+    // so the corpus count scan runs once
+    val perLang = pinShared(Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs")))
     val totals = perLang.agg(
       sum(col("n_docs")).as("n_total"), count(lit(1)).as("k_classes"))
     perLang.crossJoin(broadcast(totals))
@@ -2335,9 +2337,12 @@ object Llm {
     * onto the per-doc distinct gram frame → per-doc counting agg. Every
     * exchange is keyed on gram or doc_id; nothing is ever all-pairs. */
   def qSpanDup(spark: SparkSession, dir: String): DataFrame = {
-    val grams = gram4Rows(Tables.documents(spark, dir))
+    // the gram posting table feeds the doc-frequency agg AND the join back
+    // — pinned (the containment rationale; unpinned, the text explodes
+    // twice)
+    val grams = pinShared(gram4Rows(Tables.documents(spark, dir))
       .select("doc_id", "gram")
-      .distinct()
+      .distinct())
     val df = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
     grams.join(df, "gram")
       .groupBy("doc_id")
@@ -2362,10 +2367,12 @@ object Llm {
     * share is a ratio of exact integers. The totals frame is one broadcast
     * row. */
   def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.documents(spark, dir)
+    // |sources| rows feeding the totals AND the share projection — pinned
+    // so the corpus count scan runs once
+    val per = pinShared(Tables.documents(spark, dir)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("w_micro",
-        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("bigint"))
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("bigint")))
     val tot = per.agg(sum(col("n_docs")).as("n_total"), sum(col("w_micro")).as("w_total"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"),
