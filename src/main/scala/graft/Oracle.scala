@@ -1749,7 +1749,9 @@ object Oracle {
         |          WHERE NOT EXISTS (SELECT 1 FROM mg
         |                            WHERE strpos(b.s, ' '||mg.l||' '||mg.r||' ') > 0)),
         |wtok AS (SELECT w,
-        |    length(trim(s)) - length(replace(trim(s), ' ', '')) + 1 AS n_bpe
+        |    CASE WHEN w = '' THEN 0
+        |         ELSE length(trim(s)) - length(replace(trim(s), ' ', '')) + 1
+        |    END AS n_bpe
         |  FROM final)
         |SELECT wf.doc_id, CAST(sum(wf.n) AS BIGINT) AS n_ws_tokens,
         |  CAST(sum(wf.n * wt.n_bpe) AS BIGINT) AS n_bpe_tokens

@@ -466,6 +466,42 @@ object AnnIndex {
       Files.write(readyMarker(tmp), Array.emptyByteArray)
     }
 
+  /** Incremental IVF-PQ ingest — composes the two frozen-model append
+    * rules: list assignment against the IVF index's frozen centroids (the
+    * [[appendIvf]] argmax) and PQ encoding against the composite's frozen
+    * codebooks (the [[appendPq]] policy — retraining either model would
+    * orphan every stored code/list row). O(batch·(nlist + m·k)·dim)
+    * map-side work, nothing shuffles, and probes immediately see old + new
+    * codes through the same pruned scan. Appends fragment the per-list
+    * dirs over time — [[Compaction.compactIvfPqCodes]] is the matching
+    * maintenance job. */
+  def appendIvfPq(batch: DataFrame, ivfDir: String, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$ivfDir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).map(_.toFloat).toArray))
+      .sortBy(_._1)
+    val scored = array(cents.map { case (i, c) =>
+      struct(
+        call_function("cosine_similarity", col("embedding"), lit(c)).as("cos"),
+        lit(i).as("list_id"))
+    }: _*)
+    val bc = spark.sparkContext.broadcast(booksArray(pqCodebooks(spark, indexDir)))
+    batch
+      .withColumn("list_id", array_max(scored).getField("list_id"))
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val bk = bc.value
+        it.map { case (id, emb, list) =>
+          val (code, rnorm) = encodePqRow(bk, emb)
+          (id, code, rnorm, list)
+        }
+      }.toDF("vec_id", "code", "rnorm", "list_id")
+      .write.mode("append").partitionBy("list_id").parquet(s"$indexDir/codes")
+  }
+
   /** Partition-pruned scan of the probed lists' code table. */
   def ivfPqScan(spark: SparkSession, indexDir: String, lists: Seq[Int]): DataFrame =
     spark.read.parquet(s"$indexDir/codes")

@@ -34,6 +34,24 @@ object Compaction {
   def compactParquet(spark: SparkSession, path: String,
                      partitionCols: Seq[String],
                      numFiles: Int = 1): (Long, Long) = {
+    // A previous run that died mid-swap leaves `.compact-*` (rewrite never
+    // swapped in) or `.old-*` (retired tree never deleted) siblings; both
+    // are garbage once `path` itself exists, so reclaim them on entry —
+    // otherwise every failed run leaks a full table copy forever.
+    val parent = Paths.get(path).toAbsolutePath.getParent
+    val prefix = Paths.get(path).getFileName.toString
+    if (parent != null && Files.isDirectory(parent) &&
+        Files.exists(Paths.get(path))) {
+      import scala.jdk.CollectionConverters._
+      val siblings = Files.list(parent)
+      try siblings.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(prefix + ".compact-") || n.startsWith(prefix + ".old-")
+        }
+        .toSeq.foreach(deleteRecursively)
+      finally siblings.close()
+    }
     val before = dataFileCount(Paths.get(path))
     val df = spark.read.parquet(path)
     val tmp = path + ".compact-" + java.util.UUID.randomUUID()
@@ -61,6 +79,11 @@ object Compaction {
     compactParquet(spark, s"$indexDir/sq8", Nil)
   def compactPqCodes(spark: SparkSession, indexDir: String): (Long, Long) =
     compactParquet(spark, s"$indexDir/codes", Nil)
+  /** The IVF-PQ composite's per-list code dirs ([[AnnIndex.buildIvfPq]] /
+    * `appendIvfPq` — `codes/list_id=` partitioning; the `codebooks` table
+    * is a single coalesced file and never fragments). */
+  def compactIvfPqCodes(spark: SparkSession, indexDir: String): (Long, Long) =
+    compactParquet(spark, s"$indexDir/codes", Seq("list_id"))
 
   /** The dedup posting table ([[IncrementalDedup]]) — unpartitioned
     * appends, joined on (band, bkey) per ingest batch. */

@@ -66,30 +66,56 @@ case class Int8Pack(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
       val out = ctx.freshName("out")
-      s"""
-         |int $n = $a.numElements();
-         |boolean $hasNull = false;
-         |double $maxAbs = 0.0;
-         |for (int $i = 0; $i < $n && !$hasNull; $i++) {
-         |  if ($a.isNullAt($i)) { $hasNull = true; }
-         |  else {
-         |    double $v = java.lang.Math.abs((double) $a.getFloat($i));
-         |    if ($v > $maxAbs) $maxAbs = $v;
-         |  }
-         |}
-         |if ($hasNull) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  byte[] $out = new byte[$n];
-         |  if ($maxAbs > 0.0) {
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $out[$i] = (byte) java.lang.Math.round(
-         |        127.0 * (double) $a.getFloat($i) / $maxAbs);
-         |    }
-         |  }
-         |  ${ev.value} = $out;
-         |}
-       """.stripMargin
+      // The null-element branch assigns `ev.isNull`, which
+      // UnaryExpression.nullSafeCodeGen only DECLARES when the expression is
+      // nullable — with containsNull=false on a non-nullable child the
+      // variable does not exist, the generated Java would not compile, and
+      // janino's fallback silently drops the stage to interpreted mode. A
+      // containsNull=false array cannot have null slots, so in that case the
+      // check is omitted entirely rather than guarded at runtime.
+      val elemNullable = child.dataType match {
+        case ArrayType(_, cn) => cn
+        case _ => true
+      }
+      val quantize =
+        s"""
+           |byte[] $out = new byte[$n];
+           |if ($maxAbs > 0.0) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $out[$i] = (byte) java.lang.Math.round(
+           |      127.0 * (double) $a.getFloat($i) / $maxAbs);
+           |  }
+           |}
+           |${ev.value} = $out;
+         """.stripMargin
+      if (elemNullable)
+        s"""
+           |int $n = $a.numElements();
+           |boolean $hasNull = false;
+           |double $maxAbs = 0.0;
+           |for (int $i = 0; $i < $n && !$hasNull; $i++) {
+           |  if ($a.isNullAt($i)) { $hasNull = true; }
+           |  else {
+           |    double $v = java.lang.Math.abs((double) $a.getFloat($i));
+           |    if ($v > $maxAbs) $maxAbs = $v;
+           |  }
+           |}
+           |if ($hasNull) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |$quantize
+           |}
+         """.stripMargin
+      else
+        s"""
+           |int $n = $a.numElements();
+           |double $maxAbs = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
+           |  if ($v > $maxAbs) $maxAbs = $v;
+           |}
+           |$quantize
+         """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

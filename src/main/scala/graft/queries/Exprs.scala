@@ -33,7 +33,13 @@ object Exprs {
     * full source scans included — once per consumer). Pin only frames that
     * are aggregate-narrow relative to their source; policy mirrors the CC
     * operators: reliable checkpoint when the session has a checkpoint dir,
-    * executor-local otherwise. */
+    * executor-local otherwise.
+    *
+    * Sessions that DO configure a checkpoint dir should also set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (the harness
+    * builders do): reliable checkpoint files are never deleted by default,
+    * and with ~15 queries pinning per sweep a long-lived session
+    * accumulates them without bound. */
   def pinShared(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(true)

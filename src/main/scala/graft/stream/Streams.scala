@@ -237,14 +237,30 @@ object Streams {
     * At-least-once safety: results land under `batch_id=<id>` with
     * overwrite, so a replayed micro-batch rewrites its own partition
     * instead of appending duplicates — readers see each batch's answers
-    * exactly once. */
+    * exactly once.
+    *
+    * The probe micro-batch is collected to the driver (it parameterizes
+    * the centroid ranking — bounded metadata math, the same shape as the
+    * batch query's probe set), which is bounded BY CONTRACT, not just by
+    * design: at most `maxProbesPerBatch + 1` rows are ever fetched
+    * (`limit` before `collect`), and a batch over the limit fails the
+    * stream with an explicit error instead of silently OOMing the driver
+    * or dropping probes. A probe feed that can legitimately burst past
+    * the cap should aggregate its source into smaller triggers (or raise
+    * the cap alongside driver memory). */
   def annServe(probes: DataFrame, ivfDir: String, outDir: String,
-               k: Int = 5, nprobe: Int = 4): DataStreamWriter[Row] =
+               k: Int = 5, nprobe: Int = 4,
+               maxProbesPerBatch: Int = 10000): DataStreamWriter[Row] =
     probes.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val ps = batch.select("probe_id", "embedding").collect()
+        val ps = batch.select("probe_id", "embedding")
+          .limit(maxProbesPerBatch + 1).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        if (ps.size > maxProbesPerBatch)
+          throw new IllegalStateException(
+            s"annServe: probe micro-batch exceeds maxProbesPerBatch=" +
+              s"$maxProbesPerBatch; shrink the trigger or raise the cap")
         if (ps.nonEmpty) {
           graft.queries.Llm.knnIvfBatchProbe(spark, ivfDir, ps, k, nprobe)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
@@ -420,8 +436,15 @@ object Streams {
         // batch's own doc_ids are EXCLUDED from the prior (a crash between
         // publish and posting-commit replays the batch: with itself counted
         // the replay would see its own tokens as prior spend and flip its
-        // admissions; excluded, the replay decides identically and every
-        // stage re-converges to a no-op). In-batch admission follows the
+        // admissions; excluded, the replay decides identically, so the
+        // corpus publish and the postings commit — both idempotent —
+        // re-converge to the same state. The LSH/SQ8 index appends below
+        // are NOT idempotent: a replayed batch re-appends its kept vectors,
+        // and the duplicate postings persist until [[Compaction]] plus the
+        // probe-side dedup collapse them — dup bucket entries widen a
+        // probe's candidate set but cannot change its result set, since
+        // candidates are distinct-joined against the corpus before
+        // scoring). In-batch admission follows the
         // batch query's seeded-hash order; budget-rejected docs consume
         // nothing, are not published, and are NOT indexed — their postings
         // never commit, so a later budget raise can still admit them.

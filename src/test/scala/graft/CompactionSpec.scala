@@ -49,6 +49,35 @@ class CompactionSpec extends AnyFunSuite {
     assert(aCell.collect().nonEmpty)
   }
 
+  test("IVF-PQ code compaction: fewer files, identical pruned code reads, pruning preserved") {
+    val ivf = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp").toString
+    val base = vecRows(0 until 100).toDF("vec_id", "label", "embedding")
+    AnnIndex.build(base, ivf, nlist = 4)
+    AnnIndex.buildIvfPq(base, ivf, idx, m = 4, k = 16)
+    // frozen-model appends fragment the per-list code dirs
+    (1 to 3).foreach { b =>
+      AnnIndex.appendIvfPq(
+        vecRows(100 * b until 100 * (b + 1)).toDF("vec_id", "label", "embedding"),
+        ivf, idx)
+    }
+    def snap() = AnnIndex.ivfPqScan(spark, idx, Seq(0, 1, 2, 3))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Array[Byte]]("code").toSeq,
+                 r.getAs[Double]("rnorm"), r.getAs[Int]("list_id")))
+      .sortBy(_._1).toSeq
+    val before = snap()
+    assert(before.map(_._1).distinct.size === 400,
+      "every built + appended vector must carry exactly one code row")
+
+    val (nBefore, nAfter) = Compaction.compactIvfPqCodes(spark, idx)
+    assert(nAfter < nBefore, s"compaction must reduce files ($nBefore -> $nAfter)")
+    assert(snap() === before, "compaction must not change the code row set")
+    // pruned single-list read still works post-rewrite
+    val oneList = AnnIndex.ivfPqScan(spark, idx, Seq(before.head._4))
+    assert(oneList.collect().nonEmpty)
+  }
+
   test("dedup posting compaction: replay and collision invariants survive the rewrite") {
     val idx = java.nio.file.Files.createTempDirectory("graft_dedup_cmp").toString
     val docs = Tables.documents(spark, TestSpark.sfDir)

@@ -581,6 +581,26 @@ class LlmSpec extends AnyFunSuite {
     assert(interpNull == null, "interpreted eval must also null on null element")
   }
 
+  test("int8_pack: containsNull=false input compiles codegen (non-nullable branch)") {
+    import org.apache.spark.sql.functions._
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // a typed Array[Float] encoder yields ArrayType(FloatType, containsNull
+    // = false) on a non-nullable column — the shape whose generated code
+    // must NOT reference the undeclared isNull variable (it would fail
+    // janino compilation and silently fall back to interpreted mode)
+    val df = Seq((1L, Array(1.0f, -2.0f, 0.5f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+    val at = df.schema("v").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(!at.containsNull, "precondition: typed encoder gives containsNull=false")
+    val got = df.select(col("id"), call_function("int8_pack", col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("q")).toMap
+    assert(java.util.Arrays.equals(got(1L),
+      graft.etl.AnnIndex.quantizeInt8(Array(1.0f, -2.0f, 0.5f))))
+    assert(java.util.Arrays.equals(got(2L), Array[Byte](0, 0, 0)),
+      "all-zero vector packs to zero bytes")
+  }
+
   test("knn IVF on the real table: 10 rows, probe first, sorted desc") {
     val ivf = Llm.qKnnCosineIvf(spark, TestSpark.sfDir).collect()
     assert(ivf.length === 10)

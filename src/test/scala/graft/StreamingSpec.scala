@@ -351,6 +351,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN serving: an over-limit probe batch fails the stream, not the driver") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ivfDir = graft.etl.AnnIndex.defaultIvfDir(TestSpark.sfDir, nlist = 16)
+    graft.etl.AnnIndex.ensure(e, ivfDir, nlist = 16)
+    val outDir = Files.createTempDirectory("graft_ann_serve_cap").toString
+    val probeRows = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("probe_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.stream.Streams.annServe(
+      mem.toDF().toDF("probe_id", "embedding"), ivfDir, outDir,
+      k = 5, nprobe = 4, maxProbesPerBatch = 4)
+      .start()
+    try {
+      mem.addData(probeRows: _*) // 6 probes > cap of 4
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(err).exists(_.contains("maxProbesPerBatch")),
+        s"expected the contract-cap error, got: $err")
+      assert(!Files.list(java.nio.file.Paths.get(outDir)).iterator().hasNext,
+        "an over-limit batch must publish nothing")
+    } finally q.stop()
+  }
+
   test("budget-gated corpus ingest: per-source cap from published totals, replay-safe, raise re-admits") {
     // The mixture budget as part of the composed pipeline: prior spend is
     // derived from the PUBLISHED corpus (no extra state), budget-rejected

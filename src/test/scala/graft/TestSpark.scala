@@ -18,6 +18,9 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     // events.parquet carries TIMESTAMP(NANOS); read as raw long (Tables.events)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // reliable-checkpoint files (pinShared under a checkpoint dir) are
+    // never deleted by default; let the ContextCleaner reclaim them
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     // native function surface (cosine_similarity et al.)
     .config("spark.sql.extensions", "graft.expr.GraftExtensions")
     .getOrCreate()
