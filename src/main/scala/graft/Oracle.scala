@@ -655,6 +655,47 @@ object Oracle {
     * to BIGINT because DuckDB SUM(INTEGER) yields HUGEINT. */
   private lazy val cdcSql: Map[String, String] = Map(
 
+    // The fold has a closed form because the CDC sequence is the globally
+    // unique event_id and batches partition time: after batch k a user's
+    // state is the event with max (batch_index, event_id) among events
+    // below the batch's upper bound — absent if that winner is a delete.
+    // Counts come from the same LEFT JOIN so an empty batch still reports.
+    "q_cdc_batches" ->
+      """WITH bounds(batch_idx, batch, lo, hi) AS (VALUES
+        |  (1, 'b1', TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-20 00:00:00'),
+        |  (2, 'b2', TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-25 00:00:00'),
+        |  (3, 'b3', TIMESTAMP '2024-01-25 00:00:00', TIMESTAMP '9999-01-01 00:00:00')),
+        |reports AS (
+        |  SELECT b.batch_idx, b.batch,
+        |    count(e.event_id) AS n_records,
+        |    coalesce(sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END), 0) AS n_deletes
+        |  FROM bounds b LEFT JOIN events e ON e.ts >= b.lo AND e.ts < b.hi
+        |  GROUP BY b.batch_idx, b.batch),
+        |tagged AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-10 00:00:00' THEN 0
+        |         WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 1
+        |         WHEN ts < TIMESTAMP '2024-01-25 00:00:00' THEN 2
+        |         ELSE 3 END AS bidx
+        |  FROM events),
+        |states AS (
+        |  SELECT b.batch_idx, t.user_id, t.event_id, t.event_type,
+        |    row_number() OVER (PARTITION BY b.batch_idx, t.user_id
+        |                       ORDER BY t.bidx DESC, t.event_id DESC) AS rn
+        |  FROM tagged t JOIN bounds b ON t.bidx <= b.batch_idx),
+        |after AS (
+        |  SELECT batch_idx, count(*) AS n_keys_after, sum(event_id) AS state_checksum
+        |  FROM states WHERE rn = 1 AND event_type <> 'error'
+        |  GROUP BY batch_idx)
+        |SELECT CAST(r.batch_idx AS INTEGER) AS batch_idx, r.batch,
+        |  CAST(r.n_records AS BIGINT) AS n_records,
+        |  CAST(r.n_records - r.n_deletes AS BIGINT) AS n_upserts,
+        |  CAST(r.n_deletes AS BIGINT) AS n_deletes,
+        |  CAST(coalesce(a.n_keys_after, 0) AS BIGINT) AS n_keys_after,
+        |  CAST(coalesce(a.state_checksum, 0) AS BIGINT) AS state_checksum
+        |FROM reports r LEFT JOIN after a USING (batch_idx)
+        |ORDER BY batch_idx""".stripMargin,
+
     "q_cdc_apply" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

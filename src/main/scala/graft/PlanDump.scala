@@ -112,6 +112,19 @@ object PlanDump {
          |checkpoint shape is kept for robustness and as the correct
          |100 TB discipline.
          |
+         |Bench note (r10, `q_content_chunks` adjudication): the r9 driver
+         |bench recorded 2.37 s against r8's 0.58 s on code untouched since
+         |r8 (`git log -S contentChunkFrame` — no edits). Reproduced under
+         |the driver's exact config (sf0.1, local[32], shuffle=32) at r10:
+         |isolated QueryTimer 0.71 s; full-suite Bench 0.52 s — same class
+         |as the r7 `q_corpus_curate` driver blip (±35% machine drift with
+         |background load): environment, not plan. Plan shape re-audited
+         |unchanged: one posexplode over the shared `word_ngrams` gram
+         |definition, one per-doc keyed window, one keyed agg — and
+         |`contentChunkFrame` feeds a SINGLE consumer chain inside each of
+         |its two callers, so there is no multiply-consumed frame to pin
+         |(the exchange-reuse discipline does not apply here).
+         |
          |Bench note (r8, `q_join_shuffle`): r7 driver recorded 1.86 s vs
          |1.0 s at r5, unchanged plan (flagged in VERDICT r7). Full-suite
          |rerun under the driver config here: 1.18 s — same class as the

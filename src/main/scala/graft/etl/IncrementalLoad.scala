@@ -45,4 +45,37 @@ object IncrementalLoad {
         val next = if (truncateLineage) folded.localCheckpoint(true) else folded
         (next, reports :+ BatchReport(name, n, n - nDel, nDel))
     }
+
+  /** [[BatchReport]] extended with post-fold STATE bookkeeping — the full
+    * DImessages row: how many keys the warehouse holds after the batch
+    * lands, plus a content checksum over a caller-named column, so a
+    * replayed/re-ordered load is detectable from the report alone. */
+  final case class AuditedReport(batch: String, n_records: Long,
+                                 n_upserts: Long, n_deletes: Long,
+                                 n_keys_after: Long, state_checksum: Long)
+
+  /** [[run]] with per-batch state auditing: after each fold, ONE extra
+    * aggregation over the just-checkpointed snapshot records the surviving
+    * key count and `sum(checksumCol)` — O(state) per batch with no extra
+    * lineage (the fold already truncates per batch; the audit reads the
+    * checkpointed frame, so the count/checksum job re-derives nothing). */
+  def runAudited(snapshot: DataFrame, batches: Seq[(String, DataFrame)],
+                 keyCols: Seq[String], checksumCol: String,
+                 seqCol: String = "cdc_dsn", flagCol: String = "cdc_flag")
+      : (DataFrame, Seq[AuditedReport]) =
+    batches.foldLeft((snapshot, Vector.empty[AuditedReport])) {
+      case ((snap, reports), (name, cdc)) =>
+        val stats = cdc.agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(when(col(flagCol) === "D", 1L).otherwise(0L)), lit(0L))
+            .as("n_del")).head()
+        val (n, nDel) = (stats.getLong(0), stats.getLong(1))
+        val next = Scd2.applyCdc(snap, cdc, keyCols, seqCol, flagCol)
+          .localCheckpoint(true)
+        val st = next.agg(
+          count(lit(1)).as("n_keys"),
+          coalesce(sum(col(checksumCol)), lit(0L)).as("chk")).head()
+        (next, reports :+ AuditedReport(name, n, n - nDel, nDel,
+          st.getLong(0), st.getLong(1)))
+    }
 }

@@ -89,6 +89,58 @@ object Cdc {
       .orderBy("user_id")
   }
 
+  /** §2.10 The CDC incremental DRIVER as a declared query (r10) — TPC-DI's
+    * Batches 2..N shape, end to end: a snapshot is built from the events
+    * before a cut, three time-ranged CDC batches (I/U/D envelope: latest
+    * per key wins, `error` = delete) fold into it one at a time through
+    * [[graft.etl.IncrementalLoad.runAudited]], and the OUTPUT is the
+    * per-batch DImessages bookkeeping — record/upsert/delete counts plus
+    * post-fold state size and an event_id checksum, so the oracle verifies
+    * not just each batch's envelope arithmetic but the warehouse STATE
+    * after every fold.
+    *
+    * The CDC sequence is `event_id` (globally unique in the testdata, and
+    * the snapshot's latest-per-key uses the same ordering), which gives the
+    * fold a closed form the oracle restates: after batch k, a user's state
+    * is the event with the largest (batch_index, event_id) among events
+    * before the batch's upper bound — absent if that event is a delete.
+    *
+    * Scale shape: each fold is one keyed window over the batch + one keyed
+    * anti-join + union ([[graft.etl.Scd2.applyCdc]]); the audit is one
+    * aggregation over the checkpointed state (lineage stays bounded at any
+    * batch count); the report itself is |batches| driver rows. */
+  def qCdcBatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bounds = Seq(
+      ("b1", "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+      ("b2", "2024-01-20 00:00:00", "2024-01-25 00:00:00"),
+      ("b3", "2024-01-25 00:00:00", "9999-01-01 00:00:00"))
+    def ts(s: String) = lit(s).cast("timestamp_ntz")
+    val ev = Tables.events(spark, dir)
+    def asState(df: DataFrame): DataFrame =
+      df.select(col("user_id"), col("event_id").as("last_event_id"),
+                col("event_type").as("last_type"), col("ts").as("last_ts"))
+    val wSnap = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    val snapshot = asState(ev.filter(col("ts") < ts(bounds.head._2))
+      .withColumn("rn", row_number().over(wSnap))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .drop("rn"))
+    val batches = bounds.map { case (name, lo, hi) =>
+      name -> asState(ev.filter(col("ts") >= ts(lo) && col("ts") < ts(hi)))
+        .withColumn("cdc_dsn", col("last_event_id"))
+        .withColumn("cdc_flag",
+          when(col("last_type") === "error", "D").otherwise("U"))
+    }
+    val (_, reports) = graft.etl.IncrementalLoad.runAudited(
+      snapshot, batches, Seq("user_id"), checksumCol = "last_event_id")
+    reports.zipWithIndex
+      .map { case (r, i) => (i + 1, r.batch, r.n_records, r.n_upserts,
+        r.n_deletes, r.n_keys_after, r.state_checksum) }
+      .toDF("batch_idx", "batch", "n_records", "n_upserts", "n_deletes",
+            "n_keys_after", "state_checksum")
+      .orderBy("batch_idx")
+  }
+
   /** §2.10 Tumbling event-time windows: per-hour per-type counts and sums —
     * identical query body works on readStream (Structured Streaming's
     * incrementalization model; stream variant in [[graft.stream.Streams]]). */

@@ -66,6 +66,27 @@ class IncrementalLoadSpec extends AnyFunSuite {
       IncrementalLoad.BatchReport("batch3", 2, 1, 1)))
   }
 
+  test("runAudited: same fold as run, plus exact post-fold state bookkeeping") {
+    val snapshot = Seq(
+      (1L, "Smith", 2), (2L, "Jones", 1), (3L, "Brown", 3))
+      .toDF("c_id", "c_name", "c_tier")
+    val batches = Seq(
+      "b2" -> Seq(
+        ("U", 11L, 1L, "Smith-A", 2), ("U", 12L, 1L, "Smith-B", 3),
+        ("I", 13L, 4L, "New", 1), ("D", 14L, 2L, "", 0))
+        .toDF("cdc_flag", "cdc_dsn", "c_id", "c_name", "c_tier"),
+      "b3" -> Seq(("D", 21L, 4L, "", 0), ("U", 22L, 3L, "Brown-2", 4))
+        .toDF("cdc_flag", "cdc_dsn", "c_id", "c_name", "c_tier"))
+    val (state, reports) = IncrementalLoad.runAudited(
+      snapshot, batches, Seq("c_id"), checksumCol = "c_id")
+    assert(state.orderBy("c_id").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(reports === Seq(
+      // after b2: keys {1,3,4} -> n=3, checksum 1+3+4=8
+      IncrementalLoad.AuditedReport("b2", 4, 3, 1, 3, 8),
+      // after b3: keys {1,3} -> n=2, checksum 4
+      IncrementalLoad.AuditedReport("b3", 2, 1, 1, 2, 4)))
+  }
+
   test("ten-batch fold: correct final state, lineage truncated between folds") {
     val snapshot = (1L to 50L).map(i => (i, s"name$i", 1))
       .toDF("c_id", "c_name", "c_tier")
