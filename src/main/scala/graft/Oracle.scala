@@ -655,6 +655,52 @@ object Oracle {
     * to BIGINT because DuckDB SUM(INTEGER) yields HUGEINT. */
   private lazy val cdcSql: Map[String, String] = Map(
 
+    // The composed TPC-DI load funnel. The Spark side round-trips the
+    // tables through CSV / fixed-width / XML extracts with DETERMINISTIC
+    // corruption (mod-97 customers -> CSV cast reject, mod-89 suppliers ->
+    // short FINWIRE record, region rows -> unknown tag); the text
+    // round-trip is lossless for surviving rows (no floating-point field
+    // crosses it), so the funnel restates directly over the parquet with
+    // the same modular rules. The fact resolve is the q_join_range_scd2
+    // interval shape: version current at ship time, open-ended last
+    // version, <=1 match per fact row.
+    "q_warehouse_etl" ->
+      """WITH c AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS rej FROM customer),
+        |s AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN s_suppkey % 89 = 0 THEN 1 ELSE 0 END) AS rej FROM supplier),
+        |p AS (SELECT count(*) AS n FROM part),
+        |r AS (SELECT count(*) AS n FROM region),
+        |acts AS (SELECT DISTINCT o_custkey AS c_id, epoch_us(o_orderdate) AS eff_us FROM orders),
+        |a AS (SELECT count(*) AS xml_n, count(DISTINCT c_id) AS open_n FROM acts),
+        |v AS (SELECT c_id, eff_us,
+        |    lead(eff_us) OVER (PARTITION BY c_id ORDER BY eff_us) AS end_us FROM acts),
+        |f AS (SELECT l.l_suppkey, o.o_custkey, epoch_us(l.l_shipdate) AS ship_us
+        |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |fr AS (SELECT f.l_suppkey, f.o_custkey, v.eff_us
+        |       FROM f LEFT JOIN v ON f.o_custkey = v.c_id
+        |         AND f.ship_us >= v.eff_us AND (v.end_us IS NULL OR f.ship_us < v.end_us)),
+        |fa AS (SELECT count(*) AS n_input,
+        |    sum(CASE WHEN eff_us IS NOT NULL THEN 1 ELSE 0 END) AS n_resolved,
+        |    sum(CASE WHEN eff_us IS NOT NULL AND l_suppkey % 89 <> 0
+        |             AND o_custkey % 97 <> 0 THEN 1 ELSE 0 END) AS n_loaded FROM fr)
+        |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, CAST(n_rows AS BIGINT) AS n_rows
+        |FROM (VALUES
+        |  (0, 'src_customer_lines', (SELECT n FROM c)),
+        |  (1, 'customer_rejects', (SELECT rej FROM c)),
+        |  (2, 'dim_customer', (SELECT n - rej FROM c)),
+        |  (3, 'src_finwire_lines', (SELECT s.n + p.n + r.n FROM s, p, r)),
+        |  (4, 'finwire_cmp_rejects', (SELECT rej FROM s)),
+        |  (5, 'dim_supplier', (SELECT n - rej FROM s)),
+        |  (6, 'dim_part', (SELECT n FROM p)),
+        |  (7, 'finwire_unknown', (SELECT n FROM r)),
+        |  (8, 'xml_actions', (SELECT xml_n FROM a)),
+        |  (9, 'dim_customer_versions_open', (SELECT open_n FROM a)),
+        |  (10, 'fact_input', (SELECT n_input FROM fa)),
+        |  (11, 'fact_resolved', (SELECT n_resolved FROM fa)),
+        |  (12, 'fact_loaded', (SELECT n_loaded FROM fa))) t(stage_idx, stage, n_rows)
+        |ORDER BY stage_idx""".stripMargin,
+
     // The fold has a closed form because the CDC sequence is the globally
     // unique event_id and batches partition time: after batch k a user's
     // state is the event with max (batch_index, event_id) among events

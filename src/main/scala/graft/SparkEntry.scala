@@ -83,6 +83,7 @@ object SparkEntry {
     "q_cdc_apply"       -> (Cdc.qCdcApply _),
     "q_cdc_scd2"        -> (Cdc.qCdcScd2 _),
     "q_cdc_batches"     -> (Cdc.qCdcBatches _),
+    "q_warehouse_etl"   -> (graft.etl.WarehouseEtl.qWarehouseEtl _),
     "q_snapshot_diff"   -> (Cdc.qSnapshotDiff _),
     "q_stream_tumbling" -> (Cdc.qStreamTumbling _),
     "q_sliding_window"  -> (Cdc.qSlidingWindow _),
