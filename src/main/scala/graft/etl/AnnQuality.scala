@@ -1,0 +1,227 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Llm
+
+/** Unified ANN quality harness (r10): ONE planted-near-dup fixture, ONE
+  * scoring pass over all ten ANN paths (five single-probe + five batch
+  * twins), ONE threshold table — replacing the recall assertions that were
+  * previously scattered per-test with inline fixtures.
+  *
+  * Recall is stated where ANN is meaningful (the LSH property): on a
+  * corpus with PLANTED near-duplicates of the probe (cos ≳ 0.9), not on
+  * uniform-random vectors whose exact "neighbors" sit at cos ≈ 0.3,
+  * indistinguishable from the bulk for any sublinear method.
+  *
+  * Each path reports, next to recall@k against the brute-force baseline:
+  *   - `coarseRows`: rows the coarse stage READS — pruned posting/list
+  *     rows for LSH/IVF/IVF-PQ, the full compressed table for SQ8/PQ
+  *     (their coarse stage is a full scan of 1-byte/dim or m-byte codes)
+  *   - `rerankRows`: rows exact-reranked against float vectors
+  *   - `coarseBytes`/`rerankBytes`: the MODELED payload of those reads
+  *     (posting=16 B, float dim×4 B, SQ8 dim+8 B, PQ m+8 B) — the number
+  *     that ranks the paths at 100 TB, where coarse scans are
+  *     bandwidth-bound
+  * so the report shows the actual trade each path buys: candidate
+  * fraction × payload width vs recall. [[graft.AnnReport]] renders the
+  * table; AnnQualitySpec enforces [[minRecall]] from the same run.
+  */
+object AnnQuality {
+
+  val Dim = 64
+  val K = 11
+  /** Fixture shape: probe 0, near-dups 1..9, exact dup 99, noise 100..299. */
+  val CorpusRows = 211
+
+  /** The shared planted fixture — probe vector first, then the corpus:
+    * 9 jittered near-copies + 1 exact duplicate + 200 Gaussian noise rows.
+    * Seeded; identical across harness, spec, and report. */
+  def plantedCorpus(spark: SparkSession): (Array[Float], DataFrame) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(Dim)(rnd.nextGaussian().toFloat)
+    val probe = vec()
+    def nearCopy(): Array[Float] =
+      probe.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+    val rows =
+      (0L -> probe) +:
+      (1L to 9L).map(i => i -> nearCopy()) :+
+      (99L -> probe)
+    val all = rows ++ (100L until 300L).map(i => i -> vec())
+    val e = all.map { case (id, v) => (id, (id % 10).toInt, v) }
+      .toDF("vec_id", "label", "embedding")
+    (probe, e)
+  }
+
+  /** Per-path minimum recall@11 (hits of the exact top-11) on the planted
+    * fixture, single-probe paths; batch twins must match their single twin
+    * per probe EXACTLY (parity, asserted separately), so they inherit the
+    * same floor. These are the contract numbers the scattered LlmSpec
+    * tests asserted before r10 — now stated once. */
+  val minRecall: Map[String, Int] = Map(
+    "lsh" -> 8, "ivf" -> 8, "sq8" -> 10, "pq" -> 8, "ivfpq" -> 8,
+    "lsh_batch" -> 8, "ivf_batch" -> 8, "sq8_batch" -> 10,
+    "pq_batch" -> 8, "ivfpq_batch" -> 8)
+
+  final case class PathScore(path: String, probes: Int, k: Int,
+                             hits: Int, exactTotal: Int,
+                             coarseRows: Long, rerankRows: Long,
+                             coarseBytes: Long, rerankBytes: Long) {
+    def recallPct: Double = 100.0 * hits / exactTotal
+    def candFracPct: Double = 100.0 * rerankRows / (probes.toLong * CorpusRows)
+  }
+
+  /** Score all ten paths on the planted fixture. Indexes build under temp
+    * dirs (the report measures query-path quality, not index reuse). */
+  def score(spark: SparkSession): Seq[PathScore] = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val (probe, e) = plantedCorpus(spark)
+    val probeD = probe.map(_.toDouble)
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_annq_$tag").toString
+
+    val lshDir = tmp("lsh"); AnnIndex.buildLsh(e, lshDir, bands = 3, bits = 8)
+    val ivfDir = tmp("ivf"); AnnIndex.build(e, ivfDir, nlist = 16)
+    val sq8Dir = tmp("sq8"); AnnIndex.buildSq8(e, sq8Dir)
+    val pqDir = tmp("pq"); AnnIndex.buildPq(e, pqDir, m = 4, k = 16)
+    val ivfPqDir = tmp("ivfpq"); AnnIndex.buildIvfPq(e, ivfDir, ivfPqDir, m = 4, k = 16)
+
+    // exact per-probe baselines: the probe itself + four planted near-dups
+    // (ids 1..4) — near the probe but not identical, so batch recall is a
+    // real multi-probe measurement, not five copies of one query
+    val batchIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val probeVecs: Map[Long, Array[Float]] = e
+      .filter(col("vec_id").isin(batchIds: _*))
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def exactTop(pid: Long): Set[Long] =
+      Llm.knnExact(e, pid, K).collect().map(_.getLong(0)).toSet
+    val exact: Map[Long, Set[Long]] = batchIds.map(p => p -> exactTop(p)).toMap
+
+    def hitsOf(df: DataFrame, pid: Long): Int =
+      exact(pid).intersect(df.collect().map(_.getLong(0)).toSet).size
+    def batchHits(df: DataFrame): Int = {
+      val byProbe = df.select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      batchIds.map(p =>
+        exact(p).intersect(byProbe.getOrElse(p, Array.empty).map(_._2).toSet).size).sum
+    }
+
+    val fDim = 4L * Dim // float payload per vector
+    val b = scala.collection.mutable.ArrayBuffer.empty[PathScore]
+
+    // ---- LSH: pruned posting cells -> distinct candidates -> exact rerank
+    val cells1 = Llm.lshProbeCells(e, 0L, bands = 3, bits = 8, radius = 1)
+    val lshCand1 = AnnIndex.lshProbeScan(spark, lshDir, cells1).count()
+    val lshPost1 = AnnIndex.lshPostingScan(spark, lshDir, cells1).count()
+    b += PathScore("lsh", 1, K,
+      hitsOf(Llm.knnExact(e.join(
+        AnnIndex.lshProbeScan(spark, lshDir, cells1), Seq("vec_id"), "left_semi"),
+        0L, K), 0L),
+      K, lshPost1, lshCand1, lshPost1 * 16, lshCand1 * fDim)
+
+    val cellsB = batchIds.flatMap(p =>
+      Llm.lshProbeCells(e, p, bands = 3, bits = 8, radius = 1)
+        .map { case (band, bkt) => (p, band, bkt) })
+    val postingB = AnnIndex.lshPostingScan(spark, lshDir,
+      cellsB.map(c => (c._2, c._3)).distinct)
+    val candB = postingB
+      .join(broadcast(cellsB.toDF("probe_id", "band", "bkt")), Seq("band", "bkt"))
+      .select("probe_id", "vec_id").distinct()
+    val lshPostB = postingB.count(); val lshCandB = candB.count()
+    val lshBatch = {
+      val pv = e.join(broadcast(batchIds.toDF("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val scored = e.join(candB, Seq("vec_id"))
+        .join(broadcast(pv), Seq("probe_id"))
+        .withColumn("cos_sim",
+          round(call_function("cosine_similarity", col("embedding"), col("pv")), 4))
+        .select("probe_id", "vec_id", "cos_sim")
+      graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), K)
+    }
+    b += PathScore("lsh_batch", batchIds.size, K, batchHits(lshBatch),
+      batchIds.size * K, lshPostB, lshCandB, lshPostB * 16, lshCandB * fDim)
+
+    // ---- IVF: pruned list scan IS the rerank set (exact scoring on lists)
+    val lists1 = AnnIndex.nearestLists(spark, ivfDir, probeD, nprobe = 4)
+    val ivfRows1 = AnnIndex.probeScan(spark, ivfDir, lists1).count()
+    b += PathScore("ivf", 1, K,
+      hitsOf(Llm.knnIvfProbe(spark, ivfDir, probeD, 0L, K, nprobe = 4), 0L),
+      K, ivfRows1, ivfRows1, ivfRows1 * fDim, ivfRows1 * fDim)
+
+    val listsB = AnnIndex.nearestListsBatch(spark, ivfDir,
+      batchIds.map(p => probeVecs(p).map(_.toDouble)), nprobe = 4)
+    val ivfRowsB = AnnIndex.probeScan(spark, ivfDir, listsB.flatten.distinct).count()
+    b += PathScore("ivf_batch", batchIds.size, K,
+      batchHits(Llm.knnIvfBatchProbe(spark, ivfDir,
+        batchIds.map(p => (p, probeVecs(p))), K, nprobe = 4)),
+      batchIds.size * K, ivfRowsB, ivfRowsB, ivfRowsB * fDim, ivfRowsB * fDim)
+
+    // ---- SQ8: full 1-byte/dim coarse scan, oversample*k exact rerank
+    val sq8Rerank = 4L * K
+    b += PathScore("sq8", 1, K,
+      hitsOf(Llm.knnSq8Probe(spark, sq8Dir, e, probeD, 0L, K, oversample = 4), 0L),
+      K, CorpusRows, sq8Rerank, CorpusRows * (Dim + 8L), sq8Rerank * fDim)
+    b += PathScore("sq8_batch", batchIds.size, K,
+      batchHits(Llm.knnSq8BatchProbe(spark, sq8Dir, e,
+        batchIds.map(p => (p, probeVecs(p).map(_.toDouble))), K, oversample = 4)),
+      batchIds.size * K, CorpusRows, batchIds.size * sq8Rerank,
+      CorpusRows * (Dim + 8L), batchIds.size * sq8Rerank * fDim)
+
+    // ---- PQ: full m-byte coarse scan, oversample*k exact rerank
+    val pqRerank = 8L * K
+    b += PathScore("pq", 1, K,
+      hitsOf(Llm.knnPqProbe(spark, pqDir, e, probeD, 0L, K, oversample = 8), 0L),
+      K, CorpusRows, pqRerank, CorpusRows * (4 + 8L), pqRerank * fDim)
+    b += PathScore("pq_batch", batchIds.size, K,
+      batchHits(Llm.knnPqBatchProbe(spark, pqDir, e,
+        batchIds.map(p => (p, probeVecs(p).map(_.toDouble))), K, oversample = 8)),
+      batchIds.size * K, CorpusRows, batchIds.size * pqRerank,
+      CorpusRows * (4 + 8L), batchIds.size * pqRerank * fDim)
+
+    // ---- IVF-PQ: pruned m-byte list scan, oversample*k exact rerank
+    val ivfPqRows1 = AnnIndex.ivfPqScan(spark, ivfPqDir, lists1).count()
+    b += PathScore("ivfpq", 1, K,
+      hitsOf(Llm.knnIvfPqProbe(spark, ivfDir, ivfPqDir, e, probeD, 0L, K,
+        nprobe = 4, oversample = 8), 0L),
+      K, ivfPqRows1, pqRerank, ivfPqRows1 * (4 + 8L), pqRerank * fDim)
+    val ivfPqRowsB = AnnIndex.ivfPqScan(spark, ivfPqDir, listsB.flatten.distinct).count()
+    b += PathScore("ivfpq_batch", batchIds.size, K,
+      batchHits(Llm.knnIvfPqBatchProbe(spark, ivfDir, ivfPqDir, e,
+        batchIds.map(p => (p, probeVecs(p).map(_.toDouble))), K,
+        nprobe = 4, oversample = 8)),
+      batchIds.size * K, ivfPqRowsB, batchIds.size * pqRerank,
+      ivfPqRowsB * (4 + 8L), batchIds.size * pqRerank * fDim)
+
+    b.toSeq
+  }
+
+  /** Render the report table (the round-snapshot artifact). */
+  def reportMarkdown(scores: Seq[PathScore]): String = {
+    val exactBytes = CorpusRows * 4L * Dim
+    val header =
+      s"""# ANN quality report — all ten paths, one fixture
+         |
+         |Fixture: ${CorpusRows}-row planted-near-dup corpus (dim $Dim; probe 0,
+         |9 jittered near-copies at cos≈0.9, 1 exact duplicate, 200 Gaussian
+         |noise rows), seeded — `AnnQuality.plantedCorpus`. Recall@$K vs exact
+         |brute force; batch paths probe ids 0-4. Bytes are MODELED payload
+         |(posting 16 B, float ${4 * Dim} B, SQ8 ${Dim + 8} B, PQ 12 B per row);
+         |exact brute force reads $exactBytes B per probe. Thresholds:
+         |`AnnQuality.minRecall`, enforced by AnnQualitySpec against this same
+         |scoring pass.
+         |
+         || path | probes | recall | recall% | coarse rows | rerank rows | cand frac% | coarse B | rerank B |
+         ||---|---|---|---|---|---|---|---|---|""".stripMargin
+    val rows = scores.map { s =>
+      f"| ${s.path} | ${s.probes} | ${s.hits}/${s.exactTotal} | ${s.recallPct}%.1f " +
+        f"| ${s.coarseRows} | ${s.rerankRows} | ${s.candFracPct}%.1f " +
+        f"| ${s.coarseBytes} | ${s.rerankBytes} |"
+    }
+    (header +: rows).mkString("\n") + "\n"
+  }
+}

@@ -239,23 +239,17 @@ class LlmSpec extends AnyFunSuite {
     assert(l1 !== l2, "LSH key must track content too")
   }
 
-  test("knn LSH: recall >= 8/10 on a corpus with genuine near neighbors") {
+  test("knn LSH: recall clears the shared floor on a corpus with genuine near neighbors") {
     // LSH recall is similarity-dependent: on uniform-random vectors the
     // exact "top-10" sit at cos~0.3 (indistinguishable from the bulk — no
     // sublinear method recovers them), so the recall contract is stated
-    // where ANN is meaningful: planted near-duplicates of the probe.
-    val rnd = new scala.util.Random(42)
-    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
-    val probe = vec()
-    def nearCopy(): Array[Float] =
-      probe.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
-    val rows =
-      (0L -> probe) +:
-      (1L to 9L).map(i => i -> nearCopy()) :+
-      (99L -> probe) // exact duplicate
-    val all = rows ++ (100L until 300L).map(i => i -> vec())
-    val e = all.map { case (id, v) => (id, (id % 10).toInt, v) }
-      .toDF("vec_id", "label", "embedding")
+    // where ANN is meaningful: planted near-duplicates of the probe. The
+    // fixture and the per-path floors are SHARED with the unified quality
+    // harness (AnnQuality.plantedCorpus / minRecall, r10) — this test adds
+    // the persisted-index-free in-query candidate path, which AnnQualitySpec
+    // does not cover.
+    import graft.etl.AnnQuality
+    val (probe, e) = AnnQuality.plantedCorpus(spark)
 
     val exact = Llm.knnExact(e, 0L, 11).collect().map(_.getLong(0)).toSet
     assert((0L to 9L).forall(exact) && exact(99L), "planted dups must top brute force")
@@ -263,11 +257,12 @@ class LlmSpec extends AnyFunSuite {
     val lsh = Llm.knnLsh(e, 0L, 11, bands = 3, bits = 8, radius = 1)
       .collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(lsh).size
-    assert(recall >= 8, s"ANN recall too low: $recall/11 (lsh=$lsh)")
+    assert(recall >= AnnQuality.minRecall("lsh"),
+      s"ANN recall too low: $recall/11 (lsh=$lsh)")
 
     val nCand = Llm.knnLshCandidates(e, 0L, 3, 8, 1).count()
-    assert(nCand < all.size / 3,
-      s"candidate set is not sublinear on planted corpus: $nCand of ${all.size}")
+    assert(nCand < AnnQuality.CorpusRows / 3,
+      s"candidate set is not sublinear on planted corpus: $nCand of ${AnnQuality.CorpusRows}")
 
     // IVF path on the same corpus, through the PERSISTED index: build once
     // to a temp dir (the ingest job), then probe — no training anywhere in
@@ -278,7 +273,8 @@ class LlmSpec extends AnyFunSuite {
     val ivf = Llm.knnIvfProbe(spark, idxDir, probe.map(_.toDouble), 0L, 11, nprobe = 4)
       .collect().map(_.getLong(0)).toSet
     val ivfRecall = exact.intersect(ivf).size
-    assert(ivfRecall >= 8, s"IVF recall too low: $ivfRecall/11 (ivf=$ivf)")
+    assert(ivfRecall >= graft.etl.AnnQuality.minRecall("ivf"),
+      s"IVF recall too low: $ivfRecall/11 (ivf=$ivf)")
 
     // SQ8 path on the same corpus, through the persisted quantized index:
     // int8 cosine error is ~1e-2, so at 4x oversampling recall on planted
@@ -289,7 +285,8 @@ class LlmSpec extends AnyFunSuite {
         k = 11, oversample = 4)
       .collect().map(_.getLong(0)).toSet
     val sq8Recall = exact.intersect(sq8).size
-    assert(sq8Recall >= 10, s"SQ8 recall too low: $sq8Recall/11 (sq8=$sq8)")
+    assert(sq8Recall >= graft.etl.AnnQuality.minRecall("sq8"),
+      s"SQ8 recall too low: $sq8Recall/11 (sq8=$sq8)")
 
     // PQ path on the same corpus: m-byte codes are far coarser than int8
     // (4 bytes for 64 dims), but planted near-dups quantize to the probe's
@@ -300,7 +297,8 @@ class LlmSpec extends AnyFunSuite {
         k = 11, oversample = 8)
       .collect().map(_.getLong(0)).toSet
     val pqRecall = exact.intersect(pq).size
-    assert(pqRecall >= 8, s"PQ recall too low: $pqRecall/11 (pq=$pq)")
+    assert(pqRecall >= graft.etl.AnnQuality.minRecall("pq"),
+      s"PQ recall too low: $pqRecall/11 (pq=$pq)")
   }
 
   test("ivfpq: codes match flat PQ (same seed, same books); probe scan partition-prunes; recall holds") {
