@@ -53,7 +53,9 @@ object ScaleSmoke {
     "q_knn_cosine_pq",     // PQ ADC coarse scan — m byte lookups/row, linear (r9)
     "q_knn_cosine_ivfpq",  // composite: pruned lists × byte codes (r9)
     "q_knn_batch_ivfpq",   // batch composite: union-pruned, list-equality ADC (r9)
-    "q_profile_columns")   // stack + cascade distinct — the r9 one-scan rewrite
+    "q_profile_columns",   // stack + cascade distinct — the r9 one-scan rewrite
+    "q_content_chunks",    // gram explode + per-doc running-sum window (r10)
+    "q_chunk_dedup")       // chunk frame + positional slice + hash aggs (r10)
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata")

@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_lm_perplexity", // 1-row corpus-total and P90 broadcasts
     "q_interpolate", // |groups| × 1-row-exploded day-range spine cross
     "q_knn_batch", // m-row probe batch (bounded), broadcast
-    "q_hybrid_rrf") // inherits its arms' 1-row probe/stats broadcasts (r9)
+    "q_hybrid_rrf", // inherits its arms' 1-row probe/stats broadcasts (r9)
+    "q_warehouse_etl") // DImessages funnel: six 1-row audit aggs cross-joined (r10)
 
   // One evaluation pass over the full inventory; both audits read the
   // final (post-AQE) plans from it. collect() — not a noop write — because
