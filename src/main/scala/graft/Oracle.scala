@@ -1016,6 +1016,19 @@ object Oracle {
         |GROUP BY md5(text)
         |ORDER BY text_md5""".stripMargin,
 
+    // Bloom prefilter + exact confirm ≡ exact semi-join: the confirm step
+    // removes every Bloom false positive, so the oracle is the plain
+    // cross-source membership query with no sketch in sight.
+    "q_dedup_bloom" ->
+      """SELECT d.doc_id, d.source,
+        |       md5(array_to_string(list_slice(string_split(d.text, ' '), 1, 8), ' ')) AS prefix_md5
+        |FROM documents d
+        |WHERE d.source <> 'src0'
+        |  AND md5(array_to_string(list_slice(string_split(d.text, ' '), 1, 8), ' '))
+        |      IN (SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
+        |          FROM documents WHERE source = 'src0')
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_dedup_minhash" -> (minhashPairsSql + "\nORDER BY doc_a, doc_b"),
 
     "q_dedup_groups" ->
@@ -1146,6 +1159,29 @@ object Oracle {
     // Arrays are emitted as comma-joined INTEGER strings (unit elements in
     // 1e-6 units): integers render identically across engines, and scalar
     // columns keep the driver's pandas row-sort happy.
+    // Augmented-Gram covariance: the oracle restates the one-pass trick with
+    // a plain exploded self-join (DuckDB need not scale); products snap to
+    // integer micros before the sum, and the derived covariance uses the
+    // bit-identical expression tree (left-assoc double divisions) as Spark.
+    "q_embed_covariance" ->
+      """WITH ex AS (SELECT vec_id,
+        |    list_prepend(CAST(1.0 AS DOUBLE),
+        |                 list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, unnest(v) AS x, unnest(range(0, len(v))) AS i FROM ex),
+        |g AS (SELECT a.i AS i, b.i AS j,
+        |        CAST(sum(CAST(floor(a.x * b.x * 1000000.0) AS BIGINT)) AS BIGINT) AS sxy_micro
+        |      FROM a JOIN a AS b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |      GROUP BY 1, 2),
+        |n AS (SELECT CAST(sxy_micro / 1000000.0 AS BIGINT) AS n FROM g WHERE i = 0 AND j = 0),
+        |m AS (SELECT j - 1 AS d, sxy_micro AS sx_micro FROM g WHERE i = 0 AND j > 0)
+        |SELECT CAST(g.i - 1 AS INT) AS i, CAST(g.j - 1 AS INT) AS j, g.sxy_micro,
+        |  CAST(floor((g.sxy_micro / 1000000.0 / n.n -
+        |    (mi.sx_micro / 1000000.0 / n.n) * (mj.sx_micro / 1000000.0 / n.n)) * 1000000.0) AS BIGINT) AS cov_micro
+        |FROM g, n, m AS mi, m AS mj
+        |WHERE g.i >= 1 AND mi.d = g.i - 1 AND mj.d = g.j - 1
+        |ORDER BY i, j""".stripMargin,
+
     "q_embed_normalize" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -93,6 +93,7 @@ object SparkEntry {
     "q_markov_transitions" -> (Cdc.qMarkovTransitions _),
     // §2.9 LLM-data-pipeline block
     "q_dedup_exact"    -> (Llm.qDedupExact _),
+    "q_dedup_bloom"    -> (Llm.qDedupBloom _),
     "q_dedup_minhash"  -> (Llm.qDedupMinhash _),
     "q_dedup_groups"   -> (Llm.qDedupGroups _),
     "q_dedup_keep"     -> (Llm.qDedupKeep _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_knn_cosine"     -> (Llm.qKnnCosine _),
     "q_knn_batch"      -> (Llm.qKnnBatch _),
     "q_embed_normalize" -> (Llm.qEmbedNormalize _),
+    "q_embed_covariance" -> (Llm.qEmbedCovariance _),
     "q_knn_cosine_lsh" -> (Llm.qKnnCosineLsh _), // no-oracle: rows-only check + LlmSpec recall test
     "q_knn_cosine_ivf" -> (Llm.qKnnCosineIvf _), // no-oracle: rows-only check + LlmSpec recall test
     "q_knn_batch_ivf"  -> (Llm.qKnnBatchIvf _),  // no-oracle: per-probe parity with single-probe IVF in LlmSpec

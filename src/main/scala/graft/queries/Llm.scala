@@ -134,6 +134,45 @@ object Llm {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("text_md5")
 
+  /** §2.9 Bloom-prefiltered cross-corpus dedup: which incoming (non-src0)
+    * documents OPEN with the same 8 words as some base-corpus (src0)
+    * document — the prefix-fingerprint rule crawl pipelines use to catch
+    * syndicated/templated copies whose tails diverge (full-text hashing
+    * misses them; this corpus has zero verbatim cross-source copies but
+    * does have shared-prefix near-copies). The 100 TB shape is asymmetric —
+    * the base corpus is huge, the incoming crawl smaller — and the naive
+    * semi-join shuffles the ENTIRE incoming side on the fingerprint.
+    * Instead the base side's fingerprint set is compressed into a Bloom
+    * filter (built distributed via `df.stat.bloomFilter` — per-partition
+    * sketches OR-merged on the driver, ~1.2 MB per 10⁶ keys at 1% fpp vs
+    * ~50 MB as a broadcast hash set) and broadcast; the incoming side is
+    * gated MAP-SIDE, so only true dupes + fpp·N candidate rows reach the
+    * exact-confirm semi-join. The confirm step removes Bloom false
+    * positives, making the output bit-equal to the exact semi-join — which
+    * is what the oracle restates. This is the one deliberate UDF in the
+    * library: the probe is a broadcast-sketch membership test with no
+    * built-in equivalent (Spark's runtime bloom-join filters cannot be
+    * targeted manually), and it gates rows before every shuffle, exactly
+    * where a non-codegen call is cheapest. LlmSpec pins bloom-vs-exact
+    * equality and the false-positive-removal property. */
+  def qDedupBloom(spark: SparkSession, dir: String): DataFrame =
+    bloomDedupFrame(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Bloom-dedup core over any (doc_id, source, text) frame, split out so
+    * LlmSpec can run the FP-removal property on a crafted corpus. */
+  private[graft] def bloomDedupFrame(docs: DataFrame): DataFrame = {
+    val d = Exprs.pinShared(docs.select(col("doc_id"), col("source"),
+      md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("prefix_md5")))
+    val base = d.filter(col("source") === "src0").select("prefix_md5")
+    val bloom = base.stat.bloomFilter("prefix_md5", base.count() max 1000L, 0.01)
+    val bloomB = d.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bloomB.value.mightContainString(h))
+    d.filter(col("source") =!= "src0")
+      .filter(mightContain(col("prefix_md5")))
+      .join(base.distinct(), Seq("prefix_md5"), "left_semi")
+      .select(col("doc_id"), col("source"), col("prefix_md5"))
+  }
+
   /** §2.9 MinHash + LSH near-dup candidates: distinct bigram shingles →
     * 8 minwise hashes (8-hex-char windows of two seeded md5s — one strong
     * hash split into independent ranges, cross-engine identical) → 4 bands
@@ -1151,6 +1190,54 @@ object Llm {
         (floor(col("nrm") * 1e6) / 1e6).as("nrm"),
         col("unit_vec_micro"), col("int8_vec"))
       .orderBy("vec_id")
+  }
+
+  /** §2.9 Feature covariance over the embedding corpus — the PCA/whitening
+    * prep statistic (and the input to every "decorrelate features before
+    * OPQ/IVF training" step). Computed with the augmented-Gram trick: each
+    * vector is prepended with a constant 1.0, so ONE map-side outer-product
+    * pass yields count (cell 0,0), per-dimension first moments (row 0) and
+    * second moments (the rest) simultaneously — covariance then derives
+    * entirely from the tiny d²-row aggregate, with no second scan for the
+    * means. The pass is two chained generators (posexplode of the vector,
+    * then posexplode of its tail slice — upper triangle only, d(d+1)/2
+    * products per row instead of d²) feeding a hash aggregation whose
+    * map-side partials reduce each partition to ≤ 2,145 rows before the
+    * only shuffle. No self-join: the naive ex⋈ex-on-vec_id formulation
+    * shuffles the exploded corpus twice; this shape shuffles ~2 k rows per
+    * partition regardless of corpus size. Products floor-snap to integer
+    * micro-units BEFORE the long sum (order-independent under any
+    * partitioning, SURVEY §5.3); the derived covariance is computed from
+    * those exact longs in an identical expression tree in both engines.
+    * The final enrich joins are broadcasts against d-row / 1-row slices of
+    * the pinned gram frame. */
+  def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val v = concat(array(lit(1.0d)), asDouble(col("embedding")))
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), v.as("v"))
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("v"), col("i") + 1, size(col("v")) - col("i")))
+          .as(Seq("dj", "xj")))
+    val gram = Exprs.pinShared(ex
+      .groupBy(col("i"), (col("i") + col("dj")).as("j"))
+      .agg(sum(floor(col("xi") * col("xj") * lit(1e6)).cast("long")).as("sxy_micro")))
+    val nRow = gram.filter(col("i") === 0 && col("j") === 0)
+      .select((col("sxy_micro") / lit(1e6)).cast("long").as("n"))
+    val moments = gram.filter(col("i") === 0 && col("j") > 0)
+      .select((col("j") - 1).as("d"), col("sxy_micro").as("sx_micro"))
+    gram.filter(col("i") > 0)
+      .select((col("i") - 1).as("i"), (col("j") - 1).as("j"), col("sxy_micro"))
+      .join(broadcast(moments.select(col("d").as("i"), col("sx_micro").as("sx_i"))), Seq("i"))
+      .join(broadcast(moments.select(col("d").as("j"), col("sx_micro").as("sx_j"))), Seq("j"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("cov_micro",
+        floor((col("sxy_micro") / lit(1e6) / col("n") -
+          (col("sx_i") / lit(1e6) / col("n")) * (col("sx_j") / lit(1e6) / col("n"))) * lit(1e6))
+          .cast("long"))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("sxy_micro"), col("cov_micro"))
+      .orderBy("i", "j")
   }
 
   /** §2.9 Embedding-space outlier detection: each vector's cosine similarity

@@ -985,4 +985,54 @@ class LlmSpec extends AnyFunSuite {
     assert(pruned === naive, "prefix filter dropped or invented a qualifying pair")
     assert(pruned.nonEmpty)
   }
+
+  test("embed covariance: upper triangle complete, matches covar_pop within snap tolerance") {
+    import org.apache.spark.sql.functions.{covar_pop, posexplode}
+    val out = Llm.qEmbedCovariance(spark, TestSpark.sfDir).collect()
+    val d = 64
+    assert(out.length === d * (d + 1) / 2, "expected the full upper triangle")
+    val ex = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val ref = ex.as("a")
+      .join(ex.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(covar_pop(col("a.x"), col("b.x")).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    out.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val got = r.getLong(3) / 1e6
+      assert(math.abs(got - ref((i, j))) < 1e-4,
+        s"cov($i,$j): snapped $got vs covar_pop ${ref((i, j))}")
+    }
+  }
+
+  test("bloom dedup: crafted corpus — shared-prefix doc flagged, unique docs not") {
+    import org.apache.spark.sql.functions.lit
+    val prefixA = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, "src0", prefixA + " tail one two three"),
+      (2L, "src0", "totally different base document opening words here indeed"),
+      (3L, "src1", prefixA + " a completely divergent continuation"), // syndicated copy
+      (4L, "src1", "unique incoming document nothing shared at all ok"),
+      (5L, "src2", "short doc") // < 8 words: prefix = whole doc, no match
+    ).toDF("doc_id", "source", "text")
+    val out = Llm.bloomDedupFrame(d).collect().map(_.getLong(0)).toSet
+    assert(out === Set(3L), s"expected only the shared-prefix doc, got $out")
+  }
+
+  test("bloom dedup equals the exact semi-join (confirm step removes all FPs)") {
+    import org.apache.spark.sql.functions.{concat_ws, md5, slice, split}
+    val d = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("prefix_md5"))
+    val baseKeys = d.filter(col("source") === "src0").select("prefix_md5").distinct()
+    val exact = d.filter(col("source") =!= "src0")
+      .join(baseKeys, Seq("prefix_md5"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Llm.qDedupBloom(spark, TestSpark.sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloom === exact, "bloom+confirm must be bit-equal to the exact semi-join")
+  }
 }
