@@ -1159,6 +1159,22 @@ object Oracle {
     // Arrays are emitted as comma-joined INTEGER strings (unit elements in
     // 1e-6 units): integers render identically across engines, and scalar
     // columns keep the driver's pandas row-sort happy.
+    // Hard negatives: integer micro-dot (floor-snapped products, exact long
+    // sum) makes the top-k ranking bit-deterministic cross-engine; ties
+    // break on vec_id.
+    "q_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS av
+        |           FROM embeddings WHERE vec_id % 37 = 0),
+        |s AS (SELECT a.anchor_id, e.vec_id, e.label,
+        |        CAST(list_sum(list_transform(list_zip(a.av, e.embedding),
+        |          p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT))) AS BIGINT) AS dot_micro
+        |      FROM embeddings e JOIN a ON e.label <> a.anchor_label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY dot_micro DESC, vec_id) AS rn FROM s)
+        |SELECT anchor_id, CAST(rn AS INT) AS rnk, vec_id, label, dot_micro
+        |FROM r WHERE rn <= 5
+        |ORDER BY anchor_id, rnk""".stripMargin,
+
     // Augmented-Gram covariance: the oracle restates the one-pass trick with
     // a plain exploded self-join (DuckDB need not scale); products snap to
     // integer micros before the sum, and the derived covariance uses the
@@ -1348,6 +1364,14 @@ object Oracle {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) AS INT) AS bal_bucket,
+        |  count(*) AS class_size, count(*) = 1 AS unique_row
+        |FROM customer
+        |GROUP BY 1, 2, 3 HAVING count(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin,
 
     "q_pseudonymize" ->
       """SELECT c_custkey,
@@ -1760,6 +1784,27 @@ object Oracle {
         |SELECT doc_id, n_words, avg_nll, avg_nll > p90 AS flagged
         |FROM sc CROSS JOIN p
         |ORDER BY doc_id""".stripMargin,
+
+    // NB quality gate: Laplace-smoothed two-class word LLR; identical double
+    // division and ln arguments both engines, micro-snapped per word before
+    // the long per-doc sum (same exposure class as q_lm_perplexity).
+    "q_quality_nb" ->
+      """WITH tok AS (SELECT doc_id, source = 'src0' AS pos,
+        |                    unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn,
+        |             count(*) AS v FROM cnt),
+        |s AS (SELECT doc_id, count(*) AS n_words,
+        |    CAST(sum(CAST(floor((ln(CAST(cp + 1 AS DOUBLE) / (np + v)) -
+        |                         ln(CAST(cn + 1 AS DOUBLE) / (nn + v))) * 1e6) AS BIGINT)) AS BIGINT) AS llr_micro
+        |  FROM tok JOIN cnt USING (w) CROSS JOIN t GROUP BY 1)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, llr_micro,
+        |  floor(CAST(llr_micro AS DOUBLE) / n_words) / 1e6 AS avg_llr,
+        |  llr_micro > 0 AS pred_pos
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_span_dup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

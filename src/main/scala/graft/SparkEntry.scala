@@ -104,6 +104,8 @@ object SparkEntry {
     "q_knn_batch"      -> (Llm.qKnnBatch _),
     "q_embed_normalize" -> (Llm.qEmbedNormalize _),
     "q_embed_covariance" -> (Llm.qEmbedCovariance _),
+    "q_hard_negatives" -> (Llm.qHardNegatives _),
+    "q_quality_nb" -> (Llm.qQualityNb _),
     "q_knn_cosine_lsh" -> (Llm.qKnnCosineLsh _), // no-oracle: rows-only check + LlmSpec recall test
     "q_knn_cosine_ivf" -> (Llm.qKnnCosineIvf _), // no-oracle: rows-only check + LlmSpec recall test
     "q_knn_batch_ivf"  -> (Llm.qKnnBatchIvf _),  // no-oracle: per-probe parity with single-probe IVF in LlmSpec
@@ -145,6 +147,7 @@ object SparkEntry {
     "q_sample_stratified" -> (Llm.qSampleStratified _),
     "q_source_budget"  -> (Llm.qSourceBudget _),
     "q_pseudonymize"   -> (Relational.qPseudonymize _),
+    "q_k_anonymity"    -> (Relational.qKAnonymity _),
     "q_knn_cosine_int8" -> (Llm.qKnnCosineInt8 _), // no-oracle: recall + int8-error bound in LlmSpec
     "q_knn_batch_int8"  -> (Llm.qKnnBatchInt8 _),  // no-oracle: per-probe parity with single-probe SQ8 in LlmSpec
     "q_knn_cosine_pq"   -> (Llm.qKnnCosinePq _),   // no-oracle: recall + ADC/codebook contracts in LlmSpec

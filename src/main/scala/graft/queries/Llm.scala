@@ -1192,6 +1192,39 @@ object Llm {
       .orderBy("vec_id")
   }
 
+  /** §2.9 Hard-negative mining — for each anchor vector, the top-5 most
+    * similar vectors carrying a DIFFERENT label: the pairs a contrastive
+    * trainer wants (close in embedding space, semantically distinct).
+    * Anchors are a deterministic corpus slice (vec_id % 37 == 0, the
+    * "this shard's anchors" pattern). Similarity is the EXACT integer
+    * micro-dot (each elementwise product floor-snapped to 1e-6 units
+    * before a long fold — order-independent and bit-identical in DuckDB),
+    * which makes a top-k ranking query over floating-point vectors fully
+    * oracle-able, unlike the cosine ANN ladder. Shape: anchors broadcast
+    * (m rows) against the corpus with a label-mismatch residual → one
+    * codegen'd zip_with/aggregate per pair → per-anchor top-5 window.
+    * At 100 TB the exhaustive scan per anchor is replaced by feeding the
+    * same scoring/ranking tail from [[graft.etl.AnnIndex]] coarse
+    * candidates — the mining semantics and this query's tail stay as-is. */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val anchors = e.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("av"))
+    val scored = e.join(broadcast(anchors), col("label") =!= col("anchor_label"))
+      .withColumn("dot_micro", aggregate(
+        zip_with(col("av"), col("embedding"),
+          (x, y) => floor(x.cast("double") * y.cast("double") * lit(1e6)).cast("long")),
+        lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("dot_micro").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("anchor_id"), col("rnk"), col("vec_id"), col("label"),
+        col("dot_micro"))
+      .orderBy("anchor_id", "rnk")
+  }
+
   /** §2.9 Feature covariance over the embedding corpus — the PCA/whitening
     * prep statistic (and the input to every "decorrelate features before
     * OPQ/IVF training" step). Computed with the augmented-Gram trick: each
@@ -2407,6 +2440,43 @@ object Llm {
     scored.crossJoin(broadcast(p90))
       .withColumn("flagged", col("avg_nll") > col("p90"))
       .select("doc_id", "n_words", "avg_nll", "flagged")
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 Supervised quality gate — a word-level Naive Bayes classifier
+    * trained IN the query (the GPT-3/fasttext pattern: positive class = a
+    * curated corpus, here src0; negative = the rest) and applied to every
+    * document as a log-likelihood-ratio score. Distinct from
+    * [[qLmPerplexity]] (one unsmoothed corpus LM, unsupervised) — this is
+    * the CONTRASTIVE form with Laplace smoothing, the shape every
+    * classifier-based corpus filter takes.
+    *
+    * Shape at scale: the "model" is the per-word two-class count table
+    * (vocabulary-bounded, pinned + broadcast); training is one hash agg
+    * with map-side partials; inference is explode → broadcast join →
+    * per-doc sum. Each word's LLR floor-snaps to integer micro-units
+    * BEFORE the per-doc long sum (order-independent under any
+    * partitioning), the same §5.3 discipline as the perplexity filter. */
+  def qQualityNb(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("source") === "src0").as("pos"),
+        explode(split(col("text"), " ")).as("w"))
+    val counts = pinShared(toks.groupBy("w").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("cn")))
+    val totals = counts.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+      count(lit(1)).as("v"))
+    toks.join(broadcast(counts), "w")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(floor((log((col("cp") + 1).cast("double") / (col("np") + col("v"))) -
+                   log((col("cn") + 1).cast("double") / (col("nn") + col("v")))) * lit(1e6))
+          .cast("long")).as("llr_micro"))
+      .withColumn("avg_llr",
+        floor(col("llr_micro").cast("double") / col("n_words")) / 1e6)
+      .withColumn("pred_pos", col("llr_micro") > 0)
+      .select("doc_id", "n_words", "llr_micro", "avg_llr", "pred_pos")
       .orderBy("doc_id")
   }
 

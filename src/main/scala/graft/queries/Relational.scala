@@ -370,6 +370,25 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** §2.4 k-anonymity audit — the governance check a dataset passes before
+    * release: group the table by its quasi-identifier tuple (nation ×
+    * segment × coarse balance bucket) and emit every equivalence class
+    * smaller than k=5, i.e. the rows an adversary joining on public
+    * attributes could re-identify; singleton classes are flagged as unique
+    * rows. One hash aggregation with map-side partials + a HAVING filter —
+    * the violating-class output is bounded by the QI-space cardinality,
+    * never the table size, so the shape holds at any SF. Complements
+    * [[qPseudonymize]] (fixing identifiers) with the measurement of
+    * whether the remaining attributes still leak identity. */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("int").as("bal_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < 5)
+      .withColumn("unique_row", col("class_size") === 1)
+      .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+
   /** §2.4 Batch-validation / DImessages shape: per-table row counts plus a
     * per-table alert count (invalid-value rules), one row per table — the
     * TPC-DI batch validation query that runs after every load [SPEC:

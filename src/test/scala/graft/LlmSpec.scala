@@ -1008,6 +1008,59 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("NB quality gate matches a brute-force driver-side computation") {
+    val rows = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    val cp = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val cn = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    rows.foreach { case (_, src, ws) =>
+      ws.foreach(w => if (src == "src0") cp(w) += 1 else cn(w) += 1)
+    }
+    val vocab = (cp.keySet ++ cn.keySet).size
+    val (np, nn) = (cp.values.sum, cn.values.sum)
+    val expected = rows.map { case (id, _, ws) =>
+      id -> ws.map { w =>
+        math.floor((math.log((cp(w) + 1).toDouble / (np + vocab)) -
+          math.log((cn(w) + 1).toDouble / (nn + vocab))) * 1e6).toLong
+      }.sum
+    }.toMap
+    val out = Llm.qQualityNb(spark, TestSpark.sfDir).collect()
+    assert(out.length === rows.length)
+    out.foreach { r =>
+      assert(r.getLong(2) === expected(r.getLong(0)),
+        s"doc ${r.getLong(0)}: llr ${r.getLong(2)} vs ${expected(r.getLong(0))}")
+      assert(r.getBoolean(4) === (r.getLong(2) > 0))
+    }
+  }
+
+  test("hard negatives: label-disjoint, rank-complete, matches brute force") {
+    val out = Llm.qHardNegatives(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    val vecs = Tables.embeddings(spark, TestSpark.sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val labelOf = vecs.map(v => v._1 -> v._2).toMap
+    val anchors = vecs.filter(_._1 % 37 == 0)
+    assert(out.map(_._1).distinct.length === anchors.length)
+    out.foreach { case (aId, _, vId, lbl, _) =>
+      assert(lbl === labelOf(vId))
+      assert(lbl !== labelOf(aId), s"negative $vId shares anchor $aId's label")
+    }
+    // brute-force the expected top-5 with the same snapped integer dot
+    anchors.foreach { case (aId, aLbl, av) =>
+      val expected = vecs.filter(_._2 != aLbl)
+        .map { case (vId, _, v) =>
+          val dot = av.zip(v).map { case (x, y) => math.floor(x * y * 1e6).toLong }.sum
+          (vId, dot)
+        }
+        .sortBy { case (vId, dot) => (-dot, vId) }.take(5).map(_._1).toSeq
+      val got = out.filter(_._1 == aId).sortBy(_._2).map(_._3).toSeq
+      assert(got === expected, s"anchor $aId: $got vs $expected")
+    }
+  }
+
   test("bloom dedup: crafted corpus — shared-prefix doc flagged, unique docs not") {
     import org.apache.spark.sql.functions.lit
     val prefixA = "alpha beta gamma delta epsilon zeta eta theta"

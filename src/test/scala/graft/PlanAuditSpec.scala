@@ -28,7 +28,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_knn_batch", // m-row probe batch (bounded), broadcast
     "q_hybrid_rrf", // inherits its arms' 1-row probe/stats broadcasts (r9)
     "q_warehouse_etl", // DImessages funnel: six 1-row audit aggs cross-joined (r10)
-    "q_embed_covariance") // 1-row count cell of the gram frame, broadcast (r10)
+    "q_embed_covariance", // 1-row count cell of the gram frame, broadcast (r10)
+    "q_hard_negatives", // m-row anchor slice broadcast, label-mismatch residual (r10)
+    "q_quality_nb") // 1-row class-totals broadcast, same class as q_lm_perplexity (r10)
 
   // One evaluation pass over the full inventory; both audits read the
   // final (post-AQE) plans from it. collect() — not a noop write — because

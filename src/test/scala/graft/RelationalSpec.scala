@@ -173,4 +173,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"spine-to-daily join is not broadcast:\n$plan")
   }
+
+  test("q_k_anonymity: every emitted class is < 5, and flags match size") {
+    import org.apache.spark.sql.functions.{col, floor}
+    val out = graft.queries.Relational.qKAnonymity(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty, "synthetic customer table should have small QI classes")
+    out.foreach { r =>
+      assert(r.getLong(3) < 5)
+      assert(r.getBoolean(4) === (r.getLong(3) == 1))
+    }
+    // every (class < 5) in a driver-side recount appears exactly once
+    val recount = graft.Tables.customer(spark, TestSpark.sfDir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("int").as("b"))
+      .count().filter(col("count") < 5).count()
+    assert(out.length.toLong === recount)
+  }
 }
