@@ -136,12 +136,30 @@ object GraftFunctions {
     PqAdc(children.head, children(1))
   }
 
+  private[expr] val dotMicroIdent = FunctionIdentifier("dot_micro")
+  private[expr] val dotMicroInfo =
+    new ExpressionInfo(classOf[DotMicro].getName, "dot_micro")
+  private[expr] val dotMicroBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "dot_micro takes exactly 2 arguments")
+    DotMicro(children.head, children(1))
+  }
+
+  private[expr] val bloomIdent = FunctionIdentifier("bloom_probe")
+  private[expr] val bloomInfo =
+    new ExpressionInfo(classOf[BloomProbe].getName, "bloom_probe")
+  private[expr] val bloomBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "bloom_probe takes exactly 2 arguments")
+    BloomProbe(children.head, children(1))
+  }
+
   private val all = Seq(
     (ident, info, builder),
     (ngramsIdent, ngramsInfo, ngramsBuilder),
     (packIdent, packInfo, packBuilder),
     (dotIdent, dotInfo, dotBuilder),
-    (adcIdent, adcInfo, adcBuilder))
+    (adcIdent, adcInfo, adcBuilder),
+    (dotMicroIdent, dotMicroInfo, dotMicroBuilder),
+    (bloomIdent, bloomInfo, bloomBuilder))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -163,6 +181,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.dotBuilder))
     ext.injectFunction((GraftFunctions.adcIdent, GraftFunctions.adcInfo,
       GraftFunctions.adcBuilder))
+    ext.injectFunction((GraftFunctions.dotMicroIdent, GraftFunctions.dotMicroInfo,
+      GraftFunctions.dotMicroBuilder))
+    ext.injectFunction((GraftFunctions.bloomIdent, GraftFunctions.bloomInfo,
+      GraftFunctions.bloomBuilder))
     // whole-operator surface (TopKPerGroup — SURVEY.md §2.11 option (c)):
     // the planner strategy, plus the optimizer rule that un-blocks filter
     // pushdown through the custom node (injected rules join the operator-

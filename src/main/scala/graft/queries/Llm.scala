@@ -149,26 +149,33 @@ object Llm {
     * gated MAP-SIDE, so only true dupes + fpp·N candidate rows reach the
     * exact-confirm semi-join. The confirm step removes Bloom false
     * positives, making the output bit-equal to the exact semi-join — which
-    * is what the oracle restates. This is the one deliberate UDF in the
-    * library: the probe is a broadcast-sketch membership test with no
-    * built-in equivalent (Spark's runtime bloom-join filters cannot be
-    * targeted manually), and it gates rows before every shuffle, exactly
-    * where a non-codegen call is cheapest. LlmSpec pins bloom-vs-exact
-    * equality and the false-positive-removal property. */
-  def qDedupBloom(spark: SparkSession, dir: String): DataFrame =
+    * is what the oracle restates. The probe is the native
+    * [[graft.expr.BloomProbe]] expression: the sketch ships in the plan as
+    * a binary literal (the mechanism Spark's own runtime bloom-join
+    * filters use), deserializes once per task, and probes inside
+    * whole-stage codegen — no UDF, preserving PlanAuditSpec's
+    * no-ScalaUDF-anywhere invariant. LlmSpec pins bloom-vs-exact equality
+    * and the false-positive-removal property. */
+  def qDedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     bloomDedupFrame(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
 
   /** Bloom-dedup core over any (doc_id, source, text) frame, split out so
-    * LlmSpec can run the FP-removal property on a crafted corpus. */
+    * LlmSpec can run the FP-removal property on a crafted corpus.
+    * Callers must have [[GraftFunctions.ensureRegistered]] the session. */
   private[graft] def bloomDedupFrame(docs: DataFrame): DataFrame = {
     val d = Exprs.pinShared(docs.select(col("doc_id"), col("source"),
       md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("prefix_md5")))
     val base = d.filter(col("source") === "src0").select("prefix_md5")
     val bloom = base.stat.bloomFilter("prefix_md5", base.count() max 1000L, 0.01)
-    val bloomB = d.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: String) => bloomB.value.mightContainString(h))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
     d.filter(col("source") =!= "src0")
-      .filter(mightContain(col("prefix_md5")))
+      .filter(call_function("bloom_probe", col("prefix_md5"), lit(bytes)))
       .join(base.distinct(), Seq("prefix_md5"), "left_semi")
       .select(col("doc_id"), col("source"), col("prefix_md5"))
   }
@@ -1207,16 +1214,15 @@ object Llm {
     * same scoring/ranking tail from [[graft.etl.AnnIndex]] coarse
     * candidates — the mining semantics and this query's tail stay as-is. */
   def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
     val anchors = e.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
         col("embedding").as("av"))
     val scored = e.join(broadcast(anchors), col("label") =!= col("anchor_label"))
-      .withColumn("dot_micro", aggregate(
-        zip_with(col("av"), col("embedding"),
-          (x, y) => floor(x.cast("double") * y.cast("double") * lit(1e6)).cast("long")),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("dot_micro",
+        call_function("dot_micro", col("av"), col("embedding")))
     val w = Window.partitionBy("anchor_id")
       .orderBy(col("dot_micro").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)

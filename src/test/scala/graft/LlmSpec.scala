@@ -1008,6 +1008,23 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dot_micro native expression is bit-equal to the HOF formulation") {
+    import org.apache.spark.sql.functions.{aggregate, call_function, expr => _, floor, lit, zip_with}
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, TestSpark.sfDir).select("vec_id", "embedding")
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(2000)
+      .select(
+        call_function("dot_micro", col("a.embedding"), col("b.embedding")).as("native"),
+        aggregate(
+          zip_with(col("a.embedding"), col("b.embedding"),
+            (x, y) => floor(x.cast("double") * y.cast("double") * lit(1e6)).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("NB quality gate matches a brute-force driver-side computation") {
     val rows = Tables.documents(spark, TestSpark.sfDir)
       .select("doc_id", "source", "text").collect()

@@ -65,4 +65,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"queries with zero codegen spans (fully interpreted plans):\n${offenders.mkString("\n")}")
   }
+
+  test("no declared query plans a Scala UDF") {
+    // the "Functions, not UDFs" rule as a structural invariant: every probe
+    // that once wanted a UDF has a native Expression (BloomProbe, DotMicro,
+    // ...) — a ScalaUDF in any executed plan is a regression
+    val offenders = plans.collect {
+      case (name, plan) if plan.contains("UDF") => name
+    }
+    assert(offenders.isEmpty,
+      s"queries executing Scala UDFs:\n${offenders.mkString("\n")}")
+  }
 }
