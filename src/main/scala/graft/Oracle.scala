@@ -1159,6 +1159,29 @@ object Oracle {
     // Arrays are emitted as comma-joined INTEGER strings (unit elements in
     // 1e-6 units): integers render identically across engines, and scalar
     // columns keep the driver's pandas row-sort happy.
+    // SemDedup: the sign bucket is a pure comparison (element_at is 1-based
+    // in both engines), the within-cell similarity is the exact integer
+    // micro-dot, and the keep-first policy is a DISTINCT drop set.
+    "q_semdedup" ->
+      """WITH b AS (SELECT vec_id, label, embedding,
+        |    (CASE WHEN embedding[1]  > 0 THEN 1   ELSE 0 END) +
+        |    (CASE WHEN embedding[9]  > 0 THEN 2   ELSE 0 END) +
+        |    (CASE WHEN embedding[17] > 0 THEN 4   ELSE 0 END) +
+        |    (CASE WHEN embedding[25] > 0 THEN 8   ELSE 0 END) +
+        |    (CASE WHEN embedding[33] > 0 THEN 16  ELSE 0 END) +
+        |    (CASE WHEN embedding[41] > 0 THEN 32  ELSE 0 END) +
+        |    (CASE WHEN embedding[49] > 0 THEN 64  ELSE 0 END) +
+        |    (CASE WHEN embedding[57] > 0 THEN 128 ELSE 0 END) AS bkt
+        |  FROM embeddings),
+        |d AS (SELECT DISTINCT c.vec_id
+        |      FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+        |      WHERE list_sum(list_transform(list_zip(a.embedding, c.embedding),
+        |          p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))
+        |        >= 250000)
+        |SELECT b.vec_id, b.label, CAST(b.bkt AS INT) AS bkt,
+        |       b.vec_id IN (SELECT vec_id FROM d) AS dropped
+        |FROM b ORDER BY vec_id""".stripMargin,
+
     // Hard negatives: integer micro-dot (floor-snapped products, exact long
     // sum) makes the top-k ranking bit-deterministic cross-engine; ties
     // break on vec_id.

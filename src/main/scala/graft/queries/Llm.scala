@@ -558,6 +558,48 @@ object Llm {
       .orderBy("label", "id_a", "id_b")
   }
 
+  /** §2.9 SemDeDup-style semantic dedup: cluster the embedding corpus by a
+    * deterministic 8-bit sign bucket (the SRP analogue of SemDeDup's
+    * k-means cells — oracle-able because the bucket is a pure sign test),
+    * compute EXACT pairwise similarity within each cluster (native
+    * [[graft.expr.DotMicro]] — integer micro-dots, cross-engine
+    * bit-identical), and drop every vector that duplicates a lower-id one
+    * (the greedy keep-first policy: each near-dup group's minimum id
+    * survives). Emits the full corpus with its cluster and drop verdict.
+    *
+    * Shape at scale: one bucket projection (map-only) → bucket-keyed
+    * equi-self-join (pair expansion confined WITHIN cells — the SemDeDup
+    * cost model; bucket bit-width grows with log N to keep cells bounded,
+    * exactly how SemDeDup scales k with corpus size) → distinct drop set →
+    * one broadcast-able anti-ish left join back. Nothing all-pairs across
+    * cells. Distinct from [[qDedupCosine]] (candidate PAIRS above a cosine
+    * threshold, within label): this one implements the cluster+prune+keep
+    * POLICY over the whole corpus, label-blind, with an exact integer
+    * score. */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    semDedupFrame(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")))
+      .orderBy("vec_id")
+  }
+
+  /** SemDedup core over any (vec_id, label, embedding) frame, split out for
+    * the LlmSpec crafted-corpus policy test. Callers ensureRegistered. */
+  private[graft] def semDedupFrame(e: DataFrame): DataFrame = {
+    val bucketed = pinShared(e.withColumn("bkt",
+      signBand(col("embedding"), cosineBandCoords.head)))
+    val a = bucketed.select(col("bkt"), col("vec_id").as("ia"),
+      col("embedding").as("va"))
+    val c = bucketed.select(col("bkt"), col("vec_id").as("ib"),
+      col("embedding").as("vb"))
+    val drops = a.join(c, Seq("bkt")).filter(col("ia") < col("ib"))
+      .filter(call_function("dot_micro", col("va"), col("vb")) >= lit(250000L))
+      .select(col("ib").as("vec_id")).distinct()
+    bucketed.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("bkt"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
   // ---- similarity search --------------------------------------------------
 
   /** Brute-force top-k cosine core: one scan, rounded score,

@@ -1008,6 +1008,23 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup: near-identical vector dropped, its lower-id twin and distinct vectors kept") {
+    import org.apache.spark.sql.functions.lit
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val base = Array.tabulate(64)(i => (if (i % 2 == 0) 0.2f else -0.2f))
+    val twin = base.clone(); twin(3) = twin(3) + 0.01f // same signs, dot >> threshold
+    val ortho = Array.tabulate(64)(i => (if (i % 2 == 0) -0.2f else 0.2f)) // different bucket
+    val e = Seq((1L, 0, base.toSeq), (2L, 0, twin.toSeq), (3L, 1, ortho.toSeq))
+      .toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val out = Llm.semDedupFrame(e).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(1L) === false, "group minimum must survive")
+    assert(out(2L) === true, "near-identical higher id must drop")
+    assert(out(3L) === false, "other-bucket vector must survive")
+  }
+
   test("dot_micro native expression is bit-equal to the HOF formulation") {
     import org.apache.spark.sql.functions.{aggregate, call_function, expr => _, floor, lit, zip_with}
     graft.expr.GraftFunctions.ensureRegistered(spark)
