@@ -45,7 +45,13 @@ object PlanDump {
     "q_token_bpe" -> "(doc, word) hash agg once; the distinct-word frame feeds the vocabulary-sized BPE mapPartitions (merges broadcast), whose word->count map broadcast-joins back - the token stream is never re-walked per merge (r9)",
     "q_hybrid_rrf" -> "both arms cut to <=100 rows BEFORE fusion; rank windows run single-partition over bounded frames (by design); full-outer doc_id join of two tiny frames; integer-micro rank arithmetic only (r9)",
     "q_knn_cosine_pq" -> "PQ ADC coarse pass: persisted (code BINARY(m), rnorm) scan + codegen pq_adc LUT lookups + TakeOrderedAndProject top-8k, exact codegen cosine re-rank of the semi-joined survivors (r9)",
-    "q_knn_cosine_ivfpq" -> "composite: code-table scan carries PartitionFilters on list_id (nprobe of nlist dirs) AND reads only m-byte codes - the two compressions multiply; bounded exact re-rank (r9)")
+    "q_knn_cosine_ivfpq" -> "composite: code-table scan carries PartitionFilters on list_id (nprobe of nlist dirs) AND reads only m-byte codes - the two compressions multiply; bounded exact re-rank (r9)",
+    "q_warehouse_etl" -> "TPC-DI historical load: CSV/FINWIRE/XML file scans with reject capture -> SCD2 version window -> fact resolve as equi+interval sort-merge -> broadcast dim enrichments -> six 1-row audit aggs cross-joined into the funnel stack (r10)",
+    "q_dedup_bloom" -> "map-side codegen bloom_probe gate on the incoming scan BEFORE any exchange (the sketch ships in the plan); exact-confirm left-semi join sees only the surviving candidates (r10)",
+    "q_embed_covariance" -> "augmented-Gram one-pass: two chained generators -> hash agg with map-side partials (<=2,145 rows/partition reach the ONLY data shuffle) -> broadcast row-0 self-enrich of the pinned gram frame (r10)",
+    "q_hard_negatives" -> "m-row anchor broadcast with label-mismatch residual -> native codegen dot_micro per pair -> per-anchor rank window cut to 5 (r10)",
+    "q_quality_nb" -> "NB train+infer in one plan: vocabulary hash agg pinned + broadcast (the model), explode -> broadcast model join -> per-doc micro-snapped LLR agg (r10)",
+    "q_semdedup" -> "bucket-keyed self-join confines pair expansion within sign-bucket cells; codegen dot_micro filter -> distinct drop set -> one join back (r10)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -250,6 +256,50 @@ object PlanDump {
          |[0.24, 0.35, 1.09]; 23 queries, 0 violations; worst decade
          |ratio `q_pagerank` sf0.01→0.1 ≈5.7× (edge count grows with
          |lineitem; still well under the 19.95× cap).
+         |
+         |Bench note (r10, `q_content_chunks` 4.1× adjudication): the r9
+         |driver recorded 2.37 s vs 0.58 s at r8 on code unchanged since
+         |r8 (`git log -S contentChunkFrame` — no edits; VERDICT r9 held
+         |it `weak` pending reproduction). Re-measured under the isolated
+         |driver discipline (QueryTimer, sf0.1, local[32], shuffle=32,
+         |warm min-of-2): **0.852 s** — the 2.37 s does not reproduce.
+         |Neighbors measured in the same run for calibration:
+         |q_chunk_dedup 1.14 s (driver 0.70), q_containment 2.56 s
+         |(driver 2.22) — the family sits at its designed cost band and
+         |the plan (native word_ngrams posexplode → md5 prefix test → one
+         |per-doc running-sum window → per-(doc, chunk) agg, one shuffle
+         |on doc_id) is unchanged. The residual 0.85 vs 0.58 gap is the
+         |r10 testdata regeneration (corpus text lengths shift between
+         |rounds; same class as the r8 `q_corpus_curate` ±35% drift
+         |note). Verdict: in-sweep JVM variance in the 139-query bench
+         |process (GC/codegen-cache neighbors), same class as the r4
+         |`q_join_semi` and r7 `q_join_shuffle` blips — dismissed, no
+         |plan change. ADVICE's "share the frame with q_chunk_dedup"
+         |does not apply: Bench times each query in its own job, and
+         |within q_chunk_dedup the chunk frame is consumed exactly once.
+         |Both queries added to the ScaleSmoke slice so any real
+         |super-linear shift is caught structurally rather than by
+         |eyeballing sweep numbers.
+         |
+         |Scale-growth smoke (r10): re-run green against the regenerated
+         |r10 testdata with 2 additions from the VERDICT r9 directive —
+         |`q_content_chunks` [0.24, 0.21, 0.65 s] and `q_chunk_dedup`
+         |[0.40, 0.39, 0.77]; 25 queries, 0 violations. Both chunking
+         |queries grow ~3× over the sf0.01→0.1 decade (gram volume is
+         |linear in corpus words), independently confirming the r9 2.37 s
+         |driver reading was sweep variance, not a scaling defect. Worst
+         |decade ratio `q_pagerank` ≈5.1×, same cause as r9.
+         |
+         |Bench note (r10, full-sweep drift): the r10 sweep on r10 code
+         |reads 102.3 s vs 83.3 s at r9 — but the rise is uniform across
+         |UNCHANGED queries (q_math_funcs 1.64→2.06, q_stats_moments
+         |1.6→2.35, q_win_moving_avg 0.51→0.97, q_pagerank 4.54→6.11 on
+         |identical plans) plus three genuinely new costs
+         |(q_warehouse_etl 2.07 — in-test file-format round-trip by
+         |design, q_cdc_batches 1.15, new ANN/mining queries ≤0.7).
+         |Uniform rise on unchanged plans = machine/testdata drift, the
+         |±35% band PLANS.md has documented since r8; the plan-audited
+         |shapes are unchanged and ScaleSmoke is green.
          |""".stripMargin
     // The converged q_dedup_groups plan is only the final checkpoint scan;
     // the per-round shape is what costs at scale, so dump ONE un-pinned
