@@ -79,13 +79,27 @@ object IncrementalDedup {
               md5(coalesce(col("text"), lit(""))).as("bkey"))
     val posts = hashed.unionByName(unshingled).localCheckpoint(true)
 
-    // 1) drop batch docs colliding with the stored corpus
+    // 1) drop batch docs colliding with the stored corpus. Join DIRECTION
+    // matters at scale: `posts SEMI stored` builds on the stored table
+    // (LeftSemi can only broadcast its right/build side), and since the
+    // index is the corpus-sized side Spark would shuffle the ENTIRE
+    // posting table per micro-batch. Flipped — `stored SEMI broadcast(batch
+    // cells)` — the index is STREAMED once against a broadcast probe set
+    // bounded by the batch's own postings, and never shuffles; the second
+    // hop back to doc_ids joins two batch-bounded frames. Bit-identical
+    // result (set intersection is symmetric), spec-asserted shuffle-free
+    // on the stored side.
     val survivorPosts =
       if (!hasIndex(indexDir)) posts
       else {
         val stored = spark.read.parquet(postingsPath(indexDir))
           .select(col("band"), col("bkey"))
-        val hit = posts.join(stored, Seq("band", "bkey"), "left_semi")
+        val batchCells = posts.select("band", "bkey").distinct()
+        val hitCells = stored
+          .join(broadcast(batchCells), Seq("band", "bkey"), "left_semi")
+          .distinct()
+        val hit = posts
+          .join(broadcast(hitCells), Seq("band", "bkey"), "left_semi")
           .select("doc_id").distinct()
         posts.join(hit, Seq("doc_id"), "left_anti")
       }

@@ -61,6 +61,58 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(maxPerCell === 1L, "replay broke the bucket-unique invariant")
   }
 
+  test("stored-index gate streams the posting table — never broadcast, never shuffled") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val idx = Files.createTempDirectory("graft_inc_idx_plan").toString
+    IncrementalDedup.ingest(docs.filter(col("doc_id") < 250), idx).count()
+    val frame = IncrementalDedup.keptPostings(docs.filter(col("doc_id") >= 250), idx)
+    frame.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case n => Seq(n)
+    }.flatten
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def isPostingsScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("postings"))
+      case _ => false
+    }
+    // UNREDUCED reachability: does the raw postings scan feed this node
+    // without passing a broadcast-gate join (which shrinks the stream to
+    // batch-bounded hits)? Descend through AQE wrappers; stop at BHJ.
+    def rawPostings(p: SparkPlan): Boolean = p match {
+      case f if isPostingsScan(f) => true
+      case _: BroadcastHashJoinExec => false
+      case a: AdaptiveSparkPlanExec => rawPostings(a.executedPlan)
+      case q: QueryStageExec => rawPostings(q.plan)
+      case other => other.children.exists(rawPostings)
+    }
+    // at 100 TB the posting index is the corpus-sized side: it must be the
+    // STREAMED side of a broadcast gate — corpus-volume rows must never
+    // enter an exchange (exchanges above the gate carry only reduced hits)
+    val all = nodes(frame.queryExecution.executedPlan)
+    val offenders = all.collect {
+      case e: BroadcastExchangeExec if rawPostings(e.child) => "broadcast(raw postings)"
+      case e: ShuffleExchangeExec if rawPostings(e.child) => "shuffle(raw postings)"
+    }
+    assert(offenders.isEmpty,
+      s"corpus-volume posting rows entered an exchange: ${offenders.mkString(", ")}")
+    val gated = all.exists {
+      case j: BroadcastHashJoinExec =>
+        val streamed = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+          case _ => j.left
+        }
+        rawPostings(streamed)
+      case _ => false
+    }
+    assert(gated, "expected the postings scan streamed into a broadcast gate join")
+  }
+
   test("unshingleable docs: exact replays drop via the band=-1 whole-text cell") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft_inc_idx3").toString
