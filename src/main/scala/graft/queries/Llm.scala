@@ -174,9 +174,18 @@ object Llm {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    d.filter(col("source") =!= "src0")
+    val cand = d.filter(col("source") =!= "src0")
       .filter(call_function("bloom_probe", col("prefix_md5"), lit(bytes)))
-      .join(base.distinct(), Seq("prefix_md5"), "left_semi")
+    // confirm DIRECTION matters at 100 TB: `cand SEMI base` would build on
+    // the corpus-sized base side (LeftSemi broadcasts only its right side)
+    // and shuffle the whole base fingerprint set. Flipped, base is STREAMED
+    // once against the broadcast bloom-survivor keys — base never enters an
+    // exchange (same discipline as IncrementalDedup's posting gate).
+    val confirmed = base
+      .join(broadcast(cand.select("prefix_md5").distinct()),
+        Seq("prefix_md5"), "left_semi")
+      .distinct()
+    cand.join(broadcast(confirmed), Seq("prefix_md5"), "left_semi")
       .select(col("doc_id"), col("source"), col("prefix_md5"))
   }
 
