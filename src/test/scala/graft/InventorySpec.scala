@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Keeps the declared inventory honest mechanically: SURVEY.md §2 (the
+  * coverage checklist the acceptance harness grades against) and
+  * `SparkEntry.queries` must agree exactly — no phantom documentation rows,
+  * no undocumented registrations, and every oracle names a real query. */
+class InventorySpec extends AnyFunSuite {
+
+  /** The two ingest scans SURVEY §2.1 declares test-only by design: they
+    * read in-test-written files, so they have no `queries` entry and are
+    * exercised in IngestSpec instead. */
+  private val declaredTestOnly = Set("q_scan_csv", "q_scan_fixedwidth")
+
+  test("SURVEY §2 rows and SparkEntry.queries agree exactly") {
+    val txt = {
+      val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val section2 = "(?s)## §2\\..*?(?=\n## §3)".r.findFirstIn(txt)
+      .getOrElse(fail("SURVEY.md lost its §2 section"))
+    val surveyIds = "`(q_[a-z0-9_]+)`".r.findAllMatchIn(section2)
+      .map(_.group(1)).toSet
+    val registered = SparkEntry.queries.keySet
+    val undocumented = registered -- surveyIds
+    val phantom = surveyIds -- registered -- declaredTestOnly
+    assert(undocumented.isEmpty,
+      s"registered but missing from SURVEY §2: ${undocumented.toSeq.sorted.mkString(", ")}")
+    assert(phantom.isEmpty,
+      s"in SURVEY §2 but never registered: ${phantom.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every oracle names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracle SQL for unregistered queries: ${orphans.toSeq.sorted.mkString(", ")}")
+  }
+}

@@ -1025,6 +1025,28 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3L) === false, "other-bucket vector must survive")
   }
 
+  test("dot_micro and bloom_probe: interpreted eval matches the contract") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = Array(0.5f, -1.25f, 2.0f, 0.0f)
+    val b = Array(1.0f, 2.0f, -0.5f, 3.5f)
+    val dm = graft.expr.DotMicro(
+      Literal.create(a, ArrayType(FloatType)), Literal.create(b, ArrayType(FloatType)))
+    val expected = a.zip(b)
+      .map { case (x, y) => math.floor(x.toDouble * y.toDouble * 1e6).toLong }.sum
+    assert(dm.eval(null) === expected)
+    assert(graft.expr.DotMicro(Literal.create(null, ArrayType(FloatType)),
+      Literal.create(b, ArrayType(FloatType))).eval(null) === null)
+
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bloom.putString("present")
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray }
+    def probe(s: String) = graft.expr.BloomProbe(
+      Literal.create(s, org.apache.spark.sql.types.StringType), Literal.create(bytes)).eval(null)
+    assert(probe("present") === true)
+    assert(probe("definitely-absent-key") === false, "1% fpp sketch of 1 key must reject this")
+  }
+
   test("dot_micro native expression is bit-equal to the HOF formulation") {
     import org.apache.spark.sql.functions.{aggregate, call_function, expr => _, floor, lit, zip_with}
     graft.expr.GraftFunctions.ensureRegistered(spark)
