@@ -2085,6 +2085,23 @@ object Oracle {
     // Exact cross-engine Bernoulli: 5-hex md5 uniform vs the micro-snapped
     // sigmoid rescaled to hex range in integer arithmetic, compared as
     // equal-length hex strings (numeric compare with no float thresholds).
+    // Recency decay: integer day division of epoch micros is exact in both
+    // engines; exp on identical doubles micro-snaps before the threshold.
+    "q_sample_decay" ->
+      """WITH m AS (SELECT max(ts) AS max_ts FROM events),
+        |a AS (SELECT event_id,
+        |    (epoch_us(m.max_ts) - epoch_us(e.ts)) // 86400000000 AS age_days
+        |  FROM events e CROSS JOIN m),
+        |s AS (SELECT event_id, age_days,
+        |    least(CAST(floor(exp(-CAST(age_days AS DOUBLE) / 10.0) * 1e6) AS BIGINT),
+        |          999999) AS w_micro FROM a)
+        |SELECT event_id, age_days, w_micro,
+        |  substr(md5('decay:' || CAST(event_id AS VARCHAR)), 1, 5) AS u5
+        |FROM s
+        |WHERE substr(md5('decay:' || CAST(event_id AS VARCHAR)), 1, 5)
+        |      < lpad(lower(hex(w_micro * 1048576 // 1000000)), 5, '0')
+        |ORDER BY event_id""".stripMargin,
+
     "q_sample_weighted" ->
       """WITH t AS (SELECT doc_id, lang, length(text) AS nc,
         |    string_split(text,' ') AS toks FROM documents),

@@ -107,6 +107,7 @@ object SparkEntry {
     "q_hard_negatives" -> (Llm.qHardNegatives _),
     "q_quality_nb" -> (Llm.qQualityNb _),
     "q_semdedup" -> (Llm.qSemDedup _),
+    "q_sample_decay" -> (Llm.qSampleDecay _),
     "q_knn_cosine_lsh" -> (Llm.qKnnCosineLsh _), // no-oracle: rows-only check + LlmSpec recall test
     "q_knn_cosine_ivf" -> (Llm.qKnnCosineIvf _), // no-oracle: rows-only check + LlmSpec recall test
     "q_knn_batch_ivf"  -> (Llm.qKnnBatchIvf _),  // no-oracle: per-probe parity with single-probe IVF in LlmSpec

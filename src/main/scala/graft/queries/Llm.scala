@@ -1606,6 +1606,35 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** §2.9 Recency-decay downsampling over the event stream — the freshness
+    * rule a training-data mix applies to aged interaction data: keep
+    * probability `exp(-age_days/τ)` (τ = 10 days) relative to the corpus's
+    * own newest timestamp, decided per row by the same seeded-md5 threshold
+    * acceptance as [[qSampleWeighted]] (deterministic across runs, engines
+    * and partitionings — no RNG state to coordinate at 1000 executors).
+    * Age uses INTEGER day division of epoch micros (exact in both
+    * engines), the weight micro-snaps before the threshold, and the
+    * reference timestamp is a 1-row broadcast — the whole query is one
+    * scan + map-side math. */
+  def qSampleDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val maxTs = ev.agg(max(col("ts")).as("max_ts"))
+    ev.crossJoin(broadcast(maxTs))
+      .withColumn("age_days",
+        expr("(unix_micros(cast(max_ts as timestamp)) - " +
+          "unix_micros(cast(ts as timestamp))) div 86400000000"))
+      .withColumn("w_micro",
+        least(floor(exp(-col("age_days").cast("double") / lit(10.0)) * 1e6)
+          .cast("long"), lit(999999L)))
+      .withColumn("u5",
+        substring(md5(concat(lit("decay:"), col("event_id").cast("string"))), 1, 5))
+      .withColumn("thr",
+        lpad(lower(hex(expr("w_micro * 1048576 div 1000000"))), 5, "0"))
+      .filter(col("u5") < col("thr"))
+      .select(col("event_id"), col("age_days"), col("w_micro"), col("u5"))
+      .orderBy("event_id")
+  }
+
   /** §2.9 Deterministic train/val/test split: each document's split follows
     * the first hex byte of a seeded md5 of its id — 80/10/10 by hash range
     * ('cc' = 204/256 ≈ 80%, 'e6' = 230/256 ≈ 90%), reproducible across

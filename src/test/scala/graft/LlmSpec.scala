@@ -1008,6 +1008,20 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("sample decay: keep rate falls with age, and all survivors beat their threshold") {
+    val out = Llm.qSampleDecay(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getString(3) < f"${r.getLong(2) * 1048576 / 1000000}%05x"))
+    val total = Tables.events(spark, TestSpark.sfDir).count()
+    assert(out.length < total, "decay must drop something")
+    // weight is monotonically non-increasing in age
+    val byAge = out.map(r => (r.getLong(1), r.getLong(2))).distinct.sortBy(_._1)
+    byAge.sliding(2).foreach {
+      case Array((a1, w1), (a2, w2)) => assert(a1 < a2 && w1 >= w2)
+      case _ =>
+    }
+  }
+
   test("semdedup: near-identical vector dropped, its lower-id twin and distinct vectors kept") {
     import org.apache.spark.sql.functions.lit
     graft.expr.GraftFunctions.ensureRegistered(spark)

@@ -30,7 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_warehouse_etl", // DImessages funnel: six 1-row audit aggs cross-joined (r10)
     "q_embed_covariance", // 1-row count cell of the gram frame, broadcast (r10)
     "q_hard_negatives", // m-row anchor slice broadcast, label-mismatch residual (r10)
-    "q_quality_nb") // 1-row class-totals broadcast, same class as q_lm_perplexity (r10)
+    "q_quality_nb", // 1-row class-totals broadcast, same class as q_lm_perplexity (r10)
+    "q_sample_decay") // 1-row max-ts broadcast (r10)
 
   // One evaluation pass over the full inventory; both audits read the
   // final (post-AQE) plans from it. collect() — not a noop write — because
