@@ -1198,6 +1198,25 @@ object Oracle {
         |FROM r WHERE rn <= 5
         |ORDER BY anchor_id, rnk""".stripMargin,
 
+    // Whitening: moment table from integer micro-sums, mean/std through the
+    // identical double expression tree (sqrt correctly rounded), z floor-
+    // snapped. Long format — no array reassembly.
+    "q_embed_whiten" ->
+      """WITH ex AS (SELECT vec_id,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+        |    unnest(range(0, len(embedding))) AS i FROM embeddings),
+        |st AS (SELECT i,
+        |    CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(floor(x * x * 1000000.0) AS BIGINT)) AS BIGINT) AS sxx,
+        |    count(*) AS n FROM ex GROUP BY 1),
+        |m AS (SELECT i, sx / 1000000.0 / n AS mean,
+        |    sqrt(sxx / 1000000.0 / n -
+        |         (sx / 1000000.0 / n) * (sx / 1000000.0 / n)) AS std FROM st)
+        |SELECT ex.vec_id, CAST(ex.i AS INT) AS i,
+        |  CAST(floor((ex.x - m.mean) / m.std * 1000000.0) AS BIGINT) AS z_micro
+        |FROM ex JOIN m USING (i)
+        |ORDER BY vec_id, i""".stripMargin,
+
     // Augmented-Gram covariance: the oracle restates the one-pass trick with
     // a plain exploded self-join (DuckDB need not scale); products snap to
     // integer micros before the sum, and the derived covariance uses the

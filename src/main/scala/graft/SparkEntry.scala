@@ -104,6 +104,7 @@ object SparkEntry {
     "q_knn_batch"      -> (Llm.qKnnBatch _),
     "q_embed_normalize" -> (Llm.qEmbedNormalize _),
     "q_embed_covariance" -> (Llm.qEmbedCovariance _),
+    "q_embed_whiten" -> (Llm.qEmbedWhiten _),
     "q_hard_negatives" -> (Llm.qHardNegatives _),
     "q_quality_nb" -> (Llm.qQualityNb _),
     "q_semdedup" -> (Llm.qSemDedup _),

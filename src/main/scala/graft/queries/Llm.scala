@@ -1282,6 +1282,41 @@ object Llm {
       .orderBy("anchor_id", "rnk")
   }
 
+  /** §2.9 Per-dimension standardization (z-score whitening) of the
+    * embedding corpus — the feature-scaling pass before k-means/OPQ
+    * training or any distance-based model that assumes comparable
+    * coordinate scales; the diagonal counterpart of the full
+    * [[qEmbedCovariance]] whitening. Emitted LONG-format (vec_id, dim,
+    * z_micro) — no array reassembly, every output column scalar.
+    *
+    * Cross-engine exactness: the per-dimension moment table is built from
+    * integer micro-sums (floor-snapped x and x² — order-independent long
+    * sums); mean/std then derive through an identical double expression
+    * tree in both engines (sqrt is correctly rounded), and each z-score
+    * floor-snaps to micro units. Shape at scale: one explode → d-row
+    * moment agg (map-side partials) → broadcast the d-row stats back over
+    * a second scan — the exploded corpus frame is deliberately NOT pinned
+    * (re-scanning columnar parquet is cheaper than materializing a
+    * corpus-sized intermediate; the pinning discipline is for narrow
+    * vocab/band frames). */
+  def qEmbedWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+    val st = ex.groupBy("i").agg(
+      sum(floor(col("x") * lit(1e6)).cast("long")).as("sx"),
+      sum(floor(col("x") * col("x") * lit(1e6)).cast("long")).as("sxx"),
+      count(lit(1)).as("n"))
+    val m = st.select(col("i"),
+      (col("sx") / lit(1e6) / col("n")).as("mean"),
+      sqrt(col("sxx") / lit(1e6) / col("n") -
+        (col("sx") / lit(1e6) / col("n")) * (col("sx") / lit(1e6) / col("n"))).as("std"))
+    ex.join(broadcast(m), Seq("i"))
+      .select(col("vec_id"), col("i").cast("int").as("i"),
+        floor((col("x") - col("mean")) / col("std") * lit(1e6)).cast("long").as("z_micro"))
+      .orderBy("vec_id", "i")
+  }
+
   /** §2.9 Feature covariance over the embedding corpus — the PCA/whitening
     * prep statistic (and the input to every "decorrelate features before
     * OPQ/IVF training" step). Computed with the augmented-Gram trick: each

@@ -986,6 +986,19 @@ class LlmSpec extends AnyFunSuite {
     assert(pruned.nonEmpty)
   }
 
+  test("embed whiten: per-dim z-scores have ~zero mean and ~unit variance") {
+    val out = Llm.qEmbedWhiten(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(1), r.getLong(2) / 1e6))
+    val byDim = out.groupBy(_._1).values
+    byDim.foreach { zs =>
+      val n = zs.length
+      val mean = zs.map(_._2).sum / n
+      val variance = zs.map(z => (z._2 - mean) * (z._2 - mean)).sum / n
+      assert(math.abs(mean) < 1e-3, s"dim mean $mean not ~0")
+      assert(math.abs(variance - 1.0) < 1e-2, s"dim variance $variance not ~1")
+    }
+  }
+
   test("embed covariance: upper triangle complete, matches covar_pop within snap tolerance") {
     import org.apache.spark.sql.functions.{covar_pop, posexplode}
     val out = Llm.qEmbedCovariance(spark, TestSpark.sfDir).collect()
