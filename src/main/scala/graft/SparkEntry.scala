@@ -106,6 +106,7 @@ object SparkEntry {
     "q_embed_covariance" -> (Llm.qEmbedCovariance _),
     "q_embed_whiten" -> (Llm.qEmbedWhiten _),
     "q_hard_negatives" -> (Llm.qHardNegatives _),
+    "q_hard_negatives_ann" -> (Llm.qHardNegativesAnn _),
     "q_quality_nb" -> (Llm.qQualityNb _),
     "q_semdedup" -> (Llm.qSemDedup _),
     "q_sample_decay" -> (Llm.qSampleDecay _),

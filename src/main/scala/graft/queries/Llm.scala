@@ -1282,6 +1282,41 @@ object Llm {
       .orderBy("anchor_id", "rnk")
   }
 
+  /** §2.9 Hard-negative mining through the persisted ANN index — the
+    * 100 TB form [[qHardNegatives]]'s scaladoc promises: instead of an
+    * exhaustive corpus scan per anchor, candidates come from the IVF
+    * index's nprobe-pruned lists (a `PartitionFilters`-pruned scan of
+    * nprobe/nlist directories), then the SAME label-mismatch +
+    * [[graft.expr.DotMicro]] + per-anchor top-k tail runs over the
+    * candidate set. Anchors are a bounded driver-side batch (the probe
+    * contract of the batch-KNN family). No-oracle (candidate pruning is
+    * index-dependent); LlmSpec scores recall against the exhaustive
+    * [[qHardNegatives]] on the same anchors. */
+  def qHardNegativesAnn(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
+    AnnIndex.ensure(e, idxDir, nlist = 16)
+    val anchors = e.filter(col("vec_id") % 37 === 0).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val probed = AnnIndex.nearestListsBatch(spark, idxDir,
+      anchors.map(_._3.map(_.toDouble)).toSeq, nprobe = 8)
+    val probeLists = anchors.zip(probed).flatMap {
+      case ((aid, albl, av), ls) => ls.map(l => (aid, albl, av, l))
+    }.toSeq.toDF("anchor_id", "anchor_label", "av", "list_id")
+    val scored = AnnIndex.probeScan(spark, idxDir, probed.flatten.distinct)
+      .join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("label") =!= col("anchor_label"))
+      .withColumn("dot_micro",
+        call_function("dot_micro", col("av"), col("embedding")))
+      .select("anchor_id", "vec_id", "label", "dot_micro")
+    graft.plans.TopK.perGroup(scored, Seq("anchor_id"),
+        Seq(("dot_micro", false), ("vec_id", true)), 5)
+      .orderBy(col("anchor_id"), col("dot_micro").desc, col("vec_id"))
+  }
+
   /** §2.9 Per-dimension standardization (z-score whitening) of the
     * embedding corpus — the feature-scaling pass before k-means/OPQ
     * training or any distance-based model that assumes comparable

@@ -1091,6 +1091,19 @@ class LlmSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("ANN hard negatives: recall vs the exhaustive miner on the same anchors") {
+    val exact = Llm.qHardNegatives(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Llm.qHardNegativesAnn(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    // measured 0.829 on r10 testdata at nprobe=8/16; floor leaves margin
+    // for per-round corpus regeneration (hard negatives are NOT planted
+    // near-dups, so IVF recall here is genuinely index-dependent)
+    assert(recall >= 0.7,
+      f"ANN miner recall $recall%.3f below floor (|exact|=${exact.size}, |ann|=${ann.size})")
+  }
+
   test("NB quality gate matches a brute-force driver-side computation") {
     val rows = Tables.documents(spark, TestSpark.sfDir)
       .select("doc_id", "source", "text").collect()
