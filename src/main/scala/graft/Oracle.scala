@@ -468,6 +468,29 @@ object Oracle {
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
 
+    // Shared-string recursive CTE (q_sql_recursive runs THIS text in Spark):
+    // the month spine recursion is bounded metadata (one row per month);
+    // the fact side is an ordinary rollup. Verified verbatim-identical in
+    // both dialects: DATE + INTERVAL re-cast to DATE, date_trunc on month,
+    // exact decimal revenue sum.
+    "q_sql_recursive" ->
+      """WITH RECURSIVE
+        |b AS (SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+        |             CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi FROM orders),
+        |spine(m) AS (
+        |  SELECT lo FROM b
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine WHERE m < (SELECT hi FROM b)
+        |),
+        |agg AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |               count(*) AS n_orders,
+        |               CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |        FROM orders GROUP BY 1)
+        |SELECT s.m, coalesce(a.n_orders, 0) AS n_orders,
+        |       coalesce(a.revenue, 0.0) AS revenue
+        |FROM spine s LEFT JOIN agg a ON s.m = a.m
+        |ORDER BY s.m""".stripMargin,
+
     // Ties between equal cent values are interchangeable, so the top-3
     // VALUE string is deterministic even though row_number's pick among
     // ties is not.
@@ -951,6 +974,19 @@ object Oracle {
         |FROM s
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // Canonical representative = lowest event_id per bucket; arg_min keyed
+    // on the UNIQUE event_id is tie-free, so both engines pick the same
+    // payload row deterministically.
+    "q_event_dedup" ->
+      """SELECT min(event_id) AS event_id, user_id, event_type,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |  arg_min(CAST(ts AS TIMESTAMP), event_id) AS ts,
+        |  arg_min(value, event_id) AS value,
+        |  count(*) AS n_collapsed
+        |FROM events
+        |GROUP BY user_id, event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |ORDER BY event_id""".stripMargin,
   )
 
   /** 64-bit SimHash band k (of 4×16): global bit j = 16k+i is the majority
@@ -1008,7 +1044,38 @@ object Oracle {
     * the backbone of every cross-engine-checkable hash pipeline here.
     * Vector math mirrors the Spark side op-for-op: float→double casts
     * inside the lambdas, sequential sums, round(4) on scores. */
+  /** 28-bucket character-class entropy restated via the independent
+    * 27-replace length trick (`length(text) - length(replace(text, ch, ''))`
+    * counts ch occurrences in code points). Term order a..z, space, other in
+    * a left-associative sum matches [[graft.expr.CharEntropy]]'s
+    * accumulation order term-for-term; a zero count contributes the CASE's
+    * exact 0.0 just as the expression skips it. */
+  private lazy val charEntropySql: String = {
+    val chars = ('a' to 'z').map(_.toString) :+ " "
+    val cnts = chars.zipWithIndex.map { case (ch, i) =>
+      s"length(text) - length(replace(text, '$ch', '')) AS c$i"
+    }.mkString(",\n  ")
+    val sumC = (0 to 26).map(i => s"c$i").mkString(" + ")
+    val terms = (0 to 27).map { i =>
+      s"(CASE WHEN c$i > 0 THEN -((CAST(c$i AS DOUBLE) / n) * ln(CAST(c$i AS DOUBLE) / n)) ELSE 0.0 END)"
+    }.mkString("\n  + ")
+    s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |c AS (SELECT doc_id, n,
+       |  $cnts
+       |  FROM t),
+       |o AS (SELECT *, n - ($sumC) AS c27 FROM c),
+       |h AS (SELECT doc_id, n, c26,
+       |  $terms AS ent
+       |  FROM o)
+       |SELECT doc_id, n AS n_chars,
+       |  CASE WHEN n = 0 THEN 0 ELSE CAST(c26 AS BIGINT) * 1000000 // n END AS space_ratio_micro,
+       |  CAST(floor(ent * 1000000.0) AS BIGINT) AS entropy_micro
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val llmSql: Map[String, String] = Map(
+
+    "q_char_entropy" -> charEntropySql,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, COUNT(*) AS n_dups

@@ -56,6 +56,7 @@ object SparkEntry {
     "q_topk_plan_native" -> (Relational.qTopkPlanNative _),
     "q_sql_text"      -> (Relational.qSqlText _),
     "q_sql_lateral"   -> (Relational.qSqlLateral _),
+    "q_sql_recursive" -> (Relational.qSqlRecursive _),
     "q_win_rank"          -> (Windows.qWinRank _),
     "q_win_navigation"    -> (Windows.qWinNavigation _),
     "q_win_scd2_enddate"  -> (Windows.qWinScd2EndDate _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_stream_tumbling" -> (Cdc.qStreamTumbling _),
     "q_sliding_window"  -> (Cdc.qSlidingWindow _),
     "q_session_window"  -> (Cdc.qSessionWindow _),
+    "q_event_dedup"     -> (Cdc.qEventDedup _),
     "q_event_funnel"    -> (Cdc.qEventFunnel _),
     "q_retention_cohorts" -> (Cdc.qRetentionCohorts _),
     "q_markov_transitions" -> (Cdc.qMarkovTransitions _),
@@ -120,6 +122,7 @@ object SparkEntry {
     "q_profile_columns" -> (Relational.qProfileColumns _),
     "q_token_count"    -> (Llm.qTokenCount _),
     "q_text_quality"   -> (Llm.qTextQuality _),
+    "q_char_entropy"   -> (Llm.qCharEntropy _),
     "q_lang_id"        -> (Llm.qLangId _),
     "q_doc_fingerprint" -> (Llm.qDocFingerprint _),
     "q_sample_hash"    -> (Llm.qSampleHash _),

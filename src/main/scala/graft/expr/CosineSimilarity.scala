@@ -152,6 +152,14 @@ object GraftFunctions {
     BloomProbe(children.head, children(1))
   }
 
+  private[expr] val entropyIdent = FunctionIdentifier("char_entropy")
+  private[expr] val entropyInfo =
+    new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy")
+  private[expr] val entropyBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "char_entropy takes exactly 1 argument")
+    CharEntropy(children.head)
+  }
+
   private val all = Seq(
     (ident, info, builder),
     (ngramsIdent, ngramsInfo, ngramsBuilder),
@@ -159,7 +167,8 @@ object GraftFunctions {
     (dotIdent, dotInfo, dotBuilder),
     (adcIdent, adcInfo, adcBuilder),
     (dotMicroIdent, dotMicroInfo, dotMicroBuilder),
-    (bloomIdent, bloomInfo, bloomBuilder))
+    (bloomIdent, bloomInfo, bloomBuilder),
+    (entropyIdent, entropyInfo, entropyBuilder))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -185,6 +194,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.dotMicroBuilder))
     ext.injectFunction((GraftFunctions.bloomIdent, GraftFunctions.bloomInfo,
       GraftFunctions.bloomBuilder))
+    ext.injectFunction((GraftFunctions.entropyIdent, GraftFunctions.entropyInfo,
+      GraftFunctions.entropyBuilder))
     // whole-operator surface (TopKPerGroup — SURVEY.md §2.11 option (c)):
     // the planner strategy, plus the optimizer rule that un-blocks filter
     // pushdown through the custom node (injected rules join the operator-

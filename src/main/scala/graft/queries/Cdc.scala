@@ -305,4 +305,34 @@ object Cdc {
            count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** §2.10 Micro-duplicate collapse over the event stream — the batch twin of
+    * [[graft.stream.Streams.dedupedWithinWatermark]]'s replay protection, at
+    * the coarser semantic grain ingest pipelines actually dedup at: repeated
+    * (user, type) events inside one clock hour collapse to a single canonical
+    * row. The canonical representative is the LOWEST event_id in the bucket —
+    * a total, engine-independent choice (keep-"first-arrival" is inherently
+    * nondeterministic across replays; keep-min-id is reproducible anywhere).
+    *
+    * ONE hash aggregation with map-side partials carries the whole operator:
+    * `min_by(payload, event_id)` resurrects the kept row's payload inside the
+    * agg (event_id is unique, so min_by has no ties), avoiding the join-back
+    * a row_number() formulation would need — no window, no second shuffle,
+    * and the shuffle carries one row per (user, type, hour) bucket rather
+    * than every raw event. At 100 TB that is the difference between
+    * shuffling the event firehose and shuffling its hourly support. */
+  def qEventDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"),
+        // date_trunc yields session-tz TimestampType; the engine keeps every
+        // timestamp naive (SURVEY §5.3) — cast back to NTZ like the source ts
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"))
+      .agg(
+        min(col("event_id")).as("event_id"),
+        min_by(col("ts"), col("event_id")).as("ts"),
+        min_by(col("value"), col("event_id")).as("value"),
+        count(lit(1)).as("n_collapsed"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("hr"),
+              col("ts"), col("value"), col("n_collapsed"))
+      .orderBy("event_id")
 }

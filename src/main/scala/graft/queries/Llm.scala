@@ -1513,6 +1513,34 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** §2.9 Character-class Shannon entropy per document — the
+    * compression-proxy quality signal (Gopher-class corpus filters cut
+    * repeated-filler / mono-character noise on exactly this statistic),
+    * over the fixed 28-bucket alphabet 'a'–'z' / space / other.
+    *
+    * The entropy itself is the native single-pass
+    * [[graft.expr.CharEntropy]] codegen expression (ONE walk over the
+    * UTF-8 bytes, vs the 27 chained `length(replace(...))` passes of the
+    * built-in formulation — LlmSpec asserts the two are bit-identical);
+    * the space count reuses the one-replace length diff (integer-exact in
+    * both engines). Pure map-side projection, zero shuffles beyond the
+    * output sort — the gate runs at scan speed at 100 TB. Micro-snap
+    * parity rests on the established `ln` precedent (§5.3). */
+  def qCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        (length(col("text")) - length(expr("replace(text, ' ', '')"))).as("n_spaces"),
+        expr("char_entropy(text)").as("h"))
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") === 0, lit(0L))
+          .otherwise(expr("cast(n_spaces as bigint) * 1000000 div n_chars"))
+          .as("space_ratio_micro"),
+        floor(col("h") * lit(1000000.0)).cast("long").as("entropy_micro"))
+      .orderBy("doc_id")
+  }
+
   /** §2.9 Quality-classifier scoring: a fixed-weight logistic model over the
     * quality features (chars/token, stopword ratio, type-token ratio) — the
     * fastText-style learned quality gate every LLM corpus pass runs, with

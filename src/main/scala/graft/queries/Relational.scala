@@ -621,6 +621,26 @@ object Relational {
     spark.sql(graft.Oracle.sql("q_sql_lateral"))
   }
 
+  /** §2.1 RECURSIVE CTE (same shared-string pattern as [[qSqlText]] — the
+    * oracle IS the query): a month spine generated by recursion from the
+    * order-date bounds, left-joined to the monthly revenue rollup so gap
+    * months surface as explicit zero rows — the calendar-densification shape
+    * reporting pipelines need before any time-series smoothing.
+    *
+    * Scale shape: the recursion runs over the SPINE (one row per month —
+    * bounded metadata, ~12 rows/year), never over the fact table; the fact
+    * side is one ordinary hash rollup, and the spine⋈rollup join is a
+    * broadcast of the tiny spine. Recursion depth = months spanned — the
+    * recursion is structurally bounded by the hi-month predicate, so the
+    * level guard is raised from Spark's default 100 (the driver's date span
+    * is regeneration-dependent; 100 months ≈ 8 years would be a silent
+    * time bomb) to a still-finite 10k-level runaway backstop. */
+  def qSqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(graft.Oracle.sql("q_sql_recursive"))
+  }
+
   /** §2.3 Full outer join: reconcile two independently-filtered views of the
     * customer base (the warehouse-vs-source reconciliation shape — rows only
     * in one side surface as has_* = false). Both sides shuffle on the key;

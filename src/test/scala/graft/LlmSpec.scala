@@ -1184,4 +1184,41 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(bloom === exact, "bloom+confirm must be bit-equal to the exact semi-join")
   }
+
+  test("char_entropy: single-pass expression is bit-identical to the 27-replace composition") {
+    import org.apache.spark.sql.functions.{expr, length, when, lit}
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val d = Tables.documents(spark, TestSpark.sfDir)
+    // independent composition: counts via length/replace, terms in the same
+    // fixed a..z/space/other order, left-associative sum (the oracle's shape)
+    val n = length(col("text")).cast("double")
+    val counts = (('a' to 'z').map(_.toString) :+ " ").map { ch =>
+      (length(col("text")) - length(expr(s"replace(text, '$ch', '')"))).cast("double")
+    }
+    val other = n - counts.reduce(_ + _)
+    val terms = (counts :+ other).map { c =>
+      when(c > 0, -(c / n) * org.apache.spark.sql.functions.log(c / n)).otherwise(lit(0.0))
+    }
+    val composed = terms.reduce(_ + _)
+    val rows = d.select(expr("char_entropy(text)").as("e"), composed.as("c")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"expression ${r.getDouble(0)} != composition ${r.getDouble(1)}")
+    }
+  }
+
+  test("char_entropy: known values, empty and null inputs, non-ASCII lands in the other bucket") {
+    import org.apache.spark.sql.functions.expr
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val d = Seq((1L, Some("aabb")), (2L, Some("")), (3L, None),
+                (4L, Some("aä")), (5L, Some("zzzz"))).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), expr("char_entropy(text)").as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(math.abs(out(1L).get - math.log(2.0)) < 1e-12) // two equal buckets
+    assert(out(2L).get === 0.0)                           // empty text
+    assert(out(3L) === None)                              // null propagates
+    assert(math.abs(out(4L).get - math.log(2.0)) < 1e-12) // 'ä' counts once as other
+    assert(out(5L).get === 0.0)                           // single bucket, -0.0 normalized away is fine
+  }
 }

@@ -189,4 +189,42 @@ class RelationalSpec extends AnyFunSuite {
       .count().filter(col("count") < 5).count()
     assert(out.length.toLong === recount)
   }
+
+  test("q_sql_recursive: spine is contiguous months spanning the data, rollup matches the direct aggregation") {
+    import org.apache.spark.sql.functions.{col, count, date_trunc, lit}
+    val out = Relational.qSqlRecursive(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    val months = out.map(_.getDate(0).toLocalDate)
+    months.sliding(2).foreach {
+      case Array(a, b) => assert(a.plusMonths(1) === b, s"spine gap between $a and $b")
+      case _ =>
+    }
+    val direct = graft.Tables.orders(spark, TestSpark.sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) === direct.getOrElse(r.getDate(0).toLocalDate, 0L))
+    }
+    assert(months.head === direct.keys.min[java.time.LocalDate](Ordering.by(_.toEpochDay)))
+    assert(months.last === direct.keys.max[java.time.LocalDate](Ordering.by(_.toEpochDay)))
+  }
+
+  test("q_event_dedup: tie-free min-id representative carries its own payload, nothing lost") {
+    val out = graft.queries.Cdc.qEventDedup(spark, TestSpark.sfDir).collect()
+    val ev = graft.Tables.events(spark, TestSpark.sfDir)
+    // collapse preserves mass: every source event lands in exactly one bucket
+    assert(out.map(_.getLong(6)).sum === ev.count())
+    // bucket keys are unique in the output
+    val keys = out.map(r => (r.getLong(1), r.getString(2), r.get(3)))
+    assert(keys.length === keys.distinct.length)
+    // the representative's (ts, value) is the SOURCE row of the kept id —
+    // min_by keyed on the unique event_id, not a mix of bucket columns
+    val src = ev.select("event_id", "ts", "value").collect()
+      .map(r => r.getLong(0) -> ((r.get(1), r.getDouble(2)))).toMap
+    out.foreach { r =>
+      assert(src(r.getLong(0)) === ((r.get(4), r.getDouble(5))),
+        s"payload mismatch for kept event ${r.getLong(0)}")
+    }
+  }
 }
