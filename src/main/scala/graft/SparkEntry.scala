@@ -107,6 +107,7 @@ object SparkEntry {
     "q_embed_normalize" -> (Llm.qEmbedNormalize _),
     "q_embed_covariance" -> (Llm.qEmbedCovariance _),
     "q_embed_whiten" -> (Llm.qEmbedWhiten _),
+    "q_embed_pca" -> (Llm.qEmbedPca _), // no-oracle: eigenbasis not SQL-expressible; contracts in LlmSpec
     "q_hard_negatives" -> (Llm.qHardNegatives _),
     "q_hard_negatives_ann" -> (Llm.qHardNegativesAnn _),
     "q_quality_nb" -> (Llm.qQualityNb _),

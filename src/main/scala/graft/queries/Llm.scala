@@ -1400,6 +1400,66 @@ object Llm {
       .orderBy("i", "j")
   }
 
+  /** §2.9 PCA projection onto the corpus's top-2 principal components — the
+    * embedding-space map view (cluster inspection, drift monitoring, OPQ-style
+    * rotation prep) rounding out the embedding toolkit next to
+    * [[qEmbedCovariance]] (the statistic) and [[qEmbedWhiten]] (the diagonal
+    * normalization).
+    *
+    * Split exactly like FAISS trains its models: the DATA-SCALED pass is the
+    * distributed augmented-Gram aggregation (same shape as
+    * [[qEmbedCovariance]] — map-side partials collapse each partition to
+    * ≤ d(d+1)/2 rows before the only shuffle), whose d²-cell result is
+    * bounded METADATA collected to the driver; the eigen solve
+    * ([[graft.etl.Pca]], deterministic power iteration with deflation) is
+    * d×d local math; the projection broadcasts the two component vectors
+    * back as literals into a map-side codegen `dot_micro` pass — zero
+    * shuffles over the corpus beyond the gram agg and the output sort.
+    *
+    * No oracle by design (an eigenbasis is not SQL-expressible); the
+    * orthonormality / variance-ordering / determinism contracts live in
+    * LlmSpec. Output is integer micro-units end to end (snapped gram,
+    * float-quantized components, floored dot terms), so the result is
+    * bit-reproducible across runs and partitionings. */
+  def qEmbedPca(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val aug = concat(array(lit(1.0d)), asDouble(col("embedding")))
+    val cells = e.select(aug.as("v"))
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("v"), col("i") + 1, size(col("v")) - col("i")))
+          .as(Seq("dj", "xj")))
+      .groupBy(col("i"), (col("i") + col("dj")).as("j"))
+      .agg(sum(floor(col("xi") * col("xj") * lit(1e6)).cast("long")).as("s"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val dim = cells.keys.map(_._2).max // augmented size − 1 = embedding dim
+    val n = cells((0, 0)).toDouble / 1e6 // Σ floor(1·1·1e6) = n·1e6 exactly
+    val means = Array.tabulate(dim)(i => cells((0, i + 1)).toDouble / 1e6 / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i + 1, j + 1) else (j + 1, i + 1)
+      cells((a, b)).toDouble / 1e6 / n - means(i) * means(j)
+    }
+    val (_, comps) = graft.etl.Pca.topComponents(cov, 2)
+    val compF = comps.map(_.map(_.toFloat))
+    // centering constant replicated in dot_micro's exact per-term math:
+    // (x − m)·v ≈ dot_micro(x, v) − Σ floor(m_i·v_i·1e6)
+    def centerConst(vk: Array[Float]): Long = {
+      var s = 0L; var i = 0
+      while (i < dim) {
+        s += math.floor(means(i).toFloat.toDouble * vk(i).toDouble * 1e6).toLong
+        i += 1
+      }
+      s
+    }
+    def proj(vk: Array[Float], name: String) =
+      (call_function("dot_micro", col("embedding"),
+        array(vk.map(x => lit(x)).toSeq: _*)) - lit(centerConst(vk))).as(name)
+    e.select(col("vec_id"), col("label"),
+        proj(compF(0), "pc1_micro"), proj(compF(1), "pc2_micro"))
+      .orderBy("vec_id")
+  }
+
   /** §2.9 Embedding-space outlier detection: each vector's cosine similarity
     * to its own label's centroid; the bottom-3 per label are the mislabel /
     * contamination candidates an embedding-QA pass reviews. The centroid is

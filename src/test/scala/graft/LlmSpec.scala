@@ -1185,6 +1185,45 @@ class LlmSpec extends AnyFunSuite {
     assert(bloom === exact, "bloom+confirm must be bit-equal to the exact semi-join")
   }
 
+  test("Pca.topComponents: recovers a known eigenbasis, orthonormal, descending eigenvalues") {
+    // diag(4, 1, 0.25): principal axes are the coordinate axes in order
+    val cov = Array(
+      Array(4.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 0.25))
+    val (vals, vecs) = graft.etl.Pca.topComponents(cov, 2)
+    assert(math.abs(vals(0) - 4.0) < 1e-9 && math.abs(vals(1) - 1.0) < 1e-9)
+    assert(math.abs(math.abs(vecs(0)(0)) - 1.0) < 1e-9, "pc1 must be e0")
+    assert(math.abs(math.abs(vecs(1)(1)) - 1.0) < 1e-9, "pc2 must be e1")
+    assert(vecs(0)(0) > 0 && vecs(1)(1) > 0, "sign canonicalization")
+    val dot12 = vecs(0).zip(vecs(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) < 1e-9, "components must be orthogonal")
+  }
+
+  test("q_embed_pca: variance ordering holds and the projection is deterministic") {
+    val out1 = Llm.qEmbedPca(spark, TestSpark.sfDir).collect()
+    assert(out1.length ===
+      Tables.embeddings(spark, TestSpark.sfDir).count().toInt)
+    def variance(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val v1 = variance(out1.map(_.getLong(2).toDouble))
+    val v2 = variance(out1.map(_.getLong(3).toDouble))
+    assert(v1 >= v2, s"pc1 variance $v1 must dominate pc2 variance $v2")
+    // pc1 captures at least as much variance as any single coordinate axis
+    val maxAxisVar = (0 until 64).map { i =>
+      variance(Tables.embeddings(spark, TestSpark.sfDir)
+        .select(col("embedding")).collect()
+        .map(r => r.getSeq[Float](0)(i).toDouble * 1e6))
+    }.max
+    assert(v1 >= maxAxisVar * 0.999,
+      s"pc1 variance $v1 below best axis variance $maxAxisVar")
+    val out2 = Llm.qEmbedPca(spark, TestSpark.sfDir).collect()
+    assert(out1.map(_.toString).toSeq === out2.map(_.toString).toSeq,
+      "projection must be bit-stable across runs")
+  }
+
   test("char_entropy: single-pass expression is bit-identical to the 27-replace composition") {
     import org.apache.spark.sql.functions.{expr, length, when, lit}
     graft.expr.GraftFunctions.ensureRegistered(spark)
