@@ -975,6 +975,30 @@ object Oracle {
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
+    // Medians of integer daily counts are half-integers: med×2 / MAD×4 are
+    // exact BIGINTs in both engines and the 3·MAD cut (≈ 2.02σ under
+    // normality) cross-multiplies to pure integer arithmetic (no double
+    // compare).
+    "q_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, CAST(quantile_cont(n_events, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.event_type, d.day, d.n_events, m.med2,
+        |         abs(d.n_events * 2 - m.med2) AS dev2
+        |  FROM daily d JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n_events,
+        |  CASE WHEN d.n_events * 2 > d.med2 THEN 'high' ELSE 'low' END AS direction
+        |FROM dev d JOIN mad md USING (event_type)
+        |WHERE d.dev2 * 2 > 3 * md.mad4
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
     // Canonical representative = lowest event_id per bucket; arg_min keyed
     // on the UNIQUE event_id is tie-free, so both engines pick the same
     // payload row deterministically.

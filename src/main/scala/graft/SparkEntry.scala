@@ -171,6 +171,7 @@ object SparkEntry {
     "q_pagerank"       -> (Graph.qPagerank _),
     "q_graph_triangles" -> (Graph.qTriangles _),
     "q_event_anomaly"  -> (Cdc.qEventAnomaly _),
+    "q_anomaly_mad"    -> (Cdc.qAnomalyMad _),
     "q_sample_weighted" -> (Llm.qSampleWeighted _),
     "q_count_min"      -> (Llm.qCountMin _),
   )

@@ -285,6 +285,45 @@ object Cdc {
       .orderBy("event_type", "day")
   }
 
+  /** §2.10 Robust (median/MAD) anomaly flags per event type — the
+    * breakdown-resistant complement of [[qEventAnomaly]]'s 2σ test: a
+    * contaminated baseline inflates μ/σ and masks the very outliers being
+    * hunted, while the median and the median-absolute-deviation tolerate up
+    * to 50% contamination. The cut is |x − med| > 3·MAD — via the 1.4826
+    * normal-consistency constant that is ≈ 2.02σ, the robust twin of
+    * [[qEventAnomaly]]'s 2σ rule.
+    *
+    * Exactness (§5.3, same ANSI-exact posture as [[qEventAnomaly]]):
+    * medians of integer daily counts are half-integers, so med×2 and MAD×4
+    * are EXACT integers in both engines (`percentile`/`quantile_cont`
+    * interpolate identically at 0.5), and the final cut cross-multiplies to
+    * `2·dev2 > 3·mad4` — pure BIGINT, no double comparison anywhere.
+    *
+    * Shape at scale: the event scan collapses to one (type, day) hash agg —
+    * PINNED, since both the MAD derivation and the final flag consume it
+    * (exchange reuse does not fire across pruned consumers, PLANS.md r9) —
+    * then two |types|-row percentile aggs broadcast back; the flag itself is
+    * map-side. MAD degeneracy (mad4 = 0 when most days tie at the median)
+    * flags every deviating day, the standard behavior, deterministically. */
+  def qAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Exprs.pinShared(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events")))
+    val med = daily.groupBy("event_type")
+      .agg((expr("percentile(n_events, 0.5)") * 2).cast("long").as("med2"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs(col("n_events") * 2 - col("med2")))
+    val mad = dev.groupBy("event_type")
+      .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("dev2") * lit(2L) > lit(3L) * col("mad4"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        when(col("n_events") * 2 > col("med2"), lit("high"))
+          .otherwise(lit("low")).as("direction"))
+      .orderBy("event_type", "day")
+  }
+
   /** §2.10 Session windows, 30-min inactivity gap per user, batch parity via
     * gaps-and-islands: flag rows starting a new session (gap > 30 min from
     * the previous event), running-sum the flags into a session id, aggregate.
