@@ -51,7 +51,12 @@ object PlanDump {
     "q_embed_covariance" -> "augmented-Gram one-pass: two chained generators -> hash agg with map-side partials (<=2,145 rows/partition reach the ONLY data shuffle) -> broadcast row-0 self-enrich of the pinned gram frame (r10)",
     "q_hard_negatives" -> "m-row anchor broadcast with label-mismatch residual -> native codegen dot_micro per pair -> per-anchor rank window cut to 5 (r10)",
     "q_quality_nb" -> "NB train+infer in one plan: vocabulary hash agg pinned + broadcast (the model), explode -> broadcast model join -> per-doc micro-snapped LLR agg (r10)",
-    "q_semdedup" -> "bucket-keyed self-join confines pair expansion within sign-bucket cells; codegen dot_micro filter -> distinct drop set -> one join back (r10)")
+    "q_semdedup" -> "bucket-keyed self-join confines pair expansion within sign-bucket cells; codegen dot_micro filter -> distinct drop set -> one join back (r10)",
+    "q_sql_recursive" -> "recursive month spine (bounded metadata UNION-ALL loop) LEFT-joined onto the monthly rollup with the tiny spine broadcast (r10)",
+    "q_event_dedup" -> "ONE hash agg with map-side partials; min_by keyed on the unique event_id resurrects the kept payload inside the agg - no window, no join-back (r10)",
+    "q_char_entropy" -> "map-side only: single-pass codegen char_entropy + one replace length diff; zero data shuffles beyond the output sort (r10)",
+    "q_anomaly_mad" -> "pinned (type, day) hash agg -> two |types|-row percentile aggs broadcast back -> map-side pure-integer 3*MAD cut (r10)",
+    "q_embed_pca" -> "distributed augmented-Gram agg (only data-scaled pass) -> driver eigen solve -> literal components in a map-side codegen dot_micro projection (r10)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

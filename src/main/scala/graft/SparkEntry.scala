@@ -166,6 +166,7 @@ object SparkEntry {
     "q_bm25"           -> (Llm.qBm25 _),
     "q_hybrid_rrf"     -> (Llm.qHybridRrf _),
     "q_token_bpe"      -> (Llm.qTokenBpe _),
+    "q_bpe_train"      -> (Llm.qBpeTrain _), // no-oracle: iterative training not SQL-expressible; contracts in LlmSpec
     "q_containment"    -> (Llm.qContainment _),
     "q_block_dedup"    -> (Llm.qBlockDedup _),
     "q_pagerank"       -> (Graph.qPagerank _),

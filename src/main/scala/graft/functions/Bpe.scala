@@ -79,4 +79,66 @@ object Bpe {
       it.map(w => (w, tokenize(w, rk).length))
     }.toDF("w", "n_bpe")
   }
+
+  /** Sennrich BPE TRAINING — learn the merges table itself from a word
+    * frequency vocabulary, completing the tokenizer story ([[merges]] above
+    * is a fixture standing in for exactly this output).
+    *
+    * Pinned training semantics (the classic learn loop): every word is a
+    * character symbol sequence; each round counts all adjacent symbol pairs
+    * weighted by word frequency, picks the max-count pair with a TOTAL
+    * deterministic tie-break (count desc, then left asc, then right asc),
+    * merges ALL its non-overlapping occurrences left-to-right in every word
+    * (training merges all at once; inference above re-picks per occurrence
+    * — both are the standard Sennrich formulation), records the rule, and
+    * repeats. Stops early when no pair repeats (count < 2 learns nothing).
+    *
+    * Scale split (same FAISS-style separation as IVF/PQ/[[graft.etl.Pca]]):
+    * the corpus-scaled work is the distributed word-frequency aggregation
+    * plus a deterministic top-V cap (count desc, word asc) — the trainer
+    * itself sees only the BOUNDED capped vocabulary, exactly how production
+    * tokenizer training operates (a vocab cap, not the token stream). The
+    * loop is O(rounds · Σ word lengths) driver-local math. */
+  def train(vocab: Seq[(String, Long)], nMerges: Int)
+      : IndexedSeq[(String, String, Long)] = {
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var m = 0
+    var done = false
+    while (m < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      val candidates = counts.filter(_._2 >= 2)
+      if (candidates.isEmpty) done = true
+      else {
+        val ((l, r), c) = candidates.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        out += ((l, r, c))
+        words = words.map { case (syms, wc) => (mergeAll(syms, l, r), wc) }
+        m += 1
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Merge every non-overlapping (l, r) adjacency left-to-right — the
+    * training-side replace-all step. */
+  private[functions] def mergeAll(syms: Array[String], l: String, r: String)
+      : Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
 }

@@ -1556,6 +1556,36 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** §2.9 BPE vocabulary TRAINING over the corpus — learning the merges
+    * table that [[qTokenBpe]] applies (whose built-in list is a fixture
+    * standing in for exactly this output): the tokenizer story becomes
+    * end-to-end — train on the corpus, meter with the result.
+    *
+    * Scale split (documented on [[graft.functions.Bpe.train]]): the
+    * corpus-scaled pass is ONE distributed word-frequency aggregation with
+    * map-side partials; a deterministic top-V cap (count desc, word asc —
+    * total order) bounds what the trainer sees, exactly as production
+    * tokenizer training caps its vocabulary; the merge-learning loop is
+    * driver-local math over that bounded table (the FAISS-style
+    * data/model split, same as IVF centroids and [[qEmbedPca]]).
+    *
+    * No oracle by design (iterative replace-all training is not
+    * SQL-expressible); hand-computed-merge, monotone-compression, and
+    * determinism contracts live in LlmSpec. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(4096)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.Bpe.train(vocab, 32).zipWithIndex
+      .map { case ((l, r, c), i) => (i, l, r, c) }
+      .toDF("rank", "left", "right", "pair_count")
+      .orderBy("rank")
+  }
+
   /** §2.9 Quality scoring: chars-per-token, stopword ratio, type-token
     * ratio — the standard cheap text-quality filters. */
   def qTextQuality(spark: SparkSession, dir: String): DataFrame = {

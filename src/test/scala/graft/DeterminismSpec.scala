@@ -42,7 +42,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_token_bpe",        // vocabulary BPE pass + per-doc integer sums (r9)
     "q_hybrid_rrf",       // two arm cuts + integer-micro rank fusion (r9)
     "q_event_anomaly",    // decimal(38,0) variance test terms (r9)
-    "q_profile_columns")  // stack + cascade exact-distinct rewrite (r9)
+    "q_profile_columns",  // stack + cascade exact-distinct rewrite (r9)
+    "q_anomaly_mad",      // exact half-integer medians -> integer MAD cut (r10)
+    "q_embed_pca",        // snapped gram collect -> driver eigen -> micro projection (r10)
+    "q_bpe_train")        // top-V cap total order + deterministic merge tie-break (r10)
 
   sensitive.foreach { name =>
     test(s"$name is byte-identical under shuffle.partitions 32 vs 3") {

@@ -1185,6 +1185,42 @@ class LlmSpec extends AnyFunSuite {
     assert(bloom === exact, "bloom+confirm must be bit-equal to the exact semi-join")
   }
 
+  test("Bpe.train: learns the hand-computable merges on a tiny vocabulary") {
+    // "abab"×3, "ab"×2: pair counts a·b = 2·3 + 1·2 = 8, b·a = 3 → merge (a,b).
+    // After: [ab,ab]×3, [ab]×2 → only pair ab·ab = 3 → merge (ab,ab). Then
+    // the single remaining word form has no adjacent pair repeated ≥2 → stop.
+    val merges = graft.functions.Bpe.train(Seq(("abab", 3L), ("ab", 2L)), 10)
+    assert(merges === IndexedSeq(("a", "b", 8L), ("ab", "ab", 3L)))
+  }
+
+  test("Bpe.train tie-break is total: equal counts resolve by (left, right) ascending") {
+    // "xy"×2 and "yz"×2 both give their pair count 2 — (x,y) < (y,z)
+    val merges = graft.functions.Bpe.train(Seq(("xy", 2L), ("yz", 2L)), 1)
+    assert(merges.head === (("x", "y", 2L)))
+  }
+
+  test("q_bpe_train: learned merges compress the corpus monotonically and deterministically") {
+    val out1 = Llm.qBpeTrain(spark, TestSpark.sfDir).collect()
+    assert(out1.nonEmpty, "corpus must yield learnable merges")
+    // ranks are dense from 0 and pair counts never increase with rank
+    assert(out1.map(_.getInt(0)).toSeq === out1.indices)
+    // applying the learned table must shorten tokenizations: avg BPE tokens
+    // per word strictly below avg chars per word on the training vocabulary
+    val learned = out1.map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    val rk = learned.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val words = Tables.documents(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .filter(org.apache.spark.sql.functions.length(col("w")) > 0)
+      .distinct().collect().map(_.getString(0))
+    val charTotal = words.map(_.length).sum.toDouble
+    val bpeTotal = words.map(w => graft.functions.Bpe.tokenize(w, rk).length).sum.toDouble
+    assert(bpeTotal < charTotal, s"learned merges must compress: $bpeTotal vs $charTotal")
+    val out2 = Llm.qBpeTrain(spark, TestSpark.sfDir).collect()
+    assert(out1.map(_.toString).toSeq === out2.map(_.toString).toSeq,
+      "training must be deterministic")
+  }
+
   test("Pca.topComponents: recovers a known eigenbasis, orthonormal, descending eigenvalues") {
     // diag(4, 1, 0.25): principal axes are the coordinate axes in order
     val cov = Array(
