@@ -469,19 +469,26 @@ object Oracle {
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
 
     // Shared-string recursive CTE (q_sql_recursive runs THIS text in Spark):
-    // the month spine recursion is bounded metadata (one row per month);
-    // the fact side is an ordinary rollup. Verified verbatim-identical in
-    // both dialects: DATE + INTERVAL re-cast to DATE, date_trunc on month,
-    // exact decimal revenue sum.
+    // the spine recursion is bounded metadata, and it recurses at YEAR
+    // granularity with a 12-row month expansion — Spark executes one job
+    // per recursion level, so depth is the latency driver (the month-level
+    // formulation was measured 8× slower on identical output: 80 sequential
+    // micro-jobs vs ~8). Verified verbatim-identical in both dialects:
+    // DATE + k·INTERVAL re-cast to DATE, date_trunc, exact decimal sum.
     "q_sql_recursive" ->
       """WITH RECURSIVE
         |b AS (SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
         |             CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi FROM orders),
-        |spine(m) AS (
-        |  SELECT lo FROM b
+        |ys(y) AS (
+        |  SELECT CAST(date_trunc('year', lo) AS DATE) FROM b
         |  UNION ALL
-        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine WHERE m < (SELECT hi FROM b)
+        |  SELECT CAST(y + INTERVAL 1 YEAR AS DATE) FROM ys
+        |  WHERE y < (SELECT CAST(date_trunc('year', hi) AS DATE) FROM b)
         |),
+        |mn(k) AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11)) AS t(k)),
+        |spine AS (SELECT CAST(y + k * INTERVAL 1 MONTH AS DATE) AS m
+        |          FROM ys CROSS JOIN mn, b
+        |          WHERE CAST(y + k * INTERVAL 1 MONTH AS DATE) BETWEEN lo AND hi),
         |agg AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
         |               count(*) AS n_orders,
         |               CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue

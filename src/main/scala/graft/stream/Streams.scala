@@ -375,6 +375,54 @@ object Streams {
         ()
     }
 
+  /** One micro-batch of the STREAMING TYPE-2 fold (exposed for the sink and
+    * for direct spec-testing of replay semantics): the incoming CDC batch is
+    * first anti-joined against the history on (key, eff) — a record whose
+    * version is already historized is a replay and folds to a no-op, which
+    * is what makes the sink idempotent under crash-replay (contrast the
+    * Type-1 [[upsertToParquet]], where latest-per-key is naturally
+    * idempotent and needs no guard) — then applied through the spec-proven
+    * [[graft.etl.Scd2.applyCdcHistorized]] (close open versions, append new
+    * ones, deletes end-date without successor). */
+  def scd2FoldBatch(history: DataFrame, batch: DataFrame, keyCols: Seq[String],
+                    seqCol: String, flagCol: String, effCol: String): DataFrame = {
+    val fresh = batch.join(
+      history.select((keyCols.map(col) :+ col(effCol)): _*),
+      keyCols :+ effCol, "left_anti")
+    graft.etl.Scd2.applyCdcHistorized(history, fresh, keyCols, seqCol, flagCol, effCol)
+  }
+
+  /** STREAMING TYPE-2 HISTORIZATION — TPC-DI's incremental dimension
+    * maintenance driven as a stream: each micro-batch of CDC records
+    * (I/U/D + sequence + effective time) folds into the persisted versioned
+    * history via [[scd2FoldBatch]] and republishes through the
+    * [[graft.etl.Warehouse]] manifest layer (one atomic pointer rename —
+    * readers see entirely-old or entirely-new history, never a mix). The
+    * (key, eff) replay guard in the fold makes a re-delivered micro-batch a
+    * no-op republish, so the sink is exactly-once in effect on at-least-once
+    * delivery. Versioned-history invariants (interval tiling, exactly one
+    * open version per key) are [[graft.etl.Scd2]]'s property-tested
+    * contract; StreamingSpec asserts stream-final == sequential batch folds. */
+  def scd2Sink(cdc: DataFrame, statePath: String, keyCols: Seq[String],
+               seqCol: String, flagCol: String, effCol: String = "eff")
+      : DataStreamWriter[Row] =
+    cdc.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val empty = batch.drop(seqCol, flagCol)
+          .withColumn("end", col(effCol))
+          .withColumn("is_current", lit(true))
+          .limit(0)
+        val history =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(statePath, "_CURRENT")))
+            graft.etl.Warehouse.readCurrent(spark, statePath)
+          else empty
+        val next = scd2FoldBatch(history, batch, keyCols, seqCol, flagCol, effCol)
+        graft.etl.Warehouse.publish(spark, statePath,
+          dir => next.write.mode("overwrite").parquet(dir))
+        ()
+    }
+
   /** CONTINUOUS CORPUS INGEST — the end-to-end composition of the engine's
     * incremental pieces, each individually spec-proven, as one foreachBatch
     * pipeline: documents arrive as a stream →

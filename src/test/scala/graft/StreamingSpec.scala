@@ -19,6 +19,10 @@ case class IngestDoc(doc_id: Long, text: String, embedding: Array[Float])
 case class SourcedDoc(doc_id: Long, text: String, source: String,
                       embedding: Array[Float])
 
+/** One CDC change record for the streaming Type-2 sink test. */
+case class CdcRec(seq: Long, cust_id: Long, tier: String,
+                  eff: Timestamp, flag: String)
+
 /** Structured Streaming semantics (SURVEY.md §2.10 no-oracle rows): watermark
   * late-data drop, session-window merging, within-watermark dedup — driven
   * through MemoryStream with controlled event times, asserted on memory-sink
@@ -434,5 +438,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids === Seq(1L, 2L, 3L, 4L),
         s"a raised budget must admit the previously rejected doc, got $ids")
     } finally q2.stop()
+  }
+
+  test("streaming Type-2 sink: history folds across micro-batches, invariants hold, replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val statePath = java.nio.file.Files.createTempDirectory("graft_scd2_sink").toString
+    val mem = MemoryStream[CdcRec]
+    val q = Streams.scd2Sink(mem.toDF(), statePath,
+      keyCols = Seq("cust_id"), seqCol = "seq", flagCol = "flag").start()
+    def state() = graft.etl.Warehouse.readCurrent(spark, statePath)
+    try {
+      // batch 1: two inserts
+      mem.addData(
+        CdcRec(1, 10L, "bronze", ts("2024-01-01 00:00:00"), "I"),
+        CdcRec(2, 20L, "silver", ts("2024-01-01 00:00:00"), "I"))
+      q.processAllAvailable()
+      assert(state().count() === 2)
+      // batch 2: update cust 10 (new version), delete cust 20
+      mem.addData(
+        CdcRec(3, 10L, "gold", ts("2024-02-01 00:00:00"), "U"),
+        CdcRec(4, 20L, "silver", ts("2024-02-01 00:00:00"), "D"))
+      q.processAllAvailable()
+      val rows = state().collect()
+        .map(r => (r.getAs[Long]("cust_id"), r.getAs[String]("tier"),
+          Option(r.getAs[Timestamp]("end")).map(_.toString),
+          r.getAs[Boolean]("is_current")))
+        .sortBy(x => (x._1, x._3))
+      assert(rows.toSeq === Seq(
+        (10L, "gold", None, true),
+        (10L, "bronze", Some("2024-02-01 00:00:00.0"), false),
+        (20L, "silver", Some("2024-02-01 00:00:00.0"), false)),
+        s"history after two folds is wrong: ${rows.toSeq}")
+      // exactly one open version per surviving key; deleted key has none
+      val open = rows.filter(_._4)
+      assert(open.map(_._1).toSeq === Seq(10L))
+
+      // replay: re-folding batch 2 against the current history is a no-op
+      // (the (key, eff) guard drops already-historized records)
+      val replay = Seq(
+        CdcRec(3, 10L, "gold", ts("2024-02-01 00:00:00"), "U"),
+        CdcRec(4, 20L, "silver", ts("2024-02-01 00:00:00"), "D")).toDF()
+      val after = Streams.scd2FoldBatch(state(), replay,
+        Seq("cust_id"), "seq", "flag", "eff")
+      assert(after.count() === 3, "replayed batch must fold to a no-op")
+      assert(after.filter(org.apache.spark.sql.functions.col("is_current")).count() === 1)
+    } finally q.stop()
   }
 }
