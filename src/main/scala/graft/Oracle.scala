@@ -10,7 +10,34 @@ object Oracle {
   val sql: Map[String, String] =
     relationalSql ++ scalarsSql ++ cdcSql ++ llmSql
 
+  /** Morton interleave restated as a 32-term sum of disjoint powers of two
+    * (bit i of x lands at position 2i, bit i of y at 2i+1) — pure integer
+    * arithmetic, bit-identical to [[graft.expr.Morton32]] by construction. */
+  private lazy val zorderSql: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(
+        s"CAST(((xg >> $i) & 1) AS BIGINT) * ${1L << (2 * i)}",
+        s"CAST(((yg >> $i) & 1) AS BIGINT) * ${1L << (2 * i + 1)}")
+    }.mkString("\n  + ")
+    s"""WITH k AS (
+       |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS xr,
+       |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS yr
+       |  FROM orders),
+       |b AS (SELECT min(xr) AS xlo, max(xr) AS xhi,
+       |             min(yr) AS ylo, max(yr) AS yhi FROM k),
+       |g AS (SELECT o_orderkey,
+       |    CAST((xr - xlo) * 256 // (xhi - xlo + 1) AS INTEGER) AS xg,
+       |    CAST((yr - ylo) * 256 // (yhi - ylo + 1) AS INTEGER) AS yg
+       |  FROM k CROSS JOIN b)
+       |SELECT o_orderkey, xg, yg,
+       |  $terms AS zval
+       |FROM g
+       |ORDER BY zval, o_orderkey""".stripMargin
+  }
+
   private lazy val relationalSql: Map[String, String] = Map(
+
+    "q_zorder_layout" -> zorderSql,
 
     "q_scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice

@@ -55,7 +55,11 @@ object ScaleSmoke {
     "q_knn_batch_ivfpq",   // batch composite: union-pruned, list-equality ADC (r9)
     "q_profile_columns",   // stack + cascade distinct — the r9 one-scan rewrite
     "q_content_chunks",    // gram explode + per-doc running-sum window (r10)
-    "q_chunk_dedup")       // chunk frame + positional slice + hash aggs (r10)
+    "q_chunk_dedup",       // chunk frame + positional slice + hash aggs (r10)
+    "q_embed_pca",         // d²/2 explode per row — linear with a big constant (r10)
+    "q_event_dedup",       // one hash agg; shuffle = hourly support, not events (r10)
+    "q_sql_recursive",     // depth-bounded spine + linear rollup (r10)
+    "q_anomaly_mad")       // pinned daily agg + two percentile aggs (r10)
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata")

@@ -152,6 +152,14 @@ object GraftFunctions {
     BloomProbe(children.head, children(1))
   }
 
+  private[expr] val mortonIdent = FunctionIdentifier("morton32")
+  private[expr] val mortonInfo =
+    new ExpressionInfo(classOf[Morton32].getName, "morton32")
+  private[expr] val mortonBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "morton32 takes exactly 2 arguments")
+    Morton32(children.head, children(1))
+  }
+
   private[expr] val entropyIdent = FunctionIdentifier("char_entropy")
   private[expr] val entropyInfo =
     new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy")
@@ -168,7 +176,8 @@ object GraftFunctions {
     (adcIdent, adcInfo, adcBuilder),
     (dotMicroIdent, dotMicroInfo, dotMicroBuilder),
     (bloomIdent, bloomInfo, bloomBuilder),
-    (entropyIdent, entropyInfo, entropyBuilder))
+    (entropyIdent, entropyInfo, entropyBuilder),
+    (mortonIdent, mortonInfo, mortonBuilder))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -196,6 +205,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.bloomBuilder))
     ext.injectFunction((GraftFunctions.entropyIdent, GraftFunctions.entropyInfo,
       GraftFunctions.entropyBuilder))
+    ext.injectFunction((GraftFunctions.mortonIdent, GraftFunctions.mortonInfo,
+      GraftFunctions.mortonBuilder))
     // whole-operator surface (TopKPerGroup — SURVEY.md §2.11 option (c)):
     // the planner strategy, plus the optimizer rule that un-blocks filter
     // pushdown through the custom node (injected rules join the operator-

@@ -643,6 +643,47 @@ object Relational {
     spark.sql(graft.Oracle.sql("q_sql_recursive"))
   }
 
+  /** §2.1 Z-ORDER LAYOUT KEY — multi-dimensional clustering for scan
+    * pruning: the Morton code interleaves the low 16 bits of two keys
+    * (customer, order-month) into one BIGINT sort key, so range-
+    * partitioning/sorting by it clusters rows close in BOTH dimensions
+    * into the same files — min/max file statistics then prune 2-D range
+    * predicates where a single-column sort only prunes its own column
+    * (the lakehouse OPTIMIZE ZORDER technique). At 100 TB layout is the
+    * cheapest query accelerator there is: it costs one write and pays on
+    * every subsequent scan.
+    *
+    * Interleaving RAW keys would let the wider dimension's bits dominate
+    * the top of the code (customer spans ~11 varying bits here, the month
+    * index ~7 — the first three partition cuts would all be customer cuts
+    * and months would never cluster), so each dimension is first quantized
+    * onto a common 256-cell grid from its own observed bounds — exactly
+    * what production ZORDER implementations do via per-column range ids.
+    * The bounds are a 1-row broadcast; the grid math is exact integer
+    * division in both engines.
+    *
+    * The code itself is the native codegen [[graft.expr.Morton32]] (pure
+    * integer bit math, bit-identical across engines; the oracle restates
+    * it as a 32-term sum of disjoint powers of two). This query emits the
+    * layout ORDER — each row's grid coordinates and z-key in z order;
+    * WarehouseSpec measures the actual clustering effect: per-partition
+    * span sums of a z-ranged layout vs a single-key layout. */
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val keys = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_custkey").cast("long").as("xr"),
+      expr("cast(year(o_orderdate) * 12 + month(o_orderdate) - 1 as bigint)")
+        .as("yr"))
+    val bounds = keys.agg(min("xr").as("xlo"), max("xr").as("xhi"),
+                          min("yr").as("ylo"), max("yr").as("yhi"))
+    keys.crossJoin(broadcast(bounds))
+      .withColumn("xg", expr("cast((xr - xlo) * 256 div (xhi - xlo + 1) as int)"))
+      .withColumn("yg", expr("cast((yr - ylo) * 256 div (yhi - ylo + 1) as int)"))
+      .withColumn("zval", call_function("morton32", col("xg"), col("yg")))
+      .select("o_orderkey", "xg", "yg", "zval")
+      .orderBy("zval", "o_orderkey")
+  }
+
   /** §2.3 Full outer join: reconcile two independently-filtered views of the
     * customer base (the warehouse-vs-source reconciliation shape — rows only
     * in one side surface as has_* = false). Both sides shuffle on the key;

@@ -31,7 +31,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_embed_covariance", // 1-row count cell of the gram frame, broadcast (r10)
     "q_hard_negatives", // m-row anchor slice broadcast, label-mismatch residual (r10)
     "q_quality_nb", // 1-row class-totals broadcast, same class as q_lm_perplexity (r10)
-    "q_sample_decay") // 1-row max-ts broadcast (r10)
+    "q_sample_decay", // 1-row max-ts broadcast (r10)
+    "q_zorder_layout", // 1-row grid-bounds broadcast (r10)
+    "q_sql_recursive") // 12-row month expansion × year spine + 1-row bounds (r10)
 
   // One evaluation pass over the full inventory; both audits read the
   // final (post-AQE) plans from it. collect() — not a noop write — because

@@ -271,4 +271,51 @@ class WarehouseSpec extends AnyFunSuite {
         s"AQE did not mark the join as skew-handled:\n$plan")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("z-order layout clusters BOTH dimensions: per-partition span sums beat the single-key sort") {
+    // The pruning proxy: a file's min/max stats can skip it for a range
+    // predicate iff the file's span in that column is narrow. Sum of
+    // per-partition spans = how much of the key space each layout exposes
+    // to skipping. A z-ranged layout must bound BOTH dims; the single-key
+    // layout leaves the other dim at (nearly) full span in every partition.
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val keyed = graft.queries.Relational.qZorderLayout(spark, TestSpark.sfDir)
+      .select("o_orderkey", "xg", "yg", "zval")
+    val nPart = 8
+    def spanSums(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val spans = df
+        .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+        .groupBy("pid")
+        .agg((max(col("xg")) - min(col("xg"))).as("sx"),
+             (max(col("yg")) - min(col("yg"))).as("sy"))
+        .agg(sum(col("sx")).as("tx"), sum(col("sy")).as("ty"))
+        .collect().head
+      (spans.getLong(0), spans.getLong(1))
+    }
+    val (zx, zy) = spanSums(keyed.repartitionByRange(nPart, col("zval")))
+    val (_, xy) = spanSums(keyed.repartitionByRange(nPart, col("xg")))
+    // single-key layout: every partition spans ~the full month-grid range
+    assert(zy < xy / 2,
+      s"z-layout month-span sum $zy must beat the custkey-sort layout's $xy by 2x+")
+    // and the z-layout must also keep the customer dim bounded: strictly
+    // better than the worst case of nPart partitions at full span
+    val fullX = keyed.agg((max(col("xg")) - min(col("xg"))).cast("long"))
+      .collect().head.getLong(0)
+    assert(zx < nPart * fullX,
+      s"z-layout custkey spans $zx must stay below $nPart x full range $fullX")
+  }
+
+  test("morton32 expression equals the 32-term power-of-two composition bit-for-bit") {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val d = Tables.orders(spark, TestSpark.sfDir)
+      .select(pmod(col("o_custkey"), lit(65536L)).cast("int").as("xk"),
+              pmod(col("o_orderkey"), lit(65536L)).cast("int").as("yk"))
+    val terms = (0 until 16).flatMap { i =>
+      Seq(shiftleft(shiftright(col("xk"), i).bitwiseAND(1).cast("long"), 2 * i),
+          shiftleft(shiftright(col("yk"), i).bitwiseAND(1).cast("long"), 2 * i + 1))
+    }.reduce(_ + _)
+    val rows = d.select(call_function("morton32", col("xk"), col("yk")).as("m"),
+                        terms.as("c")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
 }
