@@ -4,8 +4,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 import graft.queries.Exprs.moneySum
 
@@ -32,6 +33,14 @@ case class DocTokens(doc_id: Long, source: String, n_tokens: Long)
   * batch `q_source_budget` audit columns. */
 case class BudgetAdmission(doc_id: Long, source: String, n_tokens: Long,
                            cum_tokens: Long, kept: Boolean)
+
+/** Closed session emitted by [[Streams.sessionTimeoutTws]] when a user's
+  * inactivity timer fires (epoch-micros bounds, event count). */
+case class SessionSummary(user_id: Long, start_us: Long, end_us: Long,
+                          n_events: Long)
+
+/** Open-session state of [[Streams.sessionTimeoutTws]]. */
+case class SessionAgg(start_us: Long, last_us: Long, n: Long)
 
 /** Structured Streaming wrappers (SURVEY.md §2.10): the stream-native forms
   * of the CDC/event-time semantics in [[graft.queries.Cdc]]. Each takes a
@@ -374,6 +383,75 @@ object Streams {
           dir => merged.write.mode("overwrite").parquet(dir))
         ()
     }
+
+  /** EVENT-TIME TIMERS — the `transformWithState` capability the other
+    * processors don't exercise: a per-user inactivity session that EMITS ON
+    * TIMEOUT. The built-in `session_window` ([[sessionized]]) merges
+    * windows declaratively; this processor demonstrates the imperative
+    * form — custom state plus a registered event-time timer that fires when
+    * the WATERMARK passes last-activity + gap — which is what
+    * alerting/expiry semantics (abandon-cart triggers, state TTL with
+    * side-output) need and the declarative form can't express.
+    *
+    * Timer discipline: each input batch re-arms exactly one timer per key
+    * (stale timers deleted first), so timer state is O(1) per key; firing
+    * clears the session state, so total state is bounded by ACTIVE users,
+    * not all users ever seen. Within-batch gaps close sessions inline
+    * (rows are processed in event-time order per key). */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, UserEvent, SessionSummary] {
+    @transient private var st: ValueState[SessionAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionAgg](
+        "session", Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[SessionSummary] = {
+      var closed = List.empty[SessionSummary]
+      var cur = Option(st.get())
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val tUs = e.ts.getTime * 1000L
+        cur match {
+          case Some(s) if tUs - s.last_us <= gapMs * 1000L =>
+            cur = Some(SessionAgg(s.start_us, math.max(s.last_us, tUs), s.n + 1))
+          case Some(s) =>
+            closed ::= SessionSummary(user, s.start_us, s.last_us, s.n)
+            cur = Some(SessionAgg(tUs, tUs, 1))
+          case None =>
+            cur = Some(SessionAgg(tUs, tUs, 1))
+        }
+      }
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      cur.foreach { s =>
+        st.update(s)
+        getHandle.registerTimer(s.last_us / 1000L + gapMs)
+      }
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      val s = st.get()
+      if (s == null) Iterator.empty
+      else {
+        st.clear()
+        Iterator.single(SessionSummary(user, s.start_us, s.last_us, s.n))
+      }
+    }
+  }
+
+  /** [[SessionTimeoutProcessor]] wired: watermarked event stream →
+    * per-user timeout sessions in append mode. */
+  def sessionTimeoutTws(events: Dataset[UserEvent], gapMinutes: Long = 30,
+                        delay: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMinutes * 60L * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** One micro-batch of the STREAMING TYPE-2 fold (exposed for the sink and
     * for direct spec-testing of replay semantics): the incoming CDC batch is

@@ -440,6 +440,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("event-time timers: inactivity sessions emit when the watermark passes last-activity + gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.UserEvent
+    // transformWithState timers require the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[UserEvent]
+    val q = Streams.sessionTimeoutTws(mem.toDS(), gapMinutes = 30, delay = "10 minutes")
+      .writeStream.format("memory").queryName("t_timeout_sessions")
+      .outputMode("append").start()
+    def emitted() = spark.table("t_timeout_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    try {
+      // user 1: two events 5 minutes apart — one open session, timer at 10:35
+      mem.addData(
+        UserEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        UserEvent(2, ts("2024-01-01 10:05:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      assert(emitted() === Seq(), "open session must not emit before its timer fires")
+
+      // another user's event at 11:00 moves the watermark to 10:50 > 10:35:
+      // user 1's inactivity timer fires and the session closes
+      mem.addData(UserEvent(3, ts("2024-01-01 11:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      assert(emitted() === Seq((1L, 2L)),
+        s"user 1's 2-event session must emit on timeout, got ${emitted()}")
+
+      // user 1 returns: a FRESH session opens (state was cleared on fire);
+      // pushing the watermark far ahead closes both remaining sessions
+      mem.addData(UserEvent(4, ts("2024-01-01 11:05:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(5, ts("2024-01-01 14:00:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      assert(emitted() === Seq((1L, 1L), (1L, 2L), (2L, 1L)),
+        s"return visit must be a fresh 1-event session, got ${emitted()}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming Type-2 sink: history folds across micro-batches, invariants hold, replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val statePath = java.nio.file.Files.createTempDirectory("graft_scd2_sink").toString
