@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties, Test => ScTest}
+import org.scalacheck.Prop.forAll
+
+import graft.expr.{CharEntropy, Morton32}
+import graft.functions.Bpe
+
+/** Generative contracts for the r10 primitives — pure interpreted-eval /
+  * plain-Scala properties (no Spark jobs, so hundreds of cases are cheap;
+  * the codegen paths are pinned bit-equal to these in WarehouseSpec and
+  * LlmSpec composition tests). */
+object PrimitiveProps extends Properties("Primitives") {
+
+  override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
+    p.withMinSuccessfulTests(100)
+
+  // ---- Morton32: a bijection on the 16-bit × 16-bit grid ----
+
+  private def deinterleave(z: Long): (Int, Int) = {
+    var x = 0; var y = 0
+    var i = 0
+    while (i < 16) {
+      x |= (((z >> (2 * i)) & 1L) << i).toInt
+      y |= (((z >> (2 * i + 1)) & 1L) << i).toInt
+      i += 1
+    }
+    (x, y)
+  }
+
+  private val genKey: Gen[Int] = Gen.choose(0, 65535)
+
+  property("morton32 round-trips: deinterleave recovers both keys") =
+    forAll(genKey, genKey) { (x, y) =>
+      val z = Morton32(Literal(x), Literal(y)).eval(null).asInstanceOf[Long]
+      deinterleave(z) == ((x, y))
+    }
+
+  property("morton32 is monotone in shared-prefix blocks: equal high bits => equal z high bits") =
+    forAll(genKey, genKey, Gen.choose(1, 15)) { (x, y, keep) =>
+      // masking both keys to their top `keep` bits must reproduce the top
+      // 2*keep bits of z — the property that makes z-ranges align with
+      // 2-D grid blocks (file min/max pruning works on block boundaries)
+      val mask = ~((1 << (16 - keep)) - 1) & 0xFFFF
+      val z = Morton32(Literal(x), Literal(y)).eval(null).asInstanceOf[Long]
+      val zMasked = Morton32(Literal(x & mask), Literal(y & mask)).eval(null).asInstanceOf[Long]
+      val zMask = ~((1L << (2 * (16 - keep))) - 1)
+      (z & zMask) == zMasked
+    }
+
+  // ---- char_entropy: bounded, exact on uniform alphabets ----
+
+  private val genAsciiText: Gen[String] =
+    Gen.listOf(Gen.frequency((8, Gen.alphaLowerChar), (2, Gen.const(' ')),
+      (1, Gen.oneOf('!', '7', 'Q')))).map(_.mkString)
+
+  property("char_entropy is within [0, ln 28] and null-safe") =
+    forAll(genAsciiText) { s =>
+      val h = CharEntropy(Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType))
+        .eval(null).asInstanceOf[Double]
+      h >= 0.0 && h <= math.log(28.0) + 1e-12
+    }
+
+  property("char_entropy of k equally-frequent letters is exactly ln k") =
+    forAll(Gen.choose(1, 26), Gen.choose(1, 9)) { (k, rep) =>
+      val s = ('a' until ('a' + k).toChar).map(_.toString * rep).mkString
+      val h = CharEntropy(Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType))
+        .eval(null).asInstanceOf[Double]
+      math.abs(h - math.log(k.toDouble)) < 1e-9
+    }
+
+  // ---- Bpe.train: well-formed, monotone ----
+
+  private val genVocab: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(1, 12)
+    ws <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 8)
+      w <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      c <- Gen.choose(1L, 9L)
+    } yield (w, c))
+  } yield ws.distinctBy(_._1)
+
+  property("Bpe.train merges are well-formed: every operand is a char or an earlier output") =
+    forAll(genVocab) { vocab =>
+      val merges = Bpe.train(vocab, 20)
+      val known = scala.collection.mutable.Set("a", "b", "c")
+      merges.forall { case (l, r, _) =>
+        val ok = known.contains(l) && known.contains(r)
+        known += (l + r)
+        ok
+      }
+    }
+
+  property("Bpe.train pair counts never increase along the merge sequence") =
+    forAll(genVocab) { vocab =>
+      val counts = Bpe.train(vocab, 20).map(_._3)
+      counts.zip(counts.drop(1)).forall { case (a, b) => a >= b }
+    }
+
+  property("applying the learned merges never lengthens a tokenization") =
+    forAll(genVocab) { vocab =>
+      val merges = Bpe.train(vocab, 20)
+      val rk = merges.map(m => (m._1, m._2)).zipWithIndex.toMap
+      vocab.forall { case (w, _) => Bpe.tokenize(w, rk).length <= w.length }
+    }
+
+  // ---- Pca: orthonormal basis, dominant Rayleigh quotient ----
+
+  private val genPsd: Gen[Array[Array[Double]]] = for {
+    d <- Gen.choose(2, 6)
+    b <- Gen.listOfN(d * d, Gen.choose(-3.0, 3.0))
+  } yield {
+    val m = b.toArray.grouped(d).toArray
+    Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => m(k)(i) * m(k)(j)).sum) // BᵀB is symmetric PSD
+  }
+
+  property("Pca.topComponents returns an orthonormal basis with descending dominant eigenvalues") =
+    forAll(genPsd, Gen.listOfN(6, Gen.choose(-1.0, 1.0))) { (cov, probe) =>
+      val d = cov.length
+      val (vals, vecs) = graft.etl.Pca.topComponents(cov, 2)
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val unit = math.abs(dot(vecs(0), vecs(0)) - 1.0) < 1e-6 &&
+        math.abs(dot(vecs(1), vecs(1)) - 1.0) < 1e-6
+      val ortho = math.abs(dot(vecs(0), vecs(1))) < 1e-6
+      // Rayleigh dominance: λ1 ≥ xᵀCx for a random unit probe
+      val p = probe.take(d).toArray
+      val pn = math.sqrt(dot(p, p))
+      val rayleighOk = pn < 1e-9 || {
+        val u = p.map(_ / pn)
+        val cu = Array.tabulate(d)(i => dot(cov(i), u))
+        vals(0) >= dot(u, cu) - 1e-6
+      }
+      unit && ortho && vals(0) >= vals(1) - 1e-9 && rayleighOk
+    }
+}
