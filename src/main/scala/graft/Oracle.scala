@@ -35,9 +35,36 @@ object Oracle {
        |ORDER BY zval, o_orderkey""".stripMargin
   }
 
+  /** The z-range probe's oracle is the INDEPENDENT plain 2-D predicate over
+    * the same grid CTE — equality with the z-interval rewrite IS the
+    * correctness contract of the decomposition. */
+  private lazy val zorderProbeSql: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(
+        s"CAST(((xg >> $i) & 1) AS BIGINT) * ${1L << (2 * i)}",
+        s"CAST(((yg >> $i) & 1) AS BIGINT) * ${1L << (2 * i + 1)}")
+    }.mkString("\n  + ")
+    s"""WITH k AS (
+       |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS xr,
+       |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS yr
+       |  FROM orders),
+       |b AS (SELECT min(xr) AS xlo, max(xr) AS xhi,
+       |             min(yr) AS ylo, max(yr) AS yhi FROM k),
+       |g AS (SELECT o_orderkey,
+       |    CAST((xr - xlo) * 256 // (xhi - xlo + 1) AS INTEGER) AS xg,
+       |    CAST((yr - ylo) * 256 // (yhi - ylo + 1) AS INTEGER) AS yg
+       |  FROM k CROSS JOIN b)
+       |SELECT o_orderkey, xg, yg,
+       |  $terms AS zval
+       |FROM g
+       |WHERE xg BETWEEN 64 AND 191 AND yg BETWEEN 32 AND 95
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   private lazy val relationalSql: Map[String, String] = Map(
 
     "q_zorder_layout" -> zorderSql,
+    "q_zorder_probe" -> zorderProbeSql,
 
     "q_scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice

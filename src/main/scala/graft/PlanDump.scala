@@ -56,7 +56,8 @@ object PlanDump {
     "q_event_dedup" -> "ONE hash agg with map-side partials; min_by keyed on the unique event_id resurrects the kept payload inside the agg - no window, no join-back (r10)",
     "q_char_entropy" -> "map-side only: single-pass codegen char_entropy + one replace length diff; zero data shuffles beyond the output sort (r10)",
     "q_anomaly_mad" -> "pinned (type, day) hash agg -> two |types|-row percentile aggs broadcast back -> map-side pure-integer 3*MAD cut (r10)",
-    "q_embed_pca" -> "distributed augmented-Gram agg (only data-scaled pass) -> driver eigen solve -> literal components in a map-side codegen dot_micro projection (r10)")
+    "q_embed_pca" -> "distributed augmented-Gram agg (only data-scaled pass) -> driver eigen solve -> literal components in a map-side codegen dot_micro projection (r10)",
+    "q_zorder_layout" -> "1-row bounds broadcast -> exact integer grid quantization -> codegen morton32 interleave -> global range sort on the z key (r10)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -59,7 +59,8 @@ object ScaleSmoke {
     "q_embed_pca",         // d²/2 explode per row — linear with a big constant (r10)
     "q_event_dedup",       // one hash agg; shuffle = hourly support, not events (r10)
     "q_sql_recursive",     // depth-bounded spine + linear rollup (r10)
-    "q_anomaly_mad")       // pinned daily agg + two percentile aggs (r10)
+    "q_anomaly_mad",       // pinned daily agg + two percentile aggs (r10)
+    "q_zorder_layout")     // bounds broadcast + map-side morton + global sort (r10)
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata")

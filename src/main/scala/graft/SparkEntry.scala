@@ -58,6 +58,7 @@ object SparkEntry {
     "q_sql_lateral"   -> (Relational.qSqlLateral _),
     "q_sql_recursive" -> (Relational.qSqlRecursive _),
     "q_zorder_layout" -> (Relational.qZorderLayout _),
+    "q_zorder_probe"  -> (Relational.qZorderProbe _),
     "q_win_rank"          -> (Windows.qWinRank _),
     "q_win_navigation"    -> (Windows.qWinNavigation _),
     "q_win_scd2_enddate"  -> (Windows.qWinScd2EndDate _),

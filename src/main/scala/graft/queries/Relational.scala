@@ -668,7 +668,10 @@ object Relational {
     * layout ORDER — each row's grid coordinates and z-key in z order;
     * WarehouseSpec measures the actual clustering effect: per-partition
     * span sums of a z-ranged layout vs a single-key layout. */
-  def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared (orderkey, grid coords, z key) frame of the two z-order
+    * queries: bounds as a 1-row broadcast, exact integer grid division,
+    * codegen morton32 — all map-side. */
+  private def zGrid(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val keys = Tables.orders(spark, dir).select(col("o_orderkey"),
       col("o_custkey").cast("long").as("xr"),
@@ -681,7 +684,27 @@ object Relational {
       .withColumn("yg", expr("cast((yr - ylo) * 256 div (yhi - ylo + 1) as int)"))
       .withColumn("zval", call_function("morton32", col("xg"), col("yg")))
       .select("o_orderkey", "xg", "yg", "zval")
-      .orderBy("zval", "o_orderkey")
+  }
+
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame =
+    zGrid(spark, dir).orderBy("zval", "o_orderkey")
+
+  /** §2.1 Z-RANGE PROBE — the READ side of the z-order layout: a 2-D grid
+    * box query ([64..191] × [32..95] in customer/month grid cells) answered
+    * through [[graft.etl.ZOrder.ranges]]' quadtree decomposition of the box
+    * into a handful of CONTIGUOUS z-intervals. The filter is a small OR of
+    * `zval BETWEEN` predicates — on a z-sorted table these are range scans
+    * that file/row-group min-max statistics skip on, where the raw 2-D
+    * predicate on the unsorted table reads everything. No residual filter:
+    * the decomposition covers the box EXACTLY (PrimitiveProps pins exact
+    * area + membership round-trip), so z-membership ⟺ box membership.
+    * The oracle is the INDEPENDENT formulation — the plain 2-D predicate —
+    * which is precisely the semantic contract of the rewrite. */
+  def qZorderProbe(spark: SparkSession, dir: String): DataFrame = {
+    val rs = graft.etl.ZOrder.ranges(64, 191, 32, 95)
+    val pred = rs.map { case (lo, hi) => col("zval").between(lo, hi) }
+      .reduce(_ || _)
+    zGrid(spark, dir).filter(pred).orderBy("o_orderkey")
   }
 
   /** §2.3 Full outer join: reconcile two independently-filtered views of the

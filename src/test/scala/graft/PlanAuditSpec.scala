@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_quality_nb", // 1-row class-totals broadcast, same class as q_lm_perplexity (r10)
     "q_sample_decay", // 1-row max-ts broadcast (r10)
     "q_zorder_layout", // 1-row grid-bounds broadcast (r10)
+    "q_zorder_probe",  // same 1-row grid-bounds broadcast (r10)
     "q_sql_recursive") // 12-row month expansion × year spine + 1-row bounds (r10)
 
   // One evaluation pass over the full inventory; both audits read the

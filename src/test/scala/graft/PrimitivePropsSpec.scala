@@ -50,6 +50,31 @@ object PrimitiveProps extends Properties("Primitives") {
       (z & zMask) == zMasked
     }
 
+  // ---- ZOrder.ranges: exact box cover, sorted and disjoint ----
+
+  private val genBox: Gen[(Int, Int, Int, Int)] = for {
+    xLo <- Gen.choose(0, 65535); xLen <- Gen.choose(0, 512)
+    yLo <- Gen.choose(0, 65535); yLen <- Gen.choose(0, 512)
+  } yield (xLo, math.min(65535, xLo + xLen), yLo, math.min(65535, yLo + yLen))
+
+  property("ZOrder.ranges covers exactly the box area with sorted disjoint intervals") =
+    forAll(genBox) { case (xLo, xHi, yLo, yHi) =>
+      val rs = graft.etl.ZOrder.ranges(xLo, xHi, yLo, yHi)
+      val area = (xHi - xLo + 1).toLong * (yHi - yLo + 1)
+      val covered = rs.map { case (lo, hi) => hi - lo + 1 }.sum
+      val sortedDisjoint = rs.zip(rs.drop(1)).forall { case ((_, h), (l, _)) => h + 1 < l }
+      covered == area && sortedDisjoint
+    }
+
+  property("ZOrder.ranges membership round-trips: in-box points land in a range, out-of-box points don't") =
+    forAll(genBox, genKey, genKey) { case ((xLo, xHi, yLo, yHi), x, y) =>
+      val rs = graft.etl.ZOrder.ranges(xLo, xHi, yLo, yHi)
+      val z = Morton32(Literal(x), Literal(y)).eval(null).asInstanceOf[Long]
+      val inRanges = rs.exists { case (lo, hi) => lo <= z && z <= hi }
+      val inBox = xLo <= x && x <= xHi && yLo <= y && y <= yHi
+      inRanges == inBox
+    }
+
   // ---- char_entropy: bounded, exact on uniform alphabets ----
 
   private val genAsciiText: Gen[String] =
