@@ -57,7 +57,8 @@ object PlanDump {
     "q_char_entropy" -> "map-side only: single-pass codegen char_entropy + one replace length diff; zero data shuffles beyond the output sort (r10)",
     "q_anomaly_mad" -> "pinned (type, day) hash agg -> two |types|-row percentile aggs broadcast back -> map-side pure-integer 3*MAD cut (r10)",
     "q_embed_pca" -> "distributed augmented-Gram agg (only data-scaled pass) -> driver eigen solve -> literal components in a map-side codegen dot_micro projection (r10)",
-    "q_zorder_layout" -> "1-row bounds broadcast -> exact integer grid quantization -> codegen morton32 interleave -> global range sort on the z key (r10)")
+    "q_zorder_layout" -> "1-row bounds broadcast -> exact integer grid quantization -> codegen morton32 interleave -> global range sort on the z key (r10)",
+    "q_zorder_probe" -> "the z-layout read path: OR of a few contiguous zval BETWEEN ranges (quadtree box decomposition, no residual 2-D filter) over the same map-side grid frame (r10)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -45,7 +45,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q_profile_columns",  // stack + cascade exact-distinct rewrite (r9)
     "q_anomaly_mad",      // exact half-integer medians -> integer MAD cut (r10)
     "q_embed_pca",        // snapped gram collect -> driver eigen -> micro projection (r10)
-    "q_bpe_train")        // top-V cap total order + deterministic merge tie-break (r10)
+    "q_bpe_train",        // top-V cap total order + deterministic merge tie-break (r10)
+    "q_zorder_layout")    // bounds broadcast -> exact integer grid + total z sort (r10)
 
   sensitive.foreach { name =>
     test(s"$name is byte-identical under shuffle.partitions 32 vs 3") {
