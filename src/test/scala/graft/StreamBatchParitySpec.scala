@@ -252,6 +252,52 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("timer sessions: timeout emission equals an independent gaps-and-islands sessionization") {
+    import graft.stream.UserEvent
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ue(id: Long, t: String, u: Long) = UserEvent(id, ts(t), u, "e", 0.0)
+    val evs = Seq(
+      ue(1, "2024-01-01 10:00:00", 1), ue(2, "2024-01-01 10:10:00", 1),
+      ue(3, "2024-01-01 11:30:00", 1), // > 30-min gap → second session
+      ue(4, "2024-01-01 10:05:00", 2), ue(5, "2024-01-01 10:50:00", 2), // 45-min gap
+      ue(6, "2024-01-01 12:00:00", 3))
+    // independent truth: per-user time sort, split at > 30-minute gaps
+    val expected = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+      val sorted = es.sortBy(_.ts.getTime)
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        if (e.ts.getTime - acc.head.head.ts.getTime <= 30 * 60 * 1000L)
+          (e :: acc.head) :: acc.tail
+        else List(e) :: acc
+      }
+      sessions.map(s => (u, s.map(_.ts.getTime).min * 1000L,
+        s.map(_.ts.getTime).max * 1000L, s.size.toLong))
+    }.toSet
+    val mem = MemoryStream[UserEvent]
+    val q = Streams.sessionTimeoutTws(mem.toDS(), gapMinutes = 30, delay = "10 minutes")
+      .writeStream.format("memory").queryName("t_session_parity")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // a far-future event pushes the watermark past every open timer
+      mem.addData(ue(99, "2024-01-02 12:00:00", 99))
+      q.processAllAvailable()
+      val got = spark.table("t_session_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 != 99L).toSet
+      assert(got === expected, s"got=$got expected=$expected")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming Misra-Gries sketch: O(k) state, heavy items survive across micro-batches") {
     // heavy words split ACROSS micro-batches — the sketch state must carry
     // them; vocabulary (40) > k (8) so decrements genuinely fire in-stream
