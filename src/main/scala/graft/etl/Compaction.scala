@@ -90,6 +90,48 @@ object Compaction {
   def compactDedupPostings(spark: SparkSession, indexDir: String): (Long, Long) =
     compactParquet(spark, s"$indexDir/postings", Nil)
 
+  /** Z-ORDERED compaction — the OPTIMIZE ZORDER maintenance form: rewrite
+    * the table CLUSTERED on the Morton interleave of two numeric columns
+    * (each grid-quantized from its observed bounds, the same recipe as
+    * `q_zorder_layout`), range-partitioned and sorted by the z key, then
+    * swapped in. Every file then carries narrow min/max bounds in BOTH
+    * dimensions, so scans filtered on either (or both) skip files — where
+    * plain [[compactParquet]] only fixes the file-count problem and a
+    * single-column sort only bounds its own column. Row set unchanged
+    * (CompactionSpec asserts set equality and measures the per-file span
+    * shrink). Bounds are one 1-row aggregate; everything else is the
+    * rewrite itself. */
+  def compactZOrdered(spark: SparkSession, path: String,
+                      xCol: String, yCol: String,
+                      numFiles: Int = 8): (Long, Long) = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val before = dataFileCount(Paths.get(path))
+    val df = spark.read.parquet(path)
+    val b = df.agg(
+      org.apache.spark.sql.functions.min(col(xCol).cast("long")),
+      org.apache.spark.sql.functions.max(col(xCol).cast("long")),
+      org.apache.spark.sql.functions.min(col(yCol).cast("long")),
+      org.apache.spark.sql.functions.max(col(yCol).cast("long"))).collect().head
+    val (xlo, xhi, ylo, yhi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    import org.apache.spark.sql.functions.{call_function, expr}
+    val zed = df
+      .withColumn("__zx",
+        expr(s"cast((cast($xCol as bigint) - $xlo) * 256 div ${xhi - xlo + 1} as int)"))
+      .withColumn("__zy",
+        expr(s"cast((cast($yCol as bigint) - $ylo) * 256 div ${yhi - ylo + 1} as int)"))
+      .withColumn("__z", call_function("morton32", col("__zx"), col("__zy")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__zx", "__zy", "__z")
+    val tmp = path + ".compact-" + java.util.UUID.randomUUID()
+    zed.write.mode("overwrite").parquet(tmp)
+    val old = Paths.get(path + ".old-" + java.util.UUID.randomUUID())
+    Files.move(Paths.get(path), old)
+    Files.move(Paths.get(tmp), Paths.get(path))
+    deleteRecursively(old)
+    (before, dataFileCount(Paths.get(path)))
+  }
+
   private def dataFileCount(root: Path): Long = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(root)

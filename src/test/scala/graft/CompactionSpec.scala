@@ -103,4 +103,37 @@ class CompactionSpec extends AnyFunSuite {
     val b3kept = IncrementalDedup.ingest(docs.filter(col("doc_id") >= 400), idx).collect()
     assert(b3kept.nonEmpty)
   }
+
+  test("z-ordered compaction: row set unchanged, per-file spans shrink in BOTH dimensions") {
+    import org.apache.spark.sql.functions.{expr, input_file_name, max, min, sum}
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcomp").toString + "/orders_z"
+    // a randomly-laid-out 16-file table carrying two clusterable dims
+    Tables.orders(spark, TestSpark.sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(year(o_orderdate) * 12 + month(o_orderdate) - 1 as bigint)").as("mn"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(dir)
+    def spanSums(): (Long, Long) = {
+      val r = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col("o_custkey")) - min(col("o_custkey"))).as("sx"),
+             (max(col("mn")) - min(col("mn"))).as("sy"))
+        .agg(sum(col("sx")), sum(col("sy"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val rowsBefore = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val (bx, by) = spanSums()
+    // 16 range files = 4 top z-bit cuts = 2 cuts per dimension: each file
+    // spans ~1/4 of each dim, so both span sums shrink ~4x vs random layout
+    val (_, filesAfter) = graft.etl.Compaction.compactZOrdered(
+      spark, dir, "o_custkey", "mn", numFiles = 16)
+    assert(filesAfter <= 16L)
+    val rowsAfter = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter === rowsBefore, "compaction must not change the row set")
+    val (ax, ay) = spanSums()
+    // random layout exposes ~the full range of both dims in every file; the
+    // z layout must bound both — demand at least a 2x shrink in each
+    assert(ax * 2 < bx, s"custkey span sum $ax must halve the random layout's $bx")
+    assert(ay * 2 < by, s"month span sum $ay must halve the random layout's $by")
+  }
 }
