@@ -309,9 +309,12 @@ object PlanDump {
          |shapes are unchanged and ScaleSmoke is green.
          |
          |Bench note (r10 close, new-operator pass): the second r10 wave
-         |added 7 declared queries (q_sql_recursive, q_event_dedup,
-         |q_char_entropy, q_anomaly_mad, q_embed_pca, q_bpe_train, plus
-         |the streaming scd2Sink). Full sweep 117.7 s; like-for-like vs
+         |added 9 declared queries (q_sql_recursive, q_event_dedup,
+         |q_char_entropy, q_anomaly_mad, q_embed_pca, q_bpe_train,
+         |q_zorder_layout, q_zorder_probe — layout + read-path of the
+         |Morton z-order story, with compactZOrdered as the maintenance
+         |form — plus the streaming scd2Sink and timer-session
+         |processors). Full sweep 117.7 s; like-for-like vs
          |the r9 139-query set ≈88 s (new queries carry ~29 s, of which
          |q_warehouse_etl 2.0 by design and q_cdc_batches 1.3; all other
          |additions ≤0.6 s each). Two same-day full sweeps on identical
