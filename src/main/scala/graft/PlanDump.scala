@@ -309,12 +309,17 @@ object PlanDump {
          |shapes are unchanged and ScaleSmoke is green.
          |
          |Bench note (r10 close, new-operator pass): the second r10 wave
-         |added 9 declared queries (q_sql_recursive, q_event_dedup,
-         |q_char_entropy, q_anomaly_mad, q_embed_pca, q_bpe_train,
-         |q_zorder_layout, q_zorder_probe — layout + read-path of the
-         |Morton z-order story, with compactZOrdered as the maintenance
-         |form — plus the streaming scd2Sink and timer-session
-         |processors). Full sweep 117.7 s; like-for-like vs
+         |added 8 declared queries (q_sql_recursive, q_event_dedup,
+         |q_char_entropy, q_anomaly_mad, q_embed_pca, q_bpe_train, and
+         |the Morton z-order pair q_zorder_layout + q_zorder_probe, with
+         |compactZOrdered as the maintenance form) plus the streaming
+         |scd2Sink and timer-session processors. The measured full sweep
+         |(117.7 s) covered the first six; the z-order pair landed after
+         |it and was measured separately under the same isolated-timer
+         |discipline: q_zorder_layout 0.80 s, q_zorder_probe 0.71 s at
+         |sf0.1/local[32] (map-side grid + one global z sort / a few
+         |BETWEEN range filters — the flat ScaleSmoke rows confirm the
+         |shape). Like-for-like vs
          |the r9 139-query set ≈88 s (new queries carry ~29 s, of which
          |q_warehouse_etl 2.0 by design and q_cdc_batches 1.3; all other
          |additions ≤0.6 s each). Two same-day full sweeps on identical
