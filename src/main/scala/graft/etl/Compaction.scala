@@ -31,13 +31,12 @@ object Compaction {
     * directory (or `numFiles` total when `partitionCols` is empty — size
     * it to the table at scale; the default 1 fits the gate-SF indexes) and
     * swap it into place. Returns (dataFilesBefore, dataFilesAfter). */
-  def compactParquet(spark: SparkSession, path: String,
-                     partitionCols: Seq[String],
-                     numFiles: Int = 1): (Long, Long) = {
-    // A previous run that died mid-swap leaves `.compact-*` (rewrite never
-    // swapped in) or `.old-*` (retired tree never deleted) siblings; both
-    // are garbage once `path` itself exists, so reclaim them on entry —
-    // otherwise every failed run leaks a full table copy forever.
+  /** A previous run that died mid-swap leaves `.compact-*` (rewrite never
+    * swapped in) or `.old-*` (retired tree never deleted) siblings; both
+    * are garbage once `path` itself exists, so every compaction entry point
+    * reclaims them first — otherwise each failed run leaks a full table
+    * copy forever. */
+  private def reclaimOrphans(path: String): Unit = {
     val parent = Paths.get(path).toAbsolutePath.getParent
     val prefix = Paths.get(path).getFileName.toString
     if (parent != null && Files.isDirectory(parent) &&
@@ -52,6 +51,21 @@ object Compaction {
         .toSeq.foreach(deleteRecursively)
       finally siblings.close()
     }
+  }
+
+  /** Swap the finished rewrite at `tmp` into `path`: retire the old tree,
+    * move the rewrite into place, delete the retired copy. */
+  private def swapIn(path: String, tmp: String): Unit = {
+    val old = Paths.get(path + ".old-" + java.util.UUID.randomUUID())
+    Files.move(Paths.get(path), old)
+    Files.move(Paths.get(tmp), Paths.get(path))
+    deleteRecursively(old)
+  }
+
+  def compactParquet(spark: SparkSession, path: String,
+                     partitionCols: Seq[String],
+                     numFiles: Int = 1): (Long, Long) = {
+    reclaimOrphans(path)
     val before = dataFileCount(Paths.get(path))
     val df = spark.read.parquet(path)
     val tmp = path + ".compact-" + java.util.UUID.randomUUID()
@@ -61,11 +75,7 @@ object Compaction {
     val writer = repartitioned.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp)
-    // swap: retire the old tree, move the rewrite into place
-    val old = Paths.get(path + ".old-" + java.util.UUID.randomUUID())
-    Files.move(Paths.get(path), old)
-    Files.move(Paths.get(tmp), Paths.get(path))
-    deleteRecursively(old)
+    swapIn(path, tmp)
     (before, dataFileCount(Paths.get(path)))
   }
 
@@ -105,6 +115,7 @@ object Compaction {
                       xCol: String, yCol: String,
                       numFiles: Int = 8): (Long, Long) = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
+    reclaimOrphans(path)
     val before = dataFileCount(Paths.get(path))
     val df = spark.read.parquet(path)
     val b = df.agg(
@@ -112,6 +123,10 @@ object Compaction {
       org.apache.spark.sql.functions.max(col(xCol).cast("long")),
       org.apache.spark.sql.functions.min(col(yCol).cast("long")),
       org.apache.spark.sql.functions.max(col(yCol).cast("long"))).collect().head
+    // empty table / all-null cluster columns: no bounds to quantize from —
+    // degrade to the plain file-count rewrite instead of NPEing on getLong
+    if (b.isNullAt(0) || b.isNullAt(2))
+      return compactParquet(spark, path, Nil, numFiles)
     val (xlo, xhi, ylo, yhi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     import org.apache.spark.sql.functions.{call_function, expr}
     val zed = df
@@ -125,10 +140,7 @@ object Compaction {
       .drop("__zx", "__zy", "__z")
     val tmp = path + ".compact-" + java.util.UUID.randomUUID()
     zed.write.mode("overwrite").parquet(tmp)
-    val old = Paths.get(path + ".old-" + java.util.UUID.randomUUID())
-    Files.move(Paths.get(path), old)
-    Files.move(Paths.get(tmp), Paths.get(path))
-    deleteRecursively(old)
+    swapIn(path, tmp)
     (before, dataFileCount(Paths.get(path)))
   }
 

@@ -23,15 +23,9 @@ object ZOrder {
     require(0 <= yLo && yLo <= yHi && yHi <= 0xFFFF, s"bad y box [$yLo,$yHi]")
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
 
-    def morton(x: Int, y: Int): Long = {
-      var z = 0L; var i = 0
-      while (i < 16) {
-        z |= ((x >> i) & 1).toLong << (2 * i)
-        z |= ((y >> i) & 1).toLong << (2 * i + 1)
-        i += 1
-      }
-      z
-    }
+    // the shared single definition — probe correctness requires the
+    // decomposition and the expression to agree bit-for-bit
+    def morton(x: Int, y: Int): Long = graft.expr.Morton32.interleave(x, y)
 
     // cell = [cx, cx+size) × [cy, cy+size), size a power of two
     def cover(cx: Int, cy: Int, size: Int): Unit = {

@@ -30,18 +30,8 @@ case class Morton32(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "morton32"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[Int] & 0xFFFF
-    val y = b.asInstanceOf[Int] & 0xFFFF
-    var z = 0L
-    var i = 0
-    while (i < 16) {
-      z |= ((x >> i) & 1).toLong << (2 * i)
-      z |= ((y >> i) & 1).toLong << (2 * i + 1)
-      i += 1
-    }
-    z
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Morton32.interleave(a.asInstanceOf[Int], b.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -64,4 +54,25 @@ case class Morton32(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object Morton32 {
+  /** The ONE definition of the bit interleave, shared by the interpreted
+    * eval above and [[graft.etl.ZOrder.ranges]]' decomposition — the probe's
+    * exact-cover contract depends on both computing the identical code, so
+    * they must not drift independently (the codegen string and the oracle's
+    * 32-term sum necessarily remain independent restatements, pinned by
+    * WarehouseSpec and the driver oracle respectively). */
+  def interleave(xRaw: Int, yRaw: Int): Long = {
+    val x = xRaw & 0xFFFF
+    val y = yRaw & 0xFFFF
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1).toLong << (2 * i)
+      z |= ((y >> i) & 1).toLong << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
 }

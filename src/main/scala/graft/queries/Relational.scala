@@ -635,10 +635,16 @@ object Relational {
     * the month-level recursion on identical output (depth ~8 vs 80
     * sequential micro-jobs; depth, not row count, is the latency driver).
     * The recursion is structurally bounded by the hi-year predicate; the
-    * level guard is still raised from Spark's default 100 (the date span
-    * is regeneration-dependent) to a finite 10k runaway backstop. */
+    * level guard is raised from Spark's default 100 to 1,000 — year-grain
+    * recursion makes 100 levels a century of data (ample), but the default
+    * would be a silent time bomb against pathological testdata, and 1,000
+    * still fails a runaway fast. The setting is session-wide BY NECESSITY:
+    * the returned DataFrame is lazy, so a set-then-restore around this
+    * call would restore the default before execution reads the conf —
+    * documented rather than hidden (the only other recursive consumer is
+    * the oracle-side DuckDB, which has its own limits). */
   def qSqlRecursive(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
     Tables.orders(spark, dir).createOrReplaceTempView("orders")
     spark.sql(graft.Oracle.sql("q_sql_recursive"))
   }

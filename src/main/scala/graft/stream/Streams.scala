@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
-  ValueState}
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 import graft.queries.Exprs.moneySum
 
@@ -388,56 +388,69 @@ object Streams {
     * processors don't exercise: a per-user inactivity session that EMITS ON
     * TIMEOUT. The built-in `session_window` ([[sessionized]]) merges
     * windows declaratively; this processor demonstrates the imperative
-    * form — custom state plus a registered event-time timer that fires when
+    * form — custom state plus registered event-time timers that fire when
     * the WATERMARK passes last-activity + gap — which is what
     * alerting/expiry semantics (abandon-cart triggers, state TTL with
     * side-output) need and the declarative form can't express.
     *
-    * Timer discipline: each input batch re-arms exactly one timer per key
-    * (stale timers deleted first), so timer state is O(1) per key; firing
-    * clears the session state, so total state is bounded by ACTIVE users,
-    * not all users ever seen. Within-batch gaps close sessions inline
-    * (rows are processed in event-time order per key). */
+    * Correctness under lateness: sessions close ONLY when their timer
+    * fires, i.e. when the watermark proves no admissible event can still
+    * extend or backfill them — never inline on an in-batch gap (a late
+    * event inside the watermark may yet bridge the gap or precede the
+    * recorded start, so state keeps a LIST of open sessions and every
+    * batch re-coalesces events ∪ sessions with full interval-merge
+    * semantics: min-start, max-last, bridged sessions fuse). This is the
+    * same session-merging contract as the declarative form, with the
+    * emission moved to the timer.
+    *
+    * Bounds: open sessions per user = 1 + (gaps not yet past the
+    * watermark) — transient by construction; one timer per open session;
+    * firing removes the session, so steady-state is bounded by ACTIVE
+    * users, not all users ever seen. */
   class SessionTimeoutProcessor(gapMs: Long)
       extends StatefulProcessor[Long, UserEvent, SessionSummary] {
-    @transient private var st: ValueState[SessionAgg] = _
+    @transient private var st: ListState[SessionAgg] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[SessionAgg](
-        "session", Encoders.product[SessionAgg], TTLConfig.NONE)
+      st = getHandle.getListState[SessionAgg](
+        "sessions", Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    /** Interval-merge: sort by start, fuse neighbors whose gap ≤ gapMs. */
+    private def coalesce(xs: Seq[SessionAgg]): Seq[SessionAgg] =
+      xs.sortBy(s => (s.start_us, s.last_us)).foldLeft(List.empty[SessionAgg]) {
+        case (acc, s) => acc match {
+          case h :: t if s.start_us - h.last_us <= gapMs * 1000L =>
+            SessionAgg(h.start_us, math.max(h.last_us, s.last_us), h.n + s.n) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+
+    private def rearmTimers(sessions: Seq[SessionAgg]): Unit = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      sessions.foreach(s => getHandle.registerTimer(s.last_us / 1000L + gapMs))
+    }
 
     override def handleInputRows(user: Long, rows: Iterator[UserEvent],
                                  timerValues: TimerValues): Iterator[SessionSummary] = {
-      var closed = List.empty[SessionSummary]
-      var cur = Option(st.get())
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val singletons = rows.map { e =>
         val tUs = e.ts.getTime * 1000L
-        cur match {
-          case Some(s) if tUs - s.last_us <= gapMs * 1000L =>
-            cur = Some(SessionAgg(s.start_us, math.max(s.last_us, tUs), s.n + 1))
-          case Some(s) =>
-            closed ::= SessionSummary(user, s.start_us, s.last_us, s.n)
-            cur = Some(SessionAgg(tUs, tUs, 1))
-          case None =>
-            cur = Some(SessionAgg(tUs, tUs, 1))
-        }
-      }
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      cur.foreach { s =>
-        st.update(s)
-        getHandle.registerTimer(s.last_us / 1000L + gapMs)
-      }
-      closed.reverse.iterator
+        SessionAgg(tUs, tUs, 1)
+      }.toSeq
+      val merged = coalesce(st.get().toSeq ++ singletons)
+      st.put(merged.toArray)
+      rearmTimers(merged)
+      Iterator.empty
     }
 
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[SessionSummary] = {
-      val s = st.get()
-      if (s == null) Iterator.empty
-      else {
-        st.clear()
-        Iterator.single(SessionSummary(user, s.start_us, s.last_us, s.n))
-      }
+      // close every session the firing watermark has sealed (last + gap ≤
+      // expiry); keep the rest open — their own timers remain registered
+      val (done, open) = st.get().toSeq
+        .partition(s => s.last_us / 1000L + gapMs <= info.getExpiryTimeInMs)
+      if (open.isEmpty) st.clear() else st.put(open.toArray)
+      done.sortBy(_.start_us).iterator
+        .map(s => SessionSummary(user, s.start_us, s.last_us, s.n))
     }
   }
 

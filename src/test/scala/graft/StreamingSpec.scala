@@ -485,6 +485,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timers: late events extend session starts backward and bridge open sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.UserEvent
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ue(id: Long, t: String, u: Long) = UserEvent(id, ts(t), u, "e", 1.0)
+    val mem = MemoryStream[UserEvent]
+    // wide watermark delay (2h) >> gap (30m): late events stay admissible
+    // long after an in-batch gap appears — exactly the regime where closing
+    // sessions inline would be premature
+    val q = Streams.sessionTimeoutTws(mem.toDS(), gapMinutes = 30, delay = "2 hours")
+      .writeStream.format("memory").queryName("t_late_sessions")
+      .outputMode("append").start()
+    def emitted() = spark.table("t_late_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 != 99L).sorted.toSeq
+    def us(t: String) = ts(t).getTime * 1000L
+    try {
+      mem.addData(ue(1, "2024-01-01 10:00:00", 1), ue(2, "2024-01-01 10:00:00", 2))
+      q.processAllAvailable()
+      mem.addData(ue(3, "2024-01-01 11:00:00", 1)) // 60-min gap: second OPEN session
+      q.processAllAvailable()
+      assert(emitted() === Seq(), "gapped sessions must stay open while late events are admissible")
+      // late events, both admissible under the 2h delay: one BRIDGES user
+      // 1's two open sessions (30m to each side), one extends user 2's
+      // session start BACKWARD
+      mem.addData(ue(4, "2024-01-01 10:30:00", 1), ue(5, "2024-01-01 09:50:00", 2))
+      q.processAllAvailable()
+      // far-future event seals everything
+      mem.addData(ue(99, "2024-01-02 20:00:00", 99))
+      q.processAllAvailable()
+      assert(emitted() === Seq(
+        (1L, us("2024-01-01 10:00:00"), us("2024-01-01 11:00:00"), 3L),
+        (2L, us("2024-01-01 09:50:00"), us("2024-01-01 10:00:00"), 2L)),
+        s"bridge/backfill semantics wrong: ${emitted()}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming Type-2 sink: history folds across micro-batches, invariants hold, replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val statePath = java.nio.file.Files.createTempDirectory("graft_scd2_sink").toString
