@@ -10,10 +10,14 @@ object Oracle {
   val sql: Map[String, String] =
     relationalSql ++ scalarsSql ++ cdcSql ++ llmSql
 
-  /** Morton interleave restated as a 32-term sum of disjoint powers of two
-    * (bit i of x lands at position 2i, bit i of y at 2i+1) — pure integer
-    * arithmetic, bit-identical to [[graft.expr.Morton32]] by construction. */
-  private lazy val zorderSql: String = {
+  /** ONE shared body for both z-order oracles: the grid CTE (bounds +
+    * exact integer quantization) and the Morton interleave restated as a
+    * 32-term sum of disjoint powers of two (bit i of x at position 2i, bit
+    * i of y at 2i+1 — pure integer arithmetic, bit-identical to
+    * [[graft.expr.Morton32]] by construction). The layout and probe
+    * oracles differ ONLY in their predicate/order tail, so the zval
+    * definition cannot drift between them. */
+  private lazy val zorderBodySql: String = {
     val terms = (0 until 16).flatMap { i =>
       Seq(
         s"CAST(((xg >> $i) & 1) AS BIGINT) * ${1L << (2 * i)}",
@@ -31,35 +35,18 @@ object Oracle {
        |  FROM k CROSS JOIN b)
        |SELECT o_orderkey, xg, yg,
        |  $terms AS zval
-       |FROM g
-       |ORDER BY zval, o_orderkey""".stripMargin
+       |FROM g""".stripMargin
   }
 
+  private lazy val zorderSql: String =
+    zorderBodySql + "\nORDER BY zval, o_orderkey"
+
   /** The z-range probe's oracle is the INDEPENDENT plain 2-D predicate over
-    * the same grid CTE — equality with the z-interval rewrite IS the
+    * the same grid body — equality with the z-interval rewrite IS the
     * correctness contract of the decomposition. */
-  private lazy val zorderProbeSql: String = {
-    val terms = (0 until 16).flatMap { i =>
-      Seq(
-        s"CAST(((xg >> $i) & 1) AS BIGINT) * ${1L << (2 * i)}",
-        s"CAST(((yg >> $i) & 1) AS BIGINT) * ${1L << (2 * i + 1)}")
-    }.mkString("\n  + ")
-    s"""WITH k AS (
-       |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS xr,
-       |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS yr
-       |  FROM orders),
-       |b AS (SELECT min(xr) AS xlo, max(xr) AS xhi,
-       |             min(yr) AS ylo, max(yr) AS yhi FROM k),
-       |g AS (SELECT o_orderkey,
-       |    CAST((xr - xlo) * 256 // (xhi - xlo + 1) AS INTEGER) AS xg,
-       |    CAST((yr - ylo) * 256 // (yhi - ylo + 1) AS INTEGER) AS yg
-       |  FROM k CROSS JOIN b)
-       |SELECT o_orderkey, xg, yg,
-       |  $terms AS zval
-       |FROM g
-       |WHERE xg BETWEEN 64 AND 191 AND yg BETWEEN 32 AND 95
-       |ORDER BY o_orderkey""".stripMargin
-  }
+  private lazy val zorderProbeSql: String =
+    zorderBodySql + "\nWHERE xg BETWEEN 64 AND 191 AND yg BETWEEN 32 AND 95" +
+      "\nORDER BY o_orderkey"
 
   private lazy val relationalSql: Map[String, String] = Map(
 
@@ -1339,7 +1326,8 @@ object Oracle {
     // break on vec_id.
     "q_hard_negatives" ->
       """WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS av
-        |           FROM embeddings WHERE vec_id % 37 = 0),
+        |           FROM embeddings WHERE vec_id % 37 = 0
+        |           ORDER BY vec_id LIMIT 512),
         |s AS (SELECT a.anchor_id, e.vec_id, e.label,
         |        CAST(list_sum(list_transform(list_zip(a.av, e.embedding),
         |          p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT))) AS BIGINT) AS dot_micro

@@ -35,7 +35,16 @@ object Compaction {
     * swapped in) or `.old-*` (retired tree never deleted) siblings; both
     * are garbage once `path` itself exists, so every compaction entry point
     * reclaims them first — otherwise each failed run leaks a full table
-    * copy forever. */
+    * copy forever.
+    *
+    * SINGLE-MAINTAINER CONTRACT (as the object scaladoc's quiet-window
+    * posture already requires for the rename swap): this reclaim assumes no
+    * OTHER compaction of the same table is in flight — a concurrent run's
+    * live `.compact-*` tmp dir is indistinguishable from a dead one's
+    * orphan and would be deleted. Concurrent compaction of the same table
+    * was never safe here (two rename swaps race destructively regardless);
+    * a production object-store deployment gets both properties from the
+    * table format's manifest commit instead. */
   private def reclaimOrphans(path: String): Unit = {
     val parent = Paths.get(path).toAbsolutePath.getParent
     val prefix = Paths.get(path).getFileName.toString

@@ -29,21 +29,32 @@ object IncrementalLoad {
   /** Fold CDC batches (in order) into the snapshot; returns the final state
     * and one report per batch. `truncateLineage=false` keeps the fold fully
     * lazy (useful when the caller persists/writes per fold itself). */
+  /** The shared per-batch step of [[run]] and [[runAudited]] — ONE
+    * definition of the envelope stats + CDC apply + lineage truncation, so
+    * the audited and plain folds cannot drift. One action per batch: total
+    * and delete counts in a single pass. */
+  private def foldOne(snap: DataFrame, name: String, cdc: DataFrame,
+                      keyCols: Seq[String], seqCol: String, flagCol: String,
+                      truncateLineage: Boolean): (DataFrame, BatchReport) = {
+    val stats = cdc.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col(flagCol) === "D", 1L).otherwise(0L)), lit(0L))
+        .as("n_del")).head()
+    val (n, nDel) = (stats.getLong(0), stats.getLong(1))
+    val folded = Scd2.applyCdc(snap, cdc, keyCols, seqCol, flagCol)
+    val next = if (truncateLineage) folded.localCheckpoint(true) else folded
+    (next, BatchReport(name, n, n - nDel, nDel))
+  }
+
   def run(snapshot: DataFrame, batches: Seq[(String, DataFrame)],
           keyCols: Seq[String], seqCol: String = "cdc_dsn",
           flagCol: String = "cdc_flag",
           truncateLineage: Boolean = true): (DataFrame, Seq[BatchReport]) =
     batches.foldLeft((snapshot, Vector.empty[BatchReport])) {
       case ((snap, reports), (name, cdc)) =>
-        // one action per batch: total and delete counts in a single pass
-        val stats = cdc.agg(
-          count(lit(1)).as("n"),
-          coalesce(sum(when(col(flagCol) === "D", 1L).otherwise(0L)), lit(0L))
-            .as("n_del")).head()
-        val (n, nDel) = (stats.getLong(0), stats.getLong(1))
-        val folded = Scd2.applyCdc(snap, cdc, keyCols, seqCol, flagCol)
-        val next = if (truncateLineage) folded.localCheckpoint(true) else folded
-        (next, reports :+ BatchReport(name, n, n - nDel, nDel))
+        val (next, report) =
+          foldOne(snap, name, cdc, keyCols, seqCol, flagCol, truncateLineage)
+        (next, reports :+ report)
     }
 
   /** [[BatchReport]] extended with post-fold STATE bookkeeping — the full
@@ -65,17 +76,12 @@ object IncrementalLoad {
       : (DataFrame, Seq[AuditedReport]) =
     batches.foldLeft((snapshot, Vector.empty[AuditedReport])) {
       case ((snap, reports), (name, cdc)) =>
-        val stats = cdc.agg(
-          count(lit(1)).as("n"),
-          coalesce(sum(when(col(flagCol) === "D", 1L).otherwise(0L)), lit(0L))
-            .as("n_del")).head()
-        val (n, nDel) = (stats.getLong(0), stats.getLong(1))
-        val next = Scd2.applyCdc(snap, cdc, keyCols, seqCol, flagCol)
-          .localCheckpoint(true)
+        val (next, r) =
+          foldOne(snap, name, cdc, keyCols, seqCol, flagCol, truncateLineage = true)
         val st = next.agg(
           count(lit(1)).as("n_keys"),
           coalesce(sum(col(checksumCol)), lit(0L)).as("chk")).head()
-        (next, reports :+ AuditedReport(name, n, n - nDel, nDel,
-          st.getLong(0), st.getLong(1)))
+        (next, reports :+ AuditedReport(r.batch, r.n_records, r.n_upserts,
+          r.n_deletes, st.getLong(0), st.getLong(1)))
     }
 }

@@ -188,7 +188,11 @@ object WarehouseEtl {
     val fin = FixedWidthSource.readTypedWithRejects(spark,
       ext.resolve("finwire_txt").toString, typeStart = 1, typeLen = 3,
       Map("CMP" -> cmpLayout, "SEC" -> secLayout))
-    val cmpAgg = fin("CMP").agg(
+    // CMP is the one multi-consumer branch (audit agg + DimSupplier) — the
+    // same two-consumer pinning rationale as `csv` above; SEC/_unknown are
+    // each consumed once and keep their single scan.
+    val finCmp = pinShared(fin("CMP"))
+    val cmpAgg = finCmp.agg(
       count(lit(1)).as("cmp_lines"),
       coalesce(sum(when(col("_reject").isNotNull, 1L)), lit(0L)).as("cmp_rej"))
     val secAgg = fin("SEC").agg(
@@ -209,7 +213,7 @@ object WarehouseEtl {
       count(lit(1)).as("xml_actions"),
       coalesce(sum(when(col("is_current"), 1L)), lit(0L)).as("open_versions"))
 
-    val dimSupplier = fin("CMP").filter(col("_reject").isNull)
+    val dimSupplier = finCmp.filter(col("_reject").isNull)
       .select(col("s_suppkey"), lit(true).as("s_ok"))
     val dimCustomer = csv.filter(col("_reject").isNull)
       .select(col("c_custkey"), lit(true).as("c_ok"))

@@ -1253,8 +1253,11 @@ object Llm {
   /** §2.9 Hard-negative mining — for each anchor vector, the top-5 most
     * similar vectors carrying a DIFFERENT label: the pairs a contrastive
     * trainer wants (close in embedding space, semantically distinct).
-    * Anchors are a deterministic corpus slice (vec_id % 37 == 0, the
-    * "this shard's anchors" pattern). Similarity is the EXACT integer
+    * Anchors are a deterministic corpus slice (vec_id % 37 == 0) CAPPED at
+    * the 512 lowest anchor ids — the "this shard's anchor batch" pattern:
+    * without the cap the anchor set scales linearly with the corpus, and
+    * the ANN variant's driver-side probe batch (and this query's broadcast)
+    * would grow unboundedly with it. Similarity is the EXACT integer
     * micro-dot (each elementwise product floor-snapped to 1e-6 units
     * before a long fold — order-independent and bit-identical in DuckDB),
     * which makes a top-k ranking query over floating-point vectors fully
@@ -1269,6 +1272,7 @@ object Llm {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
     val anchors = e.filter(col("vec_id") % 37 === 0)
+      .orderBy("vec_id").limit(512)
       .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
         col("embedding").as("av"))
     val scored = e.join(broadcast(anchors), col("label") =!= col("anchor_label"))
@@ -1288,8 +1292,11 @@ object Llm {
     * index's nprobe-pruned lists (a `PartitionFilters`-pruned scan of
     * nprobe/nlist directories), then the SAME label-mismatch +
     * [[graft.expr.DotMicro]] + per-anchor top-k tail runs over the
-    * candidate set. Anchors are a bounded driver-side batch (the probe
-    * contract of the batch-KNN family). No-oracle (candidate pruning is
+    * candidate set. Anchors are a BOUNDED driver-side batch by contract:
+    * the same 512-capped slice as [[qHardNegatives]] (deterministic
+    * lowest-id order), so the collect is ≤ 512 vectors regardless of
+    * corpus size — the probe contract of the batch-KNN family, now
+    * enforced rather than assumed. No-oracle (candidate pruning is
     * index-dependent); LlmSpec scores recall against the exhaustive
     * [[qHardNegatives]] on the same anchors. */
   def qHardNegativesAnn(spark: SparkSession, dir: String): DataFrame = {
@@ -1299,7 +1306,8 @@ object Llm {
       .select(col("vec_id"), col("label"), col("embedding"))
     val idxDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
     AnnIndex.ensure(e, idxDir, nlist = 16)
-    val anchors = e.filter(col("vec_id") % 37 === 0).collect()
+    val anchors = e.filter(col("vec_id") % 37 === 0)
+      .orderBy("vec_id").limit(512).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
     val probed = AnnIndex.nearestListsBatch(spark, idxDir,
       anchors.map(_._3.map(_.toDouble)).toSeq, nprobe = 8)
@@ -1371,17 +1379,25 @@ object Llm {
     * those exact longs in an identical expression tree in both engines.
     * The final enrich joins are broadcasts against d-row / 1-row slices of
     * the pinned gram frame. */
-  def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE definition of the augmented-Gram cell frame (upper triangle of
+    * the [1 ⊕ embedding] outer-product moments, floor-snapped to integer
+    * micro-units before the long sum): shared by [[qEmbedCovariance]] (the
+    * declared statistic) and [[qEmbedPca]] (whose eigen solve consumes the
+    * same cells) — the two must stay bit-identical for the PCA determinism
+    * story, so the snap discipline lives in exactly one place. */
+  private def augmentedGramCells(e: DataFrame): DataFrame = {
     val v = concat(array(lit(1.0d)), asDouble(col("embedding")))
-    val ex = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), v.as("v"))
+    e.select(v.as("v"))
       .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"),
         posexplode(slice(col("v"), col("i") + 1, size(col("v")) - col("i")))
           .as(Seq("dj", "xj")))
-    val gram = Exprs.pinShared(ex
       .groupBy(col("i"), (col("i") + col("dj")).as("j"))
-      .agg(sum(floor(col("xi") * col("xj") * lit(1e6)).cast("long")).as("sxy_micro")))
+      .agg(sum(floor(col("xi") * col("xj") * lit(1e6)).cast("long")).as("sxy_micro"))
+  }
+
+  def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val gram = Exprs.pinShared(augmentedGramCells(Tables.embeddings(spark, dir)))
     val nRow = gram.filter(col("i") === 0 && col("j") === 0)
       .select((col("sxy_micro") / lit(1e6)).cast("long").as("n"))
     val moments = gram.filter(col("i") === 0 && col("j") > 0)
@@ -1424,14 +1440,7 @@ object Llm {
   def qEmbedPca(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
-    val aug = concat(array(lit(1.0d)), asDouble(col("embedding")))
-    val cells = e.select(aug.as("v"))
-      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"),
-        posexplode(slice(col("v"), col("i") + 1, size(col("v")) - col("i")))
-          .as(Seq("dj", "xj")))
-      .groupBy(col("i"), (col("i") + col("dj")).as("j"))
-      .agg(sum(floor(col("xi") * col("xj") * lit(1e6)).cast("long")).as("s"))
+    val cells = augmentedGramCells(e)
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
     val dim = cells.keys.map(_._2).max // augmented size − 1 = embedding dim
     val n = cells((0, 0)).toDouble / 1e6 // Σ floor(1·1·1e6) = n·1e6 exactly

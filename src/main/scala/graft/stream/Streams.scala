@@ -467,17 +467,29 @@ object Streams {
   }
 
   /** One micro-batch of the STREAMING TYPE-2 fold (exposed for the sink and
-    * for direct spec-testing of replay semantics): the incoming CDC batch is
-    * first anti-joined against the history on (key, eff) — a record whose
-    * version is already historized is a replay and folds to a no-op, which
-    * is what makes the sink idempotent under crash-replay (contrast the
-    * Type-1 [[upsertToParquet]], where latest-per-key is naturally
-    * idempotent and needs no guard) — then applied through the spec-proven
-    * [[graft.etl.Scd2.applyCdcHistorized]] (close open versions, append new
-    * ones, deletes end-date without successor). */
+    * for direct spec-testing of replay semantics): the batch is FIRST
+    * reduced to its latest record per key (the same winner
+    * `applyCdcHistorized` would pick), and only then anti-joined against
+    * the history on (key, eff) — a winner whose version is already
+    * historized is a replay and folds to a no-op. Ordering matters: a
+    * per-record guard BEFORE the reduction would let a superseded record
+    * (whose eff was never historized) survive a replay, win the reduction,
+    * and corrupt the history with an inverted interval — reduce-then-guard
+    * makes the replayed batch reduce to the exact record the original fold
+    * historized. Replayed deletes need no guard: re-end-dating an already
+    * closed version is naturally a no-op. (Contrast the Type-1
+    * [[upsertToParquet]], where latest-per-key alone is idempotent.) The
+    * fold itself is the spec-proven [[graft.etl.Scd2.applyCdcHistorized]]
+    * (close open versions, append new ones, deletes end-date without
+    * successor). */
   def scd2FoldBatch(history: DataFrame, batch: DataFrame, keyCols: Seq[String],
                     seqCol: String, flagCol: String, effCol: String): DataFrame = {
-    val fresh = batch.join(
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val fresh = latest.join(
       history.select((keyCols.map(col) :+ col(effCol)): _*),
       keyCols :+ effCol, "left_anti")
     graft.etl.Scd2.applyCdcHistorized(history, fresh, keyCols, seqCol, flagCol, effCol)

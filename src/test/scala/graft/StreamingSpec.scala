@@ -544,9 +544,11 @@ class StreamingSpec extends AnyFunSuite {
         CdcRec(2, 20L, "silver", ts("2024-01-01 00:00:00"), "I"))
       q.processAllAvailable()
       assert(state().count() === 2)
-      // batch 2: update cust 10 (new version), delete cust 20
+      // batch 2: TWO updates for cust 10 in one batch (latest wins — only
+      // seq 5's version may be historized), delete cust 20
       mem.addData(
-        CdcRec(3, 10L, "gold", ts("2024-02-01 00:00:00"), "U"),
+        CdcRec(3, 10L, "silver", ts("2024-01-15 00:00:00"), "U"),
+        CdcRec(5, 10L, "gold", ts("2024-02-01 00:00:00"), "U"),
         CdcRec(4, 20L, "silver", ts("2024-02-01 00:00:00"), "D"))
       q.processAllAvailable()
       val rows = state().collect()
@@ -563,15 +565,23 @@ class StreamingSpec extends AnyFunSuite {
       val open = rows.filter(_._4)
       assert(open.map(_._1).toSeq === Seq(10L))
 
-      // replay: re-folding batch 2 against the current history is a no-op
-      // (the (key, eff) guard drops already-historized records)
+      // replay: re-folding batch 2 against the current history must be a
+      // no-op. The dangerous case is the SUPERSEDED record (seq 3): its eff
+      // was never historized, so a per-record guard would let it survive,
+      // win the reduction, and corrupt the history — the fold must reduce
+      // to latest-per-key BEFORE the (key, eff) guard.
       val replay = Seq(
-        CdcRec(3, 10L, "gold", ts("2024-02-01 00:00:00"), "U"),
+        CdcRec(3, 10L, "silver", ts("2024-01-15 00:00:00"), "U"),
+        CdcRec(5, 10L, "gold", ts("2024-02-01 00:00:00"), "U"),
         CdcRec(4, 20L, "silver", ts("2024-02-01 00:00:00"), "D")).toDF()
       val after = Streams.scd2FoldBatch(state(), replay,
         Seq("cust_id"), "seq", "flag", "eff")
-      assert(after.count() === 3, "replayed batch must fold to a no-op")
-      assert(after.filter(org.apache.spark.sql.functions.col("is_current")).count() === 1)
+        .collect()
+        .map(r => (r.getAs[Long]("cust_id"), r.getAs[String]("tier"),
+          Option(r.getAs[Timestamp]("end")).map(_.toString),
+          r.getAs[Boolean]("is_current")))
+        .sortBy(x => (x._1, x._3))
+      assert(after.toSeq === rows.toSeq, "replayed batch must fold to a no-op")
     } finally q.stop()
   }
 }
