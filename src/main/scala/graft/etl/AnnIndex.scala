@@ -40,12 +40,14 @@ object AnnIndex {
     * discipline as [[defaultIvfDir]]. */
   def defaultLshDir(sfDir: String, bands: Int, bits: Int): String =
     Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
-      s"lsh$bands-$bits-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
+      // "lshb": the r11 batch_id-partitioned layout — the key bump forces a
+      // rebuild over any stale pre-r11 flat-layout cache dir
+      s"lshb$bands-$bits-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
 
   /** [[defaultIvfDir]]'s twin for the SQ8 (int8-quantized) scan index. */
   def defaultSq8Dir(sfDir: String): String =
     Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
-      s"sq8-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
+      s"sq8b-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
 
   /** [[defaultIvfDir]]'s twin for the PQ (product-quantized) scan index. */
   def defaultPqDir(sfDir: String, m: Int, k: Int): String =
@@ -259,19 +261,30 @@ object AnnIndex {
     spark.read.parquet(s"$indexDir/sq8")
 
   /** Incremental SQ8 ingest: quantization is per-vector (no corpus
-    * statistics), so a batch's quantized rows simply APPEND — the cheapest
+    * statistics), so a batch's quantized rows simply land — the cheapest
     * of the three index-append paths (one codegen projection, no driver
-    * metadata at all). */
-  def appendSq8(batch: DataFrame, indexDir: String): Unit =
-    writeSq8(batch, indexDir, "append")
+    * metadata at all). A streaming caller passes its foreachBatch id and
+    * the write OVERWRITES that `batch_id=` partition, so an at-least-once
+    * replay rewrites its own rows instead of duplicating them; ad-hoc
+    * callers (None) append under the `batch_id=-1` base partition. */
+  def appendSq8(batch: DataFrame, indexDir: String,
+                batchId: Option[Long] = None): Unit =
+    writeSq8(batch, indexDir, "append", batchId)
 
-  private def writeSq8(e: DataFrame, indexDir: String, mode: String): Unit = {
+  private def writeSq8(e: DataFrame, indexDir: String, mode: String,
+                       batchId: Option[Long] = None): Unit = {
     graft.expr.GraftFunctions.ensureRegistered(e.sparkSession)
-    e.select(col("vec_id"),
+    val rows = e.select(col("vec_id"),
         call_function("int8_pack", col("embedding")).as("qvec"))
       .withColumn("qnorm",
         sqrt(call_function("int8_dot", col("qvec"), col("qvec")).cast("double")))
-      .write.mode(mode).parquet(s"$indexDir/sq8")
+      .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
+      .write.partitionBy("batch_id")
+    (batchId match {
+      case Some(_) => rows.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+      case None => rows.mode(mode)
+    }).parquet(s"$indexDir/sq8")
   }
 
   /** Driver-side probe quantization — the same formula as
@@ -521,22 +534,37 @@ object AnnIndex {
 
   /** Incremental ingest: the hyperplanes are seeded and DATA-INDEPENDENT,
     * so a new batch's bucket assignment is identical whether computed at
-    * build time or later — its posting rows simply APPEND. Each ingest is
+    * build time or later — its posting rows simply land. Each ingest is
     * O(batch) work touching only the `(band, bkt)` partition dirs the batch
     * lands in; nothing is rebuilt, and probes immediately see old + new
     * vectors through the same pruned scan (spec-asserted equal to a
     * from-scratch build). This is the LSH mirror of
-    * [[IncrementalDedup]]'s append-only posting table. */
-  def appendLsh(batch: DataFrame, indexDir: String, bands: Int, bits: Int): Unit =
-    writeLsh(batch, indexDir, bands, bits, "append")
+    * [[IncrementalDedup]]'s posting table — including its replay story: a
+    * streaming caller passes its foreachBatch id, the rows land under a
+    * trailing `batch_id=` partition level, and the write DYNAMICALLY
+    * overwrites exactly the (band, bkt, batch_id) cells present in the
+    * batch — an at-least-once replay rewrites its own cells instead of
+    * appending duplicate postings. Ad-hoc callers (None) append under the
+    * `batch_id=-1` base level. Probes are unaffected: cell dirs stay
+    * addressable as `band=/bkt=` prefixes ([[lshPostingScan]]), with the
+    * batch level transparent below them. */
+  def appendLsh(batch: DataFrame, indexDir: String, bands: Int, bits: Int,
+                batchId: Option[Long] = None): Unit =
+    writeLsh(batch, indexDir, bands, bits, "append", batchId)
 
   private def writeLsh(e: DataFrame, indexDir: String, bands: Int, bits: Int,
-                       mode: String): Unit = {
+                       mode: String, batchId: Option[Long] = None): Unit = {
     val bk = graft.queries.Llm.rpBandBuckets(e, bands, bits)
     val bandArr = array((0 until bands).map(b => col(s"bkt$b")): _*)
-    bk.select(col("vec_id"), posexplode(bandArr).as(Seq("band", "bkt")))
-      .write.mode(mode).partitionBy("band", "bkt")
-      .parquet(s"$indexDir/buckets")
+    val rows = bk
+      .select(col("vec_id"), posexplode(bandArr).as(Seq("band", "bkt")))
+      .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
+      .write.partitionBy("band", "bkt", "batch_id")
+    (batchId match {
+      case Some(_) => rows.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+      case None => rows.mode(mode)
+    }).parquet(s"$indexDir/buckets")
   }
 
   /** Multi-probe candidate fetch over the persisted posting lists: `cells`

@@ -76,13 +76,27 @@ object Compaction {
                      numFiles: Int = 1): (Long, Long) = {
     reclaimOrphans(path)
     val before = dataFileCount(Paths.get(path))
-    val df = spark.read.parquet(path)
+    val df0 = spark.read.parquet(path)
+    // batch_id-keyed streaming layouts (AnnIndex.appendLsh/appendSq8,
+    // IncrementalDedup.commitPostings): compaction COALESCES the per-batch
+    // partitions into the single `batch_id=-1` base level — sound under the
+    // object-level quiet-window contract (every batch folded here is
+    // checkpoint-committed, so none can replay and collide with the base).
+    val coalesceBatches =
+      df0.columns.contains("batch_id") && !partitionCols.contains("batch_id")
+    val df =
+      if (coalesceBatches)
+        df0.withColumn("batch_id",
+          org.apache.spark.sql.functions.lit(-1L))
+      else df0
+    val writeCols =
+      if (coalesceBatches) partitionCols :+ "batch_id" else partitionCols
     val tmp = path + ".compact-" + java.util.UUID.randomUUID()
     val repartitioned =
       if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
       else df.repartition(numFiles)
     val writer = repartitioned.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+    (if (writeCols.nonEmpty) writer.partitionBy(writeCols: _*) else writer)
       .parquet(tmp)
     swapIn(path, tmp)
     (before, dataFileCount(Paths.get(path)))
@@ -137,12 +151,22 @@ object Compaction {
     if (b.isNullAt(0) || b.isNullAt(2))
       return compactParquet(spark, path, Nil, numFiles)
     val (xlo, xhi, ylo, yhi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    // Overflow-safe quantization over ARBITRARY long ranges (this is a
+    // generic API — a naive `(x - xlo) * 256 div span` overflows long as
+    // soon as the observed span exceeds Long.MaxValue/256 and silently
+    // mis-clusters): precompute the cell width as ceil(span/256) in BigInt
+    // (span itself can exceed Long range), then quantize as
+    // `(x - xlo) div cellW` with the subtraction done in DECIMAL(38,0) so
+    // extreme bounds cannot wrap. cellW ≤ 2^56, cell ≤ 255 by construction.
+    def cellW(hi: Long, lo: Long): Long =
+      (((BigInt(hi) - BigInt(lo) + 1) + 255) / 256).max(1).toLong
+    val (xw, yw) = (cellW(xhi, xlo), cellW(yhi, ylo))
     import org.apache.spark.sql.functions.{call_function, expr}
     val zed = df
       .withColumn("__zx",
-        expr(s"cast((cast($xCol as bigint) - $xlo) * 256 div ${xhi - xlo + 1} as int)"))
+        expr(s"cast((cast($xCol as decimal(38,0)) - $xlo) div $xw as int)"))
       .withColumn("__zy",
-        expr(s"cast((cast($yCol as bigint) - $ylo) * 256 div ${yhi - ylo + 1} as int)"))
+        expr(s"cast((cast($yCol as decimal(38,0)) - $ylo) div $yw as int)"))
       .withColumn("__z", call_function("morton32", col("__zx"), col("__zy")))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -40,8 +40,18 @@ object IncrementalDedup {
 
   private def postingsPath(indexDir: String) = s"$indexDir/postings"
 
-  private def hasIndex(indexDir: String): Boolean =
-    Files.exists(Paths.get(postingsPath(indexDir), "_SUCCESS"))
+  private def hasIndex(indexDir: String): Boolean = {
+    val root = Paths.get(postingsPath(indexDir))
+    // legacy append layout marks the root with _SUCCESS; the batch_id-keyed
+    // dynamic-overwrite path ([[commitPostings]] with a batch id) only
+    // creates its partition dir — either signals a committed index
+    if (Files.exists(root.resolve("_SUCCESS"))) return true
+    if (!Files.isDirectory(root)) return false
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(root)
+    try s.iterator().asScala.exists(_.getFileName.toString.startsWith("batch_id="))
+    finally s.close()
+  }
 
   /** Dedup `batch` (`doc_id`, `text`, …) against the index at `indexDir`
     * and within itself, append the survivors' postings, and return the kept
@@ -56,14 +66,23 @@ object IncrementalDedup {
   /** Steps 1–2 of [[ingest]] as a PURE computation — the batch's surviving
     * posting rows against the CURRENT index, no writes. Exposed so a
     * composed at-least-once pipeline (e.g.
-    * [[graft.stream.Streams.corpusIngest]]) can stage its idempotent
-    * effects (snapshot publish, ANN posting append) BEFORE
-    * [[commitPostings]], which is the batch's commit point: once the
-    * postings land, a replayed batch collides with its own cells and every
-    * stage becomes a no-op. Deterministic for a fixed index state, so a
-    * preview and a later commit in the same micro-batch agree. */
+    * [[graft.stream.Streams.corpusIngest]]) can stage its effects BEFORE
+    * [[commitPostings]]. Deterministic for a fixed index state, so a
+    * preview and a later commit in the same micro-batch agree.
+    *
+    * `excludeBatchId`: a streaming pipeline passes its foreachBatch id so
+    * the stored-index read SKIPS that batch's own `batch_id=` posting
+    * partition (a pruned partition filter — no extra scan cost). A
+    * replayed micro-batch then sees the exact pre-batch index state —
+    * even if its own commit partially landed before the crash — and
+    * re-derives the ORIGINAL survivor set deterministically, which is what
+    * makes every downstream batch_id-keyed overwrite exactly-once in
+    * effect. Batch-mode callers (no stable batch id) leave it None and get
+    * the collision semantics instead: a replayed doc collides with its own
+    * stored postings and is dropped. */
   def keptPostings(batch: DataFrame, indexDir: String,
-                   bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+                   bands: Int = 4, rowsPerBand: Int = 2,
+                   excludeBatchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     // hash the batch ONCE; every later step reuses these postings
     val hashed = Llm.minhashBandRows(batch, bands, rowsPerBand)
@@ -92,8 +111,13 @@ object IncrementalDedup {
     val survivorPosts =
       if (!hasIndex(indexDir)) posts
       else {
-        val stored = spark.read.parquet(postingsPath(indexDir))
-          .select(col("band"), col("bkey"))
+        val storedAll = spark.read.parquet(postingsPath(indexDir))
+        val storedOwn = excludeBatchId match {
+          case Some(n) if storedAll.columns.contains("batch_id") =>
+            storedAll.filter(col("batch_id") =!= n)
+          case _ => storedAll
+        }
+        val stored = storedOwn.select(col("band"), col("bkey"))
         val batchCells = posts.select("band", "bkey").distinct()
         val hitCells = stored
           .join(broadcast(batchCells), Seq("band", "bkey"), "left_semi")
@@ -111,11 +135,27 @@ object IncrementalDedup {
     survivorPosts.join(nonCanonical, Seq("doc_id"), "left_anti")
   }
 
-  /** Step 3 of [[ingest]]: append the kept docs' postings — the only write,
+  /** Step 3 of [[ingest]]: land the kept docs' postings — the only write,
     * and the batch's commit point. The index stays bucket-unique: EVERY doc
     * carries at least one posting (minhash bands or the band=-1 whole-text
-    * cell), so the kept corpus is exactly the kept-posting docs. */
-  def commitPostings(keptPosts: DataFrame, indexDir: String): Unit =
-    keptPosts.select("band", "bkey", "doc_id")
-      .write.mode("append").parquet(postingsPath(indexDir))
+    * cell), so the kept corpus is exactly the kept-posting docs.
+    *
+    * The table is laid out in `batch_id=` partitions. A streaming caller
+    * passes its foreachBatch id: the commit then OVERWRITES its own
+    * partition, so an at-least-once replay (which, with the matching
+    * `excludeBatchId` on [[keptPostings]], recomputes the identical
+    * survivor set) rewrites the same rows instead of duplicating them —
+    * and a partially-landed commit is healed whole. Batch-mode callers
+    * (None) append under the `batch_id=-1` base partition. */
+  def commitPostings(keptPosts: DataFrame, indexDir: String,
+                     batchId: Option[Long] = None): Unit = {
+    val rows = keptPosts.select("band", "bkey", "doc_id")
+      .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
+      .write.partitionBy("batch_id")
+    (batchId match {
+      case Some(_) => rows.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+      case None => rows.mode("append")
+    }).parquet(postingsPath(indexDir))
+  }
 }

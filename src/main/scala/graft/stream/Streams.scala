@@ -355,32 +355,48 @@ object Streams {
 
   /** foreachBatch upsert sink: folds every micro-batch into a parquet
     * "current state" table as latest-per-key (the TPC-DI incremental-batch
-    * dimension upsert, stream-driven). Each batch publishes a new snapshot
-    * through the [[graft.etl.Warehouse]] manifest layer — the commit is ONE
-    * atomic pointer rename, so a concurrent reader resolving the pointer
-    * sees entirely-old or entirely-new state, never a mix and never an
-    * empty window (the flaw of a delete-then-rename swap). A transactional
-    * table format would replace the republish with a MERGE; the merge plan
-    * itself is identical. Superseded snapshots accumulate one dir per
-    * micro-batch until `Warehouse.vacuum(statePath)` — production wiring
-    * vacuums on a cadence (e.g. every Nth batch), kept out of this sink so
-    * readers pinned to older versions choose their own retention. */
+    * dimension upsert, stream-driven). The state lives in a
+    * [[graft.etl.BucketedTable]] — hash-bucketed on the key — and each
+    * micro-batch rewrites ONLY the buckets its keys land in: untouched
+    * buckets carry over into the new snapshot by manifest reference, so
+    * per-batch write cost is O(batch + touched-bucket bytes), never
+    * O(table) — the append-files MERGE a transactional format makes, not a
+    * full republish. The commit stays ONE atomic pointer rename (a reader
+    * sees entirely-old or entirely-new state, never a mix). Replay is
+    * naturally idempotent: latest-per-key of the same batch against the
+    * same buckets rewrites identical content. Superseded bucket versions
+    * accumulate until `BucketedTable.vacuum(statePath)` — production
+    * wiring vacuums on a cadence, kept out of this sink so readers pinned
+    * to older versions choose their own retention. */
   def upsertToParquet(stream: DataFrame, statePath: String, keyCols: Seq[String],
-                      seqCol: String): DataStreamWriter[Row] =
+                      seqCol: String, nBuckets: Int = 64): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(statePath, "_CURRENT")))
-            graft.etl.Warehouse.readCurrent(spark, statePath)
-          else batch.limit(0)
+        val B = graft.etl.BucketedTable.BucketCol
         val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
-        val merged = existing.unionByName(batch)
+        val latest = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__rn")
-        graft.etl.Warehouse.publish(spark, statePath,
-          dir => merged.write.mode("overwrite").parquet(dir))
+          .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
+          .localCheckpoint(true)
+        // bounded driver metadata: at most nBuckets distinct ids
+        val touched = latest.select(B).distinct().collect().map(_.getInt(0)).toSeq
+        if (touched.nonEmpty) {
+          val existing =
+            if (graft.etl.BucketedTable.exists(statePath))
+              graft.etl.BucketedTable.readBuckets(spark, statePath, touched,
+                empty = batch.limit(0))
+            else batch.limit(0)
+          val merged = existing.unionByName(latest.drop(B))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__rn")
+            .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
+          graft.etl.BucketedTable.commit(spark, statePath, nBuckets, touched,
+            dir => merged.write.mode("overwrite").partitionBy(B).parquet(dir))
+        }
         ()
     }
 
@@ -482,6 +498,16 @@ object Streams {
     * fold itself is the spec-proven [[graft.etl.Scd2.applyCdcHistorized]]
     * (close open versions, append new ones, deletes end-date without
     * successor). */
+  /** CONTRACT (eff-grain uniqueness): the replay guard identifies a batch
+    * winner as "already folded" by its (key, eff) pair alone — the history
+    * does not retain the CDC sequence number, so a NEW change that reuses
+    * an effective timestamp already historized for its key (a same-eff
+    * correction with a higher seq and different attributes) is
+    * indistinguishable from a replay and folds to a no-op. The sink
+    * therefore requires at most ONE change per key per effective
+    * timestamp; a correction must carry a fresh eff (the natural CDC
+    * discipline — a correction IS a later change) or be applied through an
+    * offline history rebuild. */
   def scd2FoldBatch(history: DataFrame, batch: DataFrame, keyCols: Seq[String],
                     seqCol: String, flagCol: String, effCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
@@ -498,31 +524,47 @@ object Streams {
   /** STREAMING TYPE-2 HISTORIZATION — TPC-DI's incremental dimension
     * maintenance driven as a stream: each micro-batch of CDC records
     * (I/U/D + sequence + effective time) folds into the persisted versioned
-    * history via [[scd2FoldBatch]] and republishes through the
-    * [[graft.etl.Warehouse]] manifest layer (one atomic pointer rename —
-    * readers see entirely-old or entirely-new history, never a mix). The
-    * (key, eff) replay guard in the fold makes a re-delivered micro-batch a
-    * no-op republish, so the sink is exactly-once in effect on at-least-once
-    * delivery. Versioned-history invariants (interval tiling, exactly one
+    * history via [[scd2FoldBatch]]. The history lives in a
+    * [[graft.etl.BucketedTable]] hash-bucketed on the dimension key, and a
+    * micro-batch folds and rewrites ONLY the buckets its keys land in —
+    * the history of every untouched key carries over by manifest reference
+    * (a Type-2 fold never moves a key between buckets, so the touched-set
+    * is exactly the batch's key buckets). Per-batch cost is O(batch +
+    * touched-bucket history), never O(history) — the TPC-DI incremental
+    * update story at dimension scale. The commit stays one atomic pointer
+    * rename (readers see entirely-old or entirely-new history). The
+    * (key, eff) replay guard in the fold makes a re-delivered micro-batch
+    * rewrite identical bucket content, so the sink is exactly-once in
+    * effect on at-least-once delivery (see [[scd2FoldBatch]]'s eff-grain
+    * contract). Versioned-history invariants (interval tiling, exactly one
     * open version per key) are [[graft.etl.Scd2]]'s property-tested
-    * contract; StreamingSpec asserts stream-final == sequential batch folds. */
+    * contract; StreamingSpec asserts stream-final == sequential batch folds
+    * and that untouched bucket files survive a commit byte-identically. */
   def scd2Sink(cdc: DataFrame, statePath: String, keyCols: Seq[String],
-               seqCol: String, flagCol: String, effCol: String = "eff")
-      : DataStreamWriter[Row] =
+               seqCol: String, flagCol: String, effCol: String = "eff",
+               nBuckets: Int = 64): DataStreamWriter[Row] =
     cdc.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val empty = batch.drop(seqCol, flagCol)
-          .withColumn("end", col(effCol))
-          .withColumn("is_current", lit(true))
-          .limit(0)
-        val history =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(statePath, "_CURRENT")))
-            graft.etl.Warehouse.readCurrent(spark, statePath)
-          else empty
-        val next = scd2FoldBatch(history, batch, keyCols, seqCol, flagCol, effCol)
-        graft.etl.Warehouse.publish(spark, statePath,
-          dir => next.write.mode("overwrite").parquet(dir))
+        val B = graft.etl.BucketedTable.BucketCol
+        val bb = batch
+          .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
+          .localCheckpoint(true)
+        val touched = bb.select(B).distinct().collect().map(_.getInt(0)).toSeq
+        if (touched.nonEmpty) {
+          val empty = batch.drop(seqCol, flagCol)
+            .withColumn("end", col(effCol))
+            .withColumn("is_current", lit(true))
+            .limit(0)
+          val history =
+            if (graft.etl.BucketedTable.exists(statePath))
+              graft.etl.BucketedTable.readBuckets(spark, statePath, touched, empty)
+            else empty
+          val next = scd2FoldBatch(history, bb.drop(B), keyCols, seqCol, flagCol, effCol)
+            .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
+          graft.etl.BucketedTable.commit(spark, statePath, nBuckets, touched,
+            dir => next.write.mode("overwrite").partitionBy(B).parquet(dir))
+        }
         ()
     }
 
@@ -531,90 +573,96 @@ object Streams {
     * pipeline: documents arrive as a stream →
     *
     *   1. near-dup gate: [[graft.etl.IncrementalDedup.keptPostings]] dedups
-    *      the batch against the append-only posting index and within itself
-    *      (O(batch) work, banded equi-joins, never all-pairs);
-    *   2. atomic corpus publish: survivors merge into the
-    *      [[graft.etl.Warehouse]] manifest table — the commit is one
-    *      pointer rename, readers see entirely-old or entirely-new;
-    *   3. ANN maintenance: survivors' embeddings APPEND to the LSH posting
-    *      lists ([[graft.etl.AnnIndex.appendLsh]] — data-independent
-    *      hyperplanes, so the append probes identically to a rebuild) and
-    *      to the SQ8 quantized scan index
-    *      ([[graft.etl.AnnIndex.appendSq8]] — per-vector quantization, one
-    *      codegen projection);
-    *   4. dedup-index commit: [[graft.etl.IncrementalDedup.commitPostings]]
-    *      lands the survivors' posting rows LAST.
+    *      the batch against the posting index and within itself (O(batch)
+    *      work, banded equi-joins, never all-pairs) — EXCLUDING the batch's
+    *      own `batch_id` posting partition, so a replay recomputes against
+    *      the exact pre-batch index state and re-derives the original
+    *      survivor set deterministically;
+    *   2. mixture-budget gate (optional): prior per-source spend comes from
+    *      the COMPACTED ledger at `corpusDir/_budget` — O(|sources|) rows
+    *      read per batch, never an O(corpus) re-aggregation;
+    *   3. corpus commit: only NOVEL survivors trigger a
+    *      [[graft.etl.BucketedTable]] commit (hash-bucketed on doc_id), and
+    *      only their buckets rewrite — untouched corpus buckets carry over
+    *      by manifest reference under the same atomic-pointer read
+    *      contract;
+    *   4. ANN maintenance: survivors' embeddings land in the LSH posting
+    *      lists ([[graft.etl.AnnIndex.appendLsh]]) and the SQ8 scan index
+    *      ([[graft.etl.AnnIndex.appendSq8]]) under this batch's
+    *      `batch_id=` partition — a replayed batch OVERWRITES its own
+    *      partitions instead of appending duplicate postings;
+    *   5. ledger commit: the batch's admitted per-source token delta folds
+    *      into the totals table (atomic manifest publish; the stored
+    *      `last_delta`/`last_batch_id` pair lets a replayed batch roll its
+    *      own contribution back out before re-deciding — see the gate);
+    *   6. dedup-index commit: [[graft.etl.IncrementalDedup.commitPostings]]
+    *      lands the survivors' posting rows LAST, also under `batch_id=`.
     *
-    * The effect ORDER is the at-least-once story: foreachBatch may replay a
-    * batch after a crash, and every stage before the final commit is
-    * idempotent under replay — the corpus merge dedups by doc_id (replayed
-    * survivors collapse onto the published rows), a double LSH append only
-    * duplicates posting rows (probes `distinct()` candidates), and the
-    * posting commit is what flips the batch to "seen": after it lands, a
-    * replayed batch collides with its own cells, survives nothing, and
-    * every stage is a no-op. Crash BEFORE the commit ⇒ full replay
-    * reconverges (the preview is deterministic for a fixed index state);
-    * crash AFTER ⇒ replay no-ops. No stage can lose a doc that a reader
-    * already saw.
+    * At-least-once story: foreachBatch may replay a batch after a crash at
+    * ANY point in 3–6. Because stage 1 excludes the batch's own posting
+    * partition, the replay's survivor set is IDENTICAL to the original
+    * run's regardless of which effects landed — and every effect is then
+    * an idempotent rewrite: the corpus commit no-ops (no novel docs) or
+    * rewrites the same buckets, the LSH/SQ8/posting writes overwrite their
+    * own `batch_id=` partitions with identical content, and the ledger
+    * rollback re-derives the same totals. No duplicates, no loss, and no
+    * stage can un-publish a doc a reader already saw.
     *
     * The survivor frame is pinned once (localCheckpoint) and feeds all
-    * three effects. Per-batch the publish rewrites the current snapshot
-    * (the manifest layer's full-republish contract — a transactional table
-    * format would append data files under the same pointer-commit
-    * semantics); postings and LSH cells are pure appends. */
+    * effects. Ledger/batch_id idempotence is keyed on foreachBatch's
+    * monotone batch id, i.e. ONE checkpoint lineage (the standard
+    * foreachBatch exactly-once discipline); a fresh-checkpoint restart is
+    * a new pipeline whose batch ids restart — the ledger treats a batch id
+    * BELOW its recorded high-water mark as a new lineage and keeps
+    * accumulating (only an exact high-water-mark match rolls back). */
   def corpusIngest(docs: DataFrame, dedupDir: String, lshDir: String,
                    corpusDir: String, lshBands: Int = 3, lshBits: Int = 8,
                    sq8Dir: Option[String] = None,
-                   budgetPerSource: Option[Long] = None)
+                   budgetPerSource: Option[Long] = None,
+                   nBuckets: Int = 64)
       : DataStreamWriter[Row] =
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir)
+        val BT = graft.etl.BucketedTable
+        val B = BT.BucketCol
+        val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir,
+            excludeBatchId = Some(batchId))
           .localCheckpoint(true)
         val deduped = batch
           .join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
           .localCheckpoint(true)
-        val existing0 =
+        // the admission base: per-source cumulative spend BEFORE this batch.
+        // One bounded ledger read; an exact batch-id match on the recorded
+        // high-water mark means this is a replay whose own delta is already
+        // folded in — roll it back so the replay decides identically.
+        val budgetDir = s"$corpusDir/_budget"
+        val priorBase: Option[DataFrame] = budgetPerSource.map { _ =>
           if (java.nio.file.Files.exists(
-                java.nio.file.Paths.get(corpusDir, "_CURRENT")))
-            Some(graft.etl.Warehouse.readCurrent(spark, corpusDir))
-          else None
-        // Optional mixture-budget gate (the q_source_budget rule at ingest):
-        // a source's PRIOR consumption is derived from the PUBLISHED corpus
-        // — no extra state, so the gate is replay-safe by construction. The
-        // batch's own doc_ids are EXCLUDED from the prior (a crash between
-        // publish and posting-commit replays the batch: with itself counted
-        // the replay would see its own tokens as prior spend and flip its
-        // admissions; excluded, the replay decides identically, so the
-        // corpus publish and the postings commit — both idempotent —
-        // re-converge to the same state. The LSH/SQ8 index appends below
-        // are NOT idempotent: a replayed batch re-appends its kept vectors,
-        // and the duplicate postings persist until [[Compaction]] plus the
-        // probe-side dedup collapse them — dup bucket entries widen a
-        // probe's candidate set but cannot change its result set, since
-        // candidates are distinct-joined against the corpus before
-        // scoring). In-batch admission follows the
-        // batch query's seeded-hash order; budget-rejected docs consume
-        // nothing, are not published, and are NOT indexed — their postings
-        // never commit, so a later budget raise can still admit them.
+                java.nio.file.Paths.get(budgetDir, "_CURRENT"))) {
+            val t = graft.etl.Warehouse.readCurrent(spark, budgetDir)
+            val lastId = t.agg(max(col("last_batch_id"))).head().getLong(0)
+            val base =
+              if (batchId == lastId) col("cum_tokens") - col("last_delta")
+              else col("cum_tokens")
+            t.select(col("source"), base.as("t0"))
+          } else Seq.empty[(String, Long)].toDF("source", "t0")
+        }
+        // In-batch admission follows the batch query's seeded-hash order
+        // (md5 of doc_id — q_source_budget parity); budget-rejected docs
+        // consume nothing, are not published, and are NOT indexed — their
+        // postings never commit, so a later budget raise can still admit
+        // them.
         val kept = budgetPerSource match {
           case None => deduped
           case Some(budget) =>
-            val prior = existing0 match {
-              case None => Seq.empty[(String, Long)].toDF("source", "t0")
-              case Some(ex) =>
-                ex.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
-                  .groupBy("source")
-                  .agg(sum(size(split(col("text"), " ")).cast("long")).as("t0"))
-            }
             val w = Window.partitionBy("source").orderBy("h")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             deduped
               .withColumn("h", md5(col("doc_id").cast("string")))
               .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-              .join(broadcast(prior), Seq("source"), "left")
+              .join(broadcast(priorBase.get), Seq("source"), "left")
               .withColumn("cum",
                 coalesce(col("t0"), lit(0L)) + sum(col("n_tok")).over(w))
               .filter(col("cum") <= budget)
@@ -623,17 +671,48 @@ object Streams {
         }
         if (!kept.isEmpty) {
           val docCols = kept.drop("embedding")
-          val existing = existing0.getOrElse(docCols.limit(0))
-          val merged = existing.unionByName(docCols).dropDuplicates("doc_id")
-          graft.etl.Warehouse.publish(spark, corpusDir,
-            dir => merged.write.mode("overwrite").parquet(dir))
+            .withColumn(B, BT.bucketExpr(Seq("doc_id"), nBuckets))
+          val candBuckets =
+            docCols.select(B).distinct().collect().map(_.getInt(0)).toSeq
+          val existing =
+            if (BT.exists(corpusDir))
+              BT.readBuckets(spark, corpusDir, candBuckets,
+                empty = kept.drop("embedding").limit(0))
+            else kept.drop("embedding").limit(0)
+          val novel = docCols
+            .join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          if (!novel.isEmpty) {
+            val touched =
+              novel.select(B).distinct().collect().map(_.getInt(0)).toSeq
+            val out = existing
+              .withColumn(B, BT.bucketExpr(Seq("doc_id"), nBuckets))
+              .filter(col(B).isin(touched: _*))
+              .unionByName(novel)
+            BT.commit(spark, corpusDir, nBuckets, touched,
+              dir => out.write.mode("overwrite").partitionBy(B).parquet(dir))
+          }
           val vecs = kept.select(col("doc_id").as("vec_id"), col("embedding"))
-          graft.etl.AnnIndex.appendLsh(vecs, lshDir, lshBands, lshBits)
-          sq8Dir.foreach(graft.etl.AnnIndex.appendSq8(vecs, _))
+          graft.etl.AnnIndex.appendLsh(vecs, lshDir, lshBands, lshBits,
+            Some(batchId))
+          sq8Dir.foreach(graft.etl.AnnIndex.appendSq8(vecs, _, Some(batchId)))
+          budgetPerSource.foreach { _ =>
+            val delta = kept
+              .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+              .groupBy("source").agg(sum("n_tok").as("d"))
+            val totals = priorBase.get.join(delta, Seq("source"), "full_outer")
+              .select(col("source"),
+                (coalesce(col("t0"), lit(0L)) + coalesce(col("d"), lit(0L)))
+                  .as("cum_tokens"),
+                coalesce(col("d"), lit(0L)).as("last_delta"),
+                lit(batchId).as("last_batch_id"))
+            graft.etl.Warehouse.publish(spark, budgetDir,
+              dir => totals.coalesce(1).write.mode("overwrite").parquet(dir))
+          }
           graft.etl.IncrementalDedup.commitPostings(
             keptPosts.join(kept.select("doc_id").distinct(),
               Seq("doc_id"), "left_semi"),
-            dedupDir)
+            dedupDir, Some(batchId))
         }
         ()
     }

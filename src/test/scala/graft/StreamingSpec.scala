@@ -104,7 +104,7 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(ev(3, "2024-01-01 10:05:00", user = 1L, typ = "purchase"),
                   ev(4, "2024-01-01 10:06:00", user = 3L, typ = "view"))
       q.processAllAvailable()
-      val state = graft.etl.Warehouse.readCurrent(spark, statePath)
+      val state = graft.etl.BucketedTable.readCurrent(spark, statePath)
         .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
                              r.getAs[String]("event_type"))).sortBy(_._1)
       assert(state.toSeq === Seq((1L, 3L, "purchase"), (2L, 2L, "click"),
@@ -279,8 +279,8 @@ class StreamingSpec extends AnyFunSuite {
     try {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
-      val v2 = graft.etl.Warehouse.currentVersion(corpusDir)
-      val corpus = graft.etl.Warehouse.readCurrent(spark, corpusDir)
+      val v2 = graft.etl.BucketedTable.currentVersion(corpusDir)
+      val corpus = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
         .collect().map(r => r.getAs[Long]("doc_id")).sorted.toSeq
       assert(corpus === Seq(1L, 2L, 4L),
         s"corpus must hold the near-dup-gated survivors, got $corpus")
@@ -295,11 +295,19 @@ class StreamingSpec extends AnyFunSuite {
         s"SQ8 index must hold exactly the kept docs' vectors, got $quantized")
 
       // at-least-once replay of batch 2: every doc collides with its own
-      // stored postings -> no new survivors -> no publish, no append
+      // stored postings -> no new survivors -> no publish, no append.
+      // Capture TOTAL row counts first — the replay must not change them
+      // (not merely the distinct id sets).
+      val lshRows = spark.read.parquet(s"$lshDir/buckets").count()
+      val postRows = spark.read.parquet(s"$dedupDir/postings").count()
       mem.addData(b2: _*); q.processAllAvailable()
-      assert(graft.etl.Warehouse.currentVersion(corpusDir) === v2,
+      assert(graft.etl.BucketedTable.currentVersion(corpusDir) === v2,
         "a replayed batch must not publish a new corpus snapshot")
-      val corpusAfter = graft.etl.Warehouse.readCurrent(spark, corpusDir)
+      assert(spark.read.parquet(s"$lshDir/buckets").count() === lshRows,
+        "a replayed batch must not grow the LSH posting lists")
+      assert(spark.read.parquet(s"$dedupDir/postings").count() === postRows,
+        "a replayed batch must not grow the dedup posting table")
+      val corpusAfter = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
         .collect().map(r => r.getAs[Long]("doc_id")).sorted.toSeq
       assert(corpusAfter === Seq(1L, 2L, 4L))
       val indexedAfter = spark.read.parquet(s"$lshDir/buckets")
@@ -311,7 +319,7 @@ class StreamingSpec extends AnyFunSuite {
         "a replayed batch must not append rows to the SQ8 index")
 
       // the published corpus schema is the doc payload (no embedding column)
-      assert(!graft.etl.Warehouse.readCurrent(spark, corpusDir)
+      assert(!graft.etl.BucketedTable.readCurrent(spark, corpusDir)
         .columns.contains("embedding"))
     } finally q.stop()
   }
@@ -411,7 +419,7 @@ class StreamingSpec extends AnyFunSuite {
     try {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
-      def corpusIds = graft.etl.Warehouse.readCurrent(spark, corpusDir)
+      def corpusIds = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
         .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
       def indexedIds = spark.read.parquet(s"$lshDir/buckets")
         .select("vec_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
@@ -421,10 +429,22 @@ class StreamingSpec extends AnyFunSuite {
         "rejected docs must not reach the ANN index")
       // replay: admitted docs drop at dedup; the rejected doc re-evaluates
       // against unchanged totals and is rejected again
-      val v = graft.etl.Warehouse.currentVersion(corpusDir)
+      val v = graft.etl.BucketedTable.currentVersion(corpusDir)
       mem.addData(b2: _*); q.processAllAvailable()
-      assert(graft.etl.Warehouse.currentVersion(corpusDir) === v)
+      assert(graft.etl.BucketedTable.currentVersion(corpusDir) === v)
       assert(corpusIds === Seq(1L, 2L, 4L))
+      // the compacted ledger IS the gate's prior-spend source — O(|sources|)
+      // rows that equal the admitted per-source totals, with the replay
+      // high-water mark at the last committing batch (the no-op batch above
+      // admitted nothing and must not advance it)
+      val ledger = graft.etl.Warehouse.readCurrent(spark, s"$corpusDir/_budget")
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("cum_tokens"), r.getAs[Long]("last_batch_id")))
+        .sortBy(_._1)
+      assert(ledger.map(x => (x._1, x._2)).toSeq === Seq(("A", 5L), ("B", 8L)),
+        s"ledger totals must equal the admitted per-source spend, got ${ledger.toSeq}")
+      assert(ledger.map(_._3).distinct.toSeq === Seq(1L),
+        "an admitting batch sets the high-water mark; a no-op batch leaves it")
     } finally q.stop()
     // budget raise: the rejected doc was never indexed, so a new run with a
     // bigger budget admits it
@@ -433,10 +453,18 @@ class StreamingSpec extends AnyFunSuite {
       budgetPerSource = Some(20L)).start()
     try {
       mem2.addData(doc(3, "A", "kilo lima mike november oscar")); q2.processAllAvailable()
-      val ids = graft.etl.Warehouse.readCurrent(spark, corpusDir)
+      val ids = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
         .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
       assert(ids === Seq(1L, 2L, 3L, 4L),
         s"a raised budget must admit the previously rejected doc, got $ids")
+      // the fresh-checkpoint run restarted batch ids at 0 — BELOW the
+      // recorded high-water mark: the ledger must treat it as a new lineage
+      // and keep ACCUMULATING (A grows 5 -> 10), not roll anything back
+      val ledger2 = graft.etl.Warehouse.readCurrent(spark, s"$corpusDir/_budget")
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("cum_tokens")))
+        .sortBy(_._1)
+      assert(ledger2.toSeq === Seq(("A", 10L), ("B", 8L)),
+        s"new-lineage batch must accumulate onto the ledger, got ${ledger2.toSeq}")
     } finally q2.stop()
   }
 
@@ -530,13 +558,110 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed upsert sink: a micro-batch rewrites ONLY touched buckets; untouched bucket files survive byte-identically") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.BucketedTable
+    val statePath = java.nio.file.Files.createTempDirectory("graft_upsert_buckets")
+      .resolve("state").toString
+    val nB = 64
+    def bucketOf(uid: Long): Int = Seq(uid).toDF("user_id")
+      .select(BucketedTable.bucketExpr(Seq("user_id"), nB)).head().getInt(0)
+    // two users guaranteed to land in DIFFERENT buckets
+    val userA = 1L
+    val userB = (2L to 200L).find(bucketOf(_) != bucketOf(userA)).get
+    val mem = MemoryStream[Ev]
+    val q = Streams.upsertToParquet(mem.toDF(), statePath,
+      keyCols = Seq("user_id"), seqCol = "event_id", nBuckets = nB).start()
+    def listing(dir: String): Seq[(String, Long, java.nio.file.attribute.FileTime)] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (p.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p)))
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    }
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", user = userA),
+                  ev(2, "2024-01-01 10:01:00", user = userB))
+      q.processAllAvailable()
+      val v1 = BucketedTable.currentVersion(statePath)
+      val m1 = BucketedTable.readManifest(statePath)
+      assert(m1.buckets(bucketOf(userA)) === v1)
+      assert(m1.buckets(bucketOf(userB)) === v1)
+      val bDir = s"$statePath/v=$v1/${BucketedTable.BucketCol}=${bucketOf(userB)}"
+      val before = listing(bDir)
+      assert(before.nonEmpty, "user B's bucket must hold data files")
+
+      // second micro-batch touches ONLY user A's bucket
+      mem.addData(ev(3, "2024-01-01 10:05:00", user = userA, typ = "purchase"))
+      q.processAllAvailable()
+      val v2 = BucketedTable.currentVersion(statePath)
+      val m2 = BucketedTable.readManifest(statePath)
+      assert(v2 > v1)
+      assert(m2.buckets(bucketOf(userA)) === v2,
+        "touched bucket must move to the new version")
+      assert(m2.buckets(bucketOf(userB)) === v1,
+        "untouched bucket must carry over by manifest reference")
+      assert(listing(bDir) === before,
+        "untouched bucket files must survive the commit byte-identically")
+      // and no data for user B was rewritten anywhere in v2
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$statePath/v=$v2/${BucketedTable.BucketCol}=${bucketOf(userB)}")))
+      // state semantics unchanged by the partial rewrite
+      val state = BucketedTable.readCurrent(spark, statePath)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")))
+        .sortBy(_._1)
+      assert(state.toSeq === Seq((userA, 3L), (userB, 2L)).sortBy(_._1))
+      // vacuum keeps every version the manifest still references
+      assert(BucketedTable.vacuum(statePath) === 0,
+        "v1 still holds user B's bucket and must survive vacuum")
+    } finally q.stop()
+  }
+
+  test("bucketed Type-2 sink: untouched dimension keys' buckets carry over by reference") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.BucketedTable
+    val statePath = java.nio.file.Files.createTempDirectory("graft_scd2_buckets").toString
+    val nB = 64
+    def bucketOf(k: Long): Int = Seq(k).toDF("cust_id")
+      .select(BucketedTable.bucketExpr(Seq("cust_id"), nB)).head().getInt(0)
+    val custA = 10L
+    val custB = (11L to 300L).find(bucketOf(_) != bucketOf(custA)).get
+    val mem = MemoryStream[CdcRec]
+    val q = Streams.scd2Sink(mem.toDF(), statePath,
+      keyCols = Seq("cust_id"), seqCol = "seq", flagCol = "flag",
+      nBuckets = nB).start()
+    try {
+      mem.addData(
+        CdcRec(1, custA, "bronze", ts("2024-01-01 00:00:00"), "I"),
+        CdcRec(2, custB, "silver", ts("2024-01-01 00:00:00"), "I"))
+      q.processAllAvailable()
+      val v1 = BucketedTable.currentVersion(statePath)
+      // batch 2 updates ONLY custA: custB's history bucket must not rewrite
+      mem.addData(CdcRec(3, custA, "gold", ts("2024-02-01 00:00:00"), "U"))
+      q.processAllAvailable()
+      val m2 = BucketedTable.readManifest(statePath)
+      assert(m2.buckets(bucketOf(custA)) === BucketedTable.currentVersion(statePath))
+      assert(m2.buckets(bucketOf(custB)) === v1,
+        "untouched key's history bucket must carry over by manifest reference")
+      // the fold is still globally correct
+      val rows = BucketedTable.readCurrent(spark, statePath)
+        .collect().map(r => (r.getAs[Long]("cust_id"), r.getAs[String]("tier"),
+          r.getAs[Boolean]("is_current")))
+      assert(rows.count(_._1 == custA) === 2)
+      assert(rows.filter(_._3).map(x => (x._1, x._2)).toSet ===
+        Set((custA, "gold"), (custB, "silver")))
+    } finally q.stop()
+  }
+
   test("streaming Type-2 sink: history folds across micro-batches, invariants hold, replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val statePath = java.nio.file.Files.createTempDirectory("graft_scd2_sink").toString
     val mem = MemoryStream[CdcRec]
     val q = Streams.scd2Sink(mem.toDF(), statePath,
       keyCols = Seq("cust_id"), seqCol = "seq", flagCol = "flag").start()
-    def state() = graft.etl.Warehouse.readCurrent(spark, statePath)
+    def state() = graft.etl.BucketedTable.readCurrent(spark, statePath)
     try {
       // batch 1: two inserts
       mem.addData(
