@@ -52,15 +52,19 @@ object Bench {
     // shrink the total: it lands in "errors" (first exception message) and
     // its per-query time is reported as -1 — an explicit broken marker the
     // 2x gate can see, instead of a quietly-faster-looking bench.
-    val results: Seq[(String, Double, Option[String])] = names.map { n =>
+    // (name, min seconds, spread = max-min of the timed runs, error).
+    // The spread makes ambient machine contention VISIBLE in the artifact:
+    // a wide spread says the number is noise-dominated, which two rounds of
+    // driver-sweep adjudication previously required a judge re-run to see.
+    val results: Seq[(String, Double, Double, Option[String])] = names.map { n =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try Right { evalOnce(n); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       }
       val ok = runs.collect { case Right(s) => s }
-      if (ok.nonEmpty) (n, ok.min, None)
-      else (n, -1.0, Some(runs.collectFirst { case Left(m) => m }.get))
+      if (ok.nonEmpty) (n, ok.min, ok.max - ok.min, None)
+      else (n, -1.0, 0.0, Some(runs.collectFirst { case Left(m) => m }.get))
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")
     // The driver parses the JSON from a bounded 2000-char tail of stdout, and
@@ -77,19 +81,24 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val nErr = results.count(_._3.isDefined)
+    val nErr = results.count(_._4.isDefined)
     val errPart =
       if (nErr == 0) ""
       else {
-        val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
+        val errs = results.collect { case (k, _, _, Some(m)) => "\"" + k + "\":\"" + esc(m) + "\"" }
           .mkString("{", ",", "}")
         s""","n_errors":$nErr,"errors":$errs"""
       }
     val sfName = Paths.get(sfDir).getFileName.toString
-    def render(dp: Int): String = {
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v, dp) }
+    def render(dp: Int, withSpread: Boolean = false): String = {
+      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + sec(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total, dp max 2)},"unit":"sec","queries":$qs$errPart,"sf":"$sfName"}"""
+      // per-query |run1 - run2|: sidecar-only (no stdout line budget there)
+      val spreadPart =
+        if (!withSpread) ""
+        else s""","spread":${results.map { case (k, _, sp, _) =>
+          "\"" + k + "\":" + sec(sp, dp) }.mkString("{", ",", "}")}"""
+      s"""{"metric":"total","value":${sec(total, dp max 2)},"unit":"sec","queries":$qs$spreadPart$errPart,"sf":"$sfName"}"""
     }
     // Budget: the driver keeps a 2000-char stdout tail; sbt's trailing
     // "[success] Total time: ..." line + newlines eat ~76, so the JSON line
@@ -105,16 +114,16 @@ object Bench {
     // queries, 3 decimals). Errored queries (-1 sentinel) are always
     // included so a broken query can never hide in the omitted tail.
     def renderTop(include: Set[String]): String = {
-      val inc = results.filter { case (k, _, _) => include.contains(k) }
-      val omitted = results.filterNot { case (k, _, _) => include.contains(k) }
-      val qs = inc.map { case (k, v, _) => "\"" + k + "\":" + sec(v, 2) }
+      val inc = results.filter { case (k, _, _, _) => include.contains(k) }
+      val omitted = results.filterNot { case (k, _, _, _) => include.contains(k) }
+      val qs = inc.map { case (k, v, _, _) => "\"" + k + "\":" + sec(v, 2) }
         .mkString("{", ",", "}")
       val omitPart =
         if (omitted.isEmpty) ""
         else s""","n_omitted":${omitted.length},"omitted_total":${sec(omitted.map(_._2).filter(_ >= 0).sum, 2)}"""
       s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$omitPart$errPart,"sf":"$sfName"}"""
     }
-    var include = results.filter(_._3.isDefined).map(_._1).toSet // errors always
+    var include = results.filter(_._4.isDefined).map(_._1).toSet // errors always
     // STRICT slowest-prefix: stop at the first query that no longer fits,
     // rather than greedily back-filling faster ones — greedy could include
     // a fast query while omitting a slower one, so a regression in an
@@ -130,7 +139,7 @@ object Bench {
     // The file sidecar has no line-length budget: keep FULL 3-decimal
     // precision there (±0.5 ms) so round-over-round comparison is not
     // dominated by the stdout line's 1-decimal quantization.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), render(3)))
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), render(3, withSpread = true)))
     println(json)
     spark.stop()
   }

@@ -60,7 +60,9 @@ object ScaleSmoke {
     "q_event_dedup",       // one hash agg; shuffle = hourly support, not events (r10)
     "q_sql_recursive",     // depth-bounded spine + linear rollup (r10)
     "q_anomaly_mad",       // pinned daily agg + two percentile aggs (r10)
-    "q_zorder_layout")     // bounds broadcast + map-side morton + global sort (r10)
+    "q_zorder_layout",     // bounds broadcast + map-side morton + global sort (r10)
+    "q_warehouse_etl",     // full TPC-DI composition: ingest -> SCD2 -> resolve (r11)
+    "q_cdc_batches")       // sequential incremental-batch folds (r11)
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata")

@@ -638,15 +638,19 @@ object Relational {
     * level guard is raised from Spark's default 100 to 1,000 — year-grain
     * recursion makes 100 levels a century of data (ample), but the default
     * would be a silent time bomb against pathological testdata, and 1,000
-    * still fails a runaway fast. The setting is session-wide BY NECESSITY:
-    * the returned DataFrame is lazy, so a set-then-restore around this
-    * call would restore the default before execution reads the conf —
-    * documented rather than hidden (the only other recursive consumer is
-    * the oracle-side DuckDB, which has its own limits). */
+    * still fails a runaway fast. The returned DataFrame is LAZY, so a
+    * set-then-restore around this call would restore the default before
+    * execution reads the conf — instead the query is planned in an
+    * ISOLATED child session (`newSession`: shared SparkContext and cached
+    * data, separate SQLConf + temp views): the raised limit lives only in
+    * the child, execution of the returned child-bound DataFrame reads it
+    * there, and the CALLER's session conf — and every later recursive CTE
+    * in it — is untouched (spec-asserted). */
   def qSqlRecursive(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    spark.sql(graft.Oracle.sql("q_sql_recursive"))
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+    Tables.orders(scoped, dir).createOrReplaceTempView("orders")
+    scoped.sql(graft.Oracle.sql("q_sql_recursive"))
   }
 
   /** §2.1 Z-ORDER LAYOUT KEY — multi-dimensional clustering for scan

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * sample) runs as a partition-parallel typed transformation.
   *
   * The Spark-side plumbing here is REAL and tested (schema, parquet
-  * round-trip, Dataset mapPartitions batching, deterministic output); the
-  * codec itself is a clearly-marked STUB — this container ships no image/
-  * audio libraries, so `decodeStub` derives features from the payload bytes
-  * deterministically. Swapping in a real decoder changes only the body of
-  * `decodeStub` (same signature, same batched per-partition call shape a
-  * JNI/FFmpeg/JPEG codec would want).
+  * round-trip, Dataset mapPartitions batching, deterministic output) — and
+  * so is the IMAGE path: PNG payloads are genuine encoded images, decoded
+  * pixel-exactly with the JDK's own `javax.imageio` ([[decodePng]] — no
+  * external codec library needed for PNG). Audio/video stay a
+  * clearly-marked STUB (`decodeStub` derives features from the payload
+  * bytes deterministically) — this container ships no audio/video codecs.
+  * Swapping in a real one changes only the stub body (same signature, same
+  * batched per-partition call shape a JNI/FFmpeg codec would want).
   */
 object Multimodal {
 
@@ -26,23 +28,51 @@ object Multimodal {
   final case class AssetFeatures(asset_id: Long, kind: String, n_bytes: Int,
                                  checksum: Long, features: Array[Float])
 
-  /** Deterministic synthetic corpus: payload bytes are a keyed byte pattern
-    * (stand-in for real encoded media). */
+  /** Deterministic synthetic corpus. IMAGE assets carry a REAL PNG payload
+    * (a seeded RGB pattern encoded with ImageIO on the executor — the
+    * metadata dims are the true encoded dims); audio/video payloads are a
+    * keyed byte pattern (stand-in for real encoded media). */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       val kind = if (i % 3 == 0) "image" else if (i % 3 == 1) "audio" else "video"
-      val payload = Array.tabulate[Byte](64 + (i % 37).toInt)(j => ((i * 31 + j * 7) % 251).toByte)
-      Asset(i, kind, payload, 64 + (i % 16).toInt, 48 + (i % 12).toInt,
+      val (w, h) = (16 + (i % 16).toInt, 12 + (i % 12).toInt)
+      val payload =
+        if (kind == "image") syntheticPng(i, w, h)
+        else Array.tabulate[Byte](64 + (i % 37).toInt)(j => ((i * 31 + j * 7) % 251).toByte)
+      Asset(i, kind, payload, w, h,
             if (kind == "audio") 16000 else 0, if (kind == "image") "png" else "raw")
     }
+  }
+
+  /** A seeded w×h RGB test card, PNG-encoded (lossless — decoders recover
+    * the exact per-pixel values, which is what makes [[decodePng]]'s stats
+    * assertable). */
+  private[graft] def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((seed * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((seed * 23 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** STUB decoder — deterministic features from payload bytes. A real
     * implementation decodes the media (JPEG/WAV/frame-sampled video) here;
     * everything around this call — batching, schema, partition parallelism —
     * is production plumbing. */
-  private[sources] def decodeStub(payload: Array[Byte]): (Long, Array[Float]) = {
+  private[graft] def decodeStub(payload: Array[Byte]): (Long, Array[Float]) = {
     var checksum = 0L
     var i = 0
     while (i < payload.length) { checksum = checksum * 131 + (payload(i) & 0xff); i += 1 }
@@ -55,16 +85,63 @@ object Multimodal {
     (checksum, feats)
   }
 
+  /** REAL PNG decode via the JDK's `javax.imageio` (ships in every JRE —
+    * no external codec needed for PNG): pixel-exact per-channel stats over
+    * the decoded raster, all normalized to [0, 1]:
+    * `[w/1024, h/1024, meanR, meanG, meanB, meanLuma, stdLuma, w/(w+h)]`,
+    * plus a pixel checksum (the polynomial hash over the RGB raster — the
+    * same rolling form as [[decodeStub]]'s byte hash, but over DECODED
+    * pixels, so two different encodings of the same image agree). Returns
+    * None for an undecodable payload so callers fall back to the stub. */
+  private[graft] def decodePng(payload: Array[Byte]): Option[(Long, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+        var checksum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val argb = img.getRGB(x, y)
+            val r = (argb >> 16) & 0xff
+            val g = (argb >> 8) & 0xff
+            val b = argb & 0xff
+            val l = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+            checksum = checksum * 131 + (argb & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        val meanL = sl / n
+        Some((checksum, Array[Float](
+          w / 1024f, h / 1024f,
+          (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+          meanL.toFloat,
+          math.sqrt(math.max(0.0, sl2 / n - meanL * meanL)).toFloat,
+          w.toFloat / (w + h))))
+      }
+    } catch { case _: Exception => None }
+
   /** Partition-parallel feature extraction: one `mapPartitions` pass so a
     * real codec could amortize per-partition init (model load, JNI handle)
     * across its batch — the Scala twin of the Arrow-batched Python UDF
-    * pattern. */
+    * pattern. PNG images take the REAL decode path ([[decodePng]]);
+    * audio/video (and undecodable payloads) fall back to the stub. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // per-partition init for a real decoder would go here
       it.map { a =>
-        val (checksum, feats) = decodeStub(a.payload)
+        val real =
+          if (a.kind == "image" && a.format == "png") decodePng(a.payload)
+          else None
+        val (checksum, feats) = real.getOrElse(decodeStub(a.payload))
         AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum, feats)
       }
     }

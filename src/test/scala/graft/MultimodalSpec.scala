@@ -90,6 +90,56 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG decode is REAL: crafted pixels yield exact channel means, dims, and a raster checksum") {
+    // 2×1 image: one pure-red pixel, one pure-blue pixel — every expected
+    // stat is computable by hand from the decoded raster
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    img.setRGB(1, 0, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val (checksum, f) = Multimodal.decodePng(png).get
+    assert(f(0) === 2 / 1024f && f(1) === 1 / 1024f, "dims from the decoded raster")
+    assert(f(2) === 0.5f, "meanR: one full-red pixel of two")
+    assert(f(3) === 0f, "meanG: no green anywhere")
+    assert(f(4) === 0.5f, "meanB: one full-blue pixel of two")
+    assert(math.abs(f(5) - (0.299f + 0.114f) / 2) < 1e-4, "mean luma")
+    assert(math.abs(f(6) - (0.299f - 0.114f) / 2) < 1e-4, "luma std")
+    assert(checksum === 0xff0000L * 131 + 0xffL,
+      "checksum is the polynomial hash over DECODED pixels, not payload bytes")
+
+    // the same payload through the pipeline (binary column -> mapPartitions)
+    // carries the real decode; a non-image asset with identical bytes takes
+    // the stub path — the dispatch is on the typed metadata
+    val viaPipeline = Multimodal.extractFeatures(
+      Seq(Multimodal.Asset(1L, "image", png, 2, 1, 0, "png")).toDS()).collect().head
+    assert(viaPipeline.checksum === checksum)
+    assert(viaPipeline.features.toSeq === f.toSeq)
+    val asAudio = Multimodal.extractFeatures(
+      Seq(Multimodal.Asset(2L, "audio", png, 2, 1, 16000, "raw")).toDS()).collect().head
+    assert(asAudio.checksum === Multimodal.decodeStub(png)._1,
+      "non-image kinds must keep the declared stub path")
+    // a corrupt 'png' payload falls back to the stub instead of failing the task
+    val junk = Array.tabulate[Byte](32)(_.toByte)
+    val corrupt = Multimodal.extractFeatures(
+      Seq(Multimodal.Asset(3L, "image", junk, 2, 1, 0, "png")).toDS()).collect().head
+    assert(corrupt.checksum === Multimodal.decodeStub(junk)._1)
+  }
+
+  test("synthetic image assets are genuine PNGs; metadata dims match the decoded raster") {
+    val imgs = Multimodal.syntheticAssets(spark, 30).collect().filter(_.kind == "image")
+    assert(imgs.nonEmpty)
+    imgs.foreach { a =>
+      val decoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a.payload))
+      assert(decoded != null, s"asset ${a.asset_id} payload is not a decodable PNG")
+      assert(decoded.getWidth === a.width && decoded.getHeight === a.height,
+        s"asset ${a.asset_id}: metadata dims must be the true encoded dims")
+    }
+  }
+
   test("declared q_multimodal_features: 300 scalar rows, deterministic, all kinds") {
     val rows = Multimodal.qMultimodalFeatures(spark, TestSpark.sfDir).collect()
     assert(rows.length === 300)

@@ -210,6 +210,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(months.last === direct.keys.max[java.time.LocalDate](Ordering.by(_.toEpochDay)))
   }
 
+  test("q_sql_recursive: the raised recursion limit is scoped — the caller's session conf is untouched") {
+    val key = "spark.sql.cteRecursionLevelLimit"
+    val before = spark.conf.getOption(key)
+    val out = Relational.qSqlRecursive(spark, TestSpark.sfDir)
+    assert(out.count() > 0) // force full EXECUTION, not just planning
+    assert(spark.conf.getOption(key) === before,
+      "the recursive query must not mutate the caller's session conf")
+    // and the default limit still governs the caller's own recursive CTEs
+    assert(spark.sessionState.conf.getConfString(key, "100") ===
+      before.getOrElse("100"))
+  }
+
   test("q_event_dedup: tie-free min-id representative carries its own payload, nothing lost") {
     val out = graft.queries.Cdc.qEventDedup(spark, TestSpark.sfDir).collect()
     val ev = graft.Tables.events(spark, TestSpark.sfDir)

@@ -305,6 +305,58 @@ class WarehouseSpec extends AnyFunSuite {
       s"z-layout custkey spans $zx must stay below $nPart x full range $fullX")
   }
 
+  test("z-ordered files SKIP at scan time: the 2-D box probe reads a fraction of the row groups") {
+    // The end-to-end proof of what the span-sum test measures by proxy: the
+    // z-sorted table lands as MULTIPLE parquet files, each carrying narrow
+    // xg/yg min/max stats; the pushed 2-D range predicate then prunes whole
+    // row groups at scan time, so the SCAN's own output-row metric — rows
+    // actually materialized off disk — is a fraction of the table. The same
+    // probe over a hash-shuffled layout (full-span stats in every file)
+    // materializes everything and filters after the fact.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    val keyed = graft.queries.Relational.qZorderLayout(spark, TestSpark.sfDir)
+      .select("o_orderkey", "xg", "yg", "zval")
+    val base = java.nio.file.Files.createTempDirectory("graft_zskip")
+    val zDir = base.resolve("zorder").toString
+    val rDir = base.resolve("shuffled").toString
+    keyed.repartitionByRange(16, col("zval")).sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(zDir)
+    keyed.repartition(16).write.mode("overwrite").parquet(rDir)
+    val total = keyed.count()
+    def probe(dir: String): (Long, Long, String) = {
+      val n = spark.read.parquet(dir)
+        .filter(col("xg").between(64, 191) && col("yg").between(32, 95))
+        .count()
+      // count() runs its own QueryExecution; run a fresh plan for metrics
+      val df2 = spark.read.parquet(dir)
+        .filter(col("xg").between(64, 191) && col("yg").between(32, 95))
+      df2.collect()
+      val plan = df2.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = plan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      (n, scan.metrics("numOutputRows").value,
+        scan.metadata.getOrElse("PushedFilters", ""))
+    }
+    val (zN, zScanned, zPushed) = probe(zDir)
+    val (rN, rScanned, _) = probe(rDir)
+    assert(zN === rN, "both layouts must answer the probe identically")
+    assert(zPushed.contains("GreaterThanOrEqual(xg") &&
+           zPushed.contains("LessThanOrEqual(yg"),
+      s"range predicates must reach the parquet scan, got: $zPushed")
+    assert(rScanned > total / 2,
+      s"shuffled layout must materialize most of the table ($rScanned of $total) — " +
+        "otherwise the z-layout comparison below proves nothing")
+    assert(zScanned < total / 2,
+      s"z-ordered layout must SKIP most row groups: scanned $zScanned of $total")
+    assert(zScanned < rScanned,
+      s"z-ordered scan ($zScanned rows) must read less than shuffled ($rScanned)")
+  }
+
   test("morton32 expression equals the 32-term power-of-two composition bit-for-bit") {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val d = Tables.orders(spark, TestSpark.sfDir)
