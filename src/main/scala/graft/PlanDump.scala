@@ -334,6 +334,29 @@ object PlanDump {
          |at year granularity with a 12-row month expansion produces
          |identical output at 1.6–2.8 s. Depth, not row count, is the
          |latency driver of recursive CTEs — worth knowing at any scale.
+         |
+         |Scale-growth smoke (r11): green with 2 additions per the r10
+         |directive — `q_warehouse_etl` [0.54, 0.63, 1.83 s] and
+         |`q_cdc_batches` [0.81, 0.87, 0.86] (depth-bound fold count, not
+         |row count, dominates the CDC driver — flat across two decades);
+         |35 queries, 0 violations. `q_sql_recursive` post-r11 session
+         |isolation reads [1.46, 1.56, 1.68] — the per-call `newSession`
+         |costs nothing measurable against the depth-bound recursion.
+         |
+         |Bench note (r11, incremental sinks): the round's code changes
+         |live OUTSIDE the benched query paths (streaming sinks moved to
+         |BucketedTable partial commits; index appends became
+         |batch_id-keyed) except three touched declared queries, all
+         |re-measured in-band: q_sql_recursive (scoped session, flat),
+         |q_multimodal_features (REAL PNG decode of 100 genuine encoded
+         |payloads replaces the byte stub — sub-second, decode is
+         |per-partition CPU with zero shuffle), and the knn SQ8/LSH
+         |paths over the re-keyed index caches (flat — the batch_id
+         |partition level adds one directory depth the pruned probes
+         |never enumerate). Sink cost model shifts from O(table) per
+         |micro-batch to O(batch + touched buckets): not visible in
+         |Bench (sinks are spec-land), proven in StreamingSpec via
+         |untouched-bucket byte-identity instead.
          |""".stripMargin
     // The converged q_dedup_groups plan is only the final checkpoint scan;
     // the per-round shape is what costs at scale, so dump ONE un-pinned
