@@ -263,24 +263,29 @@ object AnnIndex {
   /** Incremental SQ8 ingest: quantization is per-vector (no corpus
     * statistics), so a batch's quantized rows simply land — the cheapest
     * of the three index-append paths (one codegen projection, no driver
-    * metadata at all). A streaming caller passes its foreachBatch id and
-    * the write OVERWRITES that `batch_id=` partition, so an at-least-once
-    * replay rewrites its own rows instead of duplicating them; ad-hoc
-    * callers (None) append under the `batch_id=-1` base partition. */
+    * metadata at all). A streaming caller passes a LINEAGE-SCOPED batch
+    * key (e.g. `<queryId prefix>-<batchId>` — see
+    * [[graft.stream.Streams.corpusIngest]]) and the write OVERWRITES that
+    * `batch_id=` partition, so an at-least-once replay rewrites its own
+    * rows instead of duplicating them — while a fresh-checkpoint restart
+    * (new query id, batch numbering restarting at 0) lands under NEW keys
+    * and can never destroy a prior lineage's partitions. Ad-hoc callers
+    * (None) append under the `batch_id=-1` base partition. */
   def appendSq8(batch: DataFrame, indexDir: String,
-                batchId: Option[Long] = None): Unit =
-    writeSq8(batch, indexDir, "append", batchId)
+                batchKey: Option[String] = None): Unit =
+    writeSq8(batch, indexDir, "append", batchKey)
 
   private def writeSq8(e: DataFrame, indexDir: String, mode: String,
-                       batchId: Option[Long] = None): Unit = {
+                       batchKey: Option[String] = None): Unit = {
     graft.expr.GraftFunctions.ensureRegistered(e.sparkSession)
+    if (batchKey.isDefined) migrateFlatLayout(s"$indexDir/sq8", depth = 0)
     val rows = e.select(col("vec_id"),
         call_function("int8_pack", col("embedding")).as("qvec"))
       .withColumn("qnorm",
         sqrt(call_function("int8_dot", col("qvec"), col("qvec")).cast("double")))
-      .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
+      .withColumn("batch_id", lit(batchKey.getOrElse("-1")))
       .write.partitionBy("batch_id")
-    (batchId match {
+    (batchKey match {
       case Some(_) => rows.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
       case None => rows.mode(mode)
@@ -540,31 +545,74 @@ object AnnIndex {
     * vectors through the same pruned scan (spec-asserted equal to a
     * from-scratch build). This is the LSH mirror of
     * [[IncrementalDedup]]'s posting table — including its replay story: a
-    * streaming caller passes its foreachBatch id, the rows land under a
-    * trailing `batch_id=` partition level, and the write DYNAMICALLY
-    * overwrites exactly the (band, bkt, batch_id) cells present in the
-    * batch — an at-least-once replay rewrites its own cells instead of
-    * appending duplicate postings. Ad-hoc callers (None) append under the
+    * streaming caller passes a LINEAGE-SCOPED batch key (e.g.
+    * `<queryId prefix>-<batchId>`), the rows land under a trailing
+    * `batch_id=` partition level, and the write DYNAMICALLY overwrites
+    * exactly the (band, bkt, batch_id) cells present in the batch — an
+    * at-least-once replay rewrites its own cells instead of appending
+    * duplicate postings, while a fresh-checkpoint restart's restarting
+    * batch numbers land under NEW keys and cannot clobber a prior
+    * lineage's cells. Ad-hoc callers (None) append under the
     * `batch_id=-1` base level. Probes are unaffected: cell dirs stay
     * addressable as `band=/bkt=` prefixes ([[lshPostingScan]]), with the
     * batch level transparent below them. */
   def appendLsh(batch: DataFrame, indexDir: String, bands: Int, bits: Int,
-                batchId: Option[Long] = None): Unit =
-    writeLsh(batch, indexDir, bands, bits, "append", batchId)
+                batchKey: Option[String] = None): Unit =
+    writeLsh(batch, indexDir, bands, bits, "append", batchKey)
 
   private def writeLsh(e: DataFrame, indexDir: String, bands: Int, bits: Int,
-                       mode: String, batchId: Option[Long] = None): Unit = {
+                       mode: String, batchKey: Option[String] = None): Unit = {
+    if (batchKey.isDefined) migrateFlatLayout(s"$indexDir/buckets", depth = 2)
     val bk = graft.queries.Llm.rpBandBuckets(e, bands, bits)
     val bandArr = array((0 until bands).map(b => col(s"bkt$b")): _*)
     val rows = bk
       .select(col("vec_id"), posexplode(bandArr).as(Seq("band", "bkt")))
-      .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
+      .withColumn("batch_id", lit(batchKey.getOrElse("-1")))
       .write.partitionBy("band", "bkt", "batch_id")
-    (batchId match {
+    (batchKey match {
       case Some(_) => rows.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
       case None => rows.mode(mode)
     }).parquet(s"$indexDir/buckets")
+  }
+
+  /** One-time in-place upgrade of a PRE-batch_id table to the r11 layout:
+    * data files sitting directly in the partition-leaf directories (depth
+    * levels of `key=value` dirs below `root`) MOVE into a `batch_id=-1/`
+    * subdir — a metadata-only rename per file, no rewrite. Without it, the
+    * first batch_id-keyed write would leave leaf files at two depths and
+    * Spark's partition discovery would reject the whole table
+    * ("conflicting directory structures"). Idempotent and cheap (driver
+    * FS listing); called only from batch-keyed writers, since legacy-mode
+    * writes keep the legacy shape consistent by themselves. */
+  private[etl] def migrateFlatLayout(root: String, depth: Int): Unit = {
+    val rootPath = Paths.get(root)
+    if (!Files.isDirectory(rootPath)) return
+    import scala.jdk.CollectionConverters._
+    def leaves(p: java.nio.file.Path, d: Int): Seq[java.nio.file.Path] =
+      if (d == 0) Seq(p)
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala.toSeq
+          .filter(c => Files.isDirectory(c) && c.getFileName.toString.contains("="))
+          .flatMap(leaves(_, d - 1))
+        finally s.close()
+      }
+    leaves(rootPath, depth).foreach { leaf =>
+      val strays = {
+        val s = Files.list(leaf)
+        try s.iterator().asScala.toSeq.filter { f =>
+          val n = f.getFileName.toString
+          Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+        }
+        finally s.close()
+      }
+      if (strays.nonEmpty) {
+        val base = leaf.resolve("batch_id=-1")
+        Files.createDirectories(base)
+        strays.foreach(f => Files.move(f, base.resolve(f.getFileName.toString)))
+      }
+    }
   }
 
   /** Multi-probe candidate fetch over the persisted posting lists: `cells`

@@ -117,48 +117,33 @@ object BucketedTable {
     * to readers, reclaimed by [[vacuum]]. */
   def commit(spark: SparkSession, tableDir: String, nBuckets: Int,
              touched: Seq[Int], write: String => Unit): Long = {
-    import java.nio.file.{FileAlreadyExistsException, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     require(touched.nonEmpty, "commit with no touched buckets is a no-op; skip it")
     require(touched.forall(b => b >= 0 && b < nBuckets),
       s"touched bucket out of range [0, $nBuckets): $touched")
     val prior: Option[Manifest] = if (exists(tableDir)) Some(readManifest(tableDir)) else None
     prior.foreach(m => require(m.nBuckets == nBuckets,
       s"bucket count is fixed at table creation: table has ${m.nBuckets}, caller passed $nBuckets"))
-    Files.createDirectories(Paths.get(tableDir))
-    // claim max(existing)+1 by atomic directory creation (dense, monotone,
-    // race-free across processes — the Warehouse.publish discipline)
-    def existingMax: Long = {
-      val s = Files.list(Paths.get(tableDir))
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-        .foldLeft(0L)(math.max)
-      finally s.close()
-    }
-    var version = existingMax + 1
-    var claimed = false
-    while (!claimed) {
-      try { Files.createDirectory(Paths.get(tableDir, s"v=$version")); claimed = true }
-      catch { case _: FileAlreadyExistsException => version += 1 }
-    }
+    // version claim + pointer commit are Warehouse's (one copy of the
+    // atomic-create / ATOMIC_MOVE discipline for both manifest layers)
+    val version = Warehouse.claimVersion(tableDir)
     write(s"$tableDir/v=$version")
     val next = prior.map(_.buckets).getOrElse(Map.empty) ++
       touched.map(_ -> version)
     val body = (s"nBuckets=$nBuckets" +:
       next.toSeq.sortBy(_._1).map { case (b, v) => s"$b $v" }).mkString("\n")
     Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"), body)
-    val tmp = Paths.get(tableDir, s"_CURRENT.tmp-$version")
-    Files.writeString(tmp, version.toString)
-    Files.move(tmp, Paths.get(tableDir, "_CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Warehouse.commitPointer(tableDir, version)
     version
   }
 
   /** Drop every version directory the CURRENT manifest no longer references
-    * (plus crashed `_CURRENT.tmp-*` pointers). Unlike [[Warehouse.vacuum]],
-    * "older than current" is not the test — an old version stays live as
-    * long as any bucket's manifest entry still points into it. Returns the
-    * dropped directory count. */
+    * (plus crashed `_CURRENT.tmp-*` pointers). Two protections compose:
+    * unlike [[Warehouse.vacuum]], "older than current" alone is not enough
+    * to doom a version — an old version stays live while any bucket's
+    * manifest entry still points into it — AND (like Warehouse.vacuum)
+    * versions NEWER than current always survive: one may be an in-flight
+    * commit's freshly-claimed directory, which a concurrent vacuum must
+    * not rip out from under the writer. Returns the dropped count. */
   def vacuum(tableDir: String): Int = {
     import scala.jdk.CollectionConverters._
     val cur = currentVersion(tableDir)
@@ -171,7 +156,10 @@ object BucketedTable {
       .foreach(Files.deleteIfExists(_))
     val doomed = entries.filter { p =>
       val n = p.getFileName.toString
-      n.startsWith("v=") && !live.contains(n.stripPrefix("v=").toLong)
+      n.startsWith("v=") && {
+        val v = n.stripPrefix("v=").toLong
+        v < cur && !live.contains(v)
+      }
     }
     doomed.foreach { d =>
       Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

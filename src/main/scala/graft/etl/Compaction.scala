@@ -71,23 +71,32 @@ object Compaction {
     deleteRecursively(old)
   }
 
+  /** `coalesceBatchKeyed`: ONLY for the batch_id-partitioned streaming
+    * index layouts (AnnIndex.appendLsh/appendSq8,
+    * IncrementalDedup.commitPostings — the convenience wrappers below pass
+    * it): compaction COALESCES the per-batch partitions into the single
+    * `batch_id=-1` base level — sound under the object-level quiet-window
+    * contract (every batch folded here is checkpoint-committed, so none
+    * can replay and collide with the base). It is an EXPLICIT opt-in, not
+    * a column-name sniff: a generic table that happens to carry a
+    * `batch_id` DATA column (e.g. annServe's results, where batch_id is
+    * provenance) must never have its values rewritten by a compaction. */
   def compactParquet(spark: SparkSession, path: String,
                      partitionCols: Seq[String],
-                     numFiles: Int = 1): (Long, Long) = {
+                     numFiles: Int = 1,
+                     coalesceBatchKeyed: Boolean = false): (Long, Long) = {
     reclaimOrphans(path)
     val before = dataFileCount(Paths.get(path))
     val df0 = spark.read.parquet(path)
-    // batch_id-keyed streaming layouts (AnnIndex.appendLsh/appendSq8,
-    // IncrementalDedup.commitPostings): compaction COALESCES the per-batch
-    // partitions into the single `batch_id=-1` base level — sound under the
-    // object-level quiet-window contract (every batch folded here is
-    // checkpoint-committed, so none can replay and collide with the base).
-    val coalesceBatches =
-      df0.columns.contains("batch_id") && !partitionCols.contains("batch_id")
+    val coalesceBatches = coalesceBatchKeyed && {
+      require(df0.columns.contains("batch_id"),
+        s"coalesceBatchKeyed set but $path carries no batch_id partition column")
+      !partitionCols.contains("batch_id")
+    }
     val df =
       if (coalesceBatches)
         df0.withColumn("batch_id",
-          org.apache.spark.sql.functions.lit(-1L))
+          org.apache.spark.sql.functions.lit("-1"))
       else df0
     val writeCols =
       if (coalesceBatches) partitionCols :+ "batch_id" else partitionCols
@@ -105,11 +114,12 @@ object Compaction {
   /** [[AnnIndex]] convenience wrappers — partition columns match each
     * index's declared layout. */
   def compactLshPostings(spark: SparkSession, indexDir: String): (Long, Long) =
-    compactParquet(spark, s"$indexDir/buckets", Seq("band", "bkt"))
+    compactParquet(spark, s"$indexDir/buckets", Seq("band", "bkt"),
+      coalesceBatchKeyed = true)
   def compactIvfLists(spark: SparkSession, indexDir: String): (Long, Long) =
     compactParquet(spark, s"$indexDir/lists", Seq("list_id"))
   def compactSq8(spark: SparkSession, indexDir: String): (Long, Long) =
-    compactParquet(spark, s"$indexDir/sq8", Nil)
+    compactParquet(spark, s"$indexDir/sq8", Nil, coalesceBatchKeyed = true)
   def compactPqCodes(spark: SparkSession, indexDir: String): (Long, Long) =
     compactParquet(spark, s"$indexDir/codes", Nil)
   /** The IVF-PQ composite's per-list code dirs ([[AnnIndex.buildIvfPq]] /
@@ -121,7 +131,7 @@ object Compaction {
   /** The dedup posting table ([[IncrementalDedup]]) — unpartitioned
     * appends, joined on (band, bkey) per ingest batch. */
   def compactDedupPostings(spark: SparkSession, indexDir: String): (Long, Long) =
-    compactParquet(spark, s"$indexDir/postings", Nil)
+    compactParquet(spark, s"$indexDir/postings", Nil, coalesceBatchKeyed = true)
 
   /** Z-ORDERED compaction — the OPTIMIZE ZORDER maintenance form: rewrite
     * the table CLUSTERED on the Morton interleave of two numeric columns

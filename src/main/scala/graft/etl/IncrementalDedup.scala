@@ -70,19 +70,20 @@ object IncrementalDedup {
     * [[commitPostings]]. Deterministic for a fixed index state, so a
     * preview and a later commit in the same micro-batch agree.
     *
-    * `excludeBatchId`: a streaming pipeline passes its foreachBatch id so
-    * the stored-index read SKIPS that batch's own `batch_id=` posting
-    * partition (a pruned partition filter — no extra scan cost). A
-    * replayed micro-batch then sees the exact pre-batch index state —
-    * even if its own commit partially landed before the crash — and
-    * re-derives the ORIGINAL survivor set deterministically, which is what
-    * makes every downstream batch_id-keyed overwrite exactly-once in
-    * effect. Batch-mode callers (no stable batch id) leave it None and get
-    * the collision semantics instead: a replayed doc collides with its own
-    * stored postings and is dropped. */
+    * `excludeBatchKey`: a streaming pipeline passes its LINEAGE-SCOPED
+    * batch key (`<queryId prefix>-<batchId>`) so the stored-index read
+    * SKIPS that batch's own `batch_id=` posting partition (a pruned
+    * partition filter — no extra scan cost). A replayed micro-batch then
+    * sees the exact pre-batch index state — even if its own commit
+    * partially landed before the crash — and re-derives the ORIGINAL
+    * survivor set deterministically, which is what makes every downstream
+    * batch-keyed overwrite exactly-once in effect. Batch-mode callers (no
+    * stable batch id) leave it None and get the collision semantics
+    * instead: a replayed doc collides with its own stored postings and is
+    * dropped. */
   def keptPostings(batch: DataFrame, indexDir: String,
                    bands: Int = 4, rowsPerBand: Int = 2,
-                   excludeBatchId: Option[Long] = None): DataFrame = {
+                   excludeBatchKey: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     // hash the batch ONCE; every later step reuses these postings
     val hashed = Llm.minhashBandRows(batch, bands, rowsPerBand)
@@ -112,9 +113,13 @@ object IncrementalDedup {
       if (!hasIndex(indexDir)) posts
       else {
         val storedAll = spark.read.parquet(postingsPath(indexDir))
-        val storedOwn = excludeBatchId match {
-          case Some(n) if storedAll.columns.contains("batch_id") =>
-            storedAll.filter(col("batch_id") =!= n)
+        val storedOwn = excludeBatchKey match {
+          case Some(k) if storedAll.columns.contains("batch_id") =>
+            // compare as STRING: partition-type inference may type an
+            // all-numeric batch_id dir set as int, and int-vs-string
+            // comparison would cast the non-numeric key to null and drop
+            // every stored row from the gate
+            storedAll.filter(col("batch_id").cast("string") =!= k)
           case _ => storedAll
         }
         val stored = storedOwn.select(col("band"), col("bkey"))
@@ -141,18 +146,23 @@ object IncrementalDedup {
     * cell), so the kept corpus is exactly the kept-posting docs.
     *
     * The table is laid out in `batch_id=` partitions. A streaming caller
-    * passes its foreachBatch id: the commit then OVERWRITES its own
-    * partition, so an at-least-once replay (which, with the matching
-    * `excludeBatchId` on [[keptPostings]], recomputes the identical
-    * survivor set) rewrites the same rows instead of duplicating them —
-    * and a partially-landed commit is healed whole. Batch-mode callers
-    * (None) append under the `batch_id=-1` base partition. */
+    * passes a LINEAGE-SCOPED batch key (`<queryId prefix>-<batchId>`): the
+    * commit then OVERWRITES its own partition, so an at-least-once replay
+    * (which, with the matching `excludeBatchKey` on [[keptPostings]],
+    * recomputes the identical survivor set) rewrites the same rows instead
+    * of duplicating them — a partially-landed commit is healed whole — and
+    * a fresh-checkpoint restart's restarting batch numbers land under NEW
+    * keys, never over a prior lineage's committed postings. Batch-mode
+    * callers (None) append under the `batch_id=-1` base partition; a
+    * pre-r11 flat table is first upgraded in place (file moves, no
+    * rewrite) by [[AnnIndex.migrateFlatLayout]]. */
   def commitPostings(keptPosts: DataFrame, indexDir: String,
-                     batchId: Option[Long] = None): Unit = {
+                     batchKey: Option[String] = None): Unit = {
+    if (batchKey.isDefined) AnnIndex.migrateFlatLayout(postingsPath(indexDir), depth = 0)
     val rows = keptPosts.select("band", "bkey", "doc_id")
-      .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
+      .withColumn("batch_id", lit(batchKey.getOrElse("-1")))
       .write.partitionBy("batch_id")
-    (batchId match {
+    (batchKey match {
       case Some(_) => rows.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
       case None => rows.mode("append")

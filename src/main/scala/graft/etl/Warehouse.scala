@@ -65,14 +65,23 @@ object Warehouse {
     * dir). */
   def publish(spark: SparkSession, tableDir: String,
               write: String => Unit): Long = {
-    import java.nio.file.{Files, FileAlreadyExistsException, Paths, StandardCopyOption}
+    val version = claimVersion(tableDir)
+    write(s"$tableDir/v=$version")
+    commitPointer(tableDir, version)
+    version
+  }
+
+  /** Claim max(existing)+1 by ATOMIC directory creation: versions stay
+    * dense and monotone across process restarts (a clock- or
+    * nanoTime-based id would not be — nanoTime's origin is arbitrary per
+    * JVM), and two concurrent publishers can never land in the same
+    * snapshot dir — the loser of the create races to the next number.
+    * Shared by [[publish]] and [[BucketedTable.commit]] — ONE copy of the
+    * claim discipline. */
+  private[etl] def claimVersion(tableDir: String): Long = {
+    import java.nio.file.{Files, FileAlreadyExistsException, Paths}
     import scala.jdk.CollectionConverters._
     Files.createDirectories(Paths.get(tableDir))
-    // Claim max(existing)+1 by ATOMIC directory creation: versions stay
-    // dense and monotone across process restarts (a clock- or
-    // nanoTime-based id would not be — nanoTime's origin is arbitrary per
-    // JVM), and two concurrent publishers can never land in the same
-    // snapshot dir — the loser of the create races to the next number.
     def existingMax: Long = {
       val s = Files.list(Paths.get(tableDir))
       try s.iterator().asScala.map(_.getFileName.toString)
@@ -86,12 +95,17 @@ object Warehouse {
       try { Files.createDirectory(Paths.get(tableDir, s"v=$version")); claimed = true }
       catch { case _: FileAlreadyExistsException => version += 1 }
     }
-    write(s"$tableDir/v=$version")
+    version
+  }
+
+  /** The COMMIT: stage the pointer content, then one atomic rename onto
+    * `_CURRENT`. Shared by both manifest layers. */
+  private[etl] def commitPointer(tableDir: String, version: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Paths.get(tableDir, s"_CURRENT.tmp-$version")
     Files.writeString(tmp, version.toString)
     Files.move(tmp, Paths.get(tableDir, "_CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    version
   }
 
   /** The version the `_CURRENT` pointer names (fails if never published). */

@@ -609,12 +609,13 @@ object Streams {
     * stage can un-publish a doc a reader already saw.
     *
     * The survivor frame is pinned once (localCheckpoint) and feeds all
-    * effects. Ledger/batch_id idempotence is keyed on foreachBatch's
-    * monotone batch id, i.e. ONE checkpoint lineage (the standard
-    * foreachBatch exactly-once discipline); a fresh-checkpoint restart is
-    * a new pipeline whose batch ids restart — the ledger treats a batch id
-    * BELOW its recorded high-water mark as a new lineage and keeps
-    * accumulating (only an exact high-water-mark match rolls back). */
+    * effects. Idempotence is keyed on the LINEAGE-SCOPED batch key
+    * `<streaming queryId prefix>-<batchId>` — the query id is stable
+    * across checkpointed restarts and fresh per new checkpoint, so a true
+    * replay overwrites exactly its own partitions and rolls back exactly
+    * its own ledger delta, while a fresh-checkpoint restart (batch ids
+    * restarting at 0) writes under new keys and accumulates onto the
+    * ledger without ever touching a prior lineage's data. */
   def corpusIngest(docs: DataFrame, dedupDir: String, lshDir: String,
                    corpusDir: String, lshBands: Int = 3, lshBits: Int = 8,
                    sq8Dir: Option[String] = None,
@@ -627,26 +628,49 @@ object Streams {
         import spark.implicits._
         val BT = graft.etl.BucketedTable
         val B = BT.BucketCol
+        // LINEAGE-scoped batch key: the streaming query id (stable across
+        // checkpointed restarts, fresh per new checkpoint) prefixes the
+        // batch number, so a replay targets exactly its own partitions
+        // while a fresh-checkpoint restart — whose batch numbering starts
+        // over at 0 — lands under NEW keys and can never overwrite a prior
+        // lineage's committed index data.
+        val lineage = Option(
+            spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+          .map(_.take(8)).getOrElse("nolineage")
+        val batchKey = s"$lineage-$batchId"
         val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir,
-            excludeBatchId = Some(batchId))
+            excludeBatchKey = Some(batchKey))
           .localCheckpoint(true)
         val deduped = batch
           .join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
           .localCheckpoint(true)
         // the admission base: per-source cumulative spend BEFORE this batch.
-        // One bounded ledger read; an exact batch-id match on the recorded
-        // high-water mark means this is a replay whose own delta is already
-        // folded in — roll it back so the replay decides identically.
+        // One bounded ledger read; a replay is recognized by BOTH the batch
+        // id AND the lineage matching the recorded high-water mark — its
+        // own already-folded delta rolls back so the replay decides
+        // identically, while an id collision from a DIFFERENT lineage
+        // (fresh-checkpoint restart) keeps accumulating. First activation
+        // of the budget over a PRE-EXISTING corpus seeds the prior from
+        // the published corpus itself (a one-time O(corpus) pass — the
+        // first admitting batch folds it into the ledger and every later
+        // batch reads O(|sources|) rows).
         val budgetDir = s"$corpusDir/_budget"
         val priorBase: Option[DataFrame] = budgetPerSource.map { _ =>
           if (java.nio.file.Files.exists(
                 java.nio.file.Paths.get(budgetDir, "_CURRENT"))) {
             val t = graft.etl.Warehouse.readCurrent(spark, budgetDir)
-            val lastId = t.agg(max(col("last_batch_id"))).head().getLong(0)
+            val hwm = t.select(max(col("last_batch_id")),
+              first(col("last_lineage"))).head()
+            val isReplay = batchId == hwm.getLong(0) && lineage == hwm.getString(1)
             val base =
-              if (batchId == lastId) col("cum_tokens") - col("last_delta")
+              if (isReplay) col("cum_tokens") - col("last_delta")
               else col("cum_tokens")
             t.select(col("source"), base.as("t0"))
+          } else if (BT.exists(corpusDir)) {
+            BT.readCurrent(spark, corpusDir)
+              .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+              .groupBy("source")
+              .agg(sum(size(split(col("text"), " ")).cast("long")).as("t0"))
           } else Seq.empty[(String, Long)].toDF("source", "t0")
         }
         // In-batch admission follows the batch query's seeded-hash order
@@ -694,8 +718,8 @@ object Streams {
           }
           val vecs = kept.select(col("doc_id").as("vec_id"), col("embedding"))
           graft.etl.AnnIndex.appendLsh(vecs, lshDir, lshBands, lshBits,
-            Some(batchId))
-          sq8Dir.foreach(graft.etl.AnnIndex.appendSq8(vecs, _, Some(batchId)))
+            Some(batchKey))
+          sq8Dir.foreach(graft.etl.AnnIndex.appendSq8(vecs, _, Some(batchKey)))
           budgetPerSource.foreach { _ =>
             val delta = kept
               .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
@@ -705,14 +729,15 @@ object Streams {
                 (coalesce(col("t0"), lit(0L)) + coalesce(col("d"), lit(0L)))
                   .as("cum_tokens"),
                 coalesce(col("d"), lit(0L)).as("last_delta"),
-                lit(batchId).as("last_batch_id"))
+                lit(batchId).as("last_batch_id"),
+                lit(lineage).as("last_lineage"))
             graft.etl.Warehouse.publish(spark, budgetDir,
               dir => totals.coalesce(1).write.mode("overwrite").parquet(dir))
           }
           graft.etl.IncrementalDedup.commitPostings(
             keptPosts.join(kept.select("doc_id").distinct(),
               Seq("doc_id"), "left_semi"),
-            dedupDir, Some(batchId))
+            dedupDir, Some(batchKey))
         }
         ()
     }

@@ -468,6 +468,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("budget activation over a pre-existing corpus seeds prior spend from the published corpus") {
+    // a corpus built WITHOUT a budget already holds 5 tokens for source A;
+    // enabling the budget later must count that spend (seeded from the
+    // published corpus on first activation), not start from zero
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_seed_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_seed_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_seed_corpus").toString
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    def doc(id: Long, src: String, text: String) = SourcedDoc(id, text, src, emb(id.toInt))
+    val mem1 = MemoryStream[SourcedDoc]
+    val q1 = Streams.corpusIngest(mem1.toDF(), dedupDir, lshDir, corpusDir).start()
+    try {
+      mem1.addData(doc(1, "A", "alpha bravo charlie delta echo")) // 5 tokens, unbudgeted
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val mem2 = MemoryStream[SourcedDoc]
+    val q2 = Streams.corpusIngest(mem2.toDF(), dedupDir, lshDir, corpusDir,
+      budgetPerSource = Some(8L)).start()
+    def corpusIds = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    try {
+      // 5 more tokens for A: 5 (seeded prior) + 5 > 8 -> REJECTED
+      mem2.addData(doc(2, "A", "foxtrot golf hotel india juliet"))
+      q2.processAllAvailable()
+      assert(corpusIds === Seq(1L),
+        s"seeded prior must count the pre-budget corpus, got $corpusIds")
+      // 3 tokens: 5 + 3 = 8 <= 8 -> admitted; the ledger now carries the
+      // seeded base + the admitted delta
+      mem2.addData(doc(3, "A", "kilo lima mike"))
+      q2.processAllAvailable()
+      assert(corpusIds === Seq(1L, 3L))
+      val ledger = graft.etl.Warehouse.readCurrent(spark, s"$corpusDir/_budget")
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("cum_tokens")))
+      assert(ledger.toSeq === Seq(("A", 8L)),
+        s"ledger must fold seeded prior + admitted delta, got ${ledger.toSeq}")
+    } finally q2.stop()
+  }
+
   test("event-time timers: inactivity sessions emit when the watermark passes last-activity + gap") {
     implicit val sqlCtx = spark.sqlContext
     import graft.stream.UserEvent
