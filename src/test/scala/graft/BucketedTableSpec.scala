@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.BucketedTable
+
+/** Unit contracts of the hash-bucketed manifest table (the r11 streaming
+  * sinks' state layer): partial commits, manifest-reference carry-over,
+  * time travel, and the reference-aware vacuum. The sink-level integration
+  * (untouched-bucket byte identity across micro-batches) lives in
+  * StreamingSpec. */
+class BucketedTableSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nB = 8
+  private def bucketOf(k: Long): Int = Seq(k).toDF("k")
+    .select(BucketedTable.bucketExpr(Seq("k"), nB)).head().getInt(0)
+
+  private def withBucket(rows: Seq[(Long, String)]) =
+    rows.toDF("k", "v")
+      .withColumn(BucketedTable.BucketCol, BucketedTable.bucketExpr(Seq("k"), nB))
+
+  private def commitRows(dir: String, rows: Seq[(Long, String)]): Long = {
+    val df = withBucket(rows)
+    BucketedTable.commit(spark, dir, nB,
+      rows.map(r => bucketOf(r._1)).distinct,
+      d => df.write.mode("overwrite").partitionBy(BucketedTable.BucketCol).parquet(d))
+  }
+
+  test("partial commit: only touched buckets land in the new version; reads stitch across versions") {
+    val dir = Files.createTempDirectory("graft_bt").resolve("t").toString
+    val kA = 1L
+    val kB = (2L to 100L).find(bucketOf(_) != bucketOf(kA)).get
+    val v1 = commitRows(dir, Seq(kA -> "a1", kB -> "b1"))
+    // second commit touches ONLY kA's bucket, superseding a1
+    val v2 = commitRows(dir, Seq(kA -> "a2"))
+    assert(v2 > v1)
+    val m = BucketedTable.readManifest(dir)
+    assert(m.nBuckets === nB)
+    assert(m.buckets(bucketOf(kA)) === v2 && m.buckets(bucketOf(kB)) === v1)
+    // current read stitches v2's bucket for kA with v1's for kB
+    val cur = BucketedTable.readCurrent(spark, dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    assert(cur === Seq(kA -> "a2", kB -> "b1").sorted)
+    // the bucket column is internal: not reconstituted into reader schema
+    assert(!BucketedTable.readCurrent(spark, dir).columns
+      .contains(BucketedTable.BucketCol))
+    // keyed-slice read touches only the named bucket
+    val slice = BucketedTable.readBuckets(spark, dir, Seq(bucketOf(kB)),
+      empty = Seq.empty[(Long, String)].toDF("k", "v"))
+    assert(slice.collect().map(_.getAs[String]("v")).toSeq === Seq("b1"))
+  }
+
+  test("time travel: an old manifest version reads the table as of that commit") {
+    val dir = Files.createTempDirectory("graft_bt_tt").resolve("t").toString
+    val v1 = commitRows(dir, Seq(1L -> "x1", 2L -> "y1"))
+    commitRows(dir, Seq(1L -> "x2"))
+    val asOfV1 = BucketedTable.readCurrent(spark, dir, Some(v1))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    assert(asOfV1 === Seq(1L -> "x1", 2L -> "y1").sorted,
+      "the old manifest must reproduce the table as of its commit")
+  }
+
+  test("vacuum: drops only versions the current manifest no longer references, never newer claims") {
+    val dir = Files.createTempDirectory("graft_bt_vac").resolve("t").toString
+    val kA = 1L
+    val kB = (2L to 100L).find(bucketOf(_) != bucketOf(kA)).get
+    val v1 = commitRows(dir, Seq(kA -> "a1", kB -> "b1"))
+    commitRows(dir, Seq(kA -> "a2")) // v1 still holds kB's bucket
+    assert(BucketedTable.vacuum(dir) === 0,
+      "v1 is still referenced through kB's bucket and must survive")
+    val v3 = commitRows(dir, Seq(kA -> "a3", kB -> "b3")) // v1, v2 now unreferenced
+    // a newer claimed-but-uncommitted version dir must survive vacuum
+    val claimed = java.nio.file.Paths.get(dir, s"v=${v3 + 1}")
+    Files.createDirectory(claimed)
+    assert(BucketedTable.vacuum(dir) === 2, "exactly v1 and v2 are reclaimable")
+    assert(Files.exists(claimed), "an in-flight newer claim must survive vacuum")
+    val cur = BucketedTable.readCurrent(spark, dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    assert(cur === Seq(kA -> "a3", kB -> "b3").sorted)
+    Files.delete(claimed)
+  }
+
+  test("commit validation: bucket count is fixed at creation; empty touched set is rejected") {
+    val dir = Files.createTempDirectory("graft_bt_req").resolve("t").toString
+    commitRows(dir, Seq(1L -> "a"))
+    intercept[IllegalArgumentException] {
+      BucketedTable.commit(spark, dir, nB * 2, Seq(0), _ => ())
+    }
+    intercept[IllegalArgumentException] {
+      BucketedTable.commit(spark, dir, nB, Seq.empty, _ => ())
+    }
+    intercept[IllegalArgumentException] {
+      BucketedTable.commit(spark, dir, nB, Seq(nB), _ => ()) // out of range
+    }
+  }
+}
