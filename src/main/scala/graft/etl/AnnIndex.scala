@@ -588,6 +588,11 @@ object AnnIndex {
   private[etl] def migrateFlatLayout(root: String, depth: Int): Unit = {
     val rootPath = Paths.get(root)
     if (!Files.isDirectory(rootPath)) return
+    // once migrated (or verified already-batch-shaped), a durable marker
+    // short-circuits the walk — without it every micro-batch would re-list
+    // the full bands x 2^bits cell tree just to find no strays
+    val marker = rootPath.resolve("_GRAFT_BATCH_LAYOUT")
+    if (Files.exists(marker)) return
     import scala.jdk.CollectionConverters._
     def leaves(p: java.nio.file.Path, d: Int): Seq[java.nio.file.Path] =
       if (d == 0) Seq(p)
@@ -613,6 +618,7 @@ object AnnIndex {
         strays.foreach(f => Files.move(f, base.resolve(f.getFileName.toString)))
       }
     }
+    Files.write(marker, Array.emptyByteArray)
   }
 
   /** Multi-probe candidate fetch over the persisted posting lists: `cells`

@@ -152,8 +152,14 @@ object BucketedTable {
       val s = Files.list(Paths.get(tableDir))
       try s.iterator().asScala.toSeq finally s.close()
     }
-    entries.filter(_.getFileName.toString.startsWith("_CURRENT.tmp-"))
-      .foreach(Files.deleteIfExists(_))
+    // only STALE staged pointers (version <= current) are orphans; a newer
+    // one may be a commitPointer mid-flight between its staging write and
+    // the atomic rename — deleting it would fail that commit
+    entries.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("_CURRENT.tmp-") &&
+        scala.util.Try(n.stripPrefix("_CURRENT.tmp-").toLong <= cur).getOrElse(true)
+    }.foreach(Files.deleteIfExists(_))
     val doomed = entries.filter { p =>
       val n = p.getFileName.toString
       n.startsWith("v=") && {

@@ -88,11 +88,11 @@ object Compaction {
     reclaimOrphans(path)
     val before = dataFileCount(Paths.get(path))
     val df0 = spark.read.parquet(path)
-    val coalesceBatches = coalesceBatchKeyed && {
-      require(df0.columns.contains("batch_id"),
-        s"coalesceBatchKeyed set but $path carries no batch_id partition column")
-      !partitionCols.contains("batch_id")
-    }
+    // a pre-r11 FLAT table has no batch level yet — compact it as-is (the
+    // first batch-keyed write migrates the layout; failing the maintenance
+    // job on a table that compacted fine before would be a regression)
+    val coalesceBatches = coalesceBatchKeyed &&
+      df0.columns.contains("batch_id") && !partitionCols.contains("batch_id")
     val df =
       if (coalesceBatches)
         df0.withColumn("batch_id",

@@ -134,8 +134,13 @@ object Warehouse {
       val s = Files.list(Paths.get(tableDir))
       try s.iterator().asScala.toSeq finally s.close()
     }
-    entries.filter(_.getFileName.toString.startsWith("_CURRENT.tmp-"))
-      .foreach(Files.deleteIfExists(_))
+    // only STALE staged pointers (version <= current): a newer tmp may be a
+    // commitPointer mid-flight between staging and its atomic rename
+    entries.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("_CURRENT.tmp-") &&
+        scala.util.Try(n.stripPrefix("_CURRENT.tmp-").toLong <= cur).getOrElse(true)
+    }.foreach(Files.deleteIfExists(_))
     val doomed = entries.filter { p =>
       val n = p.getFileName.toString
       n.startsWith("v=") && n.stripPrefix("v=").toLong < cur

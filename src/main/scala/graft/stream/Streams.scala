@@ -243,10 +243,13 @@ object Streams {
     * independently ([[corpusIngest]]) and each micro-batch probes whatever
     * index state is current.
     *
-    * At-least-once safety: results land under `batch_id=<id>` with
-    * overwrite, so a replayed micro-batch rewrites its own partition
-    * instead of appending duplicates — readers see each batch's answers
-    * exactly once.
+    * At-least-once safety: results land under a LINEAGE-scoped
+    * `batch_id=<queryId>-<id>` partition with overwrite, so a replayed
+    * micro-batch rewrites its own partition instead of appending
+    * duplicates — readers see each batch's answers exactly once — and a
+    * fresh-checkpoint restart (batch numbering restarting at 0) lands
+    * under new keys instead of silently deleting the prior run's served
+    * answers.
     *
     * The probe micro-batch is collected to the driver (it parameterizes
     * the centroid ranking — bounded metadata math, the same shape as the
@@ -271,8 +274,12 @@ object Streams {
             s"annServe: probe micro-batch exceeds maxProbesPerBatch=" +
               s"$maxProbesPerBatch; shrink the trigger or raise the cap")
         if (ps.nonEmpty) {
+          val lineage = Option(
+              spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+            .getOrElse("nolineage")
           graft.queries.Llm.knnIvfBatchProbe(spark, ivfDir, ps, k, nprobe)
-            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+            .write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$lineage-$batchId")
         }
         ()
     }
@@ -636,7 +643,7 @@ object Streams {
         // lineage's committed index data.
         val lineage = Option(
             spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-          .map(_.take(8)).getOrElse("nolineage")
+          .getOrElse("nolineage") // full id: a truncated prefix could collide
         val batchKey = s"$lineage-$batchId"
         val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir,
             excludeBatchKey = Some(batchKey))
@@ -655,13 +662,20 @@ object Streams {
         // first admitting batch folds it into the ledger and every later
         // batch reads O(|sources|) rows).
         val budgetDir = s"$corpusDir/_budget"
+        val ledgerExists = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(budgetDir, "_CURRENT"))
         val priorBase: Option[DataFrame] = budgetPerSource.map { _ =>
-          if (java.nio.file.Files.exists(
-                java.nio.file.Paths.get(budgetDir, "_CURRENT"))) {
+          if (ledgerExists) {
             val t = graft.etl.Warehouse.readCurrent(spark, budgetDir)
+            // a ledger written before the last_lineage column existed reads
+            // as unknown-lineage: never roll back (over-counting is the
+            // budget-safe direction; a rollback against the wrong lineage
+            // would over-admit)
             val hwm = t.select(max(col("last_batch_id")),
-              first(col("last_lineage"))).head()
-            val isReplay = batchId == hwm.getLong(0) && lineage == hwm.getString(1)
+              (if (t.columns.contains("last_lineage")) first(col("last_lineage"))
+               else first(lit(null.asInstanceOf[String]))).as("ll")).head()
+            val isReplay = !hwm.isNullAt(0) && batchId == hwm.getLong(0) &&
+              !hwm.isNullAt(1) && lineage == hwm.getString(1)
             val base =
               if (isReplay) col("cum_tokens") - col("last_delta")
               else col("cum_tokens")
@@ -693,7 +707,34 @@ object Streams {
               .drop("h", "n_tok", "t0", "cum")
               .localCheckpoint(true)
         }
-        if (!kept.isEmpty) {
+        // fold the batch's admitted per-source delta into the ledger. Runs
+        // even for an all-rejected batch WHEN the ledger does not exist yet:
+        // that materializes the one-time corpus-derived seed, so later
+        // batches read O(|sources|) rows instead of re-aggregating the
+        // corpus every trigger. Seed-only publishes record this batch as
+        // the high-water mark with delta 0 — a replay rolls back 0 and
+        // decides identically.
+        def commitLedger(): Unit = budgetPerSource.foreach { _ =>
+          val delta = kept
+            .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+            .groupBy("source").agg(sum("n_tok").as("d"))
+          val totals = priorBase.get.join(delta, Seq("source"), "full_outer")
+            .select(col("source"),
+              (coalesce(col("t0"), lit(0L)) + coalesce(col("d"), lit(0L)))
+                .as("cum_tokens"),
+              coalesce(col("d"), lit(0L)).as("last_delta"),
+              lit(batchId).as("last_batch_id"),
+              lit(lineage).as("last_lineage"))
+          // nothing to record (empty batch over an empty prior): an empty
+          // publish would leave a row-less ledger whose high-water-mark
+          // read has nothing to aggregate
+          if (!totals.isEmpty)
+            graft.etl.Warehouse.publish(spark, budgetDir,
+              dir => totals.coalesce(1).write.mode("overwrite").parquet(dir))
+        }
+        if (kept.isEmpty) {
+          if (!ledgerExists) commitLedger()
+        } else {
           val docCols = kept.drop("embedding")
             .withColumn(B, BT.bucketExpr(Seq("doc_id"), nBuckets))
           val candBuckets =
@@ -720,20 +761,7 @@ object Streams {
           graft.etl.AnnIndex.appendLsh(vecs, lshDir, lshBands, lshBits,
             Some(batchKey))
           sq8Dir.foreach(graft.etl.AnnIndex.appendSq8(vecs, _, Some(batchKey)))
-          budgetPerSource.foreach { _ =>
-            val delta = kept
-              .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-              .groupBy("source").agg(sum("n_tok").as("d"))
-            val totals = priorBase.get.join(delta, Seq("source"), "full_outer")
-              .select(col("source"),
-                (coalesce(col("t0"), lit(0L)) + coalesce(col("d"), lit(0L)))
-                  .as("cum_tokens"),
-                coalesce(col("d"), lit(0L)).as("last_delta"),
-                lit(batchId).as("last_batch_id"),
-                lit(lineage).as("last_lineage"))
-            graft.etl.Warehouse.publish(spark, budgetDir,
-              dir => totals.coalesce(1).write.mode("overwrite").parquet(dir))
-          }
+          commitLedger()
           graft.etl.IncrementalDedup.commitPostings(
             keptPosts.join(kept.select("doc_id").distinct(),
               Seq("doc_id"), "left_semi"),

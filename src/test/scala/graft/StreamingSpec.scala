@@ -354,10 +354,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === expected, "served results diverge from the batch probe core")
       // replay of batch 2's probes arrives as a NEW batch id: new partition,
       // but a true checkpoint-replay of the same id overwrites its own dir —
-      // emulate by rewriting batch_id=1's path directly through the core
+      // emulate by rewriting batch 1's ACTUAL lineage-keyed partition (the
+      // dir name carries the streaming query id prefix) through the core
+      val batch1Dir = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+        try s.iterator().asScala
+          .map(_.getFileName.toString)
+          .find(n => n.startsWith("batch_id=") && n.endsWith("-1")).get
+        finally s.close()
+      }
       graft.queries.Llm
         .knnIvfBatchProbe(spark, ivfDir, probeRows.drop(3), k = 5, nprobe = 4)
-        .write.mode("overwrite").parquet(s"$outDir/batch_id=1")
+        .write.mode("overwrite").parquet(s"$outDir/$batch1Dir")
       assert(spark.read.option("basePath", outDir).parquet(outDir).count() === 30,
         "a replayed batch id must rewrite its partition, not append duplicates")
     } finally q.stop()
