@@ -136,6 +136,35 @@ object BucketedTable {
     version
   }
 
+  /** Maintenance REBUCKET: materialize the entire current snapshot into one
+    * fresh version, re-hashed onto `newNBuckets` buckets — the evolution a
+    * growing dimension eventually needs (the bucket count is fixed per
+    * commit so readers and writers agree on key placement, but bucket
+    * BYTES grow with the table; when a bucket outgrows what one executor
+    * comfortably holds, double the count here). With `newNBuckets` equal
+    * to the current count this doubles as MANIFEST COMPACTION: afterwards
+    * every bucket lives in the new version, so [[vacuum]] reclaims every
+    * older directory and readers stop stitching across versions.
+    *
+    * Single-writer quiet-window contract (the [[Compaction]] posture):
+    * pause the owning sink — a sink commit racing this rewrite would base
+    * its manifest on whichever pointer rename lost and silently drop the
+    * other's buckets. Returns the committed version. */
+  def rebucket(spark: SparkSession, tableDir: String, keyCols: Seq[String],
+               newNBuckets: Int): Long = {
+    val snapshot = readCurrent(spark, tableDir)
+      .withColumn(BucketCol, bucketExpr(keyCols, newNBuckets))
+    val version = Warehouse.claimVersion(tableDir)
+    snapshot.write.mode("overwrite").partitionBy(BucketCol)
+      .parquet(s"$tableDir/v=$version")
+    // every bucket maps to the fresh version (absent dirs read as empty)
+    val body = (s"nBuckets=$newNBuckets" +:
+      (0 until newNBuckets).map(b => s"$b $version")).mkString("\n")
+    Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"), body)
+    Warehouse.commitPointer(tableDir, version)
+    version
+  }
+
   /** Drop every version directory the CURRENT manifest no longer references
     * (plus crashed `_CURRENT.tmp-*` pointers). Two protections compose:
     * unlike [[Warehouse.vacuum]], "older than current" alone is not enough

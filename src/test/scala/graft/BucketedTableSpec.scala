@@ -85,6 +85,48 @@ class BucketedTableSpec extends AnyFunSuite {
     Files.delete(claimed)
   }
 
+  test("rebucket: re-hashes the snapshot onto a new bucket count, compacts the manifest, frees old versions") {
+    val dir = Files.createTempDirectory("graft_bt_rb").resolve("t").toString
+    val nNew = nB * 2
+    def bucketOfNew(k: Long): Int = Seq(k).toDF("k")
+      .select(BucketedTable.bucketExpr(Seq("k"), nNew)).head().getInt(0)
+    val kA = 1L
+    // distinct buckets under BOTH hashes, so the final partial commit on
+    // kA's new bucket cannot touch kB's rows
+    val kB = (2L to 200L).find(k =>
+      bucketOf(k) != bucketOf(kA) && bucketOfNew(k) != bucketOfNew(kA)).get
+    commitRows(dir, Seq(kA -> "a1", kB -> "b1"))
+    commitRows(dir, Seq(kA -> "a2")) // rows now span two versions
+    val before = BucketedTable.readCurrent(spark, dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+
+    val rv = BucketedTable.rebucket(spark, dir, Seq("k"), nNew)
+    val m = BucketedTable.readManifest(dir)
+    assert(m.nBuckets === nNew, "the manifest must carry the new bucket count")
+    assert(m.buckets.values.toSet === Set(rv),
+      "after a rebucket every bucket lives in the fresh version")
+    val after = BucketedTable.readCurrent(spark, dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    assert(after === before, "rebucket must not change the row set")
+    // keyed-slice reads resolve through the NEW hash
+    val slice = BucketedTable.readBuckets(spark, dir, Seq(bucketOfNew(kA)),
+      empty = Seq.empty[(Long, String)].toDF("k", "v"))
+    assert(slice.collect().map(_.getAs[Long]("k")).contains(kA))
+    // all pre-rebucket versions are reclaimable; the table still reads
+    assert(BucketedTable.vacuum(dir) === 2)
+    assert(BucketedTable.readCurrent(spark, dir).count() === before.length)
+    // later commits must agree with the NEW count, not the old one
+    intercept[IllegalArgumentException] {
+      BucketedTable.commit(spark, dir, nB, Seq(0), _ => ())
+    }
+    val df = Seq(kA -> "a3").toDF("k", "v")
+      .withColumn(BucketedTable.BucketCol, BucketedTable.bucketExpr(Seq("k"), nNew))
+    BucketedTable.commit(spark, dir, nNew, Seq(bucketOfNew(kA)),
+      d => df.write.mode("overwrite").partitionBy(BucketedTable.BucketCol).parquet(d))
+    assert(BucketedTable.readCurrent(spark, dir)
+      .filter(col("k") === kA).collect().map(_.getAs[String]("v")).toSeq === Seq("a3"))
+  }
+
   test("commit validation: bucket count is fixed at creation; empty touched set is rejected") {
     val dir = Files.createTempDirectory("graft_bt_req").resolve("t").toString
     commitRows(dir, Seq(1L -> "a"))
