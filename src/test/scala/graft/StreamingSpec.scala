@@ -477,6 +477,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("corpusIngest across a checkpointed restart: one lineage, continuing batch ids, no loss or duplication") {
+    // the real recovery path: a file-source stream with a CHECKPOINT is
+    // stopped and restarted — the restarted query keeps the SAME streaming
+    // query id (lineage) and continues batch numbering, so index writes
+    // stay keyed consistently and nothing duplicates or disappears
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_ck").toString
+    val dedupDir = Files.createTempDirectory("graft_ckpt_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_ckpt_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_ckpt_corpus").toString
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    def land(rows: Seq[IngestDoc]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    def drain(): Unit = {
+      val q = Streams.corpusIngest(
+          spark.readStream.schema(Seq.empty[IngestDoc].toDF().schema).parquet(srcDir),
+          dedupDir, lshDir, corpusDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land(Seq(IngestDoc(1, "alpha bravo charlie delta echo", emb(1)),
+             IngestDoc(2, "foxtrot golf hotel india juliet", emb(2))))
+    drain()
+    // restart from the checkpoint: only the NEW file processes
+    land(Seq(IngestDoc(3, "alpha bravo charlie delta echo", emb(3)), // dup of 1
+             IngestDoc(4, "kilo lima mike november oscar", emb(4))))
+    drain()
+    val corpus = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(corpus === Seq(1L, 2L, 4L),
+      s"restart must continue the dedup-gated ingest, got $corpus")
+    // all posting partitions carry ONE lineage (the checkpointed query id),
+    // with batch numbers continuing across the restart
+    import scala.jdk.CollectionConverters._
+    val keys = {
+      val s = Files.list(java.nio.file.Paths.get(s"$dedupDir/postings"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=")).toSeq
+      finally s.close()
+    }
+    val lineages = keys.map(_.reverse.dropWhile(_ != '-').drop(1).reverse).distinct
+    assert(lineages.size === 1,
+      s"a checkpointed restart must keep one lineage, got $keys")
+    val batchNums = keys.map(_.reverse.takeWhile(_ != '-').reverse.toLong).sorted
+    assert(batchNums === Seq(0L, 1L),
+      s"batch numbering must continue across the restart, got $batchNums")
+    assert(spark.read.parquet(s"$lshDir/buckets")
+      .select("vec_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 4L))
+  }
+
   test("budget activation over a pre-existing corpus seeds prior spend from the published corpus") {
     // a corpus built WITHOUT a budget already holds 5 tokens for source A;
     // enabling the budget later must count that spend (seeded from the
