@@ -357,6 +357,16 @@ object PlanDump {
          |micro-batch to O(batch + touched buckets): not visible in
          |Bench (sinks are spec-land), proven in StreamingSpec via
          |untouched-bucket byte-identity instead.
+         |
+         |Bench note (r11 close, two full sweeps): same-day full 158-query
+         |sweeps on near-identical code read 104.0 s and 119.7 s at
+         |sf0.1/local[32] — the differences sit on UNCHANGED plans
+         |(q_agg_percentile 1.16→1.76, q_audit_referential 0.84→1.27 with
+         |an in-run spread of 1.31 s on its own two timed runs) — the
+         |documented ±10-15% band, now visible per query in the sidecar's
+         |new "spread" field without needing an isolated re-run to
+         |adjudicate. ScaleSmoke (35 queries, 3 SFs) green at 0 violations
+         |both before and after the round's review-fix commits.
          |""".stripMargin
     // The converged q_dedup_groups plan is only the final checkpoint scan;
     // the per-round shape is what costs at scale, so dump ONE un-pinned
