@@ -372,13 +372,16 @@ object Streams {
     * sees entirely-old or entirely-new state, never a mix). Replay is
     * naturally idempotent: latest-per-key of the same batch against the
     * same buckets rewrites identical content. Superseded bucket versions
-    * accumulate until `BucketedTable.vacuum(statePath)` — production
-    * wiring vacuums on a cadence, kept out of this sink so readers pinned
-    * to older versions choose their own retention. */
+    * accumulate until `BucketedTable.vacuum(statePath)`: pass
+    * `vacuumEvery = n` to reclaim them in-line every n-th batch (runs on
+    * the sink's own thread after the commit — no writer race), or leave 0
+    * and vacuum externally when readers pin older versions for time
+    * travel. */
   def upsertToParquet(stream: DataFrame, statePath: String, keyCols: Seq[String],
-                      seqCol: String, nBuckets: Int = 64): DataStreamWriter[Row] =
+                      seqCol: String, nBuckets: Int = 64,
+                      vacuumEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val B = graft.etl.BucketedTable.BucketCol
         val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
@@ -403,6 +406,8 @@ object Streams {
             .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
           graft.etl.BucketedTable.commit(spark, statePath, nBuckets, touched,
             dir => merged.write.mode("overwrite").partitionBy(B).parquet(dir))
+          if (vacuumEvery > 0 && batchId % vacuumEvery == 0)
+            graft.etl.BucketedTable.vacuum(statePath)
         }
         ()
     }
@@ -549,9 +554,9 @@ object Streams {
     * and that untouched bucket files survive a commit byte-identically. */
   def scd2Sink(cdc: DataFrame, statePath: String, keyCols: Seq[String],
                seqCol: String, flagCol: String, effCol: String = "eff",
-               nBuckets: Int = 64): DataStreamWriter[Row] =
+               nBuckets: Int = 64, vacuumEvery: Int = 0): DataStreamWriter[Row] =
     cdc.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val B = graft.etl.BucketedTable.BucketCol
         val bb = batch
@@ -571,6 +576,8 @@ object Streams {
             .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
           graft.etl.BucketedTable.commit(spark, statePath, nBuckets, touched,
             dir => next.write.mode("overwrite").partitionBy(B).parquet(dir))
+          if (vacuumEvery > 0 && batchId % vacuumEvery == 0)
+            graft.etl.BucketedTable.vacuum(statePath)
         }
         ()
     }

@@ -726,6 +726,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bucketed upsert sink with vacuumEvery: superseded versions reclaim in-line, state intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.BucketedTable
+    val statePath = java.nio.file.Files.createTempDirectory("graft_upsert_vac")
+      .resolve("state").toString
+    val mem = MemoryStream[Ev]
+    val q = Streams.upsertToParquet(mem.toDF(), statePath,
+      keyCols = Seq("user_id"), seqCol = "event_id", nBuckets = 8,
+      vacuumEvery = 1).start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", user = 1L))
+      q.processAllAvailable()
+      // batch 2 supersedes user 1's bucket; the in-line vacuum reclaims v1
+      mem.addData(ev(2, "2024-01-01 10:05:00", user = 1L, typ = "purchase"))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val versions = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(statePath))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("v=")).toSeq.sorted
+        finally s.close()
+      }
+      assert(versions === Seq("v=2"),
+        s"in-line vacuum must reclaim the superseded version, got $versions")
+      val state = BucketedTable.readCurrent(spark, statePath)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")))
+      assert(state.toSeq === Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("bucketed Type-2 sink: untouched dimension keys' buckets carry over by reference") {
     implicit val sqlCtx = spark.sqlContext
     import graft.etl.BucketedTable
