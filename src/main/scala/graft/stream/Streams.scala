@@ -382,35 +382,44 @@ object Streams {
                       vacuumEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val B = graft.etl.BucketedTable.BucketCol
-        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
-        val latest = batch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__rn")
-          .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
-          .localCheckpoint(true)
-        // bounded driver metadata: at most nBuckets distinct ids
-        val touched = latest.select(B).distinct().collect().map(_.getInt(0)).toSeq
-        if (touched.nonEmpty) {
-          val existing =
-            if (graft.etl.BucketedTable.exists(statePath))
-              graft.etl.BucketedTable.readBuckets(spark, statePath, touched,
-                empty = batch.limit(0))
-            else batch.limit(0)
-          val merged = existing.unionByName(latest.drop(B))
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1)
-            .drop("__rn")
-            .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
-          graft.etl.BucketedTable.commit(spark, statePath, nBuckets, touched,
-            dir => merged.write.mode("overwrite").partitionBy(B).parquet(dir))
-          if (vacuumEvery > 0 && batchId % vacuumEvery == 0)
-            graft.etl.BucketedTable.vacuum(statePath)
-        }
+        upsertBatch(batch, statePath, keyCols, seqCol, nBuckets)
+        if (vacuumEvery > 0 && batchId % vacuumEvery == 0 &&
+            graft.etl.BucketedTable.exists(statePath))
+          graft.etl.BucketedTable.vacuum(statePath)
         ()
     }
+
+  /** One micro-batch of the bucketed Type-1 fold (the [[upsertToParquet]]
+    * body, exposed for direct spec/property testing): reduce the batch to
+    * latest-per-key, read ONLY the touched buckets, re-fold, commit. */
+  def upsertBatch(batch: DataFrame, statePath: String, keyCols: Seq[String],
+                  seqCol: String, nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val B = graft.etl.BucketedTable.BucketCol
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
+      .localCheckpoint(true)
+    // bounded driver metadata: at most nBuckets distinct ids
+    val touched = latest.select(B).distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val existing =
+        if (graft.etl.BucketedTable.exists(statePath))
+          graft.etl.BucketedTable.readBuckets(spark, statePath, touched,
+            empty = batch.limit(0))
+        else batch.limit(0)
+      val merged = existing.unionByName(latest.drop(B))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+        .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
+      graft.etl.BucketedTable.commit(spark, statePath, nBuckets, touched,
+        dir => merged.write.mode("overwrite").partitionBy(B).parquet(dir))
+    }
+  }
 
   /** EVENT-TIME TIMERS — the `transformWithState` capability the other
     * processors don't exercise: a per-user inactivity session that EMITS ON

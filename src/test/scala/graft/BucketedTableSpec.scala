@@ -127,6 +127,34 @@ class BucketedTableSpec extends AnyFunSuite {
       .filter(col("k") === kA).collect().map(_.getAs[String]("v")).toSeq === Seq("a3"))
   }
 
+  test("property: any sequence of bucketed upsert batches equals latest-per-key of the concatenation") {
+    // the sink fold's defining algebraic property, over seeded random batch
+    // sequences: folding batch-by-batch through the partial bucket commits
+    // must equal one latest-per-key reduction over all rows at once
+    for (seed <- Seq(11, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft_bt_prop$seed").resolve("t").toString
+      val nBatches = 4
+      var all = Seq.empty[(Long, Long, String)] // (key, seq, payload)
+      var nextSeq = 0L
+      (1 to nBatches).foreach { _ =>
+        val batch = (1 to (5 + rnd.nextInt(20))).map { _ =>
+          nextSeq += 1
+          (rnd.nextInt(12).toLong, nextSeq, s"p$nextSeq")
+        }
+        all = all ++ batch
+        graft.stream.Streams.upsertBatch(
+          batch.toDF("k", "seq", "payload"), dir,
+          keyCols = Seq("k"), seqCol = "seq", nBuckets = nB)
+      }
+      val got = BucketedTable.readCurrent(spark, dir)
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("seq"),
+          r.getAs[String]("payload"))).sorted.toSeq
+      val expected = all.groupBy(_._1).values.map(_.maxBy(_._2)).toSeq.sorted
+      assert(got === expected, s"seed $seed: fold diverged from the reference")
+    }
+  }
+
   test("commit validation: bucket count is fixed at creation; empty touched set is rejected") {
     val dir = Files.createTempDirectory("graft_bt_req").resolve("t").toString
     commitRows(dir, Seq(1L -> "a"))
