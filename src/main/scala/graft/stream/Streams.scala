@@ -566,30 +566,40 @@ object Streams {
                nBuckets: Int = 64, vacuumEvery: Int = 0): DataStreamWriter[Row] =
     cdc.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val B = graft.etl.BucketedTable.BucketCol
-        val bb = batch
-          .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
-          .localCheckpoint(true)
-        val touched = bb.select(B).distinct().collect().map(_.getInt(0)).toSeq
-        if (touched.nonEmpty) {
-          val empty = batch.drop(seqCol, flagCol)
-            .withColumn("end", col(effCol))
-            .withColumn("is_current", lit(true))
-            .limit(0)
-          val history =
-            if (graft.etl.BucketedTable.exists(statePath))
-              graft.etl.BucketedTable.readBuckets(spark, statePath, touched, empty)
-            else empty
-          val next = scd2FoldBatch(history, bb.drop(B), keyCols, seqCol, flagCol, effCol)
-            .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
-          graft.etl.BucketedTable.commit(spark, statePath, nBuckets, touched,
-            dir => next.write.mode("overwrite").partitionBy(B).parquet(dir))
-          if (vacuumEvery > 0 && batchId % vacuumEvery == 0)
-            graft.etl.BucketedTable.vacuum(statePath)
-        }
+        scd2ApplyBatch(batch, statePath, keyCols, seqCol, flagCol, effCol, nBuckets)
+        if (vacuumEvery > 0 && batchId % vacuumEvery == 0 &&
+            graft.etl.BucketedTable.exists(statePath))
+          graft.etl.BucketedTable.vacuum(statePath)
         ()
     }
+
+  /** One micro-batch of the bucketed Type-2 fold (the [[scd2Sink]] body,
+    * exposed for direct spec/property testing): fold the batch into ONLY
+    * its keys' history buckets via [[scd2FoldBatch]] and commit them. */
+  def scd2ApplyBatch(batch: DataFrame, statePath: String, keyCols: Seq[String],
+                     seqCol: String, flagCol: String, effCol: String,
+                     nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val B = graft.etl.BucketedTable.BucketCol
+    val bb = batch
+      .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
+      .localCheckpoint(true)
+    val touched = bb.select(B).distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val empty = batch.drop(seqCol, flagCol)
+        .withColumn("end", col(effCol))
+        .withColumn("is_current", lit(true))
+        .limit(0)
+      val history =
+        if (graft.etl.BucketedTable.exists(statePath))
+          graft.etl.BucketedTable.readBuckets(spark, statePath, touched, empty)
+        else empty
+      val next = scd2FoldBatch(history, bb.drop(B), keyCols, seqCol, flagCol, effCol)
+        .withColumn(B, graft.etl.BucketedTable.bucketExpr(keyCols, nBuckets))
+      graft.etl.BucketedTable.commit(spark, statePath, nBuckets, touched,
+        dir => next.write.mode("overwrite").partitionBy(B).parquet(dir))
+    }
+  }
 
   /** CONTINUOUS CORPUS INGEST — the end-to-end composition of the engine's
     * incremental pieces, each individually spec-proven, as one foreachBatch

@@ -155,6 +155,58 @@ class BucketedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("property: bucketed Type-2 folds equal the plain sequential folds on random CDC sequences") {
+    // the bucketed sink only ever folds the touched buckets' history slice;
+    // over seeded random CDC batch sequences (unique seq, per-key strictly
+    // increasing eff — the documented eff-grain contract) the final bucketed
+    // history must equal folding the same batches through scd2FoldBatch on
+    // one un-bucketed frame
+    import java.sql.Timestamp
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft_bt_scd2p$seed").resolve("t").toString
+      var nextSeq = 0L
+      val perKeyEff = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      def ts(n: Long) = new Timestamp(n * 86400000L)
+      def mkBatch(): Seq[(Long, Long, String, Timestamp, String)] =
+        (1 to (3 + rnd.nextInt(8))).map { _ =>
+          val k = rnd.nextInt(6).toLong
+          // strictly increasing eff per key — the documented eff-grain
+          // contract (one change per key per effective timestamp)
+          perKeyEff(k) += 1 + rnd.nextInt(3)
+          nextSeq += 1
+          val flag =
+            if (perKeyEff(k) <= 1) "I"
+            else if (rnd.nextInt(10) == 0) "D" else "U"
+          (nextSeq, k, s"attr${rnd.nextInt(100)}", ts(perKeyEff(k)), flag)
+        }
+      val batches = (1 to 4).map(_ => mkBatch())
+      // reference: plain sequential folds on an un-bucketed frame
+      var ref = batches.head.toDF("seq", "k", "attr", "eff", "flag")
+        .drop("seq", "flag")
+        .withColumn("end", col("eff")).withColumn("is_current", lit(true))
+        .limit(0)
+      batches.foreach { b =>
+        ref = graft.stream.Streams.scd2FoldBatch(
+          ref, b.toDF("seq", "k", "attr", "eff", "flag"),
+          Seq("k"), "seq", "flag", "eff").localCheckpoint(true)
+      }
+      // bucketed: the sink fold, batch by batch
+      batches.foreach { b =>
+        graft.stream.Streams.scd2ApplyBatch(
+          b.toDF("seq", "k", "attr", "eff", "flag"), dir,
+          Seq("k"), "seq", "flag", "eff", nB)
+      }
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("attr"),
+          r.getAs[Timestamp]("eff").toString,
+          Option(r.getAs[Timestamp]("end")).map(_.toString),
+          r.getAs[Boolean]("is_current"))).sorted.toSeq
+      assert(canon(BucketedTable.readCurrent(spark, dir)) === canon(ref),
+        s"seed $seed: bucketed Type-2 fold diverged from the plain fold")
+    }
+  }
+
   test("commit validation: bucket count is fixed at creation; empty touched set is rejected") {
     val dir = Files.createTempDirectory("graft_bt_req").resolve("t").toString
     commitRows(dir, Seq(1L -> "a"))
