@@ -1555,6 +1555,18 @@ object Oracle {
         |GROUP BY 1, 2, 3 HAVING count(*) < 5
         |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin,
 
+    "q_pii_scrub" ->
+      """WITH t AS (SELECT c_custkey,
+        |  concat_ws(' ', c_name, 'bal',
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), c_mktsegment) AS blob
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(blob, 'Customer#[0-9]{9}')) AS INT) AS n_name,
+        |  CAST(len(regexp_extract_all(blob, '-?[0-9]+\.[0-9]{2}')) AS INT) AS n_num,
+        |  regexp_replace(regexp_replace(blob, 'Customer#[0-9]{9}', '[NAME]', 'g'),
+        |    '-?[0-9]+\.[0-9]{2}', '[NUM]', 'g') AS scrubbed
+        |FROM t ORDER BY c_custkey""".stripMargin,
+
     "q_pseudonymize" ->
       """SELECT c_custkey,
         |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS masked_name,

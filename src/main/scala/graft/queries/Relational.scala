@@ -370,6 +370,34 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** §2.4 PII scrubbing — the redaction pass every corpus makes before
+    * training: pattern-redact identifying spans (entity-name ids, money
+    * amounts — the stand-ins this data carries for emails/phones/SSNs)
+    * from a free-text blob and emit per-row REDACTION COUNTS alongside the
+    * scrubbed text, so the pipeline both fixes the text and audits how
+    * much it had to fix (the count distribution is the PII-density monitor
+    * dashboards alert on). Pure per-row codegen regexp projection —
+    * map-only, no shuffle, the same shape at any corpus size. Counts come
+    * from the ORIGINAL text (redaction order cannot mask them); patterns
+    * are [0-9]-class literals that parse identically under Java regex and
+    * DuckDB's RE2, and the balance rides through DECIMAL(12,2) so both
+    * engines render the digits identically. Complements [[qPseudonymize]]
+    * (stable surrogate KEYS) with span-level text redaction. */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val namePat = "Customer#[0-9]{9}"
+    val numPat = "-?[0-9]+\\.[0-9]{2}"
+    val blob = concat_ws(" ", col("c_name"), lit("bal"),
+      col("c_acctbal").cast("decimal(12,2)").cast("string"), col("c_mktsegment"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), blob.as("blob"))
+      .select(col("c_custkey"),
+        size(regexp_extract_all(col("blob"), lit(namePat), lit(0))).as("n_name"),
+        size(regexp_extract_all(col("blob"), lit(numPat), lit(0))).as("n_num"),
+        regexp_replace(regexp_replace(col("blob"), namePat, "[NAME]"),
+          numPat, "[NUM]").as("scrubbed"))
+      .orderBy("c_custkey")
+  }
+
   /** §2.4 k-anonymity audit — the governance check a dataset passes before
     * release: group the table by its quasi-identifier tuple (nation ×
     * segment × coarse balance bucket) and emit every equivalence class

@@ -210,6 +210,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(months.last === direct.keys.max[java.time.LocalDate](Ordering.by(_.toEpochDay)))
   }
 
+  test("q_pii_scrub: redaction counts come from the original text and no identifying span survives") {
+    val out = graft.queries.Relational.qPiiScrub(spark, TestSpark.sfDir).collect()
+    val n = graft.Tables.customer(spark, TestSpark.sfDir).count()
+    assert(out.length.toLong === n, "one audited row per customer")
+    out.foreach { r =>
+      val scrubbed = r.getAs[String]("scrubbed")
+      assert(!scrubbed.matches(".*Customer#[0-9]{9}.*"),
+        s"name id survived scrubbing: $scrubbed")
+      assert(!scrubbed.matches(".*-?[0-9]+\\.[0-9]{2}.*"),
+        s"money amount survived scrubbing: $scrubbed")
+      assert(r.getAs[Int]("n_name") === 1, "every row carries exactly one name id")
+      assert(r.getAs[Int]("n_num") >= 1, "every row carries at least the balance")
+      assert(scrubbed.contains("[NAME]") && scrubbed.contains("[NUM]"))
+    }
+  }
+
   test("q_sql_recursive: the raised recursion limit is scoped — the caller's session conf is untouched") {
     val key = "spark.sql.cteRecursionLevelLimit"
     val before = spark.conf.getOption(key)
