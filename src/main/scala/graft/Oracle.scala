@@ -1555,6 +1555,23 @@ object Oracle {
         |GROUP BY 1, 2, 3 HAVING count(*) < 5
         |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin,
 
+    "q_dp_counts" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |s AS (SELECT c_nationkey, c_mktsegment, n,
+        |  md5('dp:' || CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment) AS h
+        |  FROM g)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(n + (CAST(substr('0112122312232334', strpos('0123456789abcdef', substr(h,1,1)), 1) AS INT)
+        |    + CAST(substr('0112122312232334', strpos('0123456789abcdef', substr(h,2,1)), 1) AS INT)
+        |    + CAST(substr('0112122312232334', strpos('0123456789abcdef', substr(h,3,1)), 1) AS INT)
+        |    + CAST(substr('0112122312232334', strpos('0123456789abcdef', substr(h,4,1)), 1) AS INT)
+        |    + CAST(substr('0112122312232334', strpos('0123456789abcdef', substr(h,5,1)), 1) AS INT)
+        |    + CAST(substr('0112122312232334', strpos('0123456789abcdef', substr(h,6,1)), 1) AS INT)
+        |    + CAST(substr('0112122312232334', strpos('0123456789abcdef', substr(h,7,1)), 1) AS INT)
+        |    + CAST(substr('0112122312232334', strpos('0123456789abcdef', substr(h,8,1)), 1) AS INT)) - 16 AS BIGINT) AS n_released
+        |FROM s ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
     "q_pii_scrub" ->
       """WITH t AS (SELECT c_custkey,
         |  concat_ws(' ', c_name, 'bal',

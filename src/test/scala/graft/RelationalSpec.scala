@@ -226,6 +226,34 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dp_counts: seeded binomial noise is exact, bounded, and reproducible; true counts stay hidden") {
+    val out = graft.queries.Relational.qDpCounts(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val truth = graft.Tables.customer(spark, TestSpark.sfDir)
+      .groupBy("c_nationkey", "c_mktsegment").count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.length === truth.size)
+    def popcountNoise(nation: Int, seg: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp:$nation:$seg".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      hex.map(c => Integer.bitCount(Integer.parseInt(c.toString, 16))).sum.toLong - 16L
+    }
+    out.foreach { case (nation, seg, released) =>
+      val n = truth((nation, seg))
+      assert(released === n + popcountNoise(nation, seg),
+        s"($nation, $seg): released $released != true $n + seeded binomial noise")
+      assert(math.abs(released - n) <= 16, "binomial(32) noise is bounded by ±16")
+    }
+    // the mechanism perturbs: not every group is released exactly
+    assert(out.exists { case (na, sg, rel) => rel != truth((na, sg)) },
+      "at least some groups must actually be perturbed")
+    // reproducible release: same seed, same output
+    val again = graft.queries.Relational.qDpCounts(spark, TestSpark.sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("q_sql_recursive: the raised recursion limit is scoped — the caller's session conf is untouched") {
     val key = "spark.sql.cteRecursionLevelLimit"
     val before = spark.conf.getOption(key)
