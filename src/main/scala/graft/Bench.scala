@@ -113,15 +113,28 @@ object Bench {
     // length budget and remains the authoritative per-query record (all
     // queries, 3 decimals). Errored queries (-1 sentinel) are always
     // included so a broken query can never hide in the omitted tail.
+    // r11 judge item #5: the stdout artifact must self-adjudicate ambient
+    // machine contention (three rounds of driver-sweep spikes needed a judge
+    // re-run to diagnose). The full per-query spread lives in the file
+    // sidecar; the stdout line carries spread for just the ~10 slowest
+    // queries — exactly the ones whose spikes drive the headline total — so
+    // a contended sweep shows |run1 - run2| gaps right in BENCH_r{N}.json.
+    val spreadTop: Set[String] =
+      results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1).toSet
     def renderTop(include: Set[String]): String = {
       val inc = results.filter { case (k, _, _, _) => include.contains(k) }
       val omitted = results.filterNot { case (k, _, _, _) => include.contains(k) }
       val qs = inc.map { case (k, v, _, _) => "\"" + k + "\":" + sec(v, 2) }
         .mkString("{", ",", "}")
+      val spreads = inc.filter { case (k, _, _, _) => spreadTop.contains(k) }
+      val spreadPart =
+        if (spreads.isEmpty) ""
+        else s""","spread":${spreads.map { case (k, _, sp, _) =>
+          "\"" + k + "\":" + sec(sp, 2) }.mkString("{", ",", "}")}"""
       val omitPart =
         if (omitted.isEmpty) ""
         else s""","n_omitted":${omitted.length},"omitted_total":${sec(omitted.map(_._2).filter(_ >= 0).sum, 2)}"""
-      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$omitPart$errPart,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${sec(total, 2)},"unit":"sec","queries":$qs$spreadPart$omitPart$errPart,"sf":"$sfName"}"""
     }
     var include = results.filter(_._4.isDefined).map(_._1).toSet // errors always
     // STRICT slowest-prefix: stop at the first query that no longer fits,

@@ -158,7 +158,7 @@ object SparkEntry {
     "q_source_budget"  -> (Llm.qSourceBudget _),
     "q_pseudonymize"   -> (Relational.qPseudonymize _),
     "q_pii_scrub"      -> (Relational.qPiiScrub _),
-    "q_dp_counts"      -> (Relational.qDpCounts _),
+    "q_dp_counts"      -> ((s: org.apache.spark.sql.SparkSession, d: String) => Relational.qDpCounts(s, d)),
     "q_k_anonymity"    -> (Relational.qKAnonymity _),
     "q_knn_cosine_int8" -> (Llm.qKnnCosineInt8 _), // no-oracle: recall + int8-error bound in LlmSpec
     "q_knn_batch_int8"  -> (Llm.qKnnBatchInt8 _),  // no-oracle: per-probe parity with single-probe SQ8 in LlmSpec

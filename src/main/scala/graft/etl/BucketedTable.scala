@@ -39,9 +39,15 @@ import org.apache.spark.sql.functions._
   * Concurrency contract: ONE writer (the owning streaming sink — the
   * standard foreachBatch discipline). Readers are lock-free and unlimited.
   * Two concurrent writers would each build a manifest missing the other's
-  * buckets and the last pointer rename would silently drop one commit —
-  * exactly why multi-writer table formats need optimistic manifest CAS,
-  * which a local pointer file cannot express. */
+  * buckets — and since a local pointer file cannot express the optimistic
+  * manifest CAS multi-writer formats use, a violation is instead made LOUD:
+  * every manifest records its parent version, [[commit]] re-verifies just
+  * before publishing that the table is still at the parent it folded
+  * against, and re-verifies after the rename that its commit actually
+  * became current (or was succeeded by a child acknowledging it). A racing
+  * second writer therefore raises [[java.util.ConcurrentModificationException]]
+  * instead of silently dropping the other commit's buckets
+  * (BucketedTableSpec interleaves two committers to prove it). */
 object BucketedTable {
 
   /** The internal partition column name (never visible to readers — bucket
@@ -54,8 +60,12 @@ object BucketedTable {
     pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
   /** The committed manifest: fixed bucket count plus, per bucket that has
-    * ever held rows, the version directory holding its current data. */
-  final case class Manifest(nBuckets: Int, buckets: Map[Int, Long])
+    * ever held rows, the version directory holding its current data.
+    * `parent` is the version that was current when this commit was built
+    * (-1 for the table-creating commit; -1 also when read from a pre-r12
+    * manifest without the header — those tables predate race detection). */
+  final case class Manifest(nBuckets: Int, buckets: Map[Int, Long],
+                            parent: Long = -1L)
 
   def exists(tableDir: String): Boolean =
     Files.exists(Paths.get(tableDir, "_CURRENT"))
@@ -66,13 +76,50 @@ object BucketedTable {
 
   def readManifest(tableDir: String, version: Option[Long] = None): Manifest = {
     val v = version.getOrElse(currentVersion(tableDir))
-    val lines = Files.readAllLines(Paths.get(tableDir, s"v=$v", "_MANIFEST"))
+    val mPath = Paths.get(tableDir, s"v=$v", "_MANIFEST")
+    // a _CURRENT without a _MANIFEST is the pre-r11 flat Warehouse layout
+    // (v=N holds bare parquet, no bucket map): fail with the migration
+    // recipe instead of a raw NoSuchFileException deep in a sink fold
+    if (!Files.exists(mPath))
+      throw new IllegalStateException(
+        s"$tableDir: _CURRENT names v=$v but no _MANIFEST exists — this is " +
+          "a legacy flat Warehouse snapshot, not a bucketed table. Run " +
+          "BucketedTable.migrateLegacyLayout(spark, tableDir, keyCols, " +
+          "nBuckets) once to convert it in place, then restart the sink.")
+    val lines = Files.readAllLines(mPath)
     val n = lines.get(0).stripPrefix("nBuckets=").toInt
     import scala.jdk.CollectionConverters._
-    val m = lines.asScala.drop(1).filter(_.nonEmpty).map { l =>
+    val rest = lines.asScala.drop(1).filter(_.nonEmpty)
+    val parent = rest.find(_.startsWith("parent="))
+      .map(_.stripPrefix("parent=").toLong).getOrElse(-1L)
+    val m = rest.filterNot(_.startsWith("parent=")).map { l =>
       val Array(b, ver) = l.split(' '); b.toInt -> ver.toLong
     }.toMap
-    Manifest(n, m)
+    Manifest(n, m, parent)
+  }
+
+  /** One-time in-place conversion of a pre-r11 flat [[Warehouse]] snapshot
+    * (`v=N/` bare parquet + `_CURRENT`, no `_MANIFEST`) into a bucketed
+    * table: the current snapshot is re-hashed onto `nBuckets` buckets and
+    * committed as one fresh fully-referenced version; [[vacuum]] then
+    * reclaims the legacy snapshot dirs. No-op (returns the current version)
+    * if the table is already bucketed. Quiet-window contract: run with the
+    * owning sink stopped. */
+  def migrateLegacyLayout(spark: SparkSession, tableDir: String,
+                          keyCols: Seq[String], nBuckets: Int): Long = {
+    require(exists(tableDir), s"$tableDir was never committed; nothing to migrate")
+    val cur = currentVersion(tableDir)
+    if (Files.exists(Paths.get(tableDir, s"v=$cur", "_MANIFEST"))) return cur
+    val snapshot = spark.read.parquet(s"$tableDir/v=$cur")
+      .withColumn(BucketCol, bucketExpr(keyCols, nBuckets))
+    val version = Warehouse.claimVersion(tableDir)
+    snapshot.write.mode("overwrite").partitionBy(BucketCol)
+      .parquet(s"$tableDir/v=$version")
+    val body = (s"nBuckets=$nBuckets" +: s"parent=$cur" +:
+      (0 until nBuckets).map(b => s"$b $version")).mkString("\n")
+    Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"), body)
+    Warehouse.commitPointer(tableDir, version)
+    version
   }
 
   /** On-disk directories holding the named buckets' current data (buckets
@@ -120,7 +167,9 @@ object BucketedTable {
     require(touched.nonEmpty, "commit with no touched buckets is a no-op; skip it")
     require(touched.forall(b => b >= 0 && b < nBuckets),
       s"touched bucket out of range [0, $nBuckets): $touched")
-    val prior: Option[Manifest] = if (exists(tableDir)) Some(readManifest(tableDir)) else None
+    val parentV: Long = if (exists(tableDir)) currentVersion(tableDir) else -1L
+    val prior: Option[Manifest] =
+      if (parentV >= 0) Some(readManifest(tableDir, Some(parentV))) else None
     prior.foreach(m => require(m.nBuckets == nBuckets,
       s"bucket count is fixed at table creation: table has ${m.nBuckets}, caller passed $nBuckets"))
     // version claim + pointer commit are Warehouse's (one copy of the
@@ -129,10 +178,36 @@ object BucketedTable {
     write(s"$tableDir/v=$version")
     val next = prior.map(_.buckets).getOrElse(Map.empty) ++
       touched.map(_ -> version)
-    val body = (s"nBuckets=$nBuckets" +:
+    val body = (s"nBuckets=$nBuckets" +: s"parent=$parentV" +:
       next.toSeq.sortBy(_._1).map { case (b, v) => s"$b $v" }).mkString("\n")
     Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"), body)
+    // WRITER-RACE DETECTION (single-writer contract made loud, r11 #3): our
+    // manifest carried over bucket references from parentV — if another
+    // writer published meanwhile, publishing ours would silently drop every
+    // bucket the racer rewrote. Pre-check: the table must still be at the
+    // parent we folded against; on violation we raise BEFORE the rename,
+    // leaving our version dir unreferenced (reclaimed by [[vacuum]]) and
+    // the racer's commit fully intact.
+    val nowV = if (exists(tableDir)) currentVersion(tableDir) else -1L
+    if (nowV != parentV)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableDir: concurrent writer detected — commit was folded against " +
+          s"v=$parentV but the table is now at v=$nowV; this table is " +
+          "single-writer (see the BucketedTable concurrency contract). " +
+          s"The unpublished v=$version will be reclaimed by vacuum.")
     Warehouse.commitPointer(tableDir, version)
+    // Post-rename check: a racer in the pre-check-to-rename window would
+    // have overwritten the pointer with a manifest that never saw our
+    // buckets. Legitimate current states are our own version or a child
+    // that acknowledges us as parent; anything else lost our commit — raise
+    // so the owner heals (the racer's snapshot is still consistent).
+    val after = currentVersion(tableDir)
+    if (after != version && readManifest(tableDir, Some(after)).parent != version)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableDir: concurrent writer overwrote commit v=$version — the " +
+          s"pointer now names v=$after whose parent is not v=$version; " +
+          "this table is single-writer and the racing snapshot does not " +
+          "contain this commit's buckets.")
     version
   }
 
@@ -152,13 +227,14 @@ object BucketedTable {
     * other's buckets. Returns the committed version. */
   def rebucket(spark: SparkSession, tableDir: String, keyCols: Seq[String],
                newNBuckets: Int): Long = {
-    val snapshot = readCurrent(spark, tableDir)
+    val parentV = currentVersion(tableDir)
+    val snapshot = readCurrent(spark, tableDir, Some(parentV))
       .withColumn(BucketCol, bucketExpr(keyCols, newNBuckets))
     val version = Warehouse.claimVersion(tableDir)
     snapshot.write.mode("overwrite").partitionBy(BucketCol)
       .parquet(s"$tableDir/v=$version")
     // every bucket maps to the fresh version (absent dirs read as empty)
-    val body = (s"nBuckets=$newNBuckets" +:
+    val body = (s"nBuckets=$newNBuckets" +: s"parent=$parentV" +:
       (0 until newNBuckets).map(b => s"$b $version")).mkString("\n")
     Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"), body)
     Warehouse.commitPointer(tableDir, version)

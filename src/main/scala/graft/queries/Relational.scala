@@ -398,22 +398,31 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** §2.4 Differentially-private count release — the third leg of the
-    * privacy family: [[qKAnonymity]] AUDITS re-identification risk,
-    * [[qPseudonymize]]/[[qPiiScrub]] FIX record-level data, this RELEASES
-    * an aggregate under noise so the published histogram itself cannot
-    * betray any one row. Mechanism: the BINOMIAL mechanism (Dwork et al. —
-    * binomial noise approximates the Gaussian mechanism's (ε, δ)-DP with
-    * σ = √(k/4) ≈ 2.83 at k = 32 bits): per group, noise = popcount of
-    * the first 32 bits of a seeded md5 of the group key, centered at 16.
-    * The draw is SEEDED AND EXACT — integer popcount via a per-hex-digit
-    * lookup string, no transcendentals, no RNG state — so the release is
-    * reproducible, partition-independent, and bit-identical across
-    * engines (the repo's determinism discipline applied to DP; a
-    * production release would rotate the seed per epoch). Post-agg
-    * map-only projection over |groups| rows; negative releases are kept
-    * (clamping is post-processing, allowed but not applied). */
-  def qDpCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** §2.4 Noised count release in the BINOMIAL-mechanism SHAPE — the third
+    * leg of the privacy family: [[qKAnonymity]] AUDITS re-identification
+    * risk, [[qPseudonymize]]/[[qPiiScrub]] FIX record-level data, this
+    * releases an aggregate under additive noise. The noise shape is the
+    * binomial mechanism (Dwork et al. — Binomial(k, ½) noise approximates
+    * the Gaussian mechanism's (ε, δ)-DP with σ = √(k/4) ≈ 2.83 at k = 32
+    * bits): per group, noise = popcount of the first 32 bits of a seeded
+    * md5 of the group key, centered at 16.
+    *
+    * HONESTY — what this is and is not: with the default PUBLIC fixture
+    * seed, the draw is a deterministic function of the PUBLICLY RELEASED
+    * group key, so any reader holding the code recomputes the noise and
+    * subtracts it exactly — ε is unbounded and the release provides NO
+    * privacy. The default exists so the DuckDB oracle can re-derive the
+    * identical release (the repo's determinism discipline applied to the
+    * noise SHAPE, not to a privacy guarantee). A private release requires
+    * `seed` to be SECRET and fresh per release (a per-release random nonce
+    * held by the curator, never published and never reused); rotation alone
+    * is insufficient if old seeds leak. DpNoiseSpec asserts the noise is
+    * distributed as Binomial(32, ½) across many groups (mean 16, var 8).
+    *
+    * Post-agg map-only projection over |groups| rows; negative releases
+    * are kept (clamping is post-processing, allowed but not applied). */
+  def qDpCounts(spark: SparkSession, dir: String,
+                seed: String = "dp:"): DataFrame = {
     val pop = (1 to 8).map { i =>
       expr(s"CAST(substr('0112122312232334', " +
         s"locate(substr(h, $i, 1), '0123456789abcdef'), 1) AS INT)")
@@ -421,7 +430,7 @@ object Relational {
     Tables.customer(spark, dir)
       .groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("h", md5(concat(lit("dp:"), col("c_nationkey").cast("string"),
+      .withColumn("h", md5(concat(lit(seed), col("c_nationkey").cast("string"),
         lit(":"), col("c_mktsegment"))))
       .select(col("c_nationkey"), col("c_mktsegment"),
         (col("n") + pop - 16).cast("long").as("n_released"))

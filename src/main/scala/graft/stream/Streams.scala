@@ -523,12 +523,16 @@ object Streams {
     * winner as "already folded" by its (key, eff) pair alone — the history
     * does not retain the CDC sequence number, so a NEW change that reuses
     * an effective timestamp already historized for its key (a same-eff
-    * correction with a higher seq and different attributes) is
-    * indistinguishable from a replay and folds to a no-op. The sink
-    * therefore requires at most ONE change per key per effective
-    * timestamp; a correction must carry a fresh eff (the natural CDC
+    * correction with a higher seq and different attributes) cannot be
+    * folded: a correction must carry a fresh eff (the natural CDC
     * discipline — a correction IS a later change) or be applied through an
-    * offline history rebuild. */
+    * offline history rebuild. The contract is ASSERTED, not merely
+    * documented (r11 #7): a non-delete batch winner matching history on
+    * (key, eff) with DIFFERING non-envelope attributes raises instead of
+    * silently no-opping as a presumed replay — silent data loss becomes a
+    * loud error. A true replay (identical attributes) still folds to a
+    * no-op; the check is one extra equi-join against the (touched-bucket-
+    * bounded) history slice per micro-batch. */
   def scd2FoldBatch(history: DataFrame, batch: DataFrame, keyCols: Seq[String],
                     seqCol: String, flagCol: String, effCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
@@ -536,6 +540,33 @@ object Streams {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    // eff-grain contract assert: a same-(key, eff) history match must be a
+    // byte-identical replay. Deletes are exempt — re-end-dating is naturally
+    // idempotent and a delete's attribute payload is envelope noise.
+    val attrCols = latest.columns
+      .filterNot(c => keyCols.contains(c) || c == seqCol || c == flagCol ||
+        c == effCol)
+      .filter(history.columns.contains)
+    if (attrCols.nonEmpty) {
+      val joinCond = (keyCols :+ effCol)
+        .map(k => col(s"b.$k") === col(s"h.$k")).reduce(_ && _)
+      val differs = attrCols
+        .map(c => !(col(s"b.$c") <=> col(s"h.$c"))).reduce(_ || _)
+      val conflicts = latest.filter(col(flagCol) =!= "D").alias("b")
+        .join(history.alias("h"), joinCond)
+        .filter(differs)
+        .select(keyCols.map(k => col(s"b.$k")) :+ col(s"b.$effCol"): _*)
+        .limit(3).collect()
+      if (conflicts.nonEmpty)
+        throw new IllegalStateException(
+          "scd2 eff-grain contract violated: batch carries a change whose " +
+            "(key, eff) is already historized with DIFFERENT attributes — " +
+            "a same-eff correction is indistinguishable from a replay and " +
+            "would silently fold to a no-op. Give the correction a fresh " +
+            "effective timestamp (a correction IS a later change) or apply " +
+            s"it via an offline history rebuild. Sample (key, eff): " +
+            conflicts.map(_.toString).mkString("; "))
+    }
     val fresh = latest.join(
       history.select((keyCols.map(col) :+ col(effCol)): _*),
       keyCols :+ effCol, "left_anti")

@@ -220,4 +220,68 @@ class BucketedTableSpec extends AnyFunSuite {
       BucketedTable.commit(spark, dir, nB, Seq(nB), _ => ()) // out of range
     }
   }
+
+  test("writer race: two interleaved committers — one succeeds, one raises, no bucket loss") {
+    val dir = Files.createTempDirectory("graft_bt_race").resolve("t").toString
+    val kA = 1L
+    val kB = (2L to 100L).find(bucketOf(_) != bucketOf(kA)).get
+    commitRows(dir, Seq(kA -> "a1", kB -> "b1"))
+    // Writer B starts its commit (reads the current manifest, claims a
+    // version); writer A's FULL commit lands inside B's write callback —
+    // i.e. between B's fold and B's publish, the classic lost-update
+    // interleave. B's pre-publish parent check must raise; A's commit and
+    // the prior data must survive untouched.
+    val dfB = withBucket(Seq(kA -> "a-from-B"))
+    val raised = intercept[java.util.ConcurrentModificationException] {
+      BucketedTable.commit(spark, dir, nB, Seq(bucketOf(kA)), { d =>
+        dfB.write.mode("overwrite")
+          .partitionBy(BucketedTable.BucketCol).parquet(d)
+        commitRows(dir, Seq(kB -> "b-from-A")) // the racer wins
+      })
+    }
+    assert(raised.getMessage.contains("concurrent writer"))
+    val cur = BucketedTable.readCurrent(spark, dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    assert(cur === Seq(kA -> "a1", kB -> "b-from-A").sorted,
+      "the racing commit and all prior buckets must survive; the loser's " +
+        s"fold must not publish — got $cur")
+    // the loser's orphaned version dir is reclaimable garbage
+    BucketedTable.vacuum(dir)
+    assert(BucketedTable.readCurrent(spark, dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq === cur)
+  }
+
+  test("legacy flat layout: readManifest raises the migration recipe; migrateLegacyLayout converts in place") {
+    val root = Files.createTempDirectory("graft_bt_legacy").resolve("t").toString
+    // a pre-r11 Warehouse-layout state dir: v=N bare parquet + _CURRENT
+    graft.etl.Warehouse.publish(spark, root, { d =>
+      Seq((1L, "x", 1L), (2L, "y", 1L), (3L, "z", 1L)).toDF("k", "v", "seq")
+        .write.mode("overwrite").parquet(d)
+    })
+    assert(BucketedTable.exists(root),
+      "the legacy layout is indistinguishable from a bucketed table by _CURRENT alone")
+    val err = intercept[IllegalStateException] {
+      BucketedTable.readManifest(root)
+    }
+    assert(err.getMessage.contains("legacy") &&
+      err.getMessage.contains("migrateLegacyLayout"),
+      s"the failure must carry the migration recipe, got: ${err.getMessage}")
+    val v = BucketedTable.migrateLegacyLayout(spark, root, Seq("k"), nB)
+    val cur = BucketedTable.readCurrent(spark, root).select("k", "v")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    assert(cur === Seq(1L -> "x", 2L -> "y", 3L -> "z"),
+      "migration must preserve every row")
+    // idempotent: a second call is a no-op returning the current version
+    assert(BucketedTable.migrateLegacyLayout(spark, root, Seq("k"), nB) === v)
+    // and the sink fold now works against the migrated table
+    graft.stream.Streams.upsertBatch(
+      Seq((2L, "y2", 10L)).toDF("k", "v", "seq"), root, Seq("k"), "seq", nB)
+    val afterFold = BucketedTable.readCurrent(spark, root)
+      .select("k", "v")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    assert(afterFold === Seq(1L -> "x", 2L -> "y2", 3L -> "z"))
+    // vacuum reclaims the legacy snapshot dir (no manifest references it)
+    BucketedTable.vacuum(root)
+    assert(BucketedTable.readCurrent(spark, root).count() === 3)
+  }
 }

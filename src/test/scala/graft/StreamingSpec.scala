@@ -867,4 +867,42 @@ class StreamingSpec extends AnyFunSuite {
         "a fresh-eff correction must open a new current version")
     } finally q.stop()
   }
+
+  test("scd2 eff-grain contract is ASSERTED: same-eff correction raises; true replay still no-ops") {
+    import graft.etl.BucketedTable
+    val statePath = java.nio.file.Files.createTempDirectory("graft_scd2_effgrain")
+      .resolve("state").toString
+    val b1 = Seq(CdcRec(1, 10L, "bronze", ts("2024-01-01 00:00:00"), "I"))
+      .toDF()
+    Streams.scd2ApplyBatch(b1, statePath, Seq("cust_id"), "seq", "flag", "eff", 8)
+    // true replay: identical record — folds to a no-op (identical content)
+    Streams.scd2ApplyBatch(b1, statePath, Seq("cust_id"), "seq", "flag", "eff", 8)
+    assert(BucketedTable.readCurrent(spark, statePath).count() === 1,
+      "a replayed batch must fold to a no-op")
+    val v1 = BucketedTable.currentVersion(statePath)
+    // same-eff CORRECTION: higher seq, same eff, different attributes —
+    // indistinguishable from a replay by (key, eff), so it must RAISE
+    // instead of silently dropping the correction
+    val correction = Seq(CdcRec(2, 10L, "gold", ts("2024-01-01 00:00:00"), "U"))
+      .toDF()
+    val err = intercept[IllegalStateException] {
+      Streams.scd2ApplyBatch(correction, statePath,
+        Seq("cust_id"), "seq", "flag", "eff", 8)
+    }
+    assert(err.getMessage.contains("eff-grain"),
+      s"the failure must name the eff-grain contract, got: ${err.getMessage}")
+    // the history is untouched by the failed fold
+    assert(BucketedTable.currentVersion(statePath) === v1)
+    val rows = BucketedTable.readCurrent(spark, statePath)
+      .collect().map(r => (r.getAs[String]("tier"), r.getAs[Boolean]("is_current")))
+    assert(rows.toSeq === Seq(("bronze", true)))
+    // a replayed DELETE stays exempt (re-end-dating is naturally idempotent)
+    val del = Seq(CdcRec(3, 10L, "bronze", ts("2024-02-01 00:00:00"), "D")).toDF()
+    Streams.scd2ApplyBatch(del, statePath, Seq("cust_id"), "seq", "flag", "eff", 8)
+    Streams.scd2ApplyBatch(del, statePath, Seq("cust_id"), "seq", "flag", "eff", 8)
+    val afterDel = BucketedTable.readCurrent(spark, statePath)
+      .collect().map(r => (r.getAs[Boolean]("is_current")))
+    assert(afterDel.forall(_ == false), "delete end-dates without a successor")
+    assert(afterDel.length === 1, "replayed delete must not duplicate history")
+  }
 }
