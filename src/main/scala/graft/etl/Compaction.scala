@@ -80,11 +80,24 @@ object Compaction {
     * can replay and collide with the base). It is an EXPLICIT opt-in, not
     * a column-name sniff: a generic table that happens to carry a
     * `batch_id` DATA column (e.g. annServe's results, where batch_id is
-    * provenance) must never have its values rewritten by a compaction. */
+    * provenance) must never have its values rewritten by a compaction.
+    *
+    * `preserveBatchKeys` is the REPLAY HIGH-WATER-MARK GUARD on that
+    * contract: batch partitions named here are NOT folded into the base —
+    * they keep their `batch_id` value through the rewrite. The in-stream
+    * maintenance cadence ([[graft.stream.Streams.corpusIngest]]) passes
+    * the batch key it is currently committing, because that batch is not
+    * yet durably checkpointed: folding it would defeat its replay's
+    * `excludeBatchKey` filter — the replay would see its OWN postings as
+    * pre-existing index state, drop its own docs, and diverge from the
+    * original survivor set. Every EARLIER batch of the same lineage is
+    * checkpoint-committed by the time batch N's body runs, so folding
+    * those (and any dead lineage's keys) is safe. */
   def compactParquet(spark: SparkSession, path: String,
                      partitionCols: Seq[String],
                      numFiles: Int = 1,
-                     coalesceBatchKeyed: Boolean = false): (Long, Long) = {
+                     coalesceBatchKeyed: Boolean = false,
+                     preserveBatchKeys: Set[String] = Set.empty): (Long, Long) = {
     reclaimOrphans(path)
     val before = dataFileCount(Paths.get(path))
     val df0 = spark.read.parquet(path)
@@ -94,9 +107,14 @@ object Compaction {
     val coalesceBatches = coalesceBatchKeyed &&
       df0.columns.contains("batch_id") && !partitionCols.contains("batch_id")
     val df =
-      if (coalesceBatches)
-        df0.withColumn("batch_id",
-          org.apache.spark.sql.functions.lit("-1"))
+      if (coalesceBatches) {
+        import org.apache.spark.sql.functions.{lit, when}
+        val folded =
+          if (preserveBatchKeys.isEmpty) lit("-1")
+          else when(col("batch_id").isin(preserveBatchKeys.toSeq: _*),
+            col("batch_id")).otherwise(lit("-1"))
+        df0.withColumn("batch_id", folded)
+      }
       else df0
     val writeCols =
       if (coalesceBatches) partitionCols :+ "batch_id" else partitionCols
@@ -113,13 +131,16 @@ object Compaction {
 
   /** [[AnnIndex]] convenience wrappers — partition columns match each
     * index's declared layout. */
-  def compactLshPostings(spark: SparkSession, indexDir: String): (Long, Long) =
+  def compactLshPostings(spark: SparkSession, indexDir: String,
+                         preserveBatchKeys: Set[String] = Set.empty): (Long, Long) =
     compactParquet(spark, s"$indexDir/buckets", Seq("band", "bkt"),
-      coalesceBatchKeyed = true)
+      coalesceBatchKeyed = true, preserveBatchKeys = preserveBatchKeys)
   def compactIvfLists(spark: SparkSession, indexDir: String): (Long, Long) =
     compactParquet(spark, s"$indexDir/lists", Seq("list_id"))
-  def compactSq8(spark: SparkSession, indexDir: String): (Long, Long) =
-    compactParquet(spark, s"$indexDir/sq8", Nil, coalesceBatchKeyed = true)
+  def compactSq8(spark: SparkSession, indexDir: String,
+                 preserveBatchKeys: Set[String] = Set.empty): (Long, Long) =
+    compactParquet(spark, s"$indexDir/sq8", Nil, coalesceBatchKeyed = true,
+      preserveBatchKeys = preserveBatchKeys)
   def compactPqCodes(spark: SparkSession, indexDir: String): (Long, Long) =
     compactParquet(spark, s"$indexDir/codes", Nil)
   /** The IVF-PQ composite's per-list code dirs ([[AnnIndex.buildIvfPq]] /
@@ -130,8 +151,10 @@ object Compaction {
 
   /** The dedup posting table ([[IncrementalDedup]]) — unpartitioned
     * appends, joined on (band, bkey) per ingest batch. */
-  def compactDedupPostings(spark: SparkSession, indexDir: String): (Long, Long) =
-    compactParquet(spark, s"$indexDir/postings", Nil, coalesceBatchKeyed = true)
+  def compactDedupPostings(spark: SparkSession, indexDir: String,
+                           preserveBatchKeys: Set[String] = Set.empty): (Long, Long) =
+    compactParquet(spark, s"$indexDir/postings", Nil, coalesceBatchKeyed = true,
+      preserveBatchKeys = preserveBatchKeys)
 
   /** Z-ORDERED compaction — the OPTIMIZE ZORDER maintenance form: rewrite
     * the table CLUSTERED on the Morton interleave of two numeric columns

@@ -274,9 +274,15 @@ object Streams {
             s"annServe: probe micro-batch exceeds maxProbesPerBatch=" +
               s"$maxProbesPerBatch; shrink the trigger or raise the cap")
         if (ps.nonEmpty) {
+          // fail fast on a missing queryId (same contract as corpusIngest):
+          // a shared-constant fallback would let a fresh-checkpoint restart
+          // overwrite a prior run's served answers under batch_id=<const>-0
           val lineage = Option(
               spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-            .getOrElse("nolineage")
+            .getOrElse(throw new IllegalStateException(
+              "annServe: sql.streaming.queryId local property is not set " +
+                "inside foreachBatch — cannot derive a lineage-scoped " +
+                "result partition; refusing a shared-constant fallback"))
           graft.queries.Llm.knnIvfBatchProbe(spark, ivfDir, ps, k, nprobe)
             .write.mode("overwrite")
             .parquet(s"$outDir/batch_id=$lineage-$batchId")
@@ -679,12 +685,25 @@ object Streams {
     * replay overwrites exactly its own partitions and rolls back exactly
     * its own ledger delta, while a fresh-checkpoint restart (batch ids
     * restarting at 0) writes under new keys and accumulates onto the
-    * ledger without ever touching a prior lineage's data. */
+    * ledger without ever touching a prior lineage's data.
+    *
+    * Maintenance: `vacuumEvery = n` reclaims superseded corpus bucket
+    * versions and `_budget` ledger snapshots every n-th batch;
+    * `compactEvery = m` folds the accumulated per-batch `batch_id=`
+    * index fragments (LSH cells, SQ8 table, dedup postings) into their
+    * `batch_id=-1` base every m-th batch — preserving the in-flight
+    * batch's own partitions for replay safety (see the in-line note).
+    * With both set, steady-state on-disk footprint is O(live data +
+    * cadence·batch), not O(batches); with both 0 (the default), run the
+    * spec-proven [[graft.etl.Compaction]] / vacuum helpers externally
+    * during a quiet window. StreamingSpec asserts the bounded-growth
+    * claim empirically. */
   def corpusIngest(docs: DataFrame, dedupDir: String, lshDir: String,
                    corpusDir: String, lshBands: Int = 3, lshBits: Int = 8,
                    sq8Dir: Option[String] = None,
                    budgetPerSource: Option[Long] = None,
-                   nBuckets: Int = 64)
+                   nBuckets: Int = 64,
+                   vacuumEvery: Int = 0, compactEvery: Int = 0)
       : DataStreamWriter[Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -698,9 +717,22 @@ object Streams {
         // while a fresh-checkpoint restart — whose batch numbering starts
         // over at 0 — lands under NEW keys and can never overwrite a prior
         // lineage's committed index data.
+        // FAIL FAST if the property is absent (ADVICE r11): a constant
+        // fallback would collapse all lineages onto one shared key, so a
+        // fresh-checkpoint restart reusing batch 0 would overwrite a prior
+        // run's partitions and roll back the wrong ledger delta — silently
+        // reintroducing exactly the bug lineage scoping exists to prevent.
+        // Inside foreachBatch the property is always set by the stream
+        // execution thread; its absence means a Spark-internal contract
+        // changed and must surface, not degrade.
         val lineage = Option(
             spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-          .getOrElse("nolineage") // full id: a truncated prefix could collide
+          .getOrElse(throw new IllegalStateException(
+            "corpusIngest: sql.streaming.queryId local property is not set " +
+              "inside foreachBatch — cannot derive a lineage-scoped batch " +
+              "key; refusing to fall back to a shared constant (idempotent " +
+              "replay and ledger rollback would target the wrong data)"))
+          // full id: a truncated prefix could collide
         val batchKey = s"$lineage-$batchId"
         val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir,
             excludeBatchKey = Some(batchKey))
@@ -823,6 +855,42 @@ object Streams {
             keptPosts.join(kept.select("doc_id").distinct(),
               Seq("doc_id"), "left_semi"),
             dedupDir, Some(batchKey))
+        }
+        // IN-STREAM MAINTENANCE CADENCE (r11 #1 — the last unbounded-growth
+        // path): without it, every micro-batch leaves (a) one superseded
+        // `_budget` ledger version, (b) superseded corpus bucket versions,
+        // and (c) one `batch_id=` parquet fragment per touched LSH cell /
+        // SQ8 table / posting table — all O(batches) forever, and since
+        // batch_id sits BELOW the band/bkt prune level, a pruned probe's
+        // file-open cost grows linearly with batch count. Runs on the
+        // sink's own thread AFTER the batch's commits (no writer race —
+        // same single-writer discipline as upsertToParquet's vacuumEvery).
+        //
+        // Replay safety of the coalescing compaction: THIS batch is not
+        // yet durably checkpointed when its body runs, so its own
+        // `batch_id=` partitions are passed as preserveBatchKeys — they
+        // survive the fold, keeping a crash-replay's excludeBatchKey
+        // filter effective (it must not see its own postings as
+        // pre-existing index state). Every earlier batch of this lineage
+        // IS checkpoint-committed by now, so folding those into the
+        // `batch_id=-1` base is exactly the quiet-window contract
+        // Compaction documents.
+        if (vacuumEvery > 0 && batchId % vacuumEvery == 0) {
+          if (BT.exists(corpusDir)) BT.vacuum(corpusDir)
+          if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(budgetDir, "_CURRENT")))
+            graft.etl.Warehouse.vacuum(budgetDir)
+        }
+        if (compactEvery > 0 && batchId % compactEvery == 0) {
+          val preserve = Set(batchKey)
+          def existsDir(p: String) =
+            java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))
+          if (existsDir(s"$lshDir/buckets"))
+            graft.etl.Compaction.compactLshPostings(spark, lshDir, preserve)
+          sq8Dir.filter(d => existsDir(s"$d/sq8"))
+            .foreach(d => graft.etl.Compaction.compactSq8(spark, d, preserve))
+          if (existsDir(s"$dedupDir/postings"))
+            graft.etl.Compaction.compactDedupPostings(spark, dedupDir, preserve)
         }
         ()
     }

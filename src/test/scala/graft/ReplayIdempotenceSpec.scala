@@ -175,4 +175,46 @@ class ReplayIdempotenceSpec extends AnyFunSuite {
       .select("vec_id").distinct().count() === 8,
       "legacy LSH cells must survive the layout upgrade")
   }
+
+  test("coalescing compaction preserves the in-flight batch key: a post-compaction replay still re-derives its survivors") {
+    val idx = Files.createTempDirectory("graft_compact_preserve").toString
+    val b0 = Seq((1L, "alpha bravo charlie delta echo")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "kilo lima mike november oscar")).toDF("doc_id", "text")
+    IncrementalDedup.commitPostings(
+      IncrementalDedup.keptPostings(b0, idx, excludeBatchKey = Some("q1-0")),
+      idx, Some("q1-0"))
+    val kept1 = IncrementalDedup
+      .keptPostings(b1, idx, excludeBatchKey = Some("q1-1"))
+    val rows1 = kept1.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[String]("bkey"))).toSet
+    IncrementalDedup.commitPostings(kept1, idx, Some("q1-1"))
+    // in-stream maintenance runs right after batch 1's commit, BEFORE the
+    // checkpoint commits its offsets — batch 1 must survive the fold
+    graft.etl.Compaction.compactDedupPostings(spark, idx,
+      preserveBatchKeys = Set("q1-1"))
+    val keys = spark.read.parquet(s"$idx/postings")
+      .select(col("batch_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(keys === Set("-1", "q1-1"),
+      s"checkpointed batches fold to the base; the in-flight key survives — got $keys")
+    // crash-replay of batch 1 after the compaction: its excludeBatchKey
+    // filter still hides its own postings, so it re-derives the original
+    // survivor set (the ADVICE r11 divergence scenario, prevented)
+    val replay = IncrementalDedup
+      .keptPostings(b1, idx, excludeBatchKey = Some("q1-1")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[String]("bkey"))).toSet
+    assert(replay === rows1,
+      "a replay after guarded compaction must re-derive the original survivors")
+    // the hazard the guard exists for: an UNGUARDED coalesce folds q1-1
+    // into the base, the replay sees its own postings as stored state,
+    // and drops its own doc — divergence
+    graft.etl.Compaction.compactDedupPostings(spark, idx)
+    assert(IncrementalDedup
+      .keptPostings(b1, idx, excludeBatchKey = Some("q1-1"))
+      .select("doc_id").distinct().count() === 0,
+      "unguarded coalesce demonstrably defeats the replay exclusion " +
+        "(this is why corpusIngest passes preserveBatchKeys)")
+  }
 }

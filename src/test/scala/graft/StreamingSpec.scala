@@ -905,4 +905,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterDel.forall(_ == false), "delete end-dates without a successor")
     assert(afterDel.length === 1, "replayed delete must not duplicate history")
   }
+
+  test("corpusIngest maintenance cadence: ledger/corpus versions and index fragments stay bounded, not O(batches)") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_cad_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_cad_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_cad_corpus").toString
+    val sq8Dir = Files.createTempDirectory("graft_cad_sq8").toString
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    // per-doc unique token sets: nothing near-dups with anything
+    def doc(id: Long) = SourcedDoc(id,
+      (0 until 5).map(t => s"u${id}t$t").mkString(" "), "web", emb(id.toInt))
+    val mem = MemoryStream[SourcedDoc]
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
+      sq8Dir = Some(sq8Dir), budgetPerSource = Some(1000000L),
+      vacuumEvery = 1, compactEvery = 2).start()
+    try {
+      val nBatches = 6
+      for (i <- 0 until nBatches) {
+        mem.addData(doc(i * 2L), doc(i * 2L + 1)); q.processAllAvailable()
+      }
+      import scala.jdk.CollectionConverters._
+      def vDirs(dir: String): Seq[Long] = {
+        val s = Files.list(Paths.get(dir))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).toSeq
+        finally s.close()
+      }
+      // (a) the ledger holds ONE live snapshot, not one per batch
+      assert(vDirs(s"$corpusDir/_budget").size === 1,
+        s"vacuumEvery=1 must leave a single ledger version, got ${vDirs(s"$corpusDir/_budget")}")
+      // (b) the corpus carries no unreferenced version debris: every on-disk
+      // version is named by the current manifest (or is the current commit)
+      val m = graft.etl.BucketedTable.readManifest(corpusDir)
+      val live = m.buckets.values.toSet +
+        graft.etl.BucketedTable.currentVersion(corpusDir)
+      assert(vDirs(corpusDir).toSet.subsetOf(live),
+        s"vacuum must reclaim superseded corpus versions: on-disk ${vDirs(corpusDir).sorted}, live $live")
+      // (c) index fragments: distinct batch_id partitions are bounded by the
+      // cadence (base + at most compactEvery trailing keys), never O(batches)
+      def batchKeys(path: String): Set[String] =
+        spark.read.parquet(path).select(col("batch_id").cast("string"))
+          .distinct().collect().map(_.getString(0)).toSet
+      for (p <- Seq(s"$dedupDir/postings", s"$lshDir/buckets", s"$sq8Dir/sq8")) {
+        val ks = batchKeys(p)
+        assert(ks.size <= 1 + 2, // "-1" base + ≤ compactEvery un-folded tails
+          s"$p: batch_id partitions must stay bounded by the cadence, got $ks")
+        assert(ks.contains("-1"), s"$p: compaction must have built the base level")
+      }
+      // (d) semantics intact after all the maintenance: every novel doc
+      // survived, the index serves all vectors, the ledger total is exact
+      assert(graft.etl.BucketedTable.readCurrent(spark, corpusDir).count()
+        === nBatches * 2L)
+      assert(spark.read.parquet(s"$lshDir/buckets")
+        .select("vec_id").distinct().count() === nBatches * 2L)
+      val ledger = graft.etl.Warehouse.readCurrent(spark, s"$corpusDir/_budget")
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("cum_tokens")))
+      assert(ledger.toSeq === Seq(("web", nBatches * 2L * 5)),
+        s"ledger must survive its own vacuum with exact totals, got ${ledger.toSeq}")
+      // (e) and the stream still ingests correctly AFTER maintenance ran
+      mem.addData(doc(1000L)); q.processAllAvailable()
+      assert(graft.etl.BucketedTable.readCurrent(spark, corpusDir).count()
+        === nBatches * 2L + 1)
+    } finally q.stop()
+  }
 }
