@@ -313,8 +313,20 @@ object Llm {
   /** SimHash core over any (doc_id, text) frame — reused by the declared
     * query; LlmSpec asserts the pigeonhole recall guarantee (every true
     * Hamming≤3 pair is emitted) against exact all-pairs distances. */
-  def simhashPairs(docs: DataFrame): DataFrame = {
-    val fp = simhashFingerprints(docs)
+  def simhashPairs(docs: DataFrame): DataFrame =
+    bandedHammingPairs(simhashFingerprints(docs))
+
+  /** The banded Hamming self-join over 64-bit fingerprints given as four
+    * 16-bit band columns `(doc_id, b0..b3)` — the SHARED candidate
+    * machinery behind [[qDedupSimhash]] (text SimHash) and
+    * [[graft.sources.Multimodal.qImageDedup]] (image perceptual dHash):
+    * candidates come from an OR over the 4 band equi-joins (pigeonhole:
+    * any pair at Hamming ≤ 3 over 64 bits differs in at most 3 of the 4
+    * bands, so it matches exactly in at least one — zero recall loss),
+    * kept at Hamming ≤ 3. Never all-pairs: in-bucket pair counts are
+    * data-proportional (2^16 buckets per band). Output
+    * `(doc_a, doc_b, hamming)` with `doc_a < doc_b`. */
+  def bandedHammingPairs(fp: DataFrame): DataFrame = {
     // ONE band frame via posexplode, not a 4-way union of projections over
     // the aggregate — the union form re-evaluated the (dominant) signature
     // aggregation once per branch per join side. PINNED so the self-join's

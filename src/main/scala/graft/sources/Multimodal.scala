@@ -164,6 +164,178 @@ object Multimodal {
           .as("features_csv"))
       .orderBy("asset_id")
 
+  // ---- image near-dup dedup (perceptual hash × banded Hamming join) ------
+
+  /** 64-bit dHash (difference hash) of a decoded image: the luma raster is
+    * area-averaged onto a 9×8 grid and bit (y·8 + x) is set when
+    * `grid[x+1][y] > grid[x][y]` — the standard gradient fingerprint.
+    * Robust by construction against exactly the transforms a dedup pipeline
+    * must see through: RE-ENCODING a lossless format reproduces the raster
+    * (identical hash), and a GLOBAL BRIGHTNESS shift adds the same constant
+    * to both cells of every comparison, leaving each `>` unchanged except
+    * where channel clamping bites — a handful of bit flips at most, inside
+    * the Hamming ≤ 3 candidate threshold. Two unrelated images disagree on
+    * ~half the gradient signs (expected Hamming ≈ 32), far outside it. */
+  private[graft] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (gw, gh) = (9, 8)
+    val w = img.getWidth
+    val h = img.getHeight
+    val grid = Array.ofDim[Double](gw, gh)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        // cell pixel range [x0, x1) × [y0, y1) — never empty (ceil'd end)
+        val x0 = gx * w / gw; val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+        val y0 = gy * h / gh; val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+        var s = 0.0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val argb = img.getRGB(x, y)
+            s += 0.299 * ((argb >> 16) & 0xff) + 0.587 * ((argb >> 8) & 0xff) +
+              0.114 * (argb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        grid(gx)(gy) = s / ((math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      val x = j % 8; val y = j / 8
+      if (grid(x + 1)(y) > grid(x)(y)) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual fingerprints as four 16-bit bands
+    * `(doc_id, b0..b3)` — the exact input shape of
+    * [[graft.queries.Llm.bandedHammingPairs]], so image near-dup reuses the
+    * text SimHash candidate machinery unchanged. Decode is partition-
+    * parallel (one `mapPartitions` pass, zero shuffle); non-image or
+    * undecodable payloads are skipped — an asset that cannot be decoded
+    * cannot be perceptually compared. */
+  def imageFingerprints(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        if (a.kind != "image") None
+        else
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(a.payload))
+            if (img == null) None
+            else {
+              val hsh = dHash64(img)
+              Some((a.asset_id, (hsh & 0xffffL).toInt,
+                ((hsh >>> 16) & 0xffffL).toInt, ((hsh >>> 32) & 0xffffL).toInt,
+                ((hsh >>> 48) & 0xffffL).toInt))
+            }
+          } catch { case _: Exception => None }
+      }
+    }.toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Near-dup pairs over an image corpus: perceptual dHash fingerprints →
+    * the shared banded Hamming join. Output `(asset_a, asset_b, hamming)`. */
+  def imageDedupPairs(assets: Dataset[Asset]): DataFrame =
+    graft.queries.Llm.bandedHammingPairs(imageFingerprints(assets))
+      .select(org.apache.spark.sql.functions.col("doc_a").as("asset_a"),
+        org.apache.spark.sql.functions.col("doc_b").as("asset_b"),
+        org.apache.spark.sql.functions.col("hamming"))
+
+  /** A synthetic image corpus with PLANTED near-duplicates, for
+    * [[qImageDedup]] and the MultimodalSpec recall case: `nBase` distinct
+    * PNG test cards (ids `0 until nBase`), and for every `everyK`-th base
+    * two planted variants — a pure RE-ENCODE (id + nBase; identical raster,
+    * Hamming 0) and a BRIGHTNESS-SHIFTED copy (id + 2·nBase; +6 per
+    * channel, clamped). Fully deterministic, generated on executors. */
+  /** A seeded BLOCK-RANDOM test card (4×4-pixel blocks of hash-derived
+    * color), PNG-encoded. Chosen over [[syntheticPng]]'s linear ramps for
+    * the dedup corpus because dHash compares area-averaged cell means:
+    * ramp patterns give adjacent cells a seed-independent mean gradient
+    * (many fingerprint bits would agree across unrelated cards), while
+    * per-block hashes make each cell mean an independent draw — unrelated
+    * cards land at the expected Hamming ≈ 32. Channels stay in [10, 240]
+    * so a +6 brightness shift never clamps (the planted near-dup is then
+    * fingerprint-exact; real-world clamping costs at most a few bits,
+    * still inside the ≤ 3 threshold). */
+  private def syntheticBlockCard(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = seed * 2654435761L + (x / 4) * 40503L + (y / 4) * 65027L
+        v ^= (v >>> 21); v *= -7046029254386353131L; v ^= (v >>> 28)
+        def ch(shift: Int) = 10 + (((v >>> shift) & 0xff) % 231).toInt
+        img.setRGB(x, y, (ch(8) << 16) | (ch(24) << 8) | ch(40))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def syntheticImageCorpus(spark: SparkSession, nBase: Int,
+                           everyK: Int = 5): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(nBase.toLong).flatMap { i =>
+      val (w, h) = (32 + (i % 7).toInt, 24 + (i % 5).toInt)
+      val png = syntheticBlockCard(i, w, h)
+      def asset(id: Long, payload: Array[Byte]) =
+        Asset(id, "image", payload, w, h, 0, "png")
+      val base = asset(i, png)
+      if (i % everyK != 0) Seq(base)
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        def encode(im: java.awt.image.BufferedImage): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(im, "png", bos)
+          bos.toByteArray
+        }
+        val shifted = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val argb = img.getRGB(x, y)
+            def c(v: Int) = math.min(255, v + 6)
+            shifted.setRGB(x, y, (c((argb >> 16) & 0xff) << 16) |
+              (c((argb >> 8) & 0xff) << 8) | c(argb & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        Seq(base, asset(i + nBase, encode(img)), asset(i + 2L * nBase, encode(shifted)))
+      }
+    }
+  }
+
+  /** §2.9 image near-dup dedup (no-oracle; declared smoke + MultimodalSpec
+    * planted-recall case): the dedup family extended across modalities —
+    * perceptual dHash over REAL decoded PNG rasters, candidates via the
+    * same banded Hamming join the text SimHash path uses. The sfDir
+    * carries no media, so the corpus is the deterministic planted-dup
+    * synthetic (`dir` ignored): every (base, re-encode) and
+    * (base, brightness-shift) pair must surface; unrelated test cards sit
+    * at Hamming ≈ 32 and never join. */
+  def qImageDedup(spark: SparkSession, dir: String): DataFrame =
+    imageDedupPairs(syntheticImageCorpus(spark, 200, everyK = 5))
+      .orderBy("asset_a", "asset_b")
+
   /** One sampled frame of a video payload. */
   final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 

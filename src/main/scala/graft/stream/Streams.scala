@@ -259,7 +259,19 @@ object Streams {
     * stream with an explicit error instead of silently OOMing the driver
     * or dropping probes. A probe feed that can legitimately burst past
     * the cap should aggregate its source into smaller triggers (or raise
-    * the cap alongside driver memory). */
+    * the cap alongside driver memory).
+    *
+    * RETENTION CONTRACT (r11 #8 sweep): `outDir` grows one `batch_id=`
+    * partition per micro-batch BY DESIGN — these are the stream's OUTPUT
+    * (served answers with provenance), not maintained state, so no
+    * compaction may ever fold or rewrite their `batch_id` values (a
+    * replayed batch must still find exactly its own partition to
+    * overwrite). Ownership of reclamation is the DOWNSTREAM consumer's:
+    * drain and delete consumed partitions ([[dropServedBatches]]), or
+    * treat `outDir` as a TTL'd landing zone. Unlike the `_budget` ledger
+    * and the index tables — engine-owned state with an in-stream
+    * maintenance cadence — an output queue's retention is a consumer
+    * policy no sink can decide. */
   def annServe(probes: DataFrame, ivfDir: String, outDir: String,
                k: Int = 5, nprobe: Int = 4,
                maxProbesPerBatch: Int = 10000): DataStreamWriter[Row] =
@@ -289,6 +301,29 @@ object Streams {
         }
         ()
     }
+
+  /** The consumer-side drain for [[annServe]]'s output queue: delete the
+    * named `batch_id=` partitions after their answers are consumed.
+    * Consumer discipline: only drain keys whose batch is durably past the
+    * stream's checkpoint (in practice: anything but the newest key per
+    * lineage) — draining a batch that then crash-replays loses nothing
+    * (the replay rewrites its partition whole) but re-serves answers the
+    * consumer already processed. Returns the number dropped. */
+  def dropServedBatches(outDir: String, batchKeys: Seq[String]): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    batchKeys.count { k =>
+      require(k.nonEmpty && !k.contains("/") && !k.contains(".."),
+        s"malformed batch key: $k")
+      val d = Paths.get(outDir, s"batch_id=$k")
+      if (!Files.isDirectory(d)) false
+      else {
+        Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+        true
+      }
+    }
+  }
 
   /** The batch `q_source_budget` mixture gate as a STREAMING admission
     * control (`transformWithState`): every arriving doc consumes its token

@@ -151,4 +151,39 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.qMultimodalFeatures(spark, TestSpark.sfDir).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("image dedup: every planted re-encode and brightness-shift pair is recovered; unrelated cards never pair") {
+    val nBase = 200
+    val pairs = Multimodal.imageDedupPairs(
+        Multimodal.syntheticImageCorpus(spark, nBase, everyK = 5))
+      .collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Int]("hamming")))
+    // planted truth: base i (i % 5 == 0) has a re-encoded twin at i + nBase
+    // and a brightness-shifted twin at i + 2·nBase; all three are mutual
+    // near-dups (one component of 3 → 3 pairs per planted base)
+    val planted = (0 until nBase by 5).flatMap { i =>
+      Seq((i.toLong, i + nBase.toLong), (i.toLong, i + 2L * nBase),
+        (i + nBase.toLong, i + 2L * nBase))
+    }.toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found),
+      s"missed planted near-dup pairs: ${(planted -- found).toSeq.sorted.take(5)}")
+    assert(found === planted,
+      s"unrelated cards must never pair at Hamming <= 3: extras = ${(found -- planted).toSeq.sorted.take(5)}")
+    // re-encodes are raster-identical (Hamming 0); the +6 shift never
+    // clamps on the block cards, so its fingerprint is also exact
+    assert(pairs.forall(_._3 === 0),
+      s"planted variants must be fingerprint-exact on the clamp-free cards")
+  }
+
+  test("image fingerprints are deterministic and partitioning-independent") {
+    val corpus = Multimodal.syntheticImageCorpus(spark, 40, everyK = 7)
+    val a = Multimodal.imageFingerprints(corpus).collect()
+      .map(_.toString).sorted.toSeq
+    val b = Multimodal.imageFingerprints(corpus.repartition(7)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }

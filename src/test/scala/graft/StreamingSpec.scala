@@ -369,6 +369,20 @@ class StreamingSpec extends AnyFunSuite {
         .write.mode("overwrite").parquet(s"$outDir/$batch1Dir")
       assert(spark.read.option("basePath", outDir).parquet(outDir).count() === 30,
         "a replayed batch id must rewrite its partition, not append duplicates")
+      // consumer-side drain: batch 0 is consumed — drop exactly its
+      // partition; batch 1's answers stay served
+      val batch0Key = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .find(n => n.startsWith("batch_id=") && n.endsWith("-0")).get
+          .stripPrefix("batch_id=")
+        finally s.close()
+      }
+      assert(Streams.dropServedBatches(outDir, Seq(batch0Key, "never-seen")) === 1,
+        "drain drops exactly the named existing partitions")
+      assert(spark.read.option("basePath", outDir).parquet(outDir).count() === 15,
+        "batch 1's served answers must survive batch 0's drain")
     } finally q.stop()
   }
 
