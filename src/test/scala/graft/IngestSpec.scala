@@ -69,6 +69,75 @@ class IngestSpec extends AnyFunSuite {
       s"no pushdown into the ORC scan:\n$plan")
   }
 
+  test("Avro source/sink: the full flat type surface round-trips, nulls included") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("b", BooleanType).add("i", IntegerType, nullable = true)
+      .add("l", LongType).add("f", FloatType).add("d", DoubleType)
+      .add("s", StringType, nullable = true).add("bin", BinaryType)
+    val rows = Seq(
+      Row(true, 1, 10L, 1.5f, 2.5, "alpha", Array[Byte](1, 2, 3)),
+      Row(false, null, -7L, -0.25f, 1e9, null, Array[Byte]()),
+      Row(true, 42, Long.MaxValue, Float.MinPositiveValue, -3.25, "δ utf8", Array[Byte](-1)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val tmp = Files.createTempDirectory("graft_avro").toString
+    val nFiles = graft.etl.AvroSource.writeAvro(df, tmp)
+    assert(nFiles >= 1 && nFiles <= 2)
+    val back = graft.etl.AvroSource.readAvro(spark, tmp)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    def canon(r: Row) = (r.getBoolean(0), Option(r.get(1)), r.getLong(2),
+      r.getFloat(3), r.getDouble(4), Option(r.get(5)),
+      r.getAs[Array[Byte]](6).toSeq)
+    assert(back.collect().map(canon).sortBy(_._3).toSeq ===
+      rows.map(canon).sortBy(_._3).toSeq)
+  }
+
+  test("Avro source/sink: a warehouse table round-trips; one task per container file") {
+    import org.apache.spark.sql.functions.col
+    // the flat interchange subset of customer (decimal rides as double for
+    // transport — Avro core has no decimal without logical types)
+    val cust = Tables.customer(spark, TestSpark.sfDir)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        col("c_mktsegment"))
+    val tmp = Files.createTempDirectory("graft_avro_cust").toString
+    val nFiles = graft.etl.AvroSource.writeAvro(cust.repartition(3), tmp)
+    assert(nFiles === 3, "one container file per partition")
+    val back = graft.etl.AvroSource.readAvro(spark, tmp)
+    assert(back.rdd.getNumPartitions === 3, "one scan task per container file")
+    assert(back.count() === cust.count())
+    assert(back.exceptAll(cust).count() === 0)
+    assert(cust.exceptAll(back).count() === 0)
+  }
+
+  test("Avro source: unsupported and mixed schemas fail loudly, not silently") {
+    import org.apache.spark.sql.types._
+    // unsupported Spark type on write
+    val err = intercept[IllegalArgumentException] {
+      graft.etl.AvroSource.toAvroSchema(
+        new StructType().add("ts", TimestampType), "r")
+    }
+    assert(err.getMessage.contains("unsupported") && err.getMessage.contains("ts"))
+    // mixed-schema directory on read
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "v")
+    val b = Seq((2L, 3.0)).toDF("id", "w")
+    val tmp = Files.createTempDirectory("graft_avro_mixed").toString
+    graft.etl.AvroSource.writeAvro(a.coalesce(1), s"$tmp/a")
+    graft.etl.AvroSource.writeAvro(b.coalesce(1), s"$tmp/b")
+    val mixed = intercept[org.apache.spark.SparkException] {
+      graft.etl.AvroSource.readAvro(spark, tmp).collect()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(mixed).contains("different schema"),
+      s"mixed-schema read must fail with the explicit message, got: ${msgs(mixed)}")
+  }
+
   test("q_scan_csv: pipe-delimited round-trip equals the parquet read") {
     val li = Tables.lineitem(spark, TestSpark.sfDir)
     val tmp = Files.createTempDirectory("graft_csv").toString
