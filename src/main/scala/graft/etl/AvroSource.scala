@@ -94,7 +94,7 @@ object AvroSource {
     })
   }
 
-  private def toSpark(v: AnyRef, dt: DataType): Any = v match {
+  private def toSpark(v: AnyRef): Any = v match {
     case null => null
     case u: org.apache.avro.util.Utf8 => u.toString
     case s: CharSequence => s.toString
@@ -141,17 +141,21 @@ object AvroSource {
         // serializable-stable across avro versions; JSON is)
         val reader = new DataFileReader[GenericRecord](
           new File(file), new GenericDatumReader[GenericRecord]())
+        // close on task completion, not on iterator exhaustion — a limit/
+        // take or a mid-iteration failure never drains the iterator, and
+        // an fd per file per bounded query leaks until GC otherwise
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
         val expected = reader.getSchema.toString
         if (expected != avroJson)
           throw new IllegalStateException(
             s"AvroSource: $file carries a different schema than the table's " +
               "first file — mixed-schema directories are not supported")
-        val types = (0 until n).map(i => sparkSchema.fields(i).dataType)
         new Iterator[Row] {
-          def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+          def hasNext: Boolean = reader.hasNext
           def next(): Row = {
             val rec = reader.next()
-            Row.fromSeq((0 until n).map(i => toSpark(rec.get(i), types(i))))
+            Row.fromSeq((0 until n).map(i => toSpark(rec.get(i))))
           }
         }
       }
@@ -165,6 +169,16 @@ object AvroSource {
     val sparkSchema = df.schema
     val avroJson = toAvroSchema(sparkSchema, recordName).toString
     Files.createDirectories(Paths.get(path))
+    // overwrite semantics, like every sink in this repo: a rewrite with
+    // fewer partitions must not leave stale part files that a later read
+    // unions back in as live rows
+    val stale = {
+      val s = Files.list(Paths.get(path))
+      try s.iterator().asScala.filter(
+        _.getFileName.toString.endsWith(".avro")).toSeq
+      finally s.close()
+    }
+    stale.foreach(Files.deleteIfExists(_))
     val written = df.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.isEmpty) Iterator.empty
       else {

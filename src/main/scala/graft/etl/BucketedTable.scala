@@ -41,19 +41,51 @@ import org.apache.spark.sql.functions._
   * Two concurrent writers would each build a manifest missing the other's
   * buckets — and since a local pointer file cannot express the optimistic
   * manifest CAS multi-writer formats use, a violation is instead made LOUD:
-  * every manifest records its parent version, [[commit]] re-verifies just
-  * before publishing that the table is still at the parent it folded
-  * against, and re-verifies after the rename that its commit actually
-  * became current (or was succeeded by a child acknowledging it). A racing
-  * second writer therefore raises [[java.util.ConcurrentModificationException]]
-  * instead of silently dropping the other commit's buckets
-  * (BucketedTableSpec interleaves two committers to prove it). */
+  * every manifest records its parent version, and [[commit]] verifies —
+  * INSIDE a commit lock, so the check-then-rename is not a TOCTOU window —
+  * that the table is still at the parent it folded against before
+  * publishing. The lock is a per-path JVM monitor (serializes threads of
+  * one process, the realistic mis-configuration) nested in an OS file
+  * lock on `_COMMIT_LOCK` (serializes processes on one host; released
+  * automatically on crash). A racing second writer therefore raises
+  * [[java.util.ConcurrentModificationException]] instead of silently
+  * dropping the other commit's buckets (BucketedTableSpec interleaves two
+  * committers to prove it). Honest residue: writers on DIFFERENT HOSTS of
+  * a shared FS without advisory-lock support fall back to the unlocked
+  * check plus a post-rename parent-chain verification — detection there is
+  * near-certain but not guaranteed; true multi-host multi-writer needs a
+  * manifest-CAS table format, which is exactly why this table declares
+  * single-writer. */
 object BucketedTable {
 
   /** The internal partition column name (never visible to readers — bucket
     * directories are read WITHOUT basePath, so the column is not
     * reconstituted into the scan schema). */
   val BucketCol = "gbucket"
+
+  /** Per-canonical-path commit monitors (same-JVM serialization) — see the
+    * concurrency contract above. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `body` holding the table's commit lock: the per-path JVM monitor,
+    * then an OS advisory lock on `_COMMIT_LOCK` (auto-released if the
+    * process dies — no stale-lock TTL needed). `tableDir` must exist. */
+  private def withCommitLock[T](tableDir: String)(body: => T): T = {
+    val key = Paths.get(tableDir).toAbsolutePath.normalize.toString
+    val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(tableDir, "_COMMIT_LOCK"), CREATE, WRITE)
+      try {
+        val lk =
+          try Some(ch.lock())
+          catch { case _: UnsupportedOperationException => None } // exotic FS
+        try body finally lk.foreach(_.release())
+      } finally ch.close()
+    }
+  }
 
   /** Deterministic bucket id of a key tuple: xxhash64 mod nBuckets. */
   def bucketExpr(keyCols: Seq[String], nBuckets: Int): Column =
@@ -184,23 +216,27 @@ object BucketedTable {
     // WRITER-RACE DETECTION (single-writer contract made loud, r11 #3): our
     // manifest carried over bucket references from parentV — if another
     // writer published meanwhile, publishing ours would silently drop every
-    // bucket the racer rewrote. Pre-check: the table must still be at the
-    // parent we folded against; on violation we raise BEFORE the rename,
-    // leaving our version dir unreferenced (reclaimed by [[vacuum]]) and
-    // the racer's commit fully intact.
-    val nowV = if (exists(tableDir)) currentVersion(tableDir) else -1L
-    if (nowV != parentV)
-      throw new java.util.ConcurrentModificationException(
-        s"$tableDir: concurrent writer detected — commit was folded against " +
-          s"v=$parentV but the table is now at v=$nowV; this table is " +
-          "single-writer (see the BucketedTable concurrency contract). " +
-          s"The unpublished v=$version will be reclaimed by vacuum.")
-    Warehouse.commitPointer(tableDir, version)
-    // Post-rename check: a racer in the pre-check-to-rename window would
-    // have overwritten the pointer with a manifest that never saw our
-    // buckets. Legitimate current states are our own version or a child
-    // that acknowledges us as parent; anything else lost our commit — raise
-    // so the owner heals (the racer's snapshot is still consistent).
+    // bucket the racer rewrote. The parent check and the pointer rename run
+    // INSIDE the commit lock, so no racer can publish between them (the
+    // bare check-then-rename would be a TOCTOU window in which two writers
+    // could each pass the check and the later rename would silently win).
+    // On violation we raise BEFORE the rename, leaving our version dir
+    // unreferenced (reclaimed by [[vacuum]]) and the racer's commit intact.
+    withCommitLock(tableDir) {
+      val nowV = if (exists(tableDir)) currentVersion(tableDir) else -1L
+      if (nowV != parentV)
+        throw new java.util.ConcurrentModificationException(
+          s"$tableDir: concurrent writer detected — commit was folded against " +
+            s"v=$parentV but the table is now at v=$nowV; this table is " +
+            "single-writer (see the BucketedTable concurrency contract). " +
+            s"The unpublished v=$version will be reclaimed by vacuum.")
+      Warehouse.commitPointer(tableDir, version)
+    }
+    // Post-rename check, belt and braces for writers that bypass the lock
+    // (a different host on a no-advisory-lock shared FS, or pre-r12 code):
+    // legitimate current states are our own version or a child that
+    // acknowledges us as parent; anything else lost our commit — raise so
+    // the owner heals (the racer's snapshot is still consistent).
     val after = currentVersion(tableDir)
     if (after != version && readManifest(tableDir, Some(after)).parent != version)
       throw new java.util.ConcurrentModificationException(

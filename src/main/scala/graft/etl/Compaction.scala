@@ -46,6 +46,7 @@ object Compaction {
     * a production object-store deployment gets both properties from the
     * table format's manifest commit instead. */
   private def reclaimOrphans(path: String): Unit = {
+    recoverInterrupted(path)
     val parent = Paths.get(path).toAbsolutePath.getParent
     val prefix = Paths.get(path).getFileName.toString
     if (parent != null && Files.isDirectory(parent) &&
@@ -59,6 +60,43 @@ object Compaction {
         }
         .toSeq.foreach(deleteRecursively)
       finally siblings.close()
+    }
+  }
+
+  /** CRASH RECOVERY for the rename swap: a death between [[swapIn]]'s two
+    * moves leaves NO `path` but a complete `.old-*` retired tree — the
+    * full pre-compaction table. Without recovery that state is a silent
+    * catastrophe for the streaming indexes: their readers treat a missing
+    * dir as an EMPTY index (the legitimate first-batch case), so a
+    * restarted ingest would re-admit near-dups of everything, then a later
+    * compaction's orphan reclaim would delete the `.old-*` copy for good.
+    * This restores the newest `.old-*` tree back to `path` when `path` is
+    * absent (the `.compact-*` rewrite, even when complete, holds the same
+    * rows — restoring the ORIGINAL is always correct and never guesses
+    * about a partially-written rewrite). Called by every compaction entry
+    * point and by [[graft.stream.Streams.corpusIngest]] BEFORE the batch
+    * body reads any index. Returns true if a restore happened. */
+  def recoverInterrupted(path: String): Boolean = {
+    val parent = Paths.get(path).toAbsolutePath.getParent
+    val prefix = Paths.get(path).getFileName.toString
+    if (parent == null || !Files.isDirectory(parent) ||
+        Files.exists(Paths.get(path))) return false
+    import scala.jdk.CollectionConverters._
+    val olds = {
+      val s = Files.list(parent)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix + ".old-"))
+        .toSeq
+      finally s.close()
+    }
+    if (olds.isEmpty) false
+    else {
+      // newest by mtime — at most one can exist per crashed run, but be
+      // deterministic if an operator somehow accumulated several
+      val chosen = olds.maxBy(Files.getLastModifiedTime(_).toMillis)
+      Files.move(chosen, Paths.get(path))
+      (olds.toSet - chosen).foreach(deleteRecursively)
+      true
     }
   }
 

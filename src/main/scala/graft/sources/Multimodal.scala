@@ -85,6 +85,13 @@ object Multimodal {
     (checksum, feats)
   }
 
+  /** The ONE decode entry point (every image path shares it — a decoder
+    * fix or format addition lands here once): any ImageIO-supported
+    * payload to its raster; None when undecodable. */
+  private[graft] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
   /** REAL PNG decode via the JDK's `javax.imageio` (ships in every JRE —
     * no external codec needed for PNG): pixel-exact per-channel stats over
     * the decoded raster, all normalized to [0, 1]:
@@ -94,10 +101,8 @@ object Multimodal {
     * pixels, so two different encodings of the same image agree). Returns
     * None for an undecodable payload so callers fall back to the stub. */
   private[graft] def decodePng(payload: Array[Byte]): Option[(Long, Array[Float])] =
-    try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
+    decodeImage(payload).map { img =>
+      {
         val w = img.getWidth
         val h = img.getHeight
         var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
@@ -119,14 +124,14 @@ object Multimodal {
         }
         val n = (w.toLong * h).toDouble
         val meanL = sl / n
-        Some((checksum, Array[Float](
+        (checksum, Array[Float](
           w / 1024f, h / 1024f,
           (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
           meanL.toFloat,
           math.sqrt(math.max(0.0, sl2 / n - meanL * meanL)).toFloat,
-          w.toFloat / (w + h))))
+          w.toFloat / (w + h)))
       }
-    } catch { case _: Exception => None }
+    }
 
   /** Partition-parallel feature extraction: one `mapPartitions` pass so a
     * real codec could amortize per-partition init (model load, JNI handle)
@@ -227,18 +232,12 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.flatMap { a =>
         if (a.kind != "image") None
-        else
-          try {
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(a.payload))
-            if (img == null) None
-            else {
-              val hsh = dHash64(img)
-              Some((a.asset_id, (hsh & 0xffffL).toInt,
-                ((hsh >>> 16) & 0xffffL).toInt, ((hsh >>> 32) & 0xffffL).toInt,
-                ((hsh >>> 48) & 0xffffL).toInt))
-            }
-          } catch { case _: Exception => None }
+        else decodeImage(a.payload).map { img =>
+          val hsh = dHash64(img)
+          (a.asset_id, (hsh & 0xffffL).toInt,
+            ((hsh >>> 16) & 0xffffL).toInt, ((hsh >>> 32) & 0xffffL).toInt,
+            ((hsh >>> 48) & 0xffffL).toInt)
+        }
       }
     }.toDF("doc_id", "b0", "b1", "b2", "b3")
   }
@@ -298,8 +297,7 @@ object Multimodal {
       val base = asset(i, png)
       if (i % everyK != 0) Seq(base)
       else {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(png))
+        val img = decodeImage(png).get // own just-encoded PNG: always decodes
         def encode(im: java.awt.image.BufferedImage): Array[Byte] = {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(im, "png", bos)

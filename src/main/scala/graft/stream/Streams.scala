@@ -318,8 +318,9 @@ object Streams {
       val d = Paths.get(outDir, s"batch_id=$k")
       if (!Files.isDirectory(d)) false
       else {
-        Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
+        val s = Files.walk(d)
+        val entries = try s.iterator().asScala.toSeq finally s.close()
+        entries.reverse.foreach(Files.deleteIfExists(_))
         true
       }
     }
@@ -769,6 +770,16 @@ object Streams {
               "replay and ledger rollback would target the wrong data)"))
           // full id: a truncated prefix could collide
         val batchKey = s"$lineage-$batchId"
+        // FIRST, before any index read: heal a compaction swap the previous
+        // run may have died inside (path absent, .old-* retired tree
+        // complete). The dedup reader treats a missing dir as an EMPTY
+        // index (the legitimate first-batch case), so skipping this would
+        // silently re-admit near-dups of the whole corpus — and the
+        // batch's own commit would then recreate the dir, making the next
+        // compaction's orphan reclaim delete the retired copy for good.
+        graft.etl.Compaction.recoverInterrupted(s"$dedupDir/postings")
+        graft.etl.Compaction.recoverInterrupted(s"$lshDir/buckets")
+        sq8Dir.foreach(d => graft.etl.Compaction.recoverInterrupted(s"$d/sq8"))
         val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir,
             excludeBatchKey = Some(batchKey))
           .localCheckpoint(true)
@@ -910,6 +921,17 @@ object Streams {
         // IS checkpoint-committed by now, so folding those into the
         // `batch_id=-1` base is exactly the quiet-window contract
         // Compaction documents.
+        //
+        // Crash safety: a death inside the rename swap leaves the index
+        // path absent with the retired `.old-*` tree complete — the next
+        // batch body heals it via recoverInterrupted BEFORE reading (see
+        // the top of this body). Concurrent-READER caveat (local-FS
+        // honesty): the swap has a reader-visible window, so enabling
+        // compactEvery assumes probe queries against these index dirs run
+        // between batches (or tolerate a retry) — the same local-FS
+        // limitation Compaction's scaladoc documents; a production object
+        // store runs the identical rewrite under a manifest commit and
+        // has no window.
         if (vacuumEvery > 0 && batchId % vacuumEvery == 0) {
           if (BT.exists(corpusDir)) BT.vacuum(corpusDir)
           if (java.nio.file.Files.exists(

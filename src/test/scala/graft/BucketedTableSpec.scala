@@ -251,6 +251,49 @@ class BucketedTableSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq === cur)
   }
 
+  test("writer race, two REAL threads: the commit lock serializes publish — exactly one wins, one raises, state consistent") {
+    import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val dir = Files.createTempDirectory("graft_bt_race2").resolve("t").toString
+    val kA = 1L
+    val kB = (2L to 100L).find(bucketOf(_) != bucketOf(kA)).get
+    commitRows(dir, Seq(kA -> "a1", kB -> "b1"))
+    // both writers must FOLD against the same parent before either
+    // publishes — the barrier inside the write callback guarantees the
+    // overlap (without it one could finish first and the other would
+    // legitimately chain on top: two successes, no race)
+    val bothFolded = new CyclicBarrier(2)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def attempt(key: Long, value: String) = Future {
+      val df = withBucket(Seq(key -> value))
+      try Right(BucketedTable.commit(spark, dir, nB, Seq(bucketOf(key)), { d =>
+        df.write.mode("overwrite")
+          .partitionBy(BucketedTable.BucketCol).parquet(d)
+        bothFolded.await(60, TimeUnit.SECONDS): Unit
+      }))
+      catch { case e: java.util.ConcurrentModificationException => Left(e) }
+    }
+    val results = Await.result(
+      Future.sequence(Seq(attempt(kA, "a2"), attempt(kB, "b2"))),
+      Duration(180, "s"))
+    pool.shutdown()
+    val wins = results.collect { case Right(v) => v }
+    val losses = results.collect { case Left(e) => e }
+    assert(wins.size === 1 && losses.size === 1,
+      s"exactly one overlapped commit must publish, got $results")
+    assert(losses.head.getMessage.contains("concurrent writer"))
+    val cur = BucketedTable.readCurrent(spark, dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
+    // the winner's key carries its new value; the loser's key keeps the
+    // PRIOR value (its fold never published) — never a dropped bucket
+    val expected =
+      if (cur(kA) == "a2") Map(kA -> "a2", kB -> "b1")
+      else Map(kA -> "a1", kB -> "b2")
+    assert(cur === expected, s"state must be exactly the winner's commit over the prior snapshot, got $cur")
+  }
+
   test("legacy flat layout: readManifest raises the migration recipe; migrateLegacyLayout converts in place") {
     val root = Files.createTempDirectory("graft_bt_legacy").resolve("t").toString
     // a pre-r11 Warehouse-layout state dir: v=N bare parquet + _CURRENT

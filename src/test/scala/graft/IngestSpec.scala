@@ -113,6 +113,19 @@ class IngestSpec extends AnyFunSuite {
     assert(cust.exceptAll(back).count() === 0)
   }
 
+  test("Avro sink: a rewrite with fewer partitions clears stale part files (overwrite semantics)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_avro_ow").toString
+    val first = (0L until 30L).map(i => (i, s"v$i")).toDF("id", "v")
+    assert(graft.etl.AvroSource.writeAvro(first.repartition(3), tmp) === 3)
+    val second = Seq((100L, "only")).toDF("id", "v")
+    assert(graft.etl.AvroSource.writeAvro(second.coalesce(1), tmp) === 1)
+    val back = graft.etl.AvroSource.readAvro(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back === Seq((100L, "only")),
+      s"stale part files from the wider first write must not survive, got $back")
+  }
+
   test("Avro source: unsupported and mixed schemas fail loudly, not silently") {
     import org.apache.spark.sql.types._
     // unsupported Spark type on write
