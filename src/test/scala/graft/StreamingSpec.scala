@@ -859,18 +859,18 @@ class StreamingSpec extends AnyFunSuite {
         .sortBy(x => (x._1, x._3))
       assert(after.toSeq === rows.toSeq, "replayed batch must fold to a no-op")
 
-      // eff-grain CONTRACT (documented on scd2FoldBatch): the history does
-      // not retain seq, so a same-eff "correction" (new seq, new attrs, eff
-      // already historized for the key) is indistinguishable from a replay
-      // and folds to a no-op — corrections must carry a fresh eff
+      // eff-grain CONTRACT (ASSERTED since r12 — was documented-only): the
+      // history does not retain seq, so a same-eff "correction" (new seq,
+      // new attrs, eff already historized for the key) is indistinguishable
+      // from a replay — it must RAISE, never silently fold to a no-op
       val sameEff = Seq(
         CdcRec(9, 10L, "platinum", ts("2024-02-01 00:00:00"), "U")).toDF()
-      val corrected = Streams.scd2FoldBatch(state(), sameEff,
-        Seq("cust_id"), "seq", "flag", "eff")
-        .collect().map(r => (r.getAs[Long]("cust_id"), r.getAs[String]("tier")))
-        .sortBy(x => (x._1, x._2))
-      assert(!corrected.exists(_._2 == "platinum"),
-        "a same-eff record must fold to a no-op per the eff-grain contract")
+      val effErr = intercept[IllegalStateException] {
+        Streams.scd2FoldBatch(state(), sameEff,
+          Seq("cust_id"), "seq", "flag", "eff").collect()
+      }
+      assert(effErr.getMessage.contains("eff-grain"),
+        s"a same-eff correction must raise the eff-grain contract, got: ${effErr.getMessage}")
       // the correct form of a correction — a fresh eff — DOES fold
       val freshEff = Seq(
         CdcRec(9, 10L, "platinum", ts("2024-02-02 00:00:00"), "U")).toDF()
