@@ -126,8 +126,11 @@ object AvroSource {
   }
 
   /** Read an Avro container table: schema from one header (driver-side
-    * metadata only), then one task per file. */
+    * metadata only), then one task per file. Heals a writer's crashed
+    * swap first (path absent, retired `.old-*` tree complete — the
+    * [[Compaction.recoverInterrupted]] contract [[writeAvro]] shares). */
   def readAvro(spark: SparkSession, path: String): DataFrame = {
+    Compaction.recoverInterrupted(path)
     val files = listAvroFiles(path)
     val header = new DataFileReader[GenericRecord](
       new File(files.head), new GenericDatumReader[GenericRecord]())
@@ -162,32 +165,37 @@ object AvroSource {
     spark.createDataFrame(rows, sparkSchema)
   }
 
-  /** Write a DataFrame as an Avro container table: one file per partition,
-    * snappy-compressed blocks. Returns the number of files written. */
+  /** Write a DataFrame as an Avro container table with OVERWRITE semantics
+    * and crash atomicity: the job lands in a write-aside directory, and
+    * only a COMPLETE job swaps into `path` (retire old → move new → delete
+    * retired — the [[Compaction]] swap pattern, healed by the shared
+    * [[Compaction.recoverInterrupted]] if a writer dies mid-swap). A task
+    * or job failure therefore leaves the prior table fully intact — never
+    * a half-deleted, half-written directory a reader would silently serve.
+    * An empty input yields a READABLE empty table (one zero-record
+    * container file carrying the schema), matching the parquet sinks.
+    * Returns the number of container files written. */
   def writeAvro(df: DataFrame, path: String,
                 recordName: String = "graft_record"): Int = {
     val sparkSchema = df.schema
     val avroJson = toAvroSchema(sparkSchema, recordName).toString
-    Files.createDirectories(Paths.get(path))
-    // overwrite semantics, like every sink in this repo: a rewrite with
-    // fewer partitions must not leave stale part files that a later read
-    // unions back in as live rows
-    val stale = {
-      val s = Files.list(Paths.get(path))
-      try s.iterator().asScala.filter(
-        _.getFileName.toString.endsWith(".avro")).toSeq
-      finally s.close()
+    // heal a predecessor's crashed swap, then reclaim its leftover
+    // write-aside / retired trees (reclaimOrphans runs the heal first)
+    Compaction.reclaimOrphans(path)
+    def newWriter(schema: Schema, file: File): DataFileWriter[GenericRecord] = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+      w.create(schema, file)
+      w
     }
-    stale.foreach(Files.deleteIfExists(_))
+    val tmp = path + ".compact-" + java.util.UUID.randomUUID() // reclaimed like a compaction orphan
+    Files.createDirectories(Paths.get(tmp))
     val written = df.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(avroJson)
-        val writer = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema))
-        writer.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
-        writer.create(schema, new File(f"$path/part-$idx%05d.avro"))
-        var rows = 0L
+        val writer = newWriter(schema, new File(f"$tmp/part-$idx%05d.avro"))
         try it.foreach { row =>
           val rec = new GenericData.Record(schema)
           var i = 0
@@ -195,11 +203,26 @@ object AvroSource {
             rec.put(i, toAvro(row.get(i))); i += 1
           }
           writer.append(rec)
-          rows += 1
         } finally writer.close()
         Iterator.single(1)
       }
     }.sum().toInt
-    written
+    if (written == 0)
+      newWriter(new Schema.Parser().parse(avroJson),
+        new File(s"$tmp/part-00000.avro")).close()
+    // swap the complete rewrite into place; replacing the WHOLE directory
+    // is what makes overwrite semantics airtight (no stale file at any
+    // depth can survive into the next read)
+    if (Files.exists(Paths.get(path))) {
+      val old = Paths.get(path + ".old-" + java.util.UUID.randomUUID())
+      Files.move(Paths.get(path), old)
+      Files.move(Paths.get(tmp), Paths.get(path))
+      Compaction.deleteRecursively(old)
+    } else {
+      Option(Paths.get(path).toAbsolutePath.getParent)
+        .foreach(Files.createDirectories(_))
+      Files.move(Paths.get(tmp), Paths.get(path))
+    }
+    math.max(written, 1)
   }
 }

@@ -79,9 +79,16 @@ object BucketedTable {
       val ch = java.nio.channels.FileChannel.open(
         Paths.get(tableDir, "_COMMIT_LOCK"), CREATE, WRITE)
       try {
+        // a no-advisory-lock FS throws IOException ("No locks available" on
+        // daemon-less NFS) at least as often as UnsupportedOperationException
+        // — both degrade to the unlocked check + post-rename verification,
+        // never to a commit that cannot run at all
         val lk =
           try Some(ch.lock())
-          catch { case _: UnsupportedOperationException => None } // exotic FS
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              None
+          }
         try body finally lk.foreach(_.release())
       } finally ch.close()
     }
@@ -150,9 +157,27 @@ object BucketedTable {
     val body = (s"nBuckets=$nBuckets" +: s"parent=$cur" +:
       (0 until nBuckets).map(b => s"$b $version")).mkString("\n")
     Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"), body)
-    Warehouse.commitPointer(tableDir, version)
+    publishChecked(tableDir, version, cur)
     version
   }
+
+  /** The shared locked publish every maintenance rewrite must use (the
+    * same parent check [[commit]] runs — a maintenance rewrite racing a
+    * sink commit would otherwise silently drop the sink's buckets with
+    * NEITHER side raising, since the sink's own post-check may already
+    * have passed by the time the rewrite renames the pointer). */
+  private def publishChecked(tableDir: String, version: Long,
+                             parentV: Long): Unit =
+    withCommitLock(tableDir) {
+      val nowV = if (exists(tableDir)) currentVersion(tableDir) else -1L
+      if (nowV != parentV)
+        throw new java.util.ConcurrentModificationException(
+          s"$tableDir: concurrent writer detected — rewrite was built " +
+            s"against v=$parentV but the table is now at v=$nowV; pause the " +
+            "owning sink for maintenance rewrites (quiet-window contract). " +
+            s"The unpublished v=$version will be reclaimed by vacuum.")
+      Warehouse.commitPointer(tableDir, version)
+    }
 
   /** On-disk directories holding the named buckets' current data (buckets
     * that never held rows, or whose last rewrite produced no rows, simply
@@ -234,17 +259,34 @@ object BucketedTable {
     }
     // Post-rename check, belt and braces for writers that bypass the lock
     // (a different host on a no-advisory-lock shared FS, or pre-r12 code):
-    // legitimate current states are our own version or a child that
-    // acknowledges us as parent; anything else lost our commit — raise so
-    // the owner heals (the racer's snapshot is still consistent).
+    // legitimate current states are our own version or any DESCENDANT
+    // whose parent chain reaches us (several lock-respecting commits may
+    // land between our rename and this read — their carry-over preserves
+    // our buckets). Only a chain that never passes through our version
+    // lost the commit — raise so the owner heals (the racer's snapshot is
+    // still consistent).
     val after = currentVersion(tableDir)
-    if (after != version && readManifest(tableDir, Some(after)).parent != version)
+    if (after != version && !chainContains(tableDir, after, version))
       throw new java.util.ConcurrentModificationException(
         s"$tableDir: concurrent writer overwrote commit v=$version — the " +
-          s"pointer now names v=$after whose parent is not v=$version; " +
-          "this table is single-writer and the racing snapshot does not " +
-          "contain this commit's buckets.")
+          s"pointer now names v=$after whose parent chain does not pass " +
+          s"through v=$version; this table is single-writer and the racing " +
+          "snapshot does not contain this commit's buckets.")
     version
+  }
+
+  /** Does `from`'s parent chain include `target`? Parents are strictly
+    * smaller versions, so the walk terminates; a missing/legacy manifest
+    * (parent -1 or unreadable) ends the walk as not-found. */
+  private def chainContains(tableDir: String, from: Long, target: Long): Boolean = {
+    var v = from
+    while (v > target) {
+      v = try readManifest(tableDir, Some(v)).parent
+          catch { case _: Exception => return false }
+      if (v == target) return true
+      if (v < 0) return false
+    }
+    v == target
   }
 
   /** Maintenance REBUCKET: materialize the entire current snapshot into one
@@ -273,7 +315,7 @@ object BucketedTable {
     val body = (s"nBuckets=$newNBuckets" +: s"parent=$parentV" +:
       (0 until newNBuckets).map(b => s"$b $version")).mkString("\n")
     Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"), body)
-    Warehouse.commitPointer(tableDir, version)
+    publishChecked(tableDir, version, parentV)
     version
   }
 

@@ -45,7 +45,7 @@ object Compaction {
     * was never safe here (two rename swaps race destructively regardless);
     * a production object-store deployment gets both properties from the
     * table format's manifest commit instead. */
-  private def reclaimOrphans(path: String): Unit = {
+  private[etl] def reclaimOrphans(path: String): Unit = {
     recoverInterrupted(path)
     val parent = Paths.get(path).toAbsolutePath.getParent
     val prefix = Paths.get(path).getFileName.toString
@@ -258,7 +258,9 @@ object Compaction {
     finally s.close()
   }
 
-  private def deleteRecursively(dir: Path): Unit =
+  /** Shared recursive delete (ONE copy of the walk-reverse-delete idiom —
+    * also used by [[AvroSource]] and [[graft.stream.Streams]]). */
+  private[graft] def deleteRecursively(dir: Path): Unit =
     if (Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
       val s = Files.walk(dir)
