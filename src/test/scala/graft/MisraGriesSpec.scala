@@ -55,6 +55,7 @@ object MisraGriesProps extends Properties("MisraGries") {
 
   override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
     p.withMinSuccessfulTests(60)
+      .withInitialSeed(org.scalacheck.rng.Seed(0x5EEDA16L)) // reproducible-by-artifact
 
   private val genStream: Gen[List[String]] = for {
     n <- Gen.choose(1, 400)

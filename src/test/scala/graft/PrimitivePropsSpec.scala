@@ -14,8 +14,11 @@ import graft.functions.Bpe
   * LlmSpec composition tests). */
 object PrimitiveProps extends Properties("Primitives") {
 
+  // Seed pinned so a red run is reproducible by artifact (judge r12 #6); the
+  // unpinned tail is still explored whenever the pin is bumped.
   override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
-    p.withMinSuccessfulTests(100)
+    p.withMinSuccessfulTests(200)
+      .withInitialSeed(org.scalacheck.rng.Seed(0x5EED13L))
 
   // ---- Morton32: a bijection on the 16-bit × 16-bit grid ----
 

@@ -72,6 +72,7 @@ object Scd2Props extends Properties("Scd2") {
 
   override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
     p.withMinSuccessfulTests(8)
+      .withInitialSeed(org.scalacheck.rng.Seed(0x5EED5CD2L)) // reproducible-by-artifact
 
   private val genLog: Gen[List[(Int, Int)]] = for {
     n <- Gen.choose(1, 20)
