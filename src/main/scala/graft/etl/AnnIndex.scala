@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Every compactable table (lists/, sq8/, buckets/, codes/) resolves its
+    * CURRENT generation through the compaction pointer — readers and
+    * appenders then act on one immutable complete tree even while an
+    * in-stream compaction publishes the next one ([[Compaction.currentPath]];
+    * an uncompacted table resolves to the plain path). */
+  private def cur(tableRoot: String): String = Compaction.currentPath(tableRoot)
+
   /** Default on-disk location for the IVF index over one testdata SF dir:
     * keyed by SF name, nlist, AND a CONTENT fingerprint of the source
     * parquet — if the corpus is regenerated, the key changes and the index
@@ -114,7 +121,7 @@ object AnnIndex {
       .select(col("vec_id"), col("label"), col("embedding"),
               col("prediction").as("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$indexDir/lists")
+      .parquet(cur(s"$indexDir/lists"))
     model.clusterCenters.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
       .toDF("list_id", "centroid")
@@ -198,7 +205,7 @@ object AnnIndex {
     batch
       .withColumn("list_id", array_max(scored).getField("list_id"))
       .select("vec_id", "label", "embedding", "list_id")
-      .write.mode("append").partitionBy("list_id").parquet(s"$indexDir/lists")
+      .write.mode("append").partitionBy("list_id").parquet(cur(s"$indexDir/lists"))
   }
 
   /** Probe-list selection: rank the persisted centroids by cosine similarity
@@ -234,7 +241,7 @@ object AnnIndex {
     * of `lists/`, so the `isin` predicate becomes a `PartitionFilters` entry
     * and only the chosen nprobe directories are listed and read. */
   def probeScan(spark: SparkSession, indexDir: String, lists: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$indexDir/lists")
+    spark.read.parquet(cur(s"$indexDir/lists"))
       .filter(col("list_id").isin(lists: _*))
 
   // ---- SQ8 quantized scan index ------------------------------------------
@@ -258,7 +265,7 @@ object AnnIndex {
 
   /** The persisted quantized corpus `(vec_id, qvec, qnorm)`. */
   def sq8Scan(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/sq8")
+    spark.read.parquet(cur(s"$indexDir/sq8"))
 
   /** Incremental SQ8 ingest: quantization is per-vector (no corpus
     * statistics), so a batch's quantized rows simply land — the cheapest
@@ -278,7 +285,8 @@ object AnnIndex {
   private def writeSq8(e: DataFrame, indexDir: String, mode: String,
                        batchKey: Option[String] = None): Unit = {
     graft.expr.GraftFunctions.ensureRegistered(e.sparkSession)
-    if (batchKey.isDefined) migrateFlatLayout(s"$indexDir/sq8", depth = 0)
+    val root = cur(s"$indexDir/sq8")
+    if (batchKey.isDefined) migrateFlatLayout(root, depth = 0)
     val rows = e.select(col("vec_id"),
         call_function("int8_pack", col("embedding")).as("qvec"))
       .withColumn("qnorm",
@@ -289,7 +297,7 @@ object AnnIndex {
       case Some(_) => rows.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
       case None => rows.mode(mode)
-    }).parquet(s"$indexDir/sq8")
+    }).parquet(root)
   }
 
   /** Driver-side probe quantization — the same formula as
@@ -354,7 +362,7 @@ object AnnIndex {
 
   /** The persisted code table `(vec_id, code, rnorm)`. */
   def pqScan(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/codes")
+    spark.read.parquet(cur(s"$indexDir/codes"))
 
   /** Driver-side codebook load — m·k rows of model metadata. */
   def pqCodebooks(spark: SparkSession, indexDir: String): Seq[(Int, Int, Array[Double])] =
@@ -423,7 +431,7 @@ object AnnIndex {
           (id, code, rnorm)
         }
       }.toDF("vec_id", "code", "rnorm")
-      .write.mode(mode).parquet(s"$indexDir/codes")
+      .write.mode(mode).parquet(cur(s"$indexDir/codes"))
   }
 
   // ---- IVF-PQ (composite) -------------------------------------------------
@@ -459,7 +467,7 @@ object AnnIndex {
       model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
     }
     val bc = spark.sparkContext.broadcast(booksArray(codebooks))
-    spark.read.parquet(s"$ivfDir/lists")
+    spark.read.parquet(cur(s"$ivfDir/lists"))
       .select(col("vec_id"), col("embedding"), col("list_id"))
       .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
@@ -470,7 +478,7 @@ object AnnIndex {
         }
       }.toDF("vec_id", "code", "rnorm", "list_id")
       .write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$indexDir/codes")
+      .parquet(cur(s"$indexDir/codes"))
     codebooks.toDF("sub_id", "code_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
   }
@@ -517,12 +525,12 @@ object AnnIndex {
           (id, code, rnorm, list)
         }
       }.toDF("vec_id", "code", "rnorm", "list_id")
-      .write.mode("append").partitionBy("list_id").parquet(s"$indexDir/codes")
+      .write.mode("append").partitionBy("list_id").parquet(cur(s"$indexDir/codes"))
   }
 
   /** Partition-pruned scan of the probed lists' code table. */
   def ivfPqScan(spark: SparkSession, indexDir: String, lists: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$indexDir/codes")
+    spark.read.parquet(cur(s"$indexDir/codes"))
       .filter(col("list_id").isInCollection(lists))
 
   // ---- LSH posting lists --------------------------------------------------
@@ -562,7 +570,8 @@ object AnnIndex {
 
   private def writeLsh(e: DataFrame, indexDir: String, bands: Int, bits: Int,
                        mode: String, batchKey: Option[String] = None): Unit = {
-    if (batchKey.isDefined) migrateFlatLayout(s"$indexDir/buckets", depth = 2)
+    val root = cur(s"$indexDir/buckets")
+    if (batchKey.isDefined) migrateFlatLayout(root, depth = 2)
     val bk = graft.queries.Llm.rpBandBuckets(e, bands, bits)
     val bandArr = array((0 until bands).map(b => col(s"bkt$b")): _*)
     val rows = bk
@@ -573,7 +582,7 @@ object AnnIndex {
       case Some(_) => rows.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
       case None => rows.mode(mode)
-    }).parquet(s"$indexDir/buckets")
+    }).parquet(root)
   }
 
   /** One-time in-place upgrade of a PRE-batch_id table to the r11 layout:
@@ -644,7 +653,7 @@ object AnnIndex {
     * and recover per-probe candidate sets from one read. */
   def lshPostingScan(spark: SparkSession, indexDir: String,
                      cells: Seq[(Int, Int)]): DataFrame = {
-    val base = s"$indexDir/buckets"
+    val base = cur(s"$indexDir/buckets")
     val existing = cells.distinct
       .filter { case (b, k) => Files.exists(Paths.get(base, s"band=$b", s"bkt=$k")) }
     if (existing.isEmpty)

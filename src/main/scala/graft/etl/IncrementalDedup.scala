@@ -38,7 +38,11 @@ import graft.queries.Llm
   * the kept corpus. */
 object IncrementalDedup {
 
-  private def postingsPath(indexDir: String) = s"$indexDir/postings"
+  /** The postings table's CURRENT generation — resolved through the
+    * compaction pointer, so reads and batch-keyed commits keep targeting one
+    * immutable tree across in-stream compactions ([[Compaction.currentPath]]). */
+  private def postingsPath(indexDir: String) =
+    Compaction.currentPath(s"$indexDir/postings")
 
   private def hasIndex(indexDir: String): Boolean = {
     val root = Paths.get(postingsPath(indexDir))

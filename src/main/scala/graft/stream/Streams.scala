@@ -770,16 +770,11 @@ object Streams {
               "replay and ledger rollback would target the wrong data)"))
           // full id: a truncated prefix could collide
         val batchKey = s"$lineage-$batchId"
-        // FIRST, before any index read: heal a compaction swap the previous
-        // run may have died inside (path absent, .old-* retired tree
-        // complete). The dedup reader treats a missing dir as an EMPTY
-        // index (the legitimate first-batch case), so skipping this would
-        // silently re-admit near-dups of the whole corpus — and the
-        // batch's own commit would then recreate the dir, making the next
-        // compaction's orphan reclaim delete the retired copy for good.
-        graft.etl.Compaction.recoverInterrupted(s"$dedupDir/postings")
-        graft.etl.Compaction.recoverInterrupted(s"$lshDir/buckets")
-        sq8Dir.foreach(d => graft.etl.Compaction.recoverInterrupted(s"$d/sq8"))
+        // No pre-read crash heal is needed: compaction publishes under a
+        // versioned pointer ([[graft.etl.Compaction.currentPath]]), so a
+        // maintenance crash at ANY point leaves the previous generation
+        // current and complete — an absent index dir now always means a
+        // genuinely empty index (the first-batch case), never a half-swap.
         val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir,
             excludeBatchKey = Some(batchKey))
           .localCheckpoint(true)
@@ -922,16 +917,14 @@ object Streams {
         // `batch_id=-1` base is exactly the quiet-window contract
         // Compaction documents.
         //
-        // Crash safety: a death inside the rename swap leaves the index
-        // path absent with the retired `.old-*` tree complete — the next
-        // batch body heals it via recoverInterrupted BEFORE reading (see
-        // the top of this body). Concurrent-READER caveat (local-FS
-        // honesty): the swap has a reader-visible window, so enabling
-        // compactEvery assumes probe queries against these index dirs run
-        // between batches (or tolerate a retry) — the same local-FS
-        // limitation Compaction's scaladoc documents; a production object
-        // store runs the identical rewrite under a manifest commit and
-        // has no window.
+        // Crash safety AND reader consistency come from the versioned-
+        // pointer publish: the rewrite lands as a complete sibling
+        // generation, one atomic pointer rename makes it current, and the
+        // retired generation survives one more cycle — a probe racing this
+        // maintenance resolves a complete snapshot either way, and a death
+        // at any point leaves the old generation current (the orphan
+        // rewrite is reclaimed by the next run). Spec-asserted by the
+        // concurrent reader/crash cases in CompactionSpec.
         if (vacuumEvery > 0 && batchId % vacuumEvery == 0) {
           if (BT.exists(corpusDir)) BT.vacuum(corpusDir)
           if (java.nio.file.Files.exists(
@@ -940,13 +933,12 @@ object Streams {
         }
         if (compactEvery > 0 && batchId % compactEvery == 0) {
           val preserve = Set(batchKey)
-          def existsDir(p: String) =
-            java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))
-          if (existsDir(s"$lshDir/buckets"))
+          def existsTbl(p: String) = graft.etl.Compaction.tableExists(p)
+          if (existsTbl(s"$lshDir/buckets"))
             graft.etl.Compaction.compactLshPostings(spark, lshDir, preserve)
-          sq8Dir.filter(d => existsDir(s"$d/sq8"))
+          sq8Dir.filter(d => existsTbl(s"$d/sq8"))
             .foreach(d => graft.etl.Compaction.compactSq8(spark, d, preserve))
-          if (existsDir(s"$dedupDir/postings"))
+          if (existsTbl(s"$dedupDir/postings"))
             graft.etl.Compaction.compactDedupPostings(spark, dedupDir, preserve)
         }
         ()

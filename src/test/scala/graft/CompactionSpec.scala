@@ -114,7 +114,7 @@ class CompactionSpec extends AnyFunSuite {
       .repartition(16)
       .write.mode("overwrite").parquet(dir)
     def spanSums(): (Long, Long) = {
-      val r = spark.read.parquet(dir)
+      val r = spark.read.parquet(Compaction.currentPath(dir))
         .groupBy(input_file_name())
         .agg((max(col("o_custkey")) - min(col("o_custkey"))).as("sx"),
              (max(col("mn")) - min(col("mn"))).as("sy"))
@@ -128,7 +128,8 @@ class CompactionSpec extends AnyFunSuite {
     val (_, filesAfter) = graft.etl.Compaction.compactZOrdered(
       spark, dir, "o_custkey", "mn", numFiles = 16)
     assert(filesAfter <= 16L)
-    val rowsAfter = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val cdir = Compaction.currentPath(dir)
+    val rowsAfter = spark.read.parquet(cdir).collect().map(_.toString).sorted.toSeq
     assert(rowsAfter === rowsBefore, "compaction must not change the row set")
     val (ax, ay) = spanSums()
     // random layout exposes ~the full range of both dims in every file; the
@@ -153,11 +154,12 @@ class CompactionSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(dir)
     val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
     graft.etl.Compaction.compactZOrdered(spark, dir, "x", "y", numFiles = 8)
-    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val after = spark.read.parquet(Compaction.currentPath(dir))
+      .collect().map(_.toString).sorted.toSeq
     assert(after === before, "extreme-range compaction must not change the row set")
     // the rewrite must still CLUSTER: overflowed (garbage) cells would
     // randomize the interleave and leave near-full x/y spans in every file
-    val perFile = spark.read.parquet(dir)
+    val perFile = spark.read.parquet(Compaction.currentPath(dir))
       .groupBy(input_file_name())
       .agg((max(col("x")) - min(col("x"))).as("sx"),
            (max(col("y")) - min(col("y"))).as("sy"))
@@ -199,7 +201,87 @@ class CompactionSpec extends AnyFunSuite {
     val (_, _) = Compaction.compactDedupPostings(spark, idx)
     assert(!Files.exists(Paths.get(postings + ".compact-crash")),
       "the next compaction entry must reclaim the crashed rewrite dir")
-    assert(spark.read.parquet(postings)
+    assert(spark.read.parquet(Compaction.currentPath(postings))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === rows0)
+  }
+
+  test("versioned publish: a reader racing repeated compactions always sees a complete snapshot") {
+    import java.nio.file.Files
+    val idx = Files.createTempDirectory("graft_cmp_race").toString
+    AnnIndex.buildLsh(vecRows(0 until 60).toDF("vec_id", "label", "embedding"),
+      idx, bands = 3, bits = 8)
+    (1 to 2).foreach { b =>
+      AnnIndex.appendLsh(
+        vecRows(60 * b until 60 * (b + 1)).toDF("vec_id", "label", "embedding"),
+        idx, bands = 3, bits = 8)
+    }
+    val cells = for (b <- 0 until 3; k <- 0 until 16) yield (b, k)
+    val expected = AnnIndex.lshPostingScan(spark, idx, cells).count()
+    assert(expected > 0)
+    // maintainer thread: publish 4 more generations back-to-back while the
+    // main thread probes continuously — under the old rename swap the probe
+    // had a window where the table dir was ABSENT and read as empty
+    @volatile var maintainerDone = false
+    @volatile var maintainerErr: Option[Throwable] = None
+    val maintainer = new Thread(() => {
+      try (1 to 4).foreach(_ => Compaction.compactLshPostings(spark, idx))
+      catch { case t: Throwable => maintainerErr = Some(t) }
+      finally maintainerDone = true
+    })
+    maintainer.start()
+    var probes = 0
+    try {
+      while (!maintainerDone) {
+        val n = AnnIndex.lshPostingScan(spark, idx, cells).count()
+        assert(n === expected,
+          s"a probe concurrent with compaction returned $n of $expected postings")
+        probes += 1
+      }
+    } finally maintainer.join()
+    maintainerErr.foreach(throw _)
+    assert(probes > 0, "the reader loop must have raced at least one publish")
+    assert(AnnIndex.lshPostingScan(spark, idx, cells).count() === expected)
+  }
+
+  test("crash mid-publish leaves the old generation current; the next run reclaims and publishes") {
+    import java.nio.file.{Files, Paths}
+    val idx = Files.createTempDirectory("graft_cmp_crashpub").toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    IncrementalDedup.ingest(docs.filter(col("doc_id") < 100), idx)
+    val postings = s"$idx/postings"
+    Compaction.compactDedupPostings(spark, idx) // publish v1
+    assert(Compaction.currentVersion(postings) === 1L)
+    val rows0 = spark.read.parquet(Compaction.currentPath(postings))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // fabricate a publish that died AFTER writing its rewrite and staging
+    // its pointer but BEFORE the atomic rename: a half-written v2 tree plus
+    // a staged tmp pointer
+    Files.createDirectories(Paths.get(postings + ".v2"))
+    Files.writeString(Paths.get(postings + "._CURRENT.tmp-2"), "2")
+    assert(Compaction.currentVersion(postings) === 1L,
+      "an unflipped pointer must leave the old generation current")
+    assert(spark.read.parquet(Compaction.currentPath(postings))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === rows0,
+      "readers during the crash window must see the full old generation")
+    // under a pointer layout an absent flat root is NORMAL, never a crash:
+    // the legacy heal must not fire even though `postings` itself is gone
+    assert(!Compaction.recoverInterrupted(postings))
+    // the next maintenance run reclaims the orphan and publishes cleanly
+    Compaction.compactDedupPostings(spark, idx) // reclaims, publishes v2
+    assert(Compaction.currentVersion(postings) === 2L)
+    assert(!Files.exists(Paths.get(postings + "._CURRENT.tmp-2")),
+      "the staged pointer of the crashed publish must be reclaimed")
+    assert(spark.read.parquet(Compaction.currentPath(postings))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === rows0)
+    // grace retention: v1 (the generation retired by THIS publish) survives
+    // one cycle; one more publish vacuums it
+    assert(Files.isDirectory(Paths.get(postings + ".v1")),
+      "the just-retired generation must be kept as the reader grace copy")
+    Compaction.compactDedupPostings(spark, idx) // v3: v1 leaves grace, dies
+    assert(Compaction.currentVersion(postings) === 3L)
+    assert(!Files.exists(Paths.get(postings + ".v1")),
+      "generations beyond the grace one must be vacuumed")
+    assert(spark.read.parquet(Compaction.currentPath(postings))
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === rows0)
   }
 }

@@ -193,7 +193,8 @@ class ReplayIdempotenceSpec extends AnyFunSuite {
     // checkpoint commits its offsets — batch 1 must survive the fold
     graft.etl.Compaction.compactDedupPostings(spark, idx,
       preserveBatchKeys = Set("q1-1"))
-    val keys = spark.read.parquet(s"$idx/postings")
+    val keys = spark.read
+      .parquet(graft.etl.Compaction.currentPath(s"$idx/postings"))
       .select(col("batch_id").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     assert(keys === Set("-1", "q1-1"),

@@ -928,11 +928,17 @@ class StreamingSpec extends AnyFunSuite {
     val lshDir = Files.createTempDirectory("graft_cad_lsh").toString
     val corpusDir = Files.createTempDirectory("graft_cad_corpus").toString
     val sq8Dir = Files.createTempDirectory("graft_cad_sq8").toString
-    def emb(seed: Int): Array[Float] =
-      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    // ONE shared embedding: every doc lands in the SAME LSH cell per band,
+    // so each ingest batch appends a file to those exact cells — the
+    // worst-case fragmentation shape, which makes the file-count asserts
+    // below bite (scattered embeddings would bound the per-cell counts by
+    // accident). Admission is text-shingle dedup, so this changes nothing
+    // about which docs survive.
+    val sharedEmb: Array[Float] =
+      Array.tabulate(8)(i => math.sin(7 * 31 + i).toFloat)
     // per-doc unique token sets: nothing near-dups with anything
     def doc(id: Long) = SourcedDoc(id,
-      (0 until 5).map(t => s"u${id}t$t").mkString(" "), "web", emb(id.toInt))
+      (0 until 5).map(t => s"u${id}t$t").mkString(" "), "web", sharedEmb)
     val mem = MemoryStream[SourcedDoc]
     val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
       sq8Dir = Some(sq8Dir), budgetPerSource = Some(1000000L),
@@ -961,8 +967,12 @@ class StreamingSpec extends AnyFunSuite {
         s"vacuum must reclaim superseded corpus versions: on-disk ${vDirs(corpusDir).sorted}, live $live")
       // (c) index fragments: distinct batch_id partitions are bounded by the
       // cadence (base + at most compactEvery trailing keys), never O(batches)
+      // all index reads resolve the compaction pointer: once the in-stream
+      // compaction has published twice, the flat generation-0 tree is
+      // legitimately vacuumed
       def batchKeys(path: String): Set[String] =
-        spark.read.parquet(path).select(col("batch_id").cast("string"))
+        spark.read.parquet(graft.etl.Compaction.currentPath(path))
+          .select(col("batch_id").cast("string"))
           .distinct().collect().map(_.getString(0)).toSet
       for (p <- Seq(s"$dedupDir/postings", s"$lshDir/buckets", s"$sq8Dir/sq8")) {
         val ks = batchKeys(p)
@@ -974,8 +984,46 @@ class StreamingSpec extends AnyFunSuite {
       // survived, the index serves all vectors, the ledger total is exact
       assert(graft.etl.BucketedTable.readCurrent(spark, corpusDir).count()
         === nBatches * 2L)
-      assert(spark.read.parquet(s"$lshDir/buckets")
+      assert(spark.read
+        .parquet(graft.etl.Compaction.currentPath(s"$lshDir/buckets"))
         .select("vec_id").distinct().count() === nBatches * 2L)
+      // (d2) READER-side proof of the cadence: a pruned LSH probe of every
+      // populated cell OPENS O(cadence) files per cell — base + at most
+      // compactEvery un-folded batch levels — never O(batches). All docs
+      // share one embedding, so each populated cell was appended to by all
+      // six batches: without the in-stream compaction this probe would open
+      // ≥ nBatches files per cell and the bound below would fail.
+      val lshRoot = graft.etl.Compaction.currentPath(s"$lshDir/buckets")
+      val cells = {
+        val s = Files.list(Paths.get(lshRoot))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("band=")).toSeq.flatMap { bd =>
+            val b = bd.stripPrefix("band=").toInt
+            val s2 = Files.list(Paths.get(lshRoot, bd))
+            try s2.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.startsWith("bkt=")).toSeq
+              .map(kd => (b, kd.stripPrefix("bkt=").toInt))
+            finally s2.close()
+          }
+        finally s.close()
+      }
+      assert(cells.nonEmpty)
+      val probe = graft.etl.AnnIndex.lshPostingScan(spark, lshDir, cells)
+      probe.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+      }.flatten
+      val opened = scans(probe.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      val compactEvery = 2
+      assert(opened <= cells.size * (1L + compactEvery),
+        s"pruned probe opened $opened files over ${cells.size} cells — " +
+          s"cadenced compaction must bound per-cell files by 1+compactEvery, " +
+          s"not O(batches)")
       val ledger = graft.etl.Warehouse.readCurrent(spark, s"$corpusDir/_budget")
         .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("cum_tokens")))
       assert(ledger.toSeq === Seq(("web", nBatches * 2L * 5)),
