@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.{LogicalType, LogicalTypes, Schema, SchemaBuilder}
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -27,10 +27,24 @@ import org.apache.spark.sql.types._
   *    parquet writer's.
   *
   * Type surface: the flat interchange subset — boolean/int/long/float/
-  * double/string/bytes, each nullable via the idiomatic `[null, T]` union.
-  * Nested records/arrays/maps and logical types are out of scope for the
-  * TPC-DI-shaped flat tables this engine ingests; a reader hitting one
-  * fails loudly with the field name rather than mis-decoding.
+  * double/string/bytes, PLUS the standard logical types the TPC-DI-shaped
+  * warehouse tables need: `date` (int), `timestamp-micros` /
+  * `local-timestamp-micros` (long) and `decimal(p,s)` (bytes; fixed also
+  * accepted on read) — each nullable via the idiomatic `[null, T]` union. Nested records/arrays/maps and other
+  * logical types are out of scope; a reader hitting one fails loudly with
+  * the field name rather than mis-decoding.
+  *
+  * OVERWRITE COMMIT = the versioned-pointer publish [[Compaction]] uses
+  * for the index tables: each write lands as a complete sibling generation
+  * `{path}.vN` and one atomic `_CURRENT` pointer rename makes it current,
+  * so a reader never observes an absent or half-written table and a crash
+  * at any point leaves the previous generation current. [[readAvro]]
+  * resolves the pointer and only ever scans an immutable complete tree —
+  * it performs NO healing (ADVICE r12: a reader must never mutate table
+  * state out from under a live writer); the one legacy crash state the
+  * pre-pointer rename swap could leave (flat path absent, `.old-*` tree
+  * complete) fails the read loudly and is healed by the next WRITE's
+  * [[Compaction.reclaimOrphans]].
   *
   * Deployment note: file IO goes through `java.io.File` (this repo's
   * local-FS persistence, same as the manifest layers). An object-store
@@ -52,9 +66,21 @@ object AvroSource {
         case DoubleType  => Schema.create(Schema.Type.DOUBLE)
         case StringType  => Schema.create(Schema.Type.STRING)
         case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case DateType =>
+          LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+        case TimestampType =>
+          LogicalTypes.timestampMicros()
+            .addToSchema(Schema.create(Schema.Type.LONG))
+        case TimestampNTZType =>
+          LogicalTypes.localTimestampMicros()
+            .addToSchema(Schema.create(Schema.Type.LONG))
+        case d: DecimalType =>
+          LogicalTypes.decimal(d.precision, d.scale)
+            .addToSchema(Schema.create(Schema.Type.BYTES))
         case other => throw new IllegalArgumentException(
           s"AvroSource: unsupported Spark type $other for field ${f.name} " +
-            "(flat interchange subset: boolean/int/long/float/double/string/binary)")
+            "(flat interchange subset: boolean/int/long/float/double/string/" +
+            "binary/date/timestamp/decimal)")
       }
       if (f.nullable)
         fs.name(f.name)
@@ -79,34 +105,122 @@ object AvroSource {
           (nonNull.head, true)
         case _ => (f.schema(), false)
       }
-      val dt = base.getType match {
-        case Schema.Type.BOOLEAN => BooleanType
-        case Schema.Type.INT     => IntegerType
-        case Schema.Type.LONG    => LongType
-        case Schema.Type.FLOAT   => FloatType
-        case Schema.Type.DOUBLE  => DoubleType
-        case Schema.Type.STRING  => StringType
-        case Schema.Type.BYTES   => BinaryType
-        case other => throw new IllegalArgumentException(
+      val dt = (base.getType, Option(base.getLogicalType)) match {
+        case (Schema.Type.INT, Some(_: LogicalTypes.Date)) => DateType
+        case (Schema.Type.LONG, Some(_: LogicalTypes.TimestampMicros)) =>
+          TimestampType
+        case (Schema.Type.LONG, Some(_: LogicalTypes.LocalTimestampMicros)) =>
+          TimestampNTZType
+        case (Schema.Type.BYTES | Schema.Type.FIXED,
+              Some(d: LogicalTypes.Decimal)) =>
+          DecimalType(d.getPrecision, d.getScale)
+        case (_, Some(lt: LogicalType)) => throw new IllegalArgumentException(
+          s"AvroSource: unsupported Avro logical type ${lt.getName} over " +
+            s"${base.getType} for field ${f.name} (supported: date over int, " +
+            "timestamp-micros over long, decimal over bytes/fixed)")
+        case (Schema.Type.BOOLEAN, _) => BooleanType
+        case (Schema.Type.INT, _)     => IntegerType
+        case (Schema.Type.LONG, _)    => LongType
+        case (Schema.Type.FLOAT, _)   => FloatType
+        case (Schema.Type.DOUBLE, _)  => DoubleType
+        case (Schema.Type.STRING, _)  => StringType
+        case (Schema.Type.BYTES, _)   => BinaryType
+        case (other, _) => throw new IllegalArgumentException(
           s"AvroSource: unsupported Avro type $other for field ${f.name}")
       }
       StructField(f.name, dt, nullable)
     })
   }
 
-  private def toSpark(v: AnyRef): Any = v match {
-    case null => null
-    case u: org.apache.avro.util.Utf8 => u.toString
-    case s: CharSequence => s.toString
-    case b: java.nio.ByteBuffer =>
-      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
-    case x => x
+  /** Per-field Avro→Spark converter (null-transparent). Logical types come
+    * off `GenericDatumReader` as their RAW carrier (int/long/ByteBuffer or
+    * GenericFixed — the generic reader registers no conversions), so the
+    * date/timestamp/decimal mapping happens here, keyed off the SPARK type
+    * the schema mapping already agreed on. */
+  private def readConv(dt: DataType): AnyRef => Any = dt match {
+    case DateType => {
+      case null => null
+      case i: java.lang.Integer =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    }
+    case TimestampType => {
+      case null => null
+      case l: java.lang.Long =>
+        val v = l.longValue()
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L))
+    }
+    case TimestampNTZType => {
+      case null => null
+      case l: java.lang.Long =>
+        val v = l.longValue()
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC)
+    }
+    case d: DecimalType => {
+      case null => null
+      case b: java.nio.ByteBuffer =>
+        val a = new Array[Byte](b.remaining()); b.duplicate().get(a)
+        new java.math.BigDecimal(new java.math.BigInteger(a), d.scale)
+      case fx: org.apache.avro.generic.GenericFixed =>
+        new java.math.BigDecimal(new java.math.BigInteger(fx.bytes()), d.scale)
+    }
+    case _ => {
+      case null => null
+      case u: org.apache.avro.util.Utf8 => u.toString
+      case s: CharSequence => s.toString
+      case b: java.nio.ByteBuffer =>
+        val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+      case x => x
+    }
   }
 
-  private def toAvro(v: Any): AnyRef = v match {
-    case null => null
-    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-    case x => x.asInstanceOf[AnyRef]
+  /** Per-field Spark→Avro converter (null-transparent). Accepts both the
+    * default external types (java.sql.Date/Timestamp) and the java8-API
+    * ones (LocalDate/Instant) so callers' session config doesn't matter. */
+  private def writeConv(dt: DataType): Any => AnyRef = dt match {
+    case DateType => {
+      case null => null
+      case d: java.sql.Date =>
+        java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+      case d: java.time.LocalDate =>
+        java.lang.Integer.valueOf(d.toEpochDay.toInt)
+    }
+    case TimestampType => {
+      case null => null
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant
+        java.lang.Long.valueOf(
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            i.getNano / 1000L))
+      case t: java.time.Instant =>
+        java.lang.Long.valueOf(
+          Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
+            t.getNano / 1000L))
+    }
+    case TimestampNTZType => {
+      case null => null
+      case t: java.time.LocalDateTime =>
+        java.lang.Long.valueOf(
+          Math.addExact(Math.multiplyExact(
+            t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+            t.getNano / 1000L))
+    }
+    case d: DecimalType => {
+      case null => null
+      case bd: java.math.BigDecimal =>
+        java.nio.ByteBuffer.wrap(
+          bd.setScale(d.scale).unscaledValue().toByteArray)
+      case sd: scala.math.BigDecimal =>
+        java.nio.ByteBuffer.wrap(
+          sd.underlying().setScale(d.scale).unscaledValue().toByteArray)
+    }
+    case _ => {
+      case null => null
+      case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+      case x => x.asInstanceOf[AnyRef]
+    }
   }
 
   /** All `.avro` container files under `path` (or `path` itself if it is
@@ -116,6 +230,7 @@ object AvroSource {
     val files =
       if (Files.isRegularFile(p)) Seq(p)
       else {
+        require(Files.isDirectory(p), s"AvroSource: no Avro table at $path")
         val s = Files.walk(p)
         try s.iterator().asScala.filter(f => Files.isRegularFile(f) &&
           f.getFileName.toString.endsWith(".avro")).toSeq
@@ -126,17 +241,18 @@ object AvroSource {
   }
 
   /** Read an Avro container table: schema from one header (driver-side
-    * metadata only), then one task per file. Heals a writer's crashed
-    * swap first (path absent, retired `.old-*` tree complete — the
-    * [[Compaction.recoverInterrupted]] contract [[writeAvro]] shares). */
+    * metadata only), then one task per file. Resolves the table's CURRENT
+    * generation through the [[Compaction]] pointer and then scans an
+    * immutable complete tree — readers never heal or otherwise mutate
+    * table state (see the object scaladoc). */
   def readAvro(spark: SparkSession, path: String): DataFrame = {
-    Compaction.recoverInterrupted(path)
-    val files = listAvroFiles(path)
+    val files = listAvroFiles(Compaction.currentPath(path))
     val header = new DataFileReader[GenericRecord](
       new File(files.head), new GenericDatumReader[GenericRecord]())
     val avroJson = try header.getSchema.toString finally header.close()
     val sparkSchema = toSparkSchema(new Schema.Parser().parse(avroJson))
     val n = sparkSchema.fields.length
+    val fieldTypes = sparkSchema.fields.map(_.dataType)
     val rows = spark.sparkContext
       .parallelize(files, files.size)
       .flatMap { file =>
@@ -146,19 +262,31 @@ object AvroSource {
           new File(file), new GenericDatumReader[GenericRecord]())
         // close on task completion, not on iterator exhaustion — a limit/
         // take or a mid-iteration failure never drains the iterator, and
-        // an fd per file per bounded query leaks until GC otherwise
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
+        // an fd per file per bounded query leaks until GC otherwise. With
+        // NO TaskContext (driver-local RDD evaluation) that listener never
+        // exists, so exhaustion is the fallback close path there (ADVICE
+        // r12) — a non-drained driver-local read still leaks until GC,
+        // which is the best a lazily-consumed iterator can do.
+        val tc = Option(org.apache.spark.TaskContext.get())
+        tc.foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
         val expected = reader.getSchema.toString
-        if (expected != avroJson)
-          throw new IllegalStateException(
-            s"AvroSource: $file carries a different schema than the table's " +
-              "first file — mixed-schema directories are not supported")
+        if (expected != avroJson) {
+          val msg = s"AvroSource: $file carries a different schema than the " +
+            "table's first file — mixed-schema directories are not supported"
+          if (tc.isEmpty) reader.close()
+          throw new IllegalStateException(msg)
+        }
+        val convs = fieldTypes.map(readConv)
         new Iterator[Row] {
-          def hasNext: Boolean = reader.hasNext
+          private var open = true
+          def hasNext: Boolean = {
+            val h = open && reader.hasNext
+            if (!h && open && tc.isEmpty) { reader.close(); open = false }
+            h
+          }
           def next(): Row = {
             val rec = reader.next()
-            Row.fromSeq((0 until n).map(i => toSpark(rec.get(i))))
+            Row.fromSeq((0 until n).map(i => convs(i)(rec.get(i))))
           }
         }
       }
@@ -166,21 +294,20 @@ object AvroSource {
   }
 
   /** Write a DataFrame as an Avro container table with OVERWRITE semantics
-    * and crash atomicity: the job lands in a write-aside directory, and
-    * only a COMPLETE job swaps into `path` (retire old → move new → delete
-    * retired — the [[Compaction]] swap pattern, healed by the shared
-    * [[Compaction.recoverInterrupted]] if a writer dies mid-swap). A task
-    * or job failure therefore leaves the prior table fully intact — never
-    * a half-deleted, half-written directory a reader would silently serve.
-    * An empty input yields a READABLE empty table (one zero-record
-    * container file carrying the schema), matching the parquet sinks.
-    * Returns the number of container files written. */
+    * and crash atomicity via the versioned-pointer publish: the job lands
+    * in the NEXT generation dir `{path}.vN`, and only a COMPLETE job flips
+    * the `_CURRENT` pointer ([[Compaction.publishRewrite]] — the retired
+    * generation survives one grace cycle for in-flight readers). A task or
+    * job failure therefore leaves the prior table fully intact and current;
+    * the orphaned future generation is reclaimed by the next write's
+    * [[Compaction.reclaimOrphans]] (which also heals pre-pointer-era swap
+    * leftovers). An empty input yields a READABLE empty table (one
+    * zero-record container file carrying the schema), matching the parquet
+    * sinks. Returns the number of container files written. */
   def writeAvro(df: DataFrame, path: String,
                 recordName: String = "graft_record"): Int = {
     val sparkSchema = df.schema
     val avroJson = toAvroSchema(sparkSchema, recordName).toString
-    // heal a predecessor's crashed swap, then reclaim its leftover
-    // write-aside / retired trees (reclaimOrphans runs the heal first)
     Compaction.reclaimOrphans(path)
     def newWriter(schema: Schema, file: File): DataFileWriter[GenericRecord] = {
       val w = new DataFileWriter[GenericRecord](
@@ -189,18 +316,21 @@ object AvroSource {
       w.create(schema, file)
       w
     }
-    val tmp = path + ".compact-" + java.util.UUID.randomUUID() // reclaimed like a compaction orphan
-    Files.createDirectories(Paths.get(tmp))
+    val newVer = Compaction.currentVersion(path) + 1
+    val dst = s"$path.v$newVer"
+    Files.createDirectories(Paths.get(dst))
+    val fieldTypes = sparkSchema.fields.map(_.dataType)
     val written = df.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(avroJson)
-        val writer = newWriter(schema, new File(f"$tmp/part-$idx%05d.avro"))
+        val convs = fieldTypes.map(writeConv)
+        val writer = newWriter(schema, new File(f"$dst/part-$idx%05d.avro"))
         try it.foreach { row =>
           val rec = new GenericData.Record(schema)
           var i = 0
-          while (i < sparkSchema.fields.length) {
-            rec.put(i, toAvro(row.get(i))); i += 1
+          while (i < convs.length) {
+            rec.put(i, convs(i)(row.get(i))); i += 1
           }
           writer.append(rec)
         } finally writer.close()
@@ -209,20 +339,8 @@ object AvroSource {
     }.sum().toInt
     if (written == 0)
       newWriter(new Schema.Parser().parse(avroJson),
-        new File(s"$tmp/part-00000.avro")).close()
-    // swap the complete rewrite into place; replacing the WHOLE directory
-    // is what makes overwrite semantics airtight (no stale file at any
-    // depth can survive into the next read)
-    if (Files.exists(Paths.get(path))) {
-      val old = Paths.get(path + ".old-" + java.util.UUID.randomUUID())
-      Files.move(Paths.get(path), old)
-      Files.move(Paths.get(tmp), Paths.get(path))
-      Compaction.deleteRecursively(old)
-    } else {
-      Option(Paths.get(path).toAbsolutePath.getParent)
-        .foreach(Files.createDirectories(_))
-      Files.move(Paths.get(tmp), Paths.get(path))
-    }
+        new File(s"$dst/part-00000.avro")).close()
+    Compaction.publishRewrite(path, newVer)
     math.max(written, 1)
   }
 }

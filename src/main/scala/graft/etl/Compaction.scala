@@ -123,8 +123,11 @@ object Compaction {
     val cur = currentVersion(path)
     val parent = Paths.get(path).toAbsolutePath.getParent
     val prefix = Paths.get(path).getFileName.toString
-    if (parent != null && Files.isDirectory(parent) &&
-        (cur > 0L || Files.exists(Paths.get(path)))) {
+    // no existence gate on the table itself: a FRESH table's crashed first
+    // publish leaves a future generation dir (and possibly a staged
+    // pointer) with neither a flat tree nor a pointer — skipping reclaim
+    // there would let the next write land into the orphan's leftover files
+    if (parent != null && Files.isDirectory(parent)) {
       import scala.jdk.CollectionConverters._
       val siblings = Files.list(parent)
       try siblings.iterator().asScala
@@ -181,8 +184,10 @@ object Compaction {
 
   /** Publish the finished rewrite written at `{path}.v{newVer}`: flip the
     * pointer atomically, then vacuum generations older than the grace one.
-    * The source generation (`newVer - 1`) survives one more cycle. */
-  private def publishRewrite(path: String, newVer: Long): Unit = {
+    * The source generation (`newVer - 1`) survives one more cycle. Shared
+    * with [[AvroSource.writeAvro]], which commits its overwrite under the
+    * same pointer discipline. */
+  private[etl] def publishRewrite(path: String, newVer: Long): Unit = {
     commitPointer(path, newVer)
     vacuumRetired(path, newVer)
   }

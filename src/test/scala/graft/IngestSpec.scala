@@ -97,8 +97,6 @@ class IngestSpec extends AnyFunSuite {
 
   test("Avro source/sink: a warehouse table round-trips; one task per container file") {
     import org.apache.spark.sql.functions.col
-    // the flat interchange subset of customer (decimal rides as double for
-    // transport — Avro core has no decimal without logical types)
     val cust = Tables.customer(spark, TestSpark.sfDir)
       .select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("c_acctbal"),
@@ -111,6 +109,34 @@ class IngestSpec extends AnyFunSuite {
     assert(back.count() === cust.count())
     assert(back.exceptAll(cust).count() === 0)
     assert(cust.exceptAll(back).count() === 0)
+  }
+
+  test("Avro logical types: orders/lineitem dates, timestamps and decimals round-trip bit-exactly") {
+    import org.apache.spark.sql.functions.col
+    // the TPC-DI-shaped columns the flat subset could not carry before:
+    // date (int+date), timestamp (long+timestamp-micros), decimal(p,s)
+    // (bytes+decimal) — schema equality and bit-exact values both ways
+    val ord = Tables.orders(spark, TestSpark.sfDir)
+      .select(col("o_orderkey"),
+        col("o_orderdate").as("o_ts"),
+        col("o_orderdate").cast("date").as("o_date"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_price"))
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("l_date"),
+        col("l_extendedprice").cast("decimal(15,2)").as("l_price"),
+        col("l_discount").cast("decimal(4,3)").as("l_disc"))
+    for ((df, name) <- Seq((ord, "orders"), (li, "lineitem"))) {
+      val tmp = Files.createTempDirectory(s"graft_avro_lt_$name").toString
+      graft.etl.AvroSource.writeAvro(df.repartition(2), tmp)
+      val back = graft.etl.AvroSource.readAvro(spark, tmp)
+      assert(back.schema === df.schema,
+        s"$name: logical types must round-trip to the exact Spark schema, " +
+          s"got ${back.schema.treeString} vs ${df.schema.treeString}")
+      assert(back.count() === df.count())
+      assert(back.exceptAll(df).count() === 0, s"$name: rows diverged on read-back")
+      assert(df.exceptAll(back).count() === 0, s"$name: rows lost on read-back")
+    }
   }
 
   test("Avro sink: a rewrite with fewer partitions clears stale part files (overwrite semantics)") {
@@ -128,12 +154,13 @@ class IngestSpec extends AnyFunSuite {
 
   test("Avro source: unsupported and mixed schemas fail loudly, not silently") {
     import org.apache.spark.sql.types._
-    // unsupported Spark type on write
+    // unsupported Spark type on write (timestamps/dates/decimals are now
+    // carried as logical types — nested types remain out of scope)
     val err = intercept[IllegalArgumentException] {
       graft.etl.AvroSource.toAvroSchema(
-        new StructType().add("ts", TimestampType), "r")
+        new StructType().add("arr", ArrayType(IntegerType)), "r")
     }
-    assert(err.getMessage.contains("unsupported") && err.getMessage.contains("ts"))
+    assert(err.getMessage.contains("unsupported") && err.getMessage.contains("arr"))
     // mixed-schema directory on read
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "v")
