@@ -251,11 +251,17 @@ object Multimodal {
         org.apache.spark.sql.functions.col("hamming"))
 
   /** A synthetic image corpus with PLANTED near-duplicates, for
-    * [[qImageDedup]] and the MultimodalSpec recall case: `nBase` distinct
+    * [[qImageDedup]] and the MultimodalSpec recall cases: `nBase` distinct
     * PNG test cards (ids `0 until nBase`), and for every `everyK`-th base
-    * two planted variants — a pure RE-ENCODE (id + nBase; identical raster,
-    * Hamming 0) and a BRIGHTNESS-SHIFTED copy (id + 2·nBase; +6 per
-    * channel, clamped). Fully deterministic, generated on executors. */
+    * THREE planted variants — a pure RE-ENCODE (id + nBase; identical
+    * raster, Hamming 0), a BRIGHTNESS-SHIFTED copy (id + 2·nBase; +6 per
+    * channel, clamped), and a LOCAL BLOCK EDIT (id + 3·nBase): dHash grid
+    * cells (4,4)–(5,4) painted black, which pins the three touched
+    * gradient comparisons (bits 35/36/37) to (0,0,1) and leaves every
+    * other cell mean untouched — the planted pair lands at the measured
+    * Hamming ∈ [0, 3], usually ≥ 1, exercising the banded join's
+    * TOLERANCE band rather than only its exact-match path. Fully
+    * deterministic, generated on executors. */
   /** A seeded BLOCK-RANDOM test card (4×4-pixel blocks of hash-derived
     * color), PNG-encoded. Chosen over [[syntheticPng]]'s linear ramps for
     * the dedup corpus because dHash compares area-averaged cell means:
@@ -317,19 +323,51 @@ object Multimodal {
           }
           y += 1
         }
-        Seq(base, asset(i + nBase, encode(img)), asset(i + 2L * nBase, encode(shifted)))
+        // LOCAL BLOCK EDIT: blacken exactly the pixel ranges of dHash grid
+        // cells (4,4) and (5,4) — the same integer-division bounds
+        // [[dHash64]] uses, so no neighboring cell mean moves
+        val edited = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val inEdit = x >= 4 * w / 9 && x < 6 * w / 9 &&
+              y >= 4 * h / 8 && y < 5 * h / 8
+            edited.setRGB(x, y, if (inEdit) 0 else img.getRGB(x, y))
+            x += 1
+          }
+          y += 1
+        }
+        Seq(base, asset(i + nBase, encode(img)),
+          asset(i + 2L * nBase, encode(shifted)),
+          asset(i + 3L * nBase, encode(edited)))
       }
     }
   }
 
   /** §2.9 image near-dup dedup (no-oracle; declared smoke + MultimodalSpec
-    * planted-recall case): the dedup family extended across modalities —
+    * planted-recall cases): the dedup family extended across modalities —
     * perceptual dHash over REAL decoded PNG rasters, candidates via the
     * same banded Hamming join the text SimHash path uses. The sfDir
     * carries no media, so the corpus is the deterministic planted-dup
-    * synthetic (`dir` ignored): every (base, re-encode) and
-    * (base, brightness-shift) pair must surface; unrelated test cards sit
-    * at Hamming ≈ 32 and never join. */
+    * synthetic (`dir` ignored): every (base, re-encode),
+    * (base, brightness-shift) and (base, block-edit) pair must surface;
+    * unrelated test cards sit at Hamming ≈ 32 and never join.
+    *
+    * TRANSFORM ENVELOPE — what dHash does and does NOT survive. Survives:
+    * lossless re-encode (identical raster), global brightness/contrast
+    * shifts (per-comparison constants cancel; clamping costs ≤ a few
+    * bits), small localized edits (only the touched cells' comparisons
+    * move), and aspect-PRESERVING rescale (cell means are area averages).
+    * Does NOT survive: CROP (every cell boundary shifts — effectively a
+    * new fingerprint), RESIZE TO A DIFFERENT ASPECT RATIO (cell contents
+    * re-bin), ROTATION or mirroring (the gradient direction itself
+    * changes), and heavy recompression that moves cell means. A corpus
+    * where those transforms matter needs a rotation/crop-invariant
+    * fingerprint family (e.g. keypoint or radial-projection hashes) — a
+    * deliberate non-goal here; do not over-trust image dedup beyond this
+    * envelope. */
   def qImageDedup(spark: SparkSession, dir: String): DataFrame =
     imageDedupPairs(syntheticImageCorpus(spark, 200, everyK = 5))
       .orderBy("asset_a", "asset_b")

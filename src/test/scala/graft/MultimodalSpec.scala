@@ -152,19 +152,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
-  test("image dedup: every planted re-encode and brightness-shift pair is recovered; unrelated cards never pair") {
+  test("image dedup: every planted variant pair is recovered; unrelated cards never pair") {
     val nBase = 200
     val pairs = Multimodal.imageDedupPairs(
         Multimodal.syntheticImageCorpus(spark, nBase, everyK = 5))
       .collect()
       .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
         r.getAs[Int]("hamming")))
-    // planted truth: base i (i % 5 == 0) has a re-encoded twin at i + nBase
-    // and a brightness-shifted twin at i + 2·nBase; all three are mutual
-    // near-dups (one component of 3 → 3 pairs per planted base)
+    // planted truth: base i (i % 5 == 0) has a re-encoded twin at i + nBase,
+    // a brightness-shifted twin at i + 2·nBase and a block-edited twin at
+    // i + 3·nBase; all four are mutual near-dups (the edit moves at most
+    // 3 fingerprint bits) — one component of 4 → 6 pairs per planted base
     val planted = (0 until nBase by 5).flatMap { i =>
-      Seq((i.toLong, i + nBase.toLong), (i.toLong, i + 2L * nBase),
-        (i + nBase.toLong, i + 2L * nBase))
+      val ids = Seq(i.toLong, i + nBase.toLong, i + 2L * nBase, i + 3L * nBase)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
     }.toSet
     val found = pairs.map(p => (p._1, p._2)).toSet
     assert(planted.subsetOf(found),
@@ -172,9 +173,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(found === planted,
       s"unrelated cards must never pair at Hamming <= 3: extras = ${(found -- planted).toSeq.sorted.take(5)}")
     // re-encodes are raster-identical (Hamming 0); the +6 shift never
-    // clamps on the block cards, so its fingerprint is also exact
-    assert(pairs.forall(_._3 === 0),
-      s"planted variants must be fingerprint-exact on the clamp-free cards")
+    // clamps on the block cards, so its fingerprint is also exact — the
+    // block-edited twin (ids >= 3·nBase) is the deliberate non-zero case
+    assert(pairs.filter(_._2 < 3L * nBase).forall(_._3 === 0),
+      s"re-encode and shift variants must be fingerprint-exact on the clamp-free cards")
+  }
+
+  test("image dedup: planted block edits land at measured Hamming 1-3 and are recovered through the banded join's tolerance band") {
+    val nBase = 200
+    val corpus = Multimodal.syntheticImageCorpus(spark, nBase, everyK = 5)
+    // reassemble each 64-bit fingerprint from its four 16-bit bands
+    val fp = Multimodal.imageFingerprints(corpus).collect().map { r =>
+      r.getLong(0) -> ((r.getInt(1).toLong & 0xffffL) |
+        ((r.getInt(2).toLong & 0xffffL) << 16) |
+        ((r.getInt(3).toLong & 0xffffL) << 32) |
+        ((r.getInt(4).toLong & 0xffffL) << 48))
+    }.toMap
+    val planted = (0 until nBase by 5).map { i =>
+      (i.toLong, i + 3L * nBase,
+        java.lang.Long.bitCount(fp(i.toLong) ^ fp(i + 3L * nBase)))
+    }
+    // the block edit pins bits 35/36/37 to (0,0,1): never more than 3 flips,
+    // and ≥ 1 for every base whose prior bits weren't already (0,0,1)
+    assert(planted.forall(_._3 <= 3),
+      s"a single-block edit must move at most 3 fingerprint bits, got ${planted.filter(_._3 > 3)}")
+    val band = planted.filter(p => p._3 >= 1 && p._3 <= 3)
+    assert(band.size >= 10,
+      s"expected a healthy population of measured Hamming 1-3 planted pairs, got ${band.size} of ${planted.size}")
+    // every measured-distance pair must come back from the banded join WITH
+    // that distance — this is the tolerance band the join exists for, which
+    // the Hamming-0 recall case alone never exercised
+    val pairs = Multimodal.imageDedupPairs(corpus).collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    for ((a, b, d) <- band)
+      assert(pairs.get((a, b)).contains(d),
+        s"planted Hamming-$d pair ($a,$b) not recovered, got ${pairs.get((a, b))}")
   }
 
   test("image fingerprints are deterministic and partitioning-independent") {
