@@ -59,10 +59,15 @@ object IncrementalDedup {
 
   /** Dedup `batch` (`doc_id`, `text`, …) against the index at `indexDir`
     * and within itself, append the survivors' postings, and return the kept
-    * rows (original batch columns). */
+    * rows (original batch columns). `imageCol` names an optional binary
+    * image-payload column: decodable images then ALSO post their dHash
+    * bands, extending the near-dup gate across the modality (see
+    * [[keptPostings]]). */
   def ingest(batch: DataFrame, indexDir: String,
-             bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val keptPosts = keptPostings(batch, indexDir, bands, rowsPerBand)
+             bands: Int = 4, rowsPerBand: Int = 2,
+             imageCol: Option[String] = None): DataFrame = {
+    val keptPosts = keptPostings(batch, indexDir, bands, rowsPerBand,
+      imageCol = imageCol)
     commitPostings(keptPosts, indexDir)
     batch.join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
   }
@@ -87,21 +92,40 @@ object IncrementalDedup {
     * dropped. */
   def keptPostings(batch: DataFrame, indexDir: String,
                    bands: Int = 4, rowsPerBand: Int = 2,
-                   excludeBatchKey: Option[String] = None): DataFrame = {
+                   excludeBatchKey: Option[String] = None,
+                   imageCol: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     // hash the batch ONCE; every later step reuses these postings
     val hashed = Llm.minhashBandRows(batch, bands, rowsPerBand)
-    // A doc with no shingle signature (null text) still gets ONE posting —
-    // a whole-text-hash cell in sentinel band -1 — so an exact replay
-    // collides with its own stored posting and is dropped like any other
-    // duplicate, instead of being re-admitted on every batch. Near-dups of
-    // unshingleable docs remain undetectable by construction (no signature
-    // to band); only EXACT repeats carry evidence, and the hash cell is it.
+    // IMAGE MODALITY (r12 #5): decodable image payloads post their four
+    // 16-bit dHash bands into the SAME table under a disjoint band-id
+    // range — cross-batch image near-dups (Hamming ≤ 3 always shares a
+    // band; pigeonhole) then collide exactly like text minhash dups, and
+    // every downstream step (collision gate, in-batch CC, batch-keyed
+    // commit, replay exclusion) applies unchanged.
+    val imagePosts = imageCol.filter(batch.columns.contains) match {
+      case Some(c) => graft.sources.Multimodal.imagePostingRows(batch, c)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey")
+    }
+    // A doc with NO signature of either modality (null text and no
+    // decodable image) still gets ONE posting — a whole-text-hash cell in
+    // sentinel band -1 — so an exact replay collides with its own stored
+    // posting and is dropped like any other duplicate, instead of being
+    // re-admitted on every batch. (A doc with an image signature must NOT
+    // take this fallback: all null-text image docs would share the
+    // md5("") cell and greedily drop each other.) Near-dups of signature-
+    // less docs remain undetectable by construction; only EXACT repeats
+    // carry evidence, and the hash cell is it.
+    val signed = hashed.select("doc_id")
+      .union(imagePosts.select("doc_id")).distinct()
     val unshingled = batch
-      .join(hashed.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .join(signed, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit(-1).as("band"),
               md5(coalesce(col("text"), lit(""))).as("bkey"))
-    val posts = hashed.unionByName(unshingled).localCheckpoint(true)
+    val posts = hashed.unionByName(imagePosts).unionByName(unshingled)
+      .localCheckpoint(true)
 
     // 1) drop batch docs colliding with the stored corpus. Join DIRECTION
     // matters at scale: `posts SEMI stored` builds on the stored table

@@ -242,6 +242,41 @@ object Multimodal {
     }.toDF("doc_id", "b0", "b1", "b2", "b3")
   }
 
+  /** Per-image DEDUP POSTING rows `(doc_id, band, bkey)` — the exact row
+    * shape of [[graft.queries.Llm.minhashBandRows]], so an image-carrying
+    * ingest stream feeds the SAME [[graft.etl.IncrementalDedup]] posting
+    * table and admission machinery as text (band ids offset by `bandBase`
+    * so the two modalities' cells can never collide in one table). Each
+    * decodable image contributes its four 16-bit dHash bands as hex bkeys;
+    * by pigeonhole, any stored image within Hamming ≤ 3 shares at least
+    * one band with the incoming one, so banded-cell collision admission
+    * has FULL recall over the near-dup threshold — with the same
+    * probabilistic precision as minhash LSH bands (an unrelated pair
+    * sharing one 16-bit band is a greedy false drop, ~4·2⁻¹⁶ per stored
+    * pair per cell — the standard LSH admission trade, tunable by band
+    * width). Undecodable or null payloads contribute no rows (they fall to
+    * the caller's whole-payload fallback). */
+  def imagePostingRows(batch: DataFrame, imageCol: String,
+                       bandBase: Int = 1000): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("doc_id").cast("long"), col(imageCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          if (payload == null) Iterator.empty
+          else decodeImage(payload) match {
+            case Some(img) =>
+              val h = dHash64(img)
+              (0 until 4).iterator.map { b =>
+                (id, bandBase + b, f"${(h >>> (16 * b)) & 0xffffL}%04x")
+              }
+            case None => Iterator.empty[(Long, Int, String)]
+          }
+        }
+      }.toDF("doc_id", "band", "bkey")
+  }
+
   /** Near-dup pairs over an image corpus: perceptual dHash fingerprints →
     * the shared banded Hamming join. Output `(asset_a, asset_b, hamming)`. */
   def imageDedupPairs(assets: Dataset[Asset]): DataFrame =
@@ -272,7 +307,7 @@ object Multimodal {
     * so a +6 brightness shift never clamps (the planted near-dup is then
     * fingerprint-exact; real-world clamping costs at most a few bits,
     * still inside the ≤ 3 threshold). */
-  private def syntheticBlockCard(seed: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def syntheticBlockCard(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0

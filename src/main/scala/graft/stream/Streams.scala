@@ -683,7 +683,10 @@ object Streams {
     *      work, banded equi-joins, never all-pairs) — EXCLUDING the batch's
     *      own `batch_id` posting partition, so a replay recomputes against
     *      the exact pre-batch index state and re-derives the original
-    *      survivor set deterministically;
+    *      survivor set deterministically. With `imageCol` set, decodable
+    *      image payloads ALSO post their dHash bands through the same
+    *      machinery, so cross-batch image near-dups are gated exactly like
+    *      text minhash dups;
     *   2. mixture-budget gate (optional): prior per-source spend comes from
     *      the COMPACTED ledger at `corpusDir/_budget` — O(|sources|) rows
     *      read per batch, never an O(corpus) re-aggregation;
@@ -739,7 +742,8 @@ object Streams {
                    sq8Dir: Option[String] = None,
                    budgetPerSource: Option[Long] = None,
                    nBuckets: Int = 64,
-                   vacuumEvery: Int = 0, compactEvery: Int = 0)
+                   vacuumEvery: Int = 0, compactEvery: Int = 0,
+                   imageCol: Option[String] = None)
       : DataStreamWriter[Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -776,7 +780,7 @@ object Streams {
         // current and complete — an absent index dir now always means a
         // genuinely empty index (the first-batch case), never a half-swap.
         val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir,
-            excludeBatchKey = Some(batchKey))
+            excludeBatchKey = Some(batchKey), imageCol = imageCol)
           .localCheckpoint(true)
         val deduped = batch
           .join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")

@@ -15,6 +15,10 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 /** One document-with-embedding row for the composed ingest pipeline. */
 case class IngestDoc(doc_id: Long, text: String, embedding: Array[Float])
 
+/** An image-carrying ingest doc: null-able text plus a PNG payload. */
+case class ImageDoc(doc_id: Long, text: String, image: Array[Byte],
+                    embedding: Array[Float])
+
 /** [[IngestDoc]] with a source tag, for the budget-gated ingest test. */
 case class SourcedDoc(doc_id: Long, text: String, source: String,
                       embedding: Array[Float])
@@ -1032,6 +1036,74 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(doc(1000L)); q.processAllAvailable()
       assert(graft.etl.BucketedTable.readCurrent(spark, corpusDir).count()
         === nBatches * 2L + 1)
+    } finally q.stop()
+  }
+
+  test("corpusIngest with imageCol: cross-batch image near-dups drop at admission; replay no-ops") {
+    import java.nio.file.Files
+    import graft.sources.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_img_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_img_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_img_corpus").toString
+    def card(seed: Long) = Multimodal.syntheticBlockCard(seed, 36, 24)
+    // brightness-shifted copy (+6 per channel; the block cards stay clamp-
+    // free, so the variant's dHash matches the base's in every band) — the
+    // planted CROSS-BATCH image near-dup
+    def shifted(png: Array[Byte]): Array[Byte] = {
+      val img = Multimodal.decodeImage(png).get
+      val out = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val argb = img.getRGB(x, y)
+        def c(v: Int) = math.min(255, v + 6)
+        out.setRGB(x, y, (c((argb >> 16) & 0xff) << 16) |
+          (c((argb >> 8) & 0xff) << 8) | c(argb & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    // null text everywhere: admission evidence is the IMAGE signature alone
+    val b1 = Seq(ImageDoc(1, null, card(1), emb(1)),
+                 ImageDoc(2, null, card(2), emb(2)))
+    val b2 = Seq(ImageDoc(3, null, shifted(card(1)), emb(3)), // near-dup of 1
+                 ImageDoc(4, null, card(4), emb(4)))          // novel
+    val mem = MemoryStream[ImageDoc]
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
+      imageCol = Some("image")).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      def corpusIds = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      // doc 2's distinct card must be ADMITTED even with null text (image
+      // docs must not collapse onto the shared unshingled md5("") cell);
+      // doc 3's shifted copy of doc 1 must be DROPPED across batches
+      assert(corpusIds === Seq(1L, 2L, 4L),
+        s"image near-dup gate must admit {1,2,4}, got $corpusIds")
+      // the admitted docs' postings live in the image band range — the
+      // same table, a disjoint namespace
+      val postings = spark.read
+        .parquet(graft.etl.Compaction.currentPath(s"$dedupDir/postings"))
+      val bandsSeen = postings.select("band").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(bandsSeen.forall(_ >= 1000),
+        s"image-doc postings must land in the image band namespace, got $bandsSeen")
+      // at-least-once re-send of b2: every doc collides with its own (or
+      // doc 1's) stored postings — no new corpus version, no index growth
+      val v = graft.etl.BucketedTable.currentVersion(corpusDir)
+      val postRows = postings.count()
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(graft.etl.BucketedTable.currentVersion(corpusDir) === v,
+        "a replayed image batch must not publish a new corpus snapshot")
+      assert(spark.read
+        .parquet(graft.etl.Compaction.currentPath(s"$dedupDir/postings"))
+        .count() === postRows,
+        "a replayed image batch must not grow the posting table")
+      assert(corpusIds === Seq(1L, 2L, 4L))
     } finally q.stop()
   }
 }
