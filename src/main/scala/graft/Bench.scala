@@ -52,18 +52,29 @@ object Bench {
     // shrink the total: it lands in "errors" (first exception message) and
     // its per-query time is reported as -1 — an explicit broken marker the
     // 2x gate can see, instead of a quietly-faster-looking bench.
-    // (name, min seconds, spread = max-min of the timed runs, error).
-    // The spread makes ambient machine contention VISIBLE in the artifact:
-    // a wide spread says the number is noise-dominated, which two rounds of
-    // driver-sweep adjudication previously required a judge re-run to see.
+    // (name, min seconds, spread, error). Spread = gap between the two
+    // FASTEST runs — the convergence signal for the reported min. It makes
+    // ambient machine contention VISIBLE in the artifact: a wide spread
+    // says the number is noise-dominated, which two rounds of driver-sweep
+    // adjudication previously required a judge re-run to see.
+    // ADAPTIVE REPEATS (r12 judge #7): two runs can BOTH be contended
+    // (r12: q_warehouse_etl spread 26.7 on min 2.8), so while the two best
+    // runs still disagree by more than the min itself, run another repeat
+    // (cap 4 total) — the headline total then converges on an idle-machine
+    // number even when the sweep starts under contention.
     val results: Seq[(String, Double, Double, Option[String])] = names.map { n =>
-      val runs = (1 to 2).map { _ =>
+      def timed(): Either[String, Double] = {
         val t0 = System.nanoTime()
         try Right { evalOnce(n); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       }
+      var runs = Vector(timed(), timed())
+      def best2 = runs.collect { case Right(s) => s }.sorted.take(2)
+      def spread = if (best2.size < 2) 0.0 else best2(1) - best2(0)
+      while (runs.size < 4 && best2.nonEmpty && spread > best2.head)
+        runs :+= timed()
       val ok = runs.collect { case Right(s) => s }
-      if (ok.nonEmpty) (n, ok.min, ok.max - ok.min, None)
+      if (ok.nonEmpty) (n, ok.min, spread, None)
       else (n, -1.0, 0.0, Some(runs.collectFirst { case Left(m) => m }.get))
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")
