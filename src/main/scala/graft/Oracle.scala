@@ -1559,7 +1559,7 @@ object Oracle {
       """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
         |  FROM customer GROUP BY 1, 2),
         |s AS (SELECT c_nationkey, c_mktsegment, n,
-        |  md5('dp:' || CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment) AS h
+        |  md5('dp:' || '|' || CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment) AS h
         |  FROM g)
         |SELECT c_nationkey, c_mktsegment,
         |  CAST(n + (CAST(substr('0112122312232334', strpos('0123456789abcdef', substr(h,1,1)), 1) AS INT)

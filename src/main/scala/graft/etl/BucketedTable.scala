@@ -266,27 +266,50 @@ object BucketedTable {
     // lost the commit — raise so the owner heals (the racer's snapshot is
     // still consistent).
     val after = currentVersion(tableDir)
-    if (after != version && !chainContains(tableDir, after, version))
-      throw new java.util.ConcurrentModificationException(
-        s"$tableDir: concurrent writer overwrote commit v=$version — the " +
-          s"pointer now names v=$after whose parent chain does not pass " +
-          s"through v=$version; this table is single-writer and the racing " +
-          "snapshot does not contain this commit's buckets.")
+    if (after != version) chainCheck(tableDir, after, version) match {
+      case ChainContains => ()
+      case ChainIndeterminate =>
+        // an unreadable INTERMEDIATE manifest is not proof of an overwrite
+        // (ADVICE r12): a lock-respecting descendant commit can land and a
+        // vacuum can reclaim a now-unreferenced intermediate version dir
+        // between our pointer rename and this read — raising here would
+        // report a successfully published commit as lost. Warn instead;
+        // the lock-holding parent check above remains the authoritative
+        // same-host race detector.
+        System.err.println(
+          s"[graft] $tableDir: post-commit chain check for v=$version was " +
+            s"indeterminate (an intermediate manifest under current v=$after " +
+            "is unreadable — likely vacuumed after a later lock-respecting " +
+            "commit); treating the publish as intact.")
+      case ChainExcludes =>
+        throw new java.util.ConcurrentModificationException(
+          s"$tableDir: concurrent writer overwrote commit v=$version — the " +
+            s"pointer now names v=$after whose parent chain does not pass " +
+            s"through v=$version; this table is single-writer and the racing " +
+            "snapshot does not contain this commit's buckets.")
+    }
     version
   }
 
+  private sealed trait ChainCheck
+  private case object ChainContains extends ChainCheck
+  private case object ChainExcludes extends ChainCheck
+  private case object ChainIndeterminate extends ChainCheck
+
   /** Does `from`'s parent chain include `target`? Parents are strictly
-    * smaller versions, so the walk terminates; a missing/legacy manifest
-    * (parent -1 or unreadable) ends the walk as not-found. */
-  private def chainContains(tableDir: String, from: Long, target: Long): Boolean = {
+    * smaller versions, so the walk terminates. A chain that provably roots
+    * (parent -1) without passing `target` EXCLUDES it; an unreadable
+    * intermediate manifest makes the answer INDETERMINATE — the two must
+    * not be conflated (see the caller). */
+  private def chainCheck(tableDir: String, from: Long, target: Long): ChainCheck = {
     var v = from
     while (v > target) {
       v = try readManifest(tableDir, Some(v)).parent
-          catch { case _: Exception => return false }
-      if (v == target) return true
-      if (v < 0) return false
+          catch { case _: Exception => return ChainIndeterminate }
+      if (v == target) return ChainContains
+      if (v < 0) return ChainExcludes
     }
-    v == target
+    if (v == target) ChainContains else ChainExcludes
   }
 
   /** Maintenance REBUCKET: materialize the entire current snapshot into one

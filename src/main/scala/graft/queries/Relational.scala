@@ -430,8 +430,12 @@ object Relational {
     Tables.customer(spark, dir)
       .groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("h", md5(concat(lit(seed), col("c_nationkey").cast("string"),
-        lit(":"), col("c_mktsegment"))))
+      // the "|" delimits SEED from GROUP KEY in the hash input (ADVICE r12):
+      // without it, seed "a" with key 12 and seed "a1" with key 2 hash the
+      // same bytes, so a cross-release seed rotation could silently reuse
+      // noise for aliasing groups
+      .withColumn("h", md5(concat(lit(seed), lit("|"),
+        col("c_nationkey").cast("string"), lit(":"), col("c_mktsegment"))))
       .select(col("c_nationkey"), col("c_mktsegment"),
         (col("n") + pop - 16).cast("long").as("n_released"))
       .orderBy("c_nationkey", "c_mktsegment")

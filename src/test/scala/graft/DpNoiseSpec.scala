@@ -47,4 +47,30 @@ class DpNoiseSpec extends AnyFunSuite {
     assert(a.length === b.length)
     assert(a !== b, "a fresh seed must produce a fresh noise vector")
   }
+
+  private def noiseByGroup(seed: String): Map[(Int, String), Double] = {
+    val released = Relational.qDpCounts(spark, TestSpark.sfDir, seed)
+    val exact = Tables.customer(spark, TestSpark.sfDir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_exact"))
+    released.join(exact, Seq("c_nationkey", "c_mktsegment"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        (col("n_released") - col("n_exact")).cast("double"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+  }
+
+  test("seed/key boundary is delimited: seed 'a' at key 12 and seed 'a1' at key 2 draw independently") {
+    // WITHOUT the delimiter, 'a' ++ '12:SEG' and 'a1' ++ '2:SEG' hash the
+    // same bytes — nation 12 under seed 'a' would silently reuse nation 2's
+    // noise under the rotated seed 'a1' for every segment
+    val a = noiseByGroup("a")
+    val a1 = noiseByGroup("a1")
+    val segs = a.keySet.collect { case (12, s) => s }
+      .intersect(a1.keySet.collect { case (2, s) => s })
+    assert(segs.nonEmpty, "fixture must carry nations 12 and 2")
+    assert(segs.exists(s => a((12, s)) != a1((2, s))),
+      "an undelimited seed concat aliases (seed a, nation 12) with " +
+        "(seed a1, nation 2) — their draws must be independent")
+  }
 }
