@@ -234,8 +234,10 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(out.length === truth.size)
     def popcountNoise(nation: Int, seg: String): Long = {
+      // the "|" delimits seed from group key (see qDpCounts — seed-rotation
+      // aliasing fix); this independent recomputation must match it
       val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"dp:$nation:$seg".getBytes("UTF-8"))
+        .digest(s"dp:|$nation:$seg".getBytes("UTF-8"))
       val hex = md.map("%02x".format(_)).mkString.take(8)
       hex.map(c => Integer.bitCount(Integer.parseInt(c.toString, 16))).sum.toLong - 16L
     }
