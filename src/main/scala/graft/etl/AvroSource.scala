@@ -224,7 +224,15 @@ object AvroSource {
   }
 
   /** All `.avro` container files under `path` (or `path` itself if it is
-    * one), sorted for deterministic partition numbering. */
+    * one), sorted for deterministic partition numbering.
+    *
+    * Caveat for PARENT-directory reads: a pointer-published table keeps its
+    * retired generation (`{table}.vN-1`) on disk for one write cycle beside
+    * the current one, so recursively walking a directory that CONTAINS
+    * pointer-published table roots would read the grace copy too and
+    * double-count rows. Always address a table by its root (this function
+    * is called on the pointer-resolved root by [[readAvro]]); directory
+    * aggregation belongs above the table layer. */
   private def listAvroFiles(path: String): Seq[String] = {
     val p = Paths.get(path)
     val files =
