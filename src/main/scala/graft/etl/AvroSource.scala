@@ -136,19 +136,25 @@ object AvroSource {
     * off `GenericDatumReader` as their RAW carrier (int/long/ByteBuffer or
     * GenericFixed — the generic reader registers no conversions), so the
     * date/timestamp/decimal mapping happens here, keyed off the SPARK type
-    * the schema mapping already agreed on. */
-  private def readConv(dt: DataType): AnyRef => Any = dt match {
+    * the schema mapping already agreed on. `java8` mirrors the session's
+    * `spark.sql.datetime.java8API.enabled`: `createDataFrame` validates
+    * external date/timestamp types against that flag, so the emitted type
+    * must follow it (java.time.LocalDate/Instant vs java.sql.Date/
+    * Timestamp; NTZ is LocalDateTime under either setting). */
+  private def readConv(dt: DataType, java8: Boolean): AnyRef => Any = dt match {
     case DateType => {
       case null => null
       case i: java.lang.Integer =>
-        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+        val ld = java.time.LocalDate.ofEpochDay(i.longValue())
+        if (java8) ld else java.sql.Date.valueOf(ld)
     }
     case TimestampType => {
       case null => null
       case l: java.lang.Long =>
         val v = l.longValue()
-        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-          Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L))
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L)
+        if (java8) inst else java.sql.Timestamp.from(inst)
     }
     case TimestampNTZType => {
       case null => null
@@ -261,6 +267,10 @@ object AvroSource {
     val sparkSchema = toSparkSchema(new Schema.Parser().parse(avroJson))
     val n = sparkSchema.fields.length
     val fieldTypes = sparkSchema.fields.map(_.dataType)
+    // resolved ONCE on the driver: the emitted external date/timestamp types
+    // must match what this session's createDataFrame validation expects
+    val java8 = spark.conf.get("spark.sql.datetime.java8API.enabled", "false")
+      .toBoolean
     val rows = spark.sparkContext
       .parallelize(files, files.size)
       .flatMap { file =>
@@ -284,7 +294,7 @@ object AvroSource {
           if (tc.isEmpty) reader.close()
           throw new IllegalStateException(msg)
         }
-        val convs = fieldTypes.map(readConv)
+        val convs = fieldTypes.map(readConv(_, java8))
         new Iterator[Row] {
           private var open = true
           def hasNext: Boolean = {

@@ -299,13 +299,20 @@ object BucketedTable {
   /** Does `from`'s parent chain include `target`? Parents are strictly
     * smaller versions, so the walk terminates. A chain that provably roots
     * (parent -1) without passing `target` EXCLUDES it; an unreadable
-    * intermediate manifest makes the answer INDETERMINATE — the two must
-    * not be conflated (see the caller). */
+    * INTERMEDIATE manifest makes the answer INDETERMINATE — the two must
+    * not be conflated (see the caller). The FIRST step is different: `from`
+    * is the CURRENT version, which a lock-respecting vacuum can never
+    * reclaim, so an unreadable current manifest is itself evidence of a
+    * misbehaving writer (torn manifest / deleted current dir) and reads as
+    * EXCLUDES, not indeterminate. */
   private def chainCheck(tableDir: String, from: Long, target: Long): ChainCheck = {
     var v = from
+    var first = true
     while (v > target) {
       v = try readManifest(tableDir, Some(v)).parent
-          catch { case _: Exception => return ChainIndeterminate }
+          catch { case _: Exception =>
+            return if (first) ChainExcludes else ChainIndeterminate }
+      first = false
       if (v == target) return ChainContains
       if (v < 0) return ChainExcludes
     }

@@ -62,15 +62,10 @@ object Compaction {
   def tableExists(path: String): Boolean =
     Files.isDirectory(Paths.get(currentPath(path)))
 
-  /** Atomic pointer flip — stage the content, one rename onto `_CURRENT`
-    * (the [[Warehouse.commitPointer]] idiom). */
-  private def commitPointer(path: String, version: Long): Unit = {
-    import java.nio.file.StandardCopyOption
-    val tmp = Paths.get(path + s"._CURRENT.tmp-$version")
-    Files.writeString(tmp, version.toString)
-    Files.move(tmp, pointerFile(path),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Atomic pointer flip — the one shared stage-then-ATOMIC_MOVE protocol,
+    * pointed at this layer's sibling `{path}._CURRENT` location. */
+  private def commitPointer(path: String, version: Long): Unit =
+    Warehouse.commitPointerAt(pointerFile(path), version)
 
   /** Delete every generation older than the grace one (`cur - 1`): version
     * dirs `{path}.vK` with K ≤ cur−2, and the flat generation-0 tree once
@@ -152,9 +147,12 @@ object Compaction {
     * table), and the index readers treat a missing dir as an EMPTY index.
     * The versioned-pointer publish cannot produce this state (the data tree
     * never moves; a crash just leaves the old generation current), so this
-    * is now called only from compaction entry points via [[reclaimOrphans]]
-    * — not from any reader or per-batch hot path. No-op whenever a pointer
-    * exists: under the pointer layout an absent flat `path` is the NORMAL
+    * is called only from WRITE-side entry points: compactions via
+    * [[reclaimOrphans]], and [[graft.stream.Streams.corpusIngest]]'s batch
+    * body (which reads the index before any compaction would run, and must
+    * not mistake a legacy crashed swap for an empty first-batch index) —
+    * never from a reader (ADVICE r12). No-op whenever a pointer exists:
+    * under the pointer layout an absent flat `path` is the NORMAL
     * vacuumed-generation-0 state, not a crash. Returns true if a restore
     * happened. */
   def recoverInterrupted(path: String): Boolean = {

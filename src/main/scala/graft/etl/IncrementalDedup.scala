@@ -103,8 +103,19 @@ object IncrementalDedup {
     // band; pigeonhole) then collide exactly like text minhash dups, and
     // every downstream step (collision gate, in-batch CC, batch-keyed
     // commit, replay exclusion) applies unchanged.
-    val imagePosts = imageCol.filter(batch.columns.contains) match {
-      case Some(c) => graft.sources.Multimodal.imagePostingRows(batch, c)
+    val imagePosts = imageCol match {
+      case Some(c) =>
+        // FAIL LOUDLY on a missing column: a structured stream's schema is
+        // fixed, so a name typo would otherwise disable the image gate for
+        // the stream's whole lifetime, indistinguishable from "no dups"
+        require(batch.columns.contains(c),
+          s"IncrementalDedup: imageCol '$c' is not a column of the batch " +
+            s"(columns: ${batch.columns.mkString(", ")})")
+        // pin the fingerprints: the frame feeds BOTH the posting union and
+        // the signed-docs anti-join below — without the checkpoint every
+        // image would be PNG-decoded and dHashed twice per batch
+        graft.sources.Multimodal.imagePostingRows(batch, c)
+          .localCheckpoint(true)
       case None =>
         import spark.implicits._
         Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey")

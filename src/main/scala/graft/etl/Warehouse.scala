@@ -100,11 +100,21 @@ object Warehouse {
 
   /** The COMMIT: stage the pointer content, then one atomic rename onto
     * `_CURRENT`. Shared by both manifest layers. */
-  private[etl] def commitPointer(tableDir: String, version: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = Paths.get(tableDir, s"_CURRENT.tmp-$version")
+  private[etl] def commitPointer(tableDir: String, version: Long): Unit =
+    commitPointerAt(java.nio.file.Paths.get(tableDir, "_CURRENT"), version)
+
+  /** The ONE copy of the stage-then-ATOMIC_MOVE pointer-commit protocol,
+    * parameterized on where the pointer file lives: inside the table dir
+    * (the Warehouse/BucketedTable manifest layers) or as a `{table}._CURRENT`
+    * sibling ([[Compaction]]'s generation pointer). Any future protocol
+    * change (parent-dir fsync, tmp-collision handling, non-POSIX rename
+    * fallback) lands here once. */
+  private[etl] def commitPointerAt(pointer: java.nio.file.Path,
+                                   version: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = pointer.resolveSibling(pointer.getFileName.toString + s".tmp-$version")
     Files.writeString(tmp, version.toString)
-    Files.move(tmp, Paths.get(tableDir, "_CURRENT"),
+    Files.move(tmp, pointer,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 

@@ -774,11 +774,21 @@ object Streams {
               "replay and ledger rollback would target the wrong data)"))
           // full id: a truncated prefix could collide
         val batchKey = s"$lineage-$batchId"
-        // No pre-read crash heal is needed: compaction publishes under a
-        // versioned pointer ([[graft.etl.Compaction.currentPath]]), so a
-        // maintenance crash at ANY point leaves the previous generation
-        // current and complete — an absent index dir now always means a
-        // genuinely empty index (the first-batch case), never a half-swap.
+        // Pointer-era crashes need no heal (a compaction death at any point
+        // leaves the previous generation current and complete), but a table
+        // last maintained by the PRE-r13 RENAME-swap code can still sit in
+        // its crashed-swap state (flat path absent, `.old-*` retired tree
+        // complete, no pointer) — and this batch body reads the index BEFORE
+        // any compaction entry point would heal it, so skipping the heal
+        // here would read that state as an EMPTY index, re-admit near-dups
+        // of the whole corpus, and let the batch's own commit recreate the
+        // dir so the restore can never fire again. The heal is a no-op the
+        // moment a pointer exists or the flat dir is present (a few
+        // metadata checks per batch), and this is the WRITER's entry point,
+        // so healing here honors the readers-never-mutate contract.
+        graft.etl.Compaction.recoverInterrupted(s"$dedupDir/postings")
+        graft.etl.Compaction.recoverInterrupted(s"$lshDir/buckets")
+        sq8Dir.foreach(d => graft.etl.Compaction.recoverInterrupted(s"$d/sq8"))
         val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir,
             excludeBatchKey = Some(batchKey), imageCol = imageCol)
           .localCheckpoint(true)

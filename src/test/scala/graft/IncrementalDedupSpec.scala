@@ -113,6 +113,15 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(gated, "expected the postings scan streamed into a broadcast gate join")
   }
 
+  test("a misnamed imageCol fails loudly instead of silently disabling the image gate") {
+    val idx = Files.createTempDirectory("graft_inc_imgcol").toString
+    val err = intercept[IllegalArgumentException] {
+      IncrementalDedup.ingest(docs.limit(5), idx, imageCol = Some("nope"))
+    }
+    assert(err.getMessage.contains("nope") && err.getMessage.contains("imageCol"),
+      s"the failure must name the missing column, got: ${err.getMessage}")
+  }
+
   test("unshingleable docs: exact replays drop via the band=-1 whole-text cell") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft_inc_idx3").toString

@@ -139,6 +139,34 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("Avro logical types follow the session's java8API setting on read") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.orders(spark, TestSpark.sfDir)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_ts"),
+        col("o_orderdate").cast("date").as("o_date"))
+      .orderBy("o_orderkey").limit(10)
+    val expected = df.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1).toInstant, r.getDate(2).toLocalDate))
+    val tmp = Files.createTempDirectory("graft_avro_j8").toString
+    graft.etl.AvroSource.writeAvro(df, tmp)
+    val key = "spark.sql.datetime.java8API.enabled"
+    spark.conf.set(key, "true")
+    try {
+      // with the java8 API on, createDataFrame validates external types as
+      // java.time — a reader emitting java.sql types would fail every task
+      val back = graft.etl.AvroSource.readAvro(spark, tmp)
+        .orderBy("o_orderkey").collect()
+      assert(back.length === 10)
+      assert(back.head.get(1).isInstanceOf[java.time.Instant])
+      assert(back.head.get(2).isInstanceOf[java.time.LocalDate])
+      val got = back.map(r => (r.getLong(0),
+        r.getAs[java.time.Instant](1), r.getAs[java.time.LocalDate](2)))
+      assert(got.toSeq === expected.toSeq,
+        "values must be identical across the two datetime APIs")
+    } finally spark.conf.set(key, "false")
+  }
+
   test("Avro sink: a rewrite with fewer partitions clears stale part files (overwrite semantics)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_avro_ow").toString

@@ -1039,6 +1039,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpusIngest heals a pre-pointer crashed-swap index state before its first read (legacy upgrade)") {
+    import java.nio.file.{Files, Paths}
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_heal_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_heal_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_heal_corpus").toString
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    val mem = MemoryStream[IngestDoc]
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir).start()
+    try {
+      mem.addData(IngestDoc(1, "alpha bravo charlie delta echo", emb(1)))
+      q.processAllAvailable()
+      // simulate the PRE-r13 rename-swap crash state between batches: the
+      // flat postings dir retired to `.old-*`, no pointer, path absent —
+      // the one legacy state where an absent dir does NOT mean empty
+      val postings = s"$dedupDir/postings"
+      Files.move(Paths.get(postings), Paths.get(postings + ".old-crash"))
+      assert(!Files.exists(Paths.get(postings)))
+      // batch 2 carries an exact dup of doc 1 plus a novel doc: without the
+      // batch-body heal the gate would read an EMPTY index and re-admit the
+      // dup (and its commit would recreate the dir, burying the retired
+      // copy for good)
+      mem.addData(
+        IngestDoc(2, "alpha bravo charlie delta echo", emb(2)), // dup of 1
+        IngestDoc(3, "foxtrot golf hotel india juliet", emb(3)))
+      q.processAllAvailable()
+      val corpus = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(corpus === Seq(1L, 3L),
+        s"the healed index must still drop the cross-batch dup, got $corpus")
+      assert(!Files.exists(Paths.get(postings + ".old-crash")) &&
+        Files.exists(Paths.get(postings)),
+        "the retired tree must have been restored onto the live path")
+    } finally q.stop()
+  }
+
   test("corpusIngest with imageCol: cross-batch image near-dups drop at admission; replay no-ops") {
     import java.nio.file.Files
     import graft.sources.Multimodal
