@@ -67,14 +67,21 @@ object Compaction {
   private def commitPointer(path: String, version: Long): Unit =
     Warehouse.commitPointerAt(pointerFile(path), version)
 
-  /** Delete every generation older than the grace one (`cur - 1`): version
-    * dirs `{path}.vK` with K ≤ cur−2, and the flat generation-0 tree once
-    * cur ≥ 2. Keeping exactly one retired generation gives concurrent
-    * readers a full compaction cycle to finish a scan they planned against
-    * the previous pointer value. */
-  private def vacuumRetired(path: String, cur: Long): Unit = {
-    versionDirs(path).filter(_._1 <= cur - 2).foreach(p => deleteRecursively(p._2))
-    if (cur >= 2) deleteRecursively(Paths.get(path))
+  /** Delete every generation older than the `grace` newest retired ones:
+    * version dirs `{path}.vK` with K ≤ cur−1−grace, and the flat
+    * generation-0 tree once cur ≥ 1+grace. Keeping `grace` retired
+    * generations gives a concurrent reader that many full maintenance
+    * cycles to finish a scan planned against a previous pointer value —
+    * SIZE IT TO THE DEPLOYMENT: the default 1 covers scans shorter than
+    * one compaction cadence (always true at the gate SFs); a 100 TB table
+    * whose analytical scans outlive several in-stream maintenance cycles
+    * raises `graceGenerations` on its compaction calls (disk cost: one
+    * compacted table copy per kept generation). */
+  private def vacuumRetired(path: String, cur: Long, grace: Int): Unit = {
+    require(grace >= 1, s"graceGenerations must be >= 1, got $grace")
+    versionDirs(path).filter(_._1 <= cur - 1 - grace)
+      .foreach(p => deleteRecursively(p._2))
+    if (cur >= 1 + grace) deleteRecursively(Paths.get(path))
   }
 
   /** All `{path}.vN` sibling dirs as (version, dir). */
@@ -181,13 +188,15 @@ object Compaction {
   }
 
   /** Publish the finished rewrite written at `{path}.v{newVer}`: flip the
-    * pointer atomically, then vacuum generations older than the grace one.
-    * The source generation (`newVer - 1`) survives one more cycle. Shared
+    * pointer atomically, then vacuum generations older than the
+    * `graceGenerations` newest retired ones (see [[vacuumRetired]] for how
+    * to size the grace to a deployment's scan-vs-cadence ratio). Shared
     * with [[AvroSource.writeAvro]], which commits its overwrite under the
     * same pointer discipline. */
-  private[etl] def publishRewrite(path: String, newVer: Long): Unit = {
+  private[etl] def publishRewrite(path: String, newVer: Long,
+                                  graceGenerations: Int = 1): Unit = {
     commitPointer(path, newVer)
-    vacuumRetired(path, newVer)
+    vacuumRetired(path, newVer, graceGenerations)
   }
 
   /** `coalesceBatchKeyed`: ONLY for the batch_id-partitioned streaming
@@ -216,7 +225,8 @@ object Compaction {
                      partitionCols: Seq[String],
                      numFiles: Int = 1,
                      coalesceBatchKeyed: Boolean = false,
-                     preserveBatchKeys: Set[String] = Set.empty): (Long, Long) = {
+                     preserveBatchKeys: Set[String] = Set.empty,
+                     graceGenerations: Int = 1): (Long, Long) = {
     reclaimOrphans(path)
     val src = currentPath(path)
     val before = dataFileCount(Paths.get(src))
@@ -246,22 +256,27 @@ object Compaction {
     val writer = repartitioned.write.mode("overwrite")
     (if (writeCols.nonEmpty) writer.partitionBy(writeCols: _*) else writer)
       .parquet(dst)
-    publishRewrite(path, newVer)
+    publishRewrite(path, newVer, graceGenerations)
     (before, dataFileCount(Paths.get(dst)))
   }
 
   /** [[AnnIndex]] convenience wrappers — partition columns match each
-    * index's declared layout. */
+    * index's declared layout. `graceGenerations` passes through to the
+    * publish (raise it when probes can outlive one maintenance cycle). */
   def compactLshPostings(spark: SparkSession, indexDir: String,
-                         preserveBatchKeys: Set[String] = Set.empty): (Long, Long) =
+                         preserveBatchKeys: Set[String] = Set.empty,
+                         graceGenerations: Int = 1): (Long, Long) =
     compactParquet(spark, s"$indexDir/buckets", Seq("band", "bkt"),
-      coalesceBatchKeyed = true, preserveBatchKeys = preserveBatchKeys)
+      coalesceBatchKeyed = true, preserveBatchKeys = preserveBatchKeys,
+      graceGenerations = graceGenerations)
   def compactIvfLists(spark: SparkSession, indexDir: String): (Long, Long) =
     compactParquet(spark, s"$indexDir/lists", Seq("list_id"))
   def compactSq8(spark: SparkSession, indexDir: String,
-                 preserveBatchKeys: Set[String] = Set.empty): (Long, Long) =
+                 preserveBatchKeys: Set[String] = Set.empty,
+                 graceGenerations: Int = 1): (Long, Long) =
     compactParquet(spark, s"$indexDir/sq8", Nil, coalesceBatchKeyed = true,
-      preserveBatchKeys = preserveBatchKeys)
+      preserveBatchKeys = preserveBatchKeys,
+      graceGenerations = graceGenerations)
   def compactPqCodes(spark: SparkSession, indexDir: String): (Long, Long) =
     compactParquet(spark, s"$indexDir/codes", Nil)
   /** The IVF-PQ composite's per-list code dirs ([[AnnIndex.buildIvfPq]] /
@@ -273,9 +288,11 @@ object Compaction {
   /** The dedup posting table ([[IncrementalDedup]]) — unpartitioned
     * appends, joined on (band, bkey) per ingest batch. */
   def compactDedupPostings(spark: SparkSession, indexDir: String,
-                           preserveBatchKeys: Set[String] = Set.empty): (Long, Long) =
+                           preserveBatchKeys: Set[String] = Set.empty,
+                           graceGenerations: Int = 1): (Long, Long) =
     compactParquet(spark, s"$indexDir/postings", Nil, coalesceBatchKeyed = true,
-      preserveBatchKeys = preserveBatchKeys)
+      preserveBatchKeys = preserveBatchKeys,
+      graceGenerations = graceGenerations)
 
   /** Z-ORDERED compaction — the OPTIMIZE ZORDER maintenance form: rewrite
     * the table CLUSTERED on the Morton interleave of two numeric columns
@@ -290,7 +307,8 @@ object Compaction {
     * rewrite itself. */
   def compactZOrdered(spark: SparkSession, path: String,
                       xCol: String, yCol: String,
-                      numFiles: Int = 8): (Long, Long) = {
+                      numFiles: Int = 8,
+                      graceGenerations: Int = 1): (Long, Long) = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     reclaimOrphans(path)
     val src = currentPath(path)
@@ -304,7 +322,8 @@ object Compaction {
     // empty table / all-null cluster columns: no bounds to quantize from —
     // degrade to the plain file-count rewrite instead of NPEing on getLong
     if (b.isNullAt(0) || b.isNullAt(2))
-      return compactParquet(spark, path, Nil, numFiles)
+      return compactParquet(spark, path, Nil, numFiles,
+        graceGenerations = graceGenerations)
     val (xlo, xhi, ylo, yhi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     // Overflow-safe quantization over ARBITRARY long ranges (this is a
     // generic API — a naive `(x - xlo) * 256 div span` overflows long as
@@ -329,7 +348,7 @@ object Compaction {
     val newVer = currentVersion(path) + 1
     val dst = s"$path.v$newVer"
     zed.write.mode("overwrite").parquet(dst)
-    publishRewrite(path, newVer)
+    publishRewrite(path, newVer, graceGenerations)
     (before, dataFileCount(Paths.get(dst)))
   }
 

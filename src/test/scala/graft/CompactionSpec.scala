@@ -284,4 +284,36 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(Compaction.currentPath(postings))
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === rows0)
   }
+
+  test("graceGenerations sizes the retired-generation window for long scans") {
+    import java.nio.file.{Files, Paths}
+    val idx = Files.createTempDirectory("graft_cmp_grace").toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    IncrementalDedup.ingest(docs.filter(col("doc_id") < 80), idx)
+    val postings = s"$idx/postings"
+    val rows0 = spark.read.parquet(postings)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // four publishes at grace=2: after v4, v2 and v3 must survive as the
+    // two-reader-cycle window, v1 and the flat gen-0 tree must be gone
+    (1 to 4).foreach(_ =>
+      Compaction.compactDedupPostings(spark, idx, graceGenerations = 2))
+    assert(Compaction.currentVersion(postings) === 4L)
+    assert(!Files.exists(Paths.get(postings)), "flat gen-0 beyond the window")
+    assert(!Files.exists(Paths.get(postings + ".v1")), "v1 beyond the window")
+    assert(Files.isDirectory(Paths.get(postings + ".v2")) &&
+      Files.isDirectory(Paths.get(postings + ".v3")),
+      "a grace of 2 must keep the two newest retired generations")
+    // a reader that resolved one OR two cycles ago still scans a full copy
+    for (v <- 2 to 4)
+      assert(spark.read.parquet(s"$postings.v$v")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === rows0)
+    // lowering the grace back to 1 reclaims the extra generation at the
+    // next publish
+    Compaction.compactDedupPostings(spark, idx)
+    assert(Compaction.currentVersion(postings) === 5L)
+    assert(!Files.exists(Paths.get(postings + ".v2")) &&
+      !Files.exists(Paths.get(postings + ".v3")),
+      "a narrower grace must reclaim generations beyond the new window")
+    assert(Files.isDirectory(Paths.get(postings + ".v4")))
+  }
 }
