@@ -177,23 +177,55 @@ object AnnIndex {
     }
   }
 
+  // ---- composite (centroids, lists) snapshot resolution -------------------
+
+  /** The centroid table PAIRED with a resolved lists generation: a
+    * [[retrainIvf]] publish embeds its centroids INSIDE the generation dir
+    * as `_centroids/` (Spark's scan ignores `_`-prefixed paths, and
+    * [[Compaction.compactParquet]] carries hidden dirs through layout
+    * rewrites), so resolving the lists pointer ONCE pins a mutually
+    * consistent (centroids, assignments) pair even while a retrain
+    * publishes the next generation. A build-era generation has no embedded
+    * copy and falls back to the flat `{indexDir}/centroids` table [[build]]
+    * writes. */
+  private def centroidsPathFor(listsRoot: String, indexDir: String): String = {
+    val embedded = Paths.get(listsRoot, "_centroids")
+    if (Files.isDirectory(embedded)) embedded.toString
+    else s"$indexDir/centroids"
+  }
+
+  /** Resolve the IVF composite ONCE: the current lists generation root and
+    * its paired centroid rows `(list_id, centroid)`. Probe flows that rank
+    * centroids and then scan lists MUST use one snapshot for both steps —
+    * two independent resolutions could straddle a [[retrainIvf]] publish
+    * and pair new centroids with old assignments (or vice versa). */
+  def ivfSnapshot(spark: SparkSession, indexDir: String)
+      : (String, Array[(Int, Array[Double])]) = {
+    val root = cur(s"$indexDir/lists")
+    val cents = spark.read.parquet(centroidsPathFor(root, indexDir)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (root, cents)
+  }
+
   /** Incremental IVF ingest: assign each batch vector to its nearest
     * EXISTING centroid (cosine argmax — the same rule `build`'s k-means
     * model applies) and append the rows into the `lists/` partition dirs.
-    * Centroids stay FROZEN — the standard IVF serving discipline: ingest
-    * assigns, a periodic offline rebuild retrains (exactly [[build]]).
+    * Centroids stay FROZEN per generation — ingest assigns, and a periodic
+    * [[retrainIvf]] refreshes the clustering when drift accumulates.
     * O(batch·nlist·dim) map-side work: the nlist-row centroid table is
     * driver metadata, the per-row argmax is a codegen cosine per centroid,
     * nothing shuffles, and probes immediately see old + new vectors through
     * the same pruned scan. The IVF mirror of [[appendLsh]] — spec-asserted
     * in LlmSpec (appended near-dups are recovered by the pruned probe;
-    * every appended vector lands in exactly one list). */
+    * every appended vector lands in exactly one list). The centroid read
+    * and the append target resolve from ONE snapshot, so the batch lands
+    * under the same generation whose centroids assigned it. */
   def appendIvf(batch: DataFrame, indexDir: String): Unit = {
     val spark = batch.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
-    val cents = spark.read.parquet(s"$indexDir/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).map(_.toFloat).toArray))
-      .sortBy(_._1)
+    val (root, centsD) = ivfSnapshot(spark, indexDir)
+    val cents = centsD.map { case (i, c) => (i, c.map(_.toFloat)) }
     // argmax over nlist (cos, list_id) structs: struct ordering compares
     // cos first, so array_max picks the best-scoring centroid (larger id
     // breaks exact ties — the same vector always lands in the same list)
@@ -205,7 +237,59 @@ object AnnIndex {
     batch
       .withColumn("list_id", array_max(scored).getField("list_id"))
       .select("vec_id", "label", "embedding", "list_id")
-      .write.mode("append").partitionBy("list_id").parquet(cur(s"$indexDir/lists"))
+      .write.mode("append").partitionBy("list_id").parquet(root)
+  }
+
+  /** MAINTENANCE RETRAIN — the drift answer [[appendIvf]]'s frozen-centroid
+    * discipline defers: re-run the seeded cosine k-means over the CURRENT
+    * corpus (everything built + appended so far), re-assign every vector,
+    * and publish the new clustering as the next lists generation with its
+    * centroids EMBEDDED (`_centroids/` inside the generation dir), flipped
+    * by the same atomic pointer the compactions use. Readers therefore
+    * never observe a mixed state: a probe that resolved before the flip
+    * scans the old assignments with the old centroids (grace-retained), one
+    * after it gets the new pair — there is no window pairing new centroids
+    * with old lists. A crash anywhere before the flip leaves the old
+    * generation current; the orphan rewrite is reclaimed by the next
+    * maintenance entry. `nlist` may differ from the built value (grow it as
+    * the corpus grows). Quiet-window contract for WRITERS only (the
+    * single-maintainer rule all maintenance here shares): pause appends
+    * during a retrain — an append racing the rewrite would land in the
+    * retiring generation and vanish with it.
+    *
+    * NOT for an IVF dir serving an IVF-PQ composite: the PQ code table's
+    * `list_id` partitioning mirrors the assignments at encode time, so a
+    * retrain must be followed by `buildIvfPq` re-encoding (documented
+    * there); the plain IVF/SQ8 paths need nothing else. Returns the
+    * published generation number. */
+  def retrainIvf(spark: SparkSession, indexDir: String, nlist: Int,
+                 seed: Long = 7L): Long = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val listsTable = s"$indexDir/lists"
+    Compaction.reclaimOrphans(listsTable)
+    val root = cur(listsTable)
+    val corpus = spark.read.parquet(root)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val withVec = corpus.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setDistanceMeasure("cosine")
+      .fit(withVec)
+    val newVer = Compaction.currentVersion(listsTable) + 1
+    val dst = s"$listsTable.v$newVer"
+    model.transform(withVec)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              col("prediction").as("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(dst)
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dst/_centroids")
+    Compaction.publishRewrite(listsTable, newVer)
+    newVer
   }
 
   /** Probe-list selection: rank the persisted centroids by cosine similarity
@@ -221,27 +305,39 @@ object AnnIndex {
     * probe in a bounded batch with ONE centroid-table read — m separate
     * [[nearestLists]] calls would re-read the (tiny) centroid parquet per
     * probe. Still O(m·nlist·dim) driver math over model metadata; returns
-    * the probed list ids aligned with the input order. */
+    * the probed list ids aligned with the input order. Resolves its OWN
+    * snapshot — a probe flow that also scans lists should resolve
+    * [[ivfSnapshot]] once and use [[rankLists]]/[[probeScanAt]] instead. */
   def nearestListsBatch(spark: SparkSession, indexDir: String,
                         probeVecs: Seq[Array[Double]], nprobe: Int): Seq[Seq[Int]] = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val (_, cents) = ivfSnapshot(spark, indexDir)
+    probeVecs.map(rankLists(cents, _, nprobe))
+  }
+
+  /** Pure centroid ranking over an [[ivfSnapshot]]'s centroid rows. */
+  def rankLists(cents: Array[(Int, Array[Double])],
+                probeVec: Array[Double], nprobe: Int): Seq[Int] = {
     def cos(c: Array[Double], p: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < c.length) { dot += c(i) * p(i); na += c(i) * c(i)
         nb += p(i) * p(i); i += 1 }
       dot / math.sqrt(na * nb)
     }
-    probeVecs.map(p =>
-      cents.sortBy { case (_, c) => -cos(c, p) }.take(nprobe).map(_._1).toSeq)
+    cents.sortBy { case (_, c) => -cos(c, probeVec) }.take(nprobe)
+      .map(_._1).toSeq
   }
 
   /** The partition-pruned candidate fetch: `list_id` is a PARTITION column
     * of `lists/`, so the `isin` predicate becomes a `PartitionFilters` entry
     * and only the chosen nprobe directories are listed and read. */
   def probeScan(spark: SparkSession, indexDir: String, lists: Seq[Int]): DataFrame =
-    spark.read.parquet(cur(s"$indexDir/lists"))
+    probeScanAt(spark, cur(s"$indexDir/lists"), lists)
+
+  /** [[probeScan]] against an already-resolved generation root (the
+    * [[ivfSnapshot]] discipline for retrain-consistent probe flows). */
+  def probeScanAt(spark: SparkSession, listsRoot: String,
+                  lists: Seq[Int]): DataFrame =
+    spark.read.parquet(listsRoot)
       .filter(col("list_id").isin(lists: _*))
 
   // ---- SQ8 quantized scan index ------------------------------------------
@@ -505,9 +601,8 @@ object AnnIndex {
     val spark = batch.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
-    val cents = spark.read.parquet(s"$ivfDir/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).map(_.toFloat).toArray))
-      .sortBy(_._1)
+    val cents = ivfSnapshot(spark, ivfDir)._2
+      .map { case (i, c) => (i, c.map(_.toFloat)) }
     val scored = array(cents.map { case (i, c) =>
       struct(
         call_function("cosine_similarity", col("embedding"), lit(c)).as("cos"),

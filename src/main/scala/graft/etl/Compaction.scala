@@ -256,8 +256,38 @@ object Compaction {
     val writer = repartitioned.write.mode("overwrite")
     (if (writeCols.nonEmpty) writer.partitionBy(writeCols: _*) else writer)
       .parquet(dst)
+    carryHiddenDirs(Paths.get(src), Paths.get(dst))
     publishRewrite(path, newVer, graceGenerations)
     (before, dataFileCount(Paths.get(dst)))
+  }
+
+  /** Carry a generation's `_`-prefixed SIDECAR directories (e.g. the
+    * `_centroids/` table [[AnnIndex.retrainIvf]] embeds beside the list
+    * assignments) through a layout rewrite: Spark's scan ignores hidden
+    * paths, so the rewrite's own output never contains them — without the
+    * copy, a file-count compaction would silently drop the index's paired
+    * model metadata. `_SUCCESS`-style marker FILES are not carried (the
+    * rewrite emits its own). */
+  private def carryHiddenDirs(src: Path, dst: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(src)) return
+    val s = Files.list(src)
+    val hidden =
+      try s.iterator().asScala.filter(p =>
+        Files.isDirectory(p) && p.getFileName.toString.startsWith("_")).toSeq
+      finally s.close()
+    hidden.foreach { dir =>
+      val w = Files.walk(dir)
+      try w.iterator().asScala.foreach { p =>
+        val target = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(target)
+        else {
+          Files.createDirectories(target.getParent)
+          Files.copy(p, target)
+        }
+      }
+      finally w.close()
+    }
   }
 
   /** [[AnnIndex]] convenience wrappers — partition columns match each
@@ -355,9 +385,14 @@ object Compaction {
   private def dataFileCount(root: Path): Long = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(root)
+    // files under `_`-prefixed sidecar dirs (embedded model metadata) are
+    // not DATA files — the scan never reads them and the before/after
+    // comparison must not count them
     try s.iterator().asScala.count { p =>
       val n = p.getFileName.toString
-      Files.isRegularFile(p) && n.endsWith(".parquet") && !n.startsWith(".")
+      Files.isRegularFile(p) && n.endsWith(".parquet") && !n.startsWith(".") &&
+        !root.relativize(p).iterator().asScala.exists(
+          _.getFileName.toString.startsWith("_"))
     }
     finally s.close()
   }

@@ -1173,8 +1173,11 @@ object Llm {
   private[graft] def knnIvfProbe(spark: SparkSession, indexDir: String,
                                  probeVec: Array[Double], probeId: Long,
                                  k: Int, nprobe: Int): DataFrame = {
-    val lists = AnnIndex.nearestLists(spark, indexDir, probeVec, nprobe)
-    knnExact(AnnIndex.probeScan(spark, indexDir, lists)
+    // ONE snapshot for both steps: ranking and scan must see the same
+    // (centroids, lists) generation even if a retrain publishes mid-query
+    val (root, cents) = AnnIndex.ivfSnapshot(spark, indexDir)
+    val lists = AnnIndex.rankLists(cents, probeVec, nprobe)
+    knnExact(AnnIndex.probeScanAt(spark, root, lists)
       .select("vec_id", "label", "embedding"), probeId, k)
   }
 
@@ -1217,12 +1220,14 @@ object Llm {
                                       probes: Seq[(Long, Array[Float])],
                                       k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val probed = AnnIndex.nearestListsBatch(spark, indexDir,
-      probes.map(_._2.map(_.toDouble)), nprobe)
+    // ONE snapshot shared by the ranking pass and the pruned union scan
+    val (root, cents) = AnnIndex.ivfSnapshot(spark, indexDir)
+    val probed = probes.map(p =>
+      AnnIndex.rankLists(cents, p._2.map(_.toDouble), nprobe))
     val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
       ls.map(l => (pid, pv, l))
     }.toDF("probe_id", "pv", "list_id")
-    val scored = AnnIndex.probeScan(spark, indexDir, probed.flatten.distinct)
+    val scored = AnnIndex.probeScanAt(spark, root, probed.flatten.distinct)
       .join(broadcast(probeLists), Seq("list_id"))
       .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
       .select("probe_id", "vec_id", "label", "cos_sim")
@@ -1321,12 +1326,14 @@ object Llm {
     val anchors = e.filter(col("vec_id") % 37 === 0)
       .orderBy("vec_id").limit(512).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    val probed = AnnIndex.nearestListsBatch(spark, idxDir,
-      anchors.map(_._3.map(_.toDouble)).toSeq, nprobe = 8)
+    // ONE snapshot for ranking + scan (retrain-consistent probe flow)
+    val (root, cents) = AnnIndex.ivfSnapshot(spark, idxDir)
+    val probed = anchors.map(a =>
+      AnnIndex.rankLists(cents, a._3.map(_.toDouble), nprobe = 8)).toSeq
     val probeLists = anchors.zip(probed).flatMap {
       case ((aid, albl, av), ls) => ls.map(l => (aid, albl, av, l))
     }.toSeq.toDF("anchor_id", "anchor_label", "av", "list_id")
-    val scored = AnnIndex.probeScan(spark, idxDir, probed.flatten.distinct)
+    val scored = AnnIndex.probeScanAt(spark, root, probed.flatten.distinct)
       .join(broadcast(probeLists), Seq("list_id"))
       .filter(col("label") =!= col("anchor_label"))
       .withColumn("dot_micro",

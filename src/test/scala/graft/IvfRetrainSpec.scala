@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{AnnIndex, Compaction}
+
+/** Contract of [[AnnIndex.retrainIvf]]: drift accumulated by the
+  * frozen-centroid appends is answered by a full re-cluster published as an
+  * ATOMIC (centroids, lists) generation — readers resolve one snapshot and
+  * can never pair new centroids with old assignments; a crash mid-retrain
+  * leaves the old composite current; layout compaction carries the embedded
+  * centroid sidecar. */
+class IvfRetrainSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic clustered vectors: members of cluster `axis` point along
+    * basis axis `axis` (dim 8) with a small per-id perturbation. */
+  private def clusterRows(axis: Int, ids: Range): Seq[(Long, Int, Array[Float])] =
+    ids.map { i =>
+      val v = Array.fill(8)(0.02f * (((i * 31 + axis * 7) % 11) - 5))
+      v(axis) = 1f
+      (i.toLong, axis, v)
+    }
+
+  test("retrainIvf re-clusters drifted appends into an atomically published composite") {
+    val ivf = Files.createTempDirectory("graft_ivf_retrain").toString
+    val base = (clusterRows(0, 0 until 30) ++ clusterRows(1, 30 until 60))
+      .toDF("vec_id", "label", "embedding")
+    AnnIndex.build(base, ivf, nlist = 2)
+    // DRIFT: a third cluster the built centroids know nothing about — the
+    // frozen-assignment append buries it in whichever existing list wins
+    val drifted = clusterRows(2, 100 until 120).toDF("vec_id", "label", "embedding")
+    AnnIndex.appendIvf(drifted, ivf)
+
+    val ver = AnnIndex.retrainIvf(spark, ivf, nlist = 3)
+    // (a) the publish is the composite: pointer flipped, centroids EMBEDDED
+    // in the new generation (not the build-era flat table)
+    assert(Compaction.currentVersion(s"$ivf/lists") === ver)
+    val (root, cents) = AnnIndex.ivfSnapshot(spark, ivf)
+    assert(root === s"$ivf/lists.v$ver")
+    assert(Files.isDirectory(Paths.get(root, "_centroids")),
+      "the retrained centroids must live inside the published generation")
+    assert(cents.length === 3, "the retrain's nlist may differ from the build's")
+    // (b) the row set is preserved exactly — one assignment per vector
+    val assigned = spark.read.parquet(root)
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("list_id")))
+    assert(assigned.map(_._1).sorted.toSeq === ((0L until 60L) ++ (100L until 120L)),
+      "retrain must keep every built + appended vector exactly once")
+    // (c) the drifted cluster now owns a list: all 20 members share one
+    // list id that no base vector shares (k-means on three orthogonal
+    // clusters separates them)
+    val driftLists = assigned.filter(_._1 >= 100L).map(_._2).distinct
+    assert(driftLists.length === 1,
+      s"drifted cluster must land in one retrained list, got $driftLists")
+    assert(!assigned.filter(_._1 < 60L).map(_._2).contains(driftLists.head),
+      "the drifted cluster's list must not be shared with the base clusters")
+    // (d) a drifted probe at nprobe=1 through ONE snapshot recovers its
+    // cluster — the recall the frozen-centroid index could only achieve by
+    // luck, now by construction
+    val probe = Array.tabulate(8)(i => if (i == 2) 1.0 else 0.0)
+    val lists = AnnIndex.rankLists(cents, probe, nprobe = 1)
+    val got = AnnIndex.probeScanAt(spark, root, lists)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (100L until 120L),
+      s"nprobe=1 after retrain must fetch exactly the drifted cluster, got $got")
+    // (e) layout compaction AFTER a retrain carries the embedded centroids
+    // and changes nothing about the snapshot's answers
+    AnnIndex.appendIvf(clusterRows(2, 200 until 205).toDF("vec_id", "label", "embedding"), ivf)
+    Compaction.compactIvfLists(spark, ivf)
+    val (root2, cents2) = AnnIndex.ivfSnapshot(spark, ivf)
+    assert(root2 !== root, "compaction publishes a fresh generation")
+    assert(Files.isDirectory(Paths.get(root2, "_centroids")),
+      "compaction must carry the centroid sidecar through the rewrite")
+    assert(cents2.map(_._1).toSeq === cents.map(_._1).toSeq &&
+      cents2.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) },
+      "a layout rewrite must not change the model")
+    val got2 = AnnIndex.probeScanAt(spark, root2,
+        AnnIndex.rankLists(cents2, probe, nprobe = 1))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 === ((100L until 120L) ++ (200L until 205L)),
+      "the compacted snapshot must serve the retrained assignment plus the post-retrain append")
+  }
+
+  test("a crash before the retrain's pointer flip leaves the old composite current") {
+    val ivf = Files.createTempDirectory("graft_ivf_retrain_crash").toString
+    val base = (clusterRows(0, 0 until 20) ++ clusterRows(1, 20 until 40))
+      .toDF("vec_id", "label", "embedding")
+    AnnIndex.build(base, ivf, nlist = 2)
+    val (root0, cents0) = AnnIndex.ivfSnapshot(spark, ivf)
+    // fabricate a retrain that died after writing its rewrite but before
+    // the flip: a future generation dir with embedded centroids, no pointer
+    val orphan = Paths.get(s"$ivf/lists.v1")
+    Files.createDirectories(orphan.resolve("_centroids"))
+    assert(AnnIndex.ivfSnapshot(spark, ivf)._1 === root0,
+      "an unflipped retrain must leave the old generation current")
+    assert(AnnIndex.ivfSnapshot(spark, ivf)._2.length === cents0.length)
+    // the next maintenance entry reclaims the orphan and publishes cleanly
+    val ver = AnnIndex.retrainIvf(spark, ivf, nlist = 2)
+    assert(ver === 1L)
+    val (root1, cents1) = AnnIndex.ivfSnapshot(spark, ivf)
+    assert(root1 === s"$ivf/lists.v1" && cents1.length === 2)
+    assert(spark.read.parquet(root1).count() === 40L)
+  }
+}
