@@ -430,23 +430,31 @@ object AnnIndex {
     * `ml.KMeans` fits over the subspace projections (build-time only; the
     * query path never trains). */
   def buildPq(e: DataFrame, indexDir: String, m: Int, k: Int, seed: Long = 7L): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = e.sparkSession
     import spark.implicits._
+    val codebooks = trainPqBooks(e, m, k, seed)
+    writePqCodes(e, cur(s"$indexDir/codes"), codebooks, "overwrite")
+    codebooks.toDF("sub_id", "code_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** The m seeded per-subspace k-means fits (build-time only; the query
+    * path never trains). Shared by [[buildPq]], [[buildIvfPq]] and the
+    * retrain publishes. */
+  private def trainPqBooks(e: DataFrame, m: Int, k: Int,
+                           seed: Long): Seq[(Int, Int, Array[Double])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
-    val codebooks: Seq[(Int, Int, Array[Double])] = (0 until m).flatMap { s =>
+    (0 until m).flatMap { s =>
       val subVec = expr(
         s"transform(slice(embedding, ${s * sub + 1}, $sub), x -> cast(x AS double))")
       val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
         .fit(e.select(array_to_vector(subVec).as("features")))
       model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
     }
-    writePqCodes(e, indexDir, codebooks, "overwrite")
-    codebooks.toDF("sub_id", "code_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
   }
 
   /** [[ensure]]'s twin for the PQ index. */
@@ -458,19 +466,76 @@ object AnnIndex {
 
   /** The persisted code table `(vec_id, code, rnorm)`. */
   def pqScan(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(cur(s"$indexDir/codes"))
+    pqScanAt(spark, cur(s"$indexDir/codes"))
 
-  /** Driver-side codebook load — m·k rows of model metadata. */
-  def pqCodebooks(spark: SparkSession, indexDir: String): Seq[(Int, Int, Array[Double])] =
-    spark.read.parquet(s"$indexDir/codebooks").collect()
+  /** [[pqScan]] against an already-resolved generation root (the
+    * [[pqSnapshot]] discipline for retrain-consistent probe flows). */
+  def pqScanAt(spark: SparkSession, codesRoot: String): DataFrame =
+    spark.read.parquet(codesRoot)
+
+  /** The codebook table PAIRED with a resolved codes generation — the PQ
+    * twin of [[centroidsPathFor]]: a [[retrainPq]]/[[retrainIvfPq]] publish
+    * embeds its codebooks inside the generation as `_codebooks/`; build-era
+    * generations fall back to the flat `{indexDir}/codebooks`. */
+  private def codebooksPathFor(codesRoot: String, indexDir: String): String = {
+    val embedded = Paths.get(codesRoot, "_codebooks")
+    if (Files.isDirectory(embedded)) embedded.toString
+    else s"$indexDir/codebooks"
+  }
+
+  /** Resolve the PQ composite ONCE: the current codes generation root and
+    * its paired codebooks. Probe flows that decode against the books and
+    * scan the codes MUST use one snapshot for both — two independent
+    * resolutions could straddle a retrain and decode new codes with old
+    * books (or vice versa), which silently mis-ranks everything. */
+  def pqSnapshot(spark: SparkSession, indexDir: String)
+      : (String, Seq[(Int, Int, Array[Double])]) = {
+    val root = cur(s"$indexDir/codes")
+    val books = spark.read.parquet(codebooksPathFor(root, indexDir)).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray)).toSeq
+    (root, books)
+  }
 
-  /** Incremental PQ ingest: codebooks are FROZEN (the IVF-append policy —
-    * retraining would orphan every already-stored code); a batch encodes
-    * against the existing books and appends. */
+  /** Driver-side codebook load — m·k rows of model metadata, paired to the
+    * CURRENT codes generation (see [[pqSnapshot]] for flows that also scan). */
+  def pqCodebooks(spark: SparkSession, indexDir: String): Seq[(Int, Int, Array[Double])] =
+    pqSnapshot(spark, indexDir)._2
+
+  /** Incremental PQ ingest: codebooks are FROZEN per generation (the
+    * IVF-append policy — retraining in place would orphan every stored
+    * code; [[retrainPq]] is the publish-a-new-generation answer); a batch
+    * encodes against the current snapshot's books and appends into the
+    * same generation, so the rows land beside codes they are comparable
+    * with. */
   def appendPq(batch: DataFrame, indexDir: String): Unit = {
     val spark = batch.sparkSession
-    writePqCodes(batch, indexDir, pqCodebooks(spark, indexDir), "append")
+    val (root, books) = pqSnapshot(spark, indexDir)
+    writePqCodes(batch, root, books, "append")
+  }
+
+  /** MAINTENANCE RETRAIN for the flat-PQ index — the codebook twin of
+    * [[retrainIvf]]: re-train the m per-subspace codebooks on the CURRENT
+    * corpus `e`, re-encode every vector, and publish codes + books as one
+    * atomically-flipped generation (books embedded as `_codebooks/`).
+    * Readers resolving [[pqSnapshot]] before the flip keep the old
+    * (codes, books) pair; after it, the new one — never a mix. The corpus
+    * frame is a parameter because the code table stores only codes, not
+    * the raw embeddings. Quiet-window contract for writers. Returns the
+    * published generation. */
+  def retrainPq(e: DataFrame, indexDir: String, m: Int, k: Int,
+                seed: Long = 7L): Long = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val codebooks = trainPqBooks(e, m, k, seed)
+    val table = s"$indexDir/codes"
+    Compaction.reclaimOrphans(table)
+    val newVer = Compaction.currentVersion(table) + 1
+    val dst = s"$table.v$newVer"
+    writePqCodes(e, dst, codebooks, "overwrite")
+    codebooks.toDF("sub_id", "code_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dst/_codebooks")
+    Compaction.publishRewrite(table, newVer)
+    newVer
   }
 
   /** Nearest-codebook encode of one vector: per subspace, argmin-L2 code;
@@ -513,7 +578,10 @@ object AnnIndex {
     a
   }
 
-  private def writePqCodes(e: DataFrame, indexDir: String,
+  /** Encode `e` against `codebooks` into the RESOLVED codes root (callers
+    * pass a generation dir or the pointer-resolved current root — this
+    * function does no resolution of its own). */
+  private def writePqCodes(e: DataFrame, codesRoot: String,
                            codebooks: Seq[(Int, Int, Array[Double])],
                            mode: String): Unit = {
     val spark = e.sparkSession
@@ -527,7 +595,7 @@ object AnnIndex {
           (id, code, rnorm)
         }
       }.toDF("vec_id", "code", "rnorm")
-      .write.mode(mode).parquet(cur(s"$indexDir/codes"))
+      .write.mode(mode).parquet(codesRoot)
   }
 
   // ---- IVF-PQ (composite) -------------------------------------------------
@@ -548,20 +616,20 @@ object AnnIndex {
     * partition-PRUNED scan of m-byte codes. */
   def buildIvfPq(e: DataFrame, ivfDir: String, indexDir: String,
                  m: Int, k: Int, seed: Long = 7L): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = e.sparkSession
     import spark.implicits._
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    val sub = dim / m
-    val codebooks: Seq[(Int, Int, Array[Double])] = (0 until m).flatMap { s =>
-      val subVec = expr(
-        s"transform(slice(embedding, ${s * sub + 1}, $sub), x -> cast(x AS double))")
-      val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
-        .fit(e.select(array_to_vector(subVec).as("features")))
-      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
-    }
+    val codebooks = trainPqBooks(e, m, k, seed)
+    encodeIvfPqCodes(spark, ivfDir, cur(s"$indexDir/codes"), codebooks)
+    codebooks.toDF("sub_id", "code_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** Encode the IVF lists corpus against `codebooks` into `codesRoot`
+    * (overwrite), `partitionBy(list_id)`. */
+  private def encodeIvfPqCodes(spark: SparkSession, ivfDir: String,
+                               codesRoot: String,
+                               codebooks: Seq[(Int, Int, Array[Double])]): Unit = {
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(booksArray(codebooks))
     spark.read.parquet(cur(s"$ivfDir/lists"))
       .select(col("vec_id"), col("embedding"), col("list_id"))
@@ -574,9 +642,33 @@ object AnnIndex {
         }
       }.toDF("vec_id", "code", "rnorm", "list_id")
       .write.mode("overwrite").partitionBy("list_id")
-      .parquet(cur(s"$indexDir/codes"))
+      .parquet(codesRoot)
+  }
+
+  /** MAINTENANCE RETRAIN for the IVF-PQ composite: re-train the codebooks
+    * on the CURRENT lists corpus (which also realigns the codes' `list_id`
+    * partitioning with a preceding [[retrainIvf]]'s new assignments),
+    * re-encode everything, and publish codes + books as one atomic
+    * generation (books embedded as `_codebooks/`). Run it AFTER a
+    * `retrainIvf` of the underlying IVF dir: the codes generation then
+    * mirrors the retrained assignments, and until it lands the composite
+    * serves the OLD (still mutually consistent) pair via its own snapshot.
+    * Quiet-window contract for writers. Returns the published generation. */
+  def retrainIvfPq(spark: SparkSession, ivfDir: String, indexDir: String,
+                   m: Int, k: Int, seed: Long = 7L): Long = {
+    import spark.implicits._
+    val corpus = spark.read.parquet(cur(s"$ivfDir/lists"))
+      .select(col("vec_id"), col("embedding"))
+    val codebooks = trainPqBooks(corpus, m, k, seed)
+    val table = s"$indexDir/codes"
+    Compaction.reclaimOrphans(table)
+    val newVer = Compaction.currentVersion(table) + 1
+    val dst = s"$table.v$newVer"
+    encodeIvfPqCodes(spark, ivfDir, dst, codebooks)
     codebooks.toDF("sub_id", "code_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dst/_codebooks")
+    Compaction.publishRewrite(table, newVer)
+    newVer
   }
 
   /** [[ensure]]'s twin for the IVF-PQ composite (the IVF index must already
@@ -608,7 +700,11 @@ object AnnIndex {
         call_function("cosine_similarity", col("embedding"), lit(c)).as("cos"),
         lit(i).as("list_id"))
     }: _*)
-    val bc = spark.sparkContext.broadcast(booksArray(pqCodebooks(spark, indexDir)))
+    // ONE snapshot: the books used to encode and the generation appended
+    // into must be the same pair, or a racing retrain would interleave
+    // old-book codes into a new-book generation
+    val (codesRoot, books) = pqSnapshot(spark, indexDir)
+    val bc = spark.sparkContext.broadcast(booksArray(books))
     batch
       .withColumn("list_id", array_max(scored).getField("list_id"))
       .select(col("vec_id"), col("embedding"), col("list_id"))
@@ -620,12 +716,17 @@ object AnnIndex {
           (id, code, rnorm, list)
         }
       }.toDF("vec_id", "code", "rnorm", "list_id")
-      .write.mode("append").partitionBy("list_id").parquet(cur(s"$indexDir/codes"))
+      .write.mode("append").partitionBy("list_id").parquet(codesRoot)
   }
 
   /** Partition-pruned scan of the probed lists' code table. */
   def ivfPqScan(spark: SparkSession, indexDir: String, lists: Seq[Int]): DataFrame =
-    spark.read.parquet(cur(s"$indexDir/codes"))
+    ivfPqScanAt(spark, cur(s"$indexDir/codes"), lists)
+
+  /** [[ivfPqScan]] against an already-resolved generation root. */
+  def ivfPqScanAt(spark: SparkSession, codesRoot: String,
+                  lists: Seq[Int]): DataFrame =
+    spark.read.parquet(codesRoot)
       .filter(col("list_id").isInCollection(lists))
 
   // ---- LSH posting lists --------------------------------------------------

@@ -895,7 +895,9 @@ object Llm {
   private[graft] def knnPqProbe(spark: SparkSession, indexDir: String,
                                 e: DataFrame, probeVec: Array[Double],
                                 probeId: Long, k: Int, oversample: Int): DataFrame = {
-    val books = AnnIndex.pqCodebooks(spark, indexDir)
+    // ONE snapshot: the books building the ADC table and the codes scanned
+    // must be the same generation (retrain-consistent)
+    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
     val sub = probeVec.length / m
@@ -906,7 +908,7 @@ object Llm {
       while (j < sub) { acc += probeVec(s * sub + j) * cent(j); j += 1 }
       lut(s * nCodes + c) = acc
     }
-    val cand = AnnIndex.pqScan(spark, indexDir)
+    val cand = AnnIndex.pqScanAt(spark, codesRoot)
       .filter(col("rnorm") > 0)
       .withColumn("score_pq",
         call_function("pq_adc", col("code"), typedLit(lut)) / col("rnorm"))
@@ -946,7 +948,9 @@ object Llm {
                                    probeVec: Array[Double], probeId: Long, k: Int,
                                    nprobe: Int, oversample: Int): DataFrame = {
     val lists = AnnIndex.nearestLists(spark, ivfDir, probeVec, nprobe)
-    val books = AnnIndex.pqCodebooks(spark, indexDir)
+    // ONE snapshot for the composite's (codes, books) pair; the ivf-vs-pq
+    // cross-table pairing is the retrainIvfPq re-encode contract
+    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
     val sub = probeVec.length / m
@@ -957,7 +961,7 @@ object Llm {
       while (j < sub) { acc += probeVec(s * sub + j) * cent(j); j += 1 }
       lut(s * nCodes + c) = acc
     }
-    val cand = AnnIndex.ivfPqScan(spark, indexDir, lists)
+    val cand = AnnIndex.ivfPqScanAt(spark, codesRoot, lists)
       .filter(col("rnorm") > 0)
       .withColumn("score_pq",
         call_function("pq_adc", col("code"), typedLit(lut)) / col("rnorm"))
@@ -1002,7 +1006,7 @@ object Llm {
     import spark.implicits._
     val probed = AnnIndex.nearestListsBatch(spark, ivfDir,
       probes.map(_._2), nprobe)
-    val books = AnnIndex.pqCodebooks(spark, indexDir)
+    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
     def lutFor(pv: Array[Double]): Array[Double] = {
@@ -1020,7 +1024,7 @@ object Llm {
       val lut = lutFor(pv)
       ls.map(l => (pid, lut, l))
     }.toDF("probe_id", "lut", "list_id")
-    val coarse = AnnIndex.ivfPqScan(spark, indexDir, probed.flatten.distinct)
+    val coarse = AnnIndex.ivfPqScanAt(spark, codesRoot, probed.flatten.distinct)
       .filter(col("rnorm") > 0)
       .join(broadcast(probeLists), Seq("list_id"))
       .select(col("vec_id"), col("probe_id"),
@@ -1069,7 +1073,7 @@ object Llm {
                                      e: DataFrame, probes: Seq[(Long, Array[Double])],
                                      k: Int, oversample: Int): DataFrame = {
     import spark.implicits._
-    val books = AnnIndex.pqCodebooks(spark, indexDir)
+    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
     val luts = probes.map { case (pid, pv) =>
@@ -1083,7 +1087,7 @@ object Llm {
       }
       (pid, lut)
     }
-    val coarse = AnnIndex.pqScan(spark, indexDir)
+    val coarse = AnnIndex.pqScanAt(spark, codesRoot)
       .filter(col("rnorm") > 0)
       .select(col("vec_id"), col("rnorm"), col("code"),
         explode(typedLit(luts)).as("p"))

@@ -86,6 +86,71 @@ class IvfRetrainSpec extends AnyFunSuite {
       "the compacted snapshot must serve the retrained assignment plus the post-retrain append")
   }
 
+  test("retrainPq republishes codes + codebooks as one snapshot; appends encode against their own generation") {
+    val dir = Files.createTempDirectory("graft_pq_retrain").toString
+    val base = (clusterRows(0, 0 until 30) ++ clusterRows(1, 30 until 60))
+      .toDF("vec_id", "label", "embedding")
+    AnnIndex.buildPq(base, dir, m = 4, k = 4)
+    AnnIndex.appendPq(clusterRows(1, 60 until 70).toDF("vec_id", "label", "embedding"), dir)
+    val (root0, books0) = AnnIndex.pqSnapshot(spark, dir)
+    assert(root0 === s"$dir/codes" && books0.length === 4 * 4,
+      "build-era snapshot: flat generation + flat codebooks")
+    // retrain on the grown corpus with a larger k
+    val full = base.unionByName(
+      clusterRows(1, 60 until 70).toDF("vec_id", "label", "embedding"))
+    val ver = AnnIndex.retrainPq(full, dir, m = 4, k = 8)
+    val (root1, books1) = AnnIndex.pqSnapshot(spark, dir)
+    assert(root1 === s"$dir/codes.v$ver",
+      "the retrain must publish a fresh pointer-committed generation")
+    assert(Files.isDirectory(Paths.get(root1, "_codebooks")),
+      "the retrained codebooks must live inside the published generation")
+    assert(books1.length === 4 * 8, "the retrain's k may differ from the build's")
+    val ids = spark.read.parquet(root1)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (0L until 70L), "every vector re-encoded exactly once")
+    // a crashed NEXT retrain (future gen, no flip) must not change the pair
+    Files.createDirectories(Paths.get(s"$dir/codes.v${ver + 1}").resolve("_codebooks"))
+    val (rootC, booksC) = AnnIndex.pqSnapshot(spark, dir)
+    assert(rootC === root1 && booksC.length === books1.length,
+      "an unflipped retrain must leave the old (codes, books) pair current")
+  }
+
+  test("retrainIvfPq realigns the composite's codes with a retrained IVF assignment") {
+    val ivf = Files.createTempDirectory("graft_ivfpq_retrain_ivf").toString
+    val pq = Files.createTempDirectory("graft_ivfpq_retrain_pq").toString
+    val base = (clusterRows(0, 0 until 30) ++ clusterRows(1, 30 until 60))
+      .toDF("vec_id", "label", "embedding")
+    AnnIndex.build(base, ivf, nlist = 2)
+    AnnIndex.buildIvfPq(base, ivf, pq, m = 4, k = 4)
+    // drift + IVF retrain: assignments change under the composite
+    AnnIndex.appendIvf(clusterRows(2, 100 until 120).toDF("vec_id", "label", "embedding"), ivf)
+    AnnIndex.retrainIvf(spark, ivf, nlist = 3)
+    // the composite's re-encode pass mirrors the NEW assignments
+    val ver = AnnIndex.retrainIvfPq(spark, ivf, pq, m = 4, k = 4)
+    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, pq)
+    assert(codesRoot === s"$pq/codes.v$ver")
+    assert(Files.isDirectory(Paths.get(codesRoot, "_codebooks")))
+    assert(books.length === 4 * 4)
+    // code rows carry exactly the retrained lists' assignment
+    val (listsRoot, cents) = AnnIndex.ivfSnapshot(spark, ivf)
+    val listAssign = spark.read.parquet(listsRoot)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("list_id")).toMap
+    val codeAssign = spark.read.parquet(codesRoot)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("list_id")).toMap
+    assert(codeAssign === listAssign,
+      "every code row must sit under the same list as its retrained assignment")
+    // a drifted probe pruned to ONE list through the refreshed composite
+    // reads exactly the drifted cluster's codes
+    val probe = Array.tabulate(8)(i => if (i == 2) 1.0 else 0.0)
+    val lists = AnnIndex.rankLists(cents, probe, nprobe = 1)
+    val got = AnnIndex.ivfPqScanAt(spark, codesRoot, lists)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (100L until 120L),
+      s"the re-encoded composite must prune to the drifted cluster, got $got")
+  }
+
   test("a crash before the retrain's pointer flip leaves the old composite current") {
     val ivf = Files.createTempDirectory("graft_ivf_retrain_crash").toString
     val base = (clusterRows(0, 0 until 20) ++ clusterRows(1, 20 until 40))
