@@ -743,7 +743,8 @@ object Streams {
                    budgetPerSource: Option[Long] = None,
                    nBuckets: Int = 64,
                    vacuumEvery: Int = 0, compactEvery: Int = 0,
-                   imageCol: Option[String] = None)
+                   imageCol: Option[String] = None,
+                   compactGrace: Int = 1)
       : DataStreamWriter[Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -948,12 +949,19 @@ object Streams {
         if (compactEvery > 0 && batchId % compactEvery == 0) {
           val preserve = Set(batchKey)
           def existsTbl(p: String) = graft.etl.Compaction.tableExists(p)
+          // compactGrace: how many retired index generations each publish
+          // keeps for concurrent probes — raise it when external probe
+          // scans can outlive `compactEvery` micro-batches (see
+          // Compaction.vacuumRetired for the sizing rule)
           if (existsTbl(s"$lshDir/buckets"))
-            graft.etl.Compaction.compactLshPostings(spark, lshDir, preserve)
+            graft.etl.Compaction.compactLshPostings(spark, lshDir, preserve,
+              graceGenerations = compactGrace)
           sq8Dir.filter(d => existsTbl(s"$d/sq8"))
-            .foreach(d => graft.etl.Compaction.compactSq8(spark, d, preserve))
+            .foreach(d => graft.etl.Compaction.compactSq8(spark, d, preserve,
+              graceGenerations = compactGrace))
           if (existsTbl(s"$dedupDir/postings"))
-            graft.etl.Compaction.compactDedupPostings(spark, dedupDir, preserve)
+            graft.etl.Compaction.compactDedupPostings(spark, dedupDir, preserve,
+              graceGenerations = compactGrace)
         }
         ()
     }
