@@ -619,19 +619,23 @@ object AnnIndex {
     val spark = e.sparkSession
     import spark.implicits._
     val codebooks = trainPqBooks(e, m, k, seed)
-    encodeIvfPqCodes(spark, ivfDir, cur(s"$indexDir/codes"), codebooks)
+    encodeIvfPqCodes(spark, cur(s"$ivfDir/lists"), cur(s"$indexDir/codes"),
+      codebooks)
     codebooks.toDF("sub_id", "code_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
   }
 
-  /** Encode the IVF lists corpus against `codebooks` into `codesRoot`
-    * (overwrite), `partitionBy(list_id)`. */
-  private def encodeIvfPqCodes(spark: SparkSession, ivfDir: String,
+  /** Encode the lists corpus at the RESOLVED `listsRoot` against
+    * `codebooks` into `codesRoot` (overwrite), `partitionBy(list_id)` —
+    * callers resolve the lists generation ONCE and use it for both
+    * codebook training and encoding, so the two halves can never straddle
+    * an IVF publish. */
+  private def encodeIvfPqCodes(spark: SparkSession, listsRoot: String,
                                codesRoot: String,
                                codebooks: Seq[(Int, Int, Array[Double])]): Unit = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(booksArray(codebooks))
-    spark.read.parquet(cur(s"$ivfDir/lists"))
+    spark.read.parquet(listsRoot)
       .select(col("vec_id"), col("embedding"), col("list_id"))
       .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
@@ -657,14 +661,16 @@ object AnnIndex {
   def retrainIvfPq(spark: SparkSession, ivfDir: String, indexDir: String,
                    m: Int, k: Int, seed: Long = 7L): Long = {
     import spark.implicits._
-    val corpus = spark.read.parquet(cur(s"$ivfDir/lists"))
+    // ONE lists resolution shared by training and encoding
+    val listsRoot = cur(s"$ivfDir/lists")
+    val corpus = spark.read.parquet(listsRoot)
       .select(col("vec_id"), col("embedding"))
     val codebooks = trainPqBooks(corpus, m, k, seed)
     val table = s"$indexDir/codes"
     Compaction.reclaimOrphans(table)
     val newVer = Compaction.currentVersion(table) + 1
     val dst = s"$table.v$newVer"
-    encodeIvfPqCodes(spark, ivfDir, dst, codebooks)
+    encodeIvfPqCodes(spark, listsRoot, dst, codebooks)
     codebooks.toDF("sub_id", "code_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dst/_codebooks")
     Compaction.publishRewrite(table, newVer)
