@@ -220,8 +220,26 @@ object AnnIndex {
     * in LlmSpec (appended near-dups are recovered by the pruned probe;
     * every appended vector lands in exactly one list). The centroid read
     * and the append target resolve from ONE snapshot, so the batch lands
-    * under the same generation whose centroids assigned it. */
-  def appendIvf(batch: DataFrame, indexDir: String): Unit = {
+    * under the same generation whose centroids assigned it.
+    *
+    * Streaming replay story — STRICTER than [[appendLsh]]'s, because IVF is
+    * the one index whose placement depends on MUTABLE MODEL STATE: an LSH
+    * replay lands in the same (band, bkt) cells by construction (seeded
+    * data-independent hyperplanes), so dynamically overwriting the batch's
+    * cells is idempotent — but an IVF replay re-assigns against the
+    * centroid snapshot CURRENT AT REPLAY TIME, which a [[retrainIvf]]
+    * between the original write and the replay may have changed, landing
+    * the same vector in a DIFFERENT list and leaving the original's cells
+    * behind a cell-wise overwrite. A batch-keyed append therefore first
+    * DROPS every `list_id=✶/batch_id=<key>` cell of its own key (an
+    * O(nlist) driver metadata walk — index dirs, not data) and then
+    * appends, making the replay exactly-once under any interleaving of
+    * retrains/compactions that preserved the in-flight key. A `label`
+    * column is optional for batch-keyed ingest (streams carry none): absent,
+    * it is stored as 0 so the lists schema stays probe-compatible.
+    * Ad-hoc callers (None) keep the legacy layout-preserving append. */
+  def appendIvf(batch: DataFrame, indexDir: String,
+                batchKey: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val (root, centsD) = ivfSnapshot(spark, indexDir)
@@ -234,11 +252,96 @@ object AnnIndex {
         call_function("cosine_similarity", col("embedding"), lit(c)).as("cos"),
         lit(i).as("list_id"))
     }: _*)
-    batch
+    val labelled =
+      if (batch.columns.contains("label")) batch
+      else batch.withColumn("label", lit(0))
+    val assigned = labelled
       .withColumn("list_id", array_max(scored).getField("list_id"))
-      .select("vec_id", "label", "embedding", "list_id")
-      .write.mode("append").partitionBy("list_id").parquet(root)
+    // a table that has EVER taken a batch-keyed write carries the batch
+    // level uniformly; flat ad-hoc tables stay flat for None callers
+    val batchLayout = batchKey.isDefined || hasBatchLevel(root)
+    if (batchLayout) {
+      migrateFlatLayout(root, depth = 1)
+      batchKey.foreach(dropIvfBatchCells(root, _))
+      assigned
+        .withColumn("batch_id", lit(batchKey.getOrElse("-1")))
+        .select("vec_id", "label", "embedding", "list_id", "batch_id")
+        .write.mode("append").partitionBy("list_id", "batch_id").parquet(root)
+    } else
+      assigned
+        .select("vec_id", "label", "embedding", "list_id")
+        .write.mode("append").partitionBy("list_id").parquet(root)
   }
+
+  /** Whether the resolved lists generation carries the trailing `batch_id=`
+    * level (migration marker, or any observed batch subdir — the marker is
+    * a plain file and a layout rewrite may not carry it). */
+  private def hasBatchLevel(root: String): Boolean = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) return false
+    if (Files.exists(p.resolve("_GRAFT_BATCH_LAYOUT"))) return true
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(p)
+    try s.iterator().asScala.exists { d =>
+      Files.isDirectory(d) && d.getFileName.toString.startsWith("list_id=") && {
+        val s2 = Files.list(d)
+        try s2.iterator().asScala
+          .exists(_.getFileName.toString.startsWith("batch_id="))
+        finally s2.close()
+      }
+    }
+    finally s.close()
+  }
+
+  /** Replay hygiene for [[appendIvf]]: remove every cell the key wrote in a
+    * PREVIOUS attempt — the replay's assignment may differ (see the replay
+    * paragraph above), so its own stale cells must not survive. */
+  private def dropIvfBatchCells(root: String, key: String): Unit = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) return
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq
+      .filter(d => Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith("list_id="))
+      .foreach { ld =>
+        val cell = ld.resolve(s"batch_id=$key")
+        if (Files.exists(cell)) deleteRecursively(cell)
+      }
+    finally s.close()
+  }
+
+  /** Bootstrap an IVF index from the FIRST stream batch: train the seeded
+    * cosine k-means on the batch's vectors and persist ONLY the centroid
+    * table (+ ready marker) — no lists. The batch's vectors then enter
+    * through the normal batch-keyed [[appendIvf]], so even batch 0 is
+    * replay-safe: a crash between this bootstrap and the append leaves a
+    * committed model and no rows, and the replayed append writes its rows
+    * exactly once (the model is already there and is NOT retrained — the
+    * marker makes this a metadata-only no-op on every later batch).
+    * `nlist` is capped at the batch's row count (k-means needs k ≤ n);
+    * a later [[retrainIvf]] grows the clustering to the full target. */
+  def ensureIvfSeeded(vecs: DataFrame, indexDir: String, nlist: Int,
+                      seed: Long = 7L): Unit =
+    ensureBuilt(indexDir) { tmp =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      val withVec = vecs.withColumn("features", array_to_vector(col("embedding")))
+      val k = math.max(1L, math.min(nlist.toLong, withVec.count())).toInt
+      val model = new KMeans()
+        .setK(k).setSeed(seed).setMaxIter(10)
+        .setDistanceMeasure("cosine")
+        .fit(withVec)
+      model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }
+        .toDF("list_id", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/centroids")
+      Files.createDirectories(Paths.get(tmp))
+      Files.write(readyMarker(tmp), Array.emptyByteArray)
+    }
 
   /** MAINTENANCE RETRAIN — the drift answer [[appendIvf]]'s frozen-centroid
     * discipline defers: re-run the seeded cosine k-means over the CURRENT
@@ -261,34 +364,68 @@ object AnnIndex {
     * `list_id` partitioning mirrors the assignments at encode time, so a
     * retrain must be followed by `buildIvfPq` re-encoding (documented
     * there); the plain IVF/SQ8 paths need nothing else. Returns the
-    * published generation number. */
+    * published generation number.
+    *
+    * Batch-keyed (streaming) tables: a lists tree fed by batch-keyed
+    * [[appendIvf]] carries a trailing `batch_id=` level, and the retrain is
+    * then ALSO a compaction — every checkpoint-committed batch partition
+    * folds into the `batch_id=-1` base of the new generation, EXCEPT the
+    * keys in `preserveBatchKeys` (the in-flight batch the streaming
+    * maintenance cadence is still committing), which keep their key —
+    * re-assigned to the new clustering, but still addressable by the
+    * replay's cell drop ([[appendIvf]]'s hygiene pass). Same
+    * high-water-mark guard as [[Compaction.compactParquet]], same reason.
+    * `graceGenerations` sizes the retired-generation retention for
+    * concurrent probes. */
   def retrainIvf(spark: SparkSession, indexDir: String, nlist: Int,
-                 seed: Long = 7L): Long = {
+                 seed: Long = 7L,
+                 preserveBatchKeys: Set[String] = Set.empty,
+                 graceGenerations: Int = 1): Long = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
     val listsTable = s"$indexDir/lists"
     Compaction.reclaimOrphans(listsTable)
     val root = cur(listsTable)
-    val corpus = spark.read.parquet(root)
-      .select(col("vec_id"), col("label"), col("embedding"))
+    val corpus0 = spark.read.parquet(root)
+    val hasBatch = corpus0.columns.contains("batch_id")
+    val corpus =
+      if (hasBatch) corpus0.select(col("vec_id"), col("label"),
+        col("embedding"), col("batch_id").cast("string").as("batch_id"))
+      else corpus0.select(col("vec_id"), col("label"), col("embedding"))
     val withVec = corpus.withColumn("features", array_to_vector(col("embedding")))
+    // k-means needs k ≤ n: a young streaming table can be smaller than the
+    // target nlist — grow toward it as the corpus does
+    val k = math.max(1L, math.min(nlist.toLong, withVec.count())).toInt
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setK(k).setSeed(seed).setMaxIter(10)
       .setDistanceMeasure("cosine")
       .fit(withVec)
     val newVer = Compaction.currentVersion(listsTable) + 1
     val dst = s"$listsTable.v$newVer"
-    model.transform(withVec)
-      .select(col("vec_id"), col("label"), col("embedding"),
-              col("prediction").as("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(dst)
+    val assigned0 = model.transform(withVec)
+      .withColumn("list_id", col("prediction"))
+    val (assigned, partCols) =
+      if (hasBatch) {
+        val folded =
+          if (preserveBatchKeys.isEmpty) lit("-1")
+          else when(col("batch_id").isin(preserveBatchKeys.toSeq: _*),
+            col("batch_id")).otherwise(lit("-1"))
+        (assigned0.select(col("vec_id"), col("label"), col("embedding"),
+           col("list_id"), folded.as("batch_id")),
+         Seq("list_id", "batch_id"))
+      } else
+        (assigned0.select(col("vec_id"), col("label"), col("embedding"),
+           col("list_id")),
+         Seq("list_id"))
+    assigned
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(dst)
     model.clusterCenters.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
       .toDF("list_id", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dst/_centroids")
-    Compaction.publishRewrite(listsTable, newVer)
+    Compaction.publishRewrite(listsTable, newVer, graceGenerations)
     newVer
   }
 

@@ -299,8 +299,16 @@ object Compaction {
     compactParquet(spark, s"$indexDir/buckets", Seq("band", "bkt"),
       coalesceBatchKeyed = true, preserveBatchKeys = preserveBatchKeys,
       graceGenerations = graceGenerations)
-  def compactIvfLists(spark: SparkSession, indexDir: String): (Long, Long) =
-    compactParquet(spark, s"$indexDir/lists", Seq("list_id"))
+  /** IVF lists — batch-coalescing like LSH/SQ8, because a streaming
+    * [[graft.stream.Streams.corpusIngest]] with an `ivfDir` feeds the lists
+    * through batch-keyed [[AnnIndex.appendIvf]]; a flat ad-hoc table (no
+    * `batch_id` column) compacts layout-only exactly as before. */
+  def compactIvfLists(spark: SparkSession, indexDir: String,
+                      preserveBatchKeys: Set[String] = Set.empty,
+                      graceGenerations: Int = 1): (Long, Long) =
+    compactParquet(spark, s"$indexDir/lists", Seq("list_id"),
+      coalesceBatchKeyed = true, preserveBatchKeys = preserveBatchKeys,
+      graceGenerations = graceGenerations)
   def compactSq8(spark: SparkSession, indexDir: String,
                  preserveBatchKeys: Set[String] = Set.empty,
                  graceGenerations: Int = 1): (Long, Long) =

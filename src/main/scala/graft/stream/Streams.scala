@@ -736,7 +736,20 @@ object Streams {
     * cadence·batch), not O(batches); with both 0 (the default), run the
     * spec-proven [[graft.etl.Compaction]] / vacuum helpers externally
     * during a quiet window. StreamingSpec asserts the bounded-growth
-    * claim empirically. */
+    * claim empirically.
+    *
+    * `ivfDir = Some(dir)` additionally rides the TRAINABLE rung of the ANN
+    * ladder on the stream: the first admitting batch seeds a centroid model
+    * ([[graft.etl.AnnIndex.ensureIvfSeeded]] — centroids only, capped at
+    * the batch size), every batch's survivors enter via batch-keyed
+    * [[graft.etl.AnnIndex.appendIvf]] (whose cell-drop hygiene keeps
+    * replays exactly-once even when the model moved between attempts), and
+    * `ivfRetrainEvery = r` re-clusters the whole lists corpus to `ivfNlist`
+    * centroids every r-th batch — the model-DRIFT maintenance frozen-
+    * centroid assignment defers, published as one atomic (centroids,
+    * lists) generation that also batch-folds like a compaction. The
+    * `compactEvery` cadence covers the IVF lists' layout on the batches a
+    * retrain doesn't run. */
   def corpusIngest(docs: DataFrame, dedupDir: String, lshDir: String,
                    corpusDir: String, lshBands: Int = 3, lshBits: Int = 8,
                    sq8Dir: Option[String] = None,
@@ -744,7 +757,10 @@ object Streams {
                    nBuckets: Int = 64,
                    vacuumEvery: Int = 0, compactEvery: Int = 0,
                    imageCol: Option[String] = None,
-                   compactGrace: Int = 1)
+                   compactGrace: Int = 1,
+                   ivfDir: Option[String] = None,
+                   ivfNlist: Int = 16,
+                   ivfRetrainEvery: Int = 0)
       : DataStreamWriter[Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -790,6 +806,7 @@ object Streams {
         graft.etl.Compaction.recoverInterrupted(s"$dedupDir/postings")
         graft.etl.Compaction.recoverInterrupted(s"$lshDir/buckets")
         sq8Dir.foreach(d => graft.etl.Compaction.recoverInterrupted(s"$d/sq8"))
+        ivfDir.foreach(d => graft.etl.Compaction.recoverInterrupted(s"$d/lists"))
         val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir,
             excludeBatchKey = Some(batchKey), imageCol = imageCol)
           .localCheckpoint(true)
@@ -906,6 +923,17 @@ object Streams {
           graft.etl.AnnIndex.appendLsh(vecs, lshDir, lshBands, lshBits,
             Some(batchKey))
           sq8Dir.foreach(graft.etl.AnnIndex.appendSq8(vecs, _, Some(batchKey)))
+          // the TRAINABLE rung of the ladder: first admitting batch seeds
+          // the centroid model (centroids only — its rows enter through the
+          // keyed append below, so batch 0 replays exactly-once too); every
+          // batch then assigns against the current snapshot's frozen
+          // centroids, with appendIvf's cell-drop hygiene making the keyed
+          // write idempotent even when a retrain moved the replay's
+          // assignment (see its scaladoc)
+          ivfDir.foreach { d =>
+            graft.etl.AnnIndex.ensureIvfSeeded(vecs, d, ivfNlist)
+            graft.etl.AnnIndex.appendIvf(vecs, d, Some(batchKey))
+          }
           commitLedger()
           graft.etl.IncrementalDedup.commitPostings(
             keptPosts.join(kept.select("doc_id").distinct(),
@@ -946,6 +974,13 @@ object Streams {
               java.nio.file.Paths.get(budgetDir, "_CURRENT")))
             graft.etl.Warehouse.vacuum(budgetDir)
         }
+        // an in-stream retrain this batch subsumes an IVF layout compaction
+        // (it rewrites and batch-folds the whole lists table itself).
+        // batch 0 is exempt: its model was seeded from this very batch a
+        // moment ago — an immediate retrain would republish the same
+        // clustering for a full O(corpus) pass
+        val ivfRetrainNow = ivfRetrainEvery > 0 && batchId > 0 &&
+          batchId % ivfRetrainEvery == 0
         if (compactEvery > 0 && batchId % compactEvery == 0) {
           val preserve = Set(batchKey)
           def existsTbl(p: String) = graft.etl.Compaction.tableExists(p)
@@ -962,7 +997,27 @@ object Streams {
           if (existsTbl(s"$dedupDir/postings"))
             graft.etl.Compaction.compactDedupPostings(spark, dedupDir, preserve,
               graceGenerations = compactGrace)
+          if (!ivfRetrainNow)
+            ivfDir.filter(d => existsTbl(s"$d/lists"))
+              .foreach(d => graft.etl.Compaction.compactIvfLists(spark, d,
+                preserve, graceGenerations = compactGrace))
         }
+        // MODEL-DRIFT maintenance, the cadence compaction can't provide:
+        // every `ivfRetrainEvery`-th batch re-clusters the full lists corpus
+        // (frozen-centroid appends only ASSIGN — recall decays as the data
+        // distribution drifts away from the trained centroids), publishing
+        // the (centroids, lists) composite atomically. Runs AFTER this
+        // batch's commits on the sink's own thread — exactly the writer
+        // quiet window retrainIvf's contract asks for — and preserves this
+        // batch's (not yet checkpointed) key so a crash-replay's cell-drop
+        // append stays exactly-once. A replay re-runs the retrain too:
+        // seeded k-means over the same folded corpus is deterministic, so
+        // the republished model matches.
+        if (ivfRetrainNow)
+          ivfDir.filter(d => graft.etl.Compaction.tableExists(s"$d/lists"))
+            .foreach(d => graft.etl.AnnIndex.retrainIvf(spark, d, ivfNlist,
+              preserveBatchKeys = Set(batchKey),
+              graceGenerations = compactGrace))
         ()
     }
 }

@@ -151,6 +151,63 @@ class IvfRetrainSpec extends AnyFunSuite {
       s"the re-encoded composite must prune to the drifted cluster, got $got")
   }
 
+  test("a batch-keyed append replayed across an intervening retrain stays exactly-once") {
+    // IVF is the one index whose placement depends on mutable model state:
+    // a replay re-assigns against the centroids current AT REPLAY TIME, so
+    // after a retrain the same vector can land in a DIFFERENT list than the
+    // original attempt — cell-wise dynamic overwrite (the LSH/SQ8 recipe)
+    // would leave the original's cells behind. appendIvf's pre-write
+    // cell-drop plus retrainIvf's preserveBatchKeys close exactly that.
+    val ivf = Files.createTempDirectory("graft_ivf_replay").toString
+    val base = (clusterRows(0, 0 until 30) ++ clusterRows(1, 30 until 60))
+      .toDF("vec_id", "label", "embedding")
+    AnnIndex.build(base, ivf, nlist = 2)
+    // the in-flight batch: a third cluster, batch-keyed like a stream write
+    val key = "lineage-7"
+    val batch = clusterRows(2, 100 until 110).toDF("vec_id", "label", "embedding")
+    AnnIndex.appendIvf(batch, ivf, Some(key))
+    val preRoot = graft.etl.Compaction.currentPath(s"$ivf/lists")
+    val preAssign = spark.read.parquet(preRoot)
+      .filter(col("vec_id") >= 100L)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("list_id")).toMap
+    // maintenance fires mid-flight: nlist grows 2 -> 3, the drifted cluster
+    // gets its own list — the batch's rows MOVE lists in the new generation
+    AnnIndex.retrainIvf(spark, ivf, nlist = 3, preserveBatchKeys = Set(key))
+    // crash-replay: same rows, same key, assignment now differs
+    AnnIndex.appendIvf(batch, ivf, Some(key))
+    val (root, cents) = AnnIndex.ivfSnapshot(spark, ivf)
+    val rows = spark.read.parquet(root)
+      .select(col("vec_id"), col("list_id"), col("batch_id").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("list_id"), r.getString(2)))
+    // (a) exactly-once: every vector appears once despite the moved assignment
+    val counts = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(counts.values.forall(_ == 1),
+      s"replay across a retrain must not duplicate: ${counts.filter(_._2 > 1).toMap}")
+    assert(rows.map(_._1).sorted.toSeq === ((0L until 60L) ++ (100L until 110L)))
+    // (b) the replayed rows live under their key; checkpointed history is base
+    val byKey = rows.groupBy(_._3).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    assert(byKey(key) === (100L until 110L),
+      s"the in-flight batch must stay addressable by its key, got $byKey")
+    assert(byKey("-1") === (0L until 60L),
+      "the retrain must fold checkpointed rows into the batch base")
+    // (c) the replayed assignment matches the CURRENT model (the retrained
+    // 3-way clustering isolates the drifted cluster), not the stale one
+    val replayLists = rows.filter(_._1 >= 100L).map(_._2).distinct
+    assert(replayLists.length === 1 &&
+      !rows.filter(_._1 < 60L).map(_._2).contains(replayLists.head),
+      "replayed rows must sit in the retrained cluster's own list")
+    assert(cents.length === 3, "sanity: the retrain changed the model")
+    assert(preAssign.nonEmpty, "sanity: the original attempt had landed")
+    // (d) a probe through one snapshot sees the batch exactly once
+    val probe = Array.tabulate(8)(i => if (i == 2) 1.0 else 0.0)
+    val got = AnnIndex.probeScanAt(spark, root,
+        AnnIndex.rankLists(cents, probe, nprobe = 1))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (100L until 110L),
+      s"pruned probe after replay must fetch the batch exactly once, got $got")
+  }
+
   test("a crash before the retrain's pointer flip leaves the old composite current") {
     val ivf = Files.createTempDirectory("graft_ivf_retrain_crash").toString
     val base = (clusterRows(0, 0 until 20) ++ clusterRows(1, 20 until 40))

@@ -1039,6 +1039,133 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpusIngest with ivfDir: the trainable index rides the stream — seeded bootstrap, exactly-once vectors, in-stream retrain") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_sivf_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_sivf_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_sivf_corpus").toString
+    val ivfDir = Files.createTempDirectory("graft_sivf_ivf").toString
+    // axis-aligned embeddings (the IvfRetrainSpec recipe): cluster = id % 4,
+    // so k-means separates them and a probe along one axis must fetch
+    // exactly that cluster's docs
+    def emb(id: Long): Array[Float] = {
+      val v = Array.fill(8)(0.02f * (((id * 31 + 5) % 11) - 5).toInt)
+      v((id % 4).toInt) = 1f
+      v
+    }
+    def doc(id: Long) = SourcedDoc(id,
+      (0 until 5).map(t => s"u${id}t$t").mkString(" "), "web", emb(id))
+    val mem = MemoryStream[SourcedDoc]
+    // retrain every 2nd batch; compaction covers the others
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
+      ivfDir = Some(ivfDir), ivfNlist = 4, ivfRetrainEvery = 2,
+      compactEvery = 3).start()
+    try {
+      val nBatches = 5
+      for (i <- 0 until nBatches) {
+        mem.addData(doc(i * 2L), doc(i * 2L + 1)); q.processAllAvailable()
+      }
+      val listsTable = s"$ivfDir/lists"
+      // (a) every admitted doc's vector is in the index exactly once —
+      // across bootstrap-seeded batch 0, frozen-centroid appends, retrains
+      // and compactions
+      val root0 = graft.etl.Compaction.currentPath(listsTable)
+      val ids = spark.read.parquet(root0)
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === (0L until nBatches * 2L),
+        s"every admitted vector exactly once, got $ids")
+      // (b) the retrain cadence published generations with the centroids
+      // EMBEDDED (the atomic composite — not the bootstrap's flat table)
+      assert(graft.etl.Compaction.currentVersion(listsTable) >= 1,
+        "the in-stream retrain must have published at least one generation")
+      assert(Files.isDirectory(Paths.get(root0, "_centroids")),
+        "the current generation must embed its own centroids")
+      // (c) the retrained model serves: a probe along axis 2 prunes to one
+      // list and fetches exactly the docs of cluster 2 (ids ≡ 2 mod 4)
+      val (root, cents) = graft.etl.AnnIndex.ivfSnapshot(spark, ivfDir)
+      assert(cents.length === 4, s"retrain must reach ivfNlist, got ${cents.length}")
+      val probe = Array.tabulate(8)(i => if (i == 2) 1.0 else 0.0)
+      val got = graft.etl.AnnIndex.probeScanAt(spark, root,
+          graft.etl.AnnIndex.rankLists(cents, probe, nprobe = 1))
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === ids.filter(_ % 4 == 2),
+        s"nprobe=1 must prune to cluster 2's docs, got $got")
+      // (d) semantic replay: re-feeding already-admitted docs drops at the
+      // dedup gate and never reaches the index
+      mem.addData(doc(0L), doc(1L)); q.processAllAvailable()
+      val ids2 = spark.read
+        .parquet(graft.etl.Compaction.currentPath(listsTable))
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids2 === ids, "re-fed docs must not re-enter the IVF index")
+      // (e) batch fragments stay bounded by the maintenance cadence, and
+      // checkpointed batches are folded into the base level
+      val keys = spark.read
+        .parquet(graft.etl.Compaction.currentPath(listsTable))
+        .select(col("batch_id").cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(keys.contains("-1"),
+        "maintenance must have folded checkpointed batches into the base")
+      assert(keys.size <= 1 + 3,
+        s"batch_id partitions must stay bounded by the cadence, got $keys")
+    } finally q.stop()
+  }
+
+  test("ingest→serve loop: annServe probes the same ivfDir corpusIngest maintains, across an in-stream retrain") {
+    // The composed production shape: one stream ingests and maintains the
+    // trainable index (seed → keyed appends → retrain), another serves ANN
+    // answers from the SAME index dir. Every serve resolves ONE pointer
+    // snapshot, so it sees a complete (centroids, lists) pair whether it
+    // lands before or after a retrain publish.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_loop_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_loop_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_loop_corpus").toString
+    val ivfDir = Files.createTempDirectory("graft_loop_ivf").toString
+    val outDir = Files.createTempDirectory("graft_loop_out").toString
+    def emb(id: Long): Array[Float] = {
+      val v = Array.fill(8)(0.02f * (((id * 31 + 5) % 11) - 5).toInt)
+      v((id % 4).toInt) = 1f
+      v
+    }
+    def doc(id: Long) = SourcedDoc(id,
+      (0 until 5).map(t => s"u${id}t$t").mkString(" "), "web", emb(id))
+    val memDocs = MemoryStream[SourcedDoc]
+    val memProbes = MemoryStream[(Long, Array[Float])]
+    val ingest = Streams.corpusIngest(memDocs.toDF(), dedupDir, lshDir,
+      corpusDir, ivfDir = Some(ivfDir), ivfNlist = 4, ivfRetrainEvery = 2)
+      .start()
+    val serve = Streams.annServe(
+      memProbes.toDF().toDF("probe_id", "embedding"), ivfDir, outDir,
+      k = 3, nprobe = 1).start()
+    val axis2 = Array.tabulate(8)(i => if (i == 2) 1f else 0f)
+    try {
+      // batch 0: docs 0..3 seed the model and enter via the keyed append;
+      // a probe along axis 2 is served from the young index
+      memDocs.addData((0L until 4L).map(doc): _*); ingest.processAllAvailable()
+      memProbes.addData((100L, axis2)); serve.processAllAvailable()
+      // two more ingest batches; batch 2 crosses the retrain cadence
+      memDocs.addData((4L until 8L).map(doc): _*); ingest.processAllAvailable()
+      memDocs.addData((8L until 12L).map(doc): _*); ingest.processAllAvailable()
+      assert(graft.etl.Compaction.currentVersion(s"$ivfDir/lists") >= 1,
+        "the serve below must cross a retrain publish")
+      // the same probe served from the retrained snapshot finds the grown cluster
+      memProbes.addData((101L, axis2)); serve.processAllAvailable()
+      val served = spark.read.option("basePath", outDir).parquet(outDir)
+        .select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val byProbe = served.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(byProbe(100L) === Seq(2L),
+        s"the pre-retrain serve sees the only cluster-2 doc, got $byProbe")
+      assert(byProbe(101L) === Seq(2L, 6L, 10L),
+        s"the post-retrain serve must find the grown cluster through the new model, got $byProbe")
+    } finally { serve.stop(); ingest.stop() }
+  }
+
   test("corpusIngest heals a pre-pointer crashed-swap index state before its first read (legacy upgrade)") {
     import java.nio.file.{Files, Paths}
     implicit val sqlCtx = spark.sqlContext
