@@ -105,28 +105,43 @@ object AnnIndex {
   private def readyMarker(indexDir: String) =
     Paths.get(indexDir, "_GRAFT_INDEX_READY")
 
+  /** THE training recipe every IVF model producer shares — [[build]], the
+    * stream bootstrap ([[ensureIvfSeeded]]) and [[retrainIvf]] must fit the
+    * exact same estimator or their models silently diverge: one seeded
+    * cosine k-means over a `features` vector column. */
+  private def fitCentroids(withFeatures: DataFrame, k: Int,
+                           seed: Long): org.apache.spark.ml.clustering.KMeansModel =
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(10)
+      .setDistanceMeasure("cosine")
+      .fit(withFeatures)
+
+  /** The shared `(list_id, centroid)` model table write (one coalesced
+    * file — nlist rows of metadata). */
+  private def writeCentroids(spark: SparkSession,
+                             model: org.apache.spark.ml.clustering.KMeansModel,
+                             path: String): Unit = {
+    import spark.implicits._
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Train + persist the IVF index. `e` must carry
     * `(vec_id long, label int, embedding array&lt;float&gt;)`. */
   def build(e: DataFrame, indexDir: String, nlist: Int, seed: Long = 7L): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = e.sparkSession
-    import spark.implicits._
     val withVec = e.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10)
-      .setDistanceMeasure("cosine")
-      .fit(withVec)
+    val model = fitCentroids(withVec, nlist, seed)
     model.transform(withVec)
       .select(col("vec_id"), col("label"), col("embedding"),
               col("prediction").as("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(cur(s"$indexDir/lists"))
-    model.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
-      .toDF("list_id", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    writeCentroids(spark, model, s"$indexDir/centroids")
     Files.write(readyMarker(indexDir), Array.emptyByteArray)
   }
 
@@ -230,16 +245,28 @@ object AnnIndex {
     * centroid snapshot CURRENT AT REPLAY TIME, which a [[retrainIvf]]
     * between the original write and the replay may have changed, landing
     * the same vector in a DIFFERENT list and leaving the original's cells
-    * behind a cell-wise overwrite. A batch-keyed append therefore first
-    * DROPS every `list_id=✶/batch_id=<key>` cell of its own key (an
-    * O(nlist) driver metadata walk — index dirs, not data) and then
-    * appends, making the replay exactly-once under any interleaving of
-    * retrains/compactions that preserved the in-flight key. A `label`
-    * column is optional for batch-keyed ingest (streams carry none): absent,
-    * it is stored as 0 so the lists schema stays probe-compatible.
-    * Ad-hoc callers (None) keep the legacy layout-preserving append. */
+    * behind a cell-wise overwrite. A batch-keyed append therefore
+    * snapshots its own key's existing cell FILES (an O(nlist) driver
+    * metadata walk — index dirs, not data), appends the fresh rows FIRST,
+    * and only then deletes the snapshotted files: readers go
+    * old → old+new → new, transiently DUPLICATED during a crash replay
+    * (the at-least-once direction) but never empty — a delete-first order
+    * would un-publish rows a concurrent probe already saw, violating
+    * [[graft.stream.Streams.corpusIngest]]'s no-un-publish contract. The
+    * end state is exactly-once under any interleaving of retrains/
+    * compactions that preserved the in-flight key. A `label` column is
+    * optional for batch-keyed ingest (streams carry none): absent, it is
+    * stored as 0 so the lists schema stays probe-compatible. Ad-hoc
+    * callers (None) keep the legacy layout-preserving append. */
   def appendIvf(batch: DataFrame, indexDir: String,
                 batchKey: Option[String] = None): Unit = {
+    batchKey.foreach(k =>
+      // the key names FS cells this method later deletes — reject anything
+      // that could traverse out of the lists tree or alias the base level
+      // (the same guard as Streams.dropServedBatches, plus "-1": a replay
+      // keyed "-1" would delete the folded base)
+      require(k.nonEmpty && !k.contains("/") && !k.contains("..") && k != "-1",
+        s"malformed batch key: $k"))
     val spark = batch.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val (root, centsD) = ivfSnapshot(spark, indexDir)
@@ -262,11 +289,16 @@ object AnnIndex {
     val batchLayout = batchKey.isDefined || hasBatchLevel(root)
     if (batchLayout) {
       migrateFlatLayout(root, depth = 1)
-      batchKey.foreach(dropIvfBatchCells(root, _))
+      val stale = batchKey.toSeq.flatMap(ivfBatchCellFiles(root, _))
       assigned
         .withColumn("batch_id", lit(batchKey.getOrElse("-1")))
         .select("vec_id", "label", "embedding", "list_id", "batch_id")
         .write.mode("append").partitionBy("list_id", "batch_id").parquet(root)
+      // replay hygiene, AFTER the fresh rows are readable (see scaladoc):
+      // drop exactly the previous attempt's files, then any cell dir the
+      // delete emptied (a moved assignment leaves its old cell empty)
+      stale.foreach(Files.deleteIfExists(_))
+      batchKey.foreach(pruneEmptyIvfBatchCells(root, _))
     } else
       assigned
         .select("vec_id", "label", "embedding", "list_id")
@@ -293,23 +325,44 @@ object AnnIndex {
     finally s.close()
   }
 
-  /** Replay hygiene for [[appendIvf]]: remove every cell the key wrote in a
-    * PREVIOUS attempt — the replay's assignment may differ (see the replay
-    * paragraph above), so its own stale cells must not survive. */
-  private def dropIvfBatchCells(root: String, key: String): Unit = {
+  /** The key's cell dirs across every list partition (replay-hygiene
+    * support for [[appendIvf]]). */
+  private def ivfBatchCellDirs(root: String, key: String): Seq[java.nio.file.Path] = {
     val p = Paths.get(root)
-    if (!Files.isDirectory(p)) return
+    if (!Files.isDirectory(p)) return Nil
     import scala.jdk.CollectionConverters._
     val s = Files.list(p)
     try s.iterator().asScala.toSeq
       .filter(d => Files.isDirectory(d) &&
         d.getFileName.toString.startsWith("list_id="))
-      .foreach { ld =>
-        val cell = ld.resolve(s"batch_id=$key")
-        if (Files.exists(cell)) deleteRecursively(cell)
-      }
+      .map(_.resolve(s"batch_id=$key"))
+      .filter(Files.isDirectory(_))
     finally s.close()
   }
+
+  /** Snapshot of the data files a PREVIOUS attempt of this key wrote —
+    * taken before the replay's append, deleted after it (see the replay
+    * paragraph on [[appendIvf]]). */
+  private def ivfBatchCellFiles(root: String, key: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    ivfBatchCellDirs(root, key).flatMap { cell =>
+      val s = Files.list(cell)
+      try s.iterator().asScala.toSeq.filter { f =>
+        val n = f.getFileName.toString
+        Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+      }
+      finally s.close()
+    }
+  }
+
+  /** Remove the key's cell dirs left file-less by the post-append stale
+    * delete (an assignment that moved lists empties its old cell). */
+  private def pruneEmptyIvfBatchCells(root: String, key: String): Unit =
+    ivfBatchCellDirs(root, key).foreach { cell =>
+      val s = Files.list(cell)
+      val empty = try !s.iterator().hasNext finally s.close()
+      if (empty) Files.deleteIfExists(cell)
+    }
 
   /** Bootstrap an IVF index from the FIRST stream batch: train the seeded
     * cosine k-means on the batch's vectors and persist ONLY the centroid
@@ -320,28 +373,25 @@ object AnnIndex {
     * exactly once (the model is already there and is NOT retrained — the
     * marker makes this a metadata-only no-op on every later batch).
     * `nlist` is capped at the batch's row count (k-means needs k ≤ n);
-    * a later [[retrainIvf]] grows the clustering to the full target. */
+    * a later [[retrainIvf]] grows the clustering to the full target.
+    * Returns whether THIS call seeded the model — the streaming cadence
+    * uses it to skip a retrain of the clustering it just trained. */
   def ensureIvfSeeded(vecs: DataFrame, indexDir: String, nlist: Int,
-                      seed: Long = 7L): Unit =
-    ensureBuilt(indexDir) { tmp =>
-      import org.apache.spark.ml.clustering.KMeans
+                      seed: Long = 7L): Boolean = {
+    val had = Files.exists(readyMarker(indexDir))
+    if (!had) ensureBuilt(indexDir) { tmp =>
       import org.apache.spark.ml.functions.array_to_vector
       val spark = vecs.sparkSession
-      import spark.implicits._
       val withVec = vecs.withColumn("features", array_to_vector(col("embedding")))
-      val k = math.max(1L, math.min(nlist.toLong, withVec.count())).toInt
-      val model = new KMeans()
-        .setK(k).setSeed(seed).setMaxIter(10)
-        .setDistanceMeasure("cosine")
-        .fit(withVec)
-      model.clusterCenters.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toArray) }
-        .toDF("list_id", "centroid")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$tmp/centroids")
-      Files.createDirectories(Paths.get(tmp))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val k = math.max(1L, math.min(nlist.toLong, withVec.count())).toInt
+        writeCentroids(spark, fitCentroids(withVec, k, seed), s"$tmp/centroids")
+      } finally withVec.unpersist(false)
       Files.write(readyMarker(tmp), Array.emptyByteArray)
     }
+    !had
+  }
 
   /** MAINTENANCE RETRAIN — the drift answer [[appendIvf]]'s frozen-centroid
     * discipline defers: re-run the seeded cosine k-means over the CURRENT
@@ -381,9 +431,7 @@ object AnnIndex {
                  seed: Long = 7L,
                  preserveBatchKeys: Set[String] = Set.empty,
                  graceGenerations: Int = 1): Long = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import spark.implicits._
     val listsTable = s"$indexDir/lists"
     Compaction.reclaimOrphans(listsTable)
     val root = cur(listsTable)
@@ -393,38 +441,37 @@ object AnnIndex {
       if (hasBatch) corpus0.select(col("vec_id"), col("label"),
         col("embedding"), col("batch_id").cast("string").as("batch_id"))
       else corpus0.select(col("vec_id"), col("label"), col("embedding"))
+    // three passes share the corpus (count, the k-means fit's iterations,
+    // the assignment rewrite) — persist so each is a cache read, not a
+    // fresh parquet scan of the whole table
     val withVec = corpus.withColumn("features", array_to_vector(col("embedding")))
-    // k-means needs k ≤ n: a young streaming table can be smaller than the
-    // target nlist — grow toward it as the corpus does
-    val k = math.max(1L, math.min(nlist.toLong, withVec.count())).toInt
-    val model = new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(10)
-      .setDistanceMeasure("cosine")
-      .fit(withVec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newVer = Compaction.currentVersion(listsTable) + 1
     val dst = s"$listsTable.v$newVer"
-    val assigned0 = model.transform(withVec)
-      .withColumn("list_id", col("prediction"))
-    val (assigned, partCols) =
-      if (hasBatch) {
-        val folded =
-          if (preserveBatchKeys.isEmpty) lit("-1")
-          else when(col("batch_id").isin(preserveBatchKeys.toSeq: _*),
-            col("batch_id")).otherwise(lit("-1"))
-        (assigned0.select(col("vec_id"), col("label"), col("embedding"),
-           col("list_id"), folded.as("batch_id")),
-         Seq("list_id", "batch_id"))
-      } else
-        (assigned0.select(col("vec_id"), col("label"), col("embedding"),
-           col("list_id")),
-         Seq("list_id"))
-    assigned
-      .write.mode("overwrite").partitionBy(partCols: _*).parquet(dst)
-    model.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
-      .toDF("list_id", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dst/_centroids")
+    try {
+      // k-means needs k ≤ n: a young streaming table can be smaller than
+      // the target nlist — grow toward it as the corpus does
+      val k = math.max(1L, math.min(nlist.toLong, withVec.count())).toInt
+      val model = fitCentroids(withVec, k, seed)
+      val assigned0 = model.transform(withVec)
+        .withColumn("list_id", col("prediction"))
+      val (assigned, partCols) =
+        if (hasBatch) {
+          val folded =
+            if (preserveBatchKeys.isEmpty) lit("-1")
+            else when(col("batch_id").isin(preserveBatchKeys.toSeq: _*),
+              col("batch_id")).otherwise(lit("-1"))
+          (assigned0.select(col("vec_id"), col("label"), col("embedding"),
+             col("list_id"), folded.as("batch_id")),
+           Seq("list_id", "batch_id"))
+        } else
+          (assigned0.select(col("vec_id"), col("label"), col("embedding"),
+             col("list_id")),
+           Seq("list_id"))
+      assigned
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(dst)
+      writeCentroids(spark, model, s"$dst/_centroids")
+    } finally withVec.unpersist(false)
     Compaction.publishRewrite(listsTable, newVer, graceGenerations)
     newVer
   }

@@ -747,9 +747,12 @@ object Streams {
     * `ivfRetrainEvery = r` re-clusters the whole lists corpus to `ivfNlist`
     * centroids every r-th batch — the model-DRIFT maintenance frozen-
     * centroid assignment defers, published as one atomic (centroids,
-    * lists) generation that also batch-folds like a compaction. The
-    * `compactEvery` cadence covers the IVF lists' layout on the batches a
-    * retrain doesn't run. */
+    * lists) generation that also batch-folds like a compaction. A cadence
+    * batch only retrains when appends landed since the last retrain (a
+    * persistent drift flag — re-clustering an unchanged corpus would
+    * republish an identical model at full O(corpus) cost) and never on the
+    * batch that seeded the model. The `compactEvery` cadence covers the
+    * IVF lists' layout on the batches a retrain doesn't run. */
   def corpusIngest(docs: DataFrame, dedupDir: String, lshDir: String,
                    corpusDir: String, lshBands: Int = 3, lshBits: Int = 8,
                    sq8Dir: Option[String] = None,
@@ -894,6 +897,9 @@ object Streams {
             graft.etl.Warehouse.publish(spark, budgetDir,
               dir => totals.coalesce(1).write.mode("overwrite").parquet(dir))
         }
+        // whether THIS batch bootstrapped the IVF model (its clustering is
+        // minutes old — retraining it again the same batch is pure waste)
+        var ivfSeededThisBatch = false
         if (kept.isEmpty) {
           if (!ledgerExists) commitLedger()
         } else {
@@ -927,12 +933,20 @@ object Streams {
           // the centroid model (centroids only — its rows enter through the
           // keyed append below, so batch 0 replays exactly-once too); every
           // batch then assigns against the current snapshot's frozen
-          // centroids, with appendIvf's cell-drop hygiene making the keyed
-          // write idempotent even when a retrain moved the replay's
+          // centroids, with appendIvf's write-then-clean hygiene making the
+          // keyed write idempotent even when a retrain moved the replay's
           // assignment (see its scaladoc)
           ivfDir.foreach { d =>
-            graft.etl.AnnIndex.ensureIvfSeeded(vecs, d, ivfNlist)
+            ivfSeededThisBatch = graft.etl.AnnIndex.ensureIvfSeeded(
+              vecs, d, ivfNlist)
             graft.etl.AnnIndex.appendIvf(vecs, d, Some(batchKey))
+            // drift flag for the retrain cadence below: set by every
+            // append, cleared by a completed retrain — so cadence batches
+            // with nothing new since the last retrain skip the O(corpus)
+            // re-cluster instead of republishing an identical model
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, "_GRAFT_RETRAIN_PENDING"),
+              Array.emptyByteArray)
           }
           commitLedger()
           graft.etl.IncrementalDedup.commitPostings(
@@ -976,11 +990,18 @@ object Streams {
         }
         // an in-stream retrain this batch subsumes an IVF layout compaction
         // (it rewrites and batch-folds the whole lists table itself).
-        // batch 0 is exempt: its model was seeded from this very batch a
-        // moment ago — an immediate retrain would republish the same
-        // clustering for a full O(corpus) pass
-        val ivfRetrainNow = ivfRetrainEvery > 0 && batchId > 0 &&
-          batchId % ivfRetrainEvery == 0
+        // Gates beyond the cadence: the seeding batch is exempt (its model
+        // was trained moments ago from this very data), and the persistent
+        // _GRAFT_RETRAIN_PENDING drift flag must be set — a cadence batch
+        // with no appends since the last retrain would re-cluster an
+        // unchanged corpus into an identical model for a full O(corpus)
+        // pass. The flag (not "did THIS batch admit") carries pending
+        // drift across skipped cadence points: admission that always lands
+        // between cadence batches still retrains at the next opportunity.
+        val ivfRetrainNow = ivfRetrainEvery > 0 && !ivfSeededThisBatch &&
+          batchId % ivfRetrainEvery == 0 &&
+          ivfDir.exists(d => java.nio.file.Files.exists(
+            java.nio.file.Paths.get(d, "_GRAFT_RETRAIN_PENDING")))
         if (compactEvery > 0 && batchId % compactEvery == 0) {
           val preserve = Set(batchKey)
           def existsTbl(p: String) = graft.etl.Compaction.tableExists(p)
@@ -1015,9 +1036,16 @@ object Streams {
         // the republished model matches.
         if (ivfRetrainNow)
           ivfDir.filter(d => graft.etl.Compaction.tableExists(s"$d/lists"))
-            .foreach(d => graft.etl.AnnIndex.retrainIvf(spark, d, ivfNlist,
-              preserveBatchKeys = Set(batchKey),
-              graceGenerations = compactGrace))
+            .foreach { d =>
+              graft.etl.AnnIndex.retrainIvf(spark, d, ivfNlist,
+                preserveBatchKeys = Set(batchKey),
+                graceGenerations = compactGrace)
+              // drift consumed — cleared only AFTER the publish, so a crash
+              // mid-retrain leaves the flag set and the next cadence batch
+              // retries
+              java.nio.file.Files.deleteIfExists(
+                java.nio.file.Paths.get(d, "_GRAFT_RETRAIN_PENDING"))
+            }
         ()
     }
 }

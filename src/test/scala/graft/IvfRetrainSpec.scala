@@ -208,6 +208,52 @@ class IvfRetrainSpec extends AnyFunSuite {
       s"pruned probe after replay must fetch the batch exactly once, got $got")
   }
 
+  test("a replay heals the crash window between the keyed append and its stale-file sweep") {
+    // appendIvf writes the replay's rows BEFORE deleting the previous
+    // attempt's files (delete-first would un-publish rows a concurrent
+    // probe already saw). A crash INSIDE that window leaves both attempts'
+    // files under the key — transient duplication in the at-least-once
+    // direction — and the next replay's sweep must collapse it.
+    val ivf = Files.createTempDirectory("graft_ivf_torn").toString
+    AnnIndex.build(clusterRows(0, 0 until 20).toDF("vec_id", "label", "embedding"),
+      ivf, nlist = 2)
+    val key = "lineage-3"
+    val batch = clusterRows(1, 100 until 110).toDF("vec_id", "label", "embedding")
+    AnnIndex.appendIvf(batch, ivf, Some(key))
+    // fabricate the torn state: clone every committed file of the key's
+    // cells, as if a crashed attempt's files had survived the sweep
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(graft.etl.Compaction.currentPath(s"$ivf/lists"))
+    val cells = {
+      val s = Files.list(root)
+      try s.iterator().asScala.toSeq
+        .filter(d => d.getFileName.toString.startsWith("list_id="))
+        .map(_.resolve(s"batch_id=$key")).filter(Files.isDirectory(_))
+      finally s.close()
+    }
+    assert(cells.nonEmpty)
+    cells.foreach { cell =>
+      val s = Files.list(cell)
+      val fs = try s.iterator().asScala.toSeq.filter { f =>
+        val n = f.getFileName.toString
+        Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+      } finally s.close()
+      fs.foreach(f => Files.copy(f,
+        f.getParent.resolve("dup-" + f.getFileName.toString)))
+    }
+    def keyRows() = spark.read.parquet(root.toString)
+      .filter(col("batch_id").cast("string") === key)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keyRows() === (100L until 110L).flatMap(i => Seq(i, i)),
+      "sanity: the torn state is visibly duplicated")
+    // the replay: append-then-sweep collapses both prior attempts
+    AnnIndex.appendIvf(batch, ivf, Some(key))
+    assert(keyRows() === (100L until 110L),
+      "the replay's sweep must remove every prior attempt's files")
+    assert(spark.read.parquet(root.toString).count() === 30L,
+      "base rows untouched")
+  }
+
   test("a crash before the retrain's pointer flip leaves the old composite current") {
     val ivf = Files.createTempDirectory("graft_ivf_retrain_crash").toString
     val base = (clusterRows(0, 0 until 20) ++ clusterRows(1, 20 until 40))
