@@ -260,13 +260,6 @@ object AnnIndex {
     * callers (None) keep the legacy layout-preserving append. */
   def appendIvf(batch: DataFrame, indexDir: String,
                 batchKey: Option[String] = None): Unit = {
-    batchKey.foreach(k =>
-      // the key names FS cells this method later deletes — reject anything
-      // that could traverse out of the lists tree or alias the base level
-      // (the same guard as Streams.dropServedBatches, plus "-1": a replay
-      // keyed "-1" would delete the folded base)
-      require(k.nonEmpty && !k.contains("/") && !k.contains("..") && k != "-1",
-        s"malformed batch key: $k"))
     val spark = batch.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val (root, centsD) = ivfSnapshot(spark, indexDir)
@@ -284,15 +277,32 @@ object AnnIndex {
       else batch.withColumn("label", lit(0))
     val assigned = labelled
       .withColumn("list_id", array_max(scored).getField("list_id"))
+      .select("vec_id", "label", "embedding", "list_id")
+    appendListKeyed(assigned, root, batchKey)
+  }
+
+  /** The shared KEYED WRITE-THEN-CLEAN protocol for list-partitioned index
+    * appends whose placement depends on mutable model state ([[appendIvf]],
+    * [[appendIvfPq]] — see the replay paragraph on [[appendIvf]] for the
+    * ordering argument). `rows` must already carry `list_id`; the batch
+    * level is appended here. */
+  private def appendListKeyed(rows: DataFrame, root: String,
+                              batchKey: Option[String]): Unit = {
+    batchKey.foreach(k =>
+      // the key names FS cells this method later deletes — reject anything
+      // that could traverse out of the index tree or alias the base level
+      // (the same guard as Streams.dropServedBatches, plus "-1": a replay
+      // keyed "-1" would delete the folded base)
+      require(k.nonEmpty && !k.contains("/") && !k.contains("..") && k != "-1",
+        s"malformed batch key: $k"))
     // a table that has EVER taken a batch-keyed write carries the batch
     // level uniformly; flat ad-hoc tables stay flat for None callers
     val batchLayout = batchKey.isDefined || hasBatchLevel(root)
     if (batchLayout) {
       migrateFlatLayout(root, depth = 1)
       val stale = batchKey.toSeq.flatMap(ivfBatchCellFiles(root, _))
-      assigned
+      rows
         .withColumn("batch_id", lit(batchKey.getOrElse("-1")))
-        .select("vec_id", "label", "embedding", "list_id", "batch_id")
         .write.mode("append").partitionBy("list_id", "batch_id").parquet(root)
       // replay hygiene, AFTER the fresh rows are readable (see scaladoc):
       // drop exactly the previous attempt's files, then any cell dir the
@@ -300,9 +310,7 @@ object AnnIndex {
       stale.foreach(Files.deleteIfExists(_))
       batchKey.foreach(pruneEmptyIvfBatchCells(root, _))
     } else
-      assigned
-        .select("vec_id", "label", "embedding", "list_id")
-        .write.mode("append").partitionBy("list_id").parquet(root)
+      rows.write.mode("append").partitionBy("list_id").parquet(root)
   }
 
   /** Whether the resolved lists generation carries the trailing `batch_id=`
@@ -629,16 +637,22 @@ object AnnIndex {
                            seed: Long): Seq[(Int, Int, Array[Double])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    val sub = dim / m
-    (0 until m).flatMap { s =>
-      val subVec = expr(
-        s"transform(slice(embedding, ${s * sub + 1}, $sub), x -> cast(x AS double))")
-      val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
-        .fit(e.select(array_to_vector(subVec).as("features")))
-      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
-    }
+    // m independent fits × ~10 iterations each read the same embedding
+    // column — persist once so they are cache reads, not m·10 source scans
+    val vecs = e.select(col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+      val sub = dim / m
+      (0 until m).flatMap { s =>
+        val subVec = expr(
+          s"transform(slice(embedding, ${s * sub + 1}, $sub), x -> cast(x AS double))")
+        val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
+          .fit(vecs.select(array_to_vector(subVec).as("features")))
+        model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
+      }
+    } finally vecs.unpersist(false)
   }
 
   /** [[ensure]]'s twin for the PQ index. */
@@ -813,24 +827,42 @@ object AnnIndex {
     * `codebooks` into `codesRoot` (overwrite), `partitionBy(list_id)` —
     * callers resolve the lists generation ONCE and use it for both
     * codebook training and encoding, so the two halves can never straddle
-    * an IVF publish. */
+    * an IVF publish. A batch-keyed lists table (streaming ingest) carries
+    * its `batch_id` level through VERBATIM — the codes MIRROR the lists,
+    * including the lists' own fold policy, so a crash-replay's keyed sweep
+    * finds its cells in both tables. */
   private def encodeIvfPqCodes(spark: SparkSession, listsRoot: String,
                                codesRoot: String,
                                codebooks: Seq[(Int, Int, Array[Double])]): Unit = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(booksArray(codebooks))
-    spark.read.parquet(listsRoot)
-      .select(col("vec_id"), col("embedding"), col("list_id"))
-      .as[(Long, Array[Float], Int)]
-      .mapPartitions { it =>
-        val bk = bc.value
-        it.map { case (id, emb, list) =>
-          val (code, rnorm) = encodePqRow(bk, emb)
-          (id, code, rnorm, list)
-        }
-      }.toDF("vec_id", "code", "rnorm", "list_id")
-      .write.mode("overwrite").partitionBy("list_id")
-      .parquet(codesRoot)
+    val src = spark.read.parquet(listsRoot)
+    val hasBatch = src.columns.contains("batch_id")
+    if (hasBatch)
+      src.select(col("vec_id"), col("embedding"), col("list_id"),
+          col("batch_id").cast("string").as("batch_id"))
+        .as[(Long, Array[Float], Int, String)]
+        .mapPartitions { it =>
+          val bk = bc.value
+          it.map { case (id, emb, list, key) =>
+            val (code, rnorm) = encodePqRow(bk, emb)
+            (id, code, rnorm, list, key)
+          }
+        }.toDF("vec_id", "code", "rnorm", "list_id", "batch_id")
+        .write.mode("overwrite").partitionBy("list_id", "batch_id")
+        .parquet(codesRoot)
+    else
+      src.select(col("vec_id"), col("embedding"), col("list_id"))
+        .as[(Long, Array[Float], Int)]
+        .mapPartitions { it =>
+          val bk = bc.value
+          it.map { case (id, emb, list) =>
+            val (code, rnorm) = encodePqRow(bk, emb)
+            (id, code, rnorm, list)
+          }
+        }.toDF("vec_id", "code", "rnorm", "list_id")
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(codesRoot)
   }
 
   /** MAINTENANCE RETRAIN for the IVF-PQ composite: re-train the codebooks
@@ -843,13 +875,17 @@ object AnnIndex {
     * serves the OLD (still mutually consistent) pair via its own snapshot.
     * Quiet-window contract for writers. Returns the published generation. */
   def retrainIvfPq(spark: SparkSession, ivfDir: String, indexDir: String,
-                   m: Int, k: Int, seed: Long = 7L): Long = {
+                   m: Int, k: Int, seed: Long = 7L,
+                   graceGenerations: Int = 1): Long = {
     import spark.implicits._
     // ONE lists resolution shared by training and encoding
     val listsRoot = cur(s"$ivfDir/lists")
     val corpus = spark.read.parquet(listsRoot)
       .select(col("vec_id"), col("embedding"))
-    val codebooks = trainPqBooks(corpus, m, k, seed)
+    // k-means needs k ≤ n: a young streaming composite can hold fewer
+    // vectors than the target codebook size — grow toward it with the data
+    val kCap = math.max(1L, math.min(k.toLong, corpus.count())).toInt
+    val codebooks = trainPqBooks(corpus, m, kCap, seed)
     val table = s"$indexDir/codes"
     Compaction.reclaimOrphans(table)
     val newVer = Compaction.currentVersion(table) + 1
@@ -857,8 +893,38 @@ object AnnIndex {
     encodeIvfPqCodes(spark, listsRoot, dst, codebooks)
     codebooks.toDF("sub_id", "code_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dst/_codebooks")
-    Compaction.publishRewrite(table, newVer)
+    Compaction.publishRewrite(table, newVer, graceGenerations)
     newVer
+  }
+
+  /** Bootstrap the IVF-PQ composite from the FIRST stream batch: train the
+    * m per-subspace codebooks on the batch's vectors and persist ONLY the
+    * codebook table (+ ready marker) — no codes. The batch's rows then
+    * enter through the batch-keyed [[appendIvfPq]] like every later batch,
+    * so a replay of batch 0 stays exactly-once even though the bootstrap
+    * ran on its first attempt (the model is already there and is NOT
+    * retrained — metadata-only no-op on every later batch). `k` is capped
+    * at the batch's row count (per-subspace k-means needs k ≤ n); a later
+    * [[retrainIvfPq]] grows the codebooks to the full target. The paired
+    * IVF index seeds separately ([[ensureIvfSeeded]]) — the composite only
+    * ever REQUIRES it at append/probe time. */
+  def ensureIvfPqSeeded(vecs: DataFrame, indexDir: String, m: Int, k: Int,
+                        seed: Long = 7L): Boolean = {
+    val had = Files.exists(readyMarker(indexDir))
+    if (!had) ensureBuilt(indexDir) { tmp =>
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      val cached = vecs
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val kCap = math.max(1L, math.min(k.toLong, cached.count())).toInt
+        trainPqBooks(cached, m, kCap, seed)
+          .toDF("sub_id", "code_id", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
+      } finally cached.unpersist(false)
+      Files.write(readyMarker(tmp), Array.emptyByteArray)
+    }
+    !had
   }
 
   /** [[ensure]]'s twin for the IVF-PQ composite (the IVF index must already
@@ -878,8 +944,18 @@ object AnnIndex {
     * map-side work, nothing shuffles, and probes immediately see old + new
     * codes through the same pruned scan. Appends fragment the per-list
     * dirs over time — [[Compaction.compactIvfPqCodes]] is the matching
-    * maintenance job. */
-  def appendIvfPq(batch: DataFrame, ivfDir: String, indexDir: String): Unit = {
+    * maintenance job.
+    *
+    * Streaming replay story — the [[appendIvf]] discipline applies DOUBLY:
+    * a replay's rows can move cells because EITHER frozen model changed
+    * underneath it (a retrain moved the centroid assignment, or new
+    * codebooks re-encode the same vector to different bytes), so a
+    * batch-keyed append runs the same write-then-clean protocol over the
+    * codes tree (`list_id=✶/batch_id=<key>`): snapshot the key's prior
+    * files, append, sweep — exactly-once end state, never-empty reads.
+    * Ad-hoc callers (None) keep the layout-preserving append. */
+  def appendIvfPq(batch: DataFrame, ivfDir: String, indexDir: String,
+                  batchKey: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
@@ -895,7 +971,7 @@ object AnnIndex {
     // old-book codes into a new-book generation
     val (codesRoot, books) = pqSnapshot(spark, indexDir)
     val bc = spark.sparkContext.broadcast(booksArray(books))
-    batch
+    val rows = batch
       .withColumn("list_id", array_max(scored).getField("list_id"))
       .select(col("vec_id"), col("embedding"), col("list_id"))
       .as[(Long, Array[Float], Int)]
@@ -906,7 +982,7 @@ object AnnIndex {
           (id, code, rnorm, list)
         }
       }.toDF("vec_id", "code", "rnorm", "list_id")
-      .write.mode("append").partitionBy("list_id").parquet(codesRoot)
+    appendListKeyed(rows, codesRoot, batchKey)
   }
 
   /** Partition-pruned scan of the probed lists' code table. */

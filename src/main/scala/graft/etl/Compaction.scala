@@ -319,9 +319,16 @@ object Compaction {
     compactParquet(spark, s"$indexDir/codes", Nil)
   /** The IVF-PQ composite's per-list code dirs ([[AnnIndex.buildIvfPq]] /
     * `appendIvfPq` — `codes/list_id=` partitioning; the `codebooks` table
-    * is a single coalesced file and never fragments). */
-  def compactIvfPqCodes(spark: SparkSession, indexDir: String): (Long, Long) =
-    compactParquet(spark, s"$indexDir/codes", Seq("list_id"))
+    * is a single coalesced file and never fragments). Batch-coalescing like
+    * the IVF lists, because a streaming [[graft.stream.Streams.corpusIngest]]
+    * with an `ivfPqDir` feeds the codes through batch-keyed
+    * [[AnnIndex.appendIvfPq]]; a flat ad-hoc table compacts layout-only. */
+  def compactIvfPqCodes(spark: SparkSession, indexDir: String,
+                        preserveBatchKeys: Set[String] = Set.empty,
+                        graceGenerations: Int = 1): (Long, Long) =
+    compactParquet(spark, s"$indexDir/codes", Seq("list_id"),
+      coalesceBatchKeyed = true, preserveBatchKeys = preserveBatchKeys,
+      graceGenerations = graceGenerations)
 
   /** The dedup posting table ([[IncrementalDedup]]) — unpartitioned
     * appends, joined on (band, bkey) per ingest batch. */

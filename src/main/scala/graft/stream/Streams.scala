@@ -752,7 +752,15 @@ object Streams {
     * persistent drift flag — re-clustering an unchanged corpus would
     * republish an identical model at full O(corpus) cost) and never on the
     * batch that seeded the model. The `compactEvery` cadence covers the
-    * IVF lists' layout on the batches a retrain doesn't run. */
+    * IVF lists' layout on the batches a retrain doesn't run.
+    *
+    * `ivfPqDir` (requires `ivfDir`) extends the lifecycle to the IVF-PQ
+    * COMPOSITE — the production two-model layout: codebooks seed from the
+    * first admitting batch, every batch encodes against the frozen
+    * (centroids, books) snapshot pair through the keyed write-then-clean
+    * append, the retrain cadence republishes the composite right after the
+    * IVF publish it mirrors, and the compaction cadence batch-coalesces
+    * the per-list code fragments on the batches in between. */
   def corpusIngest(docs: DataFrame, dedupDir: String, lshDir: String,
                    corpusDir: String, lshBands: Int = 3, lshBits: Int = 8,
                    sq8Dir: Option[String] = None,
@@ -763,8 +771,15 @@ object Streams {
                    compactGrace: Int = 1,
                    ivfDir: Option[String] = None,
                    ivfNlist: Int = 16,
-                   ivfRetrainEvery: Int = 0)
-      : DataStreamWriter[Row] =
+                   ivfRetrainEvery: Int = 0,
+                   ivfPqDir: Option[String] = None,
+                   pqM: Int = 4, pqK: Int = 16)
+      : DataStreamWriter[Row] = {
+    // the composite's coarse half IS the IVF index: list assignment,
+    // partition pruning, and the retrain corpus all come from its lists
+    require(ivfPqDir.isEmpty || ivfDir.nonEmpty,
+      "ivfPqDir requires ivfDir — the IVF-PQ composite assigns, prunes and " +
+        "retrains through the paired IVF index's lists")
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -940,6 +955,16 @@ object Streams {
             ivfSeededThisBatch = graft.etl.AnnIndex.ensureIvfSeeded(
               vecs, d, ivfNlist)
             graft.etl.AnnIndex.appendIvf(vecs, d, Some(batchKey))
+            // the IVF-PQ composite rides the same model lifecycle: first
+            // admitting batch seeds the codebooks (books only — the rows
+            // enter through the keyed append, so batch 0 replays
+            // exactly-once), every batch then assigns against the IVF
+            // snapshot's frozen centroids and encodes against the frozen
+            // books, with the same write-then-clean keyed hygiene
+            ivfPqDir.foreach { pd =>
+              graft.etl.AnnIndex.ensureIvfPqSeeded(vecs, pd, pqM, pqK)
+              graft.etl.AnnIndex.appendIvfPq(vecs, d, pd, Some(batchKey))
+            }
             // drift flag for the retrain cadence below: set by every
             // append, cleared by a completed retrain — so cadence batches
             // with nothing new since the last retrain skip the O(corpus)
@@ -1018,10 +1043,14 @@ object Streams {
           if (existsTbl(s"$dedupDir/postings"))
             graft.etl.Compaction.compactDedupPostings(spark, dedupDir, preserve,
               graceGenerations = compactGrace)
-          if (!ivfRetrainNow)
+          if (!ivfRetrainNow) {
             ivfDir.filter(d => existsTbl(s"$d/lists"))
               .foreach(d => graft.etl.Compaction.compactIvfLists(spark, d,
                 preserve, graceGenerations = compactGrace))
+            ivfPqDir.filter(d => existsTbl(s"$d/codes"))
+              .foreach(d => graft.etl.Compaction.compactIvfPqCodes(spark, d,
+                preserve, graceGenerations = compactGrace))
+          }
         }
         // MODEL-DRIFT maintenance, the cadence compaction can't provide:
         // every `ivfRetrainEvery`-th batch re-clusters the full lists corpus
@@ -1040,6 +1069,16 @@ object Streams {
               graft.etl.AnnIndex.retrainIvf(spark, d, ivfNlist,
                 preserveBatchKeys = Set(batchKey),
                 graceGenerations = compactGrace)
+              // the composite follows ITS documented discipline — retrain
+              // AFTER the IVF publish, so the new codes generation mirrors
+              // the retrained lists (assignments, batch fold and all); a
+              // crash between the two publishes leaves the flag set, and
+              // the deterministic seeded re-cluster of the retry converges
+              // on the same pair
+              ivfPqDir
+                .filter(pd => graft.etl.Compaction.tableExists(s"$pd/codes"))
+                .foreach(pd => graft.etl.AnnIndex.retrainIvfPq(spark, d, pd,
+                  pqM, pqK, graceGenerations = compactGrace))
               // drift consumed — cleared only AFTER the publish, so a crash
               // mid-retrain leaves the flag set and the next cadence batch
               // retries
@@ -1048,4 +1087,5 @@ object Streams {
             }
         ()
     }
+  }
 }

@@ -208,6 +208,66 @@ class IvfRetrainSpec extends AnyFunSuite {
       s"pruned probe after replay must fetch the batch exactly once, got $got")
   }
 
+  test("a keyed IVF-PQ append replayed across a composite retrain stays exactly-once and mirrors the lists") {
+    // the composite doubles the IVF replay hazard: a replay's rows can move
+    // cells because EITHER the centroids re-assigned them or the new
+    // codebooks encode them differently — the same write-then-clean keyed
+    // protocol must collapse both, and retrainIvfPq must carry the lists'
+    // batch fold into the codes it republishes.
+    val ivf = Files.createTempDirectory("graft_ivfpq_replay_ivf").toString
+    val pq = Files.createTempDirectory("graft_ivfpq_replay_pq").toString
+    val base = (clusterRows(0, 0 until 30) ++ clusterRows(1, 30 until 60))
+      .toDF("vec_id", "label", "embedding")
+    AnnIndex.build(base, ivf, nlist = 2)
+    AnnIndex.buildIvfPq(base, ivf, pq, m = 4, k = 4)
+    val key = "lineage-9"
+    val batch = clusterRows(2, 100 until 110).toDF("vec_id", "label", "embedding")
+    AnnIndex.appendIvf(batch, ivf, Some(key))
+    AnnIndex.appendIvfPq(batch, ivf, pq, Some(key))
+    // maintenance mid-flight: the IVF retrain moves the batch's assignment,
+    // then the composite republishes codes + books mirroring the new lists
+    AnnIndex.retrainIvf(spark, ivf, nlist = 3, preserveBatchKeys = Set(key))
+    AnnIndex.retrainIvfPq(spark, ivf, pq, m = 4, k = 4)
+    // crash-replay of the SAME batch under the SAME key against new models
+    AnnIndex.appendIvf(batch, ivf, Some(key))
+    AnnIndex.appendIvfPq(batch, ivf, pq, Some(key))
+    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, pq)
+    assert(Files.isDirectory(Paths.get(codesRoot, "_codebooks")),
+      "the retrained composite must embed its books in the generation")
+    val codes = spark.read.parquet(codesRoot)
+      .select(col("vec_id"), col("list_id"), col("batch_id").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("list_id"), r.getString(2)))
+    // (a) exactly-once in the CODES table too
+    val dup = codes.groupBy(_._1).collect { case (id, rs) if rs.length > 1 => id }
+    assert(dup.isEmpty, s"replayed codes must not duplicate: $dup")
+    assert(codes.map(_._1).sorted.toSeq === ((0L until 60L) ++ (100L until 110L)))
+    // (b) the fold mirrors the lists: in-flight key preserved, history base
+    val byKey = codes.groupBy(_._3).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    assert(byKey(key) === (100L until 110L) && byKey("-1") === (0L until 60L),
+      s"codes must mirror the lists' batch fold, got ${byKey.keySet}")
+    // (c) code placement mirrors the lists' retrained assignment per vector
+    val listAssign = spark.read
+      .parquet(graft.etl.Compaction.currentPath(s"$ivf/lists"))
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("list_id")).toMap
+    codes.foreach { case (id, list, _) =>
+      assert(listAssign(id) === list,
+        s"vec $id: codes list $list != lists assignment ${listAssign(id)}")
+    }
+    // (d) an end-to-end composite probe through one snapshot pair sees the
+    // batch's cluster exactly once
+    assert(books.nonEmpty)
+    val e = (clusterRows(0, 0 until 30) ++ clusterRows(1, 30 until 60) ++
+      clusterRows(2, 100 until 110)).toDF("vec_id", "label", "embedding")
+    val probeVec = e.filter(col("vec_id") === 102L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val got = graft.queries.Llm.knnIvfPqProbe(spark, ivf, pq, e, probeVec,
+        probeId = 102L, k = 5, nprobe = 1, oversample = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got.size === 5 && got.forall(id => id >= 100L && id < 110L),
+      s"pruned composite probe must serve the batch's cluster, got $got")
+  }
+
   test("a replay heals the crash window between the keyed append and its stale-file sweep") {
     // appendIvf writes the replay's rows BEFORE deleting the previous
     // attempt's files (delete-first would un-publish rows a concurrent

@@ -1047,6 +1047,7 @@ class StreamingSpec extends AnyFunSuite {
     val lshDir = Files.createTempDirectory("graft_sivf_lsh").toString
     val corpusDir = Files.createTempDirectory("graft_sivf_corpus").toString
     val ivfDir = Files.createTempDirectory("graft_sivf_ivf").toString
+    val ivfPqDir = Files.createTempDirectory("graft_sivf_ivfpq").toString
     // axis-aligned embeddings (the IvfRetrainSpec recipe): cluster = id % 4,
     // so k-means separates them and a probe along one axis must fetch
     // exactly that cluster's docs
@@ -1058,10 +1059,11 @@ class StreamingSpec extends AnyFunSuite {
     def doc(id: Long) = SourcedDoc(id,
       (0 until 5).map(t => s"u${id}t$t").mkString(" "), "web", emb(id))
     val mem = MemoryStream[SourcedDoc]
-    // retrain every 2nd batch; compaction covers the others
+    // retrain every 2nd batch; compaction covers the others. The IVF-PQ
+    // composite rides the same lifecycle off the same ivfDir.
     val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
       ivfDir = Some(ivfDir), ivfNlist = 4, ivfRetrainEvery = 2,
-      compactEvery = 3).start()
+      compactEvery = 3, ivfPqDir = Some(ivfPqDir), pqM = 4, pqK = 4).start()
     try {
       val nBatches = 5
       for (i <- 0 until nBatches) {
@@ -1109,6 +1111,38 @@ class StreamingSpec extends AnyFunSuite {
         "maintenance must have folded checkpointed batches into the base")
       assert(keys.size <= 1 + 3,
         s"batch_id partitions must stay bounded by the cadence, got $keys")
+      // (f) the IVF-PQ composite rode the same lifecycle: its current codes
+      // generation holds every admitted vector exactly once, embeds the
+      // retrained books, and mirrors the lists' per-vector assignment
+      val (codesRoot, books) = graft.etl.AnnIndex.pqSnapshot(spark, ivfPqDir)
+      assert(graft.etl.Compaction.currentVersion(s"$ivfPqDir/codes") >= 1,
+        "the in-stream composite retrain must have published a generation")
+      assert(Files.isDirectory(Paths.get(codesRoot, "_codebooks")),
+        "the composite generation must embed its own codebooks")
+      assert(books.nonEmpty)
+      val codeRows = spark.read.parquet(codesRoot)
+        .select("vec_id", "list_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Int]("list_id")))
+      assert(codeRows.map(_._1).sorted.toSeq === ids2,
+        "codes must hold every admitted vector exactly once, replay included")
+      val listAssign = spark.read
+        .parquet(graft.etl.Compaction.currentPath(listsTable))
+        .select("vec_id", "list_id").collect()
+        .map(r => r.getLong(0) -> r.getAs[Int]("list_id")).toMap
+      codeRows.foreach { case (id, list) =>
+        assert(listAssign(id) === list,
+          s"vec $id: codes list $list != lists assignment ${listAssign(id)}")
+      }
+      // (g) an end-to-end composite probe over the streamed indexes prunes
+      // to the probed cluster
+      val eAll = ids.map(id => (id, (id % 4).toInt, emb(id)))
+        .toDF("vec_id", "label", "embedding")
+      val pv = emb(2L).map(_.toDouble)
+      val served = graft.queries.Llm.knnIvfPqProbe(spark, ivfDir, ivfPqDir,
+          eAll, pv, probeId = 2L, k = 2, nprobe = 1, oversample = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(served.nonEmpty && served.forall(_ % 4 == 2),
+        s"composite probe must serve cluster 2's docs, got $served")
     } finally q.stop()
   }
 
