@@ -1045,6 +1045,68 @@ object Llm {
       .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
   }
 
+  /** The SERVING form of the IVF-PQ composite batch probe — the shape
+    * [[graft.stream.Streams.annServe]] needs, differing from
+    * [[knnIvfPqBatchProbe]] in two serving-specific ways: probes carry
+    * their OWN vectors (a served query is not a corpus member, so probe
+    * vectors ride the broadcast instead of being fetched from `e`), and
+    * the exact re-rank fetches survivor vectors from the IVF LISTS table
+    * itself — the corpus the ingest stream maintains — via the SAME
+    * partition-pruned scan as the coarse pass (candidates can only come
+    * from probed lists), so the full-vector read stays O(nprobe lists),
+    * never O(corpus). All three tables resolve from ONE snapshot pair:
+    * centroid ranking and the re-rank fetch share the lists root,
+    * ADC decode and the code scan share the (codes, books) pair —
+    * a retrain publishing mid-serve flips neither under us. */
+  private[graft] def knnIvfPqBatchServe(spark: SparkSession, ivfDir: String,
+                                        indexDir: String,
+                                        probes: Seq[(Long, Array[Float])],
+                                        k: Int, nprobe: Int,
+                                        oversample: Int): DataFrame = {
+    import spark.implicits._
+    val (listsRoot, cents) = AnnIndex.ivfSnapshot(spark, ivfDir)
+    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
+    val m = books.map(_._1).max + 1
+    val nCodes = books.map(_._2).max + 1
+    def lutFor(pv: Array[Double]): Array[Double] = {
+      val sub = pv.length / m
+      val lut = new Array[Double](m * nCodes)
+      books.foreach { case (s, c, cent) =>
+        var acc = 0.0
+        var j = 0
+        while (j < sub) { acc += pv(s * sub + j) * cent(j); j += 1 }
+        lut(s * nCodes + c) = acc
+      }
+      lut
+    }
+    val probed = probes.map(p =>
+      AnnIndex.rankLists(cents, p._2.map(_.toDouble), nprobe))
+    val lists = probed.flatten.distinct
+    val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
+      val lut = lutFor(pv.map(_.toDouble))
+      ls.map(l => (pid, lut, l))
+    }.toDF("probe_id", "lut", "list_id")
+    val coarse = AnnIndex.ivfPqScanAt(spark, codesRoot, lists)
+      .filter(col("rnorm") > 0)
+      .join(broadcast(probeLists), Seq("list_id"))
+      .select(col("vec_id"), col("probe_id"),
+        (call_function("pq_adc", col("code"), col("lut")) / col("rnorm"))
+          .as("score_pq"))
+    val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
+        Seq(("score_pq", false), ("vec_id", true)), oversample * k)
+      .select("probe_id", "vec_id")
+    val probeVecs = probes.toDF("probe_id", "pv")
+    val scored = AnnIndex.probeScanAt(spark, listsRoot, lists)
+      .select("vec_id", "label", "embedding")
+      .join(cand, Seq("vec_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), k)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** §2.9 BATCH PQ ANN (r9, no-oracle; LlmSpec asserts per-probe parity
     * with the single-probe PQ path): the batch form of [[qKnnCosinePq]],
     * closing the ladder — every persisted index (LSH, IVF, SQ8, PQ) now

@@ -241,7 +241,12 @@ object Streams {
     * serving cost scales with the batch's probed lists, never the corpus.
     * The index is never touched by the serving path; ingest appends to it
     * independently ([[corpusIngest]]) and each micro-batch probes whatever
-    * index state is current.
+    * index state is current. `ivfPqDir` upgrades the batch to the IVF-PQ
+    * COMPOSITE serve core ([[graft.queries.Llm.knnIvfPqBatchServe]]):
+    * ADC scoring over m-byte codes in the probed lists with an exact
+    * re-rank fetched partition-pruned from the same lists snapshot —
+    * the 100 TB scan-bandwidth shape, served straight off the tables
+    * [[corpusIngest]] maintains.
     *
     * At-least-once safety: results land under a LINEAGE-scoped
     * `batch_id=<queryId>-<id>` partition with overwrite, so a replayed
@@ -274,7 +279,9 @@ object Streams {
     * policy no sink can decide. */
   def annServe(probes: DataFrame, ivfDir: String, outDir: String,
                k: Int = 5, nprobe: Int = 4,
-               maxProbesPerBatch: Int = 10000): DataStreamWriter[Row] =
+               maxProbesPerBatch: Int = 10000,
+               ivfPqDir: Option[String] = None,
+               oversample: Int = 8): DataStreamWriter[Row] =
     probes.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -295,8 +302,16 @@ object Streams {
               "annServe: sql.streaming.queryId local property is not set " +
                 "inside foreachBatch — cannot derive a lineage-scoped " +
                 "result partition; refusing a shared-constant fallback"))
-          graft.queries.Llm.knnIvfBatchProbe(spark, ivfDir, ps, k, nprobe)
-            .write.mode("overwrite")
+          // ivfPqDir routes the batch through the COMPOSITE serve core:
+          // ADC-coarse over m-byte codes in the probed lists, exact
+          // re-rank fetched partition-pruned from the same lists snapshot
+          val answers = ivfPqDir match {
+            case Some(pd) => graft.queries.Llm.knnIvfPqBatchServe(
+              spark, ivfDir, pd, ps, k, nprobe, oversample)
+            case None =>
+              graft.queries.Llm.knnIvfBatchProbe(spark, ivfDir, ps, k, nprobe)
+          }
+          answers.write.mode("overwrite")
             .parquet(s"$outDir/batch_id=$lineage-$batchId")
         }
         ()

@@ -366,6 +366,33 @@ class LlmSpec extends AnyFunSuite {
     assert(Llm.qKnnBatchIvfPq(spark, TestSpark.sfDir).collect().length === 25)
   }
 
+  test("IVF-PQ serve core: lists-table re-rank equals the corpus-frame batch path") {
+    // knnIvfPqBatchServe differs from the batch query core in where the
+    // probe vectors and the exact-re-rank vectors COME FROM (the probe
+    // broadcast and the partition-pruned lists scan, not a corpus frame) —
+    // for corpus-member probes those are the same vectors, so the answers
+    // must be identical row-for-row.
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ivfDir = graft.etl.AnnIndex.defaultIvfDir(TestSpark.sfDir, nlist = 16)
+    graft.etl.AnnIndex.ensure(e, ivfDir, nlist = 16)
+    val compDir = graft.etl.AnnIndex.defaultIvfPqDir(TestSpark.sfDir, nlist = 16, m = 4, k = 16)
+    graft.etl.AnnIndex.ensureIvfPq(e, ivfDir, compDir, m = 4, k = 16)
+    val rows = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+    val probesF = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val probesD = rows.map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val served = shape(Llm.knnIvfPqBatchServe(spark, ivfDir, compDir, probesF,
+      k = 10, nprobe = 4, oversample = 8))
+    val queried = shape(Llm.knnIvfPqBatchProbe(spark, ivfDir, compDir, e, probesD,
+      k = 10, nprobe = 4, oversample = 8))
+    assert(served === queried,
+      "the serve core must answer exactly like the batch query core")
+  }
+
   test("pq_adc: codegen lookup equals the driver-side ADC sum; codes address the right book") {
     import org.apache.spark.sql.functions._
     graft.expr.GraftFunctions.ensureRegistered(spark)

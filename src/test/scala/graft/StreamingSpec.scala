@@ -1149,9 +1149,11 @@ class StreamingSpec extends AnyFunSuite {
   test("ingest→serve loop: annServe probes the same ivfDir corpusIngest maintains, across an in-stream retrain") {
     // The composed production shape: one stream ingests and maintains the
     // trainable index (seed → keyed appends → retrain), another serves ANN
-    // answers from the SAME index dir. Every serve resolves ONE pointer
-    // snapshot, so it sees a complete (centroids, lists) pair whether it
-    // lands before or after a retrain publish.
+    // answers from the SAME index dirs — here through the IVF-PQ COMPOSITE
+    // serve core (ADC coarse over the streamed codes, exact re-rank off
+    // the streamed lists). Every serve resolves ONE snapshot per table
+    // pair, so it sees complete (centroids, lists) and (codes, books)
+    // pairs whether it lands before or after a retrain publish.
     import java.nio.file.Files
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
@@ -1159,6 +1161,7 @@ class StreamingSpec extends AnyFunSuite {
     val lshDir = Files.createTempDirectory("graft_loop_lsh").toString
     val corpusDir = Files.createTempDirectory("graft_loop_corpus").toString
     val ivfDir = Files.createTempDirectory("graft_loop_ivf").toString
+    val ivfPqDir = Files.createTempDirectory("graft_loop_ivfpq").toString
     val outDir = Files.createTempDirectory("graft_loop_out").toString
     def emb(id: Long): Array[Float] = {
       val v = Array.fill(8)(0.02f * (((id * 31 + 5) % 11) - 5).toInt)
@@ -1170,11 +1173,12 @@ class StreamingSpec extends AnyFunSuite {
     val memDocs = MemoryStream[SourcedDoc]
     val memProbes = MemoryStream[(Long, Array[Float])]
     val ingest = Streams.corpusIngest(memDocs.toDF(), dedupDir, lshDir,
-      corpusDir, ivfDir = Some(ivfDir), ivfNlist = 4, ivfRetrainEvery = 2)
+      corpusDir, ivfDir = Some(ivfDir), ivfNlist = 4, ivfRetrainEvery = 2,
+      ivfPqDir = Some(ivfPqDir), pqM = 4, pqK = 4)
       .start()
     val serve = Streams.annServe(
       memProbes.toDF().toDF("probe_id", "embedding"), ivfDir, outDir,
-      k = 3, nprobe = 1).start()
+      k = 3, nprobe = 1, ivfPqDir = Some(ivfPqDir)).start()
     val axis2 = Array.tabulate(8)(i => if (i == 2) 1f else 0f)
     try {
       // batch 0: docs 0..3 seed the model and enter via the keyed append;
@@ -1186,6 +1190,8 @@ class StreamingSpec extends AnyFunSuite {
       memDocs.addData((8L until 12L).map(doc): _*); ingest.processAllAvailable()
       assert(graft.etl.Compaction.currentVersion(s"$ivfDir/lists") >= 1,
         "the serve below must cross a retrain publish")
+      assert(graft.etl.Compaction.currentVersion(s"$ivfPqDir/codes") >= 1,
+        "the composite must have republished with the retrain")
       // the same probe served from the retrained snapshot finds the grown cluster
       memProbes.addData((101L, axis2)); serve.processAllAvailable()
       val served = spark.read.option("basePath", outDir).parquet(outDir)
