@@ -892,6 +892,24 @@ object Llm {
 
   /** PQ query core over a persisted index: driver-side ADC lookup-table
     * build, codegen table-lookup coarse scan, exact re-rank. */
+  /** The ADC lookup table for one probe: `lut(s·nCodes + c)` holds the
+    * inner product of the probe's subvector `s` with codebook centroid
+    * `(s, c)` — `pq_adc` then scores a stored code as Σ_s lut(s·nCodes +
+    * code(s)), the asymmetric-distance dot product. Shared by every
+    * PQ-family probe/serve core. */
+  private def pqAdcLut(books: Seq[(Int, Int, Array[Double])], m: Int,
+                       nCodes: Int, pv: Array[Double]): Array[Double] = {
+    val sub = pv.length / m
+    val lut = new Array[Double](m * nCodes)
+    books.foreach { case (s, c, cent) =>
+      var acc = 0.0
+      var j = 0
+      while (j < sub) { acc += pv(s * sub + j) * cent(j); j += 1 }
+      lut(s * nCodes + c) = acc
+    }
+    lut
+  }
+
   private[graft] def knnPqProbe(spark: SparkSession, indexDir: String,
                                 e: DataFrame, probeVec: Array[Double],
                                 probeId: Long, k: Int, oversample: Int): DataFrame = {
@@ -900,14 +918,7 @@ object Llm {
     val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
-    val sub = probeVec.length / m
-    val lut = new Array[Double](m * nCodes)
-    books.foreach { case (s, c, cent) =>
-      var acc = 0.0
-      var j = 0
-      while (j < sub) { acc += probeVec(s * sub + j) * cent(j); j += 1 }
-      lut(s * nCodes + c) = acc
-    }
+    val lut = pqAdcLut(books, m, nCodes, probeVec)
     val cand = AnnIndex.pqScanAt(spark, codesRoot)
       .filter(col("rnorm") > 0)
       .withColumn("score_pq",
@@ -953,14 +964,7 @@ object Llm {
     val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
-    val sub = probeVec.length / m
-    val lut = new Array[Double](m * nCodes)
-    books.foreach { case (s, c, cent) =>
-      var acc = 0.0
-      var j = 0
-      while (j < sub) { acc += probeVec(s * sub + j) * cent(j); j += 1 }
-      lut(s * nCodes + c) = acc
-    }
+    val lut = pqAdcLut(books, m, nCodes, probeVec)
     val cand = AnnIndex.ivfPqScanAt(spark, codesRoot, lists)
       .filter(col("rnorm") > 0)
       .withColumn("score_pq",
@@ -1009,19 +1013,8 @@ object Llm {
     val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
-    def lutFor(pv: Array[Double]): Array[Double] = {
-      val sub = pv.length / m
-      val lut = new Array[Double](m * nCodes)
-      books.foreach { case (s, c, cent) =>
-        var acc = 0.0
-        var j = 0
-        while (j < sub) { acc += pv(s * sub + j) * cent(j); j += 1 }
-        lut(s * nCodes + c) = acc
-      }
-      lut
-    }
     val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
-      val lut = lutFor(pv)
+      val lut = pqAdcLut(books, m, nCodes, pv)
       ls.map(l => (pid, lut, l))
     }.toDF("probe_id", "lut", "list_id")
     val coarse = AnnIndex.ivfPqScanAt(spark, codesRoot, probed.flatten.distinct)
@@ -1064,26 +1057,18 @@ object Llm {
                                         k: Int, nprobe: Int,
                                         oversample: Int): DataFrame = {
     import spark.implicits._
+    // a serve-only process has no query/ingest path that registered the
+    // codegen functions (pq_adc below) — register here, not at the caller
+    GraftFunctions.ensureRegistered(spark)
     val (listsRoot, cents) = AnnIndex.ivfSnapshot(spark, ivfDir)
     val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
-    def lutFor(pv: Array[Double]): Array[Double] = {
-      val sub = pv.length / m
-      val lut = new Array[Double](m * nCodes)
-      books.foreach { case (s, c, cent) =>
-        var acc = 0.0
-        var j = 0
-        while (j < sub) { acc += pv(s * sub + j) * cent(j); j += 1 }
-        lut(s * nCodes + c) = acc
-      }
-      lut
-    }
     val probed = probes.map(p =>
       AnnIndex.rankLists(cents, p._2.map(_.toDouble), nprobe))
     val lists = probed.flatten.distinct
     val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
-      val lut = lutFor(pv.map(_.toDouble))
+      val lut = pqAdcLut(books, m, nCodes, pv.map(_.toDouble))
       ls.map(l => (pid, lut, l))
     }.toDF("probe_id", "lut", "list_id")
     val coarse = AnnIndex.ivfPqScanAt(spark, codesRoot, lists)
@@ -1139,15 +1124,7 @@ object Llm {
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
     val luts = probes.map { case (pid, pv) =>
-      val sub = pv.length / m
-      val lut = new Array[Double](m * nCodes)
-      books.foreach { case (s, c, cent) =>
-        var acc = 0.0
-        var j = 0
-        while (j < sub) { acc += pv(s * sub + j) * cent(j); j += 1 }
-        lut(s * nCodes + c) = acc
-      }
-      (pid, lut)
+      (pid, pqAdcLut(books, m, nCodes, pv))
     }
     val coarse = AnnIndex.pqScanAt(spark, codesRoot)
       .filter(col("rnorm") > 0)

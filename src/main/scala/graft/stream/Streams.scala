@@ -285,6 +285,10 @@ object Streams {
     probes.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // a serve-only process may never have run an ingest/query path that
+        // registered the codegen functions the probe cores score with
+        // (cosine_similarity, pq_adc) — register before the first batch
+        graft.expr.GraftFunctions.ensureRegistered(spark)
         val ps = batch.select("probe_id", "embedding")
           .limit(maxProbesPerBatch + 1).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
@@ -775,7 +779,17 @@ object Streams {
     * (centroids, books) snapshot pair through the keyed write-then-clean
     * append, the retrain cadence republishes the composite right after the
     * IVF publish it mirrors, and the compaction cadence batch-coalesces
-    * the per-list code fragments on the batches in between. */
+    * the per-list code fragments on the batches in between.
+    *
+    * Why the FLAT-PQ index deliberately does NOT ride the stream: its
+    * codes table stores only m-byte codes, so an in-stream
+    * [[graft.etl.AnnIndex.retrainPq]] would have no raw vectors to
+    * re-encode from — a streaming flat PQ would need its own shadow
+    * vector table, which is exactly what the composite's IVF lists
+    * already are (plus partition pruning). A pipeline that wants
+    * streamed quantized scans without the second model takes `sq8Dir`
+    * (data-independent, no retrain to run); one that wants PQ takes the
+    * composite. */
   def corpusIngest(docs: DataFrame, dedupDir: String, lshDir: String,
                    corpusDir: String, lshBands: Int = 3, lshBits: Int = 8,
                    sq8Dir: Option[String] = None,

@@ -110,4 +110,61 @@ class SinkCostSpec extends AnyFunSuite {
           "byte corpus — must rewrite only its touched buckets, not the table")
     } finally q.stop()
   }
+
+  /** Every data file under a table root, by path → size. */
+  private def fileSizes(root: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(Paths.get(root))
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.size(p)).toMap
+    finally s.close()
+  }
+
+  test("corpusIngest trainable-composite appends: a small batch leaves every pre-existing index file byte-identical") {
+    // The cost claim for the MODEL-DEPENDENT index tables is sharper than a
+    // byte ratio: a frozen-model append writes ONLY its own batch cells —
+    // every file the index held before the batch survives untouched (same
+    // path, same size). A per-batch re-encode or re-cluster would fail
+    // this on the first append.
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_cost_ivf_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_cost_ivf_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_cost_ivf_corpus").toString
+    val ivfDir = Files.createTempDirectory("graft_cost_ivf_ivf").toString
+    val ivfPqDir = Files.createTempDirectory("graft_cost_ivf_ivfpq").toString
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    def doc(id: Long) = IngestDoc(id,
+      (0 until 5).map(t => s"u${id}t$t").mkString(" ") + " " + pad(id),
+      emb(id.toInt))
+    val mem = MemoryStream[IngestDoc]
+    // no retrain/compaction cadence: this measures the pure append path
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
+      ivfDir = Some(ivfDir), ivfNlist = 8,
+      ivfPqDir = Some(ivfPqDir), pqM = 4, pqK = 8).start()
+    try {
+      mem.addData((0L until 300L).map(doc): _*); q.processAllAvailable()
+      val listsRoot = graft.etl.Compaction.currentPath(s"$ivfDir/lists")
+      val codesRoot = graft.etl.Compaction.currentPath(s"$ivfPqDir/codes")
+      val preLists = fileSizes(listsRoot)
+      val preCodes = fileSizes(codesRoot)
+      assert(preLists.nonEmpty && preCodes.nonEmpty)
+      mem.addData((300L until 303L).map(doc): _*); q.processAllAvailable()
+      val postLists = fileSizes(listsRoot)
+      val postCodes = fileSizes(codesRoot)
+      for ((pre, post, what) <- Seq((preLists, postLists, "lists"),
+                                    (preCodes, postCodes, "codes"))) {
+        pre.foreach { case (p, sz) =>
+          assert(post.get(p).contains(sz),
+            s"$what: pre-existing file $p must survive an append byte-identical")
+        }
+        assert(post.size > pre.size, s"$what: the batch must have landed")
+      }
+      // and the new rows are exactly the batch, in both tables
+      assert(spark.read.parquet(listsRoot).count() === 303L)
+      assert(spark.read.parquet(codesRoot).count() === 303L)
+    } finally q.stop()
+  }
 }

@@ -507,6 +507,8 @@ class StreamingSpec extends AnyFunSuite {
     val dedupDir = Files.createTempDirectory("graft_ckpt_dedup").toString
     val lshDir = Files.createTempDirectory("graft_ckpt_lsh").toString
     val corpusDir = Files.createTempDirectory("graft_ckpt_corpus").toString
+    val ivfDir = Files.createTempDirectory("graft_ckpt_ivf").toString
+    val ivfPqDir = Files.createTempDirectory("graft_ckpt_ivfpq").toString
     def emb(seed: Int): Array[Float] =
       Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
     def land(rows: Seq[IngestDoc]): Unit =
@@ -514,7 +516,9 @@ class StreamingSpec extends AnyFunSuite {
     def drain(): Unit = {
       val q = Streams.corpusIngest(
           spark.readStream.schema(Seq.empty[IngestDoc].toDF().schema).parquet(srcDir),
-          dedupDir, lshDir, corpusDir)
+          dedupDir, lshDir, corpusDir,
+          ivfDir = Some(ivfDir), ivfNlist = 2,
+          ivfPqDir = Some(ivfPqDir), pqM = 4, pqK = 2)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -549,6 +553,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$lshDir/buckets")
       .select("vec_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
       === Seq(1L, 2L, 4L))
+    // the trainable composite survives the restart too: the bootstrap is a
+    // metadata no-op on the restarted lineage's batches (ready marker), and
+    // both model-dependent tables hold each admitted vector exactly once
+    // with the codes mirroring the lists' assignment per vector
+    val listRows = spark.read
+      .parquet(graft.etl.Compaction.currentPath(s"$ivfDir/lists"))
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("list_id")))
+    assert(listRows.map(_._1).sorted.toSeq === Seq(1L, 2L, 4L),
+      s"lists across restart must be exactly-once, got ${listRows.toSeq}")
+    val codeRows = spark.read
+      .parquet(graft.etl.Compaction.currentPath(s"$ivfPqDir/codes"))
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("list_id")))
+    assert(codeRows.map(_._1).sorted.toSeq === Seq(1L, 2L, 4L),
+      s"codes across restart must be exactly-once, got ${codeRows.toSeq}")
+    val la = listRows.toMap
+    codeRows.foreach { case (id, l) => assert(la(id) === l,
+      s"vec $id: codes list $l != lists assignment ${la(id)}") }
   }
 
   test("budget activation over a pre-existing corpus seeds prior spend from the published corpus") {
@@ -1060,14 +1083,20 @@ class StreamingSpec extends AnyFunSuite {
       (0 until 5).map(t => s"u${id}t$t").mkString(" "), "web", emb(id))
     val mem = MemoryStream[SourcedDoc]
     // retrain every 2nd batch; compaction covers the others. The IVF-PQ
-    // composite rides the same lifecycle off the same ivfDir.
+    // composite rides the same lifecycle off the same ivfDir. Each batch
+    // carries ONE doc per cluster so every retrain sees four BALANCED
+    // orthogonal clusters — k-means|| init samples by data order, which
+    // varies with (UUID-named) parquet file order across runs, and
+    // unbalanced tiny clusters can land a merged local optimum that fails
+    // the exact-recovery assertion below.
     val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
       ivfDir = Some(ivfDir), ivfNlist = 4, ivfRetrainEvery = 2,
       compactEvery = 3, ivfPqDir = Some(ivfPqDir), pqM = 4, pqK = 4).start()
     try {
       val nBatches = 5
       for (i <- 0 until nBatches) {
-        mem.addData(doc(i * 2L), doc(i * 2L + 1)); q.processAllAvailable()
+        mem.addData((0 until 4).map(c => doc(i * 4L + c)): _*)
+        q.processAllAvailable()
       }
       val listsTable = s"$ivfDir/lists"
       // (a) every admitted doc's vector is in the index exactly once —
@@ -1076,7 +1105,7 @@ class StreamingSpec extends AnyFunSuite {
       val root0 = graft.etl.Compaction.currentPath(listsTable)
       val ids = spark.read.parquet(root0)
         .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
-      assert(ids === (0L until nBatches * 2L),
+      assert(ids === (0L until nBatches * 4L),
         s"every admitted vector exactly once, got $ids")
       // (b) the retrain cadence published generations with the centroids
       // EMBEDDED (the atomic composite — not the bootstrap's flat table)
