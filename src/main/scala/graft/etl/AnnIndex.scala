@@ -254,7 +254,17 @@ object AnnIndex {
     * would un-publish rows a concurrent probe already saw, violating
     * [[graft.stream.Streams.corpusIngest]]'s no-un-publish contract. The
     * end state is exactly-once under any interleaving of retrains/
-    * compactions that preserved the in-flight key. A `label` column is
+    * compactions that preserved the in-flight key. HONESTY, file-level:
+    * the row guarantee is not file-liveness — a probe that LISTED the
+    * stale files before the sweep and opens them after fails its task
+    * (FileNotFoundException), the one window where a crash replay can
+    * disturb an in-flight scan (first-attempt appends sweep nothing).
+    * External probe sessions that must survive concurrent crash-replays
+    * set `spark.sql.files.ignoreMissingFiles=true` — the rows such a scan
+    * loses are exactly the swept duplicates it would otherwise double-
+    * count; generation-level reads stay covered by the pointer+grace
+    * machinery, which this in-generation cell hygiene deliberately does
+    * not replicate per batch. A `label` column is
     * optional for batch-keyed ingest (streams carry none): absent, it is
     * stored as 0 so the lists schema stays probe-compatible. Ad-hoc
     * callers (None) keep the legacy layout-preserving append. */
@@ -263,22 +273,43 @@ object AnnIndex {
     val spark = batch.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val (root, centsD) = ivfSnapshot(spark, indexDir)
-    val cents = centsD.map { case (i, c) => (i, c.map(_.toFloat)) }
-    // argmax over nlist (cos, list_id) structs: struct ordering compares
-    // cos first, so array_max picks the best-scoring centroid (larger id
-    // breaks exact ties — the same vector always lands in the same list)
-    val scored = array(cents.map { case (i, c) =>
-      struct(
-        call_function("cosine_similarity", col("embedding"), lit(c)).as("cos"),
-        lit(i).as("list_id"))
-    }: _*)
     val labelled =
       if (batch.columns.contains("label")) batch
       else batch.withColumn("label", lit(0))
-    val assigned = labelled
-      .withColumn("list_id", array_max(scored).getField("list_id"))
-      .select("vec_id", "label", "embedding", "list_id")
+    // a batch already carrying `list_id` was assigned by the caller
+    // ([[assignIvfLists]] — the streaming composite computes ONE
+    // assignment and feeds both the lists and the codes appends)
+    val assigned =
+      (if (labelled.columns.contains("list_id")) labelled
+       else assignAgainst(labelled, centsD))
+        .select("vec_id", "label", "embedding", "list_id")
     appendListKeyed(assigned, root, batchKey)
+  }
+
+  /** The frozen-model assignment rule: argmax over nlist (cos, list_id)
+    * structs — struct ordering compares cos first, so `array_max` picks
+    * the best-scoring centroid (larger id breaks exact ties: the same
+    * vector always lands in the same list). */
+  private def assignAgainst(batch: DataFrame,
+                            cents: Array[(Int, Array[Double])]): DataFrame = {
+    val scored = array(cents.map { case (i, c) =>
+      struct(
+        call_function("cosine_similarity", col("embedding"),
+          lit(c.map(_.toFloat))).as("cos"),
+        lit(i).as("list_id"))
+    }: _*)
+    batch.withColumn("list_id", array_max(scored).getField("list_id"))
+  }
+
+  /** Assign a batch against the CURRENT centroid snapshot, returning the
+    * batch plus `list_id`. A caller feeding multiple index tables from one
+    * batch (the streaming composite: lists + IVF-PQ codes) computes this
+    * once — [[appendIvf]] and [[appendIvfPq]] skip re-ranking when the
+    * column is present, which halves the per-batch model-dependent compute
+    * and keeps the two tables' placements mirror-equal by construction. */
+  def assignIvfLists(batch: DataFrame, indexDir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(batch.sparkSession)
+    assignAgainst(batch, ivfSnapshot(batch.sparkSession, indexDir)._2)
   }
 
   /** The shared KEYED WRITE-THEN-CLEAN protocol for list-partitioned index
@@ -305,9 +336,15 @@ object AnnIndex {
         .withColumn("batch_id", lit(batchKey.getOrElse("-1")))
         .write.mode("append").partitionBy("list_id", "batch_id").parquet(root)
       // replay hygiene, AFTER the fresh rows are readable (see scaladoc):
-      // drop exactly the previous attempt's files, then any cell dir the
-      // delete emptied (a moved assignment leaves its old cell empty)
-      stale.foreach(Files.deleteIfExists(_))
+      // drop exactly the previous attempt's files (plus their .crc
+      // sidecars — local committers leave one per part file), then any
+      // cell dir the delete left data-less (a moved assignment leaves its
+      // old cell empty)
+      stale.foreach { f =>
+        Files.deleteIfExists(f)
+        Files.deleteIfExists(
+          f.resolveSibling("." + f.getFileName.toString + ".crc"))
+      }
       batchKey.foreach(pruneEmptyIvfBatchCells(root, _))
     } else
       rows.write.mode("append").partitionBy("list_id").parquet(root)
@@ -363,14 +400,22 @@ object AnnIndex {
     }
   }
 
-  /** Remove the key's cell dirs left file-less by the post-append stale
-    * delete (an assignment that moved lists empties its old cell). */
-  private def pruneEmptyIvfBatchCells(root: String, key: String): Unit =
+  /** Remove the key's cell dirs left DATA-less by the post-append stale
+    * delete (an assignment that moved lists empties its old cell). A cell
+    * holding only hidden strays (a marker, a missed .crc) is dead — left
+    * alone it would survive forever and every later replay/compaction
+    * listing would walk a growing set of empty dirs. */
+  private def pruneEmptyIvfBatchCells(root: String, key: String): Unit = {
+    import scala.jdk.CollectionConverters._
     ivfBatchCellDirs(root, key).foreach { cell =>
       val s = Files.list(cell)
-      val empty = try !s.iterator().hasNext finally s.close()
-      if (empty) Files.deleteIfExists(cell)
+      val hasData = try s.iterator().asScala.exists { f =>
+        val n = f.getFileName.toString
+        Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+      } finally s.close()
+      if (!hasData) deleteRecursively(cell)
     }
+  }
 
   /** Bootstrap an IVF index from the FIRST stream batch: train the seeded
     * cosine k-means on the batch's vectors and persist ONLY the centroid
@@ -642,13 +687,17 @@ object AnnIndex {
     val vecs = e.select(col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // k-means needs k ≤ n (a young streaming corpus can be smaller than
+      // the target codebook size) — cap HERE, where the count rides the
+      // cache instead of costing every caller a separate corpus scan
+      val kCap = math.max(1L, math.min(k.toLong, vecs.count())).toInt
       val dim = vecs.select(size(col("embedding"))).head().getInt(0)
       require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
       val sub = dim / m
       (0 until m).flatMap { s =>
         val subVec = expr(
           s"transform(slice(embedding, ${s * sub + 1}, $sub), x -> cast(x AS double))")
-        val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
+        val model = new KMeans().setK(kCap).setSeed(seed + s).setMaxIter(10)
           .fit(vecs.select(array_to_vector(subVec).as("features")))
         model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (s, i, c.toArray) }
       }
@@ -817,10 +866,12 @@ object AnnIndex {
     val spark = e.sparkSession
     import spark.implicits._
     val codebooks = trainPqBooks(e, m, k, seed)
-    encodeIvfPqCodes(spark, cur(s"$ivfDir/lists"), cur(s"$indexDir/codes"),
-      codebooks)
+    val listsRoot = cur(s"$ivfDir/lists")
+    val codesRoot = cur(s"$indexDir/codes")
+    encodeIvfPqCodes(spark, listsRoot, codesRoot, codebooks)
     codebooks.toDF("sub_id", "code_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    writeListsGenSidecar(codesRoot, listsRoot)
   }
 
   /** Encode the lists corpus at the RESOLVED `listsRoot` against
@@ -882,10 +933,7 @@ object AnnIndex {
     val listsRoot = cur(s"$ivfDir/lists")
     val corpus = spark.read.parquet(listsRoot)
       .select(col("vec_id"), col("embedding"))
-    // k-means needs k ≤ n: a young streaming composite can hold fewer
-    // vectors than the target codebook size — grow toward it with the data
-    val kCap = math.max(1L, math.min(k.toLong, corpus.count())).toInt
-    val codebooks = trainPqBooks(corpus, m, kCap, seed)
+    val codebooks = trainPqBooks(corpus, m, k, seed)
     val table = s"$indexDir/codes"
     Compaction.reclaimOrphans(table)
     val newVer = Compaction.currentVersion(table) + 1
@@ -893,38 +941,87 @@ object AnnIndex {
     encodeIvfPqCodes(spark, listsRoot, dst, codebooks)
     codebooks.toDF("sub_id", "code_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dst/_codebooks")
+    writeListsGenSidecar(dst, listsRoot)
     Compaction.publishRewrite(table, newVer, graceGenerations)
     newVer
   }
 
-  /** Bootstrap the IVF-PQ composite from the FIRST stream batch: train the
-    * m per-subspace codebooks on the batch's vectors and persist ONLY the
-    * codebook table (+ ready marker) — no codes. The batch's rows then
-    * enter through the batch-keyed [[appendIvfPq]] like every later batch,
-    * so a replay of batch 0 stays exactly-once even though the bootstrap
-    * ran on its first attempt (the model is already there and is NOT
-    * retrained — metadata-only no-op on every later batch). `k` is capped
-    * at the batch's row count (per-subspace k-means needs k ≤ n); a later
-    * [[retrainIvfPq]] grows the codebooks to the full target. The paired
-    * IVF index seeds separately ([[ensureIvfSeeded]]) — the composite only
-    * ever REQUIRES it at append/probe time. */
-  def ensureIvfPqSeeded(vecs: DataFrame, indexDir: String, m: Int, k: Int,
-                        seed: Long = 7L): Boolean = {
+  /** Bootstrap OR BACKFILL the IVF-PQ composite from the CURRENT lists
+    * corpus: train the m per-subspace codebooks over every vector the
+    * paired IVF index holds and encode them ALL — so attaching an
+    * `ivfPqDir` to a stream whose IVF corpus pre-exists serves the whole
+    * corpus through the composite from the first post-attach batch, not
+    * just post-attach rows. Runs once (ready marker — a metadata no-op on
+    * every later call). In [[graft.stream.Streams.corpusIngest]] it runs
+    * AFTER the batch's keyed lists append, so the encode covers this
+    * batch's rows too; the keyed [[appendIvfPq]] that follows
+    * sweeps-and-rewrites exactly its own cells, keeping batch-0 replays
+    * exactly-once. `k` caps at the corpus size (k-means needs k ≤ n);
+    * a later [[retrainIvfPq]] grows the codebooks with the data. Returns
+    * whether THIS call built the composite. */
+  def ensureIvfPqFromLists(spark: SparkSession, ivfDir: String,
+                           indexDir: String, m: Int, k: Int,
+                           seed: Long = 7L): Boolean = {
     val had = Files.exists(readyMarker(indexDir))
     if (!had) ensureBuilt(indexDir) { tmp =>
-      val spark = vecs.sparkSession
       import spark.implicits._
-      val cached = vecs
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val kCap = math.max(1L, math.min(k.toLong, cached.count())).toInt
-        trainPqBooks(cached, m, kCap, seed)
-          .toDF("sub_id", "code_id", "centroid")
-          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
-      } finally cached.unpersist(false)
+      val listsRoot = cur(s"$ivfDir/lists")
+      val corpus = spark.read.parquet(listsRoot)
+        .select(col("vec_id"), col("embedding"))
+      val codebooks = trainPqBooks(corpus, m, k, seed)
+      encodeIvfPqCodes(spark, listsRoot, s"$tmp/codes", codebooks)
+      codebooks.toDF("sub_id", "code_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
+      writeListsGenSidecar(s"$tmp/codes", listsRoot)
       Files.write(readyMarker(tmp), Array.emptyByteArray)
     }
     !had
+  }
+
+  /** Record, INSIDE a codes generation, the lists generation it was
+    * encoded against — a hidden sidecar DIR (not a marker file, so layout
+    * compactions carry it like `_codebooks/`). [[ivfPqSnapshot]] reads it
+    * to pair probe-side centroid ranking with the codes' own clustering. */
+  private def writeListsGenSidecar(codesRoot: String, listsRoot: String): Unit = {
+    val dir = Paths.get(codesRoot, "_lists_gen")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("root"),
+      listsRoot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Resolve the composite QUADRUPLE from one anchor — the CODES
+    * generation: its paired codebooks AND the lists generation it was
+    * encoded against (the `_lists_gen/` sidecar every codes publish
+    * embeds). Probe flows rank centroids from the PAIRED lists generation,
+    * so a probe landing between a [[retrainIvf]] publish and the
+    * [[retrainIvfPq]] that mirrors it reads ONE mutually consistent
+    * (centroids, lists, codes, books) state — the old one — instead of
+    * pruning old-clustering codes by new-clustering list ids. Falls back
+    * to the current lists generation when the sidecar is absent
+    * (pre-pairing codes) or the recorded generation has been vacuumed past
+    * its grace window — `graceGenerations` on the retrain/compaction calls
+    * is the knob that sizes how long the paired state stays resolvable.
+    * Steady state pairs the LIVE lists root, so appends are visible
+    * immediately; in the crash window between the two retrain publishes
+    * the composite serves the old pair (rows appended inside the window
+    * surface when the retried retrain republishes). */
+  def ivfPqSnapshot(spark: SparkSession, ivfDir: String, indexDir: String)
+      : (String, Array[(Int, Array[Double])], String, Seq[(Int, Int, Array[Double])]) = {
+    val (codesRoot, books) = pqSnapshot(spark, indexDir)
+    val recorded = Paths.get(codesRoot, "_lists_gen", "root")
+    val listsRoot = {
+      val r =
+        if (Files.exists(recorded))
+          new String(Files.readAllBytes(recorded),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        else ""
+      if (r.nonEmpty && Files.isDirectory(Paths.get(r))) r
+      else cur(s"$ivfDir/lists")
+    }
+    val cents = spark.read.parquet(centroidsPathFor(listsRoot, ivfDir)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (listsRoot, cents, codesRoot, books)
   }
 
   /** [[ensure]]'s twin for the IVF-PQ composite (the IVF index must already
@@ -959,20 +1056,17 @@ object AnnIndex {
     val spark = batch.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
-    val cents = ivfSnapshot(spark, ivfDir)._2
-      .map { case (i, c) => (i, c.map(_.toFloat)) }
-    val scored = array(cents.map { case (i, c) =>
-      struct(
-        call_function("cosine_similarity", col("embedding"), lit(c)).as("cos"),
-        lit(i).as("list_id"))
-    }: _*)
+    // a pre-assigned batch ([[assignIvfLists]]) skips the second argmax —
+    // the streaming composite shares one assignment across both appends
+    val assigned =
+      if (batch.columns.contains("list_id")) batch
+      else assignAgainst(batch, ivfSnapshot(spark, ivfDir)._2)
     // ONE snapshot: the books used to encode and the generation appended
     // into must be the same pair, or a racing retrain would interleave
     // old-book codes into a new-book generation
     val (codesRoot, books) = pqSnapshot(spark, indexDir)
     val bc = spark.sparkContext.broadcast(booksArray(books))
-    val rows = batch
-      .withColumn("list_id", array_max(scored).getField("list_id"))
+    val rows = assigned
       .select(col("vec_id"), col("embedding"), col("list_id"))
       .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>

@@ -890,8 +890,6 @@ object Llm {
     knnPqProbe(spark, idxDir, e, probeVec, probeId = 0L, k = 10, oversample = 8)
   }
 
-  /** PQ query core over a persisted index: driver-side ADC lookup-table
-    * build, codegen table-lookup coarse scan, exact re-rank. */
   /** The ADC lookup table for one probe: `lut(s·nCodes + c)` holds the
     * inner product of the probe's subvector `s` with codebook centroid
     * `(s, c)` — `pq_adc` then scores a stored code as Σ_s lut(s·nCodes +
@@ -910,6 +908,8 @@ object Llm {
     lut
   }
 
+  /** PQ query core over a persisted index: driver-side ADC lookup-table
+    * build, codegen table-lookup coarse scan, exact re-rank. */
   private[graft] def knnPqProbe(spark: SparkSession, indexDir: String,
                                 e: DataFrame, probeVec: Array[Double],
                                 probeId: Long, k: Int, oversample: Int): DataFrame = {
@@ -958,10 +958,13 @@ object Llm {
                                    indexDir: String, e: DataFrame,
                                    probeVec: Array[Double], probeId: Long, k: Int,
                                    nprobe: Int, oversample: Int): DataFrame = {
-    val lists = AnnIndex.nearestLists(spark, ivfDir, probeVec, nprobe)
-    // ONE snapshot for the composite's (codes, books) pair; the ivf-vs-pq
-    // cross-table pairing is the retrainIvfPq re-encode contract
-    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
+    // ONE paired snapshot for the whole composite: centroids come from the
+    // lists generation the CODES were encoded against (the `_lists_gen`
+    // sidecar), so a probe landing between the two retrain publishes never
+    // prunes old-clustering codes by new-clustering list ids
+    val (_, cents, codesRoot, books) =
+      AnnIndex.ivfPqSnapshot(spark, ivfDir, indexDir)
+    val lists = AnnIndex.rankLists(cents, probeVec, nprobe)
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
     val lut = pqAdcLut(books, m, nCodes, probeVec)
@@ -1008,9 +1011,11 @@ object Llm {
                                         k: Int, nprobe: Int,
                                         oversample: Int): DataFrame = {
     import spark.implicits._
-    val probed = AnnIndex.nearestListsBatch(spark, ivfDir,
-      probes.map(_._2), nprobe)
-    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
+    // ONE paired snapshot (see knnIvfPqProbe): centroid ranking pairs with
+    // the codes' own clustering via the `_lists_gen` sidecar
+    val (_, cents, codesRoot, books) =
+      AnnIndex.ivfPqSnapshot(spark, ivfDir, indexDir)
+    val probed = probes.map(p => AnnIndex.rankLists(cents, p._2, nprobe))
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
     val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
@@ -1047,21 +1052,25 @@ object Llm {
     * itself — the corpus the ingest stream maintains — via the SAME
     * partition-pruned scan as the coarse pass (candidates can only come
     * from probed lists), so the full-vector read stays O(nprobe lists),
-    * never O(corpus). All three tables resolve from ONE snapshot pair:
-    * centroid ranking and the re-rank fetch share the lists root,
-    * ADC decode and the code scan share the (codes, books) pair —
-    * a retrain publishing mid-serve flips neither under us. */
+    * never O(corpus). All four artifacts resolve from ONE PAIRED snapshot
+    * ([[graft.etl.AnnIndex.ivfPqSnapshot]]) anchored on the codes
+    * generation — a retrain sequence publishing mid-serve flips nothing
+    * under us, and the serve never pairs one model's centroids with the
+    * other model's codes. */
   private[graft] def knnIvfPqBatchServe(spark: SparkSession, ivfDir: String,
                                         indexDir: String,
                                         probes: Seq[(Long, Array[Float])],
                                         k: Int, nprobe: Int,
                                         oversample: Int): DataFrame = {
     import spark.implicits._
-    // a serve-only process has no query/ingest path that registered the
-    // codegen functions (pq_adc below) — register here, not at the caller
+    // cover ad-hoc callers that arrive without the codegen functions
+    // (pq_adc below) registered; idempotent, annServe registers too
     GraftFunctions.ensureRegistered(spark)
-    val (listsRoot, cents) = AnnIndex.ivfSnapshot(spark, ivfDir)
-    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
+    // ONE paired snapshot anchored on the codes generation: the centroid
+    // ranking, the pruned code scan, AND the exact-re-rank lists fetch all
+    // read the clustering the codes were encoded against
+    val (listsRoot, cents, codesRoot, books) =
+      AnnIndex.ivfPqSnapshot(spark, ivfDir, indexDir)
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
     val probed = probes.map(p =>

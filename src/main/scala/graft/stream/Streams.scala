@@ -286,8 +286,9 @@ object Streams {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // a serve-only process may never have run an ingest/query path that
-        // registered the codegen functions the probe cores score with
-        // (cosine_similarity, pq_adc) — register before the first batch
+        // registered the codegen functions the probe cores score with —
+        // knnIvfBatchProbe's cosine_similarity has no registration of its
+        // own (the composite core registers pq_adc itself); idempotent
         graft.expr.GraftFunctions.ensureRegistered(spark)
         val ps = batch.select("probe_id", "embedding")
           .limit(maxProbesPerBatch + 1).collect()
@@ -983,17 +984,28 @@ object Streams {
           ivfDir.foreach { d =>
             ivfSeededThisBatch = graft.etl.AnnIndex.ensureIvfSeeded(
               vecs, d, ivfNlist)
-            graft.etl.AnnIndex.appendIvf(vecs, d, Some(batchKey))
-            // the IVF-PQ composite rides the same model lifecycle: first
-            // admitting batch seeds the codebooks (books only — the rows
-            // enter through the keyed append, so batch 0 replays
-            // exactly-once), every batch then assigns against the IVF
-            // snapshot's frozen centroids and encodes against the frozen
-            // books, with the same write-then-clean keyed hygiene
-            ivfPqDir.foreach { pd =>
-              graft.etl.AnnIndex.ensureIvfPqSeeded(vecs, pd, pqM, pqK)
-              graft.etl.AnnIndex.appendIvfPq(vecs, d, pd, Some(batchKey))
-            }
+            // ONE frozen-model assignment feeds both the lists and the
+            // composite's codes (placements mirror by construction, and
+            // the argmax runs once, not once per index table); persisted
+            // because two append actions evaluate it
+            val assigned = graft.etl.AnnIndex.assignIvfLists(vecs, d)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              graft.etl.AnnIndex.appendIvf(assigned, d, Some(batchKey))
+              // the IVF-PQ composite rides the same model lifecycle: the
+              // first admitting batch bootstraps it from the CURRENT lists
+              // corpus (which, this late in the batch body, already holds
+              // this batch's keyed append — and, on an ivfPqDir attached to
+              // a pre-existing stream, the whole prior corpus: the encode
+              // BACKFILLS it); every batch then encodes against the frozen
+              // books with the same write-then-clean keyed hygiene, the
+              // keyed append sweeping-and-rewriting exactly its own cells
+              // even on the bootstrap batch
+              ivfPqDir.foreach { pd =>
+                graft.etl.AnnIndex.ensureIvfPqFromLists(spark, d, pd, pqM, pqK)
+                graft.etl.AnnIndex.appendIvfPq(assigned, d, pd, Some(batchKey))
+              }
+            } finally assigned.unpersist(false)
             // drift flag for the retrain cadence below: set by every
             // append, cleared by a completed retrain — so cadence batches
             // with nothing new since the last retrain skip the O(corpus)

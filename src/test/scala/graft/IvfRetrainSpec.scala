@@ -206,6 +206,71 @@ class IvfRetrainSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got === (100L until 110L),
       s"pruned probe after replay must fetch the batch exactly once, got $got")
+    // (e) sweep hygiene: every surviving batch_id=<key> cell holds data
+    // (data-less dirs are pruned) and carries NO orphaned .crc sidecar —
+    // the sweep deletes each stale file's checksum twin, or dead
+    // checksums would accumulate forever under local committers
+    import scala.jdk.CollectionConverters._
+    val keyCells = {
+      val s = Files.list(Paths.get(root))
+      try s.iterator().asScala.toSeq
+        .filter(d => d.getFileName.toString.startsWith("list_id="))
+        .map(_.resolve(s"batch_id=$key")).filter(Files.isDirectory(_))
+      finally s.close()
+    }
+    assert(keyCells.nonEmpty)
+    keyCells.foreach { cell =>
+      val s = Files.list(cell)
+      val entries = try s.iterator().asScala
+        .map(_.getFileName.toString).toSeq finally s.close()
+      assert(entries.exists(n => !n.startsWith("_") && !n.startsWith(".")),
+        s"a data-less cell survived the replay sweep: $cell")
+      entries.filter(n => n.startsWith(".") && n.endsWith(".crc")).foreach {
+        crc =>
+          val data = crc.stripPrefix(".").stripSuffix(".crc")
+          assert(entries.contains(data),
+            s"orphaned checksum sidecar $crc survived the sweep in $cell")
+      }
+    }
+  }
+
+  test("a composite probe between the IVF retrain and the composite retrain serves the OLD consistent pair") {
+    // the two retrains publish sequentially, so there is a window where
+    // the lists pointer is a generation ahead of the codes. A probe that
+    // resolved each table independently would rank NEW centroids and prune
+    // OLD-clustering codes by those ids — semantically arbitrary membership.
+    // ivfPqSnapshot anchors on the CODES generation and pairs the lists
+    // generation recorded at its publish (`_lists_gen`), so the window
+    // serves the old, mutually consistent state.
+    val ivf = Files.createTempDirectory("graft_ivfpq_window_ivf").toString
+    val pq = Files.createTempDirectory("graft_ivfpq_window_pq").toString
+    val base = (clusterRows(0, 0 until 30) ++ clusterRows(1, 30 until 60))
+      .toDF("vec_id", "label", "embedding")
+    AnnIndex.build(base, ivf, nlist = 2)
+    AnnIndex.buildIvfPq(base, ivf, pq, m = 4, k = 4)
+    val probeVec = base.filter(col("vec_id") === 5L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    def answer() = graft.queries.Llm.knnIvfPqProbe(spark, ivf, pq, base,
+        probeVec, probeId = 5L, k = 5, nprobe = 1, oversample = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val before = answer()
+    assert(before.nonEmpty && before.forall(_._1 < 30L),
+      "sanity: the pre-window probe serves cluster 0")
+    // the window: lists republish (2 -> 3 clusters), codes not yet
+    AnnIndex.retrainIvf(spark, ivf, nlist = 3)
+    val (lr, cents, _, _) = AnnIndex.ivfPqSnapshot(spark, ivf, pq)
+    assert(lr === s"$ivf/lists" && cents.length === 2,
+      s"mid-window pairing must resolve the codes' own generation, got $lr")
+    assert(answer() === before,
+      "a mid-window probe must serve the old consistent pair unchanged")
+    // the composite catches up: the pairing advances with its publish
+    AnnIndex.retrainIvfPq(spark, ivf, pq, m = 4, k = 4)
+    val (lr2, cents2, _, _) = AnnIndex.ivfPqSnapshot(spark, ivf, pq)
+    assert(lr2 === s"$ivf/lists.v1" && cents2.length === 3,
+      s"post-publish pairing must advance to the retrained generation, got $lr2")
+    val after = answer()
+    assert(after.nonEmpty && after.forall(_._1 < 30L),
+      "the advanced pairing still serves the probe's cluster")
   }
 
   test("a keyed IVF-PQ append replayed across a composite retrain stays exactly-once and mirrors the lists") {

@@ -1175,6 +1175,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attaching ivfPqDir to a stream with a pre-existing IVF corpus backfills the codes") {
+    // the composite's bootstrap encodes from the CURRENT lists corpus, not
+    // just the arriving batch — so vectors ingested before the ivfPqDir
+    // existed are servable through the composite from the first
+    // post-attach batch (no silent pre-attach blind spot).
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_attach_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_attach_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_attach_corpus").toString
+    val ivfDir = Files.createTempDirectory("graft_attach_ivf").toString
+    val ivfPqDir = Files.createTempDirectory("graft_attach_ivfpq").toString
+    def emb(id: Long): Array[Float] = {
+      val v = Array.fill(8)(0.02f * (((id * 31 + 5) % 11) - 5).toInt)
+      v((id % 4).toInt) = 1f
+      v
+    }
+    def doc(id: Long) = SourcedDoc(id,
+      (0 until 5).map(t => s"a${id}t$t").mkString(" "), "web", emb(id))
+    // phase 1: IVF only — two batches land 8 docs
+    val mem1 = MemoryStream[SourcedDoc]
+    val q1 = Streams.corpusIngest(mem1.toDF(), dedupDir, lshDir, corpusDir,
+      ivfDir = Some(ivfDir), ivfNlist = 4).start()
+    try {
+      mem1.addData((0L until 4L).map(doc): _*); q1.processAllAvailable()
+      mem1.addData((4L until 8L).map(doc): _*); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(!graft.etl.Compaction.tableExists(s"$ivfPqDir/codes"))
+    // phase 2: restart with the composite attached; one batch lands 4 more
+    val mem2 = MemoryStream[SourcedDoc]
+    val q2 = Streams.corpusIngest(mem2.toDF(), dedupDir, lshDir, corpusDir,
+      ivfDir = Some(ivfDir), ivfNlist = 4,
+      ivfPqDir = Some(ivfPqDir), pqM = 4, pqK = 4).start()
+    try {
+      mem2.addData((8L until 12L).map(doc): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val (_, _, codesRoot, books) =
+      graft.etl.AnnIndex.ivfPqSnapshot(spark, ivfDir, ivfPqDir)
+    assert(books.nonEmpty)
+    val codeIds = spark.read.parquet(codesRoot)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(codeIds === (0L until 12L),
+      s"the attach bootstrap must backfill every pre-attach vector, got $codeIds")
+    // and a composite probe reaches a PRE-attach doc (id 2, cluster 2)
+    val eAll = (0L until 12L).map(id => (id, (id % 4).toInt, emb(id)))
+      .toDF("vec_id", "label", "embedding")
+    val served = graft.queries.Llm.knnIvfPqProbe(spark, ivfDir, ivfPqDir,
+        eAll, emb(2L).map(_.toDouble), probeId = 2L, k = 3, nprobe = 1,
+        oversample = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(served.nonEmpty && served.forall(_ % 4 == 2) && served.contains(2L),
+      s"the composite must serve pre-attach docs, got $served")
+  }
+
   test("ingest→serve loop: annServe probes the same ivfDir corpusIngest maintains, across an in-stream retrain") {
     // The composed production shape: one stream ingests and maintains the
     // trainable index (seed → keyed appends → retrain), another serves ANN
