@@ -1361,6 +1361,33 @@ object Oracle {
     // a plain exploded self-join (DuckDB need not scale); products snap to
     // integer micros before the sum, and the derived covariance uses the
     // bit-identical expression tree (left-assoc double divisions) as Spark.
+    // Drift: both engines reduce each (dim, window) to EXACT integer
+    // moments over micro-snapped elements; the SMD cut is integer-only,
+    // DECIMAL(38,0) on Spark vs HUGEINT here (identical in range).
+    "q_embed_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(vec_id % 2 AS INT) AS w,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |a AS (SELECT w, unnest(v) AS x_micro, unnest(range(0, len(v))) AS dim FROM e),
+        |st AS (SELECT CAST(dim AS INT) AS dim, w, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x_micro) AS BIGINT) AS s,
+        |         CAST(sum(x_micro * x_micro) AS BIGINT) AS q
+        |       FROM a GROUP BY 1, 2),
+        |p AS (SELECT r.dim AS dim,
+        |        r.n AS n_ref, c.n AS n_new, r.s AS s_ref, c.s AS s_new,
+        |        r.q AS q_ref, c.q AS q_new
+        |      FROM st r JOIN st c ON r.dim = c.dim AND r.w = 0 AND c.w = 1)
+        |SELECT dim, n_ref, n_new, s_ref, s_new, q_ref, q_new,
+        |  CASE WHEN CAST(200 AS HUGEINT)
+        |         * (CAST(s_new AS HUGEINT)*CAST(n_ref AS HUGEINT) - CAST(s_ref AS HUGEINT)*CAST(n_new AS HUGEINT))
+        |         * (CAST(s_new AS HUGEINT)*CAST(n_ref AS HUGEINT) - CAST(s_ref AS HUGEINT)*CAST(n_new AS HUGEINT))
+        |       > CAST(n_new AS HUGEINT)*CAST(n_new AS HUGEINT)
+        |           * (CAST(n_ref AS HUGEINT)*CAST(q_ref AS HUGEINT) - CAST(s_ref AS HUGEINT)*CAST(s_ref AS HUGEINT))
+        |       + CAST(n_ref AS HUGEINT)*CAST(n_ref AS HUGEINT)
+        |           * (CAST(n_new AS HUGEINT)*CAST(q_new AS HUGEINT) - CAST(s_new AS HUGEINT)*CAST(s_new AS HUGEINT))
+        |       THEN 1 ELSE 0 END AS drifted
+        |FROM p ORDER BY dim""".stripMargin,
+
     "q_embed_covariance" ->
       """WITH ex AS (SELECT vec_id,
         |    list_prepend(CAST(1.0 AS DOUBLE),

@@ -108,6 +108,7 @@ object SparkEntry {
     "q_knn_batch"      -> (Llm.qKnnBatch _),
     "q_embed_normalize" -> (Llm.qEmbedNormalize _),
     "q_embed_covariance" -> (Llm.qEmbedCovariance _),
+    "q_embed_drift" -> (Llm.qEmbedDrift _),
     "q_embed_whiten" -> (Llm.qEmbedWhiten _),
     "q_embed_pca" -> (Llm.qEmbedPca _), // no-oracle: eigenbasis not SQL-expressible; contracts in LlmSpec
     "q_hard_negatives" -> (Llm.qHardNegatives _),

@@ -1487,6 +1487,60 @@ object Llm {
       .orderBy("i", "j")
   }
 
+  /** §2.9 Per-dimension embedding-distribution DRIFT between two corpus
+    * epochs — the quantitative signal behind every "is it time to retrain
+    * the ANN model / re-fit the whitening?" decision
+    * ([[graft.etl.AnnIndex.retrainIvf]]'s drift flag answers WHETHER data
+    * arrived; this answers whether its DISTRIBUTION moved). The even/odd
+    * `vec_id` split stands in for the reference-vs-candidate epoch pair a
+    * production run would take from ingest time.
+    *
+    * The test per dimension is the standardized mean difference:
+    * drifted ⇔ (μ₁−μ₀)² > τ²·(σ₀²+σ₁²)/2 at τ = 0.1. Cross-engine
+    * parity (§5.3): elements snap to integer micro-units FIRST, each
+    * window reduces to exact integer (n, Σx, Σx²), and the cut multiplies
+    * through by 200·(n₀n₁)²:
+    * 200·(s₁n₀−s₀n₁)² > n₁²(n₀q₀−s₀²) + n₀²(n₁q₁−s₁²) — no division, no
+    * sqrt, no doubles. The squared terms are DECIMAL(38,0) (the
+    * [[graft.queries.Cdc.qEventAnomaly]] posture): in BIGINT, s² alone
+    * wraps once a window's micro-sum passes ~3·10⁹, and Spark would wrap
+    * silently where DuckDB promotes to HUGEINT — diverging exactly at
+    * scale.
+    *
+    * Shape at scale: one corpus scan, posexplode to (dim, window) cells,
+    * ONE hash agg with map-side partials (the shuffle carries 2·d rows of
+    * integer moments, never data), a d-row self-join, map-side flag. */
+  def qEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.embeddings(spark, dir)
+      .select((col("vec_id") % 2).cast("int").as("w"),
+        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0) AS bigint))")
+          .as("v"))
+      .select(col("w"), posexplode(col("v")).as(Seq("dim", "x_micro")))
+    val st = a.groupBy(col("dim"), col("w")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x_micro")).as("s"),
+      sum(col("x_micro") * col("x_micro")).as("q"))
+    val ref = st.filter(col("w") === 0).select(col("dim"),
+      col("n").as("n_ref"), col("s").as("s_ref"), col("q").as("q_ref"))
+    val cand = st.filter(col("w") === 1).select(col("dim"),
+      col("n").as("n_new"), col("s").as("s_new"), col("q").as("q_new"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val d = dec(col("s_new")) * dec(col("n_ref")) -
+      dec(col("s_ref")) * dec(col("n_new"))
+    val rhs =
+      dec(col("n_new")) * dec(col("n_new")) *
+        (dec(col("n_ref")) * dec(col("q_ref")) - dec(col("s_ref")) * dec(col("s_ref"))) +
+      dec(col("n_ref")) * dec(col("n_ref")) *
+        (dec(col("n_new")) * dec(col("q_new")) - dec(col("s_new")) * dec(col("s_new")))
+    ref.join(cand, Seq("dim"))
+      .select(col("dim").cast("int").as("dim"),
+        col("n_ref"), col("n_new"), col("s_ref"), col("s_new"),
+        col("q_ref"), col("q_new"),
+        when(dec(lit(200L)) * d * d > rhs, lit(1)).otherwise(lit(0))
+          .as("drifted"))
+      .orderBy("dim")
+  }
+
   /** §2.9 PCA projection onto the corpus's top-2 principal components — the
     * embedding-space map view (cluster inspection, drift monitoring, OPQ-style
     * rotation prep) rounding out the embedding toolkit next to

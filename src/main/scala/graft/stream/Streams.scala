@@ -771,7 +771,11 @@ object Streams {
     * batch only retrains when appends landed since the last retrain (a
     * persistent drift flag — re-clustering an unchanged corpus would
     * republish an identical model at full O(corpus) cost) and never on the
-    * batch that seeded the model. The `compactEvery` cadence covers the
+    * batch that seeded the model. `ivfRetrainMinGrowth = f` strengthens
+    * the gate further: a cadence batch re-clusters only once the rows
+    * appended since the last retrain reach fraction f of the pre-growth
+    * corpus (the "retrain after +10% data" heuristic — the flag carries
+    * the running count). The `compactEvery` cadence covers the
     * IVF lists' layout on the batches a retrain doesn't run.
     *
     * `ivfPqDir` (requires `ivfDir`) extends the lifecycle to the IVF-PQ
@@ -803,7 +807,8 @@ object Streams {
                    ivfNlist: Int = 16,
                    ivfRetrainEvery: Int = 0,
                    ivfPqDir: Option[String] = None,
-                   pqM: Int = 4, pqK: Int = 16)
+                   pqM: Int = 4, pqK: Int = 16,
+                   ivfRetrainMinGrowth: Double = 0.0)
       : DataStreamWriter[Row] = {
     // the composite's coarse half IS the IVF index: list assignment,
     // partition pruning, and the retrain corpus all come from its lists
@@ -1005,14 +1010,27 @@ object Streams {
                 graft.etl.AnnIndex.ensureIvfPqFromLists(spark, d, pd, pqM, pqK)
                 graft.etl.AnnIndex.appendIvfPq(assigned, d, pd, Some(batchKey))
               }
+              // drift flag for the retrain cadence below: set by every
+              // append (carrying the CUMULATIVE appended-row count since
+              // the last retrain — the growth gate's numerator), cleared
+              // by a completed retrain — so cadence batches with nothing
+              // new since the last retrain skip the O(corpus) re-cluster
+              // instead of republishing an identical model. A crash-replay
+              // recounts its own batch (the rows themselves stay
+              // exactly-once) — the gate is a maintenance heuristic and
+              // over-counting only retrains marginally earlier.
+              val pending = java.nio.file.Paths.get(d, "_GRAFT_RETRAIN_PENDING")
+              val prior =
+                if (java.nio.file.Files.exists(pending))
+                  scala.util.Try(new String(
+                    java.nio.file.Files.readAllBytes(pending),
+                    java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+                    .getOrElse(0L)
+                else 0L
+              java.nio.file.Files.write(pending,
+                (prior + assigned.count()).toString
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             } finally assigned.unpersist(false)
-            // drift flag for the retrain cadence below: set by every
-            // append, cleared by a completed retrain — so cadence batches
-            // with nothing new since the last retrain skip the O(corpus)
-            // re-cluster instead of republishing an identical model
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(d, "_GRAFT_RETRAIN_PENDING"),
-              Array.emptyByteArray)
           }
           commitLedger()
           graft.etl.IncrementalDedup.commitPostings(
@@ -1064,10 +1082,33 @@ object Streams {
         // pass. The flag (not "did THIS batch admit") carries pending
         // drift across skipped cadence points: admission that always lands
         // between cadence batches still retrains at the next opportunity.
+        // `ivfRetrainMinGrowth` strengthens the gate from "any drift" to
+        // "enough drift": the flag carries the appended-row count since the
+        // last retrain, and a cadence batch re-clusters only when that
+        // growth reaches the configured fraction of the pre-growth corpus
+        // (the standard "retrain after +10% data" production heuristic) —
+        // the corpus size is one parquet-footer metadata count, paid only
+        // at cadence points with the gate enabled. An unparsable legacy
+        // flag counts as unknown growth and retrains (the conservative
+        // direction).
         val ivfRetrainNow = ivfRetrainEvery > 0 && !ivfSeededThisBatch &&
           batchId % ivfRetrainEvery == 0 &&
-          ivfDir.exists(d => java.nio.file.Files.exists(
-            java.nio.file.Paths.get(d, "_GRAFT_RETRAIN_PENDING")))
+          ivfDir.exists { d =>
+            val p = java.nio.file.Paths.get(d, "_GRAFT_RETRAIN_PENDING")
+            java.nio.file.Files.exists(p) && (ivfRetrainMinGrowth <= 0 || {
+              val appended = scala.util.Try(new String(
+                java.nio.file.Files.readAllBytes(p),
+                java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+                .getOrElse(0L)
+              appended <= 0L ||
+                !graft.etl.Compaction.tableExists(s"$d/lists") || {
+                  val corpus = spark.read.parquet(
+                    graft.etl.Compaction.currentPath(s"$d/lists")).count()
+                  appended.toDouble >=
+                    ivfRetrainMinGrowth * math.max(1L, corpus - appended)
+                }
+            })
+          }
         if (compactEvery > 0 && batchId % compactEvery == 0) {
           val preserve = Set(batchKey)
           def existsTbl(p: String) = graft.etl.Compaction.tableExists(p)

@@ -1175,6 +1175,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ivfRetrainMinGrowth gates cadence retrains on corpus growth, carrying drift across skipped points") {
+    // the growth gate: with minGrowth = 1.0 a cadence batch re-clusters
+    // only once the rows appended since the last retrain DOUBLE the
+    // pre-growth corpus. Skipped cadence points must carry the running
+    // count forward (drift accumulates, it is not reset by a skip).
+    import java.nio.file.{Files, Paths}
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_grow_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_grow_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_grow_corpus").toString
+    val ivfDir = Files.createTempDirectory("graft_grow_ivf").toString
+    def emb(id: Long): Array[Float] = {
+      val v = Array.fill(8)(0.02f * (((id * 31 + 5) % 11) - 5).toInt)
+      v((id % 4).toInt) = 1f
+      v
+    }
+    def doc(id: Long) = SourcedDoc(id,
+      (0 until 5).map(t => s"g${id}t$t").mkString(" "), "web", emb(id))
+    val mem = MemoryStream[SourcedDoc]
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
+      ivfDir = Some(ivfDir), ivfNlist = 4, ivfRetrainEvery = 1,
+      ivfRetrainMinGrowth = 1.0).start()
+    def version() = graft.etl.Compaction.currentVersion(s"$ivfDir/lists")
+    def feed(ids: Range): Unit = {
+      mem.addData(ids.map(i => doc(i.toLong)): _*); q.processAllAvailable()
+    }
+    try {
+      feed(0 until 4)   // seeds the model — the seeding batch never retrains
+      assert(version() === 0L, "the seeding batch must not retrain")
+      feed(4 until 8)   // appended 8 vs pre-growth corpus 0 → retrain
+      assert(version() === 1L, "first cadence after seeding must retrain")
+      feed(8 until 9)   // appended 1 vs base 8 → below minGrowth, skip
+      assert(version() === 1L, "sub-threshold growth must not retrain")
+      feed(9 until 12)  // appended 4 vs base 8 → still below, skip
+      assert(version() === 1L, "drift below the gate keeps accumulating")
+      assert(Files.exists(Paths.get(ivfDir, "_GRAFT_RETRAIN_PENDING")),
+        "skipped cadence points must keep the drift flag")
+      feed(12 until 16) // appended 8 vs base 8 → gate opens, retrain
+      assert(version() === 2L, "accumulated growth must open the gate")
+      assert(!Files.exists(Paths.get(ivfDir, "_GRAFT_RETRAIN_PENDING")),
+        "a completed retrain consumes the drift flag")
+      // exactly-once through it all
+      val ids = spark.read
+        .parquet(graft.etl.Compaction.currentPath(s"$ivfDir/lists"))
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === (0L until 16L))
+    } finally q.stop()
+  }
+
   test("attaching ivfPqDir to a stream with a pre-existing IVF corpus backfills the codes") {
     // the composite's bootstrap encodes from the CURRENT lists corpus, not
     // just the arriving batch — so vectors ingested before the ivfPqDir
