@@ -1362,16 +1362,18 @@ object Oracle {
     // integer micros before the sum, and the derived covariance uses the
     // bit-identical expression tree (left-assoc double divisions) as Spark.
     // Drift: both engines reduce each (dim, window) to EXACT integer
-    // moments over micro-snapped elements; the SMD cut is integer-only,
-    // DECIMAL(38,0) on Spark vs HUGEINT here (identical in range).
+    // moments over MILLI-snapped elements (milli, not micro, keeps the
+    // n^4-growing cut inside DECIMAL(38,0)/HUGEINT to ~3e8 rows/window);
+    // the SMD cut is integer-only, DECIMAL(38,0) on Spark vs HUGEINT here
+    // (identical in range).
     "q_embed_drift" ->
       """WITH e AS (SELECT vec_id, CAST(vec_id % 2 AS INT) AS w,
-        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v
         |  FROM embeddings),
-        |a AS (SELECT w, unnest(v) AS x_micro, unnest(range(0, len(v))) AS dim FROM e),
+        |a AS (SELECT w, unnest(v) AS x_milli, unnest(range(0, len(v))) AS dim FROM e),
         |st AS (SELECT CAST(dim AS INT) AS dim, w, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(x_micro) AS BIGINT) AS s,
-        |         CAST(sum(x_micro * x_micro) AS BIGINT) AS q
+        |         CAST(sum(x_milli) AS BIGINT) AS s,
+        |         CAST(sum(x_milli * x_milli) AS BIGINT) AS q
         |       FROM a GROUP BY 1, 2),
         |p AS (SELECT r.dim AS dim,
         |        r.n AS n_ref, c.n AS n_new, r.s AS s_ref, c.s AS s_new,

@@ -272,18 +272,26 @@ object AnnIndex {
                 batchKey: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
-    val (root, centsD) = ivfSnapshot(spark, indexDir)
     val labelled =
       if (batch.columns.contains("label")) batch
       else batch.withColumn("label", lit(0))
     // a batch already carrying `list_id` was assigned by the caller
     // ([[assignIvfLists]] — the streaming composite computes ONE
-    // assignment and feeds both the lists and the codes appends)
-    val assigned =
-      (if (labelled.columns.contains("list_id")) labelled
-       else assignAgainst(labelled, centsD))
-        .select("vec_id", "label", "embedding", "list_id")
-    appendListKeyed(assigned, root, batchKey)
+    // assignment and feeds both the lists and the codes appends); on that
+    // path the assignment-vs-target snapshot discipline is the CALLER's
+    // (single writer, assign and append under one quiet window), and the
+    // centroid table is not read here at all
+    val (assigned, root) =
+      if (labelled.columns.contains("list_id"))
+        (labelled, cur(s"$indexDir/lists"))
+      else {
+        // ONE snapshot: the centroids that assign and the generation
+        // appended into resolve together
+        val (r, centsD) = ivfSnapshot(spark, indexDir)
+        (assignAgainst(labelled, centsD), r)
+      }
+    appendListKeyed(assigned.select("vec_id", "label", "embedding", "list_id"),
+      root, batchKey)
   }
 
   /** The frozen-model assignment rule: argmax over nlist (cos, list_id)
@@ -988,6 +996,21 @@ object AnnIndex {
     Files.write(dir.resolve("root"),
       listsRoot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  /** Repoint the CURRENT codes generation's lists pairing at the CURRENT
+    * lists generation. Valid ONLY when the two lists generations are
+    * MODEL-EQUIVALENT — i.e. after a layout compaction, which carries
+    * assignments and the `_centroids` sidecar verbatim; model-changing
+    * publishes ([[retrainIvfPq]], the bootstrap) write their own pairing.
+    * Without the realign, a compaction cadence would leave the carried
+    * sidecar naming the RETIRED lists generation — which stops receiving
+    * appends — pinning composite probes to a frozen corpus view until the
+    * next codes publish. [[graft.stream.Streams.corpusIngest]] calls this
+    * right after its paired `compactIvfLists` + `compactIvfPqCodes`;
+    * ad-hoc maintenance that compacts a composite's lists must do the
+    * same. */
+  def realignListsGenSidecar(ivfDir: String, indexDir: String): Unit =
+    writeListsGenSidecar(cur(s"$indexDir/codes"), cur(s"$ivfDir/lists"))
 
   /** Resolve the composite QUADRUPLE from one anchor — the CODES
     * generation: its paired codebooks AND the lists generation it was

@@ -1497,15 +1497,25 @@ object Llm {
     *
     * The test per dimension is the standardized mean difference:
     * drifted ⇔ (μ₁−μ₀)² > τ²·(σ₀²+σ₁²)/2 at τ = 0.1. Cross-engine
-    * parity (§5.3): elements snap to integer micro-units FIRST, each
+    * parity (§5.3): elements snap to integer MILLI-units FIRST, each
     * window reduces to exact integer (n, Σx, Σx²), and the cut multiplies
     * through by 200·(n₀n₁)²:
     * 200·(s₁n₀−s₀n₁)² > n₁²(n₀q₀−s₀²) + n₀²(n₁q₁−s₁²) — no division, no
     * sqrt, no doubles. The squared terms are DECIMAL(38,0) (the
-    * [[graft.queries.Cdc.qEventAnomaly]] posture): in BIGINT, s² alone
-    * wraps once a window's micro-sum passes ~3·10⁹, and Spark would wrap
-    * silently where DuckDB promotes to HUGEINT — diverging exactly at
-    * scale.
+    * [[graft.queries.Cdc.qEventAnomaly]] posture); DuckDB's HUGEINT
+    * compares identically in range.
+    *
+    * VALIDITY ENVELOPE, stated honestly: the cross-multiplied terms grow
+    * as n⁴·(milli scale)² — with unit-norm-ish elements (|x_milli| ≲ 2·10³)
+    * the cut stays inside DECIMAL(38,0)/HUGEINT up to n ≈ 3·10⁸ rows per
+    * window per dimension (the milli scale, not micro, buys six orders of
+    * that headroom; the ≤5·10⁻⁴/element quantization is noise against
+    * τ = 0.1 on window means). Beyond the envelope, deterministically
+    * sample the epochs first (`q_sample_hash`'s seeded gate). Out of
+    * envelope the two engines are NOT silently divergent: Spark's decimal
+    * overflow nulls take the `.otherwise(1)` branch — drift flagged
+    * CONSERVATIVELY, never suppressed — while the DuckDB oracle raises on
+    * HUGEINT overflow.
     *
     * Shape at scale: one corpus scan, posexplode to (dim, window) cells,
     * ONE hash agg with map-side partials (the shuffle carries 2·d rows of
@@ -1513,13 +1523,13 @@ object Llm {
   def qEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables.embeddings(spark, dir)
       .select((col("vec_id") % 2).cast("int").as("w"),
-        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0) AS bigint))")
+        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000.0) AS bigint))")
           .as("v"))
-      .select(col("w"), posexplode(col("v")).as(Seq("dim", "x_micro")))
+      .select(col("w"), posexplode(col("v")).as(Seq("dim", "x_milli")))
     val st = a.groupBy(col("dim"), col("w")).agg(
       count(lit(1)).as("n"),
-      sum(col("x_micro")).as("s"),
-      sum(col("x_micro") * col("x_micro")).as("q"))
+      sum(col("x_milli")).as("s"),
+      sum(col("x_milli") * col("x_milli")).as("q"))
     val ref = st.filter(col("w") === 0).select(col("dim"),
       col("n").as("n_ref"), col("s").as("s_ref"), col("q").as("q_ref"))
     val cand = st.filter(col("w") === 1).select(col("dim"),
@@ -1536,7 +1546,9 @@ object Llm {
       .select(col("dim").cast("int").as("dim"),
         col("n_ref"), col("n_new"), col("s_ref"), col("s_new"),
         col("q_ref"), col("q_new"),
-        when(dec(lit(200L)) * d * d > rhs, lit(1)).otherwise(lit(0))
+        // negated form so a decimal-overflow NULL lands in otherwise(1):
+        // out-of-envelope inputs flag drift conservatively, never suppress
+        when(dec(lit(200L)) * d * d <= rhs, lit(0)).otherwise(lit(1))
           .as("drifted"))
       .orderBy("dim")
   }

@@ -795,6 +795,16 @@ object Streams {
     * streamed quantized scans without the second model takes `sq8Dir`
     * (data-independent, no retrain to run); one that wants PQ takes the
     * composite. */
+  /** The `_GRAFT_RETRAIN_PENDING` drift flag's payload: the cumulative
+    * appended-row count since the last retrain. Absent/legacy-empty/
+    * unparsable reads as 0 — which the growth gate treats as UNKNOWN
+    * growth and retrains (the conservative direction). One parser for
+    * both the increment and the gate, so the format cannot skew. */
+  private def readPendingCount(p: java.nio.file.Path): Long =
+    if (!java.nio.file.Files.exists(p)) 0L
+    else scala.util.Try(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong).getOrElse(0L)
+
   def corpusIngest(docs: DataFrame, dedupDir: String, lshDir: String,
                    corpusDir: String, lshBands: Int = 3, lshBits: Int = 8,
                    sq8Dir: Option[String] = None,
@@ -1020,15 +1030,8 @@ object Streams {
               // exactly-once) — the gate is a maintenance heuristic and
               // over-counting only retrains marginally earlier.
               val pending = java.nio.file.Paths.get(d, "_GRAFT_RETRAIN_PENDING")
-              val prior =
-                if (java.nio.file.Files.exists(pending))
-                  scala.util.Try(new String(
-                    java.nio.file.Files.readAllBytes(pending),
-                    java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-                    .getOrElse(0L)
-                else 0L
               java.nio.file.Files.write(pending,
-                (prior + assigned.count()).toString
+                (readPendingCount(pending) + assigned.count()).toString
                   .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             } finally assigned.unpersist(false)
           }
@@ -1096,10 +1099,7 @@ object Streams {
           ivfDir.exists { d =>
             val p = java.nio.file.Paths.get(d, "_GRAFT_RETRAIN_PENDING")
             java.nio.file.Files.exists(p) && (ivfRetrainMinGrowth <= 0 || {
-              val appended = scala.util.Try(new String(
-                java.nio.file.Files.readAllBytes(p),
-                java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-                .getOrElse(0L)
+              val appended = readPendingCount(p)
               appended <= 0L ||
                 !graft.etl.Compaction.tableExists(s"$d/lists") || {
                   val corpus = spark.read.parquet(
@@ -1132,6 +1132,14 @@ object Streams {
             ivfPqDir.filter(d => existsTbl(s"$d/codes"))
               .foreach(d => graft.etl.Compaction.compactIvfPqCodes(spark, d,
                 preserve, graceGenerations = compactGrace))
+            // the two layout rewrites carry the SAME model, but the codes'
+            // carried `_lists_gen` sidecar still names the now-RETIRED
+            // lists generation (which stops receiving appends) — realign
+            // the pairing to the fresh generation or composite probes
+            // would serve a frozen corpus view until the next codes publish
+            for (d <- ivfDir; pd <- ivfPqDir
+                 if existsTbl(s"$d/lists") && existsTbl(s"$pd/codes"))
+              graft.etl.AnnIndex.realignListsGenSidecar(d, pd)
           }
         }
         // MODEL-DRIFT maintenance, the cadence compaction can't provide:

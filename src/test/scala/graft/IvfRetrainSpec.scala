@@ -273,6 +273,53 @@ class IvfRetrainSpec extends AnyFunSuite {
       "the advanced pairing still serves the probe's cluster")
   }
 
+  test("a layout compaction realigns the codes' lists pairing so post-compaction appends stay servable") {
+    // compactIvfLists retires the lists generation the codes' carried
+    // `_lists_gen` sidecar names; without realignListsGenSidecar the
+    // composite would pair the RETIRED generation — which stops receiving
+    // appends — and the serve-side exact re-rank would silently drop every
+    // post-compaction row until the next codes publish.
+    val ivf = Files.createTempDirectory("graft_ivfpq_realign_ivf").toString
+    val pq = Files.createTempDirectory("graft_ivfpq_realign_pq").toString
+    val base = (clusterRows(0, 0 until 30) ++ clusterRows(1, 30 until 60))
+      .toDF("vec_id", "label", "embedding")
+    AnnIndex.build(base, ivf, nlist = 2)
+    AnnIndex.buildIvfPq(base, ivf, pq, m = 4, k = 4)
+    AnnIndex.appendIvf(
+      clusterRows(1, 100 until 105).toDF("vec_id", "label", "embedding"),
+      ivf, Some("k1"))
+    AnnIndex.appendIvfPq(
+      clusterRows(1, 100 until 105).toDF("vec_id", "label", "embedding"),
+      ivf, pq, Some("k1"))
+    // the maintenance pair, as the stream cadence runs it
+    Compaction.compactIvfLists(spark, ivf)
+    Compaction.compactIvfPqCodes(spark, pq)
+    AnnIndex.realignListsGenSidecar(ivf, pq)
+    val (lr, _, _, _) = AnnIndex.ivfPqSnapshot(spark, ivf, pq)
+    assert(lr === Compaction.currentPath(s"$ivf/lists"),
+      s"the realigned pairing must name the LIVE lists generation, got $lr")
+    // post-compaction appends land in the live generation — and the serve
+    // core (which re-ranks off the paired lists) must find them
+    val fresh = clusterRows(0, 200 until 205)
+      .toDF("vec_id", "label", "embedding")
+    AnnIndex.appendIvf(fresh, ivf, Some("k2"))
+    AnnIndex.appendIvfPq(fresh, ivf, pq, Some("k2"))
+    val pv = fresh.filter(col("vec_id") === 200L)
+      .select("embedding").head().getSeq[Float](0)
+    // oversample wide enough that the ADC coarse cut passes every probed
+    // candidate — the assertion isolates the RE-RANK FETCH (the half that
+    // reads the paired lists), not ADC's ability to separate near-identical
+    // cluster members. The clusterRows generator repeats perturbations
+    // every 11 ids, so vec 200 has exact clones at 2/13/24 (a four-way
+    // cos=1 tie, vec_id-ascending): k = 4 must surface 200 — and can only
+    // if the paired generation holds the post-compaction append.
+    val got = graft.queries.Llm.knnIvfPqBatchServe(spark, ivf, pq,
+        Seq((200L, pv.toArray)), k = 4, nprobe = 1, oversample = 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got.contains(200L),
+      s"post-compaction appends must be servable through the composite, got $got")
+  }
+
   test("a keyed IVF-PQ append replayed across a composite retrain stays exactly-once and mirrors the lists") {
     // the composite doubles the IVF replay hazard: a replay's rows can move
     // cells because EITHER the centroids re-assigned them or the new
