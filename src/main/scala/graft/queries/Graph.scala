@@ -25,19 +25,26 @@ object Graph {
     * partitioning (the same reasoning as the integer-micro k-means
     * centroids in [[graft.etl.AnnIndex]]).
     *
-    * Scale shape: each round is one equi-join of the rank frame against the
+    * Scale shape: each round is ONE equi-join of the rank frame against the
     * edge table on src (AQE broadcasts the rank side while it fits — it is
     * node-count-sized, not edge-count-sized) followed by one hash
     * aggregation on dst: the Pregel round shape, O(edges) shuffled per
-    * round with map-side partial sums. The edge and out-degree frames are
-    * PINNED once before the loop (reliable checkpoint when a checkpoint dir
-    * is configured, executor-local otherwise — the [[Llm.dedupGroups]]
-    * policy): every round re-reads them, and without the pin a lost
-    * executor late in round 5 recomputes the `distinct` from scratch while
-    * lineage depth grows with the iteration count. 5 static rounds keep
-    * the rank lineage itself shallow; a production run at higher iteration
-    * counts would pin the rank frame every ~10 rounds like the CC
-    * operators do. */
+    * round with map-side partial sums. `outdeg` rides ON the pinned edge
+    * frame (a static per-src property, joined once before the loop), so
+    * the per-round contribution `r·17 div 20 div outdeg` evaluates inside
+    * the same join — the earlier shape re-attached outdeg to the NEXT
+    * round's rank frame with a second keyed join per round, doubling the
+    * per-iteration join count for a value the edges already determine.
+    * Every node here has in-degree ≥ 1 (edges are symmetrized), so the
+    * rank frame after each round still covers every node — same fixpoint,
+    * bit-identical integer ranks. The edge frame is PINNED once before the
+    * loop (reliable checkpoint when a checkpoint dir is configured,
+    * executor-local otherwise — the [[Llm.dedupGroups]] policy): every
+    * round re-reads it, and without the pin a lost executor late in round
+    * 5 recomputes the `distinct` from scratch while lineage depth grows
+    * with the iteration count. 5 static rounds keep the rank lineage
+    * itself shallow; a production run at higher iteration counts would pin
+    * the rank frame every ~10 rounds like the CC operators do. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def pin(df: DataFrame): DataFrame =
@@ -46,19 +53,19 @@ object Graph {
     val e0 = li.select(concat(lit("S"), col("l_suppkey")).as("src"),
                        concat(lit("P"), col("l_partkey")).as("dst")).distinct()
     val edges = pin(e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
-    val od = pin(edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val od = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // outdeg folded onto the edge rows: one static join before the loop
+    // instead of one per round
+    val edgesW = pin(edges.join(od, "src"))
     val n = od.agg(count(lit(1)).as("n_nodes"))
     var ranks = od.crossJoin(broadcast(n))
-      .select(col("src").as("node"), col("outdeg"),
-        expr("1000000000L div n_nodes").as("r"))
+      .select(col("src").as("node"), expr("1000000000L div n_nodes").as("r"))
     for (_ <- 1 to 5) {
-      val contrib = ranks.join(edges, col("node") === col("src"))
+      val contrib = ranks.join(edgesW, col("node") === col("src"))
         .select(col("dst"), expr("r * 17 div 20 div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      ranks = contrib.join(od, col("dst") === col("src"))
-        .crossJoin(broadcast(n))
-        .select(col("dst").as("node"), col("outdeg"),
-          expr("150000000L div n_nodes + s").as("r"))
+      ranks = contrib.crossJoin(broadcast(n))
+        .select(col("dst").as("node"), expr("150000000L div n_nodes + s").as("r"))
     }
     ranks.select(col("node"), col("r").as("rank_nano"))
       .orderBy(col("rank_nano").desc, col("node"))
