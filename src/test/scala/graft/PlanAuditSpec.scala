@@ -70,6 +70,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"queries with zero codegen spans (fully interpreted plans):\n${offenders.mkString("\n")}")
   }
 
+  test("per-query shuffle count stays within the recorded budget") {
+    // the plan-REGRESSION gate ([[PlanBudgets]]): a refactor that adds an
+    // Exchange to any declared query must either revert or consciously
+    // regenerate the budget file — silent extra shuffles are the one plan
+    // regression the structural audits above cannot see
+    val budgets = PlanBudgets.load()
+    assert(budgets.nonEmpty,
+      s"missing ${PlanBudgets.resource} — run `sbt 'Test/runMain graft.PlanBudgets'`")
+    val missing = plans.map(_._1).filterNot(budgets.contains)
+    assert(missing.isEmpty,
+      s"queries without a recorded shuffle budget (regenerate via " +
+        s"`sbt 'Test/runMain graft.PlanBudgets'` and review the tsv diff): " +
+        missing.mkString(", "))
+    val over = plans.flatMap { case (name, plan) =>
+      val c = PlanBudgets.shuffleCount(plan)
+      if (c > budgets(name))
+        Some(s"$name: $c shuffles > recorded ${budgets(name)}")
+      else None
+    }
+    assert(over.isEmpty,
+      s"shuffle-count regressions (revert, or regenerate the budgets and " +
+        s"justify the increase):\n${over.mkString("\n")}")
+  }
+
   test("no declared query plans a Scala UDF") {
     // the "Functions, not UDFs" rule as a structural invariant: every probe
     // that once wanted a UDF has a native Expression (BloomProbe, DotMicro,
