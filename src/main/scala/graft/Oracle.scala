@@ -302,11 +302,13 @@ object Oracle {
         |ORDER BY o_custkey""".stripMargin,
 
     "q_win_rank" ->
-      """SELECT o_custkey, o_orderkey, o_orderpriority, rn, rk, drk FROM (
+      """SELECT o_custkey, o_orderkey, o_orderpriority, rn, rk, drk, prk, cd FROM (
         |  SELECT o_custkey, o_orderkey, o_orderpriority,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority ASC, o_orderkey ASC) AS rn,
         |    RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority ASC) AS rk,
-        |    DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority ASC) AS drk
+        |    DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority ASC) AS drk,
+        |    ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority ASC), 6) AS prk,
+        |    ROUND(CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority ASC), 6) AS cd
         |  FROM orders) t
         |WHERE rn <= 5
         |ORDER BY o_custkey, o_orderkey""".stripMargin,

@@ -28,8 +28,15 @@ object Windows {
       .withColumn("rn", row_number().over(wUniq))
       .withColumn("rk", rank().over(wTies))
       .withColumn("drk", dense_rank().over(wTies))
+      // relative-position battery over the SAME window spec (no extra sort
+      // or exchange): percent_rank = (rk-1)/(n-1), cume_dist = peers≤/n —
+      // exact small rationals in IEEE double on both engines, rounded per
+      // the §5.3 float discipline anyway
+      .withColumn("prk", round(percent_rank().over(wTies), 6))
+      .withColumn("cd", round(cume_dist().over(wTies), 6))
       .filter(col("rn") <= 5)
-      .select("o_custkey", "o_orderkey", "o_orderpriority", "rn", "rk", "drk")
+      .select("o_custkey", "o_orderkey", "o_orderpriority", "rn", "rk", "drk",
+              "prk", "cd")
       .orderBy("o_custkey", "o_orderkey")
   }
 
