@@ -487,6 +487,21 @@ object Oracle {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
+    // q_variant_funcs: the oracle restates the variant extractions in
+    // DuckDB's JSON dialect — et2 is just event_type (the round-trip is the
+    // Spark side's claim), and n_uid_roundtrip = COUNT(*) asserts the
+    // text→variant→long round-trip was lossless on EVERY row.
+    "q_variant_funcs" ->
+      """SELECT event_type AS et2,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+        |  COUNT(*) AS n_uid_roundtrip
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY et2""".stripMargin,
+
     // This string IS the Spark query (qSqlText runs it through spark.sql
     // over temp views) — one ANSI text, two engines, same result.
     "q_sql_text" ->

@@ -79,6 +79,7 @@ object SparkEntry {
     "q_date_funcs"  -> (Scalars.qDateFuncs _),
     "q_math_funcs"  -> (Scalars.qMathFuncs _),
     "q_json_funcs"  -> (Scalars.qJsonFuncs _),
+    "q_variant_funcs" -> (Scalars.qVariantFuncs _),
     "q_array_funcs" -> (Scalars.qArrayFuncs _),
     "q_struct_funcs" -> (Scalars.qStructFuncs _),
     "q_map_funcs" -> (Scalars.qMapFuncs _),

@@ -102,6 +102,41 @@ object Scalars {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** §2.8 VARIANT functions (r13) — Spark 4's binary semi-structured type,
+    * the 100 TB successor to [[qJsonFuncs]]'s string path: `parse_json`
+    * decodes the JSON text ONCE per row into the variant binary encoding,
+    * and every `variant_get` after that is an O(path) binary traversal —
+    * where each `get_json_object` call re-parses the whole string per
+    * extraction (k extractions = k parses; the difference is the scan CPU
+    * at scale, and variant-shredded parquet pushes the extraction into the
+    * reader entirely). Two sources exercise the surface: the real
+    * `events.props` document (int extraction with an explicit target type),
+    * and a nested document built from typed columns and round-tripped
+    * through the encoder (string + long extraction at depth — the grouping
+    * key itself is a variant-extracted string, and `n_uid_roundtrip` proves
+    * the long survived text→variant→long losslessly on EVERY row: the
+    * oracle restates it as `count(*)`). One scan, map-side parse+extract,
+    * one hash agg with partials. */
+  def qVariantFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = parse_json(col("props"))
+    val nested = parse_json(to_json(struct(
+      struct(col("event_type").as("et"), col("user_id").as("uid")).as("u"))))
+    ev.select(col("user_id"),
+        variant_get(v, "$.k", "int").as("k"),
+        variant_get(nested, "$.u.et", "string").as("et2"),
+        variant_get(nested, "$.u.uid", "long").as("uid2"))
+      .groupBy("et2")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("uid2") === col("user_id"), 1L).otherwise(0L))
+          .as("n_uid_roundtrip"))
+      .orderBy("et2")
+  }
+
   /** §2.8 Array functions over the 64-dim embedding column: size, element
     * access, higher-order transform/aggregate/filter — the north-star vector
     * column surface. Elements are cast float→double (exact) inside the
