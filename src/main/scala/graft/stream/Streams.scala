@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, GroupState,
@@ -93,6 +93,38 @@ object Streams {
     val mg = udaf(new graft.expr.MisraGriesAgg(k))
     words.agg(mg(col("word")).as("sketch"))
   }
+
+  /** OPS SURFACE — read a streaming checkpoint's STATE STORE as a batch
+    * table (Spark 4's `statestore` data source): the answer to "what is the
+    * job holding in state right now?" without instrumenting the query.
+    * Keys/values come back as typed structs (`key`, `value`,
+    * `partition_id`), read DISTRIBUTED from the checkpoint's state files —
+    * no driver collect, so auditing a 100-TB job's state is itself a Spark
+    * job (reconcile against emitted output, find the skewed key bloating a
+    * session store, check watermark eviction actually bounds state).
+    * Defaults read the latest committed batch of operator 0; pass
+    * `batchId` for time travel to any retained batch, `storeName` /
+    * `joinSide` for multi-store operators (stream-stream joins).
+    * StreamingSpec reconciles a live window-aggregation state against the
+    * emitted windows: state ∪ emitted = every window seen, disjointly —
+    * the eviction-bounds-state contract, proven from the outside. */
+  def stateStoreDump(spark: SparkSession, checkpointDir: String,
+                     operatorId: Long = 0L, batchId: Option[Long] = None,
+                     storeName: Option[String] = None,
+                     joinSide: Option[String] = None): DataFrame = {
+    var r = spark.read.format("statestore").option("operatorId", operatorId)
+    batchId.foreach(b => r = r.option("batchId", b))
+    storeName.foreach(s => r = r.option("storeName", s))
+    joinSide.foreach(s => r = r.option("joinSide", s))
+    r.load(checkpointDir)
+  }
+
+  /** [[stateStoreDump]]'s discovery half: the checkpoint's operator/store
+    * metadata (operator ids and names, store names, partition counts, the
+    * retained min/max batch ids) — what to pass to the state read, plus the
+    * state-cleanup audit (`numColsPrefixKey`, batch retention) for free. */
+  def stateMetadata(spark: SparkSession, checkpointDir: String): DataFrame =
+    spark.read.format("state-metadata").load(checkpointDir)
 
   /** Native session windows (the streaming twin of Cdc.qSessionWindow's
     * gaps-and-islands batch form): sessions close after `gap` inactivity. */

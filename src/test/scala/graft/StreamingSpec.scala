@@ -205,6 +205,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("state data source: checkpoint state reconciles with emitted windows (eviction bounds state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-src").toString
+    val q = Streams.tumblingCounts(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("t_state_src").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:50:00"))
+      q.processAllAvailable()
+      // second batch pushes the watermark past 11:00 → hour-10 emits + evicts
+      mem.addData(ev(3, "2024-01-01 11:20:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("t_state_src").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+    assert(emitted === Map("2024-01-01 10:00:00.0" -> 2L),
+      s"hour-10 closed and emitted, got $emitted")
+    // the state table: key = (window, event_type), value = the agg buffer
+    def stateRows(batchId: Option[Long]) =
+      Streams.stateStoreDump(spark, ckpt, batchId = batchId).collect().map { r =>
+        val key = r.getStruct(0)
+        (key.getStruct(0).getTimestamp(0).toString, key.getString(1),
+         r.getStruct(1).getLong(0))
+      }.toSet
+    // LATEST state: the emitted window is GONE (watermark eviction bounds
+    // state — proven from outside the query), only hour-11 remains open
+    val latest = stateRows(None)
+    assert(latest === Set(("2024-01-01 11:00:00.0", "click", 1L)),
+      s"latest state must hold only the open hour-11 window, got $latest")
+    assert(latest.map(_._1).intersect(emitted.keySet).isEmpty,
+      "a window may live in state or in the emitted output, never both")
+    // TIME TRAVEL to batch 0 (only the two hour-10 events processed,
+    // watermark still 0): the hour-10 window sits in state with its final
+    // pre-emission buffer
+    val atBatch0 = stateRows(Some(0L))
+    assert(atBatch0 === Set(("2024-01-01 10:00:00.0", "click", 2L)),
+      s"batch-0 state must hold the not-yet-closed hour-10 window, got $atBatch0")
+    // discovery half: operator/store metadata names what to read
+    val meta = Streams.stateMetadata(spark, ckpt)
+      .select("operatorId", "operatorName", "stateStoreName").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(meta.toSeq === Seq((0L, "stateStoreSave", "default")),
+      s"metadata must name the aggregation's single default store, got ${meta.toSeq}")
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
