@@ -1,0 +1,67 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-flight pipeline observability (SURVEY.md §2.10 ops surface): named
+  * data-quality metrics attached with `Dataset.observe` — the counters ride
+  * the SAME tasks that execute the query, so a 100 TB run gets row counts /
+  * null counts / value bounds for free, where the audit-query alternative
+  * (`q_batch_validation`, `q_profile_columns`) is a second full scan. The
+  * two designs are complementary: observe() monitors every production run
+  * in-flight; the audit queries are the standalone deep-profiling pass.
+  *
+  * Delivery is engine-native: batch metrics surface through a
+  * `QueryExecutionListener` after the action completes; streaming metrics
+  * arrive on EVERY `StreamingQueryProgress` (per micro-batch — the shape a
+  * continuous-ingest dashboard consumes). Both are driver-side metadata
+  * rows, never a data-sized collect.
+  */
+object Observability {
+
+  /** Attach the standard quality observation to a frame: total rows, nulls
+    * in `watch`, and min/max over `watch` (long-snapped so the metric row is
+    * exact and engine-portable). The returned frame computes EXACTLY what it
+    * did before — observe is a pass-through node; the aggregates fold into
+    * the existing tasks. */
+  def observed(df: DataFrame, name: String, watch: Column): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("n_rows"),
+      sum(watch.isNull.cast("long")).as("n_null"),
+      min(watch.cast("long")).as("lo"),
+      max(watch.cast("long")).as("hi"))
+
+  /** Collect a BATCH frame while capturing its observation: returns the
+    * rows plus the observed metrics as a plain map. Wires the
+    * one-action listener dance (register, act, await, unregister) so
+    * callers don't repeat it. */
+  def collectObserved(df: DataFrame, name: String)
+      : (Array[org.apache.spark.sql.Row], Map[String, Long]) = {
+    val spark = df.sparkSession
+    val seen = new java.util.concurrent.atomic.AtomicReference[Map[String, Long]]
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        qe.observedMetrics.get(name).foreach { row =>
+          seen.set(row.schema.fieldNames.zipWithIndex.collect {
+            case (f, i) if !row.isNullAt(i) => f -> row.getLong(i)
+          }.toMap)
+          latch.countDown()
+        }
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rows = df.collect()
+      // listener delivery is async on the listener bus
+      require(latch.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        s"observation '$name' was not delivered within 30s")
+      (rows, seen.get())
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
