@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * arrive on EVERY `StreamingQueryProgress` (per micro-batch — the shape a
   * continuous-ingest dashboard consumes). Both are driver-side metadata
   * rows, never a data-sized collect.
+  *
+  * CAVEAT (measured, not hypothetical): do NOT attach an observation
+  * upstream of a `foreachBatch` sink whose body runs MULTIPLE actions over
+  * the received frame — each action re-executes the source plan and the
+  * observed counters ACCUMULATE across executions inside the one
+  * micro-batch (a 2-row batch whose body triggers three actions reports
+  * n_rows = 6). Observations belong on single-action sinks (memory /
+  * file / console, or a foreachBatch that pins the frame with ONE eager
+  * action and derives everything from the pin).
   */
 object Observability {
 

@@ -372,6 +372,7 @@ class StreamingSpec extends AnyFunSuite {
       // the published corpus schema is the doc payload (no embedding column)
       assert(!graft.etl.BucketedTable.readCurrent(spark, corpusDir)
         .columns.contains("embedding"))
+
     } finally q.stop()
   }
 
