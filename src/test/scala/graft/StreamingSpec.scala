@@ -179,9 +179,11 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val signups = MemoryStream[Ev]
     val purchases = MemoryStream[Ev]
+    val ssCkpt = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
     val q = Streams.pairedWithinWindow(signups.toDF(), purchases.toDF(),
         gap = "1 hour", delay = "10 minutes")
       .writeStream.format("memory").queryName("t_ssjoin").outputMode("append")
+      .option("checkpointLocation", ssCkpt)
       .start()
     try {
       // signup arrives first; its purchase arrives in a LATER micro-batch —
@@ -202,6 +204,23 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(pairs.toSeq.sorted === Seq((1L, 1L, 10L)),
         s"only the in-window purchase may pair, got ${pairs.toSeq.sorted}")
+      // the join buffers BOTH inputs in per-side state stores — the
+      // `joinSide` option of the state source addresses each: the
+      // watermark-pusher rows cannot have expired (their own event time IS
+      // the watermark frontier), so each side's buffer must still hold its
+      // pusher. Exact eviction of older rows is trigger-timing dependent
+      // and asserted nowhere — this reads the LIVE buffers, it does not
+      // pin the no-data-batch schedule.
+      val leftUsers = Streams.stateStoreDump(spark, ssCkpt,
+          joinSide = Some("left")).collect()
+        .map(_.getStruct(1).getAs[Long]("s_user")).toSet
+      val rightUsers = Streams.stateStoreDump(spark, ssCkpt,
+          joinSide = Some("right")).collect()
+        .map(_.getStruct(1).getAs[Long]("p_user")).toSet
+      assert(leftUsers.contains(8L),
+        s"left buffer must hold the signup-side pusher, got $leftUsers")
+      assert(rightUsers.contains(9L),
+        s"right buffer must hold the purchase-side pusher, got $rightUsers")
     } finally q.stop()
   }
 
@@ -250,6 +269,48 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     assert(meta.toSeq === Seq((0L, "stateStoreSave", "default")),
       s"metadata must name the aggregation's single default store, got ${meta.toSeq}")
+  }
+
+  test("RocksDB state store: the production backend runs the same stateful query; state reads back") {
+    // The default HDFS-backed store caps state at executor heap; RocksDB
+    // (disk-spilling, changelog-checkpointed) is the backend an unbounded
+    // 100 TB ingest actually runs on. Same query, same results, and the
+    // state source reads the RocksDB files identically — backend choice is
+    // config, not code.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rocksdb").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    try {
+      val q = Streams.tumblingCounts(mem.toDF(), "10 minutes")
+        .writeStream.format("memory").queryName("t_rocksdb").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        mem.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:50:00"))
+        q.processAllAvailable()
+        mem.addData(ev(3, "2024-01-01 11:20:00"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val emitted = spark.table("t_rocksdb").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+      assert(emitted === Map("2024-01-01 10:00:00.0" -> 2L),
+        s"RocksDB run must emit exactly what the default backend does, got $emitted")
+      val state = Streams.stateStoreDump(spark, ckpt).collect().map { r =>
+        (r.getStruct(0).getStruct(0).getTimestamp(0).toString,
+         r.getStruct(1).getLong(0))
+      }.toSet
+      assert(state === Set(("2024-01-01 11:00:00.0", 1L)),
+        s"state source must read the RocksDB checkpoint, got $state")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
   }
 
   test("dropDuplicatesWithinWatermark removes replayed event ids") {
