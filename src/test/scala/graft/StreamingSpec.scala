@@ -150,8 +150,10 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val mem = MemoryStream[UserEvent]
+    val twsCkpt = java.nio.file.Files.createTempDirectory("graft-tws").toString
     val q = Streams.runningUserTotalsTws(mem.toDS())
       .writeStream.format("memory").queryName("t_tws")
+      .option("checkpointLocation", twsCkpt)
       .outputMode("update").start()
     try {
       mem.addData(
@@ -166,6 +168,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest(1L) === ((1L, 2L, 12.0)),
         s"user 1 state must span batches, got ${latest(1L)}")
       assert(latest(2L) === ((2L, 1L, 5.0)))
+      // the state source addresses a transformWithState variable by NAME
+      // (the processor's getValueState("totals")): the per-user running
+      // totals read back as a typed table — the ops view of arbitrary
+      // custom state, same no-driver-collect contract as the agg dump
+      val stateTotals = spark.read.format("statestore")
+        .option("stateVarName", "totals").load(twsCkpt)
+        .collect().map { r =>
+          val v = r.getStruct(1)
+          (v.getAs[Long]("user_id"), v.getAs[Long]("n_events"),
+           v.getAs[Double]("total_value"))
+        }.toSet
+      assert(stateTotals === Set((1L, 2L, 12.0), (2L, 1L, 5.0)),
+        s"TWS state must read back per user by variable name, got $stateTotals")
     } finally {
       q.stop()
       prevProvider match {
