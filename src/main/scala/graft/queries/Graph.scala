@@ -53,7 +53,13 @@ object Graph {
     val e0 = li.select(concat(lit("S"), col("l_suppkey")).as("src"),
                        concat(lit("P"), col("l_partkey")).as("dst")).distinct()
     val edges = pin(e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
-    val od = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // od is pinned too (node-count-sized): it feeds the rank init AND the
+    // 1-row n_nodes broadcast that every round's teleport term re-reads —
+    // unpinned, each broadcast(n) evaluation re-plans an edges-sized
+    // groupBy and only AQE exchange reuse stands between that and 6×
+    // recomputation (the same recompute-on-rescan hazard the edge pin
+    // exists for)
+    val od = pin(edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
     // outdeg folded onto the edge rows: one static join before the loop
     // instead of one per round
     val edgesW = pin(edges.join(od, "src"))

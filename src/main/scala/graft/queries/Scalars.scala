@@ -129,7 +129,7 @@ object Scalars {
       .groupBy("et2")
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("k")).cast("long").as("sum_k"),
+        sum(col("k")).as("sum_k"), // sum over int is already LongType
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"),
         sum(when(col("uid2") === col("user_id"), 1L).otherwise(0L))

@@ -104,18 +104,22 @@ object Streams {
     * session store, check watermark eviction actually bounds state).
     * Defaults read the latest committed batch of operator 0; pass
     * `batchId` for time travel to any retained batch, `storeName` /
-    * `joinSide` for multi-store operators (stream-stream joins).
+    * `joinSide` for multi-store operators (stream-stream joins), and
+    * `stateVarName` for a `transformWithState` processor's named variable
+    * (custom state reads back as a typed table like any built-in store).
     * StreamingSpec reconciles a live window-aggregation state against the
     * emitted windows: state ∪ emitted = every window seen, disjointly —
     * the eviction-bounds-state contract, proven from the outside. */
   def stateStoreDump(spark: SparkSession, checkpointDir: String,
                      operatorId: Long = 0L, batchId: Option[Long] = None,
                      storeName: Option[String] = None,
-                     joinSide: Option[String] = None): DataFrame = {
+                     joinSide: Option[String] = None,
+                     stateVarName: Option[String] = None): DataFrame = {
     var r = spark.read.format("statestore").option("operatorId", operatorId)
     batchId.foreach(b => r = r.option("batchId", b))
     storeName.foreach(s => r = r.option("storeName", s))
     joinSide.foreach(s => r = r.option("joinSide", s))
+    stateVarName.foreach(s => r = r.option("stateVarName", s))
     r.load(checkpointDir)
   }
 

@@ -36,19 +36,22 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_zorder_probe",  // same 1-row grid-bounds broadcast (r10)
     "q_sql_recursive") // 12-row month expansion × year spine + 1-row bounds (r10)
 
-  // One evaluation pass over the full inventory; both audits read the
-  // final (post-AQE) plans from it. collect() — not a noop write — because
-  // a write spawns its OWN query execution: the DataFrame's queryExecution
-  // would stay un-finalized (isFinalPlan=false, no codegen stars).
-  private lazy val plans: Seq[(String, String)] =
+  // One evaluation pass over the full inventory; the audits read the
+  // final (post-AQE) plans from it — as a string for the structural bans,
+  // as a tree-walked shuffle count for the budget gate. collect() — not a
+  // noop write — because a write spawns its OWN query execution: the
+  // DataFrame's queryExecution would stay un-finalized (isFinalPlan=false,
+  // no codegen stars).
+  private lazy val plans: Seq[(String, String, Int)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val df = fn(spark, TestSpark.sfDir)
       df.collect()
-      name -> df.queryExecution.executedPlan.toString
+      val exec = df.queryExecution.executedPlan
+      (name, exec.toString, PlanBudgets.shuffleCount(exec))
     }
 
   test("no declared query plans a cartesian product; BNLJ only for 1-row probes") {
-    val offenders = plans.flatMap { case (name, plan) =>
+    val offenders = plans.flatMap { case (name, plan, _) =>
       val cartesian = plan.contains("CartesianProduct")
       val badBnlj = plan.contains("BroadcastNestedLoopJoin") &&
         !oneRowProbeBnlj.contains(name)
@@ -62,7 +65,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("every declared query keeps at least one whole-stage-codegen span") {
     // post-AQE plan strings print codegen spans as "*(n) Op" stars
     val offenders = plans.collect {
-      case (name, plan)
+      case (name, plan, _)
           if !plan.contains("WholeStageCodegen") && !plan.contains("*(") =>
         name
     }
@@ -83,8 +86,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"queries without a recorded shuffle budget (regenerate via " +
         s"`sbt 'Test/runMain graft.PlanBudgets'` and review the tsv diff): " +
         missing.mkString(", "))
-    val over = plans.flatMap { case (name, plan) =>
-      val c = PlanBudgets.shuffleCount(plan)
+    val over = plans.flatMap { case (name, _, c) =>
       if (c > budgets(name))
         Some(s"$name: $c shuffles > recorded ${budgets(name)}")
       else None
@@ -99,7 +101,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // that once wanted a UDF has a native Expression (BloomProbe, DotMicro,
     // ...) — a ScalaUDF in any executed plan is a regression
     val offenders = plans.collect {
-      case (name, plan) if plan.contains("UDF") => name
+      case (name, plan, _) if plan.contains("UDF") => name
     }
     assert(offenders.isEmpty,
       s"queries executing Scala UDFs:\n${offenders.mkString("\n")}")

@@ -25,27 +25,48 @@ object PlanBudgets {
 
   val resource = "src/test/resources/plan_shuffles.tsv"
 
-  /** Shuffle exchanges in the FINAL plan segment: the standalone `Exchange`
-    * token is ShuffleExchangeExec's plan-string head; `BroadcastExchange`
-    * and `ReusedExchange` don't match the word boundary (broadcasts are the
-    * cheap exchanges this gate deliberately permits; reuse is free). An
-    * adaptive plan's string carries the initial plan after a
-    * `== Initial Plan ==` marker — only the final segment counts. */
-  def shuffleCount(plan: String): Int = {
-    val fin = plan.split("== Initial Plan ==").head
-    raw"\bExchange\b".r.findAllMatchIn(fin).size
+  /** Count `ShuffleExchangeLike` nodes in the EXECUTED plan tree — final
+    * (post-AQE) plans only, by construction: an `AdaptiveSparkPlanExec` is
+    * entered through its `executedPlan` (its `initialPlan` is never
+    * visited), query stages through their materialized `plan`, and
+    * subquery plans (DPP `SubqueryBroadcast`, scalar subqueries — each an
+    * adaptive tree of its own) are traversed via `subqueries`. Tree
+    * counting, not string matching: a plan string interleaves every nested
+    * adaptive subquery's own `== Initial Plan ==` marker into the main
+    * final segment, so any textual cut either counts initial-plan
+    * exchanges or drops final-plan ones. `BroadcastExchange` is
+    * deliberately permitted (the cheap exchange); `ReusedExchange` /
+    * `ReusedSubquery` are references, counted at their origin only. */
+  def shuffleCount(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.{ReusedSubqueryExec, SparkPlan}
+    def walk(p: SparkPlan): Int = p match {
+      case _: ReusedExchangeExec | _: ReusedSubqueryExec => 0
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ =>
+        (if (p.isInstanceOf[ShuffleExchangeLike]) 1 else 0) +
+          p.children.map(walk).sum + p.subqueries.map(walk).sum
+    }
+    walk(plan)
   }
 
   def load(): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
     val p = Paths.get(resource)
-    if (!Files.exists(p)) Map.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
-        val Array(n, c) = l.split("\t")
-        n -> c.toInt
-      }.toMap
-    }
+    val lines: Seq[String] =
+      if (Files.exists(p)) Files.readAllLines(p).asScala.toSeq
+      else { // CWD-independent fallback: the tsv also rides the test classpath
+        val in = getClass.getResourceAsStream("/plan_shuffles.tsv")
+        if (in == null) Nil
+        else try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    lines.filter(_.nonEmpty).map { l =>
+      val Array(n, c) = l.split("\t")
+      n -> c.toInt
+    }.toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,7 +74,7 @@ object PlanBudgets {
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val df = fn(spark, TestSpark.sfDir)
       df.collect()
-      name -> shuffleCount(df.queryExecution.executedPlan.toString)
+      name -> shuffleCount(df.queryExecution.executedPlan)
     }
     Files.createDirectories(Paths.get(resource).getParent)
     Files.writeString(Paths.get(resource),

@@ -172,8 +172,8 @@ class StreamingSpec extends AnyFunSuite {
       // (the processor's getValueState("totals")): the per-user running
       // totals read back as a typed table — the ops view of arbitrary
       // custom state, same no-driver-collect contract as the agg dump
-      val stateTotals = spark.read.format("statestore")
-        .option("stateVarName", "totals").load(twsCkpt)
+      val stateTotals = Streams.stateStoreDump(spark, twsCkpt,
+          stateVarName = Some("totals"))
         .collect().map { r =>
           val v = r.getStruct(1)
           (v.getAs[Long]("user_id"), v.getAs[Long]("n_events"),
