@@ -43,7 +43,11 @@ object Observability {
   /** Collect a BATCH frame while capturing its observation: returns the
     * rows plus the observed metrics as a plain map. Wires the
     * one-action listener dance (register, act, await, unregister) so
-    * callers don't repeat it. */
+    * callers don't repeat it. The `collect` is the CALLER's action on the
+    * CALLER's frame (size it accordingly — this is the convenience form
+    * for result-sized frames); a production 100 TB run attaches
+    * [[observed]] to its WRITE action instead and reads the same metrics
+    * from the listener, collecting nothing. */
   def collectObserved(df: DataFrame, name: String)
       : (Array[org.apache.spark.sql.Row], Map[String, Long]) = {
     val spark = df.sparkSession
