@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here is REAL and tested (schema, parquet
   * round-trip, Dataset mapPartitions batching, deterministic output) — and
-  * so is the IMAGE path: PNG payloads are genuine encoded images, decoded
-  * pixel-exactly with the JDK's own `javax.imageio` ([[decodePng]] — no
-  * external codec library needed for PNG). Audio/video stay a
+  * so are TWO of the three modality decoders, both on JDK-shipped codecs
+  * (no external library): the IMAGE path decodes genuine PNG payloads
+  * pixel-exactly with `javax.imageio` ([[decodePng]]), and the AUDIO path
+  * (r13) decodes genuine WAV/PCM payloads sample-exactly with
+  * `javax.sound.sampled` ([[decodeWav]] — duration, RMS, zero-crossing
+  * rate, peak, DC offset over the decoded samples). VIDEO stays the one
   * clearly-marked STUB (`decodeStub` derives features from the payload
-  * bytes deterministically) — this container ships no audio/video codecs.
-  * Swapping in a real one changes only the stub body (same signature, same
-  * batched per-partition call shape a JNI/FFmpeg codec would want).
+  * bytes deterministically) — no video demuxer ships in the JDK or this
+  * container. Swapping a real one in changes only the stub body (same
+  * signature, same batched per-partition call shape an FFmpeg JNI codec
+  * would want).
   */
 object Multimodal {
 
@@ -30,19 +34,55 @@ object Multimodal {
 
   /** Deterministic synthetic corpus. IMAGE assets carry a REAL PNG payload
     * (a seeded RGB pattern encoded with ImageIO on the executor — the
-    * metadata dims are the true encoded dims); audio/video payloads are a
-    * keyed byte pattern (stand-in for real encoded media). */
+    * metadata dims are the true encoded dims); AUDIO assets carry a REAL
+    * WAV payload (a seeded two-tone PCM mixture, encoded with the JDK's
+    * AudioSystem — the metadata sample_rate is the true encoded rate);
+    * video payloads are a keyed byte pattern (stand-in for real encoded
+    * media — the one remaining stub). */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       val kind = if (i % 3 == 0) "image" else if (i % 3 == 1) "audio" else "video"
       val (w, h) = (16 + (i % 16).toInt, 12 + (i % 12).toInt)
-      val payload =
-        if (kind == "image") syntheticPng(i, w, h)
-        else Array.tabulate[Byte](64 + (i % 37).toInt)(j => ((i * 31 + j * 7) % 251).toByte)
+      val payload = kind match {
+        case "image" => syntheticPng(i, w, h)
+        case "audio" => syntheticWav(i, 8000, 400 + (i % 37).toInt * 8)
+        case _ =>
+          Array.tabulate[Byte](64 + (i % 37).toInt)(j => ((i * 31 + j * 7) % 251).toByte)
+      }
       Asset(i, kind, payload, w, h,
-            if (kind == "audio") 16000 else 0, if (kind == "image") "png" else "raw")
+            if (kind == "audio") 8000 else 0,
+            kind match { case "image" => "png"; case "audio" => "wav"; case _ => "raw" })
     }
+  }
+
+  /** A seeded two-tone 16-bit mono PCM clip, WAV-encoded with the JDK's
+    * `javax.sound.sampled` (lossless container over raw PCM — decoders
+    * recover the exact samples, which is what makes [[decodeWav]]'s stats
+    * assertable). Tone frequencies/amplitude derive from the seed so
+    * distinct assets carry genuinely different signals. */
+  private[graft] def syntheticWav(seed: Long, sr: Int, nFrames: Int): Array[Byte] = {
+    val f1 = 200.0 + (seed % 17) * 40.0
+    val f2 = 950.0 + (seed % 13) * 70.0
+    val a1 = 0.35 + (seed % 5) * 0.08
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val t = i.toDouble / sr
+      val v = a1 * math.sin(2 * math.Pi * f1 * t) + 0.2 * math.sin(2 * math.Pi * f2 * t)
+      val s = math.max(-32767L, math.min(32767L, math.round(v * 20000))).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
   }
 
   /** A seeded w×h RGB test card, PNG-encoded (lossless — decoders recover
@@ -84,6 +124,64 @@ object Multimodal {
     }
     (checksum, feats)
   }
+
+  /** REAL WAV/PCM decode via the JDK's `javax.sound.sampled` (ships in
+    * every JRE — no external codec needed for WAV): sample-exact signal
+    * stats over the decoded 16-bit PCM stream:
+    * `[duration_s, rms, zcr, peak, channels, sr/48000, dc_offset,
+    * size_bucket]` (amplitudes normalized by 2¹⁵; zcr per sample over the
+    * interleaved stream — exact for the mono corpus, a documented
+    * approximation for multi-channel), plus a sample checksum (the same
+    * rolling polynomial as [[decodePng]]'s raster hash, over DECODED
+    * samples — two containers of the same PCM agree). Restricted to the
+    * PCM_SIGNED 16-bit subset the synthetic corpus writes; anything else —
+    * or an unparsable payload — returns None so callers fall back to the
+    * stub rather than mis-decoding. */
+  private[graft] def decodeWav(payload: Array[Byte]): Option[(Long, Array[Float])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          if (n == 0) None
+          else {
+            val be = f.isBigEndian
+            var checksum = 0L
+            var sum = 0.0; var sum2 = 0.0; var zc = 0L; var peak = 0
+            var prevSign = 0
+            var i = 0
+            while (i < n) {
+              val s =
+                if (be) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+                else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+              checksum = checksum * 131 + (s & 0xffff)
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sum += s; sum2 += s.toDouble * s
+              val sign = Integer.signum(s)
+              if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+              if (sign != 0) prevSign = sign
+              i += 1
+            }
+            val frames = n / f.getChannels
+            Some((checksum, Array[Float](
+              frames / f.getSampleRate,
+              (math.sqrt(sum2 / n) / 32768.0).toFloat,
+              zc.toFloat / math.max(1, n - 1),
+              peak / 32768f,
+              f.getChannels.toFloat,
+              f.getSampleRate / 48000f,
+              (sum / n / 32768.0).toFloat,
+              math.min(1f, n / 65536f))))
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
 
   /** The ONE decode entry point (every image path shares it — a decoder
     * fix or format addition lands here once): any ImageIO-supported
@@ -136,8 +234,9 @@ object Multimodal {
   /** Partition-parallel feature extraction: one `mapPartitions` pass so a
     * real codec could amortize per-partition init (model load, JNI handle)
     * across its batch — the Scala twin of the Arrow-batched Python UDF
-    * pattern. PNG images take the REAL decode path ([[decodePng]]);
-    * audio/video (and undecodable payloads) fall back to the stub. */
+    * pattern. PNG images take the REAL image decode ([[decodePng]]), WAV
+    * audio the REAL PCM decode ([[decodeWav]]); video (and undecodable
+    * payloads of either real format) fall back to the stub. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -145,6 +244,7 @@ object Multimodal {
       it.map { a =>
         val real =
           if (a.kind == "image" && a.format == "png") decodePng(a.payload)
+          else if (a.kind == "audio" && a.format == "wav") decodeWav(a.payload)
           else None
         val (checksum, feats) = real.getOrElse(decodeStub(a.payload))
         AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum, feats)

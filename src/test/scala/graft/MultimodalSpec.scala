@@ -128,6 +128,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(corrupt.checksum === Multimodal.decodeStub(junk)._1)
   }
 
+  test("WAV decode is REAL: a pure sine yields its textbook RMS, zero-crossing rate, and peak") {
+    // 1 s of 440 Hz at amplitude 12000/32768 over 8 kHz mono 16-bit PCM:
+    // every expected stat is signal-processing arithmetic, not payload-byte
+    // arithmetic — only a genuine decode of the PCM samples can produce it
+    val sr = 8000
+    val amp = 12000
+    val pcm = new Array[Byte](sr * 2)
+    for (i <- 0 until sr) {
+      val s = math.round(amp * math.sin(2 * math.Pi * 440 * i / sr)).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    def wrapWav(bytes: Array[Byte]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, bytes.length / 2)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val wav = wrapWav(pcm)
+    val (checksum, f) = Multimodal.decodeWav(wav).get
+    assert(f(0) === 1.0f, "duration: 8000 frames at 8 kHz is one second")
+    assert(math.abs(f(1) - amp / 32768f / math.sqrt(2).toFloat) < 1e-3,
+      s"sine RMS must be amplitude/sqrt(2), got ${f(1)}")
+    assert(math.abs(f(2) - 2 * 440f / sr) < 1e-3,
+      s"a 440 Hz tone crosses zero 880 times per second, got ${f(2)}")
+    assert(math.abs(f(3) - amp / 32768f) < 1e-3, "peak is the sine amplitude")
+    assert(f(4) === 1f && f(5) === sr / 48000f, "channels and rate from the header")
+    assert(math.abs(f(6)) < 1e-3, "a pure sine has no DC offset")
+    // container invariance: the checksum hashes DECODED samples, so
+    // re-wrapping the same PCM in a fresh container changes nothing
+    assert(Multimodal.decodeWav(wrapWav(pcm)).get._1 === checksum)
+
+    // pipeline dispatch: audio+wav takes the real decode; audio+raw and a
+    // corrupt wav payload keep the stub fallback
+    val viaPipeline = Multimodal.extractFeatures(
+      Seq(Multimodal.Asset(1L, "audio", wav, 0, 0, sr, "wav")).toDS()).collect().head
+    assert(viaPipeline.checksum === checksum)
+    assert(viaPipeline.features.toSeq === f.toSeq)
+    val junk = Array.tabulate[Byte](48)(j => (j * 11).toByte)
+    val corrupt = Multimodal.extractFeatures(
+      Seq(Multimodal.Asset(2L, "audio", junk, 0, 0, sr, "wav")).toDS()).collect().head
+    assert(corrupt.checksum === Multimodal.decodeStub(junk)._1,
+      "an unparsable wav payload must fall back to the stub, not fail the task")
+  }
+
+  test("synthetic audio assets are genuine WAVs; metadata sample_rate matches the decoded header") {
+    val audio = Multimodal.syntheticAssets(spark, 30).collect()
+      .filter(_.kind == "audio")
+    assert(audio.nonEmpty)
+    audio.foreach { a =>
+      assert(a.format === "wav")
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      try assert(in.getFormat.getSampleRate.toInt === a.sample_rate,
+        s"asset ${a.asset_id}: metadata rate must be the true encoded rate")
+      finally in.close()
+      assert(Multimodal.decodeWav(a.payload).isDefined,
+        s"asset ${a.asset_id} must decode through the real path")
+    }
+  }
+
   test("synthetic image assets are genuine PNGs; metadata dims match the decoded raster") {
     val imgs = Multimodal.syntheticAssets(spark, 30).collect().filter(_.kind == "image")
     assert(imgs.nonEmpty)
