@@ -507,6 +507,236 @@ object Multimodal {
     imageDedupPairs(syntheticImageCorpus(spark, 200, everyK = 5))
       .orderBy("asset_a", "asset_b")
 
+  // ---- audio near-dup dedup (perceptual hash × banded Hamming join) ------
+
+  /** 64-bit perceptual audio fingerprint over decoded 16-bit PCM — the
+    * audio member of the dHash/SimHash family: the clip is cut into 17
+    * equal time slices, four per-slice features are measured (RMS,
+    * zero-crossing rate, and Goertzel band power at sr/16 and sr/4), and
+    * bit (plane·16 + j) is set when feature(slice j+1) > feature(slice j) —
+    * 4 planes × 16 gradient comparisons = 64 bits, the exact band shape
+    * [[graft.queries.Llm.bandedHammingPairs]] consumes.
+    *
+    * Robust by construction against the transforms audio dedup must see
+    * through: a lossless RE-CONTAINER reproduces the samples (identical
+    * hash), and a VOLUME CHANGE scales every slice's RMS and band power by
+    * the same factor while leaving ZCR untouched — every `>` comparison is
+    * unchanged short of clipping (a few bit flips at most, inside the
+    * Hamming ≤ 3 threshold). A LOCAL edit moves only the touched slice's
+    * comparisons. Does NOT survive: time-shift/trim (slice boundaries
+    * move — the crop analogue), resampling or pitch/tempo change (ZCR and
+    * band centers move), lossy transcode (MP3/AAC move the fine features).
+    * The same envelope honesty as [[qImageDedup]]'s scaladoc: a corpus
+    * where those matter needs a beat/chroma-class fingerprint, a declared
+    * non-goal here. */
+  private[graft] def audioHash64(samples: Array[Int], sr: Float): Long = {
+    val nSlices = 17
+    val n = samples.length
+    def goertzelPower(from: Int, until: Int, f: Double): Double = {
+      val w = 2 * math.Pi * f / sr
+      val coeff = 2 * math.cos(w)
+      var s1 = 0.0; var s2 = 0.0
+      var i = from
+      while (i < until) {
+        val s0 = samples(i) + coeff * s1 - s2
+        s2 = s1; s1 = s0
+        i += 1
+      }
+      val len = math.max(1, until - from).toDouble
+      (s1 * s1 + s2 * s2 - coeff * s1 * s2) / (len * len)
+    }
+    val rms = new Array[Double](nSlices)
+    val zcr = new Array[Double](nSlices)
+    val eLo = new Array[Double](nSlices)
+    val eHi = new Array[Double](nSlices)
+    var s = 0
+    while (s < nSlices) {
+      val from = s * n / nSlices
+      val until = math.max((s + 1) * n / nSlices, from + 1)
+      var sum2 = 0.0; var zc = 0; var prevSign = 0
+      var i = from
+      while (i < math.min(until, n)) {
+        val v = samples(i)
+        sum2 += v.toDouble * v
+        val sign = Integer.signum(v)
+        if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+        if (sign != 0) prevSign = sign
+        i += 1
+      }
+      val len = math.max(1, math.min(until, n) - from).toDouble
+      rms(s) = math.sqrt(sum2 / len)
+      zcr(s) = zc / len
+      eLo(s) = goertzelPower(from, math.min(until, n), sr / 16.0)
+      eHi(s) = goertzelPower(from, math.min(until, n), sr / 4.0)
+      s += 1
+    }
+    var hash = 0L
+    val planes = Array(rms, zcr, eLo, eHi)
+    var p = 0
+    while (p < 4) {
+      var j = 0
+      while (j < 16) {
+        if (planes(p)(j + 1) > planes(p)(j)) hash |= (1L << (p * 16 + j))
+        j += 1
+      }
+      p += 1
+    }
+    hash
+  }
+
+  /** Decode a WAV payload to its 16-bit samples (the [[decodeWav]] PCM
+    * subset); None when unparsable. */
+  private[graft] def decodePcm(payload: Array[Byte]): Option[(Array[Int], Float)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          if (n < 17) None // shorter than one sample per fingerprint slice
+          else {
+            val be = f.isBigEndian
+            val out = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              out(i) =
+                if (be) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+                else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+              i += 1
+            }
+            Some((out, f.getSampleRate))
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Per-clip perceptual fingerprints as four 16-bit bands `(doc_id,
+    * b0..b3)` — the audio twin of [[imageFingerprints]], feeding the SAME
+    * banded Hamming machinery. Decode is partition-parallel, zero shuffle;
+    * non-audio or unparsable payloads are skipped. */
+  def audioFingerprints(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        if (a.kind != "audio") None
+        else decodePcm(a.payload).map { case (samples, sr) =>
+          val hsh = audioHash64(samples, sr)
+          (a.asset_id, (hsh & 0xffffL).toInt,
+            ((hsh >>> 16) & 0xffffL).toInt, ((hsh >>> 32) & 0xffffL).toInt,
+            ((hsh >>> 48) & 0xffffL).toInt)
+        }
+      }
+    }.toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Near-dup pairs over an audio corpus: perceptual fingerprints → the
+    * shared banded Hamming join. Output `(asset_a, asset_b, hamming)`. */
+  def audioDedupPairs(assets: Dataset[Asset]): DataFrame =
+    graft.queries.Llm.bandedHammingPairs(audioFingerprints(assets))
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming"))
+
+  /** A synthetic audio corpus with PLANTED near-duplicates — the audio twin
+    * of [[syntheticImageCorpus]]: `nBase` distinct piecewise-stationary
+    * clips (per fingerprint slice, tone frequency and amplitude are
+    * independent seeded draws — the audio analogue of the block-random
+    * test card, so unrelated clips land at the expected Hamming ≈ 32), and
+    * for every `everyK`-th base THREE planted variants: a pure
+    * RE-CONTAINER (id + nBase; identical samples, Hamming 0), a VOLUME
+    * scale ×1.2 (id + 2·nBase; clip-free by construction — amplitudes cap
+    * at 24000·1.2 < 2¹⁵ — so every gradient comparison survives, Hamming
+    * 0), and a LOCAL TONE BURST (id + 3·nBase): a low-amplitude sr/4
+    * component added to slice 8 only, which moves that slice's high-band
+    * Goertzel power and flips (at most) its two e_hi comparisons — the
+    * planted pair lands at measured Hamming ∈ [1, 3], exercising the
+    * banded join's tolerance band. Fully deterministic, generated on
+    * executors. */
+  def syntheticAudioCorpus(spark: SparkSession, nBase: Int,
+                           everyK: Int = 5): Dataset[Asset] = {
+    import spark.implicits._
+    val sr = 8000
+    val nSlices = 17
+    val sliceLen = 160 // 20 ms per slice, 340 ms per clip
+    spark.range(nBase.toLong).flatMap { i =>
+      val n = nSlices * sliceLen
+      def draw(slice: Int, salt: Long): Long = {
+        var v = i * 2654435761L + slice * 40503L + salt * 65027L
+        v ^= (v >>> 21); v *= -7046029254386353131L; v ^= (v >>> 28)
+        v & 0x7fffffffffffffffL
+      }
+      val pcm = new Array[Int](n)
+      var s = 0
+      while (s < nSlices) {
+        val f = 200.0 + (draw(s, 1) % 2600)          // 200..2800 Hz
+        val amp = 8000.0 + (draw(s, 2) % 16001)      // 8000..24000
+        var j = 0
+        while (j < sliceLen) {
+          val idx = s * sliceLen + j
+          pcm(idx) = math.round(amp * math.sin(2 * math.Pi * f * idx / sr)).toInt
+          j += 1
+        }
+        s += 1
+      }
+      def wav(samples: Array[Int]): Array[Byte] = {
+        val bytes = new Array[Byte](samples.length * 2)
+        var k = 0
+        while (k < samples.length) {
+          val v = math.max(-32767, math.min(32767, samples(k)))
+          bytes(2 * k) = (v & 0xff).toByte
+          bytes(2 * k + 1) = ((v >> 8) & 0xff).toByte
+          k += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        try javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        finally ais.close()
+        bos.toByteArray
+      }
+      def asset(id: Long, payload: Array[Byte]) =
+        Asset(id, "audio", payload, 0, 0, sr, "wav")
+      val base = asset(i, wav(pcm))
+      if (i % everyK != 0) Seq(base)
+      else {
+        val scaled = pcm.map(v => math.round(v * 1.2).toInt)
+        val burst = pcm.clone()
+        var j = 8 * sliceLen
+        while (j < 9 * sliceLen) {
+          // amp 600 keeps the combined signal monotone through the main
+          // tone's zero crossings (ripple slope 2π·2000·600/8000 ≈ 942 <
+          // minimum main slope 2π·200·8000/8000 ≈ 1256 per sample), so the
+          // slice's ZCR is UNCHANGED and the burst moves only its
+          // high-band Goertzel power — the flips stay confined to the two
+          // e_hi comparisons
+          burst(j) += math.round(600 * math.sin(2 * math.Pi * (sr / 4.0) * j / sr)).toInt
+          j += 1
+        }
+        Seq(base, asset(i + nBase, wav(pcm)),
+          asset(i + 2L * nBase, wav(scaled)),
+          asset(i + 3L * nBase, wav(burst)))
+      }
+    }
+  }
+
+  /** §2.9 audio near-dup dedup (no-oracle; declared smoke + MultimodalSpec
+    * planted-recall cases): the dedup family across the THIRD modality —
+    * perceptual gradient fingerprints over REAL decoded PCM, candidates
+    * via the same banded Hamming join as text SimHash and image dHash.
+    * The sfDir carries no media, so the corpus is the deterministic
+    * planted-dup synthetic (`dir` ignored): every (base, re-container),
+    * (base, volume-scale) and (base, tone-burst) pair must surface;
+    * unrelated clips sit at Hamming ≈ 32 and never join. Transform
+    * envelope on [[audioHash64]]. */
+  def qAudioDedup(spark: SparkSession, dir: String): DataFrame =
+    audioDedupPairs(syntheticAudioCorpus(spark, 200, everyK = 5))
+      .orderBy("asset_a", "asset_b")
+
   /** One sampled frame of a video payload. */
   final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 

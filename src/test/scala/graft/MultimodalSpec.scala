@@ -275,6 +275,50 @@ class MultimodalSpec extends AnyFunSuite {
         s"planted Hamming-$d pair ($a,$b) not recovered, got ${pairs.get((a, b))}")
   }
 
+  test("audio dedup: every planted variant pair is recovered; unrelated clips never pair") {
+    val nBase = 200
+    val pairs = Multimodal.audioDedupPairs(
+        Multimodal.syntheticAudioCorpus(spark, nBase, everyK = 5))
+      .collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Int]("hamming")))
+    // planted truth: base i (i % 5 == 0) has a re-containered twin at
+    // i + nBase, a volume-scaled twin at i + 2·nBase and a tone-burst twin
+    // at i + 3·nBase; all four are mutual near-dups — 6 pairs per base
+    val planted = (0 until nBase by 5).flatMap { i =>
+      val ids = Seq(i.toLong, i + nBase.toLong, i + 2L * nBase, i + 3L * nBase)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found),
+      s"missed planted near-dup pairs: ${(planted -- found).toSeq.sorted.take(5)}")
+    assert(found === planted,
+      s"unrelated clips must never pair at Hamming <= 3: extras = ${(found -- planted).toSeq.sorted.take(5)}")
+    // re-containers are sample-identical and the ×1.2 volume scale is
+    // clip-free by construction — both fingerprint-exact; the tone-burst
+    // twin (ids >= 3·nBase) is the deliberate non-zero case
+    assert(pairs.filter(_._2 < 3L * nBase).forall(_._3 === 0),
+      "re-container and volume variants must be fingerprint-exact")
+    val burst = pairs.filter(p => p._1 < nBase && p._2 >= 3L * nBase)
+    assert(burst.forall(p => p._3 >= 0 && p._3 <= 3))
+    assert(burst.exists(_._3 >= 1),
+      s"the tone burst must flip at least one high-band gradient bit " +
+        s"somewhere in the corpus (else the tolerance band is untested), " +
+        s"got hammings ${burst.map(_._3).distinct.sorted.toSeq}")
+  }
+
+  test("audio fingerprints are deterministic and partitioning-independent") {
+    val corpus = Multimodal.syntheticAudioCorpus(spark, 30, everyK = 5)
+    val one = Multimodal.audioFingerprints(corpus.repartition(1))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val many = Multimodal.audioFingerprints(corpus.repartition(7))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(one === many, "fingerprints must not depend on partitioning")
+    assert(one.nonEmpty)
+  }
+
   test("image fingerprints are deterministic and partitioning-independent") {
     val corpus = Multimodal.syntheticImageCorpus(spark, 40, everyK = 7)
     val a = Multimodal.imageFingerprints(corpus).collect()
