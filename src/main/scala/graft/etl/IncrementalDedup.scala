@@ -59,15 +59,16 @@ object IncrementalDedup {
 
   /** Dedup `batch` (`doc_id`, `text`, …) against the index at `indexDir`
     * and within itself, append the survivors' postings, and return the kept
-    * rows (original batch columns). `imageCol` names an optional binary
-    * image-payload column: decodable images then ALSO post their dHash
-    * bands, extending the near-dup gate across the modality (see
-    * [[keptPostings]]). */
+    * rows (original batch columns). `imageCol` / `audioCol` name optional
+    * binary media-payload columns: decodable images/clips then ALSO post
+    * their perceptual fingerprint bands, extending the near-dup gate
+    * across those modalities (see [[keptPostings]]). */
   def ingest(batch: DataFrame, indexDir: String,
              bands: Int = 4, rowsPerBand: Int = 2,
-             imageCol: Option[String] = None): DataFrame = {
+             imageCol: Option[String] = None,
+             audioCol: Option[String] = None): DataFrame = {
     val keptPosts = keptPostings(batch, indexDir, bands, rowsPerBand,
-      imageCol = imageCol)
+      imageCol = imageCol, audioCol = audioCol)
     commitPostings(keptPosts, indexDir)
     batch.join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
   }
@@ -93,7 +94,8 @@ object IncrementalDedup {
   def keptPostings(batch: DataFrame, indexDir: String,
                    bands: Int = 4, rowsPerBand: Int = 2,
                    excludeBatchKey: Option[String] = None,
-                   imageCol: Option[String] = None): DataFrame = {
+                   imageCol: Option[String] = None,
+                   audioCol: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     // hash the batch ONCE; every later step reuses these postings
     val hashed = Llm.minhashBandRows(batch, bands, rowsPerBand)
@@ -120,8 +122,23 @@ object IncrementalDedup {
         import spark.implicits._
         Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey")
     }
-    // A doc with NO signature of either modality (null text and no
-    // decodable image) still gets ONE posting — a whole-text-hash cell in
+    // AUDIO MODALITY (r13): decodable clips post their four 16-bit
+    // slice-gradient fingerprint bands under band ids 2000+ — the third
+    // disjoint namespace in the one posting table; everything downstream
+    // applies unchanged (see [[Multimodal.audioPostingRows]]).
+    val audioPosts = audioCol match {
+      case Some(c) =>
+        require(batch.columns.contains(c),
+          s"IncrementalDedup: audioCol '$c' is not a column of the batch " +
+            s"(columns: ${batch.columns.mkString(", ")})")
+        graft.sources.Multimodal.audioPostingRows(batch, c)
+          .localCheckpoint(true)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey")
+    }
+    // A doc with NO signature of any modality (null text, no decodable
+    // image or clip) still gets ONE posting — a whole-text-hash cell in
     // sentinel band -1 — so an exact replay collides with its own stored
     // posting and is dropped like any other duplicate, instead of being
     // re-admitted on every batch. (A doc with an image signature must NOT
@@ -130,12 +147,14 @@ object IncrementalDedup {
     // less docs remain undetectable by construction; only EXACT repeats
     // carry evidence, and the hash cell is it.
     val signed = hashed.select("doc_id")
-      .union(imagePosts.select("doc_id")).distinct()
+      .union(imagePosts.select("doc_id"))
+      .union(audioPosts.select("doc_id")).distinct()
     val unshingled = batch
       .join(signed, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit(-1).as("band"),
               md5(coalesce(col("text"), lit(""))).as("bkey"))
-    val posts = hashed.unionByName(imagePosts).unionByName(unshingled)
+    val posts = hashed.unionByName(imagePosts).unionByName(audioPosts)
+      .unionByName(unshingled)
       .localCheckpoint(true)
 
     // 1) drop batch docs colliding with the stored corpus. Join DIRECTION

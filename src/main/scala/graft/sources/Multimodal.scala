@@ -633,6 +633,37 @@ object Multimodal {
     }.toDF("doc_id", "b0", "b1", "b2", "b3")
   }
 
+  /** Per-clip DEDUP POSTING rows `(doc_id, band, bkey)` — the audio twin of
+    * [[imagePostingRows]]: an audio-carrying ingest stream feeds the SAME
+    * [[graft.etl.IncrementalDedup]] posting table and admission machinery,
+    * under its own disjoint band namespace (`bandBase` 2000 vs the image
+    * leg's 1000 — the three modalities' cells can never collide in one
+    * table). Each decodable clip contributes its four 16-bit fingerprint
+    * bands as hex bkeys; pigeonhole gives full recall over Hamming ≤ 3,
+    * with the standard banded-LSH precision trade. Unparsable or null
+    * payloads contribute no rows (they fall to the caller's whole-payload
+    * fallback). */
+  def audioPostingRows(batch: DataFrame, audioCol: String,
+                       bandBase: Int = 2000): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("doc_id").cast("long"), col(audioCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          if (payload == null) Iterator.empty
+          else decodePcm(payload) match {
+            case Some((samples, sr)) =>
+              val h = audioHash64(samples, sr)
+              (0 until 4).iterator.map { b =>
+                (id, bandBase + b, f"${(h >>> (16 * b)) & 0xffffL}%04x")
+              }
+            case None => Iterator.empty[(Long, Int, String)]
+          }
+        }
+      }.toDF("doc_id", "band", "bkey")
+  }
+
   /** Near-dup pairs over an audio corpus: perceptual fingerprints → the
     * shared banded Hamming join. Output `(asset_a, asset_b, hamming)`. */
   def audioDedupPairs(assets: Dataset[Asset]): DataFrame =

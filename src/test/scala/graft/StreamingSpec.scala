@@ -19,6 +19,10 @@ case class IngestDoc(doc_id: Long, text: String, embedding: Array[Float])
 case class ImageDoc(doc_id: Long, text: String, image: Array[Byte],
                     embedding: Array[Float])
 
+/** An audio-carrying ingest doc: null-able text plus a WAV payload. */
+case class AudioDoc(doc_id: Long, text: String, audio: Array[Byte],
+                    embedding: Array[Float])
+
 /** [[IngestDoc]] with a source tag, for the budget-gated ingest test. */
 case class SourcedDoc(doc_id: Long, text: String, source: String,
                       embedding: Array[Float])
@@ -1497,6 +1501,75 @@ class StreamingSpec extends AnyFunSuite {
       assert(!Files.exists(Paths.get(postings + ".old-crash")) &&
         Files.exists(Paths.get(postings)),
         "the retired tree must have been restored onto the live path")
+    } finally q.stop()
+  }
+
+  test("corpusIngest with audioCol: cross-batch audio near-dups drop at admission; replay no-ops") {
+    import java.nio.file.Files
+    import graft.sources.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_aud_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_aud_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_aud_corpus").toString
+    // piecewise-stationary clips (seeded per-slice tones — the corpus
+    // generator's shape, so distinct clips land at Hamming ≈ 32)
+    val clips = Multimodal.syntheticAudioCorpus(spark, 4, everyK = 1000)
+      .collect().map(a => a.asset_id -> a.payload).toMap
+    // volume-scaled copy (×1.2, clip-free): every per-slice feature scales
+    // uniformly, the fingerprint is exact — the planted CROSS-BATCH dup
+    def scaled(wav: Array[Byte]): Array[Byte] = {
+      val (samples, sr) = Multimodal.decodePcm(wav).get
+      val out = samples.map(v => math.round(v * 1.2).toInt)
+      val bytes = new Array[Byte](out.length * 2)
+      for (k <- out.indices) {
+        val v = math.max(-32767, math.min(32767, out(k)))
+        bytes(2 * k) = (v & 0xff).toByte
+        bytes(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, out.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    // null text everywhere: admission evidence is the AUDIO signature alone
+    val b1 = Seq(AudioDoc(1, null, clips(0L), emb(1)),
+                 AudioDoc(2, null, clips(1L), emb(2)))
+    val b2 = Seq(AudioDoc(3, null, scaled(clips(0L)), emb(3)), // near-dup of 1
+                 AudioDoc(4, null, clips(2L), emb(4)))         // novel
+    val mem = MemoryStream[AudioDoc]
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
+      audioCol = Some("audio")).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      def corpusIds = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(corpusIds === Seq(1L, 2L, 4L),
+        s"audio near-dup gate must admit {1,2,4}, got $corpusIds")
+      // the admitted docs' postings live in the audio band range — the
+      // same table, the third disjoint namespace
+      val postings = spark.read
+        .parquet(graft.etl.Compaction.currentPath(s"$dedupDir/postings"))
+      val bandsSeen = postings.select("band").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(bandsSeen.forall(_ >= 2000),
+        s"audio-doc postings must land in the audio band namespace, got $bandsSeen")
+      // at-least-once re-send of b2: replay no-op
+      val v = graft.etl.BucketedTable.currentVersion(corpusDir)
+      val postRows = postings.count()
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(graft.etl.BucketedTable.currentVersion(corpusDir) === v,
+        "a replayed audio batch must not publish a new corpus snapshot")
+      assert(spark.read
+        .parquet(graft.etl.Compaction.currentPath(s"$dedupDir/postings"))
+        .count() === postRows,
+        "a replayed audio batch must not grow the posting table")
+      assert(corpusIds === Seq(1L, 2L, 4L))
     } finally q.stop()
   }
 
