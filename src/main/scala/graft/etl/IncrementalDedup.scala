@@ -138,21 +138,30 @@ object IncrementalDedup {
         Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey")
     }
     // A doc with NO signature of any modality (null text, no decodable
-    // image or clip) still gets ONE posting — a whole-text-hash cell in
+    // image or clip) still gets ONE posting — an exact-content hash cell in
     // sentinel band -1 — so an exact replay collides with its own stored
     // posting and is dropped like any other duplicate, instead of being
-    // re-admitted on every batch. (A doc with an image signature must NOT
-    // take this fallback: all null-text image docs would share the
-    // md5("") cell and greedily drop each other.) Near-dups of signature-
-    // less docs remain undetectable by construction; only EXACT repeats
-    // carry evidence, and the hash cell is it.
+    // re-admitted on every batch. The cell hashes the text AND every
+    // configured media payload (md5 over the raw bytes, "|"-delimited):
+    // when a media column is configured, UNDECODABLE payloads (codecs
+    // outside the supported subset — for audio that is everything but
+    // 16-bit PCM WAV, the COMMON case for real media) land here, and a
+    // text-only md5 would collapse every null-text one onto the md5("")
+    // cell, silently greedy-dropping distinct clips as duplicates of the
+    // first. Distinct payloads now get distinct cells; identical
+    // (text, payload) tuples still collide — exact-dup semantics. Near-dups
+    // of signature-less docs remain undetectable by construction; only
+    // EXACT repeats carry evidence, and the content-hash cell is it.
     val signed = hashed.select("doc_id")
       .union(imagePosts.select("doc_id"))
       .union(audioPosts.select("doc_id")).distinct()
+    val mediaSig = (imageCol.toSeq ++ audioCol.toSeq)
+      .map(c => coalesce(md5(col(c)), lit("")))
     val unshingled = batch
       .join(signed, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit(-1).as("band"),
-              md5(coalesce(col("text"), lit(""))).as("bkey"))
+              md5(concat_ws("|",
+                (coalesce(col("text"), lit("")) +: mediaSig): _*)).as("bkey"))
     val posts = hashed.unionByName(imagePosts).unionByName(audioPosts)
       .unionByName(unshingled)
       .localCheckpoint(true)

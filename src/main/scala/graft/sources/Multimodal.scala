@@ -56,33 +56,64 @@ object Multimodal {
     }
   }
 
-  /** A seeded two-tone 16-bit mono PCM clip, WAV-encoded with the JDK's
-    * `javax.sound.sampled` (lossless container over raw PCM — decoders
-    * recover the exact samples, which is what makes [[decodeWav]]'s stats
-    * assertable). Tone frequencies/amplitude derive from the seed so
-    * distinct assets carry genuinely different signals. */
-  private[graft] def syntheticWav(seed: Long, sr: Int, nFrames: Int): Array[Byte] = {
-    val f1 = 200.0 + (seed % 17) * 40.0
-    val f2 = 950.0 + (seed % 13) * 70.0
-    val a1 = 0.35 + (seed % 5) * 0.08
-    val pcm = new Array[Byte](nFrames * 2)
-    var i = 0
-    while (i < nFrames) {
-      val t = i.toDouble / sr
-      val v = a1 * math.sin(2 * math.Pi * f1 * t) + 0.2 * math.sin(2 * math.Pi * f2 * t)
-      val s = math.max(-32767L, math.min(32767L, math.round(v * 20000))).toInt
-      pcm(2 * i) = (s & 0xff).toByte
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-      i += 1
+  /** THE one PCM→WAV encoder (16-bit mono little-endian, samples clamped to
+    * ±32767) — every WAV producer in main and test code delegates here, so
+    * the container details live in exactly one place. */
+  private[graft] def encodeWav(samples: Array[Int], sr: Int): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var k = 0
+    while (k < samples.length) {
+      val v = math.max(-32767, math.min(32767, samples(k)))
+      bytes(2 * k) = (v & 0xff).toByte
+      bytes(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
     }
     val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
     try javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     finally ais.close()
     bos.toByteArray
+  }
+
+  /** A GENUINELY different container over the same samples: append a
+    * benign `JUNK` chunk and patch the RIFF length — the bytes differ, the
+    * decoded PCM does not. This is what makes the planted "re-container"
+    * near-dup (and the container-invariance checksum assertion) test real
+    * container variation instead of degenerating to a byte-identity check
+    * against the deterministic writer. */
+  private[graft] def withTrailingJunkChunk(wav: Array[Byte]): Array[Byte] = {
+    val out = java.util.Arrays.copyOf(wav, wav.length + 12)
+    out(wav.length) = 'J'; out(wav.length + 1) = 'U'
+    out(wav.length + 2) = 'N'; out(wav.length + 3) = 'K'
+    out(wav.length + 4) = 4 // chunk payload size, little-endian
+    val riff = (wav(4) & 0xffL) | ((wav(5) & 0xffL) << 8) |
+      ((wav(6) & 0xffL) << 16) | ((wav(7) & 0xffL) << 24)
+    val patched = riff + 12
+    out(4) = (patched & 0xff).toByte
+    out(5) = ((patched >> 8) & 0xff).toByte
+    out(6) = ((patched >> 16) & 0xff).toByte
+    out(7) = ((patched >> 24) & 0xff).toByte
+    out
+  }
+
+  /** A seeded two-tone 16-bit mono PCM clip, WAV-encoded (lossless
+    * container over raw PCM — decoders recover the exact samples, which is
+    * what makes [[decodeWav]]'s stats assertable). Tone frequencies/
+    * amplitude derive from the seed so distinct assets carry genuinely
+    * different signals. */
+  private[graft] def syntheticWav(seed: Long, sr: Int, nFrames: Int): Array[Byte] = {
+    val f1 = 200.0 + (seed % 17) * 40.0
+    val f2 = 950.0 + (seed % 13) * 70.0
+    val a1 = 0.35 + (seed % 5) * 0.08
+    val samples = Array.tabulate(nFrames) { i =>
+      val t = i.toDouble / sr
+      val v = a1 * math.sin(2 * math.Pi * f1 * t) + 0.2 * math.sin(2 * math.Pi * f2 * t)
+      math.round(v * 20000).toInt
+    }
+    encodeWav(samples, sr)
   }
 
   /** A seeded w×h RGB test card, PNG-encoded (lossless — decoders recover
@@ -138,50 +169,34 @@ object Multimodal {
     * or an unparsable payload — returns None so callers fall back to the
     * stub rather than mis-decoding. */
   private[graft] def decodeWav(payload: Array[Byte]): Option[(Long, Array[Float])] =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      try {
-        val f = in.getFormat
-        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            f.getSampleSizeInBits != 16) None
-        else {
-          val bytes = in.readAllBytes()
-          val n = bytes.length / 2
-          if (n == 0) None
-          else {
-            val be = f.isBigEndian
-            var checksum = 0L
-            var sum = 0.0; var sum2 = 0.0; var zc = 0L; var peak = 0
-            var prevSign = 0
-            var i = 0
-            while (i < n) {
-              val s =
-                if (be) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
-                else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
-              checksum = checksum * 131 + (s & 0xffff)
-              val a = math.abs(s)
-              if (a > peak) peak = a
-              sum += s; sum2 += s.toDouble * s
-              val sign = Integer.signum(s)
-              if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
-              if (sign != 0) prevSign = sign
-              i += 1
-            }
-            val frames = n / f.getChannels
-            Some((checksum, Array[Float](
-              frames / f.getSampleRate,
-              (math.sqrt(sum2 / n) / 32768.0).toFloat,
-              zc.toFloat / math.max(1, n - 1),
-              peak / 32768f,
-              f.getChannels.toFloat,
-              f.getSampleRate / 48000f,
-              (sum / n / 32768.0).toFloat,
-              math.min(1f, n / 65536f))))
-          }
-        }
-      } finally in.close()
-    } catch { case _: Exception => None }
+    decodePcm(payload).map { case (samples, sr, channels) =>
+      val n = samples.length
+      var checksum = 0L
+      var sum = 0.0; var sum2 = 0.0; var zc = 0L; var peak = 0
+      var prevSign = 0
+      var i = 0
+      while (i < n) {
+        val s = samples(i)
+        checksum = checksum * 131 + (s & 0xffff)
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sum += s; sum2 += s.toDouble * s
+        val sign = Integer.signum(s)
+        if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+        if (sign != 0) prevSign = sign
+        i += 1
+      }
+      val frames = n / channels
+      (checksum, Array[Float](
+        frames / sr,
+        (math.sqrt(sum2 / n) / 32768.0).toFloat,
+        zc.toFloat / math.max(1, n - 1),
+        peak / 32768f,
+        channels.toFloat,
+        sr / 48000f,
+        (sum / n / 32768.0).toFloat,
+        math.min(1f, n / 65536f)))
+    }
 
   /** The ONE decode entry point (every image path shares it — a decoder
     * fix or format addition lands here once): any ImageIO-supported
@@ -551,8 +566,11 @@ object Multimodal {
     val eHi = new Array[Double](nSlices)
     var s = 0
     while (s < nSlices) {
-      val from = s * n / nSlices
-      val until = math.max((s + 1) * n / nSlices, from + 1)
+      // long intermediate: s*n overflows Int for clips >= 2^27 samples
+      // (~23 min of 48 kHz stereo) — a valid decode must fingerprint, not
+      // crash the task
+      val from = (s.toLong * n / nSlices).toInt
+      val until = math.max(((s + 1).toLong * n / nSlices).toInt, from + 1)
       var sum2 = 0.0; var zc = 0; var prevSign = 0
       var i = from
       while (i < math.min(until, n)) {
@@ -584,9 +602,15 @@ object Multimodal {
     hash
   }
 
-  /** Decode a WAV payload to its 16-bit samples (the [[decodeWav]] PCM
-    * subset); None when unparsable. */
-  private[graft] def decodePcm(payload: Array[Byte]): Option[(Array[Int], Float)] =
+  /** THE one WAV→PCM decoder core: format gate (PCM_SIGNED 16-bit — the
+    * subset the synthetic corpus writes), endianness-aware sample
+    * extraction, `(samples, sampleRate, channels)`. [[decodeWav]] (feature
+    * stats) and the fingerprint paths ([[audioFingerprints]] /
+    * [[audioPostingRows]]) both build on it — a format widening or
+    * extraction fix lands here once. None when unparsable or outside the
+    * subset. */
+  private[graft] def decodePcm(payload: Array[Byte])
+      : Option[(Array[Int], Float, Int)] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -597,7 +621,7 @@ object Multimodal {
         else {
           val bytes = in.readAllBytes()
           val n = bytes.length / 2
-          if (n < 17) None // shorter than one sample per fingerprint slice
+          if (n == 0) None
           else {
             val be = f.isBigEndian
             val out = new Array[Int](n)
@@ -608,7 +632,7 @@ object Multimodal {
                 else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
               i += 1
             }
-            Some((out, f.getSampleRate))
+            Some((out, f.getSampleRate, f.getChannels))
           }
         }
       } finally in.close()
@@ -623,7 +647,9 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.flatMap { a =>
         if (a.kind != "audio") None
-        else decodePcm(a.payload).map { case (samples, sr) =>
+        else decodePcm(a.payload).collect {
+          // shorter than one sample per slice: no meaningful fingerprint
+          case (samples, sr, _) if samples.length >= 17 =>
           val hsh = audioHash64(samples, sr)
           (a.asset_id, (hsh & 0xffffL).toInt,
             ((hsh >>> 16) & 0xffffL).toInt, ((hsh >>> 32) & 0xffffL).toInt,
@@ -653,12 +679,12 @@ object Multimodal {
         it.flatMap { case (id, payload) =>
           if (payload == null) Iterator.empty
           else decodePcm(payload) match {
-            case Some((samples, sr)) =>
+            case Some((samples, sr, _)) if samples.length >= 17 =>
               val h = audioHash64(samples, sr)
               (0 until 4).iterator.map { b =>
                 (id, bandBase + b, f"${(h >>> (16 * b)) & 0xffffL}%04x")
               }
-            case None => Iterator.empty[(Long, Int, String)]
+            case _ => Iterator.empty[(Long, Int, String)]
           }
         }
       }.toDF("doc_id", "band", "bkey")
@@ -712,24 +738,7 @@ object Multimodal {
         }
         s += 1
       }
-      def wav(samples: Array[Int]): Array[Byte] = {
-        val bytes = new Array[Byte](samples.length * 2)
-        var k = 0
-        while (k < samples.length) {
-          val v = math.max(-32767, math.min(32767, samples(k)))
-          bytes(2 * k) = (v & 0xff).toByte
-          bytes(2 * k + 1) = ((v >> 8) & 0xff).toByte
-          k += 1
-        }
-        val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        try javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        finally ais.close()
-        bos.toByteArray
-      }
+      def wav(samples: Array[Int]): Array[Byte] = encodeWav(samples, sr)
       def asset(id: Long, payload: Array[Byte]) =
         Asset(id, "audio", payload, 0, 0, sr, "wav")
       val base = asset(i, wav(pcm))
@@ -742,13 +751,17 @@ object Multimodal {
           // amp 600 keeps the combined signal monotone through the main
           // tone's zero crossings (ripple slope 2π·2000·600/8000 ≈ 942 <
           // minimum main slope 2π·200·8000/8000 ≈ 1256 per sample), so the
-          // slice's ZCR is UNCHANGED and the burst moves only its
-          // high-band Goertzel power — the flips stay confined to the two
-          // e_hi comparisons
+          // slice's ZCR is UNCHANGED; the burst's dominant effect is the
+          // slice's high-band Goertzel power (2 bit flips). It also nudges
+          // the slice's RMS/e_lo by <1%, so a near-tie with a neighbor
+          // COULD flip one more bit — the Hamming ∈ [0, 3] bound the spec
+          // asserts is MEASURED on this seeded corpus (and deterministic
+          // for it), not proven for arbitrary parameters; re-measure if
+          // nBase/amplitudes/burst change
           burst(j) += math.round(600 * math.sin(2 * math.Pi * (sr / 4.0) * j / sr)).toInt
           j += 1
         }
-        Seq(base, asset(i + nBase, wav(pcm)),
+        Seq(base, asset(i + nBase, withTrailingJunkChunk(wav(pcm))),
           asset(i + 2L * nBase, wav(scaled)),
           asset(i + 3L * nBase, wav(burst)))
       }

@@ -148,6 +148,37 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(kept2 === Set(20L), s"within-batch null-text dup must lose (kept=$kept2)")
   }
 
+  test("undecodable media with null text: distinct payloads are distinct sentinel cells, not mutual dups") {
+    // With an audio column configured, payloads OUTSIDE the decodable
+    // subset (everything but 16-bit PCM WAV — the common case for real
+    // media) carry no fingerprint postings and fall to the band=-1
+    // sentinel. The sentinel hashes the PAYLOAD too: distinct clips must
+    // both be admitted (a text-only hash would collapse every null-text
+    // one onto the md5("") cell and greedy-drop all but the first), while
+    // an exact replay still collides with its own stored cell.
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_inc_idx5").toString
+    def junk(seed: Int) = Array.tabulate[Byte](64)(j => (seed * 31 + j * 7).toByte)
+    val b1 = Seq((30L, null: String, junk(1)), (31L, null: String, junk(2)))
+      .toDF("doc_id", "text", "audio")
+    val kept1 = IncrementalDedup.ingest(b1, idx, audioCol = Some("audio"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 === Set(30L, 31L),
+      s"distinct undecodable clips must BOTH be admitted, got $kept1")
+    // exact replay: both collide with their own stored sentinel cells
+    val replay = IncrementalDedup.ingest(b1, idx, audioCol = Some("audio"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay.isEmpty, s"replayed docs re-admitted: $replay")
+    // a later batch re-sending doc 30's exact payload under a NEW id is an
+    // exact dup and drops; a genuinely new payload is admitted
+    val b2 = Seq((32L, null: String, junk(1)), (33L, null: String, junk(3)))
+      .toDF("doc_id", "text", "audio")
+    val kept2 = IncrementalDedup.ingest(b2, idx, audioCol = Some("audio"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 === Set(33L),
+      s"exact payload repeat must drop, novel payload must admit, got $kept2")
+  }
+
   test("streaming ingest: foreachBatch drives the posting index per micro-batch") {
     // The production wiring: a document stream dedups against the SAME
     // persisted posting index, one O(batch) ingest per micro-batch — the

@@ -134,22 +134,9 @@ class MultimodalSpec extends AnyFunSuite {
     // arithmetic — only a genuine decode of the PCM samples can produce it
     val sr = 8000
     val amp = 12000
-    val pcm = new Array[Byte](sr * 2)
-    for (i <- 0 until sr) {
-      val s = math.round(amp * math.sin(2 * math.Pi * 440 * i / sr)).toInt
-      pcm(2 * i) = (s & 0xff).toByte
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-    }
-    def wrapWav(bytes: Array[Byte]): Array[Byte] = {
-      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(bytes), fmt, bytes.length / 2)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
-    }
-    val wav = wrapWav(pcm)
+    val samples = Array.tabulate(sr)(i =>
+      math.round(amp * math.sin(2 * math.Pi * 440 * i / sr)).toInt)
+    val wav = Multimodal.encodeWav(samples, sr)
     val (checksum, f) = Multimodal.decodeWav(wav).get
     assert(f(0) === 1.0f, "duration: 8000 frames at 8 kHz is one second")
     assert(math.abs(f(1) - amp / 32768f / math.sqrt(2).toFloat) < 1e-3,
@@ -159,9 +146,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f(3) - amp / 32768f) < 1e-3, "peak is the sine amplitude")
     assert(f(4) === 1f && f(5) === sr / 48000f, "channels and rate from the header")
     assert(math.abs(f(6)) < 1e-3, "a pure sine has no DC offset")
-    // container invariance: the checksum hashes DECODED samples, so
-    // re-wrapping the same PCM in a fresh container changes nothing
-    assert(Multimodal.decodeWav(wrapWav(pcm)).get._1 === checksum)
+    // container invariance: the checksum hashes DECODED samples, so a
+    // GENUINELY different container over the same PCM (trailing JUNK
+    // chunk, patched RIFF length — different bytes) changes nothing
+    val rewrapped = Multimodal.withTrailingJunkChunk(wav)
+    assert(!java.util.Arrays.equals(rewrapped, wav),
+      "the re-containered payload must actually differ in bytes")
+    assert(Multimodal.decodeWav(rewrapped).get._1 === checksum)
 
     // pipeline dispatch: audio+wav takes the real decode; audio+raw and a
     // corrupt wav payload keep the stub fallback

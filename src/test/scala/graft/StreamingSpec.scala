@@ -1518,21 +1518,8 @@ class StreamingSpec extends AnyFunSuite {
     // volume-scaled copy (×1.2, clip-free): every per-slice feature scales
     // uniformly, the fingerprint is exact — the planted CROSS-BATCH dup
     def scaled(wav: Array[Byte]): Array[Byte] = {
-      val (samples, sr) = Multimodal.decodePcm(wav).get
-      val out = samples.map(v => math.round(v * 1.2).toInt)
-      val bytes = new Array[Byte](out.length * 2)
-      for (k <- out.indices) {
-        val v = math.max(-32767, math.min(32767, out(k)))
-        bytes(2 * k) = (v & 0xff).toByte
-        bytes(2 * k + 1) = ((v >> 8) & 0xff).toByte
-      }
-      val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(bytes), fmt, out.length.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
+      val (samples, sr, _) = Multimodal.decodePcm(wav).get
+      Multimodal.encodeWav(samples.map(v => math.round(v * 1.2).toInt), sr.toInt)
     }
     def emb(seed: Int): Array[Float] =
       Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
