@@ -142,6 +142,7 @@ object SparkEntry {
     "q_multimodal_features" -> (graft.sources.Multimodal.qMultimodalFeatures _), // no-oracle: synthetic corpus; contracts in MultimodalSpec
     "q_image_dedup"    -> (graft.sources.Multimodal.qImageDedup _), // no-oracle: synthetic planted-dup corpus; recall in MultimodalSpec
     "q_audio_dedup"    -> (graft.sources.Multimodal.qAudioDedup _), // no-oracle: synthetic planted-dup corpus; recall in MultimodalSpec
+    "q_video_dedup"    -> (graft.sources.Multimodal.qVideoDedup _), // no-oracle: synthetic planted-dup corpus; recall in MultimodalSpec
     "q_join_interval_bin" -> (Windows.qJoinIntervalBin _),
     "q_repetition_filter" -> (Llm.qRepetitionFilter _),
     "q_decontaminate"  -> (Llm.qDecontaminate _),

@@ -59,16 +59,25 @@ object IncrementalDedup {
 
   /** Dedup `batch` (`doc_id`, `text`, …) against the index at `indexDir`
     * and within itself, append the survivors' postings, and return the kept
-    * rows (original batch columns). `imageCol` / `audioCol` name optional
-    * binary media-payload columns: decodable images/clips then ALSO post
-    * their perceptual fingerprint bands, extending the near-dup gate
-    * across those modalities (see [[keptPostings]]). */
+    * rows (original batch columns). `imageCol` / `audioCol` / `videoCol`
+    * name optional binary media-payload columns: decodable images/clips/
+    * videos then ALSO post their perceptual fingerprint bands, extending
+    * the near-dup gate across those modalities (see [[keptPostings]]).
+    *
+    * INDEX-FORMAT NOTE (r13): when a media column is configured, the
+    * sentinel band -1 bkey for signature-less docs hashes the text AND
+    * every configured media payload ("|"-delimited) — an index whose
+    * sentinel cells were written by the pre-r13 text-only md5 will
+    * re-admit an exact replay of such a doc ONCE (its new-format cell then
+    * sticks). Rebuild media-configured indexes written before that change,
+    * or accept the one-time re-admission per legacy signature-less doc. */
   def ingest(batch: DataFrame, indexDir: String,
              bands: Int = 4, rowsPerBand: Int = 2,
              imageCol: Option[String] = None,
-             audioCol: Option[String] = None): DataFrame = {
+             audioCol: Option[String] = None,
+             videoCol: Option[String] = None): DataFrame = {
     val keptPosts = keptPostings(batch, indexDir, bands, rowsPerBand,
-      imageCol = imageCol, audioCol = audioCol)
+      imageCol = imageCol, audioCol = audioCol, videoCol = videoCol)
     commitPostings(keptPosts, indexDir)
     batch.join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
   }
@@ -95,8 +104,16 @@ object IncrementalDedup {
                    bands: Int = 4, rowsPerBand: Int = 2,
                    excludeBatchKey: Option[String] = None,
                    imageCol: Option[String] = None,
-                   audioCol: Option[String] = None): DataFrame = {
+                   audioCol: Option[String] = None,
+                   videoCol: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
+    // the media namespaces (image 1000+, audio 2000+, video 3000+) are
+    // disjoint from text minhash bands STRUCTURALLY, not by convention: a
+    // caller asking for >= 1000 text bands would silently collide text
+    // posting cells with the image namespace (ADVICE r13)
+    require(bands < 1000,
+      s"IncrementalDedup: text band count must stay below the media band " +
+        s"namespaces (image 1000+, audio 2000+, video 3000+), got $bands")
     // hash the batch ONCE; every later step reuses these postings
     val hashed = Llm.minhashBandRows(batch, bands, rowsPerBand)
     // IMAGE MODALITY (r12 #5): decodable image payloads post their four
@@ -137,6 +154,21 @@ object IncrementalDedup {
         import spark.implicits._
         Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey")
     }
+    // VIDEO MODALITY (r14): demuxable MJPEG-in-AVI clips post their four
+    // 16-bit temporal-gradient fingerprint bands under band ids 3000+ —
+    // the fourth disjoint namespace, closing the dedup × modality matrix
+    // (see [[Multimodal.videoPostingRows]]).
+    val videoPosts = videoCol match {
+      case Some(c) =>
+        require(batch.columns.contains(c),
+          s"IncrementalDedup: videoCol '$c' is not a column of the batch " +
+            s"(columns: ${batch.columns.mkString(", ")})")
+        graft.sources.Multimodal.videoPostingRows(batch, c)
+          .localCheckpoint(true)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey")
+    }
     // A doc with NO signature of any modality (null text, no decodable
     // image or clip) still gets ONE posting — an exact-content hash cell in
     // sentinel band -1 — so an exact replay collides with its own stored
@@ -154,8 +186,9 @@ object IncrementalDedup {
     // EXACT repeats carry evidence, and the content-hash cell is it.
     val signed = hashed.select("doc_id")
       .union(imagePosts.select("doc_id"))
-      .union(audioPosts.select("doc_id")).distinct()
-    val mediaSig = (imageCol.toSeq ++ audioCol.toSeq)
+      .union(audioPosts.select("doc_id"))
+      .union(videoPosts.select("doc_id")).distinct()
+    val mediaSig = (imageCol.toSeq ++ audioCol.toSeq ++ videoCol.toSeq)
       .map(c => coalesce(md5(col(c)), lit("")))
     val unshingled = batch
       .join(signed, Seq("doc_id"), "left_anti")
@@ -163,6 +196,7 @@ object IncrementalDedup {
               md5(concat_ws("|",
                 (coalesce(col("text"), lit("")) +: mediaSig): _*)).as("bkey"))
     val posts = hashed.unionByName(imagePosts).unionByName(audioPosts)
+      .unionByName(videoPosts)
       .unionByName(unshingled)
       .localCheckpoint(true)
 

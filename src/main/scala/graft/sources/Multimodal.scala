@@ -10,17 +10,20 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here is REAL and tested (schema, parquet
   * round-trip, Dataset mapPartitions batching, deterministic output) — and
-  * so are TWO of the three modality decoders, both on JDK-shipped codecs
-  * (no external library): the IMAGE path decodes genuine PNG payloads
-  * pixel-exactly with `javax.imageio` ([[decodePng]]), and the AUDIO path
+  * so are ALL THREE modality decoders, each on JDK-shipped codecs (no
+  * external library): the IMAGE path decodes genuine PNG payloads
+  * pixel-exactly with `javax.imageio` ([[decodePng]]), the AUDIO path
   * (r13) decodes genuine WAV/PCM payloads sample-exactly with
   * `javax.sound.sampled` ([[decodeWav]] — duration, RMS, zero-crossing
-  * rate, peak, DC offset over the decoded samples). VIDEO stays the one
-  * clearly-marked STUB (`decodeStub` derives features from the payload
-  * bytes deterministically) — no video demuxer ships in the JDK or this
-  * container. Swapping a real one in changes only the stub body (same
-  * signature, same batched per-partition call shape an FFmpeg JNI codec
-  * would want).
+  * rate, peak, DC offset over the decoded samples), and the VIDEO path
+  * (r14) demuxes genuine MJPEG-in-AVI payloads with a hand-rolled RIFF
+  * chunk walk ([[demuxAvi]] — the AVI container is a public spec and a
+  * plain length-prefixed chunk list, the same no-external-codec move as
+  * the WAV leg) whose frames are ordinary JPEGs `javax.imageio` decodes
+  * ([[decodeAviFrames]]). Codecs OUTSIDE those subsets (H.264, MP3, …)
+  * fall back to the deterministic `decodeStub` — swapping a real codec in
+  * changes only the decode body (same signature, same batched
+  * per-partition call shape an FFmpeg JNI codec would want).
   */
 object Multimodal {
 
@@ -37,8 +40,9 @@ object Multimodal {
     * metadata dims are the true encoded dims); AUDIO assets carry a REAL
     * WAV payload (a seeded two-tone PCM mixture, encoded with the JDK's
     * AudioSystem — the metadata sample_rate is the true encoded rate);
-    * video payloads are a keyed byte pattern (stand-in for real encoded
-    * media — the one remaining stub). */
+    * VIDEO assets (r14) carry a REAL MJPEG-in-AVI payload (17 seeded
+    * block-card frames JPEG-encoded into the hand-rolled RIFF container —
+    * the metadata dims are the true encoded frame dims). */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
@@ -47,12 +51,11 @@ object Multimodal {
       val payload = kind match {
         case "image" => syntheticPng(i, w, h)
         case "audio" => syntheticWav(i, 8000, 400 + (i % 37).toInt * 8)
-        case _ =>
-          Array.tabulate[Byte](64 + (i % 37).toInt)(j => ((i * 31 + j * 7) % 251).toByte)
+        case _ => syntheticAvi(i, w, h)
       }
       Asset(i, kind, payload, w, h,
             if (kind == "audio") 8000 else 0,
-            kind match { case "image" => "png"; case "audio" => "wav"; case _ => "raw" })
+            kind match { case "image" => "png"; case "audio" => "wav"; case _ => "avi" })
     }
   }
 
@@ -250,8 +253,10 @@ object Multimodal {
     * real codec could amortize per-partition init (model load, JNI handle)
     * across its batch — the Scala twin of the Arrow-batched Python UDF
     * pattern. PNG images take the REAL image decode ([[decodePng]]), WAV
-    * audio the REAL PCM decode ([[decodeWav]]); video (and undecodable
-    * payloads of either real format) fall back to the stub. */
+    * audio the REAL PCM decode ([[decodeWav]]), AVI video the REAL demux +
+    * per-frame JPEG decode ([[decodeAviVideo]]); formats outside those
+    * subsets (and undecodable payloads of any of them) fall back to the
+    * stub. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -260,6 +265,7 @@ object Multimodal {
         val real =
           if (a.kind == "image" && a.format == "png") decodePng(a.payload)
           else if (a.kind == "audio" && a.format == "wav") decodeWav(a.payload)
+          else if (a.kind == "video" && a.format == "avi") decodeAviVideo(a.payload)
           else None
         val (checksum, feats) = real.getOrElse(decodeStub(a.payload))
         AssetFeatures(a.asset_id, a.kind, a.payload.length, checksum, feats)
@@ -781,21 +787,214 @@ object Multimodal {
     audioDedupPairs(syntheticAudioCorpus(spark, 200, everyK = 5))
       .orderBy("asset_a", "asset_b")
 
+  // ---- MJPEG-in-AVI container (pure JDK — RIFF chunk walk + ImageIO) ------
+
+  /** THE one JPEG encoder (explicit quality so the raster survives well
+    * enough for gradient fingerprints; the JDK writer is deterministic) —
+    * every JPEG producer in main and test code delegates here. */
+  private[graft] def encodeJpeg(img: java.awt.image.BufferedImage,
+                                quality: Float = 0.9f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** THE one MJPEG→AVI encoder — a structurally complete RIFF/AVI tree
+    * (`hdrl` with `avih`/`strh`/`strf`, then `LIST movi` of even-padded
+    * `00dc` chunks, each holding one plain JPEG). AVI is a public spec and
+    * nothing but length-prefixed chunks, so like the WAV leg it needs no
+    * external codec — and any standard player/demuxer reads the output.
+    * Every AVI producer in main and test code delegates here. */
+  private[graft] def encodeAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                               fps: Int): Array[Byte] = {
+    def u32(v: Long): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def cat(parts: Array[Byte]*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach(out.write)
+      out.toByteArray
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cat(fcc(id), u32(body.length.toLong), body,
+        if ((body.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cat(fcc(typ), body))
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = cat(u32(1000000L / math.max(1, fps)), u32(0), u32(0), u32(0),
+      u32(frames.length.toLong), u32(0), u32(1), u32(maxFrame.toLong),
+      u32(w.toLong), u32(h.toLong), u32(0), u32(0), u32(0), u32(0))
+    val strh = cat(fcc("vids"), fcc("MJPG"), u32(0), u16(0), u16(0), u32(0),
+      u32(1), u32(fps.toLong), u32(0), u32(frames.length.toLong),
+      u32(maxFrame.toLong), u32(0xffffffffL), u32(0),
+      u16(0), u16(0), u16(w), u16(h))
+    val strf = cat(u32(40), u32(w.toLong), u32(h.toLong), u16(1), u16(24),
+      fcc("MJPG"), u32(w.toLong * h * 3), u32(0), u32(0), u32(0), u32(0))
+    val hdrl = list("hdrl",
+      cat(chunk("avih", avih), list("strl", cat(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi", cat(frames.map(f => chunk("00dc", f)): _*))
+    chunk("RIFF", cat(fcc("AVI "), hdrl, movi))
+  }
+
+  /** A GENUINELY different container over the same frames — the AVI twin of
+    * [[withTrailingJunkChunk]]: append a benign `JUNK` chunk and patch the
+    * RIFF length. Bytes differ, the demuxed JPEG chunks do not. */
+  private[graft] def withTrailingJunkAvi(avi: Array[Byte]): Array[Byte] = {
+    val out = java.util.Arrays.copyOf(avi, avi.length + 12)
+    out(avi.length) = 'J'; out(avi.length + 1) = 'U'
+    out(avi.length + 2) = 'N'; out(avi.length + 3) = 'K'
+    out(avi.length + 4) = 4
+    val riff = (avi(4) & 0xffL) | ((avi(5) & 0xffL) << 8) |
+      ((avi(6) & 0xffL) << 16) | ((avi(7) & 0xffL) << 24)
+    val patched = riff + 12
+    out(4) = (patched & 0xff).toByte
+    out(5) = ((patched >> 8) & 0xff).toByte
+    out(6) = ((patched >> 16) & 0xff).toByte
+    out(7) = ((patched >> 24) & 0xff).toByte
+    out
+  }
+
+  /** THE one AVI demuxer core: verify the RIFF/`AVI ` signature, walk the
+    * top-level chunk list, and inside every `LIST movi` collect the
+    * `00dc`/`00db` frame chunks VERBATIM (each is a plain JPEG — no
+    * transcode). Unknown chunks (`JUNK`, `idx1`, extra headers) skip by
+    * their declared length, which is what makes the walk container-layout
+    * invariant. None when unparsable or frameless, so callers fall back to
+    * the stub rather than mis-decoding. */
+  private[graft] def demuxAvi(payload: Array[Byte]): Option[Vector[Array[Byte]]] =
+    try {
+      if (payload == null || payload.length < 12) None
+      else {
+        def fcc(o: Long) = new String(payload, o.toInt, 4, "US-ASCII")
+        def u32(o: Long): Long =
+          (payload(o.toInt) & 0xffL) | ((payload(o.toInt + 1) & 0xffL) << 8) |
+            ((payload(o.toInt + 2) & 0xffL) << 16) |
+            ((payload(o.toInt + 3) & 0xffL) << 24)
+        if (fcc(0) != "RIFF" || fcc(8) != "AVI ") None
+        else {
+          val end = math.min(payload.length.toLong, 8L + u32(4))
+          val frames = Vector.newBuilder[Array[Byte]]
+          var pos = 12L
+          while (pos + 8 <= end) {
+            val id = fcc(pos)
+            val sz = u32(pos + 4)
+            if (id == "LIST" && pos + 12 <= end && fcc(pos + 8) == "movi") {
+              val lend = math.min(end, pos + 8 + sz)
+              var p = pos + 12
+              while (p + 8 <= lend) {
+                val cid = fcc(p)
+                val csz = u32(p + 4)
+                if ((cid == "00dc" || cid == "00db") && p + 8 + csz <= lend)
+                  frames += java.util.Arrays.copyOfRange(
+                    payload, (p + 8).toInt, (p + 8 + csz).toInt)
+                p += 8 + csz + (csz & 1)
+              }
+            }
+            pos += 8 + sz + (sz & 1)
+          }
+          val fs = frames.result()
+          if (fs.isEmpty) None else Some(fs)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Demux + per-frame JPEG decode — the full REAL video decode: every
+    * frame must decode (a torn frame means the payload cannot be
+    * perceptually compared), else None. */
+  private[graft] def decodeAviFrames(payload: Array[Byte])
+      : Option[Vector[java.awt.image.BufferedImage]] =
+    demuxAvi(payload).flatMap { chunks =>
+      val imgs = chunks.map(decodeImage)
+      if (imgs.forall(_.isDefined)) Some(imgs.map(_.get)) else None
+    }
+
+  /** REAL MJPEG-in-AVI decode for [[extractFeatures]]: frame-exact stats
+    * over every decoded raster, all normalized to [0, 1]:
+    * `[min(1, frames/64), w/1024, h/1024, meanLuma, stdLuma, motion
+    * (mean |per-frame mean-luma delta|), meanHGrad, size_bucket]`, plus a
+    * pixel checksum over ALL decoded frames (the same rolling polynomial
+    * as [[decodePng]] — two containers of the same frames agree). */
+  private[graft] def decodeAviVideo(payload: Array[Byte]): Option[(Long, Array[Float])] =
+    decodeAviFrames(payload).map { frames =>
+      var checksum = 0L
+      var sl = 0.0; var sl2 = 0.0; var hg = 0.0
+      var nPix = 0L; var nH = 0L
+      var motion = 0.0
+      var prevMean = 0.0
+      var fi = 0
+      while (fi < frames.length) {
+        val img = frames(fi)
+        val w = img.getWidth; val h = img.getHeight
+        var s = 0.0
+        var y = 0
+        while (y < h) {
+          var left = 0.0
+          var x = 0
+          while (x < w) {
+            val argb = img.getRGB(x, y)
+            val l = (0.299 * ((argb >> 16) & 0xff) + 0.587 * ((argb >> 8) & 0xff) +
+              0.114 * (argb & 0xff)) / 255.0
+            s += l; sl += l; sl2 += l * l
+            if (x > 0) { hg += math.abs(l - left); nH += 1 }
+            checksum = checksum * 131 + (argb & 0xffffff)
+            left = l
+            x += 1
+          }
+          y += 1
+        }
+        nPix += w.toLong * h
+        val m = s / (w.toLong * h)
+        if (fi > 0) motion += math.abs(m - prevMean)
+        prevMean = m
+        fi += 1
+      }
+      val meanL = sl / nPix
+      (checksum, Array[Float](
+        math.min(1f, frames.length / 64f),
+        frames.head.getWidth / 1024f, frames.head.getHeight / 1024f,
+        meanL.toFloat,
+        math.sqrt(math.max(0.0, sl2 / nPix - meanL * meanL)).toFloat,
+        math.min(1f, (motion / math.max(1, frames.length - 1)).toFloat),
+        math.min(1f, (hg / math.max(1L, nH)).toFloat),
+        math.min(1f, payload.length / 262144f)))
+    }
+
   /** One sampled frame of a video payload. */
   final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** Frame sampling: each video asset explodes into every k-th fixed-size
-    * frame — the one-to-many generator shape (typed flatMap keeps the
-    * explosion partition-parallel; no driver involvement, no shuffle).
-    * Frame extraction is a STUB byte-slice — a real demuxer yields decoded
-    * frames here with the same one-row-in, n-rows-out contract. */
+  /** Frame sampling: each video asset explodes into every k-th frame — the
+    * one-to-many generator shape (typed flatMap keeps the explosion
+    * partition-parallel; no driver involvement, no shuffle). For a genuine
+    * MJPEG-in-AVI payload the REAL demuxer ([[demuxAvi]]) walks the RIFF
+    * `movi` list and emits every k-th frame chunk VERBATIM — each is a
+    * plain JPEG, decode-ready by `javax.imageio`, no transcode. Payloads
+    * outside the container subset keep the declared fixed-size byte-slice
+    * fallback (same one-row-in, n-rows-out contract a JNI demuxer would
+    * slot into). */
   def sampleFrames(assets: Dataset[Asset], frameSize: Int = 16,
                    everyK: Int = 2): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "video").flatMap { a =>
-      val nFrames = a.payload.length / frameSize
-      (0 until nFrames by everyK).iterator.map { i =>
-        Frame(a.asset_id, i, a.payload.slice(i * frameSize, (i + 1) * frameSize))
+      demuxAvi(a.payload) match {
+        case Some(chunks) =>
+          (0 until chunks.length by everyK).iterator.map(i =>
+            Frame(a.asset_id, i, chunks(i)))
+        case None =>
+          val nFrames = a.payload.length / frameSize
+          (0 until nFrames by everyK).iterator.map { i =>
+            Frame(a.asset_id, i, a.payload.slice(i * frameSize, (i + 1) * frameSize))
+          }
       }
     }
   }
@@ -815,4 +1014,253 @@ object Multimodal {
       a.copy(payload = resized, width = targetW, height = targetH)
     }
   }
+
+  // ---- video near-dup dedup (perceptual hash × banded Hamming join) ------
+
+  /** 64-bit perceptual video fingerprint over demuxed + decoded frames —
+    * the video member of the dHash/SimHash family, the per-frame dHash
+    * idea rolled into a TEMPORAL gradient signature: the frame sequence is
+    * cut into 17 equal time slices, four per-slice raster features are
+    * averaged (mean luma, luma std, horizontal and vertical gradient
+    * energy — the spatial statistics a dHash grid summarizes), and bit
+    * (plane·16 + j) is set when feature(slice j+1) > feature(slice j) —
+    * 4 planes × 16 temporal comparisons = 64 bits, the exact band shape
+    * [[graft.queries.Llm.bandedHammingPairs]] consumes.
+    *
+    * Robust by construction against the transforms video dedup must see
+    * through: a RE-CONTAINER (same frame chunks, different RIFF layout)
+    * reproduces the rasters (identical hash); a GLOBAL BRIGHTNESS shift
+    * adds the same constant to every slice's mean and leaves std/gradients
+    * untouched — every temporal `>` survives short of clamping (and under
+    * re-encode, a uniform pixel shift moves only each JPEG block's DC
+    * coefficient, so the perturbation stays ≪ the inter-slice feature
+    * gaps); a LOCAL edit moves only the touched slice's comparisons. Does
+    * NOT survive: trim/re-timing (slice boundaries move — the crop
+    * analogue), spatial crop or rotation (the raster stats move wholesale),
+    * frame-rate resampling, or heavy recompression. The same envelope
+    * honesty as [[qImageDedup]]/[[qAudioDedup]]: a corpus where those
+    * matter needs a scene/keypoint-class fingerprint, a declared non-goal
+    * here. */
+  private[graft] def videoHash64(frames: IndexedSeq[java.awt.image.BufferedImage]): Long = {
+    val nSlices = 17
+    val n = frames.length
+    val mean = new Array[Double](n)
+    val std = new Array[Double](n)
+    val hgr = new Array[Double](n)
+    val vgr = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val img = frames(i)
+      val w = img.getWidth; val h = img.getHeight
+      var s = 0.0; var s2 = 0.0; var hs = 0.0; var vs = 0.0
+      val prevRow = new Array[Double](w)
+      var y = 0
+      while (y < h) {
+        var left = 0.0
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y)
+          val l = 0.299 * ((argb >> 16) & 0xff) + 0.587 * ((argb >> 8) & 0xff) +
+            0.114 * (argb & 0xff)
+          s += l; s2 += l * l
+          if (x > 0) hs += math.abs(l - left)
+          if (y > 0) vs += math.abs(l - prevRow(x))
+          prevRow(x) = l
+          left = l
+          x += 1
+        }
+        y += 1
+      }
+      val np = w.toDouble * h
+      mean(i) = s / np
+      std(i) = math.sqrt(math.max(0.0, s2 / np - (s / np) * (s / np)))
+      hgr(i) = hs / math.max(1.0, (w - 1).toDouble * h)
+      vgr(i) = vs / math.max(1.0, w.toDouble * (h - 1))
+      i += 1
+    }
+    def sliceAvg(a: Array[Double]): Array[Double] = {
+      val out = new Array[Double](nSlices)
+      var s = 0
+      while (s < nSlices) {
+        // long intermediate like [[audioHash64]]: index math must not
+        // overflow on very long frame sequences
+        val from = (s.toLong * n / nSlices).toInt
+        val until = math.max(((s + 1).toLong * n / nSlices).toInt, from + 1)
+        var sum = 0.0; var c = 0
+        var j = from
+        while (j < math.min(until, n)) { sum += a(j); c += 1; j += 1 }
+        out(s) = sum / math.max(1, c)
+        s += 1
+      }
+      out
+    }
+    var hash = 0L
+    val planes = Array(sliceAvg(mean), sliceAvg(std), sliceAvg(hgr), sliceAvg(vgr))
+    var p = 0
+    while (p < 4) {
+      var j = 0
+      while (j < 16) {
+        if (planes(p)(j + 1) > planes(p)(j)) hash |= (1L << (p * 16 + j))
+        j += 1
+      }
+      p += 1
+    }
+    hash
+  }
+
+  /** Per-video perceptual fingerprints as four 16-bit bands `(doc_id,
+    * b0..b3)` — the video twin of [[imageFingerprints]]/
+    * [[audioFingerprints]], feeding the SAME banded Hamming machinery.
+    * Demux + decode is partition-parallel, zero shuffle; non-video,
+    * unparsable, or too-short (< 17 frames — less than one frame per
+    * slice) payloads are skipped. */
+  def videoFingerprints(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        if (a.kind != "video") None
+        else decodeAviFrames(a.payload).collect {
+          case frames if frames.length >= 17 =>
+            val hsh = videoHash64(frames)
+            (a.asset_id, (hsh & 0xffffL).toInt,
+              ((hsh >>> 16) & 0xffffL).toInt, ((hsh >>> 32) & 0xffffL).toInt,
+              ((hsh >>> 48) & 0xffffL).toInt)
+        }
+      }
+    }.toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Per-video DEDUP POSTING rows `(doc_id, band, bkey)` — the video twin
+    * of [[imagePostingRows]]/[[audioPostingRows]]: a video-carrying ingest
+    * stream feeds the SAME [[graft.etl.IncrementalDedup]] posting table,
+    * under the FOURTH disjoint band namespace (`bandBase` 3000 vs image
+    * 1000 / audio 2000). Pigeonhole gives full recall over Hamming ≤ 3
+    * with the standard banded-LSH precision trade; unparsable or null
+    * payloads contribute no rows (they fall to the caller's whole-payload
+    * fallback). */
+  def videoPostingRows(batch: DataFrame, videoCol: String,
+                       bandBase: Int = 3000): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("doc_id").cast("long"), col(videoCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          if (payload == null) Iterator.empty
+          else decodeAviFrames(payload) match {
+            case Some(frames) if frames.length >= 17 =>
+              val h = videoHash64(frames)
+              (0 until 4).iterator.map { b =>
+                (id, bandBase + b, f"${(h >>> (16 * b)) & 0xffffL}%04x")
+              }
+            case _ => Iterator.empty[(Long, Int, String)]
+          }
+        }
+      }.toDF("doc_id", "band", "bkey")
+  }
+
+  /** Near-dup pairs over a video corpus: perceptual fingerprints → the
+    * shared banded Hamming join. Output `(asset_a, asset_b, hamming)`. */
+  def videoDedupPairs(assets: Dataset[Asset]): DataFrame =
+    graft.queries.Llm.bandedHammingPairs(videoFingerprints(assets))
+      .select(col("doc_a").as("asset_a"), col("doc_b").as("asset_b"),
+        col("hamming"))
+
+  /** One synthetic video frame: a seeded block-random test card whose
+    * LEVEL, SPREAD, and BLOCK DIMENSIONS are independent per-(video, frame)
+    * draws — the video analogue of the audio corpus's per-slice tones, so
+    * every fingerprint plane (mean ← level, std ← spread, h/v gradient ←
+    * spread over block width/height) varies across slices by tens of luma
+    * units, far above JPEG quantization noise, and unrelated videos land at
+    * the expected Hamming ≈ 32. Channels stay ≤ 235 so a +6 `bright` shift
+    * never clamps. `interleave` applies the LOCAL-EDIT transform: columns
+    * reordered as (0, w/2, 1, w/2+1, …) — a pure column permutation, so
+    * per-frame mean, std, and VERTICAL gradient energy are EXACTLY
+    * preserved while every horizontal adjacency breaks (within-block zero
+    * gradients vanish → the h-gradient plane's two touched comparisons are
+    * the only bits that can flip). */
+  private[graft] def videoFramePixels(vidSeed: Long, j: Int, w: Int, h: Int,
+                                      interleave: Boolean = false,
+                                      bright: Int = 0): java.awt.image.BufferedImage = {
+    def draw(salt: Long): Long = {
+      var v = vidSeed * 2654435761L + j * 97561L + salt * 65027L
+      v ^= (v >>> 21); v *= -7046029254386353131L; v ^= (v >>> 28)
+      v & 0x7fffffffffffffffL
+    }
+    val level = 10 + (draw(1) % 96).toInt  // 10..105
+    val spread = 30 + (draw(2) % 101).toInt // 30..130 → channel ≤ 235
+    val gw = 1 << (1 + (draw(3) % 3).toInt) // block width 2/4/8
+    val gh = 1 << (1 + (draw(4) % 3).toInt) // block height 2/4/8
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val sx = if (!interleave) x else if (x % 2 == 0) x / 2 else w / 2 + x / 2
+        var v = vidSeed * 2654435761L + j * 97561L +
+          (sx / gw) * 40503L + (y / gh) * 57181L
+        v ^= (v >>> 21); v *= -7046029254386353131L; v ^= (v >>> 28)
+        def ch(shift: Int) =
+          level + (((v >>> shift) & 0xffffL) % spread).toInt + bright
+        img.setRGB(x, y, (ch(8) << 16) | (ch(24) << 8) | ch(40))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** A seeded 17-frame MJPEG-in-AVI clip for [[syntheticAssets]]. */
+  private[graft] def syntheticAvi(seed: Long, w: Int, h: Int): Array[Byte] =
+    encodeAvi((0 until 17).map(j => encodeJpeg(videoFramePixels(seed, j, w, h))),
+      w, h, fps = 10)
+
+  /** A synthetic video corpus with PLANTED near-duplicates — the video twin
+    * of [[syntheticImageCorpus]]/[[syntheticAudioCorpus]]: `nBase` distinct
+    * 17-frame clips (one frame per fingerprint slice), and for every
+    * `everyK`-th base THREE planted variants: a pure RE-CONTAINER
+    * (id + nBase; identical frame chunks, Hamming 0), a BRIGHTNESS shift
+    * (id + 2·nBase; +6 per channel pre-encode, clamp-free — under JPEG a
+    * uniform shift moves only each block's DC coefficient, so every
+    * temporal comparison survives), and a SINGLE-FRAME EDIT (id + 3·nBase):
+    * frame 8's columns interleaved — mean/std/v-gradient exactly preserved,
+    * h-gradient jumps, so (at most) the h-gradient plane's two slice-8
+    * comparisons flip — the planted pair lands at measured Hamming ∈ [0,3],
+    * usually ≥ 1, exercising the banded join's tolerance band. Fully
+    * deterministic, generated on executors. */
+  def syntheticVideoCorpus(spark: SparkSession, nBase: Int,
+                           everyK: Int = 5): Dataset[Asset] = {
+    import spark.implicits._
+    val (w, h) = (32, 24)
+    val nFrames = 17
+    spark.range(nBase.toLong).flatMap { i =>
+      def avi(editFrame: Int, bright: Int): Array[Byte] =
+        encodeAvi((0 until nFrames).map(j => encodeJpeg(
+          videoFramePixels(i, j, w, h, interleave = j == editFrame, bright = bright))),
+          w, h, fps = 10)
+      def asset(id: Long, payload: Array[Byte]) =
+        Asset(id, "video", payload, w, h, 0, "avi")
+      val base = avi(-1, 0)
+      if (i % everyK != 0) Seq(asset(i, base))
+      else Seq(asset(i, base),
+        asset(i + nBase, withTrailingJunkAvi(base)),
+        asset(i + 2L * nBase, avi(-1, 6)),
+        asset(i + 3L * nBase, avi(8, 0)))
+    }
+  }
+
+  /** §2.9 video near-dup dedup (no-oracle; declared smoke + MultimodalSpec
+    * planted-recall cases): the dedup family across the FOURTH modality,
+    * closing the text-SimHash / image-dHash / audio / video matrix on ONE
+    * shared candidate machinery — temporal gradient fingerprints over REAL
+    * demuxed MJPEG-in-AVI frames (pure-JDK RIFF walk + `javax.imageio`),
+    * candidates via the same banded Hamming join. The sfDir carries no
+    * media, so the corpus is the deterministic planted-dup synthetic
+    * (`dir` ignored): every (base, re-container), (base, brightness) and
+    * (base, frame-edit) pair must surface; unrelated clips sit at
+    * Hamming ≈ 32 and never join. Transform envelope on [[videoHash64]]. */
+  def qVideoDedup(spark: SparkSession, dir: String): DataFrame =
+    videoDedupPairs(syntheticVideoCorpus(spark, 200, everyK = 5))
+      .orderBy("asset_a", "asset_b")
 }

@@ -739,11 +739,12 @@ object Streams {
     *      work, banded equi-joins, never all-pairs) — EXCLUDING the batch's
     *      own `batch_id` posting partition, so a replay recomputes against
     *      the exact pre-batch index state and re-derives the original
-    *      survivor set deterministically. With `imageCol` / `audioCol`
-    *      set, decodable image/audio payloads ALSO post their perceptual
-    *      fingerprint bands through the same machinery (disjoint band
-    *      namespaces: 1000+ image, 2000+ audio), so cross-batch media
-    *      near-dups are gated exactly like text minhash dups;
+    *      survivor set deterministically. With `imageCol` / `audioCol` /
+    *      `videoCol` set, decodable image/audio/video payloads ALSO post
+    *      their perceptual fingerprint bands through the same machinery
+    *      (disjoint band namespaces: 1000+ image, 2000+ audio, 3000+
+    *      video), so cross-batch media near-dups are gated exactly like
+    *      text minhash dups;
     *   2. mixture-budget gate (optional): prior per-source spend comes from
     *      the COMPACTED ledger at `corpusDir/_budget` — O(|sources|) rows
     *      read per batch, never an O(corpus) re-aggregation;
@@ -850,6 +851,7 @@ object Streams {
                    vacuumEvery: Int = 0, compactEvery: Int = 0,
                    imageCol: Option[String] = None,
                    audioCol: Option[String] = None,
+                   videoCol: Option[String] = None,
                    compactGrace: Int = 1,
                    ivfDir: Option[String] = None,
                    ivfNlist: Int = 16,
@@ -910,7 +912,7 @@ object Streams {
         ivfDir.foreach(d => graft.etl.Compaction.recoverInterrupted(s"$d/lists"))
         val keptPosts = graft.etl.IncrementalDedup.keptPostings(batch, dedupDir,
             excludeBatchKey = Some(batchKey), imageCol = imageCol,
-            audioCol = audioCol)
+            audioCol = audioCol, videoCol = videoCol)
           .localCheckpoint(true)
         val deduped = batch
           .join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")

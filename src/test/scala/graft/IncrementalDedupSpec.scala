@@ -179,6 +179,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"exact payload repeat must drop, novel payload must admit, got $kept2")
   }
 
+  test("videoCol ingest: near-dup clips drop across batches; the band namespace guard is structural") {
+    import spark.implicits._
+    import graft.sources.Multimodal
+    val idx = Files.createTempDirectory("graft_inc_idx_vid").toString
+    val clips = Multimodal.syntheticVideoCorpus(spark, 3, everyK = 1000)
+      .collect().map(a => a.asset_id -> a.payload).toMap
+    val b1 = Seq((1L, null: String, clips(0L)), (2L, null: String, clips(1L)))
+      .toDF("doc_id", "text", "video")
+    val kept1 = IncrementalDedup.ingest(b1, idx, videoCol = Some("video"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 === Set(1L, 2L))
+    // batch 2: a re-containered copy of clip 0 under a new id collides with
+    // the stored video postings; a novel clip is admitted
+    val b2 = Seq((3L, null: String, Multimodal.withTrailingJunkAvi(clips(0L))),
+                 (4L, null: String, clips(2L)))
+      .toDF("doc_id", "text", "video")
+    val kept2 = IncrementalDedup.ingest(b2, idx, videoCol = Some("video"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 === Set(4L),
+      s"re-containered near-dup must drop, novel clip must admit, got $kept2")
+    // ADVICE r13 #4: media band namespaces are disjoint from text bands
+    // STRUCTURALLY — a text band count reaching into the media range is
+    // refused loudly, not silently collided
+    val err = intercept[IllegalArgumentException] {
+      IncrementalDedup.keptPostings(b1, idx, bands = 1000)
+    }
+    assert(err.getMessage.contains("band"))
+  }
+
   test("streaming ingest: foreachBatch drives the posting index per micro-batch") {
     // The production wiring: a document stream dedups against the SAME
     // persisted posting index, one O(batch) ingest per micro-batch — the

@@ -52,24 +52,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.select("kind").distinct().count() === 3)
   }
 
-  test("frame sampling explodes each video into every k-th fixed-size frame") {
+  test("frame sampling REALLY demuxes AVI videos into every k-th verbatim JPEG chunk; non-AVI payloads keep the byte-slice fallback") {
     val assets = Multimodal.syntheticAssets(spark, 30)
-    val frames = Multimodal.sampleFrames(assets, frameSize = 16, everyK = 2).collect()
+    val frames = Multimodal.sampleFrames(assets, everyK = 2).collect()
     val videos = assets.collect().filter(_.kind == "video")
     assert(videos.nonEmpty && frames.nonEmpty)
     val byAsset = frames.groupBy(_.asset_id)
     assert(byAsset.keySet === videos.map(_.asset_id).toSet,
       "every video (and only videos) should yield frames")
     videos.foreach { v =>
-      val expected = (0 until v.payload.length / 16 by 2).toSeq
+      val chunks = Multimodal.demuxAvi(v.payload).get
+      assert(chunks.length === 17, "synthetic clips carry 17 frames")
+      val expected = (0 until chunks.length by 2).toSeq
       val got = byAsset(v.asset_id).map(_.frame_idx).toSeq.sorted
       assert(got === expected, s"asset ${v.asset_id}: frame indices $got != $expected")
       byAsset(v.asset_id).foreach { f =>
-        assert(f.frame_bytes.length === 16)
-        assert(f.frame_bytes.toSeq ===
-          v.payload.slice(f.frame_idx * 16, f.frame_idx * 16 + 16).toSeq)
+        assert(java.util.Arrays.equals(f.frame_bytes, chunks(f.frame_idx)),
+          "sampled frame bytes must be the container's JPEG chunk, verbatim")
+        assert((f.frame_bytes(0) & 0xff) === 0xff && (f.frame_bytes(1) & 0xff) === 0xd8,
+          "each sampled frame must be a plain JPEG (SOI marker)")
       }
     }
+    // a video payload OUTSIDE the container subset keeps the declared stub
+    val raw = Array.tabulate[Byte](64)(j => (j * 7).toByte)
+    val fall = Multimodal.sampleFrames(
+      Seq(Multimodal.Asset(99L, "video", raw, 0, 0, 0, "raw")).toDS(),
+      frameSize = 16, everyK = 2).collect()
+    assert(fall.map(_.frame_idx).toSeq.sorted === Seq(0, 2))
+    fall.foreach(f => assert(f.frame_bytes.toSeq ===
+      raw.slice(f.frame_idx * 16, f.frame_idx * 16 + 16).toSeq))
   }
 
   test("resize rewrites payload and dimensions in place, keeping keys") {
@@ -296,6 +307,121 @@ class MultimodalSpec extends AnyFunSuite {
       s"the tone burst must flip at least one high-band gradient bit " +
         s"somewhere in the corpus (else the tolerance band is untested), " +
         s"got hammings ${burst.map(_._3).distinct.sorted.toSeq}")
+  }
+
+  test("AVI demux+decode is REAL: crafted JPEG frames round-trip verbatim; the checksum hashes DECODED rasters, container-invariantly") {
+    // two hand-built frames through the one JPEG encoder and the one AVI
+    // encoder; the demuxer must hand back the exact chunk bytes, and the
+    // video checksum must equal the polynomial hash over the DECODED
+    // rasters (computable independently via decodeImage) — only a genuine
+    // demux + JPEG decode can produce both
+    val frames = (0 until 2).map { k =>
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, ((x * 15 + k * 40) << 16) | ((y * 15) << 8) | 128)
+      Multimodal.encodeJpeg(img)
+    }
+    val avi = Multimodal.encodeAvi(frames, 16, 16, fps = 10)
+    val chunks = Multimodal.demuxAvi(avi).get
+    assert(chunks.length === 2)
+    chunks.zip(frames).foreach { case (c, f) =>
+      assert(java.util.Arrays.equals(c, f), "demux must be verbatim, no transcode")
+    }
+    val decoded = Multimodal.decodeAviFrames(avi).get
+    assert(decoded.forall(im => im.getWidth === 16 && im.getHeight === 16))
+    // independent checksum over the decoded rasters
+    var expect = 0L
+    decoded.foreach { im =>
+      for (y <- 0 until 16; x <- 0 until 16)
+        expect = expect * 131 + (im.getRGB(x, y) & 0xffffff)
+    }
+    val (checksum, feats) = Multimodal.decodeAviVideo(avi).get
+    assert(checksum === expect,
+      "checksum must hash DECODED pixels, not payload bytes")
+    assert(feats.length === 8 && feats.forall(f => f >= 0f && f <= 1f))
+    // container invariance: a genuinely different container (trailing JUNK
+    // chunk, patched RIFF length) over the same frame chunks decodes equal
+    val rewrapped = Multimodal.withTrailingJunkAvi(avi)
+    assert(!java.util.Arrays.equals(rewrapped, avi))
+    assert(Multimodal.decodeAviVideo(rewrapped).get._1 === checksum)
+    // pipeline dispatch: video+avi takes the real decode; video+raw and a
+    // corrupt avi payload keep the stub fallback
+    val viaPipeline = Multimodal.extractFeatures(
+      Seq(Multimodal.Asset(1L, "video", avi, 16, 16, 0, "avi")).toDS()).collect().head
+    assert(viaPipeline.checksum === checksum)
+    assert(viaPipeline.features.toSeq === feats.toSeq)
+    val junk = Array.tabulate[Byte](40)(j => (j * 13).toByte)
+    assert(Multimodal.demuxAvi(junk).isEmpty)
+    val corrupt = Multimodal.extractFeatures(
+      Seq(Multimodal.Asset(2L, "video", junk, 0, 0, 0, "avi")).toDS()).collect().head
+    assert(corrupt.checksum === Multimodal.decodeStub(junk)._1,
+      "an unparsable avi payload must fall back to the stub, not fail the task")
+    // a torn frame chunk (valid container, undecodable JPEG) also falls back
+    val torn = Multimodal.encodeAvi(Seq(frames.head.take(8)), 16, 16, 10)
+    assert(Multimodal.demuxAvi(torn).isDefined && Multimodal.decodeAviFrames(torn).isEmpty)
+  }
+
+  test("synthetic video assets are genuine AVIs; metadata dims match the decoded frames") {
+    val vids = Multimodal.syntheticAssets(spark, 30).collect().filter(_.kind == "video")
+    assert(vids.nonEmpty)
+    vids.foreach { a =>
+      assert(a.format === "avi")
+      val decoded = Multimodal.decodeAviFrames(a.payload)
+      assert(decoded.isDefined, s"asset ${a.asset_id} payload is not a demuxable AVI")
+      assert(decoded.get.length === 17)
+      decoded.get.foreach { im =>
+        assert(im.getWidth === a.width && im.getHeight === a.height,
+          s"asset ${a.asset_id}: metadata dims must be the true encoded frame dims")
+      }
+    }
+  }
+
+  test("video dedup: every planted variant pair is recovered; unrelated clips never pair; frame edits exercise the tolerance band") {
+    val nBase = 200
+    val corpus = Multimodal.syntheticVideoCorpus(spark, nBase, everyK = 5)
+    val pairs = Multimodal.videoDedupPairs(corpus)
+      .collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Int]("hamming")))
+    // planted truth: base i (i % 5 == 0) has a re-containered twin at
+    // i + nBase, a brightness-shifted twin at i + 2·nBase and a
+    // frame-edited twin at i + 3·nBase; all four are mutual near-dups —
+    // 6 pairs per base
+    val planted = (0 until nBase by 5).flatMap { i =>
+      val ids = Seq(i.toLong, i + nBase.toLong, i + 2L * nBase, i + 3L * nBase)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found),
+      s"missed planted near-dup pairs: ${(planted -- found).toSeq.sorted.take(5)}")
+    assert(found === planted,
+      s"unrelated clips must never pair at Hamming <= 3: extras = ${(found -- planted).toSeq.sorted.take(5)}")
+    // re-containers demux to identical frames, and a +6 brightness shift
+    // moves only each JPEG block's DC coefficient — both fingerprint-exact
+    // on this clamp-free corpus; the frame-edited twin (ids >= 3·nBase) is
+    // the deliberate non-zero case (column interleave on frame 8: h-grad
+    // plane only)
+    assert(pairs.filter(_._2 < 3L * nBase).forall(_._3 === 0),
+      "re-container and brightness variants must be fingerprint-exact")
+    val edits = pairs.filter(p => p._1 < nBase && p._2 >= 3L * nBase)
+    assert(edits.forall(p => p._3 >= 0 && p._3 <= 3))
+    val band = edits.filter(p => p._3 >= 1 && p._3 <= 3)
+    assert(band.size >= 10,
+      s"expected a healthy population of measured Hamming 1-3 planted pairs " +
+        s"(the tolerance band the join exists for), got ${band.size} of ${edits.size}")
+  }
+
+  test("video fingerprints are deterministic and partitioning-independent") {
+    val corpus = Multimodal.syntheticVideoCorpus(spark, 30, everyK = 5)
+    val one = Multimodal.videoFingerprints(corpus.repartition(1))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val many = Multimodal.videoFingerprints(corpus.repartition(7))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(one === many, "fingerprints must not depend on partitioning")
+    assert(one.nonEmpty)
   }
 
   test("audio fingerprints are deterministic and partitioning-independent") {

@@ -64,8 +64,13 @@ object PlanBudgets {
         finally in.close()
       }
     lines.filter(_.nonEmpty).map { l =>
-      val Array(n, c) = l.split("\t")
-      n -> c.toInt
+      // name the offending line instead of an opaque MatchError (ADVICE r13)
+      l.split("\t") match {
+        case Array(n, c) if c.trim.matches("\\d+") => n -> c.trim.toInt
+        case _ => throw new IllegalStateException(
+          s"plan_shuffles.tsv: malformed line '$l' (expected '<query>\\t<count>'" +
+            " — regenerate with sbt 'Test/runMain graft.PlanBudgets')")
+      }
     }.toMap
   }
 

@@ -23,6 +23,10 @@ case class ImageDoc(doc_id: Long, text: String, image: Array[Byte],
 case class AudioDoc(doc_id: Long, text: String, audio: Array[Byte],
                     embedding: Array[Float])
 
+/** A video-carrying ingest doc: null-able text plus an AVI payload. */
+case class VideoDoc(doc_id: Long, text: String, video: Array[Byte],
+                    embedding: Array[Float])
+
 /** [[IngestDoc]] with a source tag, for the budget-gated ingest test. */
 case class SourcedDoc(doc_id: Long, text: String, source: String,
                       embedding: Array[Float])
@@ -1556,6 +1560,58 @@ class StreamingSpec extends AnyFunSuite {
         .parquet(graft.etl.Compaction.currentPath(s"$dedupDir/postings"))
         .count() === postRows,
         "a replayed audio batch must not grow the posting table")
+      assert(corpusIds === Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("corpusIngest with videoCol: cross-batch video near-dups drop at admission; replay no-ops") {
+    import java.nio.file.Files
+    import graft.sources.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_vid_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_vid_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_vid_corpus").toString
+    // seeded per-frame block cards (the corpus generator's shape, so
+    // distinct clips land at Hamming ≈ 32)
+    val clips = Multimodal.syntheticVideoCorpus(spark, 4, everyK = 1000)
+      .collect().map(a => a.asset_id -> a.payload).toMap
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    // null text everywhere: admission evidence is the VIDEO signature alone
+    val b1 = Seq(VideoDoc(1, null, clips(0L), emb(1)),
+                 VideoDoc(2, null, clips(1L), emb(2)))
+    // re-containered copy of clip 0 (identical frame chunks, different RIFF
+    // layout): the fingerprint is exact — the planted CROSS-BATCH dup
+    val b2 = Seq(VideoDoc(3, null, Multimodal.withTrailingJunkAvi(clips(0L)), emb(3)),
+                 VideoDoc(4, null, clips(2L), emb(4)))         // novel
+    val mem = MemoryStream[VideoDoc]
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
+      videoCol = Some("video")).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      def corpusIds = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(corpusIds === Seq(1L, 2L, 4L),
+        s"video near-dup gate must admit {1,2,4}, got $corpusIds")
+      // the admitted docs' postings live in the video band range — the
+      // same table, the fourth disjoint namespace
+      val postings = spark.read
+        .parquet(graft.etl.Compaction.currentPath(s"$dedupDir/postings"))
+      val bandsSeen = postings.select("band").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(bandsSeen.forall(_ >= 3000),
+        s"video-doc postings must land in the video band namespace, got $bandsSeen")
+      // at-least-once re-send of b2: replay no-op
+      val v = graft.etl.BucketedTable.currentVersion(corpusDir)
+      val postRows = postings.count()
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(graft.etl.BucketedTable.currentVersion(corpusDir) === v,
+        "a replayed video batch must not publish a new corpus snapshot")
+      assert(spark.read
+        .parquet(graft.etl.Compaction.currentPath(s"$dedupDir/postings"))
+        .count() === postRows,
+        "a replayed video batch must not grow the posting table")
       assert(corpusIds === Seq(1L, 2L, 4L))
     } finally q.stop()
   }
