@@ -42,16 +42,40 @@ class PlanAuditSpec extends AnyFunSuite {
   // noop write — because a write spawns its OWN query execution: the
   // DataFrame's queryExecution would stay un-finalized (isFinalPlan=false,
   // no codegen stars).
-  private lazy val plans: Seq[(String, String, Int)] =
+  private lazy val plans: Seq[(String, String, Int, Int)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val df = fn(spark, TestSpark.sfDir)
       df.collect()
       val exec = df.queryExecution.executedPlan
-      (name, exec.toString, PlanBudgets.shuffleCount(exec))
+      (name, exec.toString, PlanBudgets.shuffleCount(exec),
+        unpartitionedWindows(exec))
     }
 
+  /** Count WindowExec nodes with an EMPTY partition spec in the final
+    * (post-AQE) plan — the shape Spark itself warns about ("No Partition
+    * Defined ... serious performance degradation"): every row moves to one
+    * task, so over a data-scaled input it is the single-node bottleneck at
+    * 100 TB. Bounded frames that genuinely need a total order (the
+    * `q_hybrid_rrf` ≤100-row rank arms) key on a LITERAL partition instead,
+    * so the engine-wide invariant is zero, structurally. Same adaptive
+    * traversal as [[PlanBudgets.shuffleCount]]. */
+  private def unpartitionedWindows(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ =>
+        (p match { case w: WindowExec if w.partitionSpec.isEmpty => 1
+                   case _ => 0 }) +
+          p.children.map(walk).sum + p.subqueries.map(walk).sum
+    }
+    walk(plan)
+  }
+
   test("no declared query plans a cartesian product; BNLJ only for 1-row probes") {
-    val offenders = plans.flatMap { case (name, plan, _) =>
+    val offenders = plans.flatMap { case (name, plan, _, _) =>
       val cartesian = plan.contains("CartesianProduct")
       val badBnlj = plan.contains("BroadcastNestedLoopJoin") &&
         !oneRowProbeBnlj.contains(name)
@@ -65,7 +89,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("every declared query keeps at least one whole-stage-codegen span") {
     // post-AQE plan strings print codegen spans as "*(n) Op" stars
     val offenders = plans.collect {
-      case (name, plan, _)
+      case (name, plan, _, _)
           if !plan.contains("WholeStageCodegen") && !plan.contains("*(") =>
         name
     }
@@ -86,7 +110,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"queries without a recorded shuffle budget (regenerate via " +
         s"`sbt 'Test/runMain graft.PlanBudgets'` and review the tsv diff): " +
         missing.mkString(", "))
-    val over = plans.flatMap { case (name, _, c) =>
+    val over = plans.flatMap { case (name, _, c, _) =>
       if (c > budgets(name))
         Some(s"$name: $c shuffles > recorded ${budgets(name)}")
       else None
@@ -101,9 +125,21 @@ class PlanAuditSpec extends AnyFunSuite {
     // that once wanted a UDF has a native Expression (BloomProbe, DotMicro,
     // ...) — a ScalaUDF in any executed plan is a regression
     val offenders = plans.collect {
-      case (name, plan, _) if plan.contains("UDF") => name
+      case (name, plan, _, _) if plan.contains("UDF") => name
     }
     assert(offenders.isEmpty,
       s"queries executing Scala UDFs:\n${offenders.mkString("\n")}")
+  }
+
+  test("no declared query plans an unpartitioned WindowExec") {
+    // the single-task window shape Spark itself warns about: over a
+    // data-scaled input it is the 100-TB bottleneck; bounded total-order
+    // frames key on a literal partition instead (q_hybrid_rrf), so the
+    // engine-wide count is structurally zero
+    val offenders = plans.collect {
+      case (name, _, _, w) if w > 0 => s"$name: $w unpartitioned WindowExec"
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows found:\n${offenders.mkString("\n")}")
   }
 }
