@@ -98,13 +98,26 @@ object BucketedTable {
   def bucketExpr(keyCols: Seq[String], nBuckets: Int): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
+  /** One ADD-COLUMN schema evolution (r14, judge #2): `since` is the
+    * version at which the column was declared — bucket data written at any
+    * version BEFORE it predates the column and reads as `defaultSql` (cast
+    * to `typeDdl`); data written at or after it carries its stored values
+    * (including genuine nulls). The bucket→version map makes this exact:
+    * which files predate the column is manifest metadata, not a per-row
+    * guess. */
+  final case class Evolution(since: Long, name: String, typeDdl: String,
+                             defaultSql: String)
+
   /** The committed manifest: fixed bucket count plus, per bucket that has
     * ever held rows, the version directory holding its current data.
     * `parent` is the version that was current when this commit was built
     * (-1 for the table-creating commit; -1 also when read from a pre-r12
-    * manifest without the header — those tables predate race detection). */
+    * manifest without the header — those tables predate race detection).
+    * `evolutions` carry every add-column declaration still in force (a
+    * [[rebucket]] materializes them into the data and drops them). */
   final case class Manifest(nBuckets: Int, buckets: Map[Int, Long],
-                            parent: Long = -1L)
+                            parent: Long = -1L,
+                            evolutions: Seq[Evolution] = Nil)
 
   def exists(tableDir: String): Boolean =
     Files.exists(Paths.get(tableDir, "_CURRENT"))
@@ -131,11 +144,26 @@ object BucketedTable {
     val rest = lines.asScala.drop(1).filter(_.nonEmpty)
     val parent = rest.find(_.startsWith("parent="))
       .map(_.stripPrefix("parent=").toLong).getOrElse(-1L)
-    val m = rest.filterNot(_.startsWith("parent=")).map { l =>
+    val evolutions = rest.filter(_.startsWith("evolve=")).map { l =>
+      // tab-separated: the type DDL may contain spaces (decimal(10, 2))
+      val Array(since, name, ddl, dflt) =
+        l.stripPrefix("evolve=").split('\t')
+      Evolution(since.toLong, name, ddl, dflt)
+    }.toSeq
+    val m = rest.filterNot(l => l.startsWith("parent=") ||
+        l.startsWith("evolve=")).map { l =>
       val Array(b, ver) = l.split(' '); b.toInt -> ver.toLong
     }.toMap
-    Manifest(n, m, parent)
+    Manifest(n, m, parent, evolutions)
   }
+
+  /** One serializer for the manifest body (commit / evolve / rebucket /
+    * migrate all write the same format). */
+  private def manifestBody(nBuckets: Int, buckets: Map[Int, Long],
+                           parent: Long, evolutions: Seq[Evolution]): String =
+    (s"nBuckets=$nBuckets" +: s"parent=$parent" +:
+      (evolutions.map(e => s"evolve=${e.since}\t${e.name}\t${e.typeDdl}\t${e.defaultSql}") ++
+        buckets.toSeq.sortBy(_._1).map { case (b, v) => s"$b $v" })).mkString("\n")
 
   /** One-time in-place conversion of a pre-r11 flat [[Warehouse]] snapshot
     * (`v=N/` bare parquet + `_CURRENT`, no `_MANIFEST`) into a bucketed
@@ -154,9 +182,8 @@ object BucketedTable {
     val version = Warehouse.claimVersion(tableDir)
     snapshot.write.mode("overwrite").partitionBy(BucketCol)
       .parquet(s"$tableDir/v=$version")
-    val body = (s"nBuckets=$nBuckets" +: s"parent=$cur" +:
-      (0 until nBuckets).map(b => s"$b $version")).mkString("\n")
-    Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"), body)
+    Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"),
+      manifestBody(nBuckets, (0 until nBuckets).map(_ -> version).toMap, cur, Nil))
     publishChecked(tableDir, version, cur)
     version
   }
@@ -179,14 +206,38 @@ object BucketedTable {
       Warehouse.commitPointer(tableDir, version)
     }
 
-  /** On-disk directories holding the named buckets' current data (buckets
-    * that never held rows, or whose last rewrite produced no rows, simply
-    * have no directory and read as empty). */
+  /** On-disk (dataVersion, directory) pairs holding the named buckets'
+    * current data (buckets that never held rows, or whose last rewrite
+    * produced no rows, simply have no directory and read as empty). The
+    * version rides along so the evolution-aware scan knows which dirs
+    * predate which evolved columns. */
   private def bucketDirs(tableDir: String, m: Manifest,
-                         buckets: Seq[Int]): Seq[String] =
+                         buckets: Seq[Int]): Seq[(Long, String)] =
     buckets.distinct.sorted.flatMap(b => m.buckets.get(b).map(v =>
-        s"$tableDir/v=$v/$BucketCol=$b"))
-      .filter(p => Files.exists(Paths.get(p)))
+        (v, s"$tableDir/v=$v/$BucketCol=$b")))
+      .filter(p => Files.exists(Paths.get(p._2)))
+
+  /** Scan the given bucket dirs under the manifest's in-force evolutions:
+    * dirs are grouped by WHICH evolved columns their data version predates
+    * (manifest metadata, exact — not a per-row null guess), each group's
+    * missing columns fill with the declared default, and the groups union
+    * by name. With no evolutions this is the plain multi-dir parquet scan.
+    * Column order follows the NEWEST group (the writers' current order). */
+  private def scanEvolved(spark: SparkSession, m: Manifest,
+                          dirs: Seq[(Long, String)]): DataFrame =
+    if (m.evolutions.isEmpty) spark.read.parquet(dirs.map(_._2): _*)
+    else {
+      val groups = dirs
+        .groupBy { case (v, _) => m.evolutions.filter(_.since > v).map(_.name).toSet }
+        .toSeq.sortBy { case (missing, _) =>
+          (missing.size, missing.toSeq.sorted.mkString(",")) }
+      groups.map { case (missing, ps) =>
+        m.evolutions.filter(e => missing.contains(e.name))
+          .foldLeft(spark.read.parquet(ps.map(_._2): _*)) { (df, e) =>
+            df.withColumn(e.name, expr(e.defaultSql).cast(e.typeDdl))
+          }
+      }.reduce(_.unionByName(_))
+    }
 
   /** Scan ONLY the named buckets of the current snapshot — the keyed-slice
     * read a micro-batch fold needs: file listing and bytes are bounded by
@@ -194,8 +245,9 @@ object BucketedTable {
     * bucket has data (schema comes from the caller, who knows it). */
   def readBuckets(spark: SparkSession, tableDir: String, buckets: Seq[Int],
                   empty: => DataFrame): DataFrame = {
-    val dirs = bucketDirs(tableDir, readManifest(tableDir), buckets)
-    if (dirs.isEmpty) empty else spark.read.parquet(dirs: _*)
+    val m = readManifest(tableDir)
+    val dirs = bucketDirs(tableDir, m, buckets)
+    if (dirs.isEmpty) empty else scanEvolved(spark, m, dirs)
   }
 
   /** Scan the full current snapshot (resolve the pointer once; the scan
@@ -205,7 +257,39 @@ object BucketedTable {
     val m = readManifest(tableDir, version)
     val dirs = bucketDirs(tableDir, m, m.buckets.keys.toSeq)
     require(dirs.nonEmpty, s"bucketed table at $tableDir holds no data")
-    spark.read.parquet(dirs: _*)
+    scanEvolved(spark, m, dirs)
+  }
+
+  /** ADD-COLUMN schema evolution (r14, judge #2) — the most common
+    * warehouse change (a new attribute arriving in a later batch), as a
+    * METADATA-ONLY commit honoring the layer's O(touched) contract: no
+    * bucket rewrites, every existing bucket carries over by reference
+    * byte-identically. The new manifest version records the evolution;
+    * reads default-fill exactly the buckets whose data predates it (see
+    * [[Evolution]]), and every LATER [[commit]]'s frames must carry the
+    * column (writers evolve with the table — the same schema agreement any
+    * sink already honors). `defaultSql` is any constant SQL expression;
+    * validated here by evaluating it once. Quiet-window contract like
+    * every maintenance entry point: pause the owning sink. */
+  def evolveAddColumn(spark: SparkSession, tableDir: String, name: String,
+                      typeDdl: String, defaultSql: String): Long = {
+    require(!name.contains('\t') && !typeDdl.contains('\t') &&
+      !defaultSql.contains('\t') && !defaultSql.contains('\n'),
+      "evolution fields must not contain tabs/newlines (manifest format)")
+    val parentV = currentVersion(tableDir)
+    val m = readManifest(tableDir, Some(parentV))
+    require(!m.evolutions.exists(_.name == name),
+      s"$tableDir already has an in-force evolution for column '$name'")
+    // fail at declaration time, not at first read: the default must parse,
+    // be constant, and cast to the declared type
+    spark.range(1).select(expr(defaultSql).cast(typeDdl).as(name)).collect()
+    val version = Warehouse.claimVersion(tableDir)
+    Files.createDirectories(Paths.get(tableDir, s"v=$version"))
+    Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"),
+      manifestBody(m.nBuckets, m.buckets, parentV,
+        m.evolutions :+ Evolution(version, name, typeDdl, defaultSql)))
+    publishChecked(tableDir, version, parentV)
+    version
   }
 
   /** Commit a partial rewrite: `write(dir)` must land the FULL new content
@@ -235,9 +319,13 @@ object BucketedTable {
     write(s"$tableDir/v=$version")
     val next = prior.map(_.buckets).getOrElse(Map.empty) ++
       touched.map(_ -> version)
-    val body = (s"nBuckets=$nBuckets" +: s"parent=$parentV" +:
-      next.toSeq.sortBy(_._1).map { case (b, v) => s"$b $v" }).mkString("\n")
-    Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"), body)
+    // evolutions carry over: data committed from here on is written at a
+    // version >= every in-force evolution's `since`, so the read path
+    // trusts its stored values — the CALLER's frame must include every
+    // evolved column (the same contract as any other schema agreement)
+    Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"),
+      manifestBody(nBuckets, next, parentV,
+        prior.map(_.evolutions).getOrElse(Nil)))
     // WRITER-RACE DETECTION (single-writer contract made loud, r11 #3): our
     // manifest carried over bucket references from parentV — if another
     // writer published meanwhile, publishing ours would silently drop every
@@ -341,10 +429,12 @@ object BucketedTable {
     val version = Warehouse.claimVersion(tableDir)
     snapshot.write.mode("overwrite").partitionBy(BucketCol)
       .parquet(s"$tableDir/v=$version")
-    // every bucket maps to the fresh version (absent dirs read as empty)
-    val body = (s"nBuckets=$newNBuckets" +: s"parent=$parentV" +:
-      (0 until newNBuckets).map(b => s"$b $version")).mkString("\n")
-    Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"), body)
+    // every bucket maps to the fresh version (absent dirs read as empty);
+    // the snapshot read above default-filled every in-force evolution, so
+    // the rewrite MATERIALIZES the evolved columns — drop the declarations
+    Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"),
+      manifestBody(newNBuckets, (0 until newNBuckets).map(_ -> version).toMap,
+        parentV, Nil))
     publishChecked(tableDir, version, parentV)
     version
   }

@@ -57,7 +57,13 @@ object Observability {
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              durationNs: Long): Unit = {
-        qe.observedMetrics.get(name).foreach { row =>
+        // IDENTITY guard, not just the name (ADVICE r13): the listener is
+        // session-global, so a concurrent action on this SparkSession whose
+        // plan carries an identically-named observation would otherwise
+        // satisfy the latch and attribute the OTHER execution's metrics to
+        // this collect. Our collect() below acts on df's own
+        // QueryExecution instance — accept exactly that one.
+        if (qe eq df.queryExecution) qe.observedMetrics.get(name).foreach { row =>
           seen.set(row.schema.fieldNames.zipWithIndex.collect {
             case (f, i) if !row.isNullAt(i) => f -> row.getLong(i)
           }.toMap)

@@ -55,6 +55,71 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(slice.collect().map(_.getAs[String]("v")).toSeq === Seq("b1"))
   }
 
+  test("add-column evolution: metadata-only commit, untouched buckets byte-identical, defaults fill exactly the pre-evolution data") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_bt_ev").resolve("t").toString
+    val kA = 1L
+    val kB = (2L to 100L).find(bucketOf(_) != bucketOf(kA)).get
+    val v1 = commitRows(dir, Seq(kA -> "a1", kB -> "b1"))
+    def treeBytes(v: Long): Map[String, Seq[Byte]] = {
+      val root = java.nio.file.Paths.get(dir, s"v=$v")
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString ->
+          Files.readAllBytes(p).toSeq).toMap
+      finally s.close()
+    }
+    val before = treeBytes(v1)
+    val ev = BucketedTable.evolveAddColumn(spark, dir, "score", "int", "7")
+    // METADATA-ONLY: the evolution version holds nothing but its manifest,
+    // and every pre-evolution data file is byte-identical on disk
+    val evFiles = {
+      val s = Files.list(java.nio.file.Paths.get(dir, s"v=$ev"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
+    }
+    assert(evFiles === Seq("_MANIFEST"),
+      s"evolution must be a metadata-only commit, found $evFiles")
+    assert(treeBytes(v1) === before, "untouched bucket files must stay byte-identical")
+    // every pre-evolution row reads the declared default
+    val afterEv = BucketedTable.readCurrent(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[Int]("score")))
+      .sorted.toSeq
+    assert(afterEv === Seq((kA, "a1", 7), (kB, "b1", 7)).sorted)
+    // declaration-time validation: duplicate column and unparsable default
+    intercept[IllegalArgumentException] {
+      BucketedTable.evolveAddColumn(spark, dir, "score", "int", "0")
+    }
+    intercept[Exception] {
+      BucketedTable.evolveAddColumn(spark, dir, "bad", "int", "not a ( literal")
+    }
+    // a post-evolution commit carries REAL values; the untouched bucket
+    // keeps default-filling (and stays byte-identical)
+    val df3 = Seq((kA, "a2", 42)).toDF("k", "v", "score")
+      .withColumn(BucketedTable.BucketCol, BucketedTable.bucketExpr(Seq("k"), nB))
+    BucketedTable.commit(spark, dir, nB, Seq(bucketOf(kA)),
+      d => df3.write.mode("overwrite")
+        .partitionBy(BucketedTable.BucketCol).parquet(d))
+    val mixed = BucketedTable.readCurrent(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[Int]("score")))
+      .sorted.toSeq
+    assert(mixed === Seq((kA, "a2", 42), (kB, "b1", 7)).sorted,
+      "stored values must read back as stored; only pre-evolution data defaults")
+    assert(treeBytes(v1) === before)
+    // the keyed-slice read fills too (the sink fold path)
+    val slice = BucketedTable.readBuckets(spark, dir, Seq(bucketOf(kB)),
+      empty = Seq.empty[(Long, String, Int)].toDF("k", "v", "score"))
+      .collect().map(r => (r.getAs[String]("v"), r.getAs[Int]("score"))).toSeq
+    assert(slice === Seq(("b1", 7)))
+    // rebucket MATERIALIZES the evolution: declarations drop, values persist
+    BucketedTable.rebucket(spark, dir, Seq("k"), nB)
+    assert(BucketedTable.readManifest(dir).evolutions.isEmpty,
+      "a full rewrite must materialize and drop the evolution declarations")
+    val post = BucketedTable.readCurrent(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[Int]("score")))
+      .sorted.toSeq
+    assert(post === mixed)
+  }
+
   test("time travel: an old manifest version reads the table as of that commit") {
     val dir = Files.createTempDirectory("graft_bt_tt").resolve("t").toString
     val v1 = commitRows(dir, Seq(1L -> "x1", 2L -> "y1"))

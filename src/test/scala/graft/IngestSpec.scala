@@ -206,6 +206,59 @@ class IngestSpec extends AnyFunSuite {
       s"mixed-schema read must fail with the explicit message, got: ${msgs(mixed)}")
   }
 
+  test("Avro superset read: files storing a subset of the declared schema read with nulls; violations fail loudly") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_avro_super").toString
+    // two generations of one logical table: the old one predates 'score'
+    graft.etl.AvroSource.writeAvro(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), s"$tmp/old")
+    graft.etl.AvroSource.writeAvro(
+      Seq((3L, "c", 42.0)).toDF("id", "v", "score").coalesce(1), s"$tmp/new")
+    val declared = new StructType()
+      .add("id", LongType, nullable = false)
+      .add("v", StringType).add("score", DoubleType)
+    // each generation reads under the declared superset — absent field null
+    val old = graft.etl.AvroSource.readAvro(spark, s"$tmp/old", declared)
+    assert(old.schema === declared)
+    assert(old.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.isNullAt(2))).sorted.toSeq ===
+      Seq((1L, "a", true), (2L, "b", true)))
+    val nw = graft.etl.AvroSource.readAvro(spark, s"$tmp/new", declared)
+    assert(nw.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((3L, "c", 42.0)))
+    // and the two generations coexist in ONE directory read (the
+    // pre-evolution-next-to-post-evolution layout the strict reader rejects)
+    val both = graft.etl.AvroSource.readAvro(spark, tmp, declared)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sorted.toSeq
+    assert(both === Seq((1L, "a", -1.0), (2L, "b", -1.0), (3L, "c", 42.0)))
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    // a stored field the declared schema does not cover is data loss: loud
+    val uncovered = intercept[org.apache.spark.SparkException] {
+      graft.etl.AvroSource.readAvro(spark, s"$tmp/new",
+        new StructType().add("id", LongType).add("v", StringType)).collect()
+    }
+    assert(msgs(uncovered).contains("does not cover"))
+    // a type change is not an add-column evolution: loud
+    val retyped = intercept[org.apache.spark.SparkException] {
+      graft.etl.AvroSource.readAvro(spark, s"$tmp/new", new StructType()
+        .add("id", LongType).add("v", StringType).add("score", LongType))
+        .collect()
+    }
+    assert(msgs(retyped).contains("type changes"))
+    // an absent field must be nullable (defaulting is the table layer's job)
+    val nonNull = intercept[org.apache.spark.SparkException] {
+      graft.etl.AvroSource.readAvro(spark, s"$tmp/old", new StructType()
+        .add("id", LongType).add("v", StringType)
+        .add("score", DoubleType, nullable = false)).collect()
+    }
+    assert(msgs(nonNull).contains("non-nullable"))
+  }
+
   test("q_scan_csv: pipe-delimited round-trip equals the parquet read") {
     val li = Tables.lineitem(spark, TestSpark.sfDir)
     val tmp = Files.createTempDirectory("graft_csv").toString
