@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{BucketedTable, Compaction, Doctor}
+
+/** The offline fsck (r14, judge #4): each crash-consistency layer is built
+  * through its real API, corrupted ONE way, and Doctor must name the layer
+  * and the remedy — while a healthy tree diagnoses clean and the tool
+  * never mutates anything it scans. */
+class DoctorSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def commitRows(dir: String, rows: Seq[(Long, String)], nB: Int = 8): Long = {
+    val df = rows.toDF("k", "v")
+      .withColumn(BucketedTable.BucketCol, BucketedTable.bucketExpr(Seq("k"), nB))
+    val touched = rows.map(r => Seq(r._1).toDF("k")
+      .select(BucketedTable.bucketExpr(Seq("k"), nB)).head().getInt(0)).distinct
+    BucketedTable.commit(spark, dir, nB, touched,
+      d => df.write.mode("overwrite")
+        .partitionBy(BucketedTable.BucketCol).parquet(d))
+  }
+
+  test("a healthy multi-layer tree diagnoses clean, and Doctor mutates nothing") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_doc_ok").toString
+    commitRows(s"$root/dim", Seq(1L -> "a", 2L -> "b"))
+    commitRows(s"$root/dim", Seq(1L -> "a2"))
+    // a compacted parquet table with one retired generation inside grace
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$root/idx/postings")
+    Compaction.compactParquet(spark, s"$root/idx/postings", Nil)
+    def treeState: Seq[String] = {
+      val s = Files.walk(Paths.get(root))
+      try s.iterator().asScala.map(p => p.toString +
+        (if (Files.isRegularFile(p)) ":" + Files.size(p) else "")).toSeq.sorted
+      finally s.close()
+    }
+    val before = treeState
+    val findings = Doctor.diagnose(root)
+    assert(findings.forall(_.level == "INFO"),
+      s"healthy tree must carry no FAIL/WARN, got:\n${findings.map(_.render).mkString("\n")}")
+    assert(treeState === before, "Doctor must be report-only: zero mutations")
+  }
+
+  test("bucketed-table layer: a deleted referenced version dir is named with its remedy") {
+    val root = Files.createTempDirectory("graft_doc_bt").toString
+    val dir = s"$root/dim"
+    val v1 = commitRows(dir, Seq(1L -> "a", 2L -> "b"))
+    // second commit touches only doc 1's bucket, so v1 stays referenced
+    commitRows(dir, Seq(1L -> "a2"))
+    Compaction.deleteRecursively(Paths.get(dir, s"v=$v1"))
+    val f = Doctor.diagnose(root).filter(_.level == "FAIL")
+    assert(f.nonEmpty, "a missing referenced version must FAIL")
+    assert(f.head.layer === "bucketed-table")
+    assert(f.head.problem.contains(s"v=$v1"))
+    assert(f.head.remedy.contains("rebucket"))
+  }
+
+  test("pointer-table layer: a pointer naming an absent version dir fails with a re-point remedy") {
+    val root = Files.createTempDirectory("graft_doc_ptr").toString
+    val dir = s"$root/w"
+    commitRows(dir, Seq(1L -> "a"))
+    Files.writeString(Paths.get(dir, "_CURRENT"), "99")
+    val f = Doctor.diagnose(root).filter(_.level == "FAIL")
+    assert(f.nonEmpty && f.head.layer === "pointer-table")
+    assert(f.head.problem.contains("v=99"))
+    assert(f.head.remedy.contains("re-point"))
+  }
+
+  test("compaction layer: a crashed publish's future generation warns with the reclaim remedy") {
+    val root = Files.createTempDirectory("graft_doc_cmp").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.parquet(s"$root/postings")
+    Compaction.compactParquet(spark, s"$root/postings", Nil) // now at .v1
+    // simulate a publish that died between rewrite and pointer flip
+    Files.createDirectories(Paths.get(s"$root/postings.v2"))
+    val f = Doctor.diagnose(root).filter(_.level == "WARN")
+    assert(f.nonEmpty && f.head.layer === "compaction-table")
+    assert(f.head.problem.contains(".v2") && f.head.problem.contains("crashed"))
+    assert(f.head.remedy.contains("reclaimOrphans"))
+  }
+
+  test("ann layers: a lists generation without centroids fails; a vacuumed _lists_gen pairing warns") {
+    val root = Files.createTempDirectory("graft_doc_ann").toString
+    // an IVF lists root with assignments but no model anywhere
+    Seq((0, 1L)).toDF("list_id", "vec_id")
+      .write.partitionBy("list_id").parquet(s"$root/ivf/lists")
+    val lists = Doctor.diagnose(root).filter(_.level == "FAIL")
+    assert(lists.nonEmpty && lists.head.layer === "ann-ivf")
+    assert(lists.head.remedy.contains("retrainIvf"))
+    // a codes root whose books are intact but whose recorded lists pairing
+    // was vacuumed past its grace window
+    val root2 = Files.createTempDirectory("graft_doc_ann2").toString
+    Seq((1L, Array[Byte](1, 2))).toDF("vec_id", "code")
+      .write.parquet(s"$root2/pq/codes")
+    Seq((0, 0, Seq(0.1, 0.2))).toDF("sub", "cid", "centroid")
+      .coalesce(1).write.parquet(s"$root2/pq/codes/_codebooks")
+    val gen = Paths.get(s"$root2/pq/codes/_lists_gen")
+    Files.createDirectories(gen)
+    Files.writeString(gen.resolve("root"), s"$root2/ivf/lists.v1")
+    val pairing = Doctor.diagnose(root2)
+    assert(pairing.exists(f => f.level == "WARN" && f.layer == "ann-ivfpq" &&
+      f.remedy.contains("graceGenerations")),
+      s"vacuumed pairing must WARN, got:\n${pairing.map(_.render).mkString("\n")}")
+    assert(!pairing.exists(_.level == "FAIL"),
+      "intact books must not FAIL the codes root")
+  }
+
+  test("legacy rename-swap leftover warns with the recoverInterrupted remedy") {
+    val root = Files.createTempDirectory("graft_doc_leg").toString
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$root/postings")
+    Compaction.compactParquet(spark, s"$root/postings", Nil)
+    Files.createDirectories(Paths.get(s"$root/postings.old-123"))
+    val f = Doctor.diagnose(root).filter(f =>
+      f.level == "WARN" && f.problem.contains("rename-swap"))
+    assert(f.nonEmpty && f.head.remedy.contains("recoverInterrupted"))
+  }
+}
