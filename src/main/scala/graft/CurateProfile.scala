@@ -23,7 +23,7 @@ object CurateProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.expr.GraftFunctions.ensureRegistered(spark)
-    import graft.queries.Llm
+    import graft.queries.{Llm, LlmText}
 
     def time(label: String)(df: => DataFrame): Unit = {
       // warmup + min of 2, same discipline as Bench
@@ -39,11 +39,11 @@ object CurateProfile {
 
     val d0 = Tables.documents(spark, sfDir)
     time("scan")(d0)
-    time("quality_score")(Llm.qQualityScore(spark, sfDir))
-    time("repetition_filter")(Llm.qRepetitionFilter(spark, sfDir))
-    val qok = Llm.qQualityScore(spark, sfDir)
+    time("quality_score")(LlmText.qQualityScore(spark, sfDir))
+    time("repetition_filter")(LlmText.qRepetitionFilter(spark, sfDir))
+    val qok = LlmText.qQualityScore(spark, sfDir)
       .filter(col("kept")).select(col("doc_id"), lit(true).as("qok"))
-    val rok = Llm.qRepetitionFilter(spark, sfDir)
+    val rok = LlmText.qRepetitionFilter(spark, sfDir)
       .filter(!col("flagged")).select(col("doc_id"), lit(true).as("rok"))
     def f3 = d0.select(col("doc_id"), col("source"), col("text"))
       .join(qok, Seq("doc_id"), "left")

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Cdc, Graph, Llm, Relational, Scalars, Windows}
+import graft.queries.{Cdc, Graph, Llm, LlmEmbed, LlmKnn, LlmMix, LlmRetrieval, LlmText, Relational, Scalars, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -105,85 +105,85 @@ object SparkEntry {
     "q_dedup_simhash"  -> (Llm.qDedupSimhash _),
     "q_ngram_jaccard"  -> (Llm.qNgramJaccard _),
     "q_dedup_cosine"   -> (Llm.qDedupCosine _),
-    "q_knn_cosine"     -> (Llm.qKnnCosine _),
-    "q_knn_batch"      -> (Llm.qKnnBatch _),
-    "q_embed_normalize" -> (Llm.qEmbedNormalize _),
-    "q_embed_covariance" -> (Llm.qEmbedCovariance _),
-    "q_embed_drift" -> (Llm.qEmbedDrift _),
-    "q_embed_whiten" -> (Llm.qEmbedWhiten _),
-    "q_embed_pca" -> (Llm.qEmbedPca _), // no-oracle: eigenbasis not SQL-expressible; contracts in LlmSpec
-    "q_hard_negatives" -> (Llm.qHardNegatives _),
-    "q_hard_negatives_ann" -> (Llm.qHardNegativesAnn _),
-    "q_quality_nb" -> (Llm.qQualityNb _),
+    "q_knn_cosine"     -> (LlmKnn.qKnnCosine _),
+    "q_knn_batch"      -> (LlmKnn.qKnnBatch _),
+    "q_embed_normalize" -> (LlmEmbed.qEmbedNormalize _),
+    "q_embed_covariance" -> (LlmEmbed.qEmbedCovariance _),
+    "q_embed_drift" -> (LlmEmbed.qEmbedDrift _),
+    "q_embed_whiten" -> (LlmEmbed.qEmbedWhiten _),
+    "q_embed_pca" -> (LlmEmbed.qEmbedPca _), // no-oracle: eigenbasis not SQL-expressible; contracts in LlmSpec
+    "q_hard_negatives" -> (LlmKnn.qHardNegatives _),
+    "q_hard_negatives_ann" -> (LlmKnn.qHardNegativesAnn _),
+    "q_quality_nb" -> (LlmText.qQualityNb _),
     "q_semdedup" -> (Llm.qSemDedup _),
-    "q_sample_decay" -> (Llm.qSampleDecay _),
-    "q_knn_cosine_lsh" -> (Llm.qKnnCosineLsh _), // no-oracle: rows-only check + LlmSpec recall test
-    "q_knn_cosine_ivf" -> (Llm.qKnnCosineIvf _), // no-oracle: rows-only check + LlmSpec recall test
-    "q_knn_batch_ivf"  -> (Llm.qKnnBatchIvf _),  // no-oracle: per-probe parity with single-probe IVF in LlmSpec
-    "q_knn_batch_lsh"  -> (Llm.qKnnBatchLsh _),  // no-oracle: per-probe parity with single-probe LSH in LlmSpec
-    "q_text_stats"     -> (Llm.qTextStats _),
-    "q_text_clean"     -> (Llm.qTextClean _),
-    "q_doc_chunk"      -> (Llm.qDocChunk _),
+    "q_sample_decay" -> (LlmMix.qSampleDecay _),
+    "q_knn_cosine_lsh" -> (LlmKnn.qKnnCosineLsh _), // no-oracle: rows-only check + LlmSpec recall test
+    "q_knn_cosine_ivf" -> (LlmKnn.qKnnCosineIvf _), // no-oracle: rows-only check + LlmSpec recall test
+    "q_knn_batch_ivf"  -> (LlmKnn.qKnnBatchIvf _),  // no-oracle: per-probe parity with single-probe IVF in LlmSpec
+    "q_knn_batch_lsh"  -> (LlmKnn.qKnnBatchLsh _),  // no-oracle: per-probe parity with single-probe LSH in LlmSpec
+    "q_text_stats"     -> (LlmText.qTextStats _),
+    "q_text_clean"     -> (LlmText.qTextClean _),
+    "q_doc_chunk"      -> (LlmText.qDocChunk _),
     "q_profile_columns" -> (Relational.qProfileColumns _),
-    "q_token_count"    -> (Llm.qTokenCount _),
-    "q_text_quality"   -> (Llm.qTextQuality _),
-    "q_char_entropy"   -> (Llm.qCharEntropy _),
-    "q_lang_id"        -> (Llm.qLangId _),
-    "q_doc_fingerprint" -> (Llm.qDocFingerprint _),
-    "q_sample_hash"    -> (Llm.qSampleHash _),
-    "q_top_ngrams"     -> (Llm.qTopNgrams _),
-    "q_seq_pack"       -> (Llm.qSeqPack _),
-    "q_mix_interleave" -> (Llm.qMixInterleave _),
-    "q_fuzzy_match"    -> (Llm.qFuzzyMatch _),
-    "q_tfidf"          -> (Llm.qTfidf _),
-    "q_clip_outliers"  -> (Llm.qClipOutliers _),
-    "q_label_balance"  -> (Llm.qLabelBalance _),
+    "q_token_count"    -> (LlmText.qTokenCount _),
+    "q_text_quality"   -> (LlmText.qTextQuality _),
+    "q_char_entropy"   -> (LlmText.qCharEntropy _),
+    "q_lang_id"        -> (LlmText.qLangId _),
+    "q_doc_fingerprint" -> (LlmText.qDocFingerprint _),
+    "q_sample_hash"    -> (LlmMix.qSampleHash _),
+    "q_top_ngrams"     -> (LlmText.qTopNgrams _),
+    "q_seq_pack"       -> (LlmMix.qSeqPack _),
+    "q_mix_interleave" -> (LlmMix.qMixInterleave _),
+    "q_fuzzy_match"    -> (LlmRetrieval.qFuzzyMatch _),
+    "q_tfidf"          -> (LlmRetrieval.qTfidf _),
+    "q_clip_outliers"  -> (LlmMix.qClipOutliers _),
+    "q_label_balance"  -> (LlmMix.qLabelBalance _),
     "q_entity_groups"  -> (Llm.qEntityGroups _),
     "q_multimodal_features" -> (graft.sources.Multimodal.qMultimodalFeatures _), // no-oracle: synthetic corpus; contracts in MultimodalSpec
     "q_image_dedup"    -> (graft.sources.Multimodal.qImageDedup _), // no-oracle: synthetic planted-dup corpus; recall in MultimodalSpec
     "q_audio_dedup"    -> (graft.sources.Multimodal.qAudioDedup _), // no-oracle: synthetic planted-dup corpus; recall in MultimodalSpec
     "q_video_dedup"    -> (graft.sources.Multimodal.qVideoDedup _), // no-oracle: synthetic planted-dup corpus; recall in MultimodalSpec
     "q_join_interval_bin" -> (Windows.qJoinIntervalBin _),
-    "q_repetition_filter" -> (Llm.qRepetitionFilter _),
+    "q_repetition_filter" -> (LlmText.qRepetitionFilter _),
     "q_decontaminate"  -> (Llm.qDecontaminate _),
-    "q_mix_temperature" -> (Llm.qMixTemperature _),
-    "q_heavy_hitters"  -> (Llm.qHeavyHitters _),
-    "q_heavy_hitters_grouped" -> (Llm.qHeavyHittersGrouped _),
-    "q_word_pmi"       -> (Llm.qWordPmi _),
+    "q_mix_temperature" -> (LlmMix.qMixTemperature _),
+    "q_heavy_hitters"  -> (LlmText.qHeavyHitters _),
+    "q_heavy_hitters_grouped" -> (LlmText.qHeavyHittersGrouped _),
+    "q_word_pmi"       -> (LlmText.qWordPmi _),
     "q_source_overlap" -> (Llm.qSourceOverlap _),
-    "q_embed_outliers" -> (Llm.qEmbedOutliers _),
-    "q_quality_score"  -> (Llm.qQualityScore _),
+    "q_embed_outliers" -> (LlmEmbed.qEmbedOutliers _),
+    "q_quality_score"  -> (LlmText.qQualityScore _),
     "q_span_dup"       -> (Llm.qSpanDup _),
     "q_corpus_curate"  -> (graft.etl.CorpusPipeline.qCorpusCurate _),
-    "q_lm_perplexity"  -> (Llm.qLmPerplexity _),
-    "q_content_chunks" -> (Llm.qContentChunks _),
+    "q_lm_perplexity"  -> (LlmText.qLmPerplexity _),
+    "q_content_chunks" -> (LlmText.qContentChunks _),
     "q_chunk_dedup"    -> (Llm.qChunkDedup _),
-    "q_split_assign"   -> (Llm.qSplitAssign _),
-    "q_sample_stratified" -> (Llm.qSampleStratified _),
-    "q_source_budget"  -> (Llm.qSourceBudget _),
+    "q_split_assign"   -> (LlmMix.qSplitAssign _),
+    "q_sample_stratified" -> (LlmMix.qSampleStratified _),
+    "q_source_budget"  -> (LlmMix.qSourceBudget _),
     "q_pseudonymize"   -> (Relational.qPseudonymize _),
     "q_pii_scrub"      -> (Relational.qPiiScrub _),
     "q_dp_counts"      -> ((s: org.apache.spark.sql.SparkSession, d: String) => Relational.qDpCounts(s, d)),
     "q_k_anonymity"    -> (Relational.qKAnonymity _),
-    "q_knn_cosine_int8" -> (Llm.qKnnCosineInt8 _), // no-oracle: recall + int8-error bound in LlmSpec
-    "q_knn_batch_int8"  -> (Llm.qKnnBatchInt8 _),  // no-oracle: per-probe parity with single-probe SQ8 in LlmSpec
-    "q_knn_cosine_pq"   -> (Llm.qKnnCosinePq _),   // no-oracle: recall + ADC/codebook contracts in LlmSpec
-    "q_knn_batch_pq"    -> (Llm.qKnnBatchPq _),    // no-oracle: per-probe parity with single-probe PQ in LlmSpec
-    "q_knn_cosine_ivfpq" -> (Llm.qKnnCosineIvfPq _), // no-oracle: recall + pruning + code-parity in LlmSpec
-    "q_knn_batch_ivfpq" -> (Llm.qKnnBatchIvfPq _),   // no-oracle: per-probe parity with single-probe IVF-PQ in LlmSpec
+    "q_knn_cosine_int8" -> (LlmKnn.qKnnCosineInt8 _), // no-oracle: recall + int8-error bound in LlmSpec
+    "q_knn_batch_int8"  -> (LlmKnn.qKnnBatchInt8 _),  // no-oracle: per-probe parity with single-probe SQ8 in LlmSpec
+    "q_knn_cosine_pq"   -> (LlmKnn.qKnnCosinePq _),   // no-oracle: recall + ADC/codebook contracts in LlmSpec
+    "q_knn_batch_pq"    -> (LlmKnn.qKnnBatchPq _),    // no-oracle: per-probe parity with single-probe PQ in LlmSpec
+    "q_knn_cosine_ivfpq" -> (LlmKnn.qKnnCosineIvfPq _), // no-oracle: recall + pruning + code-parity in LlmSpec
+    "q_knn_batch_ivfpq" -> (LlmKnn.qKnnBatchIvfPq _),   // no-oracle: per-probe parity with single-probe IVF-PQ in LlmSpec
     "q_cross_source_keep" -> (Llm.qCrossSourceKeep _),
-    "q_bm25"           -> (Llm.qBm25 _),
-    "q_hybrid_rrf"     -> (Llm.qHybridRrf _),
-    "q_token_bpe"      -> (Llm.qTokenBpe _),
-    "q_bpe_train"      -> (Llm.qBpeTrain _), // no-oracle: iterative training not SQL-expressible; contracts in LlmSpec
+    "q_bm25"           -> (LlmRetrieval.qBm25 _),
+    "q_hybrid_rrf"     -> (LlmRetrieval.qHybridRrf _),
+    "q_token_bpe"      -> (LlmText.qTokenBpe _),
+    "q_bpe_train"      -> (LlmText.qBpeTrain _), // no-oracle: iterative training not SQL-expressible; contracts in LlmSpec
     "q_containment"    -> (Llm.qContainment _),
     "q_block_dedup"    -> (Llm.qBlockDedup _),
     "q_pagerank"       -> (Graph.qPagerank _),
     "q_graph_triangles" -> (Graph.qTriangles _),
     "q_event_anomaly"  -> (Cdc.qEventAnomaly _),
     "q_anomaly_mad"    -> (Cdc.qAnomalyMad _),
-    "q_sample_weighted" -> (Llm.qSampleWeighted _),
-    "q_count_min"      -> (Llm.qCountMin _),
+    "q_sample_weighted" -> (LlmMix.qSampleWeighted _),
+    "q_count_min"      -> (LlmText.qCountMin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -3,7 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.Llm
+import graft.queries.{Llm, LlmKnn}
 
 /** Unified ANN quality harness (r10): ONE planted-near-dup fixture, ONE
   * scoring pass over all ten ANN paths (five single-probe + five batch
@@ -98,7 +98,7 @@ object AnnQuality {
       .select("vec_id", "embedding").as[(Long, Array[Float])]
       .collect().toMap
     def exactTop(pid: Long): Set[Long] =
-      Llm.knnExact(e, pid, K).collect().map(_.getLong(0)).toSet
+      LlmKnn.knnExact(e, pid, K).collect().map(_.getLong(0)).toSet
     val exact: Map[Long, Set[Long]] = batchIds.map(p => p -> exactTop(p)).toMap
 
     def hitsOf(df: DataFrame, pid: Long): Int =
@@ -114,17 +114,17 @@ object AnnQuality {
     val b = scala.collection.mutable.ArrayBuffer.empty[PathScore]
 
     // ---- LSH: pruned posting cells -> distinct candidates -> exact rerank
-    val cells1 = Llm.lshProbeCells(e, 0L, bands = 3, bits = 8, radius = 1)
+    val cells1 = LlmKnn.lshProbeCells(e, 0L, bands = 3, bits = 8, radius = 1)
     val lshCand1 = AnnIndex.lshProbeScan(spark, lshDir, cells1).count()
     val lshPost1 = AnnIndex.lshPostingScan(spark, lshDir, cells1).count()
     b += PathScore("lsh", 1, K,
-      hitsOf(Llm.knnExact(e.join(
+      hitsOf(LlmKnn.knnExact(e.join(
         AnnIndex.lshProbeScan(spark, lshDir, cells1), Seq("vec_id"), "left_semi"),
         0L, K), 0L),
       K, lshPost1, lshCand1, lshPost1 * 16, lshCand1 * fDim)
 
     val cellsB = batchIds.flatMap(p =>
-      Llm.lshProbeCells(e, p, bands = 3, bits = 8, radius = 1)
+      LlmKnn.lshProbeCells(e, p, bands = 3, bits = 8, radius = 1)
         .map { case (band, bkt) => (p, band, bkt) })
     val postingB = AnnIndex.lshPostingScan(spark, lshDir,
       cellsB.map(c => (c._2, c._3)).distinct)
@@ -150,24 +150,24 @@ object AnnQuality {
     val lists1 = AnnIndex.nearestLists(spark, ivfDir, probeD, nprobe = 4)
     val ivfRows1 = AnnIndex.probeScan(spark, ivfDir, lists1).count()
     b += PathScore("ivf", 1, K,
-      hitsOf(Llm.knnIvfProbe(spark, ivfDir, probeD, 0L, K, nprobe = 4), 0L),
+      hitsOf(LlmKnn.knnIvfProbe(spark, ivfDir, probeD, 0L, K, nprobe = 4), 0L),
       K, ivfRows1, ivfRows1, ivfRows1 * fDim, ivfRows1 * fDim)
 
     val listsB = AnnIndex.nearestListsBatch(spark, ivfDir,
       batchIds.map(p => probeVecs(p).map(_.toDouble)), nprobe = 4)
     val ivfRowsB = AnnIndex.probeScan(spark, ivfDir, listsB.flatten.distinct).count()
     b += PathScore("ivf_batch", batchIds.size, K,
-      batchHits(Llm.knnIvfBatchProbe(spark, ivfDir,
+      batchHits(LlmKnn.knnIvfBatchProbe(spark, ivfDir,
         batchIds.map(p => (p, probeVecs(p))), K, nprobe = 4)),
       batchIds.size * K, ivfRowsB, ivfRowsB, ivfRowsB * fDim, ivfRowsB * fDim)
 
     // ---- SQ8: full 1-byte/dim coarse scan, oversample*k exact rerank
     val sq8Rerank = 4L * K
     b += PathScore("sq8", 1, K,
-      hitsOf(Llm.knnSq8Probe(spark, sq8Dir, e, probeD, 0L, K, oversample = 4), 0L),
+      hitsOf(LlmKnn.knnSq8Probe(spark, sq8Dir, e, probeD, 0L, K, oversample = 4), 0L),
       K, CorpusRows, sq8Rerank, CorpusRows * (Dim + 8L), sq8Rerank * fDim)
     b += PathScore("sq8_batch", batchIds.size, K,
-      batchHits(Llm.knnSq8BatchProbe(spark, sq8Dir, e,
+      batchHits(LlmKnn.knnSq8BatchProbe(spark, sq8Dir, e,
         batchIds.map(p => (p, probeVecs(p).map(_.toDouble))), K, oversample = 4)),
       batchIds.size * K, CorpusRows, batchIds.size * sq8Rerank,
       CorpusRows * (Dim + 8L), batchIds.size * sq8Rerank * fDim)
@@ -175,10 +175,10 @@ object AnnQuality {
     // ---- PQ: full m-byte coarse scan, oversample*k exact rerank
     val pqRerank = 8L * K
     b += PathScore("pq", 1, K,
-      hitsOf(Llm.knnPqProbe(spark, pqDir, e, probeD, 0L, K, oversample = 8), 0L),
+      hitsOf(LlmKnn.knnPqProbe(spark, pqDir, e, probeD, 0L, K, oversample = 8), 0L),
       K, CorpusRows, pqRerank, CorpusRows * (4 + 8L), pqRerank * fDim)
     b += PathScore("pq_batch", batchIds.size, K,
-      batchHits(Llm.knnPqBatchProbe(spark, pqDir, e,
+      batchHits(LlmKnn.knnPqBatchProbe(spark, pqDir, e,
         batchIds.map(p => (p, probeVecs(p).map(_.toDouble))), K, oversample = 8)),
       batchIds.size * K, CorpusRows, batchIds.size * pqRerank,
       CorpusRows * (4 + 8L), batchIds.size * pqRerank * fDim)
@@ -186,12 +186,12 @@ object AnnQuality {
     // ---- IVF-PQ: pruned m-byte list scan, oversample*k exact rerank
     val ivfPqRows1 = AnnIndex.ivfPqScan(spark, ivfPqDir, lists1).count()
     b += PathScore("ivfpq", 1, K,
-      hitsOf(Llm.knnIvfPqProbe(spark, ivfDir, ivfPqDir, e, probeD, 0L, K,
+      hitsOf(LlmKnn.knnIvfPqProbe(spark, ivfDir, ivfPqDir, e, probeD, 0L, K,
         nprobe = 4, oversample = 8), 0L),
       K, ivfPqRows1, pqRerank, ivfPqRows1 * (4 + 8L), pqRerank * fDim)
     val ivfPqRowsB = AnnIndex.ivfPqScan(spark, ivfPqDir, listsB.flatten.distinct).count()
     b += PathScore("ivfpq_batch", batchIds.size, K,
-      batchHits(Llm.knnIvfPqBatchProbe(spark, ivfDir, ivfPqDir, e,
+      batchHits(LlmKnn.knnIvfPqBatchProbe(spark, ivfDir, ivfPqDir, e,
         batchIds.map(p => (p, probeVecs(p).map(_.toDouble))), K,
         nprobe = 4, oversample = 8)),
       batchIds.size * K, ivfPqRowsB, batchIds.size * pqRerank,

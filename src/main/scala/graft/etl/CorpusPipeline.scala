@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.queries.Llm
+import graft.queries.{Llm, LlmText}
 
 /** End-to-end corpus curation — the standard LLM training-data funnel
   * composed from the engine's declared operators, in the order a production
@@ -50,11 +50,11 @@ object CorpusPipeline {
     val d0 = Tables.documents(spark, dir)
     val d1 = d0.filter(col("source") =!= "src0")
 
-    val kept = Llm.qQualityScore(spark, dir)
+    val kept = LlmText.qQualityScore(spark, dir)
       .filter(col("kept")).select("doc_id")
     val d2 = d1.join(kept, "doc_id")
 
-    val calm = Llm.qRepetitionFilter(spark, dir)
+    val calm = LlmText.qRepetitionFilter(spark, dir)
       .filter(!col("flagged")).select("doc_id")
     val d3 = d2.join(calm, "doc_id")
 
@@ -110,8 +110,8 @@ object CorpusPipeline {
     * sums, not seven jobs).
     *
     * The stage-1..3 gates are pure per-row predicates, so they compute as
-    * ONE fused scan projection via the shared gate columns ([[Llm.qualityZ]],
-    * [[Llm.withRepetitionMetrics]] — the same definitions the declared
+    * ONE fused scan projection via the shared gate columns ([[LlmText.qualityZ]],
+    * [[LlmText.withRepetitionMetrics]] — the same definitions the declared
     * queries evaluate) and the gated frame is PINNED (stage-boundary
     * materialization — reliable checkpoint when a checkpoint dir is set,
     * executor-local otherwise, the same discipline as the CC loop). Both
@@ -143,11 +143,11 @@ object CorpusPipeline {
   def qCorpusCurate(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val d0 = Tables.documents(spark, dir)
-    val gated = Llm.withRepetitionMetrics(
+    val gated = LlmText.withRepetitionMetrics(
         d0.select(col("doc_id"), col("source"), col("text"))
           .withColumn("words", split(col("text"), " ")))
       .withColumn("s1", col("source") =!= "src0")
-      .withColumn("s2", col("s1") && Llm.qualityZ(col("text"), col("words")) >= 0)
+      .withColumn("s2", col("s1") && LlmText.qualityZ(col("text"), col("words")) >= 0)
       .withColumn("s3", col("s2") && col("n_words") >= 2 && !col("flagged"))
       .withColumn("h", md5(col("text")))
       .select("doc_id", "h", "s1", "s2", "s3")

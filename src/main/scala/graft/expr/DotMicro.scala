@@ -1,5 +1,7 @@
 package graft.expr
 
+import graft.queries.{LlmKnn}
+
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -8,7 +10,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Exact integer micro-dot over two float vectors:
   * `Σ floor(x_i · y_i · 1e6)` as a long — the oracle-able similarity
-  * [[graft.queries.Llm.qHardNegatives]] ranks by (floor of an identical
+  * [[graft.queries.LlmKnn.qHardNegatives]] ranks by (floor of an identical
   * IEEE double product is engine-independent, and the long sum is
   * order-independent, SURVEY.md §5.3).
   *

@@ -28,7 +28,6 @@ import graft.expr.GraftFunctions
   *    variant prunes the scan to candidate buckets first.
   */
 object Llm {
-
   // ---- shared expression helpers -----------------------------------------
 
   /** Exploded bigram-shingle rows (doc_id, gram), duplicates included:
@@ -39,7 +38,7 @@ object Llm {
     * drops the null, yielding the bare token — the same fallback as the
     * oracle SQL's CASE len<2 branch. Callers that need set semantics
     * (Jaccard) dropDuplicates; minwise minima are multiset-invariant. */
-  private def shingleRows(docs: DataFrame): DataFrame = {
+  private[graft] def shingleRows(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val pairs = when(size(toks) >= 2,
         arrays_zip(slice(toks, lit(1), size(toks) - 1),
@@ -66,14 +65,14 @@ object Llm {
   }
 
   /** Exact float→double promotion of a vector column. */
-  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  private[graft] def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
   /** Sequential left-to-right double dot product — mirrors DuckDB's
     * list_sum over the zipped products (identical IEEE ops both engines). */
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def l2(v: Column): Column = sqrt(dot(v, v))
+  private[graft] def l2(v: Column): Column = sqrt(dot(v, v))
 
   /** Reference higher-order-function cosine over float vectors — the
     * formulation the oracled queries started with; kept as the bit-exact
@@ -84,7 +83,7 @@ object Llm {
   /** Native codegen cosine ([[graft.expr.CosineSimilarity]]): bit-identical
     * to [[cosineHof]], ~100× cheaper per pair (tight primitive loop inside
     * whole-stage codegen instead of interpreted per-element lambdas). */
-  private def cosine(a: Column, b: Column): Column =
+  private[graft] def cosine(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 
   /** 8-bit sign band over fixed coordinates — axis-aligned random-hyperplane
@@ -93,7 +92,7 @@ object Llm {
     * (DuckDB mirrors it verbatim), which is what makes `q_dedup_cosine`
     * oracle-checkable; [[rpBandBuckets]] is the seeded dense-hyperplane
     * variant for the no-oracle ANN path. */
-  private def signBand(v: Column, coords: Seq[Int]): Column =
+  private[graft] def signBand(v: Column, coords: Seq[Int]): Column =
     coords.zipWithIndex.map { case (p, i) =>
       when(element_at(v, p) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -623,814 +622,8 @@ object Llm {
 
   // ---- similarity search --------------------------------------------------
 
-  /** Brute-force top-k cosine core: one scan, rounded score,
-    * TakeOrderedAndProject. */
-  private[graft] def knnExact(e: DataFrame, probeId: Long, k: Int): DataFrame = {
-    val probe = e.filter(col("vec_id") === probeId).select(col("embedding").as("pv"))
-    e.crossJoin(broadcast(probe))
-      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
-      .select("vec_id", "label", "cos_sim")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(k)
-  }
-
   /** §2.9 Brute-force top-k cosine similarity vs a probe vector (vec_id 0):
     * the exact baseline the ANN variant is tested against. */
-  /** §2.9 BATCH KNN: top-k cosine neighbors for EVERY probe in a set — the
-    * batch-retrieval shape (score a training batch against the corpus,
-    * attach neighbors to each example) rather than m single-probe queries.
-    *
-    * Shape at scale: the m probes broadcast (bounded batch, not data-sized);
-    * scoring is one codegen'd [[graft.expr.CosineSimilarity]] per
-    * (corpus row × probe) — map-side only, no shuffle of scored rows; the
-    * per-probe cut runs on the custom [[graft.plans.TopKPerGroup]] operator,
-    * so the only shuffle carries ≤ k rows per (probe × map partition)
-    * instead of the m·n scored relation a window formulation would sort.
-    * The (rounded sim DESC, vec_id) ordering is total → oracle-exact. */
-  def qKnnBatch(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val scored = e.crossJoin(broadcast(probes))
-      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
-      .select("probe_id", "vec_id", "label", "cos_sim")
-    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
-        Seq(("cos_sim", false), ("vec_id", true)), 5)
-      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
-  }
-
-  def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    qKnnCosine0(spark, dir)
-  }
-  private def qKnnCosine0(spark: SparkSession, dir: String): DataFrame =
-    knnExact(Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding")), 0L, 10)
-
-  /** ANN candidate set: vectors sharing ANY band bucket with the probe under
-    * multi-probe (all buckets within Hamming ≤ `radius` of the probe's, as
-    * exploded XOR masks — so the probe side is a tiny broadcast list and the
-    * candidate fetch is a broadcast EQUI-join on (band, bucket), never a
-    * residual-predicate scan). Exposed for the LlmSpec candidate-fraction
-    * assertion. */
-  private[graft] def knnLshCandidates(e: DataFrame, probeId: Long,
-                                      bands: Int, bits: Int, radius: Int): DataFrame = {
-    require(radius <= 1, "multi-probe masks generated for radius 0/1 only")
-    val bk = rpBandBuckets(e, bands, bits)
-    val bandArr = array((0 until bands).map(b => col(s"bkt$b")): _*)
-    // ONE posexplode band frame per side (a union of per-band projections
-    // would re-evaluate the bucket aggregation once per band per side)
-    val bandRows = bk.select(col("vec_id"),
-      posexplode(bandArr).as(Seq("band", "bval")))
-    val masks = lit(0) +: (if (radius >= 1) (0 until bits).map(j => lit(1 << j)) else Nil)
-    val probes = bk.filter(col("vec_id") === probeId)
-      .select(posexplode(bandArr).as(Seq("band", "pb")))
-      .select(col("band"),
-        explode(array(masks.map(m => col("pb").bitwiseXOR(m)): _*)).as("bval"))
-    bandRows.join(broadcast(probes), Seq("band", "bval"))
-      .select("vec_id").distinct()
-  }
-
-  /** §2.9 RP-LSH ANN (no-oracle; recall + candidate-fraction asserted in
-    * LlmSpec): coarse stage fetches candidates from the PERSISTED posting
-    * lists ([[graft.etl.AnnIndex.ensureLsh]] — built once at ingest,
-    * `partitionBy(band, bkt)`), probing the probe's own 3×8-bit
-    * random-hyperplane buckets plus every Hamming-1 XOR neighbor
-    * (multi-probe); fine stage re-ranks the survivors by exact codegen'd
-    * cosine.
-    *
-    * Scale shape — the same contract as the IVF twin: the query path never
-    * hashes the corpus. `ensureLsh` is a metadata-only marker check after
-    * the one-time build; probe-cell selection is O(bands·bits) driver math
-    * over the probe's own bucket row; the candidate fetch is a
-    * partition-PRUNED scan of `bands×(bits+1)` of `bands×2^bits` posting
-    * directories (plan-asserted in LlmSpec, which also proves the pruned
-    * candidate set identical to the in-query [[knnLshCandidates]] path and
-    * the appended-index probe identical to a from-scratch build). Recall is
-    * similarity-dependent (LSH property): near-duplicates
-    * (cos ≳ 0.9) are recovered at ≥ 8/10 while scanning a few percent of the
-    * corpus — asserted on a planted-near-dup corpus in LlmSpec; on
-    * uniform-random vectors no sublinear method separates cos≈0.3
-    * "neighbors" from the bulk. */
-  def qKnnCosineLsh(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val idxDir = AnnIndex.defaultLshDir(dir, bands = 3, bits = 8)
-    AnnIndex.ensureLsh(e, idxDir, bands = 3, bits = 8)
-    val cand = AnnIndex.lshProbeScan(spark, idxDir,
-      lshProbeCells(e, probeId = 0L, bands = 3, bits = 8, radius = 1))
-    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId = 0L, k = 10)
-  }
-
-  /** Driver-side multi-probe cell selection: the probe vector's own band
-    * buckets (a 1-row job over the seeded data-independent hyperplanes —
-    * the LSH mirror of the IVF centroid ranking) expanded to every
-    * Hamming-≤radius XOR neighbor. O(bands·(bits+1)) cells. */
-  private[graft] def lshProbeCells(e: DataFrame, probeId: Long, bands: Int,
-                                   bits: Int, radius: Int): Seq[(Int, Int)] = {
-    require(radius <= 1, "multi-probe masks generated for radius 0/1 only")
-    val own = rpBandBuckets(e.filter(col("vec_id") === probeId), bands, bits).head()
-    for {
-      b <- 0 until bands
-      m <- 0 +: (if (radius >= 1) (0 until bits).map(1 << _).toList else Nil)
-    } yield (b, own.getInt(1 + b) ^ m)
-  }
-
-  /** Parameterized ANN core — candidates (coarse) then exact re-rank (fine).
-    * Guarantees the probe itself is always a candidate (its own buckets). */
-  private[graft] def knnLsh(e: DataFrame, probeId: Long, k: Int,
-                            bands: Int, bits: Int, radius: Int): DataFrame = {
-    val cand = knnLshCandidates(e, probeId, bands, bits, radius)
-    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
-  }
-
-  /** §2.9 BATCH LSH ANN (no-oracle; LlmSpec asserts per-probe parity with
-    * the single-probe LSH path): [[qKnnBatchIvf]]'s twin over the persisted
-    * posting lists — top-k for every probe in a bounded batch with ONE
-    * pruned posting scan shared across probes.
-    *
-    * Scale shape: all probes' own band buckets compute in ONE job over the
-    * seeded data-independent hyperplanes (m rows — vs m 1-row jobs);
-    * multi-probe cell expansion is O(m·bands·bits) driver metadata math;
-    * the candidate fetch is one partition-pruned scan of the UNION of all
-    * probed cells ([[graft.etl.AnnIndex.lshPostingScan]] — direct
-    * `band=/bkt=` path addressing, no directory-tree discovery), joined to
-    * a broadcast (probe_id, band, bkt) cell table so each posting row fans
-    * out only to the probes whose cells it sits in; scoring re-ranks each
-    * probe's distinct candidates by exact codegen cosine and cuts per probe
-    * on [[graft.plans.TopKPerGroup]] (≤ k rows per probe per map partition
-    * shuffled). */
-  def qKnnBatchLsh(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val idxDir = AnnIndex.defaultLshDir(dir, bands = 3, bits = 8)
-    AnnIndex.ensureLsh(e, idxDir, bands = 3, bits = 8)
-    // every probe's own buckets in one m-row job, then Hamming-1 expansion
-    val own = rpBandBuckets(e.filter(col("vec_id") < 5), bands = 3, bits = 8).collect()
-    val probeCells = own.toSeq.flatMap { r =>
-      for {
-        b <- 0 until 3
-        m <- 0 +: (0 until 8).map(1 << _).toList
-      } yield (r.getLong(0), b, r.getInt(1 + b) ^ m)
-    }
-    val posting = AnnIndex.lshPostingScan(spark, idxDir,
-      probeCells.map(c => (c._2, c._3)).distinct)
-    val cand = posting
-      .join(broadcast(probeCells.toDF("probe_id", "band", "bkt")), Seq("band", "bkt"))
-      .select("probe_id", "vec_id").distinct()
-    val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val scored = e.join(cand, Seq("vec_id"))
-      .join(broadcast(probes), Seq("probe_id"))
-      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
-      .select("probe_id", "vec_id", "label", "cos_sim")
-    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
-        Seq(("cos_sim", false), ("vec_id", true)), 10)
-      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
-  }
-
-  /** §2.9 IVF ANN (no-oracle; recall-tested in LlmSpec): the inverted-file
-    * alternative to [[qKnnCosineLsh]] — cosine k-means centroids partition
-    * the corpus into `nlist` lists, a query probes only the `nprobe` lists
-    * whose centroids are nearest its vector, then re-ranks the list members
-    * exactly.
-    *
-    * Scale shape: the index is PERSISTED at ingest ([[graft.etl.AnnIndex]]):
-    * the corpus is re-written `partitionBy(list_id)` and the centroids land
-    * as an nlist-row metadata table, so the query path contains NO training
-    * — `ensure` is a metadata-only marker check after the one-time build.
-    * Probe-list selection is O(nlist·dim) driver math over the centroid
-    * table; the candidate fetch is a partition-PRUNED scan reading
-    * nprobe/nlist of the data (numPartitions metric asserted in LlmSpec). */
-  def qKnnCosineIvf(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val idxDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
-    AnnIndex.ensure(e, idxDir, nlist = 16)
-    // 1-row pushed-down lookup against the base table (at 100 TB the probe
-    // vector arrives WITH the query; it is not derived from the corpus)
-    val probeVec = e.filter(col("vec_id") === 0L)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    knnIvfProbe(spark, idxDir, probeVec, probeId = 0L, k = 10, nprobe = 4)
-  }
-
-  /** §2.9 SQ8 ANN (no-oracle; recall + quantization-error tested in
-    * LlmSpec): the int8-quantized coarse-scan alternative to the bucketed
-    * ANN paths — every vector is scored, but against the PERSISTED 4×-
-    * smaller quantized index ([[graft.etl.AnnIndex.buildSq8]]), which is
-    * what a bandwidth-bound brute-force pass costs at scale; the top
-    * oversampled candidates re-rank exactly on the full-precision vectors.
-    *
-    * The symmetric per-vector scale cancels in cosine, so the coarse score
-    * is just `int8_dot(qvec, probe_q) / qnorm` — pure integer multiply-adds
-    * in one codegen loop ([[graft.expr.Int8Dot]]) and a stored norm; the
-    * coarse cut is a TakeOrdered (per-partition top-C + merge, never a full
-    * sort). Recall is near-perfect at 4× oversampling because int8 cosine
-    * error is ≲1e-2 — the quantized ordering only confuses genuinely-tied
-    * neighbors (bounded in LlmSpec). Complements LSH/IVF: no bucketing
-    * assumptions, exact-ish results on ANY geometry, at linear-but-4×-
-    * cheaper scan cost — the standard first rung of the quantized-ANN
-    * ladder (SQ8 before PQ). */
-  def qKnnCosineInt8(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val idxDir = AnnIndex.defaultSq8Dir(dir)
-    AnnIndex.ensureSq8(e, idxDir)
-    val probeVec = e.filter(col("vec_id") === 0L)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    knnSq8Probe(spark, idxDir, e, probeVec, probeId = 0L, k = 10, oversample = 4)
-  }
-
-  /** SQ8 query core over a persisted index: quantize the probe driver-side
-    * (the [[graft.etl.AnnIndex.quantizeInt8]] twin of the build-time
-    * expression), coarse-score the quantized corpus, TakeOrdered the top
-    * `oversample·k`, re-rank exactly. */
-  private[graft] def knnSq8Probe(spark: SparkSession, indexDir: String,
-                                 e: DataFrame, probeVec: Array[Double],
-                                 probeId: Long, k: Int, oversample: Int): DataFrame = {
-    val pq = AnnIndex.quantizeInt8(probeVec)
-    val cand = AnnIndex.sq8Scan(spark, indexDir)
-      .filter(col("qnorm") > 0)
-      .withColumn("score8",
-        call_function("int8_dot", col("qvec"), lit(pq)).cast("double") / col("qnorm"))
-      .orderBy(col("score8").desc, col("vec_id"))
-      .limit(oversample * k)
-      .select("vec_id")
-    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
-  }
-
-  /** §2.9 PQ ANN (r9, no-oracle; recall + codebook contracts in LlmSpec) —
-    * the rung BELOW SQ8 on the quantized ladder: vectors persist as m code
-    * BYTES against per-subspace k-means codebooks
-    * ([[graft.etl.AnnIndex.buildPq]] — 64-dim float32 → 4 bytes at m=4,
-    * 64× less scan bandwidth vs SQ8's 4×), scored by asymmetric distance:
-    * the probe side precomputes the m·k lookup table of
-    * ⟨probe_sub, centroid⟩ inner products DRIVER-side (O(k·D) model-
-    * metadata math), so the per-row coarse score is m table lookups in one
-    * codegen loop ([[graft.expr.PqAdc]]) — the scan never touches a float
-    * vector. Normalizing by the stored reconstruction norm makes the score
-    * a cosine estimate (probe norm is constant per probe — cancels in
-    * ranking). Coarser than SQ8, so the oversampled exact re-rank carries
-    * more of the precision burden: oversample 8 here vs SQ8's 4. */
-  def qKnnCosinePq(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val idxDir = AnnIndex.defaultPqDir(dir, m = 4, k = 16)
-    AnnIndex.ensurePq(e, idxDir, m = 4, k = 16)
-    val probeVec = e.filter(col("vec_id") === 0L)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    knnPqProbe(spark, idxDir, e, probeVec, probeId = 0L, k = 10, oversample = 8)
-  }
-
-  /** The ADC lookup table for one probe: `lut(s·nCodes + c)` holds the
-    * inner product of the probe's subvector `s` with codebook centroid
-    * `(s, c)` — `pq_adc` then scores a stored code as Σ_s lut(s·nCodes +
-    * code(s)), the asymmetric-distance dot product. Shared by every
-    * PQ-family probe/serve core. */
-  private def pqAdcLut(books: Seq[(Int, Int, Array[Double])], m: Int,
-                       nCodes: Int, pv: Array[Double]): Array[Double] = {
-    val sub = pv.length / m
-    val lut = new Array[Double](m * nCodes)
-    books.foreach { case (s, c, cent) =>
-      var acc = 0.0
-      var j = 0
-      while (j < sub) { acc += pv(s * sub + j) * cent(j); j += 1 }
-      lut(s * nCodes + c) = acc
-    }
-    lut
-  }
-
-  /** PQ query core over a persisted index: driver-side ADC lookup-table
-    * build, codegen table-lookup coarse scan, exact re-rank. */
-  private[graft] def knnPqProbe(spark: SparkSession, indexDir: String,
-                                e: DataFrame, probeVec: Array[Double],
-                                probeId: Long, k: Int, oversample: Int): DataFrame = {
-    // ONE snapshot: the books building the ADC table and the codes scanned
-    // must be the same generation (retrain-consistent)
-    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
-    val m = books.map(_._1).max + 1
-    val nCodes = books.map(_._2).max + 1
-    val lut = pqAdcLut(books, m, nCodes, probeVec)
-    val cand = AnnIndex.pqScanAt(spark, codesRoot)
-      .filter(col("rnorm") > 0)
-      .withColumn("score_pq",
-        call_function("pq_adc", col("code"), typedLit(lut)) / col("rnorm"))
-      .orderBy(col("score_pq").desc, col("vec_id"))
-      .limit(oversample * k)
-      .select("vec_id")
-    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
-  }
-
-  /** §2.9 IVF-PQ ANN (r9, no-oracle; recall + pruning + code-parity
-    * contracts in LlmSpec) — the composite the production indexes actually
-    * ship (FAISS IVFPQ): IVF prunes WHICH partitions are read (nprobe of
-    * nlist directories, `PartitionFilters` on `list_id`), PQ shrinks WHAT
-    * is read per row (m code bytes, ADC-scored via [[graft.expr.PqAdc]]) —
-    * orthogonal compressions that multiply: nprobe/nlist of the data ×
-    * m bytes of it. The exact re-rank reads full vectors only for the
-    * oversampled survivors, same as every rung of the ladder. */
-  def qKnnCosineIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val ivfDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
-    AnnIndex.ensure(e, ivfDir, nlist = 16)
-    val idxDir = AnnIndex.defaultIvfPqDir(dir, nlist = 16, m = 4, k = 16)
-    AnnIndex.ensureIvfPq(e, ivfDir, idxDir, m = 4, k = 16)
-    val probeVec = e.filter(col("vec_id") === 0L)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    knnIvfPqProbe(spark, ivfDir, idxDir, e, probeVec, probeId = 0L,
-      k = 10, nprobe = 4, oversample = 8)
-  }
-
-  /** IVF-PQ query core: centroid ranking picks nprobe lists (IVF half),
-    * the pruned code scan ADC-scores only those lists (PQ half), exact
-    * re-rank of the oversampled survivors. */
-  private[graft] def knnIvfPqProbe(spark: SparkSession, ivfDir: String,
-                                   indexDir: String, e: DataFrame,
-                                   probeVec: Array[Double], probeId: Long, k: Int,
-                                   nprobe: Int, oversample: Int): DataFrame = {
-    // ONE paired snapshot for the whole composite: centroids come from the
-    // lists generation the CODES were encoded against (the `_lists_gen`
-    // sidecar), so a probe landing between the two retrain publishes never
-    // prunes old-clustering codes by new-clustering list ids
-    val (_, cents, codesRoot, books) =
-      AnnIndex.ivfPqSnapshot(spark, ivfDir, indexDir)
-    val lists = AnnIndex.rankLists(cents, probeVec, nprobe)
-    val m = books.map(_._1).max + 1
-    val nCodes = books.map(_._2).max + 1
-    val lut = pqAdcLut(books, m, nCodes, probeVec)
-    val cand = AnnIndex.ivfPqScanAt(spark, codesRoot, lists)
-      .filter(col("rnorm") > 0)
-      .withColumn("score_pq",
-        call_function("pq_adc", col("code"), typedLit(lut)) / col("rnorm"))
-      .orderBy(col("score_pq").desc, col("vec_id"))
-      .limit(oversample * k)
-      .select("vec_id")
-    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
-  }
-
-  /** §2.9 BATCH IVF-PQ ANN (r9, no-oracle; LlmSpec asserts per-probe
-    * parity with the single-probe composite path): the last cell of the
-    * ladder matrix — every index (LSH, IVF, SQ8, PQ, IVF-PQ) now serves
-    * batch retrieval. [[qKnnBatchIvf]]'s shape at [[qKnnCosineIvfPq]]'s
-    * cost: ONE centroid-table read ranks lists for all m probes, ONE
-    * partition-pruned scan of the union of probed lists reads only m-byte
-    * codes, and candidates join the broadcast (probe, lut, list) rows on
-    * `list_id` EQUALITY — each code row ADC-scores only against the probes
-    * that probe its list; per-probe coarse cut on TopKPerGroup, exact
-    * re-rank of the survivors. */
-  def qKnnBatchIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val ivfDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
-    AnnIndex.ensure(e, ivfDir, nlist = 16)
-    val idxDir = AnnIndex.defaultIvfPqDir(dir, nlist = 16, m = 4, k = 16)
-    AnnIndex.ensureIvfPq(e, ivfDir, idxDir, m = 4, k = 16)
-    val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
-    knnIvfPqBatchProbe(spark, ivfDir, idxDir, e, probes,
-      k = 5, nprobe = 4, oversample = 8)
-  }
-
-  /** Batch IVF-PQ query core: one centroid ranking pass, one pruned union
-    * code scan, list-equality ADC scoring, per-probe cuts, exact re-rank. */
-  private[graft] def knnIvfPqBatchProbe(spark: SparkSession, ivfDir: String,
-                                        indexDir: String, e: DataFrame,
-                                        probes: Seq[(Long, Array[Double])],
-                                        k: Int, nprobe: Int,
-                                        oversample: Int): DataFrame = {
-    import spark.implicits._
-    // ONE paired snapshot (see knnIvfPqProbe): centroid ranking pairs with
-    // the codes' own clustering via the `_lists_gen` sidecar
-    val (_, cents, codesRoot, books) =
-      AnnIndex.ivfPqSnapshot(spark, ivfDir, indexDir)
-    val probed = probes.map(p => AnnIndex.rankLists(cents, p._2, nprobe))
-    val m = books.map(_._1).max + 1
-    val nCodes = books.map(_._2).max + 1
-    val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
-      val lut = pqAdcLut(books, m, nCodes, pv)
-      ls.map(l => (pid, lut, l))
-    }.toDF("probe_id", "lut", "list_id")
-    val coarse = AnnIndex.ivfPqScanAt(spark, codesRoot, probed.flatten.distinct)
-      .filter(col("rnorm") > 0)
-      .join(broadcast(probeLists), Seq("list_id"))
-      .select(col("vec_id"), col("probe_id"),
-        (call_function("pq_adc", col("code"), col("lut")) / col("rnorm"))
-          .as("score_pq"))
-    val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
-        Seq(("score_pq", false), ("vec_id", true)), oversample * k)
-      .select("probe_id", "vec_id")
-    val probeVecs = e
-      .join(broadcast(probes.map(_._1).toDF("vec_id")), Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val scored = e.join(cand, Seq("vec_id"))
-      .join(broadcast(probeVecs), Seq("probe_id"))
-      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
-      .select("probe_id", "vec_id", "label", "cos_sim")
-    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
-        Seq(("cos_sim", false), ("vec_id", true)), k)
-      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
-  }
-
-  /** The SERVING form of the IVF-PQ composite batch probe — the shape
-    * [[graft.stream.Streams.annServe]] needs, differing from
-    * [[knnIvfPqBatchProbe]] in two serving-specific ways: probes carry
-    * their OWN vectors (a served query is not a corpus member, so probe
-    * vectors ride the broadcast instead of being fetched from `e`), and
-    * the exact re-rank fetches survivor vectors from the IVF LISTS table
-    * itself — the corpus the ingest stream maintains — via the SAME
-    * partition-pruned scan as the coarse pass (candidates can only come
-    * from probed lists), so the full-vector read stays O(nprobe lists),
-    * never O(corpus). All four artifacts resolve from ONE PAIRED snapshot
-    * ([[graft.etl.AnnIndex.ivfPqSnapshot]]) anchored on the codes
-    * generation — a retrain sequence publishing mid-serve flips nothing
-    * under us, and the serve never pairs one model's centroids with the
-    * other model's codes. */
-  private[graft] def knnIvfPqBatchServe(spark: SparkSession, ivfDir: String,
-                                        indexDir: String,
-                                        probes: Seq[(Long, Array[Float])],
-                                        k: Int, nprobe: Int,
-                                        oversample: Int): DataFrame = {
-    import spark.implicits._
-    // cover ad-hoc callers that arrive without the codegen functions
-    // (pq_adc below) registered; idempotent, annServe registers too
-    GraftFunctions.ensureRegistered(spark)
-    // ONE paired snapshot anchored on the codes generation: the centroid
-    // ranking, the pruned code scan, AND the exact-re-rank lists fetch all
-    // read the clustering the codes were encoded against
-    val (listsRoot, cents, codesRoot, books) =
-      AnnIndex.ivfPqSnapshot(spark, ivfDir, indexDir)
-    val m = books.map(_._1).max + 1
-    val nCodes = books.map(_._2).max + 1
-    val probed = probes.map(p =>
-      AnnIndex.rankLists(cents, p._2.map(_.toDouble), nprobe))
-    val lists = probed.flatten.distinct
-    val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
-      val lut = pqAdcLut(books, m, nCodes, pv.map(_.toDouble))
-      ls.map(l => (pid, lut, l))
-    }.toDF("probe_id", "lut", "list_id")
-    val coarse = AnnIndex.ivfPqScanAt(spark, codesRoot, lists)
-      .filter(col("rnorm") > 0)
-      .join(broadcast(probeLists), Seq("list_id"))
-      .select(col("vec_id"), col("probe_id"),
-        (call_function("pq_adc", col("code"), col("lut")) / col("rnorm"))
-          .as("score_pq"))
-    val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
-        Seq(("score_pq", false), ("vec_id", true)), oversample * k)
-      .select("probe_id", "vec_id")
-    val probeVecs = probes.toDF("probe_id", "pv")
-    val scored = AnnIndex.probeScanAt(spark, listsRoot, lists)
-      .select("vec_id", "label", "embedding")
-      .join(cand, Seq("vec_id"))
-      .join(broadcast(probeVecs), Seq("probe_id"))
-      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
-      .select("probe_id", "vec_id", "label", "cos_sim")
-    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
-        Seq(("cos_sim", false), ("vec_id", true)), k)
-      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
-  }
-
-  /** §2.9 BATCH PQ ANN (r9, no-oracle; LlmSpec asserts per-probe parity
-    * with the single-probe PQ path): the batch form of [[qKnnCosinePq]],
-    * closing the ladder — every persisted index (LSH, IVF, SQ8, PQ) now
-    * serves both single-probe and batch retrieval. ONE code-table scan
-    * scores all m probes: the m per-probe ADC lookup tables are a
-    * driver-built literal exploded map-side (m·m_sub·k doubles of model
-    * metadata — no join, no cartesian), each row costing m_sub lookups per
-    * probe in the [[graft.expr.PqAdc]] codegen loop; per-probe coarse cut
-    * on [[graft.plans.TopKPerGroup]] at oversample·k, exact re-rank of the
-    * ≤ m·C survivors, per-probe final cut. */
-  def qKnnBatchPq(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val idxDir = AnnIndex.defaultPqDir(dir, m = 4, k = 16)
-    AnnIndex.ensurePq(e, idxDir, m = 4, k = 16)
-    val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
-    knnPqBatchProbe(spark, idxDir, e, probes, k = 5, oversample = 8)
-  }
-
-  /** Batch PQ query core: one scan, per-probe literal LUT explode, ADC
-    * coarse cut per probe, exact re-rank. */
-  private[graft] def knnPqBatchProbe(spark: SparkSession, indexDir: String,
-                                     e: DataFrame, probes: Seq[(Long, Array[Double])],
-                                     k: Int, oversample: Int): DataFrame = {
-    import spark.implicits._
-    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
-    val m = books.map(_._1).max + 1
-    val nCodes = books.map(_._2).max + 1
-    val luts = probes.map { case (pid, pv) =>
-      (pid, pqAdcLut(books, m, nCodes, pv))
-    }
-    val coarse = AnnIndex.pqScanAt(spark, codesRoot)
-      .filter(col("rnorm") > 0)
-      .select(col("vec_id"), col("rnorm"), col("code"),
-        explode(typedLit(luts)).as("p"))
-      .select(col("vec_id"), col("p._1").as("probe_id"),
-        (call_function("pq_adc", col("code"), col("p._2")) / col("rnorm"))
-          .as("score_pq"))
-    val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
-        Seq(("score_pq", false), ("vec_id", true)), oversample * k)
-      .select("probe_id", "vec_id")
-    val probeVecs = e
-      .join(broadcast(probes.map(_._1).toDF("vec_id")), Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val scored = e.join(cand, Seq("vec_id"))
-      .join(broadcast(probeVecs), Seq("probe_id"))
-      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
-      .select("probe_id", "vec_id", "label", "cos_sim")
-    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
-        Seq(("cos_sim", false), ("vec_id", true)), k)
-      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
-  }
-
-  /** §2.9 BATCH SQ8 ANN (no-oracle; LlmSpec asserts per-probe parity with
-    * the single-probe SQ8 path): completes the batch ladder —
-    * [[qKnnBatchLsh]]/[[qKnnBatchIvf]] batch the bucketed indexes; this
-    * batches the quantized coarse scan, which single-probe would otherwise
-    * re-read once per probe (m full index passes → ONE).
-    *
-    * Scale shape: the m quantized probe vectors are a driver-side literal
-    * exploded map-side over the index scan (pure fan-out — no join, no
-    * shuffle, no cartesian node for the plan audit to flag), so each index
-    * row scores against all m probes in one codegen pass of
-    * [[graft.expr.Int8Dot]] integer multiply-adds; the per-probe coarse cut
-    * is [[graft.plans.TopKPerGroup]] at `oversample·k` (per-partition top-C
-    * per probe — the shuffle carries ≤ m·C rows per map partition, never
-    * the m·corpus score matrix); only the ≤ m·C distinct survivors fetch
-    * their full-precision vectors for the exact re-rank, cut again per
-    * probe. The division by `qnorm` alone is ranking-correct per probe
-    * group: the probe's own quantization scale is constant within its
-    * group, so it cancels exactly as in the single-probe path. */
-  def qKnnBatchInt8(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val idxDir = AnnIndex.defaultSq8Dir(dir)
-    AnnIndex.ensureSq8(e, idxDir)
-    // bounded probe batch — at 100 TB the probe vectors arrive WITH the
-    // query (a training batch); the pushed-down m-row fetch stands in
-    val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
-    knnSq8BatchProbe(spark, idxDir, e, probes, k = 5, oversample = 4)
-  }
-
-  /** Batch SQ8 query core: one quantized-index scan scores every probe
-    * (map-side literal explode), per-probe coarse TopKPerGroup cut at
-    * `oversample·k`, exact re-rank of the survivors, per-probe final cut. */
-  private[graft] def knnSq8BatchProbe(spark: SparkSession, indexDir: String,
-                                      e: DataFrame, probes: Seq[(Long, Array[Double])],
-                                      k: Int, oversample: Int): DataFrame = {
-    import spark.implicits._
-    val pq = probes.map { case (pid, pv) => (pid, AnnIndex.quantizeInt8(pv)) }
-    val coarse = AnnIndex.sq8Scan(spark, indexDir)
-      .filter(col("qnorm") > 0)
-      .select(col("vec_id"), col("qnorm"), col("qvec"),
-        explode(typedLit(pq)).as("p"))
-      .select(col("vec_id"), col("p._1").as("probe_id"),
-        (call_function("int8_dot", col("qvec"), col("p._2")).cast("double")
-          / col("qnorm")).as("score8"))
-    val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
-        Seq(("score8", false), ("vec_id", true)), oversample * k)
-      .select("probe_id", "vec_id")
-    val probeVecs = e
-      .join(broadcast(probes.map(_._1).toDF("vec_id")), Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val scored = e.join(cand, Seq("vec_id"))
-      .join(broadcast(probeVecs), Seq("probe_id"))
-      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
-      .select("probe_id", "vec_id", "label", "cos_sim")
-    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
-        Seq(("cos_sim", false), ("vec_id", true)), k)
-      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
-  }
-
-  /** IVF query core over a persisted index: driver-side centroid ranking,
-    * partition-pruned candidate scan, exact re-rank. The probe's own list is
-    * always probed (its assigned centroid ranks first for its own vector). */
-  private[graft] def knnIvfProbe(spark: SparkSession, indexDir: String,
-                                 probeVec: Array[Double], probeId: Long,
-                                 k: Int, nprobe: Int): DataFrame = {
-    // ONE snapshot for both steps: ranking and scan must see the same
-    // (centroids, lists) generation even if a retrain publishes mid-query
-    val (root, cents) = AnnIndex.ivfSnapshot(spark, indexDir)
-    val lists = AnnIndex.rankLists(cents, probeVec, nprobe)
-    knnExact(AnnIndex.probeScanAt(spark, root, lists)
-      .select("vec_id", "label", "embedding"), probeId, k)
-  }
-
-  /** §2.9 BATCH IVF ANN (no-oracle; LlmSpec asserts per-probe parity with
-    * the single-probe IVF path and exact union-pruning): top-k neighbors
-    * for EVERY probe in a bounded batch through the PERSISTED IVF index —
-    * [[qKnnBatch]]'s retrieval shape at [[qKnnCosineIvf]]'s index-serving
-    * cost. This is the shape that matters in production: retrieval runs in
-    * batches (score a training batch, attach neighbors per example), and m
-    * single-probe queries would re-list and re-read every overlapping list.
-    *
-    * Scale shape: probe-list selection is ONE centroid-table read +
-    * O(m·nlist·dim) driver math ([[graft.etl.AnnIndex.nearestListsBatch]] —
-    * model metadata, not data); the candidate fetch is ONE partition-pruned
-    * scan of the UNION of all probed lists (≤ min(m·nprobe, nlist) dirs,
-    * shared across probes); scoring joins candidates to probes on `list_id`
-    * EQUALITY (a broadcast of m·nprobe probe rows), so each candidate row
-    * scores only against the probes that actually probe its list — map-side
-    * codegen cosine, never an m×corpus cross product; the per-probe cut is
-    * the custom [[graft.plans.TopKPerGroup]] operator (the only shuffle
-    * carries ≤ k rows per probe per map partition). */
-  def qKnnBatchIvf(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val idxDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
-    AnnIndex.ensure(e, idxDir, nlist = 16)
-    // bounded probe batch — at 100 TB the probe vectors arrive WITH the
-    // query (a training batch), not from the corpus; the pushed-down m-row
-    // fetch here stands in for that
-    val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    knnIvfBatchProbe(spark, idxDir, probes, k = 5, nprobe = 4)
-  }
-
-  /** Batch IVF query core: one centroid ranking pass, one pruned union
-    * scan, list-equality scoring, per-probe TopKPerGroup cut. */
-  private[graft] def knnIvfBatchProbe(spark: SparkSession, indexDir: String,
-                                      probes: Seq[(Long, Array[Float])],
-                                      k: Int, nprobe: Int): DataFrame = {
-    import spark.implicits._
-    // ONE snapshot shared by the ranking pass and the pruned union scan
-    val (root, cents) = AnnIndex.ivfSnapshot(spark, indexDir)
-    val probed = probes.map(p =>
-      AnnIndex.rankLists(cents, p._2.map(_.toDouble), nprobe))
-    val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
-      ls.map(l => (pid, pv, l))
-    }.toDF("probe_id", "pv", "list_id")
-    val scored = AnnIndex.probeScanAt(spark, root, probed.flatten.distinct)
-      .join(broadcast(probeLists), Seq("list_id"))
-      .withColumn("cos_sim", round(cosine(col("embedding"), col("pv")), 4))
-      .select("probe_id", "vec_id", "label", "cos_sim")
-    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
-        Seq(("cos_sim", false), ("vec_id", true)), k)
-      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
-  }
-
-  /** §2.9 Embedding preparation: unit-normalization (micro-unit snapped
-    * elements) and symmetric int8 quantization (scale = 127/max|x|) — the
-    * storage/serving transforms an embedding pipeline applies after
-    * extraction. Pure per-row array expressions; the quantized column
-    * shrinks the payload 4× for ANN serving. The element arrays are emitted
-    * as comma-joined INTEGER strings (unit elements in 1e-6 units): integers
-    * render identically across engines and keep every output column scalar —
-    * the oracle harness sorts rows in pandas, where array cells are
-    * unhashable. */
-  def qEmbedNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val dbl = asDouble(col("embedding"))
-    Tables.embeddings(spark, dir)
-      .withColumn("nrm", l2(dbl))
-      .withColumn("max_abs", array_max(transform(dbl, x => abs(x))))
-      // floor-snap, not round(): both engines hold the IDENTICAL double, and
-      // floor of the same double is engine-independent, while round()
-      // implementations break decimal ties differently (SURVEY §5.3).
-      // The snapped norm gets its alias only in the FINAL projection —
-      // Spark 4's lateral column alias resolution would otherwise rebind
-      // the divisions inside the lambdas to the snapped value.
-      .withColumn("unit_vec_micro", concat_ws(",",
-        transform(dbl, x => floor(x / col("nrm") * 1e6).cast("long").cast("string"))))
-      .withColumn("int8_vec", concat_ws(",",
-        transform(dbl,
-          x => floor(x * lit(127.0) / col("max_abs") + 0.5).cast("int").cast("string"))))
-      .select(col("vec_id"), col("label"),
-        (floor(col("nrm") * 1e6) / 1e6).as("nrm"),
-        col("unit_vec_micro"), col("int8_vec"))
-      .orderBy("vec_id")
-  }
-
-  /** §2.9 Hard-negative mining — for each anchor vector, the top-5 most
-    * similar vectors carrying a DIFFERENT label: the pairs a contrastive
-    * trainer wants (close in embedding space, semantically distinct).
-    * Anchors are a deterministic corpus slice (vec_id % 37 == 0) CAPPED at
-    * the 512 lowest anchor ids — the "this shard's anchor batch" pattern:
-    * without the cap the anchor set scales linearly with the corpus, and
-    * the ANN variant's driver-side probe batch (and this query's broadcast)
-    * would grow unboundedly with it. Similarity is the EXACT integer
-    * micro-dot (each elementwise product floor-snapped to 1e-6 units
-    * before a long fold — order-independent and bit-identical in DuckDB),
-    * which makes a top-k ranking query over floating-point vectors fully
-    * oracle-able, unlike the cosine ANN ladder. Shape: anchors broadcast
-    * (m rows) against the corpus with a label-mismatch residual → one
-    * codegen'd zip_with/aggregate per pair → per-anchor top-5 window.
-    * At 100 TB the exhaustive scan per anchor is replaced by feeding the
-    * same scoring/ranking tail from [[graft.etl.AnnIndex]] coarse
-    * candidates — the mining semantics and this query's tail stay as-is. */
-  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val anchors = e.filter(col("vec_id") % 37 === 0)
-      .orderBy("vec_id").limit(512)
-      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
-        col("embedding").as("av"))
-    val scored = e.join(broadcast(anchors), col("label") =!= col("anchor_label"))
-      .withColumn("dot_micro",
-        call_function("dot_micro", col("av"), col("embedding")))
-    val w = Window.partitionBy("anchor_id")
-      .orderBy(col("dot_micro").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
-      .select(col("anchor_id"), col("rnk"), col("vec_id"), col("label"),
-        col("dot_micro"))
-      .orderBy("anchor_id", "rnk")
-  }
-
-  /** §2.9 Hard-negative mining through the persisted ANN index — the
-    * 100 TB form [[qHardNegatives]]'s scaladoc promises: instead of an
-    * exhaustive corpus scan per anchor, candidates come from the IVF
-    * index's nprobe-pruned lists (a `PartitionFilters`-pruned scan of
-    * nprobe/nlist directories), then the SAME label-mismatch +
-    * [[graft.expr.DotMicro]] + per-anchor top-k tail runs over the
-    * candidate set. Anchors are a BOUNDED driver-side batch by contract:
-    * the same 512-capped slice as [[qHardNegatives]] (deterministic
-    * lowest-id order), so the collect is ≤ 512 vectors regardless of
-    * corpus size — the probe contract of the batch-KNN family, now
-    * enforced rather than assumed. No-oracle (candidate pruning is
-    * index-dependent); LlmSpec scores recall against the exhaustive
-    * [[qHardNegatives]] on the same anchors. */
-  def qHardNegativesAnn(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val idxDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
-    AnnIndex.ensure(e, idxDir, nlist = 16)
-    val anchors = e.filter(col("vec_id") % 37 === 0)
-      .orderBy("vec_id").limit(512).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    // ONE snapshot for ranking + scan (retrain-consistent probe flow)
-    val (root, cents) = AnnIndex.ivfSnapshot(spark, idxDir)
-    val probed = anchors.map(a =>
-      AnnIndex.rankLists(cents, a._3.map(_.toDouble), nprobe = 8)).toSeq
-    val probeLists = anchors.zip(probed).flatMap {
-      case ((aid, albl, av), ls) => ls.map(l => (aid, albl, av, l))
-    }.toSeq.toDF("anchor_id", "anchor_label", "av", "list_id")
-    val scored = AnnIndex.probeScanAt(spark, root, probed.flatten.distinct)
-      .join(broadcast(probeLists), Seq("list_id"))
-      .filter(col("label") =!= col("anchor_label"))
-      .withColumn("dot_micro",
-        call_function("dot_micro", col("av"), col("embedding")))
-      .select("anchor_id", "vec_id", "label", "dot_micro")
-    graft.plans.TopK.perGroup(scored, Seq("anchor_id"),
-        Seq(("dot_micro", false), ("vec_id", true)), 5)
-      .orderBy(col("anchor_id"), col("dot_micro").desc, col("vec_id"))
-  }
-
-  /** §2.9 Per-dimension standardization (z-score whitening) of the
-    * embedding corpus — the feature-scaling pass before k-means/OPQ
-    * training or any distance-based model that assumes comparable
-    * coordinate scales; the diagonal counterpart of the full
-    * [[qEmbedCovariance]] whitening. Emitted LONG-format (vec_id, dim,
-    * z_micro) — no array reassembly, every output column scalar.
-    *
-    * Cross-engine exactness: the per-dimension moment table is built from
-    * integer micro-sums (floor-snapped x and x² — order-independent long
-    * sums); mean/std then derive through an identical double expression
-    * tree in both engines (sqrt is correctly rounded), and each z-score
-    * floor-snaps to micro units. Shape at scale: one explode → d-row
-    * moment agg (map-side partials) → broadcast the d-row stats back over
-    * a second scan — the exploded corpus frame is deliberately NOT pinned
-    * (re-scanning columnar parquet is cheaper than materializing a
-    * corpus-sized intermediate; the pinning discipline is for narrow
-    * vocab/band frames). */
-  def qEmbedWhiten(spark: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
-      .withColumn("x", col("xf").cast("double"))
-    val st = ex.groupBy("i").agg(
-      sum(floor(col("x") * lit(1e6)).cast("long")).as("sx"),
-      sum(floor(col("x") * col("x") * lit(1e6)).cast("long")).as("sxx"),
-      count(lit(1)).as("n"))
-    val m = st.select(col("i"),
-      (col("sx") / lit(1e6) / col("n")).as("mean"),
-      sqrt(col("sxx") / lit(1e6) / col("n") -
-        (col("sx") / lit(1e6) / col("n")) * (col("sx") / lit(1e6) / col("n"))).as("std"))
-    ex.join(broadcast(m), Seq("i"))
-      .select(col("vec_id"), col("i").cast("int").as("i"),
-        floor((col("x") - col("mean")) / col("std") * lit(1e6)).cast("long").as("z_micro"))
-      .orderBy("vec_id", "i")
-  }
-
   /** §2.9 Feature covariance over the embedding corpus — the PCA/whitening
     * prep statistic (and the input to every "decorrelate features before
     * OPQ/IVF training" step). Computed with the augmented-Gram trick: each
@@ -1450,198 +643,6 @@ object Llm {
     * those exact longs in an identical expression tree in both engines.
     * The final enrich joins are broadcasts against d-row / 1-row slices of
     * the pinned gram frame. */
-  /** The ONE definition of the augmented-Gram cell frame (upper triangle of
-    * the [1 ⊕ embedding] outer-product moments, floor-snapped to integer
-    * micro-units before the long sum): shared by [[qEmbedCovariance]] (the
-    * declared statistic) and [[qEmbedPca]] (whose eigen solve consumes the
-    * same cells) — the two must stay bit-identical for the PCA determinism
-    * story, so the snap discipline lives in exactly one place. */
-  private def augmentedGramCells(e: DataFrame): DataFrame = {
-    val v = concat(array(lit(1.0d)), asDouble(col("embedding")))
-    e.select(v.as("v"))
-      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"),
-        posexplode(slice(col("v"), col("i") + 1, size(col("v")) - col("i")))
-          .as(Seq("dj", "xj")))
-      .groupBy(col("i"), (col("i") + col("dj")).as("j"))
-      .agg(sum(floor(col("xi") * col("xj") * lit(1e6)).cast("long")).as("sxy_micro"))
-  }
-
-  def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame = {
-    val gram = Exprs.pinShared(augmentedGramCells(Tables.embeddings(spark, dir)))
-    val nRow = gram.filter(col("i") === 0 && col("j") === 0)
-      .select((col("sxy_micro") / lit(1e6)).cast("long").as("n"))
-    val moments = gram.filter(col("i") === 0 && col("j") > 0)
-      .select((col("j") - 1).as("d"), col("sxy_micro").as("sx_micro"))
-    gram.filter(col("i") > 0)
-      .select((col("i") - 1).as("i"), (col("j") - 1).as("j"), col("sxy_micro"))
-      .join(broadcast(moments.select(col("d").as("i"), col("sx_micro").as("sx_i"))), Seq("i"))
-      .join(broadcast(moments.select(col("d").as("j"), col("sx_micro").as("sx_j"))), Seq("j"))
-      .crossJoin(broadcast(nRow))
-      .withColumn("cov_micro",
-        floor((col("sxy_micro") / lit(1e6) / col("n") -
-          (col("sx_i") / lit(1e6) / col("n")) * (col("sx_j") / lit(1e6) / col("n"))) * lit(1e6))
-          .cast("long"))
-      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
-        col("sxy_micro"), col("cov_micro"))
-      .orderBy("i", "j")
-  }
-
-  /** §2.9 Per-dimension embedding-distribution DRIFT between two corpus
-    * epochs — the quantitative signal behind every "is it time to retrain
-    * the ANN model / re-fit the whitening?" decision
-    * ([[graft.etl.AnnIndex.retrainIvf]]'s drift flag answers WHETHER data
-    * arrived; this answers whether its DISTRIBUTION moved). The even/odd
-    * `vec_id` split stands in for the reference-vs-candidate epoch pair a
-    * production run would take from ingest time.
-    *
-    * The test per dimension is the standardized mean difference:
-    * drifted ⇔ (μ₁−μ₀)² > τ²·(σ₀²+σ₁²)/2 at τ = 0.1. Cross-engine
-    * parity (§5.3): elements snap to integer MILLI-units FIRST, each
-    * window reduces to exact integer (n, Σx, Σx²), and the cut multiplies
-    * through by 200·(n₀n₁)²:
-    * 200·(s₁n₀−s₀n₁)² > n₁²(n₀q₀−s₀²) + n₀²(n₁q₁−s₁²) — no division, no
-    * sqrt, no doubles. The squared terms are DECIMAL(38,0) (the
-    * [[graft.queries.Cdc.qEventAnomaly]] posture); DuckDB's HUGEINT
-    * compares identically in range.
-    *
-    * VALIDITY ENVELOPE, stated honestly: the cross-multiplied terms grow
-    * as n⁴·(milli scale)² — with unit-norm-ish elements (|x_milli| ≲ 2·10³)
-    * the cut stays inside DECIMAL(38,0)/HUGEINT up to n ≈ 3·10⁸ rows per
-    * window per dimension (the milli scale, not micro, buys six orders of
-    * that headroom; the ≤5·10⁻⁴/element quantization is noise against
-    * τ = 0.1 on window means). Beyond the envelope, deterministically
-    * sample the epochs first (`q_sample_hash`'s seeded gate). Out of
-    * envelope the two engines are NOT silently divergent: Spark's decimal
-    * overflow nulls take the `.otherwise(1)` branch — drift flagged
-    * CONSERVATIVELY, never suppressed — while the DuckDB oracle raises on
-    * HUGEINT overflow.
-    *
-    * Shape at scale: one corpus scan, posexplode to (dim, window) cells,
-    * ONE hash agg with map-side partials (the shuffle carries 2·d rows of
-    * integer moments, never data), a d-row self-join, map-side flag. */
-  def qEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.embeddings(spark, dir)
-      .select((col("vec_id") % 2).cast("int").as("w"),
-        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000.0) AS bigint))")
-          .as("v"))
-      .select(col("w"), posexplode(col("v")).as(Seq("dim", "x_milli")))
-    val st = a.groupBy(col("dim"), col("w")).agg(
-      count(lit(1)).as("n"),
-      sum(col("x_milli")).as("s"),
-      sum(col("x_milli") * col("x_milli")).as("q"))
-    val ref = st.filter(col("w") === 0).select(col("dim"),
-      col("n").as("n_ref"), col("s").as("s_ref"), col("q").as("q_ref"))
-    val cand = st.filter(col("w") === 1).select(col("dim"),
-      col("n").as("n_new"), col("s").as("s_new"), col("q").as("q_new"))
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val d = dec(col("s_new")) * dec(col("n_ref")) -
-      dec(col("s_ref")) * dec(col("n_new"))
-    val rhs =
-      dec(col("n_new")) * dec(col("n_new")) *
-        (dec(col("n_ref")) * dec(col("q_ref")) - dec(col("s_ref")) * dec(col("s_ref"))) +
-      dec(col("n_ref")) * dec(col("n_ref")) *
-        (dec(col("n_new")) * dec(col("q_new")) - dec(col("s_new")) * dec(col("s_new")))
-    ref.join(cand, Seq("dim"))
-      .select(col("dim").cast("int").as("dim"),
-        col("n_ref"), col("n_new"), col("s_ref"), col("s_new"),
-        col("q_ref"), col("q_new"),
-        // negated form so a decimal-overflow NULL lands in otherwise(1):
-        // out-of-envelope inputs flag drift conservatively, never suppress
-        when(dec(lit(200L)) * d * d <= rhs, lit(0)).otherwise(lit(1))
-          .as("drifted"))
-      .orderBy("dim")
-  }
-
-  /** §2.9 PCA projection onto the corpus's top-2 principal components — the
-    * embedding-space map view (cluster inspection, drift monitoring, OPQ-style
-    * rotation prep) rounding out the embedding toolkit next to
-    * [[qEmbedCovariance]] (the statistic) and [[qEmbedWhiten]] (the diagonal
-    * normalization).
-    *
-    * Split exactly like FAISS trains its models: the DATA-SCALED pass is the
-    * distributed augmented-Gram aggregation (same shape as
-    * [[qEmbedCovariance]] — map-side partials collapse each partition to
-    * ≤ d(d+1)/2 rows before the only shuffle), whose d²-cell result is
-    * bounded METADATA collected to the driver; the eigen solve
-    * ([[graft.etl.Pca]], deterministic power iteration with deflation) is
-    * d×d local math; the projection broadcasts the two component vectors
-    * back as literals into a map-side codegen `dot_micro` pass — zero
-    * shuffles over the corpus beyond the gram agg and the output sort.
-    *
-    * No oracle by design (an eigenbasis is not SQL-expressible); the
-    * orthonormality / variance-ordering / determinism contracts live in
-    * LlmSpec. Output is integer micro-units end to end (snapped gram,
-    * float-quantized components, floored dot terms), so the result is
-    * bit-reproducible across runs and partitionings. */
-  def qEmbedPca(spark: SparkSession, dir: String): DataFrame = {
-    graft.expr.GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-    val cells = augmentedGramCells(e)
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
-    val dim = cells.keys.map(_._2).max // augmented size − 1 = embedding dim
-    val n = cells((0, 0)).toDouble / 1e6 // Σ floor(1·1·1e6) = n·1e6 exactly
-    val means = Array.tabulate(dim)(i => cells((0, i + 1)).toDouble / 1e6 / n)
-    val cov = Array.tabulate(dim, dim) { (i, j) =>
-      val (a, b) = if (i <= j) (i + 1, j + 1) else (j + 1, i + 1)
-      cells((a, b)).toDouble / 1e6 / n - means(i) * means(j)
-    }
-    val (_, comps) = graft.etl.Pca.topComponents(cov, 2)
-    val compF = comps.map(_.map(_.toFloat))
-    // centering constant replicated in dot_micro's exact per-term math:
-    // (x − m)·v ≈ dot_micro(x, v) − Σ floor(m_i·v_i·1e6)
-    def centerConst(vk: Array[Float]): Long = {
-      var s = 0L; var i = 0
-      while (i < dim) {
-        s += math.floor(means(i).toFloat.toDouble * vk(i).toDouble * 1e6).toLong
-        i += 1
-      }
-      s
-    }
-    def proj(vk: Array[Float], name: String) =
-      (call_function("dot_micro", col("embedding"),
-        array(vk.map(x => lit(x)).toSeq: _*)) - lit(centerConst(vk))).as(name)
-    e.select(col("vec_id"), col("label"),
-        proj(compF(0), "pc1_micro"), proj(compF(1), "pc2_micro"))
-      .orderBy("vec_id")
-  }
-
-  /** §2.9 Embedding-space outlier detection: each vector's cosine similarity
-    * to its own label's centroid; the bottom-3 per label are the mislabel /
-    * contamination candidates an embedding-QA pass reviews. The centroid is
-    * computed in EXACT integer micro-units — each float element floor-snaps
-    * to `floor(x·1e6)` (identical IEEE multiply+floor both engines) and the
-    * per-(label, position) sums are plain long sums, order-independent under
-    * any partitioning — so the derived centroid is bit-reproducible where a
-    * double `avg` would drift with partition order (§5.3; the same exactness
-    * trick as `q_stats_moments`, in integer rather than decimal form; at
-    * extreme row counts the long sum would widen to decimal).
-    *
-    * Shape at scale: one posexplode + hash agg with map-side partials
-    * (output = |labels|·dim rows), centroids re-assembled sorted-inside-
-    * aggregate and broadcast back onto the corpus (labels ≪ corpus), cosine
-    * per row, one keyed window over (label) for the bottom-k cut. */
-  def qEmbedOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val x = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .withColumn("m", floor(col("x").cast("double") * 1e6).cast("long"))
-    val cen = x.groupBy("label", "pos")
-      .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
-      .withColumn("cv", floor(col("sm").cast("double") / col("n")) / 1e6)
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        s => s.getField("cv")).as("cen"))
-    val scored = e.join(broadcast(cen), "label")
-      .withColumn("cos_sim", round(
-        dot(asDouble(col("embedding")), col("cen"))
-          / (l2(asDouble(col("embedding"))) * l2(col("cen"))), 4))
-    val w = Window.partitionBy("label").orderBy(col("cos_sim"), col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("label"), col("vec_id"), col("cos_sim"), col("rk"))
-      .orderBy("label", "rk")
-  }
-
   // ---- text analysis ------------------------------------------------------
 
   /** Materialize a NARROW frame consumed by multiple branches of one query
@@ -1652,676 +653,7 @@ object Llm {
     * before this). Pinning trades ONE materialization of a few-bytes-per-
     * doc frame for k−1 corpus scans — the right trade exactly when the
     * frame is aggregate-narrow (never pin the token stream itself). */
-  private def pinShared(df: DataFrame): DataFrame = Exprs.pinShared(df)
-
-  /** §2.9 Token frequencies per language — explode + hash aggregation (the
-    * wordcount shape; partial aggregation keeps the shuffle at |vocab| per
-    * partition). */
-  def qTextStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
-      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
-      .orderBy("lang", "token")
-
-  /** §2.9 Token counting: whitespace tokens, alphabetic tokens via regex,
-    * and a BPE-ish chars/4 approximation. */
-  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        size(split(col("text"), " ")).as("n_tokens"),
-        expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("n_alpha_tokens"),
-        length(col("text")).as("n_chars_actual"),
-        ceil(length(col("text")) / lit(4.0)).cast("bigint").as("approx_bpe_tokens"))
-      .orderBy("doc_id")
-
-  /** §2.9 REAL-vocabulary token counting (r9) — per-doc model-token counts
-    * from the [[graft.functions.Bpe]] merges table, next to the whitespace
-    * proxy: the fidelity upgrade the token proxies in [[qTokenCount]]
-    * approximate, and what budget enforcement ([[qSourceBudget]] /
-    * [[qSeqPack]] in their `useBpe` mode) meters at production.
-    *
-    * Scale shape: BPE runs ONLY over the distinct-word frame (vocabulary-
-    * sized mapPartitions with the merges broadcast — never the token
-    * stream); the corpus side is one (doc, word) hash agg, a broadcast
-    * join to the word→count map, and one per-doc sum. The oracle restates
-    * the same greedy lowest-rank/leftmost/one-occurrence loop as a DuckDB
-    * recursive CTE over the identical merges VALUES table. */
-  def qTokenBpe(spark: SparkSession, dir: String): DataFrame = {
-    // wf is pinned: it feeds BOTH the vocabulary pass and the count join,
-    // and exchange reuse does not fire across the pruned consumers
-    // (plan-probed) — unpinned, the corpus word-count aggregation ran twice
-    val wf = pinShared(Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("n")))
-    val wtok = graft.functions.Bpe.tokenCounts(spark, wf.select("w").distinct())
-    wf.join(broadcast(wtok), "w")
-      .groupBy("doc_id")
-      .agg(sum("n").cast("bigint").as("n_ws_tokens"),
-           sum(col("n") * col("n_bpe")).cast("bigint").as("n_bpe_tokens"))
-      .orderBy("doc_id")
-  }
-
-  /** §2.9 BPE vocabulary TRAINING over the corpus — learning the merges
-    * table that [[qTokenBpe]] applies (whose built-in list is a fixture
-    * standing in for exactly this output): the tokenizer story becomes
-    * end-to-end — train on the corpus, meter with the result.
-    *
-    * Scale split (documented on [[graft.functions.Bpe.train]]): the
-    * corpus-scaled pass is ONE distributed word-frequency aggregation with
-    * map-side partials; a deterministic top-V cap (count desc, word asc —
-    * total order) bounds what the trainer sees, exactly as production
-    * tokenizer training caps its vocabulary; the merge-learning loop is
-    * driver-local math over that bounded table (the FAISS-style
-    * data/model split, same as IVF centroids and [[qEmbedPca]]).
-    *
-    * No oracle by design (iterative replace-all training is not
-    * SQL-expressible); hand-computed-merge, monotone-compression, and
-    * determinism contracts live in LlmSpec. */
-  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val vocab = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w")).limit(4096)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    graft.functions.Bpe.train(vocab, 32).zipWithIndex
-      .map { case ((l, r, c), i) => (i, l, r, c) }
-      .toDF("rank", "left", "right", "pair_count")
-      .orderBy("rank")
-  }
-
-  /** §2.9 Quality scoring: chars-per-token, stopword ratio, type-token
-    * ratio — the standard cheap text-quality filters. */
-  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val stops = filter(toks, t => t.isin("a", "the"))
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        size(toks).as("n_tokens"),
-        length(col("text")).as("n_chars_m"),
-        round(length(col("text")).cast("double") / size(toks), 4).as("chars_per_token"),
-        size(stops).as("n_stop"),
-        round(size(stops).cast("double") / size(toks), 4).as("stop_ratio"),
-        round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"))
-      .orderBy("doc_id")
-  }
-
-  /** §2.9 Character-class Shannon entropy per document — the
-    * compression-proxy quality signal (Gopher-class corpus filters cut
-    * repeated-filler / mono-character noise on exactly this statistic),
-    * over the fixed 28-bucket alphabet 'a'–'z' / space / other.
-    *
-    * The entropy itself is the native single-pass
-    * [[graft.expr.CharEntropy]] codegen expression (ONE walk over the
-    * UTF-8 bytes, vs the 27 chained `length(replace(...))` passes of the
-    * built-in formulation — LlmSpec asserts the two are bit-identical);
-    * the space count reuses the one-replace length diff (integer-exact in
-    * both engines). Pure map-side projection, zero shuffles beyond the
-    * output sort — the gate runs at scan speed at 100 TB. Micro-snap
-    * parity rests on the established `ln` precedent (§5.3). */
-  def qCharEntropy(spark: SparkSession, dir: String): DataFrame = {
-    graft.expr.GraftFunctions.ensureRegistered(spark)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        length(col("text")).as("n_chars"),
-        (length(col("text")) - length(expr("replace(text, ' ', '')"))).as("n_spaces"),
-        expr("char_entropy(text)").as("h"))
-      .select(col("doc_id"), col("n_chars"),
-        when(col("n_chars") === 0, lit(0L))
-          .otherwise(expr("cast(n_spaces as bigint) * 1000000 div n_chars"))
-          .as("space_ratio_micro"),
-        floor(col("h") * lit(1000000.0)).cast("long").as("entropy_micro"))
-      .orderBy("doc_id")
-  }
-
-  /** §2.9 Quality-classifier scoring: a fixed-weight logistic model over the
-    * quality features (chars/token, stopword ratio, type-token ratio) — the
-    * fastText-style learned quality gate every LLM corpus pass runs, with
-    * the model INFERENCE expressed as plain Catalyst expressions. The whole
-    * scorer — features, dot product, sigmoid, threshold — compiles into one
-    * whole-stage-codegen'd map over the scan: zero shuffles, zero UDFs, so
-    * at 100 TB the gate runs at scan speed. The linear term is assembled
-    * left-to-right identically in both engines and the sigmoid output is
-    * micro-floor snapped (§5.3); the keep flag tests z ≥ 0 directly
-    * (algebraically `score ≥ 0.5`) so the cut never depends on the
-    * transcendental's last ulp. */
-  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val z = qualityZ(col("text"), split(col("text"), " "))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        (floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1e6) / 1e6).as("score"),
-        (z >= 0).as("kept"))
-      .orderBy("doc_id")
-  }
-
-  /** The quality model's linear term, as a pure per-row Column — the ONE
-    * definition shared by [[qQualityScore]] and the corpus-curation funnel's
-    * map-side gate ([[graft.etl.CorpusPipeline]]), so the funnel can fuse
-    * the gate into its scan projection without joining the declared query's
-    * output (and without any possibility of the two drifting —
-    * CorpusPipelineSpec additionally asserts stage equivalence). */
-  private[graft] def qualityZ(text: Column, toks: Column): Column = {
-    val f1 = length(text).cast("double") / size(toks)
-    val f2 = size(filter(toks, t => t.isin("a", "the"))).cast("double") / size(toks)
-    val f3 = size(array_distinct(toks)).cast("double") / size(toks)
-    lit(-2.0) + lit(0.3) * f1 - lit(4.0) * f2 + lit(3.0) * f3
-  }
-
-  /** §2.9 Document chunking: overlapping token windows (30-token chunks,
-    * stride 20 → 10-token overlap) — the long-document preparation step
-    * before embedding/training. One explode of the per-doc start sequence;
-    * `slice` clamps the tail chunk, chunk ids derive from the start offset
-    * so no row-ordinality dependence crosses engines. */
-  def qDocChunk(spark: SparkSession, dir: String): DataFrame = {
-    val window = 30
-    val stride = 20
-    val toks = split(col("text"), " ")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("toks"),
-        explode(sequence(lit(1), greatest(size(toks), lit(1)), lit(stride)))
-          .as("chunk_start"))
-      .withColumn("chunk", slice(col("toks"), col("chunk_start"), lit(window)))
-      .select(col("doc_id"),
-        expr(s"cast((chunk_start - 1) div $stride as int)").as("chunk_idx"),
-        col("chunk_start"),
-        size(col("chunk")).as("n_chunk_tokens"),
-        concat_ws(" ", col("chunk")).as("chunk_text"))
-      .orderBy("doc_id", "chunk_start")
-  }
-
-  /** §2.9 Text normalization for training-data prep: lowercase, strip
-    * non-alphanumerics, collapse runs of whitespace, trim — the standard
-    * cleaning pass before dedup/tokenization. Pure per-row codegen'd
-    * string expressions; emits the cleaned text plus before/after sizes so
-    * a pipeline can gate on shrinkage. */
-  def qTextClean(spark: SparkSession, dir: String): DataFrame = {
-    val cleaned = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        length(col("text")).as("n_chars_raw"),
-        cleaned.as("text_clean"))
-      .withColumn("n_chars_clean", length(col("text_clean")))
-      .withColumn("n_tokens_clean", size(split(col("text_clean"), " ")))
-      .select("doc_id", "n_chars_raw", "n_chars_clean", "n_tokens_clean", "text_clean")
-      .orderBy("doc_id")
-  }
-
-  /** §2.9 Language-ID heuristic: marker-token votes per candidate class,
-    * argmax with a fixed precedence tie-break. (On real corpora the marker
-    * sets are per-language stopword lists; the mechanics — count marker
-    * hits per class, argmax — are identical.) */
-  def qLangId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    def score(markers: String*): Column =
-      size(filter(toks, t => t.isin(markers: _*)))
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        score("join", "filter", "order", "table").as("s_sql"),
-        score("hash", "scan", "merge", "sort").as("s_exec"),
-        score("vector", "window", "batch", "line").as("s_vec"))
-      .withColumn("lang_guess",
-        when(col("s_sql") >= col("s_exec") && col("s_sql") >= col("s_vec"), "sql")
-          .when(col("s_exec") >= col("s_vec"), "exec")
-          .otherwise("vec"))
-      .orderBy("doc_id")
-  }
-
-  /** §2.9 Document fingerprinting: exact content hash, bag-of-words shape
-    * hash (sorted distinct tokens), and a polynomial rolling hash folded
-    * left-to-right over per-token codes mod 1e9+7 (bounds keep every
-    * intermediate < 2^63, so ANSI overflow checking never trips). */
-  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val codes = transform(toks, t => (ascii(t) * 31 + length(t)).cast("bigint"))
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        md5(col("text")).as("exact_fp"),
-        md5(concat_ws(" ", sort_array(array_distinct(toks)))).as("shape_fp"),
-        aggregate(codes, lit(0L), (acc, x) => (acc * 131 + x) % 1000000007L)
-          .as("rolling_fp"))
-      .orderBy("doc_id")
-  }
-
-  /** §2.9 Deterministic stratified corpus sampling: keep a per-language
-    * fraction of documents chosen by the first md5 byte of a seeded doc key —
-    * the downsample-by-source/language knob every training-data pipeline
-    * needs. Hash-bucket sampling (vs rand()) is reproducible run-to-run,
-    * stable under repartitioning, and pure map-side — properties `sample()`
-    * cannot give. Hex strings compare identically in both engines, so the
-    * bucket threshold ('40' = 64/256 = 25% for en, '20' = 12.5% for the
-    * long tail) is oracle-checkable as a plain string comparison. */
-  def qSampleHash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("bucket",
-        substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2))
-      .filter(when(col("lang") === "en", col("bucket") < "40")
-        .otherwise(col("bucket") < "20"))
-      .select(col("doc_id"), col("lang"), col("bucket"))
-      .orderBy("doc_id")
-
-  /** §2.9 Quality-WEIGHTED downsampling (r8): each document survives with
-    * probability equal to its own quality score — the importance-sampling
-    * cut (DoReMi-style reweighting by deletion) that keeps high-quality
-    * documents almost surely while thinning the low end, where
-    * [[qSampleHash]]'s flat per-language rate treats a spam page and an
-    * encyclopedia entry identically.
-    *
-    * Exact cross-engine Bernoulli: the uniform draw is the first 5 hex
-    * chars of a seeded md5 (an integer in [0, 16^5) that both engines
-    * derive identically) and the acceptance threshold is the micro-snapped
-    * sigmoid score ([[qualityZ]] — the SAME model the quality gate runs)
-    * rescaled to hex range in integer arithmetic (·2^20 div 10^6) and
-    * rendered as a zero-padded hex string: equal-length hex compare IS the
-    * numeric compare, so `u5 < thr` is bit-identical in both engines with
-    * no float thresholds anywhere. The score is clamped to 999999 so the
-    * threshold can never overflow 5 hex digits (a sigmoid that rounds to
-    * exactly 1.0 in double would otherwise render 6 and break the padding).
-    *
-    * Pure map-side projection — zero shuffles beyond the output sort; a
-    * doc's fate never depends on other rows (stable under corpus growth,
-    * same as every sampling op here). */
-  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val z = qualityZ(col("text"), split(col("text"), " "))
-    Tables.documents(spark, dir)
-      .withColumn("score_micro",
-        least(floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1e6).cast("long"), lit(999999L)))
-      .withColumn("u5",
-        substring(md5(concat(lit("wsample:"), col("doc_id").cast("string"))), 1, 5))
-      .withColumn("thr",
-        lpad(lower(hex(expr("score_micro * 1048576 div 1000000"))), 5, "0"))
-      .filter(col("u5") < col("thr"))
-      .select(col("doc_id"), col("lang"), col("score_micro"), col("u5"))
-      .orderBy("doc_id")
-  }
-
-  /** §2.9 Recency-decay downsampling over the event stream — the freshness
-    * rule a training-data mix applies to aged interaction data: keep
-    * probability `exp(-age_days/τ)` (τ = 10 days) relative to the corpus's
-    * own newest timestamp, decided per row by the same seeded-md5 threshold
-    * acceptance as [[qSampleWeighted]] (deterministic across runs, engines
-    * and partitionings — no RNG state to coordinate at 1000 executors).
-    * Age uses INTEGER day division of epoch micros (exact in both
-    * engines), the weight micro-snaps before the threshold, and the
-    * reference timestamp is a 1-row broadcast — the whole query is one
-    * scan + map-side math. */
-  def qSampleDecay(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val maxTs = ev.agg(max(col("ts")).as("max_ts"))
-    ev.crossJoin(broadcast(maxTs))
-      .withColumn("age_days",
-        expr("(unix_micros(cast(max_ts as timestamp)) - " +
-          "unix_micros(cast(ts as timestamp))) div 86400000000"))
-      .withColumn("w_micro",
-        least(floor(exp(-col("age_days").cast("double") / lit(10.0)) * 1e6)
-          .cast("long"), lit(999999L)))
-      .withColumn("u5",
-        substring(md5(concat(lit("decay:"), col("event_id").cast("string"))), 1, 5))
-      .withColumn("thr",
-        lpad(lower(hex(expr("w_micro * 1048576 div 1000000"))), 5, "0"))
-      .filter(col("u5") < col("thr"))
-      .select(col("event_id"), col("age_days"), col("w_micro"), col("u5"))
-      .orderBy("event_id")
-  }
-
-  /** §2.9 Deterministic train/val/test split: each document's split follows
-    * the first hex byte of a seeded md5 of its id — 80/10/10 by hash range
-    * ('cc' = 204/256 ≈ 80%, 'e6' = 230/256 ≈ 90%), reproducible across
-    * runs/engines/partitionings, and stable under corpus growth (a doc's
-    * split never depends on other rows). Pure map-side projection — zero
-    * shuffles beyond the output sort. */
-  def qSplitAssign(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("bucket",
-        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
-      .withColumn("split",
-        when(col("bucket") < "cc", "train")
-          .when(col("bucket") < "e6", "val")
-          .otherwise(lit("test")))
-      .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
-      .orderBy("doc_id")
-
-  /** §2.9 Exact k-per-stratum sample: the k smallest-hash docs per language
-    * — deterministic eval-set construction with a FIXED stratum size (vs
-    * [[qSampleHash]]'s rate-based Bernoulli sampling). One window over hash
-    * order per stratum; the window sees only (id, hash) rows, and at 100 TB
-    * the same semantics run as a per-partition top-k + merge (the TopKAgg
-    * pattern) — the window form is the declared, oracle-checkable shape. */
-  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val k = 20
-    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .withColumn("h", md5(concat(lit("strat:"), col("doc_id").cast("string"))))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("doc_id"), col("lang"), col("h"), col("rk"))
-      .orderBy("lang", "rk")
-  }
-
-  /** §2.9 Per-source token-budget curation cut: each source contributes at
-    * most `budget` tokens to the mixture, docs admitted in seeded-hash
-    * order until the budget is exhausted — how a mixture spec ("≤ N tokens
-    * from source X") is enforced deterministically: the admitted set is a
-    * pure function of (doc_id, source), independent of partitioning or
-    * arrival order, and STABLE under corpus growth in other sources. One
-    * running-sum window per source partition over (id, hash, n_tokens)
-    * rows only — never the text; at 100 TB each source's window is a
-    * per-partition prefix sum over a few-byte frame. Emits the full audit
-    * frame (every doc with its cumulative position and kept flag), the
-    * same report-not-filter discipline as [[qCorpusCurate]]. */
-  def qSourceBudget(spark: SparkSession, dir: String): DataFrame =
-    sourceBudget(spark, dir, useBpe = false)
-
-  /** `useBpe = true` meters the budget in REAL model tokens from the
-    * [[graft.functions.Bpe]] merges table instead of the whitespace proxy
-    * (same admission order, same window — only the metered unit changes);
-    * the declared oracle query keeps the proxy, the BPE mode is
-    * spec-asserted against [[qTokenBpe]]'s per-doc counts (LlmSpec). */
-  private[graft] def sourceBudget(spark: SparkSession, dir: String,
-                                  useBpe: Boolean): DataFrame = {
-    val budget = if (useBpe) 1200 else 1000 // BPE counts run higher than whitespace
-    val w = Window.partitionBy("source").orderBy("h")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val base = Tables.documents(spark, dir)
-    val counted =
-      if (!useBpe)
-        base.select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).as("n_tokens"))
-      else {
-        val wf = pinShared(
-          base.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-            .groupBy("doc_id", "w").agg(count(lit(1)).as("n")))
-        val wtok = graft.functions.Bpe.tokenCounts(spark, wf.select("w").distinct())
-        base.select(col("doc_id"), col("source"))
-          .join(wf.join(broadcast(wtok), "w")
-            .groupBy("doc_id")
-            .agg(sum(col("n") * col("n_bpe")).cast("int").as("n_tokens")), "doc_id")
-      }
-    counted
-      .withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("kept", col("cum_tokens") <= budget)
-      .select("doc_id", "source", "n_tokens", "cum_tokens", "kept")
-      .orderBy("doc_id")
-  }
-
-  /** §2.9 Sequence packing: assign documents to fixed-token-budget training
-    * bins (budget 512) by cumulative token count per language — the
-    * pack-short-documents step before batching for training. The running
-    * sum is one window per language partition; pack_id derives from the
-    * document's START offset, so assignment is deterministic and
-    * reproducible under re-partitioning (it depends only on the ordered
-    * prefix sums, not on physical row order). */
-  def qSeqPack(spark: SparkSession, dir: String): DataFrame =
-    seqPack(spark, dir, useBpe = false)
-
-  /** `useBpe = true` packs by REAL model-token counts ([[qTokenBpe]]'s
-    * unit) instead of the whitespace proxy — same windows, same pack
-    * arithmetic; spec-asserted consistent with [[qTokenBpe]] (LlmSpec). */
-  private[graft] def seqPack(spark: SparkSession, dir: String,
-                             useBpe: Boolean): DataFrame = {
-    val budget = 512
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-    val base = Tables.documents(spark, dir)
-    val counted =
-      if (!useBpe)
-        base.select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).as("n_tokens"))
-      else {
-        val wf = pinShared(
-          base.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-            .groupBy("doc_id", "w").agg(count(lit(1)).as("n")))
-        val wtok = graft.functions.Bpe.tokenCounts(spark, wf.select("w").distinct())
-        base.select(col("doc_id"), col("lang"))
-          .join(wf.join(broadcast(wtok), "w")
-            .groupBy("doc_id")
-            .agg(sum(col("n") * col("n_bpe")).cast("int").as("n_tokens")), "doc_id")
-      }
-    counted
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        floor((col("cum") - col("n_tokens")) / budget.toDouble).as("pack_id"),
-        (col("cum") - col("n_tokens")
-          - floor((col("cum") - col("n_tokens")) / budget.toDouble) * budget)
-          .cast("bigint").as("pack_offset"))
-      .orderBy("lang", "doc_id")
-  }
-
-  /** §2.9 Dataset mixing: weighted interleave of the per-source document
-    * streams (upweighted sources appear proportionally earlier/more often
-    * in the mixture prefix) — the corpus-mixing knob training pipelines
-    * schedule with. Each doc gets a virtual position rank/weight inside its
-    * source; the mixture is the global order of those positions.
-    *
-    * The global index is CLOSED-FORM, not enumerated (r8 — this removed
-    * the query layer's one RDD/zipWithIndex touch): a row's mix_pos is the
-    * number of rows at-or-before its key in the (pos, source, doc_id)
-    * order, and for any OTHER source that count depends only on the row's
-    * ordinal and the two weights — #{rn' : rn'/w' < rn/w} =
-    * ⌊(rn·w' − 1)/w⌋ clamped to that source's row count, +1 on the exact-
-    * tie boundary (rn·w' ≡ 0 mod w) when the other source sorts first.
-    * Cross-multiplied INTEGER comparisons throughout (never the double
-    * `pos` itself), so the assignment is exact, byte-stable under any
-    * partitioning, and equal to the oracle's global row_number. Per-source
-    * (count, weight) stats ride along as one broadcast 1-row array; the
-    * summation is a per-row `aggregate` over |sources| entries — zero
-    * shuffles beyond one keyed window for the ordinal, and whole-stage
-    * codegen instead of an RDD hop. */
-  def qMixInterleave(spark: SparkSession, dir: String): DataFrame = {
-    val perSource = Window.partitionBy("source").orderBy("doc_id")
-    val r = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
-      .withColumn("w",
-        when(col("source").isin("src0", "src1"), 3L).otherwise(1L))
-      .withColumn("rn", row_number().over(perSource).cast("long"))
-    val stats = r.groupBy(col("source").as("s2"))
-      .agg(count(lit(1)).as("n2"), max(col("w")).as("w2"))
-      .agg(collect_list(struct(col("s2"), col("n2"), col("w2"))).as("ss"))
-    // exact integer floor/exact-division via pmod (a − a mod b) / b: the
-    // double division is of an exact multiple, so no rounding anywhere
-    def exDiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
-    r.crossJoin(broadcast(stats))
-      .withColumn("mix_pos",
-        col("rn") + aggregate(
-          filter(col("ss"), s => s.getField("s2") =!= col("source")),
-          lit(0L),
-          (acc, s) => {
-            val aw = col("rn") * s.getField("w2") // rn·w' (cross-multiplied)
-            val lt = least(s.getField("n2"), exDiv(aw - 1, col("w")))
-            val eq = when(pmod(aw, col("w")) === 0 &&
-                          exDiv(aw, col("w")) <= s.getField("n2") &&
-                          s.getField("s2") < col("source"), 1L).otherwise(0L)
-            acc + lt + eq
-          }))
-      .select(col("doc_id"), col("source"), col("mix_pos"))
-      .orderBy("mix_pos")
-  }
-
-  /** §2.9 Blocked fuzzy matching: candidate pairs from a (name-prefix, size)
-    * block, scored with Levenshtein edit distance, kept at distance ≤ 3 —
-    * the entity-resolution shape (TPC-DI's Prospect↔DimCustomer match is
-    * this pattern: block on normalized attributes, score within block).
-    *
-    * Scoring runs at the DISTINCT-NAME level, not the record level: record
-    * counts grow with the data while the name vocabulary grows far slower,
-    * so scoring record pairs is SF-quadratic (measured: 5k candidate pairs
-    * at sf0.01 → 500k at sf0.1 over the same 64-name vocabulary) where
-    * distinct-name pairs are vocabulary-bounded. The scored name pairs are
-    * then mapped back to record pairs by two equi-joins — the output (every
-    * matching record pair) is identical, only the O(n²) Levenshtein work is
-    * gone. The record-pair RESULT is still as large as the duplicate
-    * structure demands; consumers like the CC grouping handle that. */
-  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_name"),
-        substring(col("p_name"), 1, 4).as("pre"), col("p_size"))
-    val names = base.select("pre", "p_size", "p_name").distinct()
-    val namePairs = names.select(col("pre"), col("p_size"), col("p_name").as("name_a"))
-      .join(names.select(col("pre"), col("p_size"), col("p_name").as("name_b")),
-            Seq("pre", "p_size"))
-      .filter(col("name_a") <= col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 3)
-    // both orientations, so record pairs map regardless of which name sorts
-    // first lexicographically (same-name pairs stay single)
-    val sym = namePairs.unionByName(
-      namePairs.filter(col("name_a") =!= col("name_b"))
-        .select(col("pre"), col("p_size"), col("name_b").as("name_a"),
-                col("name_a").as("name_b"), col("dist")))
-    val ra = base.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
-      col("pre"), col("p_size"))
-    val rb = base.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
-      col("pre"), col("p_size"))
-    ra.join(sym, Seq("pre", "p_size", "name_a"))
-      .join(rb, Seq("pre", "p_size", "name_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
-      .orderBy("id_a", "id_b")
-  }
-
-  /** §2.9 TF-IDF top terms per document — term frequency × corpus rarity,
-    * the classic relevance weighting (keyword extraction / quality signals).
-    * IDF is the exact ratio N/df rather than ln(N/df): libm log is not
-    * guaranteed identically rounded across engines, while long division to
-    * double is — the ranking is unchanged (ln is monotone in the ratio) and
-    * the scores stay oracle-exact. Three hash aggregations (tf, df, N) and
-    * a window over per-(doc, term) rows — never over raw token rows. */
-  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    // ONE token pass: tf is pinned (the inverted-index frame — (doc, term,
-    // count) rows), and df DERIVES from it (count of tf rows per term ≡
-    // countDistinct(doc) over the token stream) instead of re-exploding
-    // the corpus; exchange reuse never fires across the pruned consumers
-    // (plan-probed), so without the pin this query scanned the text 3×.
-    val tf = pinShared(tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term")
-      .crossJoin(broadcast(n)) // 1-row corpus count
-      .withColumn("tfidf",
-        floor(col("tf") * (col("n_docs") / col("df").cast("double")) * 1e6) / 1e6)
-    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
-      .orderBy("doc_id", "rk")
-  }
-
-  /** §2.9 BM25 relevance scoring (r8) — the classic retrieval ranking over
-    * the corpus for a fixed query-term set (k1=1.2, b=0.75), the scoring
-    * step of query-based corpus filtering ("keep documents relevant to X").
-    *
-    * Cross-engine parity: unlike [[qTfidf]] (which dodges `ln` entirely),
-    * BM25 IS its log-damped idf, so the idf is micro-floor-snapped straight
-    * after the `ln` — a libm ulp difference between engines only flips the
-    * snap when ln(x)·1e6 lands within an ulp of an integer, and the gate SF
-    * exercises exactly three df values. Per-(doc,term) scores are then
-    * floor-snapped to BIGINT micros BEFORE the per-doc sum (the
-    * [[qLmPerplexity]] trick), so the final aggregation is an
-    * order-independent integer sum — bit-exact under any partitioning.
-    *
-    * Scale shape: the corpus is scanned and the tokens explode EXACTLY
-    * ONCE — one keyed aggregation computes each doc's length AND its
-    * per-query-term counts as conditional sums in the same pass, and the
-    * resulting per-doc frame (doc_id + |q|+1 longs — bytes per doc) is
-    * PINNED ([[pinShared]]); dl, tf, corpus stats, and the final join all
-    * derive from the pinned frame. (The previous formulation declared
-    * "tokens explode once" but planned five scans: exchange reuse never
-    * fires across column-pruned consumers — plan-probed, zero reused
-    * stages.) df and idf stay |q|-row broadcasts. */
-  def qBm25(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val qTerms = Seq("spark", "table", "join")
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val perDoc = pinShared(tok.groupBy("doc_id").agg(
-      count(lit(1)).as("dl"),
-      qTerms.map(t =>
-        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*))
-    val dl = perDoc.select("doc_id", "dl")
-    val st = perDoc.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-    val tf = perDoc.select(col("doc_id"), expr(
-        s"stack(${qTerms.size}, " +
-          qTerms.map(t => s"'$t', tf_$t").mkString(", ") + ")")
-        .as(Seq("term", "tf")))
-      .filter(col("tf") > 0)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = dfreq.crossJoin(broadcast(st))
-      .select(col("term"),
-        (floor(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-          * 1e6) / 1e6).as("idf"))
-    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
-    val sc = tf.join(broadcast(idf), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(st))
-      .select(col("doc_id"), col("dl"),
-        floor(col("idf") * (col("tf") * lit(2.2))
-            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))
-          * 1e6).cast("bigint").as("s_micro"))
-    sc.groupBy("doc_id", "dl")
-      .agg(count(lit(1)).as("n_terms_hit"), sum("s_micro").as("score_micro"))
-      .select(col("doc_id"), col("dl").as("n_tokens"), col("n_terms_hit"), col("score_micro"))
-      .orderBy(col("score_micro").desc, col("doc_id"))
-      .limit(100)
-  }
-
-  /** §2.9 Hybrid retrieval fusion (r9) — reciprocal-rank fusion of the
-    * lexical arm ([[qBm25]]'s top-100 for the fixed query-term set) and the
-    * vector arm (exact cosine top-100 vs the probe vector, [[knnExact]]):
-    * the retrieval shape production corpus-QA pipelines actually deploy,
-    * where neither keyword match nor embedding similarity alone ranks well.
-    * RRF needs only the two arms' RANKS — `score = Σ 1/(60+rank)` — so it
-    * fuses heterogeneous scores (integer micros vs cosine) without any
-    * score normalization, which is exactly why it is the standard fusion.
-    *
-    * Cross-engine parity: the contribution is integer division in micros —
-    * `1000000 div (60+rank)` — summed as BIGINT, so fusion is exact (no
-    * float path at all; the verdict-prescribed shape). Each arm's rank is
-    * a `row_number` over that arm's own total order (score desc, doc_id),
-    * identical to the arm's output order, and absent docs contribute 0 via
-    * null-propagating `div` under `coalesce`.
-    *
-    * Scale shape: both arms end in top-k cuts (TakeOrdered / the BM25
-    * aggregation pipeline) BEFORE fusion, so the rank windows and the
-    * full-outer join run over ≤100-row bounded frames — driver-scale
-    * metadata, regardless of corpus size. The heavy lifting stays in the
-    * arms, which carry their own scale contracts. */
-  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    // the rank windows run over arms already cut to ≤100 rows, so a single
-    // partition is the correct plan — but keyed on a CONSTANT partition
-    // expression rather than an empty spec, so the engine-wide
-    // no-unpartitioned-WindowExec invariant (PlanAuditSpec) holds
-    // structurally and Spark's "No Partition Defined" degradation warning
-    // cannot fire (r13 judge #5). The constant is column-derived (`id * 0`)
-    // because a bare literal is FOLDABLE and Spark 4's
-    // EliminateWindowPartitions strips it back to the empty spec; `id * 0`
-    // is null-propagating (not foldable) yet constant 0 over the arms'
-    // non-null keys — one partition, same ranks.
-    def const(c: String) = Window.partitionBy(col(c) * lit(0))
-    val lex = qBm25(spark, dir)
-      .select(col("doc_id"), row_number().over(
-        const("doc_id").orderBy(col("score_micro").desc, col("doc_id"))).as("lex_rank"))
-    val vec = knnExact(Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("label"), col("embedding")), 0L, 100)
-      .select(col("vec_id").as("doc_id"), row_number().over(
-        const("vec_id").orderBy(col("cos_sim").desc, col("vec_id"))).as("vec_rank"))
-    lex.join(vec, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
-        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
-        (coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L))
-          + coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
-          .cast("long").as("rrf_micro"))
-      .orderBy(col("rrf_micro").desc, col("doc_id"))
-      .limit(50)
-  }
+  private[graft] def pinShared(df: DataFrame): DataFrame = Exprs.pinShared(df)
 
   /** §2.9 Exact set-containment join (r8) — all document pairs with word
     * 4-gram containment |A∩B| / min(|A|,|B|) ≥ 0.8: the asymmetric
@@ -2429,82 +761,16 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** §2.9 Outlier winsorization: clip document lengths to the per-language
-    * [p05, p95] band — the heavy-tail taming step before length-based
-    * quality filtering. The percentile frame is one row per language, so it
-    * broadcasts; the clip itself is pure map-side `least`/`greatest`. At
-    * 100 TB swap the exact percentile for the mergeable approx sketch. */
-  def qClipOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // micro-unit floor-snap (§5.3): Spark's percentile and DuckDB's
-    // quantile_cont may differ in the last ulp when interpolating, which
-    // could flip a boundary row's was_clipped — snap both engines to 1e-6
-    val p = docs.groupBy("lang").agg(
-      (floor(expr("percentile(cast(n_chars as double), 0.05)") * 1e6) / 1e6).as("p05"),
-      (floor(expr("percentile(cast(n_chars as double), 0.95)") * 1e6) / 1e6).as("p95"))
-    docs.join(broadcast(p), "lang")
-      .select(
-        col("doc_id"), col("lang"), col("n_chars"),
-        floor(least(greatest(col("n_chars").cast("double"), col("p05")), col("p95")))
-          .cast("bigint").as("n_chars_clipped"),
-        (col("n_chars") < col("p05") || col("n_chars") > col("p95")).as("was_clipped"))
-      .orderBy("doc_id")
-  }
-
-  /** §2.9 Class balance: per-language document share and inverse-frequency
-    * weight N/(K·n) — the rebalancing factors a skewed training corpus is
-    * sampled or loss-weighted with. One hash aggregation; the (N, K) totals
-    * are a 1-row broadcast. Ratios of exact longs divide identically in
-    * both engines; floor-snapped. */
-  def qLabelBalance(spark: SparkSession, dir: String): DataFrame = {
-    // |langs| rows feeding the totals AND the weight projection — pinned
-    // so the corpus count scan runs once
-    val perLang = pinShared(Tables.documents(spark, dir)
-      .groupBy("lang").agg(count(lit(1)).as("n_docs")))
-    val totals = perLang.agg(
-      sum(col("n_docs")).as("n_total"), count(lit(1)).as("k_classes"))
-    perLang.crossJoin(broadcast(totals))
-      .select(
-        col("lang"), col("n_docs"),
-        (floor(col("n_docs") / col("n_total").cast("double") * 1e6) / 1e6)
-          .as("share"),
-        (floor(col("n_total") / (col("k_classes") * col("n_docs")).cast("double")
-               * 1e6) / 1e6).as("weight"))
-      .orderBy("lang")
-  }
-
   /** §2.9 Entity resolution end-to-end: connected components over the
     * blocked fuzzy-match pairs — name-variant records collapse into one
     * entity id (the TPC-DI household/Prospect grouping shape; same
     * min-label CC engine as the MinHash dedup groups, demonstrating the
     * pairs→entities composition on a second pair source). */
   def qEntityGroups(spark: SparkSession, dir: String): DataFrame =
-    dedupGroups(qFuzzyMatch(spark, dir)
+    dedupGroups(LlmRetrieval.qFuzzyMatch(spark, dir)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .select(col("doc_id").as("part_id"), col("group_id").as("entity_id"))
       .orderBy("part_id")
-
-  /** §2.9 Top-k n-grams per language: exploded bigrams → hash aggregation →
-    * per-group top-5 via row_number (partial-agg shuffles |vocab|, the
-    * window sees only per-gram counts — never raw token rows). The corpus
-    * vocabulary-profiling shape (stopword mining, boilerplate detection).
-    * Single-token docs yield no bigram on either engine. */
-  def qTopNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val pairs = arrays_zip(slice(toks, lit(1), size(toks) - 1),
-                           slice(toks, lit(2), size(toks) - 1))
-    val counts = Tables.documents(spark, dir)
-      .filter(size(toks) >= 2)
-      .select(col("lang"), explode(pairs).as("pair"))
-      .select(col("lang"),
-        concat_ws(" ", col("pair").getField("0"), col("pair").getField("1")).as("bigram"))
-      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
-    counts.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("lang"), col("bigram"), col("n"), col("rk"))
-      .orderBy("lang", "rk")
-  }
 
   /** §2.9 Exact heavy hitters (words above 2% of the token stream) via the
     * sketch-then-verify two-pass: pass 1 runs the Misra–Gries `Aggregator`
@@ -2520,136 +786,6 @@ object Llm {
     * every exploded candidate row, so the sketch frame has exactly one
     * consumer and the corpus is scanned exactly twice — a second branch
     * off the sketch (e.g. a totals cross-join) would re-run the MG pass. */
-  /** §2.9 Count-Min Sketch point-frequency estimates (r8), expressed
-    * relationally: the counter table (d=4 hash rows × w=16 buckets, seeded
-    * md5 bucket keys) IS the sketch, and Spark's partial aggregation gives
-    * the sketch's defining property for free — map-side partials are
-    * per-partition sketches, the shuffle reduce is exactly CMS merge
-    * (counter-wise sum) — so the "mergeable sketch" needs no custom
-    * buffer here the way exact heavy hitters do ([[qHeavyHitters]]'s
-    * Misra–Gries `Aggregator`). Estimates for a fixed probe-term set ride
-    * next to their exact counts, so the output exhibits the CMS contract:
-    * `cms_n ≥ exact_n` always (one-sided error), with the min-over-rows
-    * shrinking the overcount vs any single row (visible in the result —
-    * several probes land collision-free while singles collide).
-    *
-    * Cross-engine parity: buckets are md5-derived STRINGS (no hex→int
-    * conversion exists in both dialects; 1 hex char = 16 buckets keyed by
-    * the character itself), counts are longs — the whole sketch is
-    * deterministic and bit-identical, so an approximate algorithm gets a
-    * full oracle. At 100 TB the counter table is w·d rows total
-    * (monitoring-cheap); the probe lookup is a |probes|·d-row broadcast. */
-  def qCountMin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val d = 4
-    val probes = Seq("spark", "table", "join", "data", "line", "key", "value",
-      "zzz_absent")
-    def bucket(j: Int, term: Column): Column =
-      substring(md5(concat(lit(s"cms$j:"), term)), 1, 1)
-    val toks = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("term"))
-    val counters = toks
-      .select(explode(array((0 until d).map(j =>
-        struct(lit(j).as("j"), bucket(j, col("term")).as("bucket"))): _*)).as("jb"))
-      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val pb = probes.toDF("term")
-      .select(col("term"), explode(array((0 until d).map(j =>
-        struct(lit(j).as("j"), bucket(j, col("term")).as("bucket"))): _*)).as("jb"))
-      .select(col("term"), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
-    val est = pb.join(counters, Seq("j", "bucket"), "left")
-      .groupBy("term").agg(min(coalesce(col("cnt"), lit(0L))).as("cms_n"))
-    val exact = toks.filter(col("term").isin(probes: _*))
-      .groupBy("term").agg(count(lit(1)).as("n"))
-    est.join(exact, Seq("term"), "left")
-      .select(col("term"), coalesce(col("n"), lit(0L)).as("exact_n"),
-        col("cms_n"), (col("cms_n") - coalesce(col("n"), lit(0L))).as("overcount"))
-      .orderBy("term")
-  }
-
-  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val mg = udaf(new graft.expr.MisraGriesAgg(64))
-    val toks = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("word"))
-    val cands = toks
-      .agg(mg(col("word")).as("sk"), count(lit(1)).as("n_total"))
-      .select(explode(map_keys(col("sk"))).as("word"), col("n_total"))
-    toks.join(broadcast(cands), "word")
-      .groupBy("word", "n_total").agg(count(lit(1)).as("n"))
-      .filter(col("n").cast("double") >= col("n_total") * 0.02)
-      .withColumn("frac", floor(col("n").cast("double") / col("n_total") * 1e6) / 1e6)
-      .select(col("word"), col("n"), col("frac"))
-      .orderBy(col("n").desc, col("word"))
-  }
-
-  /** §2.9 GROUPED exact heavy hitters: the Misra–Gries sketch as a KEYED
-    * aggregation — one k-bounded buffer per language, the per-domain
-    * trending-terms shape (each group's candidate set is complete for its
-    * own n_g/(k+1) bound, so the per-group ≥ 2% cut is exact). Same
-    * sketch-then-verify discipline as [[qHeavyHitters]]; the candidate
-    * broadcast carries ≤ k·|groups| rows and each group's token total
-    * rides on its candidate rows, so the sketch aggregation has exactly
-    * one consumer. */
-  def qHeavyHittersGrouped(spark: SparkSession, dir: String): DataFrame = {
-    val mg = udaf(new graft.expr.MisraGriesAgg(64))
-    val toks = Tables.documents(spark, dir)
-      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-    val cands = toks.groupBy("lang")
-      .agg(mg(col("word")).as("sk"), count(lit(1)).as("n_total"))
-      .select(col("lang"), explode(map_keys(col("sk"))).as("word"),
-              col("n_total"))
-    toks.join(broadcast(cands), Seq("lang", "word"))
-      .groupBy("lang", "word", "n_total").agg(count(lit(1)).as("n"))
-      .filter(col("n").cast("double") >= col("n_total") * 0.02)
-      .withColumn("frac", floor(col("n").cast("double") / col("n_total") * 1e6) / 1e6)
-      .select(col("lang"), col("word"), col("n"), col("frac"))
-      .orderBy(col("lang"), col("n").desc, col("word"))
-  }
-
-  /** §2.9 Bigram PMI (pointwise mutual information) — the collocation /
-    * multi-word-expression miner a corpus-analysis pass runs before
-    * tokenizer training: pmi(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2))), top-20
-    * pairs with support ≥ 5.
-    *
-    * Shape at scale: unigram and bigram counts are two hash aggregations
-    * with map-side partials (vocabulary-bounded outputs ≪ corpus); the
-    * probability join fetches the two unigram counts by broadcast equi-join
-    * (the vocabulary broadcasts; were it ever too large it degrades to a
-    * keyed shuffle join, never a cross); the final top-20 is
-    * TakeOrderedAndProject over the vocab²-bounded pair frame — no global
-    * sort of anything corpus-sized. The ln argument is assembled
-    * left-to-right identically in both engines (§5.3) and micro-floor
-    * snapped. (The declared query re-derives the `uni`/`pc` count frames
-    * per consumer for purity; a production run persists both — they are
-    * vocabulary-bounded — so the corpus is scanned twice, not per-branch.) */
-  def qWordPmi(spark: SparkSession, dir: String): DataFrame = {
-    val toksCol = split(col("text"), " ")
-    val docs = Tables.documents(spark, dir)
-    // uni feeds three consumers (totals + both probability joins) and pc
-    // feeds two (bigram total + the scored frame); both are VOCABULARY-
-    // sized, and exchange reuse does not fire across the pruned consumers
-    // (plan-probed ~5 corpus passes unpinned) — pin once, derive the rest
-    val uni = pinShared(docs.select(explode(toksCol).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1")))
-    val totals = uni.agg(sum(col("c1")).as("cu"))
-    val pairs = docs.filter(size(toksCol) >= 2)
-      .select(explode(arrays_zip(slice(toksCol, lit(1), size(toksCol) - 1),
-                                 slice(toksCol, lit(2), size(toksCol) - 1))).as("p"))
-      .select(col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
-    val pc = pinShared(pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair")))
-    val nb = pc.agg(sum(col("n_pair")).as("cb"))
-    pc.filter(col("n_pair") >= 5)
-      .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1a"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1b"))), "w2")
-      .crossJoin(broadcast(totals)).crossJoin(broadcast(nb))
-      .withColumn("pmi",
-        floor(log((col("n_pair").cast("double") * col("cu")) * col("cu")
-            / ((col("cb").cast("double") * col("c1a")) * col("c1b"))) * 1e6) / 1e6)
-      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
-      .orderBy(col("pmi").desc, col("w1"), col("w2"))
-      .limit(20)
-  }
-
   /** §2.9 Cross-source n-gram overlap matrix — provenance / contamination
     * analytics: for every source pair, how many distinct bigram shingles
     * they share. The per-gram source set is aggregated ONCE (`collect_set`
@@ -2681,57 +817,6 @@ object Llm {
       .orderBy("source_a", "source_b")
   }
 
-  /** §2.9 Repetition filter (the Gopher-style repetition rules): per-document
-    * top-word fraction and duplicate-bigram fraction, flagged over
-    * thresholds — the heuristic that drops boilerplate/looping text before
-    * training.
-    *
-    * Both metrics are PER-ROW higher-order-function passes over the split
-    * words — no explode, no shuffle; the whole filter is map-side and the
-    * only exchange is the output sort, so it streams at any corpus size.
-    * Ratios are micro-unit floor-snapped (§5.3), formula mirrored
-    * operation-for-operation in the oracle (divide first, then ×1e6). */
-  def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame =
-    withRepetitionMetrics(
-        Tables.documents(spark, dir).withColumn("words", split(col("text"), " ")))
-      // docs with <2 words have no bigram; the oracle's inner join on the
-      // bigram group drops them, so drop them from the declared output (the
-      // metric columns CaseWhen-guard the <2 case — see the helper)
-      .filter(col("n_words") >= 2)
-      .select("doc_id", "n_words", "top_word_frac", "dup_bigram_frac", "flagged")
-      .orderBy("doc_id")
-
-  /** The Gopher-rule repetition metrics over a staged `words` column — the
-    * ONE definition shared by [[qRepetitionFilter]] and the curation
-    * funnel's map-side gate ([[graft.etl.CorpusPipeline]]). Adds `n_words`,
-    * `top_word_frac`, `dup_bigram_frac` (NULL when <2 words: no bigram
-    * exists, and the CaseWhen guard keeps ANSI array indexing away from a
-    * descending `sequence(0, -1)`), and `flagged`. */
-  private[graft] def withRepetitionMetrics(df: DataFrame): DataFrame =
-    df.withColumn("n_words", size(col("words")).cast("bigint"))
-      // top-word count as the longest equal run of the SORTED words — one
-      // O(n log n) pass per row instead of the O(n·|vocab|) distinct×filter
-      // formulation (which benched 4× slower in interpreted lambda time)
-      .withColumn("topc", expr(
-        """aggregate(sort_array(words),
-          |  named_struct('prev', '', 'run', 0, 'best', 0),
-          |  (a, x) -> named_struct(
-          |    'prev', x,
-          |    'run', IF(x = a.prev, a.run + 1, 1),
-          |    'best', greatest(a.best, IF(x = a.prev, a.run + 1, 1))),
-          |  a -> a.best)""".stripMargin)
-        .cast("bigint"))
-      .withColumn("bigrams", when(col("n_words") >= 2, expr(
-        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))")))
-      .withColumn("top_word_frac",
-        floor(col("topc").cast("double") / col("n_words") * 1e6) / 1e6)
-      .withColumn("dup_bigram_frac",
-        when(col("n_words") >= 2,
-          floor((lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
-            / size(col("bigrams"))) * 1e6) / 1e6))
-      .withColumn("flagged",
-        col("top_word_frac") > 0.15 || col("dup_bigram_frac") > 0.08)
-
   /** §2.9 Benchmark decontamination: flag every training document sharing at
     * least one word 4-gram with the held-out eval set (`source = 'src0'`
     * stands in for the benchmark corpus) — the n-gram-overlap scrub every
@@ -2759,43 +844,6 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** §2.9 Content-defined chunking: chunk boundaries fall where the hash of
-    * the local 4-gram window has a fixed prefix (P = 1/16 per position) —
-    * so boundaries are determined by CONTENT, not offsets, and inserting a
-    * sentence shifts only the chunk it lands in while every later chunk
-    * re-aligns (the property fixed-size chunking lacks, and the reason
-    * storage-level dedup and patch-resilient document stores chunk this
-    * way). Expected chunk length = 1/P = 16 grams.
-    *
-    * Shape: native [[graft.expr.WordNgrams]] explode → per-row md5 prefix
-    * test → one keyed running-sum window per doc (chunk id = boundaries
-    * seen before this position) → per-(doc, chunk) aggregation. md5 keeps
-    * the boundary rule cross-engine-identical, same §5.3 discipline as the
-    * MinHash stack. */
-  def qContentChunks(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.ensureRegistered(spark)
-    contentChunkFrame(Tables.documents(spark, dir))
-      .orderBy("doc_id", "chunk_idx")
-  }
-
-  /** Chunking core over any (doc_id, text) frame — split out so the
-    * insertion-stability property (LlmSpec) runs on crafted documents. */
-  private[graft] def contentChunkFrame(docs: DataFrame): DataFrame = {
-    val g = docs
-      .withColumn("w", split(col("text"), " "))
-      .select(col("doc_id"),
-        posexplode(call_function("word_ngrams", col("w"), lit(4)))
-          .as(Seq("pos", "gram")))
-      .withColumn("b", when(md5(col("gram")).startsWith("0"), 1L).otherwise(0L))
-    val upToPrev = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("chunk_idx",
-        coalesce(sum(col("b")).over(upToPrev), lit(0L)).cast("int"))
-      .groupBy("doc_id", "chunk_idx")
-      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
-           count(lit(1)).as("n_grams"))
-  }
-
   /** §2.9 Chunk-level storage dedup analytics: content-defined chunks
     * ([[qContentChunks]]) hashed by their word content and counted per
     * source — unique vs total chunks is exactly the storage a
@@ -2806,7 +854,7 @@ object Llm {
     * (per-source totals + distinct-hash counts) — all hash-keyed, nothing
     * all-pairs. */
   def qChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = contentChunkFrame(Tables.documents(spark, dir))
+    val chunks = LlmText.contentChunkFrame(Tables.documents(spark, dir))
     val hashed = chunks
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("source"),
         split(col("text"), " ").as("w")), "doc_id")
@@ -2821,94 +869,6 @@ object Llm {
         floor((lit(1.0) - col("n_distinct").cast("double") / col("n_chunks")) * 1e6) / 1e6)
       .select("source", "n_chunks", "n_distinct", "dup_ratio")
       .orderBy("source")
-  }
-
-  /** §2.9 Unigram-LM perplexity filtering (the CCNet/KenLM quality signal,
-    * reduced to its order-0 form): score every document by the average
-    * negative log-probability of its words under the corpus's own unigram
-    * distribution and flag the worst decile — low-perplexity ≈ fluent /
-    * typical text, high ≈ noise. Distinct from the heuristic gates
-    * ([[qTextQuality]], [[qQualityScore]]): this one scores against a
-    * LEARNED (corpus-estimated) model, the shape any LM-based filter takes.
-    *
-    * Shape at scale: the "model" is the unigram count table (vocabulary-
-    * bounded, broadcast); scoring is explode → broadcast equi-join →
-    * per-doc sum — map-side model inference plus one doc-keyed aggregation.
-    * Every word is in-vocabulary by construction (the model is estimated
-    * on the same corpus), so no smoothing term is needed; the ln argument
-    * is the exact count ratio, each word's nll floor-snaps to integer
-    * MICRO-units BEFORE the per-doc sum (long sums are order-independent
-    * under any partitioning — a double Σln would drift in the last ulp
-    * with partition order; same discipline as [[qMixTemperature]]'s sqrt
-    * weights), and the per-doc mean divides after. The decile cut compares
-    * the micro-snapped score against the micro-snapped exact P90 — the
-    * interpolation inside `percentile`/`quantile_cont` is the one step not
-    * mirrored op-for-op (engine-internal, like [[qClipOutliers]]'s bands):
-    * both engines interpolate between the SAME two micro-snapped order
-    * statistics, so a flip requires the interpolated value to land within
-    * an ulp of a micro boundary. */
-  def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    // pins bound the token passes at exactly two (model build + scoring):
-    // uni feeds the corpus total AND the inference join, scored feeds the
-    // P90 cut AND the output — exchange reuse does not fire across the
-    // pruned consumers (plan-probed ~4.5 passes unpinned), and both frames
-    // are small (vocabulary / one row per doc)
-    val uni = pinShared(toks.groupBy("w").agg(count(lit(1)).as("c1")))
-    val totals = uni.agg(sum(col("c1")).as("cu"))
-    val scored = pinShared(toks
-      .join(broadcast(uni), "w")
-      .crossJoin(broadcast(totals))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-           sum(floor(log(col("cu").cast("double") / col("c1")) * 1e6)
-             .cast("long")).as("nll_micro"))
-      .withColumn("avg_nll",
-        floor(col("nll_micro").cast("double") / col("n_words")) / 1e6))
-    val p90 = scored.agg(
-      (floor(percentile(col("avg_nll"), lit(0.9)) * 1e6) / 1e6).as("p90"))
-    scored.crossJoin(broadcast(p90))
-      .withColumn("flagged", col("avg_nll") > col("p90"))
-      .select("doc_id", "n_words", "avg_nll", "flagged")
-      .orderBy("doc_id")
-  }
-
-  /** §2.9 Supervised quality gate — a word-level Naive Bayes classifier
-    * trained IN the query (the GPT-3/fasttext pattern: positive class = a
-    * curated corpus, here src0; negative = the rest) and applied to every
-    * document as a log-likelihood-ratio score. Distinct from
-    * [[qLmPerplexity]] (one unsmoothed corpus LM, unsupervised) — this is
-    * the CONTRASTIVE form with Laplace smoothing, the shape every
-    * classifier-based corpus filter takes.
-    *
-    * Shape at scale: the "model" is the per-word two-class count table
-    * (vocabulary-bounded, pinned + broadcast); training is one hash agg
-    * with map-side partials; inference is explode → broadcast join →
-    * per-doc sum. Each word's LLR floor-snaps to integer micro-units
-    * BEFORE the per-doc long sum (order-independent under any
-    * partitioning), the same §5.3 discipline as the perplexity filter. */
-  def qQualityNb(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), (col("source") === "src0").as("pos"),
-        explode(split(col("text"), " ")).as("w"))
-    val counts = pinShared(toks.groupBy("w").agg(
-      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
-      sum(when(col("pos"), 0L).otherwise(1L)).as("cn")))
-    val totals = counts.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
-      count(lit(1)).as("v"))
-    toks.join(broadcast(counts), "w")
-      .crossJoin(broadcast(totals))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum(floor((log((col("cp") + 1).cast("double") / (col("np") + col("v"))) -
-                   log((col("cn") + 1).cast("double") / (col("nn") + col("v")))) * lit(1e6))
-          .cast("long")).as("llr_micro"))
-      .withColumn("avg_llr",
-        floor(col("llr_micro").cast("double") / col("n_words")) / 1e6)
-      .withColumn("pred_pos", col("llr_micro") > 0)
-      .select("doc_id", "n_words", "llr_micro", "avg_llr", "pred_pos")
-      .orderBy("doc_id")
   }
 
   /** §2.9 Cross-document span duplication profiling (the C4/RefinedWeb
@@ -2943,31 +903,4 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** §2.9 Temperature-scaled source mixture (the T5/UniMax sampling
-    * schedule): per-source sampling share ∝ n^α with α = 1/2 — flattens the
-    * natural distribution so small high-quality sources aren't drowned by
-    * bulk web text.
-    *
-    * §5.3 exactness: each source's sqrt weight is snapped to integer
-    * MICRO-units first (`floor(sqrt(n)·1e6)` — sqrt is deterministic IEEE,
-    * identical in both engines), so the denominator is an exact integer sum
-    * (order-independent — no float-summation-order divergence) and every
-    * share is a ratio of exact integers. The totals frame is one broadcast
-    * row. */
-  def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
-    // |sources| rows feeding the totals AND the share projection — pinned
-    // so the corpus count scan runs once
-    val per = pinShared(Tables.documents(spark, dir)
-      .groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("w_micro",
-        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("bigint")))
-    val tot = per.agg(sum(col("n_docs")).as("n_total"), sum(col("w_micro")).as("w_total"))
-    per.crossJoin(broadcast(tot))
-      .select(col("source"), col("n_docs"),
-        (floor(col("n_docs").cast("double") / col("n_total") * 1e6) / 1e6).as("nat_share"),
-        (floor(col("w_micro").cast("double") / col("w_total") * 1e6) / 1e6).as("temp_share"),
-        (floor((col("w_micro").cast("double") * col("n_total"))
-          / (col("w_total").cast("double") * col("n_docs")) * 1e6) / 1e6).as("boost"))
-      .orderBy("source")
-  }
 }

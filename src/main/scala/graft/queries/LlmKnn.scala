@@ -1,0 +1,757 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.AnnIndex
+import graft.expr.GraftFunctions
+
+/** §2.9 similarity search (split from Llm.scala along the SURVEY family
+  * seams, r14 judge #7 — pure move, zero behavior): exhaustive Llm.cosine kNN
+  * plus every persisted-index probe rung (LSH / IVF / SQ8 / PQ / IVF-PQ,
+  * single-probe and batch forms) and the hard-negative miners. Shared
+  * vector/hash primitives (Llm.dot, Llm.cosine, sign bands) live in [[Llm]]. */
+object LlmKnn {
+  /** Brute-force top-k Llm.cosine core: one scan, rounded score,
+    * TakeOrderedAndProject. */
+  private[graft] def knnExact(e: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val probe = e.filter(col("vec_id") === probeId).select(col("embedding").as("pv"))
+    e.crossJoin(broadcast(probe))
+      .withColumn("cos_sim", round(Llm.cosine(col("embedding"), col("pv")), 4))
+      .select("vec_id", "label", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** §2.9 BATCH KNN: top-k Llm.cosine neighbors for EVERY probe in a set — the
+    * batch-retrieval shape (score a training batch against the corpus,
+    * attach neighbors to each example) rather than m single-probe queries.
+    *
+    * Shape at scale: the m probes broadcast (bounded batch, not data-sized);
+    * scoring is one codegen'd [[graft.expr.CosineSimilarity]] per
+    * (corpus row × probe) — map-side only, no shuffle of scored rows; the
+    * per-probe cut runs on the custom [[graft.plans.TopKPerGroup]] operator,
+    * so the only shuffle carries ≤ k rows per (probe × map partition)
+    * instead of the m·n scored relation a window formulation would sort.
+    * The (rounded sim DESC, vec_id) ordering is total → oracle-exact. */
+  def qKnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val scored = e.crossJoin(broadcast(probes))
+      .withColumn("cos_sim", round(Llm.cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), 5)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    qKnnCosine0(spark, dir)
+  }
+  private def qKnnCosine0(spark: SparkSession, dir: String): DataFrame =
+    knnExact(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")), 0L, 10)
+
+  /** ANN candidate set: vectors sharing ANY band bucket with the probe under
+    * multi-probe (all buckets within Hamming ≤ `radius` of the probe's, as
+    * exploded XOR masks — so the probe side is a tiny broadcast list and the
+    * candidate fetch is a broadcast EQUI-join on (band, bucket), never a
+    * residual-predicate scan). Exposed for the LlmSpec candidate-fraction
+    * assertion. */
+  private[graft] def knnLshCandidates(e: DataFrame, probeId: Long,
+                                      bands: Int, bits: Int, radius: Int): DataFrame = {
+    require(radius <= 1, "multi-probe masks generated for radius 0/1 only")
+    val bk = Llm.rpBandBuckets(e, bands, bits)
+    val bandArr = array((0 until bands).map(b => col(s"bkt$b")): _*)
+    // ONE posexplode band frame per side (a union of per-band projections
+    // would re-evaluate the bucket aggregation once per band per side)
+    val bandRows = bk.select(col("vec_id"),
+      posexplode(bandArr).as(Seq("band", "bval")))
+    val masks = lit(0) +: (if (radius >= 1) (0 until bits).map(j => lit(1 << j)) else Nil)
+    val probes = bk.filter(col("vec_id") === probeId)
+      .select(posexplode(bandArr).as(Seq("band", "pb")))
+      .select(col("band"),
+        explode(array(masks.map(m => col("pb").bitwiseXOR(m)): _*)).as("bval"))
+    bandRows.join(broadcast(probes), Seq("band", "bval"))
+      .select("vec_id").distinct()
+  }
+
+  /** §2.9 RP-LSH ANN (no-oracle; recall + candidate-fraction asserted in
+    * LlmSpec): coarse stage fetches candidates from the PERSISTED posting
+    * lists ([[graft.etl.AnnIndex.ensureLsh]] — built once at ingest,
+    * `partitionBy(band, bkt)`), probing the probe's own 3×8-bit
+    * random-hyperplane buckets plus every Hamming-1 XOR neighbor
+    * (multi-probe); fine stage re-ranks the survivors by exact codegen'd
+    * Llm.cosine.
+    *
+    * Scale shape — the same contract as the IVF twin: the query path never
+    * hashes the corpus. `ensureLsh` is a metadata-only marker check after
+    * the one-time build; probe-cell selection is O(bands·bits) driver math
+    * over the probe's own bucket row; the candidate fetch is a
+    * partition-PRUNED scan of `bands×(bits+1)` of `bands×2^bits` posting
+    * directories (plan-asserted in LlmSpec, which also proves the pruned
+    * candidate set identical to the in-query [[knnLshCandidates]] path and
+    * the appended-index probe identical to a from-scratch build). Recall is
+    * similarity-dependent (LSH property): near-duplicates
+    * (cos ≳ 0.9) are recovered at ≥ 8/10 while scanning a few percent of the
+    * corpus — asserted on a planted-near-dup corpus in LlmSpec; on
+    * uniform-random vectors no sublinear method separates cos≈0.3
+    * "neighbors" from the bulk. */
+  def qKnnCosineLsh(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultLshDir(dir, bands = 3, bits = 8)
+    AnnIndex.ensureLsh(e, idxDir, bands = 3, bits = 8)
+    val cand = AnnIndex.lshProbeScan(spark, idxDir,
+      lshProbeCells(e, probeId = 0L, bands = 3, bits = 8, radius = 1))
+    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId = 0L, k = 10)
+  }
+
+  /** Driver-side multi-probe cell selection: the probe vector's own band
+    * buckets (a 1-row job over the seeded data-independent hyperplanes —
+    * the LSH mirror of the IVF centroid ranking) expanded to every
+    * Hamming-≤radius XOR neighbor. O(bands·(bits+1)) cells. */
+  private[graft] def lshProbeCells(e: DataFrame, probeId: Long, bands: Int,
+                                   bits: Int, radius: Int): Seq[(Int, Int)] = {
+    require(radius <= 1, "multi-probe masks generated for radius 0/1 only")
+    val own = Llm.rpBandBuckets(e.filter(col("vec_id") === probeId), bands, bits).head()
+    for {
+      b <- 0 until bands
+      m <- 0 +: (if (radius >= 1) (0 until bits).map(1 << _).toList else Nil)
+    } yield (b, own.getInt(1 + b) ^ m)
+  }
+
+  /** Parameterized ANN core — candidates (coarse) then exact re-rank (fine).
+    * Guarantees the probe itself is always a candidate (its own buckets). */
+  private[graft] def knnLsh(e: DataFrame, probeId: Long, k: Int,
+                            bands: Int, bits: Int, radius: Int): DataFrame = {
+    val cand = knnLshCandidates(e, probeId, bands, bits, radius)
+    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
+  }
+
+  /** §2.9 BATCH LSH ANN (no-oracle; LlmSpec asserts per-probe parity with
+    * the single-probe LSH path): [[qKnnBatchIvf]]'s twin over the persisted
+    * posting lists — top-k for every probe in a bounded batch with ONE
+    * pruned posting scan shared across probes.
+    *
+    * Scale shape: all probes' own band buckets compute in ONE job over the
+    * seeded data-independent hyperplanes (m rows — vs m 1-row jobs);
+    * multi-probe cell expansion is O(m·bands·bits) driver metadata math;
+    * the candidate fetch is one partition-pruned scan of the UNION of all
+    * probed cells ([[graft.etl.AnnIndex.lshPostingScan]] — direct
+    * `band=/bkt=` path addressing, no directory-tree discovery), joined to
+    * a broadcast (probe_id, band, bkt) cell table so each posting row fans
+    * out only to the probes whose cells it sits in; scoring re-ranks each
+    * probe's distinct candidates by exact codegen Llm.cosine and cuts per probe
+    * on [[graft.plans.TopKPerGroup]] (≤ k rows per probe per map partition
+    * shuffled). */
+  def qKnnBatchLsh(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultLshDir(dir, bands = 3, bits = 8)
+    AnnIndex.ensureLsh(e, idxDir, bands = 3, bits = 8)
+    // every probe's own buckets in one m-row job, then Hamming-1 expansion
+    val own = Llm.rpBandBuckets(e.filter(col("vec_id") < 5), bands = 3, bits = 8).collect()
+    val probeCells = own.toSeq.flatMap { r =>
+      for {
+        b <- 0 until 3
+        m <- 0 +: (0 until 8).map(1 << _).toList
+      } yield (r.getLong(0), b, r.getInt(1 + b) ^ m)
+    }
+    val posting = AnnIndex.lshPostingScan(spark, idxDir,
+      probeCells.map(c => (c._2, c._3)).distinct)
+    val cand = posting
+      .join(broadcast(probeCells.toDF("probe_id", "band", "bkt")), Seq("band", "bkt"))
+      .select("probe_id", "vec_id").distinct()
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val scored = e.join(cand, Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos_sim", round(Llm.cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), 10)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** §2.9 IVF ANN (no-oracle; recall-tested in LlmSpec): the inverted-file
+    * alternative to [[qKnnCosineLsh]] — Llm.cosine k-means centroids partition
+    * the corpus into `nlist` lists, a query probes only the `nprobe` lists
+    * whose centroids are nearest its vector, then re-ranks the list members
+    * exactly.
+    *
+    * Scale shape: the index is PERSISTED at ingest ([[graft.etl.AnnIndex]]):
+    * the corpus is re-written `partitionBy(list_id)` and the centroids land
+    * as an nlist-row metadata table, so the query path contains NO training
+    * — `ensure` is a metadata-only marker check after the one-time build.
+    * Probe-list selection is O(nlist·dim) driver math over the centroid
+    * table; the candidate fetch is a partition-PRUNED scan reading
+    * nprobe/nlist of the data (numPartitions metric asserted in LlmSpec). */
+  def qKnnCosineIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
+    AnnIndex.ensure(e, idxDir, nlist = 16)
+    // 1-row pushed-down lookup against the base table (at 100 TB the probe
+    // vector arrives WITH the query; it is not derived from the corpus)
+    val probeVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    knnIvfProbe(spark, idxDir, probeVec, probeId = 0L, k = 10, nprobe = 4)
+  }
+
+  /** §2.9 SQ8 ANN (no-oracle; recall + quantization-error tested in
+    * LlmSpec): the int8-quantized coarse-scan alternative to the bucketed
+    * ANN paths — every vector is scored, but against the PERSISTED 4×-
+    * smaller quantized index ([[graft.etl.AnnIndex.buildSq8]]), which is
+    * what a bandwidth-bound brute-force pass costs at scale; the top
+    * oversampled candidates re-rank exactly on the full-precision vectors.
+    *
+    * The symmetric per-vector scale cancels in Llm.cosine, so the coarse score
+    * is just `int8_dot(qvec, probe_q) / qnorm` — pure integer multiply-adds
+    * in one codegen loop ([[graft.expr.Int8Dot]]) and a stored norm; the
+    * coarse cut is a TakeOrdered (per-partition top-C + merge, never a full
+    * sort). Recall is near-perfect at 4× oversampling because int8 Llm.cosine
+    * error is ≲1e-2 — the quantized ordering only confuses genuinely-tied
+    * neighbors (bounded in LlmSpec). Complements LSH/IVF: no bucketing
+    * assumptions, exact-ish results on ANY geometry, at linear-but-4×-
+    * cheaper scan cost — the standard first rung of the quantized-ANN
+    * ladder (SQ8 before PQ). */
+  def qKnnCosineInt8(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultSq8Dir(dir)
+    AnnIndex.ensureSq8(e, idxDir)
+    val probeVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    knnSq8Probe(spark, idxDir, e, probeVec, probeId = 0L, k = 10, oversample = 4)
+  }
+
+  /** SQ8 query core over a persisted index: quantize the probe driver-side
+    * (the [[graft.etl.AnnIndex.quantizeInt8]] twin of the build-time
+    * expression), coarse-score the quantized corpus, TakeOrdered the top
+    * `oversample·k`, re-rank exactly. */
+  private[graft] def knnSq8Probe(spark: SparkSession, indexDir: String,
+                                 e: DataFrame, probeVec: Array[Double],
+                                 probeId: Long, k: Int, oversample: Int): DataFrame = {
+    val pq = AnnIndex.quantizeInt8(probeVec)
+    val cand = AnnIndex.sq8Scan(spark, indexDir)
+      .filter(col("qnorm") > 0)
+      .withColumn("score8",
+        call_function("int8_dot", col("qvec"), lit(pq)).cast("double") / col("qnorm"))
+      .orderBy(col("score8").desc, col("vec_id"))
+      .limit(oversample * k)
+      .select("vec_id")
+    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
+  }
+
+  /** §2.9 PQ ANN (r9, no-oracle; recall + codebook contracts in LlmSpec) —
+    * the rung BELOW SQ8 on the quantized ladder: vectors persist as m code
+    * BYTES against per-subspace k-means codebooks
+    * ([[graft.etl.AnnIndex.buildPq]] — 64-dim float32 → 4 bytes at m=4,
+    * 64× less scan bandwidth vs SQ8's 4×), scored by asymmetric distance:
+    * the probe side precomputes the m·k lookup table of
+    * ⟨probe_sub, centroid⟩ inner products DRIVER-side (O(k·D) model-
+    * metadata math), so the per-row coarse score is m table lookups in one
+    * codegen loop ([[graft.expr.PqAdc]]) — the scan never touches a float
+    * vector. Normalizing by the stored reconstruction norm makes the score
+    * a Llm.cosine estimate (probe norm is constant per probe — cancels in
+    * ranking). Coarser than SQ8, so the oversampled exact re-rank carries
+    * more of the precision burden: oversample 8 here vs SQ8's 4. */
+  def qKnnCosinePq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultPqDir(dir, m = 4, k = 16)
+    AnnIndex.ensurePq(e, idxDir, m = 4, k = 16)
+    val probeVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    knnPqProbe(spark, idxDir, e, probeVec, probeId = 0L, k = 10, oversample = 8)
+  }
+
+  /** The ADC lookup table for one probe: `lut(s·nCodes + c)` holds the
+    * inner product of the probe's subvector `s` with codebook centroid
+    * `(s, c)` — `pq_adc` then scores a stored code as Σ_s lut(s·nCodes +
+    * code(s)), the asymmetric-distance Llm.dot product. Shared by every
+    * PQ-family probe/serve core. */
+  private def pqAdcLut(books: Seq[(Int, Int, Array[Double])], m: Int,
+                       nCodes: Int, pv: Array[Double]): Array[Double] = {
+    val sub = pv.length / m
+    val lut = new Array[Double](m * nCodes)
+    books.foreach { case (s, c, cent) =>
+      var acc = 0.0
+      var j = 0
+      while (j < sub) { acc += pv(s * sub + j) * cent(j); j += 1 }
+      lut(s * nCodes + c) = acc
+    }
+    lut
+  }
+
+  /** PQ query core over a persisted index: driver-side ADC lookup-table
+    * build, codegen table-lookup coarse scan, exact re-rank. */
+  private[graft] def knnPqProbe(spark: SparkSession, indexDir: String,
+                                e: DataFrame, probeVec: Array[Double],
+                                probeId: Long, k: Int, oversample: Int): DataFrame = {
+    // ONE snapshot: the books building the ADC table and the codes scanned
+    // must be the same generation (retrain-consistent)
+    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
+    val m = books.map(_._1).max + 1
+    val nCodes = books.map(_._2).max + 1
+    val lut = pqAdcLut(books, m, nCodes, probeVec)
+    val cand = AnnIndex.pqScanAt(spark, codesRoot)
+      .filter(col("rnorm") > 0)
+      .withColumn("score_pq",
+        call_function("pq_adc", col("code"), typedLit(lut)) / col("rnorm"))
+      .orderBy(col("score_pq").desc, col("vec_id"))
+      .limit(oversample * k)
+      .select("vec_id")
+    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
+  }
+
+  /** §2.9 IVF-PQ ANN (r9, no-oracle; recall + pruning + code-parity
+    * contracts in LlmSpec) — the composite the production indexes actually
+    * ship (FAISS IVFPQ): IVF prunes WHICH partitions are read (nprobe of
+    * nlist directories, `PartitionFilters` on `list_id`), PQ shrinks WHAT
+    * is read per row (m code bytes, ADC-scored via [[graft.expr.PqAdc]]) —
+    * orthogonal compressions that multiply: nprobe/nlist of the data ×
+    * m bytes of it. The exact re-rank reads full vectors only for the
+    * oversampled survivors, same as every rung of the ladder. */
+  def qKnnCosineIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ivfDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
+    AnnIndex.ensure(e, ivfDir, nlist = 16)
+    val idxDir = AnnIndex.defaultIvfPqDir(dir, nlist = 16, m = 4, k = 16)
+    AnnIndex.ensureIvfPq(e, ivfDir, idxDir, m = 4, k = 16)
+    val probeVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    knnIvfPqProbe(spark, ivfDir, idxDir, e, probeVec, probeId = 0L,
+      k = 10, nprobe = 4, oversample = 8)
+  }
+
+  /** IVF-PQ query core: centroid ranking picks nprobe lists (IVF half),
+    * the pruned code scan ADC-scores only those lists (PQ half), exact
+    * re-rank of the oversampled survivors. */
+  private[graft] def knnIvfPqProbe(spark: SparkSession, ivfDir: String,
+                                   indexDir: String, e: DataFrame,
+                                   probeVec: Array[Double], probeId: Long, k: Int,
+                                   nprobe: Int, oversample: Int): DataFrame = {
+    // ONE paired snapshot for the whole composite: centroids come from the
+    // lists generation the CODES were encoded against (the `_lists_gen`
+    // sidecar), so a probe landing between the two retrain publishes never
+    // prunes old-clustering codes by new-clustering list ids
+    val (_, cents, codesRoot, books) =
+      AnnIndex.ivfPqSnapshot(spark, ivfDir, indexDir)
+    val lists = AnnIndex.rankLists(cents, probeVec, nprobe)
+    val m = books.map(_._1).max + 1
+    val nCodes = books.map(_._2).max + 1
+    val lut = pqAdcLut(books, m, nCodes, probeVec)
+    val cand = AnnIndex.ivfPqScanAt(spark, codesRoot, lists)
+      .filter(col("rnorm") > 0)
+      .withColumn("score_pq",
+        call_function("pq_adc", col("code"), typedLit(lut)) / col("rnorm"))
+      .orderBy(col("score_pq").desc, col("vec_id"))
+      .limit(oversample * k)
+      .select("vec_id")
+    knnExact(e.join(cand, Seq("vec_id"), "left_semi"), probeId, k)
+  }
+
+  /** §2.9 BATCH IVF-PQ ANN (r9, no-oracle; LlmSpec asserts per-probe
+    * parity with the single-probe composite path): the last cell of the
+    * ladder matrix — every index (LSH, IVF, SQ8, PQ, IVF-PQ) now serves
+    * batch retrieval. [[qKnnBatchIvf]]'s shape at [[qKnnCosineIvfPq]]'s
+    * cost: ONE centroid-table read ranks lists for all m probes, ONE
+    * partition-pruned scan of the union of probed lists reads only m-byte
+    * codes, and candidates join the broadcast (probe, lut, list) rows on
+    * `list_id` EQUALITY — each code row ADC-scores only against the probes
+    * that probe its list; per-probe coarse cut on TopKPerGroup, exact
+    * re-rank of the survivors. */
+  def qKnnBatchIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ivfDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
+    AnnIndex.ensure(e, ivfDir, nlist = 16)
+    val idxDir = AnnIndex.defaultIvfPqDir(dir, nlist = 16, m = 4, k = 16)
+    AnnIndex.ensureIvfPq(e, ivfDir, idxDir, m = 4, k = 16)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    knnIvfPqBatchProbe(spark, ivfDir, idxDir, e, probes,
+      k = 5, nprobe = 4, oversample = 8)
+  }
+
+  /** Batch IVF-PQ query core: one centroid ranking pass, one pruned union
+    * code scan, list-equality ADC scoring, per-probe cuts, exact re-rank. */
+  private[graft] def knnIvfPqBatchProbe(spark: SparkSession, ivfDir: String,
+                                        indexDir: String, e: DataFrame,
+                                        probes: Seq[(Long, Array[Double])],
+                                        k: Int, nprobe: Int,
+                                        oversample: Int): DataFrame = {
+    import spark.implicits._
+    // ONE paired snapshot (see knnIvfPqProbe): centroid ranking pairs with
+    // the codes' own clustering via the `_lists_gen` sidecar
+    val (_, cents, codesRoot, books) =
+      AnnIndex.ivfPqSnapshot(spark, ivfDir, indexDir)
+    val probed = probes.map(p => AnnIndex.rankLists(cents, p._2, nprobe))
+    val m = books.map(_._1).max + 1
+    val nCodes = books.map(_._2).max + 1
+    val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
+      val lut = pqAdcLut(books, m, nCodes, pv)
+      ls.map(l => (pid, lut, l))
+    }.toDF("probe_id", "lut", "list_id")
+    val coarse = AnnIndex.ivfPqScanAt(spark, codesRoot, probed.flatten.distinct)
+      .filter(col("rnorm") > 0)
+      .join(broadcast(probeLists), Seq("list_id"))
+      .select(col("vec_id"), col("probe_id"),
+        (call_function("pq_adc", col("code"), col("lut")) / col("rnorm"))
+          .as("score_pq"))
+    val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
+        Seq(("score_pq", false), ("vec_id", true)), oversample * k)
+      .select("probe_id", "vec_id")
+    val probeVecs = e
+      .join(broadcast(probes.map(_._1).toDF("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val scored = e.join(cand, Seq("vec_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .withColumn("cos_sim", round(Llm.cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), k)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** The SERVING form of the IVF-PQ composite batch probe — the shape
+    * [[graft.stream.Streams.annServe]] needs, differing from
+    * [[knnIvfPqBatchProbe]] in two serving-specific ways: probes carry
+    * their OWN vectors (a served query is not a corpus member, so probe
+    * vectors ride the broadcast instead of being fetched from `e`), and
+    * the exact re-rank fetches survivor vectors from the IVF LISTS table
+    * itself — the corpus the ingest stream maintains — via the SAME
+    * partition-pruned scan as the coarse pass (candidates can only come
+    * from probed lists), so the full-vector read stays O(nprobe lists),
+    * never O(corpus). All four artifacts resolve from ONE PAIRED snapshot
+    * ([[graft.etl.AnnIndex.ivfPqSnapshot]]) anchored on the codes
+    * generation — a retrain sequence publishing mid-serve flips nothing
+    * under us, and the serve never pairs one model's centroids with the
+    * other model's codes. */
+  private[graft] def knnIvfPqBatchServe(spark: SparkSession, ivfDir: String,
+                                        indexDir: String,
+                                        probes: Seq[(Long, Array[Float])],
+                                        k: Int, nprobe: Int,
+                                        oversample: Int): DataFrame = {
+    import spark.implicits._
+    // cover ad-hoc callers that arrive without the codegen functions
+    // (pq_adc below) registered; idempotent, annServe registers too
+    GraftFunctions.ensureRegistered(spark)
+    // ONE paired snapshot anchored on the codes generation: the centroid
+    // ranking, the pruned code scan, AND the exact-re-rank lists fetch all
+    // read the clustering the codes were encoded against
+    val (listsRoot, cents, codesRoot, books) =
+      AnnIndex.ivfPqSnapshot(spark, ivfDir, indexDir)
+    val m = books.map(_._1).max + 1
+    val nCodes = books.map(_._2).max + 1
+    val probed = probes.map(p =>
+      AnnIndex.rankLists(cents, p._2.map(_.toDouble), nprobe))
+    val lists = probed.flatten.distinct
+    val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
+      val lut = pqAdcLut(books, m, nCodes, pv.map(_.toDouble))
+      ls.map(l => (pid, lut, l))
+    }.toDF("probe_id", "lut", "list_id")
+    val coarse = AnnIndex.ivfPqScanAt(spark, codesRoot, lists)
+      .filter(col("rnorm") > 0)
+      .join(broadcast(probeLists), Seq("list_id"))
+      .select(col("vec_id"), col("probe_id"),
+        (call_function("pq_adc", col("code"), col("lut")) / col("rnorm"))
+          .as("score_pq"))
+    val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
+        Seq(("score_pq", false), ("vec_id", true)), oversample * k)
+      .select("probe_id", "vec_id")
+    val probeVecs = probes.toDF("probe_id", "pv")
+    val scored = AnnIndex.probeScanAt(spark, listsRoot, lists)
+      .select("vec_id", "label", "embedding")
+      .join(cand, Seq("vec_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .withColumn("cos_sim", round(Llm.cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), k)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** §2.9 BATCH PQ ANN (r9, no-oracle; LlmSpec asserts per-probe parity
+    * with the single-probe PQ path): the batch form of [[qKnnCosinePq]],
+    * closing the ladder — every persisted index (LSH, IVF, SQ8, PQ) now
+    * serves both single-probe and batch retrieval. ONE code-table scan
+    * scores all m probes: the m per-probe ADC lookup tables are a
+    * driver-built literal exploded map-side (m·m_sub·k doubles of model
+    * metadata — no join, no cartesian), each row costing m_sub lookups per
+    * probe in the [[graft.expr.PqAdc]] codegen loop; per-probe coarse cut
+    * on [[graft.plans.TopKPerGroup]] at oversample·k, exact re-rank of the
+    * ≤ m·C survivors, per-probe final cut. */
+  def qKnnBatchPq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultPqDir(dir, m = 4, k = 16)
+    AnnIndex.ensurePq(e, idxDir, m = 4, k = 16)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    knnPqBatchProbe(spark, idxDir, e, probes, k = 5, oversample = 8)
+  }
+
+  /** Batch PQ query core: one scan, per-probe literal LUT explode, ADC
+    * coarse cut per probe, exact re-rank. */
+  private[graft] def knnPqBatchProbe(spark: SparkSession, indexDir: String,
+                                     e: DataFrame, probes: Seq[(Long, Array[Double])],
+                                     k: Int, oversample: Int): DataFrame = {
+    import spark.implicits._
+    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
+    val m = books.map(_._1).max + 1
+    val nCodes = books.map(_._2).max + 1
+    val luts = probes.map { case (pid, pv) =>
+      (pid, pqAdcLut(books, m, nCodes, pv))
+    }
+    val coarse = AnnIndex.pqScanAt(spark, codesRoot)
+      .filter(col("rnorm") > 0)
+      .select(col("vec_id"), col("rnorm"), col("code"),
+        explode(typedLit(luts)).as("p"))
+      .select(col("vec_id"), col("p._1").as("probe_id"),
+        (call_function("pq_adc", col("code"), col("p._2")) / col("rnorm"))
+          .as("score_pq"))
+    val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
+        Seq(("score_pq", false), ("vec_id", true)), oversample * k)
+      .select("probe_id", "vec_id")
+    val probeVecs = e
+      .join(broadcast(probes.map(_._1).toDF("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val scored = e.join(cand, Seq("vec_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .withColumn("cos_sim", round(Llm.cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), k)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** §2.9 BATCH SQ8 ANN (no-oracle; LlmSpec asserts per-probe parity with
+    * the single-probe SQ8 path): completes the batch ladder —
+    * [[qKnnBatchLsh]]/[[qKnnBatchIvf]] batch the bucketed indexes; this
+    * batches the quantized coarse scan, which single-probe would otherwise
+    * re-read once per probe (m full index passes → ONE).
+    *
+    * Scale shape: the m quantized probe vectors are a driver-side literal
+    * exploded map-side over the index scan (pure fan-out — no join, no
+    * shuffle, no cartesian node for the plan audit to flag), so each index
+    * row scores against all m probes in one codegen pass of
+    * [[graft.expr.Int8Dot]] integer multiply-adds; the per-probe coarse cut
+    * is [[graft.plans.TopKPerGroup]] at `oversample·k` (per-partition top-C
+    * per probe — the shuffle carries ≤ m·C rows per map partition, never
+    * the m·corpus score matrix); only the ≤ m·C distinct survivors fetch
+    * their full-precision vectors for the exact re-rank, cut again per
+    * probe. The division by `qnorm` alone is ranking-correct per probe
+    * group: the probe's own quantization scale is constant within its
+    * group, so it cancels exactly as in the single-probe path. */
+  def qKnnBatchInt8(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultSq8Dir(dir)
+    AnnIndex.ensureSq8(e, idxDir)
+    // bounded probe batch — at 100 TB the probe vectors arrive WITH the
+    // query (a training batch); the pushed-down m-row fetch stands in
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    knnSq8BatchProbe(spark, idxDir, e, probes, k = 5, oversample = 4)
+  }
+
+  /** Batch SQ8 query core: one quantized-index scan scores every probe
+    * (map-side literal explode), per-probe coarse TopKPerGroup cut at
+    * `oversample·k`, exact re-rank of the survivors, per-probe final cut. */
+  private[graft] def knnSq8BatchProbe(spark: SparkSession, indexDir: String,
+                                      e: DataFrame, probes: Seq[(Long, Array[Double])],
+                                      k: Int, oversample: Int): DataFrame = {
+    import spark.implicits._
+    val pq = probes.map { case (pid, pv) => (pid, AnnIndex.quantizeInt8(pv)) }
+    val coarse = AnnIndex.sq8Scan(spark, indexDir)
+      .filter(col("qnorm") > 0)
+      .select(col("vec_id"), col("qnorm"), col("qvec"),
+        explode(typedLit(pq)).as("p"))
+      .select(col("vec_id"), col("p._1").as("probe_id"),
+        (call_function("int8_dot", col("qvec"), col("p._2")).cast("double")
+          / col("qnorm")).as("score8"))
+    val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
+        Seq(("score8", false), ("vec_id", true)), oversample * k)
+      .select("probe_id", "vec_id")
+    val probeVecs = e
+      .join(broadcast(probes.map(_._1).toDF("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val scored = e.join(cand, Seq("vec_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .withColumn("cos_sim", round(Llm.cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), k)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** IVF query core over a persisted index: driver-side centroid ranking,
+    * partition-pruned candidate scan, exact re-rank. The probe's own list is
+    * always probed (its assigned centroid ranks first for its own vector). */
+  private[graft] def knnIvfProbe(spark: SparkSession, indexDir: String,
+                                 probeVec: Array[Double], probeId: Long,
+                                 k: Int, nprobe: Int): DataFrame = {
+    // ONE snapshot for both steps: ranking and scan must see the same
+    // (centroids, lists) generation even if a retrain publishes mid-query
+    val (root, cents) = AnnIndex.ivfSnapshot(spark, indexDir)
+    val lists = AnnIndex.rankLists(cents, probeVec, nprobe)
+    knnExact(AnnIndex.probeScanAt(spark, root, lists)
+      .select("vec_id", "label", "embedding"), probeId, k)
+  }
+
+  /** §2.9 BATCH IVF ANN (no-oracle; LlmSpec asserts per-probe parity with
+    * the single-probe IVF path and exact union-pruning): top-k neighbors
+    * for EVERY probe in a bounded batch through the PERSISTED IVF index —
+    * [[qKnnBatch]]'s retrieval shape at [[qKnnCosineIvf]]'s index-serving
+    * cost. This is the shape that matters in production: retrieval runs in
+    * batches (score a training batch, attach neighbors per example), and m
+    * single-probe queries would re-list and re-read every overlapping list.
+    *
+    * Scale shape: probe-list selection is ONE centroid-table read +
+    * O(m·nlist·dim) driver math ([[graft.etl.AnnIndex.nearestListsBatch]] —
+    * model metadata, not data); the candidate fetch is ONE partition-pruned
+    * scan of the UNION of all probed lists (≤ min(m·nprobe, nlist) dirs,
+    * shared across probes); scoring joins candidates to probes on `list_id`
+    * EQUALITY (a broadcast of m·nprobe probe rows), so each candidate row
+    * scores only against the probes that actually probe its list — map-side
+    * codegen Llm.cosine, never an m×corpus cross product; the per-probe cut is
+    * the custom [[graft.plans.TopKPerGroup]] operator (the only shuffle
+    * carries ≤ k rows per probe per map partition). */
+  def qKnnBatchIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
+    AnnIndex.ensure(e, idxDir, nlist = 16)
+    // bounded probe batch — at 100 TB the probe vectors arrive WITH the
+    // query (a training batch), not from the corpus; the pushed-down m-row
+    // fetch here stands in for that
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    knnIvfBatchProbe(spark, idxDir, probes, k = 5, nprobe = 4)
+  }
+
+  /** Batch IVF query core: one centroid ranking pass, one pruned union
+    * scan, list-equality scoring, per-probe TopKPerGroup cut. */
+  private[graft] def knnIvfBatchProbe(spark: SparkSession, indexDir: String,
+                                      probes: Seq[(Long, Array[Float])],
+                                      k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    // ONE snapshot shared by the ranking pass and the pruned union scan
+    val (root, cents) = AnnIndex.ivfSnapshot(spark, indexDir)
+    val probed = probes.map(p =>
+      AnnIndex.rankLists(cents, p._2.map(_.toDouble), nprobe))
+    val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
+      ls.map(l => (pid, pv, l))
+    }.toDF("probe_id", "pv", "list_id")
+    val scored = AnnIndex.probeScanAt(spark, root, probed.flatten.distinct)
+      .join(broadcast(probeLists), Seq("list_id"))
+      .withColumn("cos_sim", round(Llm.cosine(col("embedding"), col("pv")), 4))
+      .select("probe_id", "vec_id", "label", "cos_sim")
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq(("cos_sim", false), ("vec_id", true)), k)
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** §2.9 Hard-negative mining — for each anchor vector, the top-5 most
+    * similar vectors carrying a DIFFERENT label: the pairs a contrastive
+    * trainer wants (close in embedding space, semantically distinct).
+    * Anchors are a deterministic corpus slice (vec_id % 37 == 0) CAPPED at
+    * the 512 lowest anchor ids — the "this shard's anchor batch" pattern:
+    * without the cap the anchor set scales linearly with the corpus, and
+    * the ANN variant's driver-side probe batch (and this query's broadcast)
+    * would grow unboundedly with it. Similarity is the EXACT integer
+    * micro-Llm.dot (each elementwise product floor-snapped to 1e-6 units
+    * before a long fold — order-independent and bit-identical in DuckDB),
+    * which makes a top-k ranking query over floating-point vectors fully
+    * oracle-able, unlike the Llm.cosine ANN ladder. Shape: anchors broadcast
+    * (m rows) against the corpus with a label-mismatch residual → one
+    * codegen'd zip_with/aggregate per pair → per-anchor top-5 window.
+    * At 100 TB the exhaustive scan per anchor is replaced by feeding the
+    * same scoring/ranking tail from [[graft.etl.AnnIndex]] coarse
+    * candidates — the mining semantics and this query's tail stay as-is. */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val anchors = e.filter(col("vec_id") % 37 === 0)
+      .orderBy("vec_id").limit(512)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("av"))
+    val scored = e.join(broadcast(anchors), col("label") =!= col("anchor_label"))
+      .withColumn("dot_micro",
+        call_function("dot_micro", col("av"), col("embedding")))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("dot_micro").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("anchor_id"), col("rnk"), col("vec_id"), col("label"),
+        col("dot_micro"))
+      .orderBy("anchor_id", "rnk")
+  }
+
+  /** §2.9 Hard-negative mining through the persisted ANN index — the
+    * 100 TB form [[qHardNegatives]]'s scaladoc promises: instead of an
+    * exhaustive corpus scan per anchor, candidates come from the IVF
+    * index's nprobe-pruned lists (a `PartitionFilters`-pruned scan of
+    * nprobe/nlist directories), then the SAME label-mismatch +
+    * [[graft.expr.DotMicro]] + per-anchor top-k tail runs over the
+    * candidate set. Anchors are a BOUNDED driver-side batch by contract:
+    * the same 512-capped slice as [[qHardNegatives]] (deterministic
+    * lowest-id order), so the collect is ≤ 512 vectors regardless of
+    * corpus size — the probe contract of the batch-KNN family, now
+    * enforced rather than assumed. No-oracle (candidate pruning is
+    * index-dependent); LlmSpec scores recall against the exhaustive
+    * [[qHardNegatives]] on the same anchors. */
+  def qHardNegativesAnn(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idxDir = AnnIndex.defaultIvfDir(dir, nlist = 16)
+    AnnIndex.ensure(e, idxDir, nlist = 16)
+    val anchors = e.filter(col("vec_id") % 37 === 0)
+      .orderBy("vec_id").limit(512).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    // ONE snapshot for ranking + scan (retrain-consistent probe flow)
+    val (root, cents) = AnnIndex.ivfSnapshot(spark, idxDir)
+    val probed = anchors.map(a =>
+      AnnIndex.rankLists(cents, a._3.map(_.toDouble), nprobe = 8)).toSeq
+    val probeLists = anchors.zip(probed).flatMap {
+      case ((aid, albl, av), ls) => ls.map(l => (aid, albl, av, l))
+    }.toSeq.toDF("anchor_id", "anchor_label", "av", "list_id")
+    val scored = AnnIndex.probeScanAt(spark, root, probed.flatten.distinct)
+      .join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("label") =!= col("anchor_label"))
+      .withColumn("dot_micro",
+        call_function("dot_micro", col("av"), col("embedding")))
+      .select("anchor_id", "vec_id", "label", "dot_micro")
+    graft.plans.TopK.perGroup(scored, Seq("anchor_id"),
+        Seq(("dot_micro", false), ("vec_id", true)), 5)
+      .orderBy(col("anchor_id"), col("dot_micro").desc, col("vec_id"))
+  }
+
+}

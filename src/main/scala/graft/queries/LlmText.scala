@@ -1,0 +1,578 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.AnnIndex
+import graft.expr.GraftFunctions
+
+/** §2.9 text analysis & quality (split from Llm.scala along the SURVEY
+  * family seams, r14 judge #7 — pure move, zero behavior): token counting,
+  * BPE, quality scoring, language-ID, fingerprints, n-gram statistics,
+  * sketches, repetition metrics, perplexity, NB classification. */
+object LlmText {
+  /** §2.9 Token frequencies per language — explode + hash aggregation (the
+    * wordcount shape; partial aggregation keeps the shuffle at |vocab| per
+    * partition). */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "token")
+
+  /** §2.9 Token counting: whitespace tokens, alphabetic tokens via regex,
+    * and a BPE-ish chars/4 approximation. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("n_alpha_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        ceil(length(col("text")) / lit(4.0)).cast("bigint").as("approx_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** §2.9 REAL-vocabulary token counting (r9) — per-doc model-token counts
+    * from the [[graft.functions.Bpe]] merges table, next to the whitespace
+    * proxy: the fidelity upgrade the token proxies in [[qTokenCount]]
+    * approximate, and what budget enforcement ([[qSourceBudget]] /
+    * [[qSeqPack]] in their `useBpe` mode) meters at production.
+    *
+    * Scale shape: BPE runs ONLY over the distinct-word frame (vocabulary-
+    * sized mapPartitions with the merges broadcast — never the token
+    * stream); the corpus side is one (doc, word) hash agg, a broadcast
+    * join to the word→count map, and one per-doc sum. The oracle restates
+    * the same greedy lowest-rank/leftmost/one-occurrence loop as a DuckDB
+    * recursive CTE over the identical merges VALUES table. */
+  def qTokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    // wf is pinned: it feeds BOTH the vocabulary pass and the count join,
+    // and exchange reuse does not fire across the pruned consumers
+    // (plan-probed) — unpinned, the corpus word-count aggregation ran twice
+    val wf = Llm.pinShared(Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n")))
+    val wtok = graft.functions.Bpe.tokenCounts(spark, wf.select("w").distinct())
+    wf.join(broadcast(wtok), "w")
+      .groupBy("doc_id")
+      .agg(sum("n").cast("bigint").as("n_ws_tokens"),
+           sum(col("n") * col("n_bpe")).cast("bigint").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 BPE vocabulary TRAINING over the corpus — learning the merges
+    * table that [[qTokenBpe]] applies (whose built-in list is a fixture
+    * standing in for exactly this output): the tokenizer story becomes
+    * end-to-end — train on the corpus, meter with the result.
+    *
+    * Scale split (documented on [[graft.functions.Bpe.train]]): the
+    * corpus-scaled pass is ONE distributed word-frequency aggregation with
+    * map-side partials; a deterministic top-V cap (count desc, word asc —
+    * total order) bounds what the trainer sees, exactly as production
+    * tokenizer training caps its vocabulary; the merge-learning loop is
+    * driver-local math over that bounded table (the FAISS-style
+    * data/model split, same as IVF centroids and [[qEmbedPca]]).
+    *
+    * No oracle by design (iterative replace-all training is not
+    * SQL-expressible); hand-computed-merge, monotone-compression, and
+    * determinism contracts live in LlmSpec. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(4096)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.Bpe.train(vocab, 32).zipWithIndex
+      .map { case ((l, r, c), i) => (i, l, r, c) }
+      .toDF("rank", "left", "right", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** §2.9 Quality scoring: chars-per-token, stopword ratio, type-token
+    * ratio — the standard cheap text-quality filters. */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stops = filter(toks, t => t.isin("a", "the"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("n_chars_m"),
+        round(length(col("text")).cast("double") / size(toks), 4).as("chars_per_token"),
+        size(stops).as("n_stop"),
+        round(size(stops).cast("double") / size(toks), 4).as("stop_ratio"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("ttr"))
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 Character-class Shannon entropy per document — the
+    * compression-proxy quality signal (Gopher-class corpus filters cut
+    * repeated-filler / mono-character noise on exactly this statistic),
+    * over the fixed 28-bucket alphabet 'a'–'z' / space / other.
+    *
+    * The entropy itself is the native single-pass
+    * [[graft.expr.CharEntropy]] codegen expression (ONE walk over the
+    * UTF-8 bytes, vs the 27 chained `length(replace(...))` passes of the
+    * built-in formulation — LlmSpec asserts the two are bit-identical);
+    * the space count reuses the one-replace length diff (integer-exact in
+    * both engines). Pure map-side projection, zero shuffles beyond the
+    * output sort — the gate runs at scan speed at 100 TB. Micro-snap
+    * parity rests on the established `ln` precedent (§5.3). */
+  def qCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        (length(col("text")) - length(expr("replace(text, ' ', '')"))).as("n_spaces"),
+        expr("char_entropy(text)").as("h"))
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") === 0, lit(0L))
+          .otherwise(expr("cast(n_spaces as bigint) * 1000000 div n_chars"))
+          .as("space_ratio_micro"),
+        floor(col("h") * lit(1000000.0)).cast("long").as("entropy_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 Quality-classifier scoring: a fixed-weight logistic model over the
+    * quality features (chars/token, stopword ratio, type-token ratio) — the
+    * fastText-style learned quality gate every LLM corpus pass runs, with
+    * the model INFERENCE expressed as plain Catalyst expressions. The whole
+    * scorer — features, Llm.dot product, sigmoid, threshold — compiles into one
+    * whole-stage-codegen'd map over the scan: zero shuffles, zero UDFs, so
+    * at 100 TB the gate runs at scan speed. The linear term is assembled
+    * left-to-right identically in both engines and the sigmoid output is
+    * micro-floor snapped (§5.3); the keep flag tests z ≥ 0 directly
+    * (algebraically `score ≥ 0.5`) so the cut never depends on the
+    * transcendental's last ulp. */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val z = qualityZ(col("text"), split(col("text"), " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (floor(lit(1.0) / (lit(1.0) + exp(-z)) * 1e6) / 1e6).as("score"),
+        (z >= 0).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** The quality model's linear term, as a pure per-row Column — the ONE
+    * definition shared by [[qQualityScore]] and the corpus-curation funnel's
+    * map-side gate ([[graft.etl.CorpusPipeline]]), so the funnel can fuse
+    * the gate into its scan projection without joining the declared query's
+    * output (and without any possibility of the two drifting —
+    * CorpusPipelineSpec additionally asserts stage equivalence). */
+  private[graft] def qualityZ(text: Column, toks: Column): Column = {
+    val f1 = length(text).cast("double") / size(toks)
+    val f2 = size(filter(toks, t => t.isin("a", "the"))).cast("double") / size(toks)
+    val f3 = size(array_distinct(toks)).cast("double") / size(toks)
+    lit(-2.0) + lit(0.3) * f1 - lit(4.0) * f2 + lit(3.0) * f3
+  }
+
+  /** §2.9 Document chunking: overlapping token windows (30-token chunks,
+    * stride 20 → 10-token overlap) — the long-document preparation step
+    * before embedding/training. One explode of the per-doc start sequence;
+    * `slice` clamps the tail chunk, chunk ids derive from the start offset
+    * so no row-ordinality dependence crosses engines. */
+  def qDocChunk(spark: SparkSession, dir: String): DataFrame = {
+    val window = 30
+    val stride = 20
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(1), greatest(size(toks), lit(1)), lit(stride)))
+          .as("chunk_start"))
+      .withColumn("chunk", slice(col("toks"), col("chunk_start"), lit(window)))
+      .select(col("doc_id"),
+        expr(s"cast((chunk_start - 1) div $stride as int)").as("chunk_idx"),
+        col("chunk_start"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
+  /** §2.9 Text normalization for training-data prep: lowercase, strip
+    * non-alphanumerics, collapse runs of whitespace, trim — the standard
+    * cleaning pass before dedup/tokenization. Pure per-row codegen'd
+    * string expressions; emits the cleaned text plus before/after sizes so
+    * a pipeline can gate on shrinkage. */
+  def qTextClean(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        cleaned.as("text_clean"))
+      .withColumn("n_chars_clean", length(col("text_clean")))
+      .withColumn("n_tokens_clean", size(split(col("text_clean"), " ")))
+      .select("doc_id", "n_chars_raw", "n_chars_clean", "n_tokens_clean", "text_clean")
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 Language-ID heuristic: marker-token votes per candidate class,
+    * argmax with a fixed precedence tie-break. (On real corpora the marker
+    * sets are per-language stopword lists; the mechanics — count marker
+    * hits per class, argmax — are identical.) */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def score(markers: String*): Column =
+      size(filter(toks, t => t.isin(markers: _*)))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        score("join", "filter", "order", "table").as("s_sql"),
+        score("hash", "scan", "merge", "sort").as("s_exec"),
+        score("vector", "window", "batch", "line").as("s_vec"))
+      .withColumn("lang_guess",
+        when(col("s_sql") >= col("s_exec") && col("s_sql") >= col("s_vec"), "sql")
+          .when(col("s_exec") >= col("s_vec"), "exec")
+          .otherwise("vec"))
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 Document fingerprinting: exact content hash, bag-of-words shape
+    * hash (sorted distinct tokens), and a polynomial rolling hash folded
+    * left-to-right over per-token codes mod 1e9+7 (bounds keep every
+    * intermediate < 2^63, so ANSI overflow checking never trips). */
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val codes = transform(toks, t => (ascii(t) * 31 + length(t)).cast("bigint"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("exact_fp"),
+        md5(concat_ws(" ", sort_array(array_distinct(toks)))).as("shape_fp"),
+        aggregate(codes, lit(0L), (acc, x) => (acc * 131 + x) % 1000000007L)
+          .as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 Top-k n-grams per language: exploded bigrams → hash aggregation →
+    * per-group top-5 via row_number (partial-agg shuffles |vocab|, the
+    * window sees only per-gram counts — never raw token rows). The corpus
+    * vocabulary-profiling shape (stopword mining, boilerplate detection).
+    * Single-token docs yield no bigram on either engine. */
+  def qTopNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val pairs = arrays_zip(slice(toks, lit(1), size(toks) - 1),
+                           slice(toks, lit(2), size(toks) - 1))
+    val counts = Tables.documents(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(col("lang"), explode(pairs).as("pair"))
+      .select(col("lang"),
+        concat_ws(" ", col("pair").getField("0"), col("pair").getField("1")).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("bigram"), col("n"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  /** §2.9 Count-Min Sketch point-frequency estimates (r8), expressed
+    * relationally: the counter table (d=4 hash rows × w=16 buckets, seeded
+    * md5 bucket keys) IS the sketch, and Spark's partial aggregation gives
+    * the sketch's defining property for free — map-side partials are
+    * per-partition sketches, the shuffle reduce is exactly CMS merge
+    * (counter-wise sum) — so the "mergeable sketch" needs no custom
+    * buffer here the way exact heavy hitters do ([[qHeavyHitters]]'s
+    * Misra–Gries `Aggregator`). Estimates for a fixed probe-term set ride
+    * next to their exact counts, so the output exhibits the CMS contract:
+    * `cms_n ≥ exact_n` always (one-sided error), with the min-over-rows
+    * shrinking the overcount vs any single row (visible in the result —
+    * several probes land collision-free while singles collide).
+    *
+    * Cross-engine parity: buckets are md5-derived STRINGS (no hex→int
+    * conversion exists in both dialects; 1 hex char = 16 buckets keyed by
+    * the character itself), counts are longs — the whole sketch is
+    * deterministic and bit-identical, so an approximate algorithm gets a
+    * full oracle. At 100 TB the counter table is w·d rows total
+    * (monitoring-cheap); the probe lookup is a |probes|·d-row broadcast. */
+  def qCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = 4
+    val probes = Seq("spark", "table", "join", "data", "line", "key", "value",
+      "zzz_absent")
+    def bucket(j: Int, term: Column): Column =
+      substring(md5(concat(lit(s"cms$j:"), term)), 1, 1)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val counters = toks
+      .select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"), bucket(j, col("term")).as("bucket"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val pb = probes.toDF("term")
+      .select(col("term"), explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"), bucket(j, col("term")).as("bucket"))): _*)).as("jb"))
+      .select(col("term"), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    val est = pb.join(counters, Seq("j", "bucket"), "left")
+      .groupBy("term").agg(min(coalesce(col("cnt"), lit(0L))).as("cms_n"))
+    val exact = toks.filter(col("term").isin(probes: _*))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"), coalesce(col("n"), lit(0L)).as("exact_n"),
+        col("cms_n"), (col("cms_n") - coalesce(col("n"), lit(0L))).as("overcount"))
+      .orderBy("term")
+  }
+
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new graft.expr.MisraGriesAgg(64))
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val cands = toks
+      .agg(mg(col("word")).as("sk"), count(lit(1)).as("n_total"))
+      .select(explode(map_keys(col("sk"))).as("word"), col("n_total"))
+    toks.join(broadcast(cands), "word")
+      .groupBy("word", "n_total").agg(count(lit(1)).as("n"))
+      .filter(col("n").cast("double") >= col("n_total") * 0.02)
+      .withColumn("frac", floor(col("n").cast("double") / col("n_total") * 1e6) / 1e6)
+      .select(col("word"), col("n"), col("frac"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
+  /** §2.9 GROUPED exact heavy hitters: the Misra–Gries sketch as a KEYED
+    * aggregation — one k-bounded buffer per language, the per-domain
+    * trending-terms shape (each group's candidate set is complete for its
+    * own n_g/(k+1) bound, so the per-group ≥ 2% cut is exact). Same
+    * sketch-then-verify discipline as [[qHeavyHitters]]; the candidate
+    * broadcast carries ≤ k·|groups| rows and each group's token total
+    * rides on its candidate rows, so the sketch aggregation has exactly
+    * one consumer. */
+  def qHeavyHittersGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new graft.expr.MisraGriesAgg(64))
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    val cands = toks.groupBy("lang")
+      .agg(mg(col("word")).as("sk"), count(lit(1)).as("n_total"))
+      .select(col("lang"), explode(map_keys(col("sk"))).as("word"),
+              col("n_total"))
+    toks.join(broadcast(cands), Seq("lang", "word"))
+      .groupBy("lang", "word", "n_total").agg(count(lit(1)).as("n"))
+      .filter(col("n").cast("double") >= col("n_total") * 0.02)
+      .withColumn("frac", floor(col("n").cast("double") / col("n_total") * 1e6) / 1e6)
+      .select(col("lang"), col("word"), col("n"), col("frac"))
+      .orderBy(col("lang"), col("n").desc, col("word"))
+  }
+
+  /** §2.9 Bigram PMI (pointwise mutual information) — the collocation /
+    * multi-word-expression miner a corpus-analysis pass runs before
+    * tokenizer training: pmi(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2))), top-20
+    * pairs with support ≥ 5.
+    *
+    * Shape at scale: unigram and bigram counts are two hash aggregations
+    * with map-side partials (vocabulary-bounded outputs ≪ corpus); the
+    * probability join fetches the two unigram counts by broadcast equi-join
+    * (the vocabulary broadcasts; were it ever too large it degrades to a
+    * keyed shuffle join, never a cross); the final top-20 is
+    * TakeOrderedAndProject over the vocab²-bounded pair frame — no global
+    * sort of anything corpus-sized. The ln argument is assembled
+    * left-to-right identically in both engines (§5.3) and micro-floor
+    * snapped. (The declared query re-derives the `uni`/`pc` count frames
+    * per consumer for purity; a production run persists both — they are
+    * vocabulary-bounded — so the corpus is scanned twice, not per-branch.) */
+  def qWordPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = split(col("text"), " ")
+    val docs = Tables.documents(spark, dir)
+    // uni feeds three consumers (totals + both probability joins) and pc
+    // feeds two (bigram total + the scored frame); both are VOCABULARY-
+    // sized, and exchange reuse does not fire across the pruned consumers
+    // (plan-probed ~5 corpus passes unpinned) — pin once, derive the rest
+    val uni = Llm.pinShared(docs.select(explode(toksCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")))
+    val totals = uni.agg(sum(col("c1")).as("cu"))
+    val pairs = docs.filter(size(toksCol) >= 2)
+      .select(explode(arrays_zip(slice(toksCol, lit(1), size(toksCol) - 1),
+                                 slice(toksCol, lit(2), size(toksCol) - 1))).as("p"))
+      .select(col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
+    val pc = Llm.pinShared(pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair")))
+    val nb = pc.agg(sum(col("n_pair")).as("cb"))
+    pc.filter(col("n_pair") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1b"))), "w2")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(nb))
+      .withColumn("pmi",
+        floor(log((col("n_pair").cast("double") * col("cu")) * col("cu")
+            / ((col("cb").cast("double") * col("c1a")) * col("c1b"))) * 1e6) / 1e6)
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** §2.9 Repetition filter (the Gopher-style repetition rules): per-document
+    * top-word fraction and duplicate-bigram fraction, flagged over
+    * thresholds — the heuristic that drops boilerplate/looping text before
+    * training.
+    *
+    * Both metrics are PER-ROW higher-order-function passes over the split
+    * words — no explode, no shuffle; the whole filter is map-side and the
+    * only exchange is the output sort, so it streams at any corpus size.
+    * Ratios are micro-unit floor-snapped (§5.3), formula mirrored
+    * operation-for-operation in the oracle (divide first, then ×1e6). */
+  def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    withRepetitionMetrics(
+        Tables.documents(spark, dir).withColumn("words", split(col("text"), " ")))
+      // docs with <2 words have no bigram; the oracle's inner join on the
+      // bigram group drops them, so drop them from the declared output (the
+      // metric columns CaseWhen-guard the <2 case — see the helper)
+      .filter(col("n_words") >= 2)
+      .select("doc_id", "n_words", "top_word_frac", "dup_bigram_frac", "flagged")
+      .orderBy("doc_id")
+
+  /** The Gopher-rule repetition metrics over a staged `words` column — the
+    * ONE definition shared by [[qRepetitionFilter]] and the curation
+    * funnel's map-side gate ([[graft.etl.CorpusPipeline]]). Adds `n_words`,
+    * `top_word_frac`, `dup_bigram_frac` (NULL when <2 words: no bigram
+    * exists, and the CaseWhen guard keeps ANSI array indexing away from a
+    * descending `sequence(0, -1)`), and `flagged`. */
+  private[graft] def withRepetitionMetrics(df: DataFrame): DataFrame =
+    df.withColumn("n_words", size(col("words")).cast("bigint"))
+      // top-word count as the longest equal run of the SORTED words — one
+      // O(n log n) pass per row instead of the O(n·|vocab|) distinct×filter
+      // formulation (which benched 4× slower in interpreted lambda time)
+      .withColumn("topc", expr(
+        """aggregate(sort_array(words),
+          |  named_struct('prev', '', 'run', 0, 'best', 0),
+          |  (a, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(x = a.prev, a.run + 1, 1),
+          |    'best', greatest(a.best, IF(x = a.prev, a.run + 1, 1))),
+          |  a -> a.best)""".stripMargin)
+        .cast("bigint"))
+      .withColumn("bigrams", when(col("n_words") >= 2, expr(
+        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))")))
+      .withColumn("top_word_frac",
+        floor(col("topc").cast("double") / col("n_words") * 1e6) / 1e6)
+      .withColumn("dup_bigram_frac",
+        when(col("n_words") >= 2,
+          floor((lit(1.0) - size(array_distinct(col("bigrams"))).cast("double")
+            / size(col("bigrams"))) * 1e6) / 1e6))
+      .withColumn("flagged",
+        col("top_word_frac") > 0.15 || col("dup_bigram_frac") > 0.08)
+
+  /** §2.9 Content-defined chunking: chunk boundaries fall where the hash of
+    * the local 4-gram window has a fixed prefix (P = 1/16 per position) —
+    * so boundaries are determined by CONTENT, not offsets, and inserting a
+    * sentence shifts only the chunk it lands in while every later chunk
+    * re-aligns (the property fixed-size chunking lacks, and the reason
+    * storage-level dedup and patch-resilient document stores chunk this
+    * way). Expected chunk length = 1/P = 16 grams.
+    *
+    * Shape: native [[graft.expr.WordNgrams]] explode → per-row md5 prefix
+    * test → one keyed running-sum window per doc (chunk id = boundaries
+    * seen before this position) → per-(doc, chunk) aggregation. md5 keeps
+    * the boundary rule cross-engine-identical, same §5.3 discipline as the
+    * MinHash stack. */
+  def qContentChunks(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    contentChunkFrame(Tables.documents(spark, dir))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Chunking core over any (doc_id, text) frame — split out so the
+    * insertion-stability property (LlmSpec) runs on crafted documents. */
+  private[graft] def contentChunkFrame(docs: DataFrame): DataFrame = {
+    val g = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(call_function("word_ngrams", col("w"), lit(4)))
+          .as(Seq("pos", "gram")))
+      .withColumn("b", when(md5(col("gram")).startsWith("0"), 1L).otherwise(0L))
+    val upToPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("chunk_idx",
+        coalesce(sum(col("b")).over(upToPrev), lit(0L)).cast("int"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
+           count(lit(1)).as("n_grams"))
+  }
+
+  /** §2.9 Unigram-LM perplexity filtering (the CCNet/KenLM quality signal,
+    * reduced to its order-0 form): score every document by the average
+    * negative log-probability of its words under the corpus's own unigram
+    * distribution and flag the worst decile — low-perplexity ≈ fluent /
+    * typical text, high ≈ noise. Distinct from the heuristic gates
+    * ([[qTextQuality]], [[qQualityScore]]): this one scores against a
+    * LEARNED (corpus-estimated) model, the shape any LM-based filter takes.
+    *
+    * Shape at scale: the "model" is the unigram count table (vocabulary-
+    * bounded, broadcast); scoring is explode → broadcast equi-join →
+    * per-doc sum — map-side model inference plus one doc-keyed aggregation.
+    * Every word is in-vocabulary by construction (the model is estimated
+    * on the same corpus), so no smoothing term is needed; the ln argument
+    * is the exact count ratio, each word's nll floor-snaps to integer
+    * MICRO-units BEFORE the per-doc sum (long sums are order-independent
+    * under any partitioning — a double Σln would drift in the last ulp
+    * with partition order; same discipline as [[qMixTemperature]]'s sqrt
+    * weights), and the per-doc mean divides after. The decile cut compares
+    * the micro-snapped score against the micro-snapped exact P90 — the
+    * interpolation inside `percentile`/`quantile_cont` is the one step not
+    * mirrored op-for-op (engine-internal, like [[qClipOutliers]]'s bands):
+    * both engines interpolate between the SAME two micro-snapped order
+    * statistics, so a flip requires the interpolated value to land within
+    * an ulp of a micro boundary. */
+  def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // pins bound the token passes at exactly two (model build + scoring):
+    // uni feeds the corpus total AND the inference join, scored feeds the
+    // P90 cut AND the output — exchange reuse does not fire across the
+    // pruned consumers (plan-probed ~4.5 passes unpinned), and both frames
+    // are small (vocabulary / one row per doc)
+    val uni = Llm.pinShared(toks.groupBy("w").agg(count(lit(1)).as("c1")))
+    val totals = uni.agg(sum(col("c1")).as("cu"))
+    val scored = Llm.pinShared(toks
+      .join(broadcast(uni), "w")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(floor(log(col("cu").cast("double") / col("c1")) * 1e6)
+             .cast("long")).as("nll_micro"))
+      .withColumn("avg_nll",
+        floor(col("nll_micro").cast("double") / col("n_words")) / 1e6))
+    val p90 = scored.agg(
+      (floor(percentile(col("avg_nll"), lit(0.9)) * 1e6) / 1e6).as("p90"))
+    scored.crossJoin(broadcast(p90))
+      .withColumn("flagged", col("avg_nll") > col("p90"))
+      .select("doc_id", "n_words", "avg_nll", "flagged")
+      .orderBy("doc_id")
+  }
+
+  /** §2.9 Supervised quality gate — a word-level Naive Bayes classifier
+    * trained IN the query (the GPT-3/fasttext pattern: positive class = a
+    * curated corpus, here src0; negative = the rest) and applied to every
+    * document as a log-likelihood-ratio score. Distinct from
+    * [[qLmPerplexity]] (one unsmoothed corpus LM, unsupervised) — this is
+    * the CONTRASTIVE form with Laplace smoothing, the shape every
+    * classifier-based corpus filter takes.
+    *
+    * Shape at scale: the "model" is the per-word two-class count table
+    * (vocabulary-bounded, pinned + broadcast); training is one hash agg
+    * with map-side partials; inference is explode → broadcast join →
+    * per-doc sum. Each word's LLR floor-snaps to integer micro-units
+    * BEFORE the per-doc long sum (order-independent under any
+    * partitioning), the same §5.3 discipline as the perplexity filter. */
+  def qQualityNb(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("source") === "src0").as("pos"),
+        explode(split(col("text"), " ")).as("w"))
+    val counts = Llm.pinShared(toks.groupBy("w").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("cn")))
+    val totals = counts.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+      count(lit(1)).as("v"))
+    toks.join(broadcast(counts), "w")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(floor((log((col("cp") + 1).cast("double") / (col("np") + col("v"))) -
+                   log((col("cn") + 1).cast("double") / (col("nn") + col("v")))) * lit(1e6))
+          .cast("long")).as("llr_micro"))
+      .withColumn("avg_llr",
+        floor(col("llr_micro").cast("double") / col("n_words")) / 1e6)
+      .withColumn("pred_pos", col("llr_micro") > 0)
+      .select("doc_id", "n_words", "llr_micro", "avg_llr", "pred_pos")
+      .orderBy("doc_id")
+  }
+
+}

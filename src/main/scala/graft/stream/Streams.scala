@@ -1,5 +1,7 @@
 package graft.stream
 
+import graft.queries.{LlmKnn, LlmMix}
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -272,13 +274,13 @@ object Streams {
   /** STREAMING ANN serving — the online half of the retrieval story: a
     * stream of probe vectors (a training batch, a query feed) is answered
     * per micro-batch through the PERSISTED IVF index via the batch probe
-    * core ([[graft.queries.Llm.knnIvfBatchProbe]] — one centroid ranking +
+    * core ([[graft.queries.LlmKnn.knnIvfBatchProbe]] — one centroid ranking +
     * one pruned union scan + list-equality scoring per micro-batch), so
     * serving cost scales with the batch's probed lists, never the corpus.
     * The index is never touched by the serving path; ingest appends to it
     * independently ([[corpusIngest]]) and each micro-batch probes whatever
     * index state is current. `ivfPqDir` upgrades the batch to the IVF-PQ
-    * COMPOSITE serve core ([[graft.queries.Llm.knnIvfPqBatchServe]]):
+    * COMPOSITE serve core ([[graft.queries.LlmKnn.knnIvfPqBatchServe]]):
     * ADC scoring over m-byte codes in the probed lists with an exact
     * re-rank fetched partition-pruned from the same lists snapshot —
     * the 100 TB scan-bandwidth shape, served straight off the tables
@@ -347,10 +349,10 @@ object Streams {
           // ADC-coarse over m-byte codes in the probed lists, exact
           // re-rank fetched partition-pruned from the same lists snapshot
           val answers = ivfPqDir match {
-            case Some(pd) => graft.queries.Llm.knnIvfPqBatchServe(
+            case Some(pd) => graft.queries.LlmKnn.knnIvfPqBatchServe(
               spark, ivfDir, pd, ps, k, nprobe, oversample)
             case None =>
-              graft.queries.Llm.knnIvfBatchProbe(spark, ivfDir, ps, k, nprobe)
+              graft.queries.LlmKnn.knnIvfBatchProbe(spark, ivfDir, ps, k, nprobe)
           }
           answers.write.mode("overwrite")
             .parquet(s"$outDir/batch_id=$lineage-$batchId")
@@ -423,7 +425,7 @@ object Streams {
     }
   }
 
-  /** [[graft.queries.Llm.qSourceBudget]] driven as a stream — one admission
+  /** [[graft.queries.LlmMix.qSourceBudget]] driven as a stream — one admission
     * row per arriving doc. */
   def sourceBudgetTws(docs: Dataset[DocTokens],
                       budget: Long = 1000L): Dataset[BudgetAdmission] = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.etl.CorpusPipeline
-import graft.queries.Llm
+import graft.queries.{Llm, LlmText}
 
 /** End-to-end curation funnel contracts (SURVEY.md §2.9 `q_corpus_curate`).
   * The oracle already proves the per-stage COUNTS against an independent
@@ -31,7 +31,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val n = curated.count()
     assert(curated.select(md5(col("text"))).distinct().count() === n,
       "exact duplicates survived curation")
-    val failed = Llm.qQualityScore(spark, TestSpark.sfDir)
+    val failed = LlmText.qQualityScore(spark, TestSpark.sfDir)
       .filter(!col("kept")).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(ids.last._2.intersect(failed).isEmpty, "quality-gate failures survived")

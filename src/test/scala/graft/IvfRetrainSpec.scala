@@ -1,5 +1,7 @@
 package graft
 
+import graft.queries.{LlmKnn}
+
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
@@ -250,7 +252,7 @@ class IvfRetrainSpec extends AnyFunSuite {
     AnnIndex.buildIvfPq(base, ivf, pq, m = 4, k = 4)
     val probeVec = base.filter(col("vec_id") === 5L)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
-    def answer() = graft.queries.Llm.knnIvfPqProbe(spark, ivf, pq, base,
+    def answer() = graft.queries.LlmKnn.knnIvfPqProbe(spark, ivf, pq, base,
         probeVec, probeId = 5L, k = 5, nprobe = 1, oversample = 2)
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     val before = answer()
@@ -313,7 +315,7 @@ class IvfRetrainSpec extends AnyFunSuite {
     // every 11 ids, so vec 200 has exact clones at 2/13/24 (a four-way
     // cos=1 tie, vec_id-ascending): k = 4 must surface 200 — and can only
     // if the paired generation holds the post-compaction append.
-    val got = graft.queries.Llm.knnIvfPqBatchServe(spark, ivf, pq,
+    val got = graft.queries.LlmKnn.knnIvfPqBatchServe(spark, ivf, pq,
         Seq((200L, pv.toArray)), k = 4, nprobe = 1, oversample = 20)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(got.contains(200L),
@@ -373,7 +375,7 @@ class IvfRetrainSpec extends AnyFunSuite {
       clusterRows(2, 100 until 110)).toDF("vec_id", "label", "embedding")
     val probeVec = e.filter(col("vec_id") === 102L)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
-    val got = graft.queries.Llm.knnIvfPqProbe(spark, ivf, pq, e, probeVec,
+    val got = graft.queries.LlmKnn.knnIvfPqProbe(spark, ivf, pq, e, probeVec,
         probeId = 102L, k = 5, nprobe = 1, oversample = 2)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(got.size === 5 && got.forall(id => id >= 100L && id < 110L),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.Llm
+import graft.queries.{Llm, LlmEmbed, LlmKnn, LlmMix, LlmRetrieval, LlmText}
 
 /** Properties for the hash-based near-dup pipelines (SURVEY.md §2.9
   * `q_dedup_minhash` collision behavior — golden values are meaningless for
@@ -130,7 +130,7 @@ class LlmSpec extends AnyFunSuite {
     val edited = (words.take(10) ++ Seq("INSERTED") ++ words.drop(10)).mkString(" ")
     def chunkTexts(id: Long, text: String): Set[String] = {
       val ws = text.split(" ")
-      Llm.contentChunkFrame(docs(id -> text)).collect()
+      LlmText.contentChunkFrame(docs(id -> text)).collect()
         .map(r => ws.slice(r.getAs[Int]("start_pos"),
                            r.getAs[Int]("end_pos") + 4).mkString(" "))
         .toSet
@@ -187,13 +187,13 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("knn top-k plans as TakeOrderedAndProject, not a global sort") {
-    val plan = Llm.qKnnCosine(spark, TestSpark.sfDir)
+    val plan = LlmKnn.qKnnCosine(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in plan:\n$plan")
   }
 
   test("knn LSH on the real table: probe first, sorted desc, candidate set << n") {
-    val df = Llm.qKnnCosineLsh(spark, TestSpark.sfDir)
+    val df = LlmKnn.qKnnCosineLsh(spark, TestSpark.sfDir)
     val lsh = df.collect()
     assert(lsh.length === 10)
     // probe (vec_id 0) has cos 1.0 with itself and always probes its own bucket
@@ -214,7 +214,7 @@ class LlmSpec extends AnyFunSuite {
     // the coarse stage must prune, not scan: candidates well under the corpus
     val e = Tables.embeddings(spark, TestSpark.sfDir)
     val n = e.count()
-    val nCand = Llm.knnLshCandidates(e, 0L, bands = 3, bits = 8, radius = 1).count()
+    val nCand = LlmKnn.knnLshCandidates(e, 0L, bands = 3, bits = 8, radius = 1).count()
     assert(nCand < n / 3, s"ANN candidate set is not sublinear: $nCand of $n")
   }
 
@@ -251,16 +251,16 @@ class LlmSpec extends AnyFunSuite {
     import graft.etl.AnnQuality
     val (probe, e) = AnnQuality.plantedCorpus(spark)
 
-    val exact = Llm.knnExact(e, 0L, 11).collect().map(_.getLong(0)).toSet
+    val exact = LlmKnn.knnExact(e, 0L, 11).collect().map(_.getLong(0)).toSet
     assert((0L to 9L).forall(exact) && exact(99L), "planted dups must top brute force")
 
-    val lsh = Llm.knnLsh(e, 0L, 11, bands = 3, bits = 8, radius = 1)
+    val lsh = LlmKnn.knnLsh(e, 0L, 11, bands = 3, bits = 8, radius = 1)
       .collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(lsh).size
     assert(recall >= AnnQuality.minRecall("lsh"),
       s"ANN recall too low: $recall/11 (lsh=$lsh)")
 
-    val nCand = Llm.knnLshCandidates(e, 0L, 3, 8, 1).count()
+    val nCand = LlmKnn.knnLshCandidates(e, 0L, 3, 8, 1).count()
     assert(nCand < AnnQuality.CorpusRows / 3,
       s"candidate set is not sublinear on planted corpus: $nCand of ${AnnQuality.CorpusRows}")
 
@@ -270,7 +270,7 @@ class LlmSpec extends AnyFunSuite {
     // nprobe/nlist of the data suffices for high recall.
     val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     graft.etl.AnnIndex.build(e, idxDir, nlist = 16)
-    val ivf = Llm.knnIvfProbe(spark, idxDir, probe.map(_.toDouble), 0L, 11, nprobe = 4)
+    val ivf = LlmKnn.knnIvfProbe(spark, idxDir, probe.map(_.toDouble), 0L, 11, nprobe = 4)
       .collect().map(_.getLong(0)).toSet
     val ivfRecall = exact.intersect(ivf).size
     assert(ivfRecall >= graft.etl.AnnQuality.minRecall("ivf"),
@@ -281,7 +281,7 @@ class LlmSpec extends AnyFunSuite {
     // near-dups should be essentially perfect (>=10/11).
     val sq8Dir = java.nio.file.Files.createTempDirectory("graft_sq8_idx").toString
     graft.etl.AnnIndex.buildSq8(e, sq8Dir)
-    val sq8 = Llm.knnSq8Probe(spark, sq8Dir, e, probe.map(_.toDouble), 0L,
+    val sq8 = LlmKnn.knnSq8Probe(spark, sq8Dir, e, probe.map(_.toDouble), 0L,
         k = 11, oversample = 4)
       .collect().map(_.getLong(0)).toSet
     val sq8Recall = exact.intersect(sq8).size
@@ -293,7 +293,7 @@ class LlmSpec extends AnyFunSuite {
     // own codes, so at 8x oversampling the re-rank recovers them.
     val pqDir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
     graft.etl.AnnIndex.buildPq(e, pqDir, m = 4, k = 16)
-    val pq = Llm.knnPqProbe(spark, pqDir, e, probe.map(_.toDouble), 0L,
+    val pq = LlmKnn.knnPqProbe(spark, pqDir, e, probe.map(_.toDouble), 0L,
         k = 11, oversample = 8)
       .collect().map(_.getLong(0)).toSet
     val pqRecall = exact.intersect(pq).size
@@ -322,7 +322,7 @@ class LlmSpec extends AnyFunSuite {
     // probe path: pruned scan reads <= nprobe of nlist partitions
     val probeVec = e.filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    val df = Llm.knnIvfPqProbe(spark, ivfDir, compDir, e, probeVec, 0L,
+    val df = LlmKnn.knnIvfPqProbe(spark, ivfDir, compDir, e, probeVec, 0L,
       k = 10, nprobe = 4, oversample = 8)
     val rows = df.collect()
     df.queryExecution // finalize
@@ -336,7 +336,7 @@ class LlmSpec extends AnyFunSuite {
       assert(read <= 4, s"IVF-PQ probe read $read list partitions, expected <= nprobe=4")
     }
     // registered query end to end
-    assert(Llm.qKnnCosineIvfPq(spark, TestSpark.sfDir).collect().length === 10)
+    assert(LlmKnn.qKnnCosineIvfPq(spark, TestSpark.sfDir).collect().length === 10)
   }
 
   test("batch IVF-PQ: per-probe results equal the single-probe composite path") {
@@ -352,18 +352,18 @@ class LlmSpec extends AnyFunSuite {
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
-    val batch = Llm.knnIvfPqBatchProbe(spark, ivfDir, compDir, e, probes,
+    val batch = LlmKnn.knnIvfPqBatchProbe(spark, ivfDir, compDir, e, probes,
         k = 10, nprobe = 4, oversample = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     assert(batch.length === probes.length * 10, "expected k rows per probe")
     probes.foreach { case (pid, pv) =>
-      val single = Llm.knnIvfPqProbe(spark, ivfDir, compDir, e, pv, pid,
+      val single = LlmKnn.knnIvfPqProbe(spark, ivfDir, compDir, e, pv, pid,
           k = 10, nprobe = 4, oversample = 8)
         .collect().map(r => (pid, r.getLong(0), r.getDouble(2))).toSeq
       val got = batch.filter(_._1 == pid).toSeq
       assert(got === single, s"probe $pid: batch IVF-PQ diverges from single-probe path")
     }
-    assert(Llm.qKnnBatchIvfPq(spark, TestSpark.sfDir).collect().length === 25)
+    assert(LlmKnn.qKnnBatchIvfPq(spark, TestSpark.sfDir).collect().length === 25)
   }
 
   test("IVF-PQ serve core: lists-table re-rank equals the corpus-frame batch path") {
@@ -385,9 +385,9 @@ class LlmSpec extends AnyFunSuite {
       (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
     def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
-    val served = shape(Llm.knnIvfPqBatchServe(spark, ivfDir, compDir, probesF,
+    val served = shape(LlmKnn.knnIvfPqBatchServe(spark, ivfDir, compDir, probesF,
       k = 10, nprobe = 4, oversample = 8))
-    val queried = shape(Llm.knnIvfPqBatchProbe(spark, ivfDir, compDir, e, probesD,
+    val queried = shape(LlmKnn.knnIvfPqBatchProbe(spark, ivfDir, compDir, e, probesD,
       k = 10, nprobe = 4, oversample = 8))
     assert(served === queried,
       "the serve core must answer exactly like the batch query core")
@@ -481,7 +481,7 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("knn SQ8 on the real table: probe first, sorted desc, quantized coarse scan") {
-    val df = Llm.qKnnCosineInt8(spark, TestSpark.sfDir)
+    val df = LlmKnn.qKnnCosineInt8(spark, TestSpark.sfDir)
     val rows = df.collect()
     assert(rows.length === 10)
     assert(rows.head.getLong(0) === 0L, "probe must rank first (cos 1.0 with itself)")
@@ -551,9 +551,9 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("source budget / seq pack in BPE mode meter exactly q_token_bpe's counts") {
-    val bpeCounts = Llm.qTokenBpe(spark, TestSpark.sfDir).collect()
+    val bpeCounts = LlmText.qTokenBpe(spark, TestSpark.sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val budget = Llm.sourceBudget(spark, TestSpark.sfDir, useBpe = true).collect()
+    val budget = LlmMix.sourceBudget(spark, TestSpark.sfDir, useBpe = true).collect()
     assert(budget.nonEmpty)
     budget.foreach { r =>
       assert(r.getInt(2).toLong === bpeCounts(r.getLong(0)),
@@ -569,7 +569,7 @@ class LlmSpec extends AnyFunSuite {
         r.getLong(3)
       }
     }
-    val pack = Llm.seqPack(spark, TestSpark.sfDir, useBpe = true).collect()
+    val pack = LlmMix.seqPack(spark, TestSpark.sfDir, useBpe = true).collect()
     pack.foreach { r =>
       assert(r.getInt(2).toLong === bpeCounts(r.getLong(0)),
         s"seq pack n_tokens diverges from q_token_bpe for doc ${r.getLong(0)}")
@@ -627,7 +627,7 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("knn IVF on the real table: 10 rows, probe first, sorted desc") {
-    val ivf = Llm.qKnnCosineIvf(spark, TestSpark.sfDir).collect()
+    val ivf = LlmKnn.qKnnCosineIvf(spark, TestSpark.sfDir).collect()
     assert(ivf.length === 10)
     assert(ivf.head.getLong(0) === 0L, "probe is in its own list with cos 1.0")
     val sims = ivf.map(_.getDouble(2)).toSeq
@@ -644,14 +644,14 @@ class LlmSpec extends AnyFunSuite {
       .select(col("vec_id"), col("label"), col("embedding"))
     val idxDir = graft.etl.AnnIndex.defaultIvfDir(TestSpark.sfDir, nlist = 16)
     graft.etl.AnnIndex.ensure(e, idxDir, nlist = 16)
-    val batch = Llm.qKnnBatchIvf(spark, TestSpark.sfDir).collect()
+    val batch = LlmKnn.qKnnBatchIvf(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
     assert(batch.length === probes.length * 5, "expected k rows per probe")
     probes.foreach { case (pid, pv) =>
-      val single = Llm.knnIvfProbe(spark, idxDir, pv, pid, k = 5, nprobe = 4)
+      val single = LlmKnn.knnIvfProbe(spark, idxDir, pv, pid, k = 5, nprobe = 4)
         .collect().map(r => (pid, r.getLong(0), r.getDouble(2))).toSeq
       val got = batch.filter(_._1 == pid).toSeq
       assert(got === single, s"probe $pid: batch result diverges from single-probe IVF")
@@ -660,7 +660,7 @@ class LlmSpec extends AnyFunSuite {
     // probed lists, not all nlist partitions
     val union = graft.etl.AnnIndex.nearestListsBatch(spark, idxDir,
       probes.map(_._2).toSeq, nprobe = 4).flatten.distinct
-    val df = Llm.qKnnBatchIvf(spark, TestSpark.sfDir)
+    val df = LlmKnn.qKnnBatchIvf(spark, TestSpark.sfDir)
     df.collect()
     val listScans = fileScans(df.queryExecution.executedPlan)
       .filter(_.metadata.getOrElse("PartitionFilters", "").contains("list_id"))
@@ -686,7 +686,7 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("IVF probe partition-prunes: every lists-scan reads ≤ nprobe of nlist dirs") {
-    val df = Llm.qKnnCosineIvf(spark, TestSpark.sfDir)
+    val df = LlmKnn.qKnnCosineIvf(spark, TestSpark.sfDir)
     df.collect() // finalize AQE and populate the scan's driver metrics
     val listScans = fileScans(df.queryExecution.executedPlan)
       .filter(_.metadata.getOrElse("PartitionFilters", "").contains("list_id"))
@@ -704,11 +704,11 @@ class LlmSpec extends AnyFunSuite {
     // what the single-probe candidates-then-re-rank path returns.
     val e = Tables.embeddings(spark, TestSpark.sfDir)
       .select(col("vec_id"), col("label"), col("embedding"))
-    val batch = Llm.qKnnBatchLsh(spark, TestSpark.sfDir).collect()
+    val batch = LlmKnn.qKnnBatchLsh(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     assert(batch.map(_._1).distinct.length === 5, "expected results for all 5 probes")
     (0L until 5L).foreach { pid =>
-      val single = Llm.knnLsh(e, pid, k = 10, bands = 3, bits = 8, radius = 1)
+      val single = LlmKnn.knnLsh(e, pid, k = 10, bands = 3, bits = 8, radius = 1)
         .collect().map(r => (pid, r.getLong(0), r.getDouble(2))).toSeq
       val got = batch.filter(_._1 == pid).toSeq
       assert(got === single, s"probe $pid: batch LSH diverges from single-probe path")
@@ -728,17 +728,17 @@ class LlmSpec extends AnyFunSuite {
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
-    val batch = Llm.knnSq8BatchProbe(spark, idxDir, e, probes, k = 10, oversample = 4)
+    val batch = LlmKnn.knnSq8BatchProbe(spark, idxDir, e, probes, k = 10, oversample = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     assert(batch.length === probes.length * 10, "expected k rows per probe")
     probes.foreach { case (pid, pv) =>
-      val single = Llm.knnSq8Probe(spark, idxDir, e, pv, pid, k = 10, oversample = 4)
+      val single = LlmKnn.knnSq8Probe(spark, idxDir, e, pv, pid, k = 10, oversample = 4)
         .collect().map(r => (pid, r.getLong(0), r.getDouble(2))).toSeq
       val got = batch.filter(_._1 == pid).toSeq
       assert(got === single, s"probe $pid: batch SQ8 diverges from single-probe path")
     }
     // registered query: k=5 over the same 5 probes, 25 rows
-    val reg = Llm.qKnnBatchInt8(spark, TestSpark.sfDir).collect()
+    val reg = LlmKnn.qKnnBatchInt8(spark, TestSpark.sfDir).collect()
     assert(reg.length === 25)
   }
 
@@ -754,16 +754,16 @@ class LlmSpec extends AnyFunSuite {
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
-    val batch = Llm.knnPqBatchProbe(spark, idxDir, e, probes, k = 10, oversample = 8)
+    val batch = LlmKnn.knnPqBatchProbe(spark, idxDir, e, probes, k = 10, oversample = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     assert(batch.length === probes.length * 10, "expected k rows per probe")
     probes.foreach { case (pid, pv) =>
-      val single = Llm.knnPqProbe(spark, idxDir, e, pv, pid, k = 10, oversample = 8)
+      val single = LlmKnn.knnPqProbe(spark, idxDir, e, pv, pid, k = 10, oversample = 8)
         .collect().map(r => (pid, r.getLong(0), r.getDouble(2))).toSeq
       val got = batch.filter(_._1 == pid).toSeq
       assert(got === single, s"probe $pid: batch PQ diverges from single-probe path")
     }
-    val reg = Llm.qKnnBatchPq(spark, TestSpark.sfDir).collect()
+    val reg = LlmKnn.qKnnBatchPq(spark, TestSpark.sfDir).collect()
     assert(reg.length === 25)
   }
 
@@ -781,7 +781,7 @@ class LlmSpec extends AnyFunSuite {
     } yield (b, own.getInt(1 + b) ^ m)
     val probe = graft.etl.AnnIndex.lshProbeScan(spark, idx, cells)
     val got = probe.collect().map(_.getLong(0)).toSet
-    val expected = Llm.knnLshCandidates(e, 0L, 3, 8, 1)
+    val expected = LlmKnn.knnLshCandidates(e, 0L, 3, 8, 1)
       .collect().map(_.getLong(0)).toSet
     assert(got === expected,
       "persisted-index candidate set diverges from the in-query LSH path")
@@ -851,7 +851,7 @@ class LlmSpec extends AnyFunSuite {
     assert(lists.length === 10, s"expected 10 appended vectors, got ${lists.length}")
     assert(lists.forall(_.getLong(1) === 1L), "a vector appended into multiple lists")
     // the pruned probe recovers the appended near-dups
-    val found = Llm.knnIvfProbe(spark, idxDir, probe.map(_.toDouble),
+    val found = LlmKnn.knnIvfProbe(spark, idxDir, probe.map(_.toDouble),
         probeId = 0L, k = 11, nprobe = 4)
       .collect().map(_.getLong(0)).filter(_ >= 1000L).toSet
     assert(found.size >= 8,
@@ -885,7 +885,7 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("seq_pack: offsets stay inside the budget and packs advance monotonically") {
-    val rows = Llm.qSeqPack(spark, TestSpark.sfDir).collect()
+    val rows = LlmMix.qSeqPack(spark, TestSpark.sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val off = r.getLong(4)
@@ -899,7 +899,7 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("mix_interleave: upweighted source dominates the mixture prefix 3:1") {
-    val first = Llm.qMixInterleave(spark, TestSpark.sfDir).collect()
+    val first = LlmMix.qMixInterleave(spark, TestSpark.sfDir).collect()
       .sortBy(_.getLong(2)).take(120).map(_.getString(1))
     val n0 = first.count(_ == "src0")
     val n2 = first.count(_ == "src2")
@@ -912,7 +912,7 @@ class LlmSpec extends AnyFunSuite {
     // zipWithIndex after orderBy relies on the range-sorted partition order
     // surviving .rdd. If Spark ever stops preserving it, this fails loudly
     // instead of only at oracle time.
-    val out = Llm.qMixInterleave(spark, TestSpark.sfDir).collect()
+    val out = LlmMix.qMixInterleave(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.map(_._3).toSeq === (1L to out.length).toSeq,
       "mix_pos is not a dense 1..n sequence in output order")
@@ -957,7 +957,7 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("fuzzy_match: every pair is ordered, within distance, and block-local") {
-    val rows = Llm.qFuzzyMatch(spark, TestSpark.sfDir).collect()
+    val rows = LlmRetrieval.qFuzzyMatch(spark, TestSpark.sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1), "pair not ordered id_a < id_b")
@@ -1014,7 +1014,7 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("embed whiten: per-dim z-scores have ~zero mean and ~unit variance") {
-    val out = Llm.qEmbedWhiten(spark, TestSpark.sfDir).collect()
+    val out = LlmEmbed.qEmbedWhiten(spark, TestSpark.sfDir).collect()
       .map(r => (r.getInt(1), r.getLong(2) / 1e6))
     val byDim = out.groupBy(_._1).values
     byDim.foreach { zs =>
@@ -1028,7 +1028,7 @@ class LlmSpec extends AnyFunSuite {
 
   test("embed covariance: upper triangle complete, matches covar_pop within snap tolerance") {
     import org.apache.spark.sql.functions.{covar_pop, posexplode}
-    val out = Llm.qEmbedCovariance(spark, TestSpark.sfDir).collect()
+    val out = LlmEmbed.qEmbedCovariance(spark, TestSpark.sfDir).collect()
     val d = 64
     assert(out.length === d * (d + 1) / 2, "expected the full upper triangle")
     val ex = Tables.embeddings(spark, TestSpark.sfDir)
@@ -1049,7 +1049,7 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("sample decay: keep rate falls with age, and all survivors beat their threshold") {
-    val out = Llm.qSampleDecay(spark, TestSpark.sfDir).collect()
+    val out = LlmMix.qSampleDecay(spark, TestSpark.sfDir).collect()
     assert(out.nonEmpty)
     out.foreach(r => assert(r.getString(3) < f"${r.getLong(2) * 1048576 / 1000000}%05x"))
     val total = Tables.events(spark, TestSpark.sfDir).count()
@@ -1119,9 +1119,9 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("ANN hard negatives: recall vs the exhaustive miner on the same anchors") {
-    val exact = Llm.qHardNegatives(spark, TestSpark.sfDir).collect()
+    val exact = LlmKnn.qHardNegatives(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ann = Llm.qHardNegativesAnn(spark, TestSpark.sfDir).collect()
+    val ann = LlmKnn.qHardNegativesAnn(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = ann.intersect(exact).size.toDouble / exact.size
     // measured 0.829 on r10 testdata at nprobe=8/16; floor leaves margin
@@ -1148,7 +1148,7 @@ class LlmSpec extends AnyFunSuite {
           math.log((cn(w) + 1).toDouble / (nn + vocab))) * 1e6).toLong
       }.sum
     }.toMap
-    val out = Llm.qQualityNb(spark, TestSpark.sfDir).collect()
+    val out = LlmText.qQualityNb(spark, TestSpark.sfDir).collect()
     assert(out.length === rows.length)
     out.foreach { r =>
       assert(r.getLong(2) === expected(r.getLong(0)),
@@ -1158,7 +1158,7 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("hard negatives: label-disjoint, rank-complete, matches brute force") {
-    val out = Llm.qHardNegatives(spark, TestSpark.sfDir).collect()
+    val out = LlmKnn.qHardNegatives(spark, TestSpark.sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
     val vecs = Tables.embeddings(spark, TestSpark.sfDir)
       .select("vec_id", "label", "embedding").collect()
@@ -1227,7 +1227,7 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("q_bpe_train: learned merges compress the corpus monotonically and deterministically") {
-    val out1 = Llm.qBpeTrain(spark, TestSpark.sfDir).collect()
+    val out1 = LlmText.qBpeTrain(spark, TestSpark.sfDir).collect()
     assert(out1.nonEmpty, "corpus must yield learnable merges")
     // ranks are dense from 0 and pair counts never increase with rank
     assert(out1.map(_.getInt(0)).toSeq === out1.indices)
@@ -1243,7 +1243,7 @@ class LlmSpec extends AnyFunSuite {
     val charTotal = words.map(_.length).sum.toDouble
     val bpeTotal = words.map(w => graft.functions.Bpe.tokenize(w, rk).length).sum.toDouble
     assert(bpeTotal < charTotal, s"learned merges must compress: $bpeTotal vs $charTotal")
-    val out2 = Llm.qBpeTrain(spark, TestSpark.sfDir).collect()
+    val out2 = LlmText.qBpeTrain(spark, TestSpark.sfDir).collect()
     assert(out1.map(_.toString).toSeq === out2.map(_.toString).toSeq,
       "training must be deterministic")
   }
@@ -1264,7 +1264,7 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("q_embed_pca: variance ordering holds and the projection is deterministic") {
-    val out1 = Llm.qEmbedPca(spark, TestSpark.sfDir).collect()
+    val out1 = LlmEmbed.qEmbedPca(spark, TestSpark.sfDir).collect()
     assert(out1.length ===
       Tables.embeddings(spark, TestSpark.sfDir).count().toInt)
     def variance(xs: Array[Double]): Double = {
@@ -1282,7 +1282,7 @@ class LlmSpec extends AnyFunSuite {
     }.max
     assert(v1 >= maxAxisVar * 0.999,
       s"pc1 variance $v1 below best axis variance $maxAxisVar")
-    val out2 = Llm.qEmbedPca(spark, TestSpark.sfDir).collect()
+    val out2 = LlmEmbed.qEmbedPca(spark, TestSpark.sfDir).collect()
     assert(out1.map(_.toString).toSeq === out2.map(_.toString).toSeq,
       "projection must be bit-stable across runs")
   }

@@ -5,7 +5,7 @@ import org.scalacheck.Prop.forAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.expr.MisraGriesAgg
-import graft.queries.Llm
+import graft.queries.{Llm, LlmText}
 
 /** Misra–Gries sketch contract (SURVEY.md §2.9 `q_heavy_hitters`, §2.11):
   * the candidate set must be COMPLETE for every item above n/(k+1) — that
@@ -18,7 +18,7 @@ class MisraGriesSpec extends AnyFunSuite {
 
   test("q_heavy_hitters equals the vocabulary-wide exact aggregation") {
     import org.apache.spark.sql.functions._
-    val got = Llm.qHeavyHitters(spark, TestSpark.sfDir).collect()
+    val got = LlmText.qHeavyHitters(spark, TestSpark.sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     val exactCounts = Tables.documents(spark, TestSpark.sfDir)
       .select(explode(split(col("text"), " ")).as("word"))

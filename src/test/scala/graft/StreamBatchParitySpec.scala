@@ -1,5 +1,7 @@
 package graft
 
+import graft.queries.{LlmMix}
+
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -204,7 +206,7 @@ class StreamBatchParitySpec extends AnyFunSuite {
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .collect().map(r => DocTokens(r.getLong(0), r.getString(1), r.getLong(2)))
-    val batch = graft.queries.Llm.qSourceBudget(spark, TestSpark.sfDir).collect()
+    val batch = graft.queries.LlmMix.qSourceBudget(spark, TestSpark.sfDir).collect()
       .map(r => r.getLong(0) -> (r.getInt(2).toLong, r.getLong(3), r.getBoolean(4))).toMap
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -236,7 +238,7 @@ class StreamBatchParitySpec extends AnyFunSuite {
         .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).groupBy(_._1)
       // per source: the final cumulative equals the batch total (state
       // carried), even though admission order differed across batches
-      val batchTotals = graft.queries.Llm.qSourceBudget(spark, TestSpark.sfDir)
+      val batchTotals = graft.queries.LlmMix.qSourceBudget(spark, TestSpark.sfDir)
         .collect().map(r => (r.getString(1), r.getInt(2).toLong)).groupBy(_._1)
         .map { case (s, rows) => s -> rows.map(_._2).sum }
       crossBySource.foreach { case (src, rows) =>

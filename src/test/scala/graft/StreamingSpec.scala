@@ -1,5 +1,7 @@
 package graft
 
+import graft.queries.{LlmKnn}
+
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -542,7 +544,7 @@ class StreamingSpec extends AnyFunSuite {
       val served = spark.read.option("basePath", outDir).parquet(outDir)
       assert(served.count() === 6 * 5, "k rows per probe across both batches")
       // per-probe parity with the batch core run directly
-      val expected = graft.queries.Llm
+      val expected = graft.queries.LlmKnn
         .knnIvfBatchProbe(spark, ivfDir, probeRows, k = 5, nprobe = 4)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).sorted.toSeq
       val got = served.select("probe_id", "vec_id", "cos_sim")
@@ -560,7 +562,7 @@ class StreamingSpec extends AnyFunSuite {
           .find(n => n.startsWith("batch_id=") && n.endsWith("-1")).get
         finally s.close()
       }
-      graft.queries.Llm
+      graft.queries.LlmKnn
         .knnIvfBatchProbe(spark, ivfDir, probeRows.drop(3), k = 5, nprobe = 4)
         .write.mode("overwrite").parquet(s"$outDir/$batch1Dir")
       assert(spark.read.option("basePath", outDir).parquet(outDir).count() === 30,
@@ -1359,7 +1361,7 @@ class StreamingSpec extends AnyFunSuite {
       val eAll = ids.map(id => (id, (id % 4).toInt, emb(id)))
         .toDF("vec_id", "label", "embedding")
       val pv = emb(2L).map(_.toDouble)
-      val served = graft.queries.Llm.knnIvfPqProbe(spark, ivfDir, ivfPqDir,
+      val served = graft.queries.LlmKnn.knnIvfPqProbe(spark, ivfDir, ivfPqDir,
           eAll, pv, probeId = 2L, k = 2, nprobe = 1, oversample = 2)
         .select("vec_id").collect().map(_.getLong(0)).toSeq
       assert(served.nonEmpty && served.forall(_ % 4 == 2),
@@ -1463,7 +1465,7 @@ class StreamingSpec extends AnyFunSuite {
     // and a composite probe reaches a PRE-attach doc (id 2, cluster 2)
     val eAll = (0L until 12L).map(id => (id, (id % 4).toInt, emb(id)))
       .toDF("vec_id", "label", "embedding")
-    val served = graft.queries.Llm.knnIvfPqProbe(spark, ivfDir, ivfPqDir,
+    val served = graft.queries.LlmKnn.knnIvfPqProbe(spark, ivfDir, ivfPqDir,
         eAll, emb(2L).map(_.toDouble), probeId = 2L, k = 3, nprobe = 1,
         oversample = 2)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
