@@ -999,18 +999,54 @@ object Multimodal {
     }
   }
 
+  /** THE one raster scaler (bilinear, software rasterizer — deterministic
+    * for a given input on the headless JDK): every resize path delegates
+    * here. */
+  private[graft] def scaleRaster(img: java.awt.image.BufferedImage,
+                                 w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
   /** Resize: payload rewritten for the target dimensions, metadata updated
     * in the same row — the transform-in-place shape (pure map, the payload
-    * never leaves the executor). The pixel math is a STUB byte-stride
-    * subsample; a real implementation decodes, scales, and re-encodes in
-    * its place. */
+    * never leaves the executor). r14: REAL for both decodable modalities —
+    * an IMAGE decodes, bilinear-scales, and re-encodes as PNG; a VIDEO
+    * demuxes, scales every frame, and re-muxes as MJPEG-in-AVI (same
+    * pure-JDK codecs as the decode paths). Payloads outside the decodable
+    * subsets keep the declared byte-stride stub (the same signature a JNI
+    * scaler would slot into). */
   def resize(assets: Dataset[Asset], targetW: Int, targetH: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.map { a =>
-      val targetLen = math.max(1, math.min(a.payload.length, targetW * targetH / 64))
-      val stride = math.max(1, a.payload.length / targetLen)
-      val resized = Array.tabulate[Byte](targetLen)(j =>
-        a.payload(math.min(j * stride, a.payload.length - 1)))
+      def stub: Array[Byte] = {
+        val targetLen = math.max(1, math.min(a.payload.length, targetW * targetH / 64))
+        val stride = math.max(1, a.payload.length / targetLen)
+        Array.tabulate[Byte](targetLen)(j =>
+          a.payload(math.min(j * stride, a.payload.length - 1)))
+      }
+      val resized: Array[Byte] =
+        if (a.kind == "image") decodeImage(a.payload) match {
+          case Some(img) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaleRaster(img, targetW, targetH), "png", bos)
+            bos.toByteArray
+          case None => stub
+        }
+        else if (a.kind == "video") decodeAviFrames(a.payload) match {
+          case Some(frames) =>
+            encodeAvi(frames.map(f => encodeJpeg(scaleRaster(f, targetW, targetH))),
+              targetW, targetH, fps = 10)
+          case None => stub
+        }
+        else stub
       a.copy(payload = resized, width = targetW, height = targetH)
     }
   }

@@ -83,7 +83,7 @@ class MultimodalSpec extends AnyFunSuite {
       raw.slice(f.frame_idx * 16, f.frame_idx * 16 + 16).toSeq))
   }
 
-  test("resize rewrites payload and dimensions in place, keeping keys") {
+  test("resize REALLY rescales decodable payloads in place, keeping keys; others keep the stub") {
     val assets = Multimodal.syntheticAssets(spark, 20)
     val orig = assets.collect().sortBy(_.asset_id)
     val resized = Multimodal.resize(assets, 32, 24).collect().sortBy(_.asset_id)
@@ -91,9 +91,24 @@ class MultimodalSpec extends AnyFunSuite {
     resized.zip(orig).foreach { case (r, o) =>
       assert(r.asset_id === o.asset_id && r.kind === o.kind)
       assert(r.width === 32 && r.height === 24)
-      assert(r.payload.length <= o.payload.length && r.payload.nonEmpty)
+      assert(r.payload.nonEmpty)
+      r.kind match {
+        case "image" =>
+          // REAL: the payload is a PNG whose decoded raster IS the target size
+          val img = Multimodal.decodeImage(r.payload).get
+          assert(img.getWidth === 32 && img.getHeight === 24)
+        case "video" =>
+          // REAL: every demuxed frame rescaled, frame count preserved
+          val frames = Multimodal.decodeAviFrames(r.payload).get
+          assert(frames.length ===
+            Multimodal.decodeAviFrames(o.payload).get.length)
+          frames.foreach(f => assert(f.getWidth === 32 && f.getHeight === 24))
+        case _ =>
+          // audio has no raster to scale: the declared byte-stride stub
+          assert(r.payload.length <= o.payload.length)
+      }
     }
-    // deterministic across runs
+    // deterministic across runs (software rasterizer + deterministic encoders)
     val again = Multimodal.resize(Multimodal.syntheticAssets(spark, 20), 32, 24)
       .collect().sortBy(_.asset_id)
     resized.zip(again).foreach { case (a, b) =>
