@@ -45,6 +45,30 @@ class DoctorSpec extends AnyFunSuite {
     assert(treeState === before, "Doctor must be report-only: zero mutations")
   }
 
+  test("a REAL corpusIngest tree (postings + LSH + corpus + budget ledger) diagnoses clean") {
+    // the fsck must understand the actual production layout the streaming
+    // pipeline writes — not just trees fabricated by this spec
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_doc_ingest").toString
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    val mem = MemoryStream[SourcedDoc]
+    val q = graft.stream.Streams.corpusIngest(mem.toDF(),
+      s"$root/dedup", s"$root/lsh", s"$root/corpus",
+      budgetPerSource = Some(1000L)).start()
+    try {
+      mem.addData(SourcedDoc(1, "alpha bravo charlie delta echo", "web", emb(1)),
+                  SourcedDoc(2, "foxtrot golf hotel india juliet", "web", emb(2)))
+      q.processAllAvailable()
+      mem.addData(SourcedDoc(3, "kilo lima mike november oscar", "curated", emb(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val findings = Doctor.diagnose(root)
+    assert(!findings.exists(f => f.level == "FAIL" || f.level == "WARN"),
+      s"a healthy ingest tree must carry no FAIL/WARN:\n${findings.map(_.render).mkString("\n")}")
+  }
+
   test("bucketed-table layer: a deleted referenced version dir is named with its remedy") {
     val root = Files.createTempDirectory("graft_doc_bt").toString
     val dir = s"$root/dim"

@@ -961,6 +961,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bucketed upsert sink: add-column evolution mid-stream — quiet-window evolve, restart wider, untouched bucket byte-identical") {
+    // The r14 schema-evolution contract driven through the REAL sink fold,
+    // not just the table layer: stop the sink, evolveAddColumn in the quiet
+    // window, resume folding batches that CARRY the new column. History
+    // reads default-fill old buckets (manifest-exact), the fold unions the
+    // wider frames, and a bucket the wider batches never touch stays
+    // byte-identical on disk while reading back with the default.
+    import graft.etl.BucketedTable
+    val statePath = java.nio.file.Files.createTempDirectory("graft_upsert_evolve")
+      .resolve("state").toString
+    val nB = 16
+    import spark.implicits._
+    def bucketOf(k: Long): Int = Seq(k).toDF("k")
+      .select(BucketedTable.bucketExpr(Seq("k"), nB)).head().getInt(0)
+    val kA = 1L
+    val kB = (2L to 200L).find(bucketOf(_) != bucketOf(kA)).get
+    // pre-evolution batches: (k, v, seq)
+    Streams.upsertBatch(Seq((kA, "a1", 1L), (kB, "b1", 2L)).toDF("k", "v", "seq"),
+      statePath, keyCols = Seq("k"), seqCol = "seq", nBuckets = nB)
+    val v1 = BucketedTable.currentVersion(statePath)
+    def listing(dir: String) = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (p.toString, java.nio.file.Files.size(p))).toSeq.sortBy(_._1)
+      finally s.close()
+    }
+    val bDir = s"$statePath/v=$v1/${BucketedTable.BucketCol}=${bucketOf(kB)}"
+    val before = listing(bDir)
+    // quiet window: the sink is stopped; the table evolves
+    BucketedTable.evolveAddColumn(spark, statePath, "tier", "string", "'basic'")
+    // restart with the WIDER schema: update kA, insert a new key kC
+    val kC = (2L to 200L).find(k => bucketOf(k) != bucketOf(kA) &&
+      bucketOf(k) != bucketOf(kB)).get
+    Streams.upsertBatch(
+      Seq((kA, "a2", 3L, "gold"), (kC, "c1", 4L, "silver"))
+        .toDF("k", "v", "seq", "tier"),
+      statePath, keyCols = Seq("k"), seqCol = "seq", nBuckets = nB)
+    val state = BucketedTable.readCurrent(spark, statePath)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[String]("tier"))).sortBy(_._1).toSeq
+    assert(state === Seq((kA, "a2", "gold"), (kB, "b1", "basic"),
+      (kC, "c1", "silver")).sortBy(_._1),
+      s"pre-evolution rows must read the default, folded rows their stored values; got $state")
+    assert(listing(bDir) === before,
+      "the bucket the wider batches never touched must stay byte-identical")
+    // the keyed-slice fold path reads the default too (what the NEXT
+    // micro-batch touching kB's bucket would see as its history)
+    val slice = BucketedTable.readBuckets(spark, statePath, Seq(bucketOf(kB)),
+      empty = Seq.empty[(Long, String, Long, String)].toDF("k", "v", "seq", "tier"))
+      .collect().map(r => (r.getAs[String]("v"), r.getAs[String]("tier"))).toSeq
+    assert(slice === Seq(("b1", "basic")))
+  }
+
   test("bucketed upsert sink with vacuumEvery: superseded versions reclaim in-line, state intact") {
     implicit val sqlCtx = spark.sqlContext
     import graft.etl.BucketedTable
