@@ -164,4 +164,50 @@ object PrimitiveProps extends Properties("Primitives") {
       }
       unit && ortho && vals(0) >= vals(1) - 1e-9 && rayleighOk
     }
+
+  // ---- videoHash64: the frame-edit PLANE-ISOLATION argument (r14) ----
+  //
+  // The planted video near-dup corpus leans on a structural claim: a column
+  // INTERLEAVE of one frame exactly preserves per-frame mean, std, and
+  // vertical gradient energy (it is a pure column permutation), so only the
+  // h-gradient plane's two touched temporal comparisons can flip. The
+  // MultimodalSpec measures the bound through JPEG on the seeded corpus;
+  // this property proves the pre-codec argument on ARBITRARY rasters.
+
+  private def randomFrame(seed: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var v = seed
+    for (y <- 0 until h; x <- 0 until w) {
+      v = v * 6364136223846793005L + 1442695040888963407L
+      img.setRGB(x, y, ((v >>> 16) & 0xffffff).toInt)
+    }
+    img
+  }
+
+  private def interleaveColumns(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val sx = if (x % 2 == 0) x / 2 else w / 2 + x / 2
+      out.setRGB(x, y, img.getRGB(sx, y))
+    }
+    out
+  }
+
+  property("videoHash64: a column-interleave edit of frame j flips ONLY the h-gradient plane's two slice-j comparisons") =
+    forAll(Gen.long, Gen.choose(0, 16), Gen.choose(3, 8), Gen.choose(3, 8)) {
+      (seed, j, wHalf, h) =>
+        val w = 2 * wHalf // even width: the interleave is a permutation
+        val frames = Vector.tabulate(17)(k => randomFrame(seed + k * 7919L, w, h))
+        val base = graft.sources.Multimodal.videoHash64(frames)
+        val edited = graft.sources.Multimodal.videoHash64(
+          frames.updated(j, interleaveColumns(frames(j))))
+        // with 17 frames = one per slice, only temporal comparisons
+        // (j-1 -> j) and (j -> j+1) of the h-grad plane (bits 32..47) may move
+        val allowed = Seq(j - 1, j).filter(b => b >= 0 && b < 16)
+          .map(b => 1L << (32 + b)).foldLeft(0L)(_ | _)
+        ((base ^ edited) & ~allowed) == 0L
+    }
 }
