@@ -1129,6 +1129,62 @@ object Oracle {
 
   private lazy val minhashPairsSql: String = minhashPairsSqlOver("documents")
 
+  /** The curation funnel's CTE chain (d0 input .. d6 decontaminated),
+    * shared verbatim by the `q_corpus_curate` stage-count oracle and the
+    * `q_curation_audit` per-doc oracle — one statement of the funnel, two
+    * final SELECTs. */
+  private lazy val curationCtes: String =
+    s"""d0 AS (SELECT doc_id, text, source FROM documents),
+       |d1 AS (SELECT * FROM d0 WHERE source <> 'src0'),
+       |qt AS (SELECT doc_id, length(text) AS nc,
+       |    string_split(text, ' ') AS toks FROM documents),
+       |qz AS (SELECT doc_id,
+       |    -2.0 + 0.3 * (CAST(nc AS DOUBLE) / len(toks))
+       |    - 4.0 * (CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+       |             / len(toks))
+       |    + 3.0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS z
+       |  FROM qt),
+       |d2 AS (SELECT d1.* FROM d1 JOIN qz USING (doc_id) WHERE qz.z >= 0),
+       |rd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |rwc AS (SELECT doc_id, x AS word, count(*) AS c
+       |        FROM rd, unnest(w) AS t(x) GROUP BY doc_id, x),
+       |rtop AS (SELECT doc_id, max(c) AS topc, sum(c) AS nw FROM rwc GROUP BY doc_id),
+       |rbg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+       |        FROM rd, unnest(range(1, len(w))) AS r(i)),
+       |rbgm AS (SELECT doc_id, count(*) AS nbg, count(DISTINCT bigram) AS dbg
+       |         FROM rbg GROUP BY doc_id),
+       |calm AS (SELECT t.doc_id FROM rtop t JOIN rbgm USING (doc_id)
+       |  WHERE NOT (floor(CAST(topc AS DOUBLE) / nw * 1e6) / 1e6 > 0.15
+       |          OR floor((CAST(1 AS DOUBLE) - CAST(dbg AS DOUBLE) / nbg) * 1e6) / 1e6
+       |             > 0.08)),
+       |d3 AS (SELECT d2.* FROM d2 JOIN calm USING (doc_id)),
+       |e4 AS (SELECT min(doc_id) AS doc_id FROM d3 GROUP BY md5(text)),
+       |d4 AS (SELECT d3.* FROM d3 JOIN e4 USING (doc_id)),
+       |pairs AS (
+       |${minhashPairsSqlOver("d4")}
+       |),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+       |grp AS (SELECT node AS doc_id, least(node, min(r)) AS group_id
+       |        FROM reach GROUP BY node),
+       |drop5 AS (SELECT doc_id FROM grp WHERE doc_id <> group_id),
+       |d5 AS (SELECT d4.* FROM d4
+       |  WHERE NOT EXISTS (SELECT 1 FROM drop5 WHERE drop5.doc_id = d4.doc_id)),
+       |gw5 AS (SELECT doc_id, string_split(text, ' ') AS w FROM d5),
+       |g5 AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+       |       FROM gw5, unnest(range(1, len(w) - 2)) AS r(i) WHERE len(w) >= 4),
+       |gw0 AS (SELECT string_split(text, ' ') AS w FROM d0 WHERE source = 'src0'),
+       |eg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS gram
+       |       FROM gw0, unnest(range(1, len(w) - 2)) AS r(i) WHERE len(w) >= 4),
+       |contaminated AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN eg USING (gram)),
+       |d6 AS (SELECT d5.* FROM d5
+       |  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d5.doc_id))""".stripMargin
+
+
   /** §2.9 LLM-pipeline block. md5 emits identical hex in both engines —
     * the backbone of every cross-engine-checkable hash pipeline here.
     * Vector math mirrors the Spark side op-for-op: float→double casts
@@ -1886,55 +1942,7 @@ object Oracle {
     // survivors, 4-gram decontamination), counted per stage.
     "q_corpus_curate" ->
       s"""WITH RECURSIVE
-         |d0 AS (SELECT doc_id, text, source FROM documents),
-         |d1 AS (SELECT * FROM d0 WHERE source <> 'src0'),
-         |qt AS (SELECT doc_id, length(text) AS nc,
-         |    string_split(text, ' ') AS toks FROM documents),
-         |qz AS (SELECT doc_id,
-         |    -2.0 + 0.3 * (CAST(nc AS DOUBLE) / len(toks))
-         |    - 4.0 * (CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
-         |             / len(toks))
-         |    + 3.0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS z
-         |  FROM qt),
-         |d2 AS (SELECT d1.* FROM d1 JOIN qz USING (doc_id) WHERE qz.z >= 0),
-         |rd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |rwc AS (SELECT doc_id, x AS word, count(*) AS c
-         |        FROM rd, unnest(w) AS t(x) GROUP BY doc_id, x),
-         |rtop AS (SELECT doc_id, max(c) AS topc, sum(c) AS nw FROM rwc GROUP BY doc_id),
-         |rbg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
-         |        FROM rd, unnest(range(1, len(w))) AS r(i)),
-         |rbgm AS (SELECT doc_id, count(*) AS nbg, count(DISTINCT bigram) AS dbg
-         |         FROM rbg GROUP BY doc_id),
-         |calm AS (SELECT t.doc_id FROM rtop t JOIN rbgm USING (doc_id)
-         |  WHERE NOT (floor(CAST(topc AS DOUBLE) / nw * 1e6) / 1e6 > 0.15
-         |          OR floor((CAST(1 AS DOUBLE) - CAST(dbg AS DOUBLE) / nbg) * 1e6) / 1e6
-         |             > 0.08)),
-         |d3 AS (SELECT d2.* FROM d2 JOIN calm USING (doc_id)),
-         |e4 AS (SELECT min(doc_id) AS doc_id FROM d3 GROUP BY md5(text)),
-         |d4 AS (SELECT d3.* FROM d3 JOIN e4 USING (doc_id)),
-         |pairs AS (
-         |${minhashPairsSqlOver("d4")}
-         |),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(node, r) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src),
-         |grp AS (SELECT node AS doc_id, least(node, min(r)) AS group_id
-         |        FROM reach GROUP BY node),
-         |drop5 AS (SELECT doc_id FROM grp WHERE doc_id <> group_id),
-         |d5 AS (SELECT d4.* FROM d4
-         |  WHERE NOT EXISTS (SELECT 1 FROM drop5 WHERE drop5.doc_id = d4.doc_id)),
-         |gw5 AS (SELECT doc_id, string_split(text, ' ') AS w FROM d5),
-         |g5 AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS gram
-         |       FROM gw5, unnest(range(1, len(w) - 2)) AS r(i) WHERE len(w) >= 4),
-         |gw0 AS (SELECT string_split(text, ' ') AS w FROM d0 WHERE source = 'src0'),
-         |eg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS gram
-         |       FROM gw0, unnest(range(1, len(w) - 2)) AS r(i) WHERE len(w) >= 4),
-         |contaminated AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN eg USING (gram)),
-         |d6 AS (SELECT d5.* FROM d5
-         |  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d5.doc_id))
+         |$curationCtes
          |SELECT * FROM (
          |  SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
          |         count(*) AS n_docs FROM d0
@@ -1945,6 +1953,36 @@ object Oracle {
          |  UNION ALL SELECT 5, 'near_dedup', count(*) FROM d5
          |  UNION ALL SELECT 6, 'decontaminate', count(*) FROM d6)
          |ORDER BY stage_idx""".stripMargin,
+
+    // The same funnel, per-doc: stage flags via membership left-joins over
+    // the shared CTE chain (the stage frames are nested subsets, so
+    // "survived stage k" = "member of dk"), first failed gate named.
+    "q_curation_audit" ->
+      s"""WITH RECURSIVE
+         |$curationCtes
+         |SELECT d0.doc_id,
+         |  m1.doc_id IS NOT NULL AS s1_holdout,
+         |  m2.doc_id IS NOT NULL AS s2_quality,
+         |  m3.doc_id IS NOT NULL AS s3_repetition,
+         |  m4.doc_id IS NOT NULL AS s4_exact,
+         |  m5.doc_id IS NOT NULL AS s5_neardup,
+         |  m6.doc_id IS NOT NULL AS s6_decontam,
+         |  m6.doc_id IS NOT NULL AS kept,
+         |  CASE WHEN m1.doc_id IS NULL THEN 'holdout_excluded'
+         |       WHEN m2.doc_id IS NULL THEN 'quality_gate'
+         |       WHEN m3.doc_id IS NULL THEN 'repetition_filter'
+         |       WHEN m4.doc_id IS NULL THEN 'exact_dedup'
+         |       WHEN m5.doc_id IS NULL THEN 'near_dedup'
+         |       WHEN m6.doc_id IS NULL THEN 'decontaminate'
+         |       ELSE 'kept' END AS drop_stage
+         |FROM d0
+         |LEFT JOIN d1 m1 ON m1.doc_id = d0.doc_id
+         |LEFT JOIN d2 m2 ON m2.doc_id = d0.doc_id
+         |LEFT JOIN d3 m3 ON m3.doc_id = d0.doc_id
+         |LEFT JOIN d4 m4 ON m4.doc_id = d0.doc_id
+         |LEFT JOIN d5 m5 ON m5.doc_id = d0.doc_id
+         |LEFT JOIN d6 m6 ON m6.doc_id = d0.doc_id
+         |ORDER BY d0.doc_id""".stripMargin,
 
     // Bucket id = length(bin(n)) = floor(log2 n)+1: integer/string ops,
     // bit-identical across engines (libm log2 could round at band edges).

@@ -155,6 +155,7 @@ object SparkEntry {
     "q_quality_score"  -> (LlmText.qQualityScore _),
     "q_span_dup"       -> (Llm.qSpanDup _),
     "q_corpus_curate"  -> (graft.etl.CorpusPipeline.qCorpusCurate _),
+    "q_curation_audit" -> (graft.etl.CorpusPipeline.qCurationAudit _),
     "q_lm_perplexity"  -> (LlmText.qLmPerplexity _),
     "q_content_chunks" -> (LlmText.qContentChunks _),
     "q_chunk_dedup"    -> (Llm.qChunkDedup _),

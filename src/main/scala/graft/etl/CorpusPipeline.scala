@@ -141,6 +141,27 @@ object CorpusPipeline {
     * CorpusPipelineSpec asserts this formulation equals [[stages]]' frame
     * counts in-engine; the DuckDB oracle restates the funnel a third way. */
   def qCorpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    def n(c: Column) = sum(c.cast("long"))
+    survivalFlags(spark, dir)
+      .agg(n(lit(true)).as("n0"), n(col("s1")).as("n1"), n(col("s2")).as("n2"),
+           n(col("s3")).as("n3"), n(col("s4")).as("n4"), n(col("s5")).as("n5"),
+           n(col("s6")).as("n6"))
+      .select(expr(
+        """stack(7,
+          |  0, 'input', n0, 1, 'holdout_excluded', n1, 2, 'quality_gate', n2,
+          |  3, 'repetition_filter', n3, 4, 'exact_dedup', n4,
+          |  5, 'near_dedup', n5, 6, 'decontaminate', n6)
+          |  AS (stage_idx, stage, n_docs)""".stripMargin))
+      .withColumn("stage_idx", col("stage_idx").cast("int"))
+      .orderBy("stage_idx")
+  }
+
+  /** Per-doc survival FLAGS through the funnel `(doc_id, s1..s6)` — the
+    * shared core of [[qCorpusCurate]] (which aggregates it to stage counts)
+    * and [[qCurationAudit]] (which emits it as the per-doc decision log).
+    * One frame, computed once, with the pin/fusion discipline documented
+    * on the report query. */
+  private def survivalFlags(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
     val d0 = Tables.documents(spark, dir)
     val gated = LlmText.withRepetitionMetrics(
@@ -189,17 +210,33 @@ object CorpusPipeline {
       .withColumn("con", lit(true))
     val f6 = f5.join(contaminated, Seq("doc_id"), "left")
       .withColumn("s6", col("s5") && !coalesce(col("con"), lit(false)))
-    def n(c: Column) = sum(c.cast("long"))
-    f6.agg(n(lit(true)).as("n0"), n(col("s1")).as("n1"), n(col("s2")).as("n2"),
-           n(col("s3")).as("n3"), n(col("s4")).as("n4"), n(col("s5")).as("n5"),
-           n(col("s6")).as("n6"))
-      .select(expr(
-        """stack(7,
-          |  0, 'input', n0, 1, 'holdout_excluded', n1, 2, 'quality_gate', n2,
-          |  3, 'repetition_filter', n3, 4, 'exact_dedup', n4,
-          |  5, 'near_dedup', n5, 6, 'decontaminate', n6)
-          |  AS (stage_idx, stage, n_docs)""".stripMargin))
-      .withColumn("stage_idx", col("stage_idx").cast("int"))
-      .orderBy("stage_idx")
+    f6.select("doc_id", "s1", "s2", "s3", "s4", "s5", "s6")
   }
+
+  /** §2.9 EXPLAINABLE curation audit (r14) — the per-doc decision log the
+    * funnel report aggregates away: for every input document, its survival
+    * flag through each gate and the FIRST stage that dropped it. This is
+    * the table a data engineer actually debugs with ("why did doc 4711
+    * fall out?") and the provenance record a compliance review asks for —
+    * the funnel report says a stage dropped 12%, this says WHICH docs and
+    * names the gate. Same one-pass flag frame as the report (computed
+    * once, shared core), so the audit costs what the report costs plus a
+    * doc-count-sized projection — never a second funnel run. Oracled: the
+    * DuckDB SQL restates the entire funnel per-doc via stage-membership
+    * left joins over the same CTE chain as `q_corpus_curate`. */
+  def qCurationAudit(spark: SparkSession, dir: String): DataFrame =
+    survivalFlags(spark, dir)
+      .select(col("doc_id"),
+        col("s1").as("s1_holdout"), col("s2").as("s2_quality"),
+        col("s3").as("s3_repetition"), col("s4").as("s4_exact"),
+        col("s5").as("s5_neardup"), col("s6").as("s6_decontam"),
+        col("s6").as("kept"),
+        when(!col("s1"), "holdout_excluded")
+          .when(!col("s2"), "quality_gate")
+          .when(!col("s3"), "repetition_filter")
+          .when(!col("s4"), "exact_dedup")
+          .when(!col("s5"), "near_dedup")
+          .when(!col("s6"), "decontaminate")
+          .otherwise("kept").as("drop_stage"))
+      .orderBy("doc_id")
 }

@@ -71,6 +71,28 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "single-pass flag counting diverged from the materialized stage frames")
   }
 
+  test("per-doc audit flags equal stage-frame membership; drop_stage names the first failed gate") {
+    val audit = CorpusPipeline.qCurationAudit(spark, TestSpark.sfDir).collect()
+    assert(audit.length === ids.head._2.size, "one audit row per input doc")
+    val stageSets = ids.toMap
+    val flagCols = Seq("s1_holdout" -> "holdout_excluded",
+      "s2_quality" -> "quality_gate", "s3_repetition" -> "repetition_filter",
+      "s4_exact" -> "exact_dedup", "s5_neardup" -> "near_dedup",
+      "s6_decontam" -> "decontaminate")
+    audit.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      flagCols.foreach { case (flag, stage) =>
+        assert(r.getAs[Boolean](flag) === stageSets(stage).contains(id),
+          s"doc $id: $flag must equal membership in stage '$stage'")
+      }
+      assert(r.getAs[Boolean]("kept") === r.getAs[Boolean]("s6_decontam"))
+      val expectedDrop = flagCols.find { case (f, _) => !r.getAs[Boolean](f) }
+        .map(_._2).getOrElse("kept")
+      assert(r.getAs[String]("drop_stage") === expectedDrop,
+        s"doc $id: drop_stage must name the first failed gate")
+    }
+  }
+
   test("resuming from a published stage-4 snapshot equals the in-memory funnel") {
     // the production shape: the exact-dedup boundary is materialized through
     // the atomic manifest layer, and the expensive near-dedup +
