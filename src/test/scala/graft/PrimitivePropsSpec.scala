@@ -196,6 +196,52 @@ object PrimitiveProps extends Properties("Primitives") {
     out
   }
 
+  // ---- dHash64 / audioHash64: the planted-corpus invariance arguments ----
+  //
+  // The image corpus plants a +6 brightness shift and asserts Hamming 0 on
+  // clamp-free cards; the audio corpus plants a clip-free volume scale and
+  // asserts the same. Both rest on structural claims — a uniform channel
+  // shift adds the same constant to every dHash cell mean (every gradient
+  // comparison survives), and a positive gain scales RMS and band powers
+  // uniformly while leaving zero-crossing signs untouched. Prove both on
+  // ARBITRARY inputs, not just the seeded corpora.
+
+  property("dHash64 is exactly invariant under a clamp-free uniform brightness shift") =
+    forAll(Gen.long, Gen.choose(1, 20), Gen.choose(9, 24), Gen.choose(8, 20)) {
+      (seed, shift, w, h) =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var v = seed
+        for (y <- 0 until h; x <- 0 until w) {
+          v = v * 6364136223846793005L + 1442695040888963407L
+          // channels capped at 235 so +shift<=20 never clamps
+          def ch(s: Int) = (((v >>> s) & 0xffL) % 236).toInt
+          img.setRGB(x, y, (ch(8) << 16) | (ch(24) << 8) | ch(40))
+          out.setRGB(x, y, ((ch(8) + shift) << 16) | ((ch(24) + shift) << 8) |
+            (ch(40) + shift))
+        }
+        graft.sources.Multimodal.dHash64(img) ==
+          graft.sources.Multimodal.dHash64(out)
+    }
+
+  property("audioHash64 is exactly invariant under a clip-free positive volume scale") =
+    forAll(Gen.long, Gen.choose(11, 20), Gen.choose(40, 200)) {
+      (seed, gainPct, sliceLen) =>
+        // samples bounded so gain <= 2.0 never clips, and scaling stays
+        // EXACT in doubles (integers scaled by n/10 with |s*n| < 2^53)
+        val n = 17 * sliceLen
+        var v = seed
+        val pcm = Array.fill(n) {
+          v = v * 6364136223846793005L + 1442695040888963407L
+          ((v >>> 20) % 24001 - 12000).toInt * 10
+        }
+        val scaled = pcm.map(s => s / 10 * gainPct) // exact integer scale by gain/10
+        graft.sources.Multimodal.audioHash64(pcm, 8000f) ==
+          graft.sources.Multimodal.audioHash64(scaled, 8000f)
+    }
+
   property("videoHash64: a column-interleave edit of frame j flips ONLY the h-gradient plane's two slice-j comparisons") =
     forAll(Gen.long, Gen.choose(0, 16), Gen.choose(3, 8), Gen.choose(3, 8)) {
       (seed, j, wHalf, h) =>
