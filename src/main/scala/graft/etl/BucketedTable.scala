@@ -108,16 +108,24 @@ object BucketedTable {
   final case class Evolution(since: Long, name: String, typeDdl: String,
                              defaultSql: String)
 
+  /** One DROP-COLUMN schema evolution (r14) — the add twin: bucket data
+    * written BEFORE `since` still stores the column on disk (no rewrite —
+    * reads project it away); data written at or after it simply does not
+    * carry it. */
+  final case class Dropped(since: Long, name: String)
+
   /** The committed manifest: fixed bucket count plus, per bucket that has
     * ever held rows, the version directory holding its current data.
     * `parent` is the version that was current when this commit was built
     * (-1 for the table-creating commit; -1 also when read from a pre-r12
     * manifest without the header — those tables predate race detection).
-    * `evolutions` carry every add-column declaration still in force (a
-    * [[rebucket]] materializes them into the data and drops them). */
+    * `evolutions`/`drops` carry every add/drop-column declaration still in
+    * force (a [[rebucket]] materializes both into the data and drops the
+    * declarations). */
   final case class Manifest(nBuckets: Int, buckets: Map[Int, Long],
                             parent: Long = -1L,
-                            evolutions: Seq[Evolution] = Nil)
+                            evolutions: Seq[Evolution] = Nil,
+                            drops: Seq[Dropped] = Nil)
 
   def exists(tableDir: String): Boolean =
     Files.exists(Paths.get(tableDir, "_CURRENT"))
@@ -150,19 +158,25 @@ object BucketedTable {
         l.stripPrefix("evolve=").split('\t')
       Evolution(since.toLong, name, ddl, dflt)
     }.toSeq
+    val drops = rest.filter(_.startsWith("edrop=")).map { l =>
+      val Array(since, name) = l.stripPrefix("edrop=").split('\t')
+      Dropped(since.toLong, name)
+    }.toSeq
     val m = rest.filterNot(l => l.startsWith("parent=") ||
-        l.startsWith("evolve=")).map { l =>
+        l.startsWith("evolve=") || l.startsWith("edrop=")).map { l =>
       val Array(b, ver) = l.split(' '); b.toInt -> ver.toLong
     }.toMap
-    Manifest(n, m, parent, evolutions)
+    Manifest(n, m, parent, evolutions, drops)
   }
 
   /** One serializer for the manifest body (commit / evolve / rebucket /
     * migrate all write the same format). */
   private def manifestBody(nBuckets: Int, buckets: Map[Int, Long],
-                           parent: Long, evolutions: Seq[Evolution]): String =
+                           parent: Long, evolutions: Seq[Evolution],
+                           drops: Seq[Dropped] = Nil): String =
     (s"nBuckets=$nBuckets" +: s"parent=$parent" +:
       (evolutions.map(e => s"evolve=${e.since}\t${e.name}\t${e.typeDdl}\t${e.defaultSql}") ++
+        drops.map(d => s"edrop=${d.since}\t${d.name}") ++
         buckets.toSeq.sortBy(_._1).map { case (b, v) => s"$b $v" })).mkString("\n")
 
   /** One-time in-place conversion of a pre-r11 flat [[Warehouse]] snapshot
@@ -220,22 +234,34 @@ object BucketedTable {
   /** Scan the given bucket dirs under the manifest's in-force evolutions:
     * dirs are grouped by WHICH evolved columns their data version predates
     * (manifest metadata, exact — not a per-row null guess), each group's
-    * missing columns fill with the declared default, and the groups union
-    * by name. With no evolutions this is the plain multi-dir parquet scan.
+    * missing ADDED columns fill with the declared default, DROPPED columns
+    * still stored by pre-drop data project away, and the groups union by
+    * name. A dropped column never default-fills even where its add is also
+    * "missing" (added-then-dropped data reads without it, like everything
+    * else). With no evolutions this is the plain multi-dir parquet scan.
     * Column order follows the NEWEST group (the writers' current order). */
   private def scanEvolved(spark: SparkSession, m: Manifest,
                           dirs: Seq[(Long, String)]): DataFrame =
-    if (m.evolutions.isEmpty) spark.read.parquet(dirs.map(_._2): _*)
+    if (m.evolutions.isEmpty && m.drops.isEmpty)
+      spark.read.parquet(dirs.map(_._2): _*)
     else {
+      val droppedNames = m.drops.map(_.name).toSet
       val groups = dirs
         .groupBy { case (v, _) => m.evolutions.filter(_.since > v).map(_.name).toSet }
         .toSeq.sortBy { case (missing, _) =>
           (missing.size, missing.toSeq.sorted.mkString(",")) }
       groups.map { case (missing, ps) =>
-        m.evolutions.filter(e => missing.contains(e.name))
+        val base = m.evolutions
+          .filter(e => missing.contains(e.name) && !droppedNames.contains(e.name))
           .foldLeft(spark.read.parquet(ps.map(_._2): _*)) { (df, e) =>
             df.withColumn(e.name, expr(e.defaultSql).cast(e.typeDdl))
           }
+        // pre-drop data still stores dropped columns on disk — project them
+        // away wherever they surface (unconditional, so even a sloppy
+        // post-drop writer that kept carrying the column cannot leak it
+        // back into reads)
+        droppedNames.toSeq.sorted.foldLeft(base)((df, c) =>
+          if (df.columns.contains(c)) df.drop(c) else df)
       }.reduce(_.unionByName(_))
     }
 
@@ -280,6 +306,10 @@ object BucketedTable {
     val m = readManifest(tableDir, Some(parentV))
     require(!m.evolutions.exists(_.name == name),
       s"$tableDir already has an in-force evolution for column '$name'")
+    require(!m.drops.exists(_.name == name),
+      s"$tableDir has an in-force DROP for column '$name' — re-adding a " +
+        "dropped name needs the drop materialized first (rebucket), else " +
+        "pre-drop stored values would resurface under the new declaration")
     // fail at declaration time, not at first read: the default must parse,
     // be constant, and cast to the declared type
     spark.range(1).select(expr(defaultSql).cast(typeDdl).as(name)).collect()
@@ -287,7 +317,35 @@ object BucketedTable {
     Files.createDirectories(Paths.get(tableDir, s"v=$version"))
     Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"),
       manifestBody(m.nBuckets, m.buckets, parentV,
-        m.evolutions :+ Evolution(version, name, typeDdl, defaultSql)))
+        m.evolutions :+ Evolution(version, name, typeDdl, defaultSql),
+        m.drops))
+    publishChecked(tableDir, version, parentV)
+    version
+  }
+
+  /** DROP-COLUMN schema evolution (r14) — the add twin, also METADATA-ONLY:
+    * no bucket rewrites, pre-drop data keeps its bytes and reads project
+    * the column away; commits from here on simply stop carrying it.
+    * Dropping an in-force ADDED column retires its declaration in the same
+    * commit. The caller owns one structural constraint this layer cannot
+    * check (it does not know the key columns): never drop a bucket-key
+    * column — the hash placement would no longer be derivable from the
+    * read schema. Quiet-window contract like every maintenance entry
+    * point. */
+  def evolveDropColumn(spark: SparkSession, tableDir: String,
+                       name: String): Long = {
+    require(!name.contains('\t') && !name.contains('\n'),
+      "column names must not contain tabs/newlines (manifest format)")
+    val parentV = currentVersion(tableDir)
+    val m = readManifest(tableDir, Some(parentV))
+    require(!m.drops.exists(_.name == name),
+      s"$tableDir already has an in-force drop for column '$name'")
+    val version = Warehouse.claimVersion(tableDir)
+    Files.createDirectories(Paths.get(tableDir, s"v=$version"))
+    Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"),
+      manifestBody(m.nBuckets, m.buckets, parentV,
+        m.evolutions.filterNot(_.name == name),
+        m.drops :+ Dropped(version, name)))
     publishChecked(tableDir, version, parentV)
     version
   }
@@ -325,7 +383,8 @@ object BucketedTable {
     // evolved column (the same contract as any other schema agreement)
     Files.writeString(Paths.get(tableDir, s"v=$version", "_MANIFEST"),
       manifestBody(nBuckets, next, parentV,
-        prior.map(_.evolutions).getOrElse(Nil)))
+        prior.map(_.evolutions).getOrElse(Nil),
+        prior.map(_.drops).getOrElse(Nil)))
     // WRITER-RACE DETECTION (single-writer contract made loud, r11 #3): our
     // manifest carried over bucket references from parentV — if another
     // writer published meanwhile, publishing ours would silently drop every

@@ -120,6 +120,69 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(post === mixed)
   }
 
+  test("drop-column evolution: metadata-only, pre-drop bytes intact, reads project the column away") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_bt_drop").resolve("t").toString
+    val kA = 1L
+    val kB = (2L to 100L).find(bucketOf(_) != bucketOf(kA)).get
+    // 3-column table from the start: (k, v, score)
+    def commit3(rows: Seq[(Long, String, Int)]): Long = {
+      val df = rows.toDF("k", "v", "score")
+        .withColumn(BucketedTable.BucketCol, BucketedTable.bucketExpr(Seq("k"), nB))
+      BucketedTable.commit(spark, dir, nB,
+        rows.map(r => bucketOf(r._1)).distinct,
+        d => df.write.mode("overwrite")
+          .partitionBy(BucketedTable.BucketCol).parquet(d))
+    }
+    val v1 = commit3(Seq((kA, "a1", 5), (kB, "b1", 6)))
+    def treeBytes(v: Long): Map[String, Seq[Byte]] = {
+      val root = java.nio.file.Paths.get(dir, s"v=$v")
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString ->
+          Files.readAllBytes(p).toSeq).toMap
+      finally s.close()
+    }
+    val before = treeBytes(v1)
+    val dv = BucketedTable.evolveDropColumn(spark, dir, "score")
+    val dvFiles = {
+      val s = Files.list(java.nio.file.Paths.get(dir, s"v=$dv"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
+    }
+    assert(dvFiles === Seq("_MANIFEST"), "drop must be a metadata-only commit")
+    assert(treeBytes(v1) === before, "pre-drop bucket files must stay byte-identical")
+    val dropped = BucketedTable.readCurrent(spark, dir)
+    assert(!dropped.columns.contains("score"),
+      s"reads must project the dropped column away, got ${dropped.columns.toSeq}")
+    assert(dropped.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+      .sorted.toSeq === Seq((kA, "a1"), (kB, "b1")).sorted)
+    // post-drop commits carry the NARROW schema; mixed-era reads agree
+    val df2 = Seq((kA, "a2")).toDF("k", "v")
+      .withColumn(BucketedTable.BucketCol, BucketedTable.bucketExpr(Seq("k"), nB))
+    BucketedTable.commit(spark, dir, nB, Seq(bucketOf(kA)),
+      d => df2.write.mode("overwrite")
+        .partitionBy(BucketedTable.BucketCol).parquet(d))
+    val mixed = BucketedTable.readCurrent(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    assert(mixed === Seq((kA, "a2"), (kB, "b1")).sorted)
+    // re-adding a dropped name is refused (pre-drop values would resurface)
+    val err = intercept[IllegalArgumentException] {
+      BucketedTable.evolveAddColumn(spark, dir, "score", "int", "0")
+    }
+    assert(err.getMessage.contains("DROP"))
+    // add-then-drop retires the add in one step: the column never surfaces
+    BucketedTable.evolveAddColumn(spark, dir, "tier", "string", "'basic'")
+    BucketedTable.evolveDropColumn(spark, dir, "tier")
+    assert(!BucketedTable.readCurrent(spark, dir).columns.contains("tier"))
+    // rebucket MATERIALIZES: declarations drop, stored files no longer
+    // carry the dropped column, and the read is unchanged
+    BucketedTable.rebucket(spark, dir, Seq("k"), nB)
+    val m = BucketedTable.readManifest(dir)
+    assert(m.drops.isEmpty && m.evolutions.isEmpty)
+    assert(BucketedTable.readCurrent(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq === mixed)
+  }
+
   test("time travel: an old manifest version reads the table as of that commit") {
     val dir = Files.createTempDirectory("graft_bt_tt").resolve("t").toString
     val v1 = commitRows(dir, Seq(1L -> "x1", 2L -> "y1"))
