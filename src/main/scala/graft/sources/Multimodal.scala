@@ -832,7 +832,8 @@ object Multimodal {
     def list(typ: String, body: Array[Byte]): Array[Byte] =
       chunk("LIST", cat(fcc(typ), body))
     val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
-    val avih = cat(u32(1000000L / math.max(1, fps)), u32(0), u32(0), u32(0),
+    // dwFlags = AVIF_HASINDEX: the file carries the idx1 chunk below
+    val avih = cat(u32(1000000L / math.max(1, fps)), u32(0), u32(0), u32(0x10L),
       u32(frames.length.toLong), u32(0), u32(1), u32(maxFrame.toLong),
       u32(w.toLong), u32(h.toLong), u32(0), u32(0), u32(0), u32(0))
     val strh = cat(fcc("vids"), fcc("MJPG"), u32(0), u16(0), u16(0), u32(0),
@@ -844,7 +845,18 @@ object Multimodal {
     val hdrl = list("hdrl",
       cat(chunk("avih", avih), list("strl", cat(chunk("strh", strh), chunk("strf", strf)))))
     val movi = list("movi", cat(frames.map(f => chunk("00dc", f)): _*))
-    chunk("RIFF", cat(fcc("AVI "), hdrl, movi))
+    // standard `idx1` index (16 bytes per frame: fcc, AVIIF_KEYFRAME, the
+    // chunk header's offset relative to the `movi` fourcc, length) — every
+    // MJPEG frame is independently decodable, so every entry is a keyframe.
+    // Strict players seek through this; our own demuxer walks the movi
+    // list and skips it like any unknown chunk.
+    val offsets = frames.scanLeft(4L) { (off, f) =>
+      off + 8 + f.length + (f.length & 1)
+    }
+    val idx1 = chunk("idx1", cat(frames.zip(offsets).map { case (f, off) =>
+      cat(fcc("00dc"), u32(0x10L), u32(off), u32(f.length.toLong))
+    }: _*))
+    chunk("RIFF", cat(fcc("AVI "), hdrl, movi, idx1))
   }
 
   /** A GENUINELY different container over the same frames — the AVI twin of

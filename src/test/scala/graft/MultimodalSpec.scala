@@ -375,6 +375,32 @@ class MultimodalSpec extends AnyFunSuite {
     // a torn frame chunk (valid container, undecodable JPEG) also falls back
     val torn = Multimodal.encodeAvi(Seq(frames.head.take(8)), 16, 16, 10)
     assert(Multimodal.demuxAvi(torn).isDefined && Multimodal.decodeAviFrames(torn).isEmpty)
+    // the container carries a STANDARD idx1 index: one 16-byte keyframe
+    // entry per frame whose offset (relative to the movi fourcc) lands
+    // exactly on that frame's 00dc chunk header — what a strict seeking
+    // player walks; our own demuxer skips it like any unknown chunk
+    def fccAt(b: Array[Byte], o: Int) = new String(b, o, 4, "US-ASCII")
+    def u32At(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    var pos = 12
+    var moviAt = -1; var idxAt = -1; var idxLen = 0L
+    while (pos + 8 <= avi.length) {
+      val id = fccAt(avi, pos); val sz = u32At(avi, pos + 4)
+      if (id == "LIST" && fccAt(avi, pos + 8) == "movi") moviAt = pos + 8
+      if (id == "idx1") { idxAt = pos + 8; idxLen = sz }
+      pos += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    assert(moviAt > 0 && idxAt > 0, "both movi and idx1 must be present")
+    assert(idxLen === 16L * frames.length, "one 16-byte idx1 entry per frame")
+    frames.indices.foreach { i =>
+      val e = idxAt + 16 * i
+      assert(fccAt(avi, e) === "00dc" && u32At(avi, e + 4) === 0x10L)
+      val off = u32At(avi, e + 8).toInt
+      assert(fccAt(avi, moviAt + off) === "00dc",
+        s"idx1 entry $i offset must land on its frame chunk header")
+      assert(u32At(avi, e + 12) === frames(i).length.toLong)
+    }
   }
 
   test("synthetic video assets are genuine AVIs; metadata dims match the decoded frames") {
