@@ -1,4 +1,6 @@
-package graft.etl
+package graft
+
+import graft.etl.{BucketedTable, Compaction}
 
 import java.nio.file.{Files, Path, Paths}
 
@@ -280,5 +282,8 @@ object Doctor {
     println(s"DOCTOR ${args(0)}: ${n.getOrElse("FAIL", 0)} fail, " +
       s"${n.getOrElse("WARN", 0)} warn, ${n.getOrElse("INFO", 0)} info" +
       (if (findings.isEmpty) " — tree is sane" else ""))
+    // ops contract: non-zero exit on a tree that cannot serve reads (run is
+    // forked, so this never kills an interactive sbt shell)
+    if (n.getOrElse("FAIL", 0) > 0) sys.exit(1)
   }
 }

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.etl.{BucketedTable, Compaction, Doctor}
+import graft.etl.{BucketedTable, Compaction}
 
 /** The offline fsck (r14, judge #4): each crash-consistency layer is built
   * through its real API, corrupted ONE way, and Doctor must name the layer
