@@ -300,7 +300,7 @@ object AnnIndex {
     * vector always lands in the same list). */
   private def assignAgainst(batch: DataFrame,
                             cents: Array[(Int, Array[Double])]): DataFrame = {
-    val scored = array(cents.map { case (i, c) =>
+    val scored = array(cents.toIndexedSeq.map { case (i, c) =>
       struct(
         call_function("cosine_similarity", col("embedding"),
           lit(c.map(_.toFloat))).as("cos"),

@@ -64,7 +64,7 @@ object Llm {
     * posexplode of the same generator.) */
   private[graft] def gram4Rows(docs: DataFrame): DataFrame = {
     GraftFunctions.ensureRegistered(docs.sparkSession)
-    val in = docs.columns.map(col)
+    val in = docs.columns.toIndexedSeq.map(col)
     docs.withColumn("__w", split(col("text"), " "))
       .select(in :+
         explode(call_function("word_ngrams", col("__w"), lit(4))).as("gram"): _*)

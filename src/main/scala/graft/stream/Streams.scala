@@ -584,7 +584,7 @@ object Streams {
       // close every session the firing watermark has sealed (last + gap ≤
       // expiry); keep the rest open — their own timers remain registered
       val (done, open) = st.get().toSeq
-        .partition(s => s.last_us / 1000L + gapMs <= info.getExpiryTimeInMs)
+        .partition(s => s.last_us / 1000L + gapMs <= info.getExpiryTimeInMs())
       if (open.isEmpty) st.clear() else st.put(open.toArray)
       done.sortBy(_.start_us).iterator
         .map(s => SessionSummary(user, s.start_us, s.last_us, s.n))
