@@ -29,6 +29,11 @@ case class AudioDoc(doc_id: Long, text: String, audio: Array[Byte],
 case class VideoDoc(doc_id: Long, text: String, video: Array[Byte],
                     embedding: Array[Float])
 
+/** A full multimodal ingest doc: text plus all three media payloads. */
+case class MediaDoc(doc_id: Long, text: String, image: Array[Byte],
+                    audio: Array[Byte], video: Array[Byte],
+                    embedding: Array[Float])
+
 /** [[IngestDoc]] with a source tag, for the budget-gated ingest test. */
 case class SourcedDoc(doc_id: Long, text: String, source: String,
                       embedding: Array[Float])
@@ -1677,6 +1682,71 @@ class StreamingSpec extends AnyFunSuite {
         .count() === postRows,
         "a replayed audio batch must not grow the posting table")
       assert(corpusIds === Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("corpusIngest with ALL FOUR modalities on one stream: each evidence channel gates independently in one posting table") {
+    // The per-modality tests prove each gate alone; this proves the
+    // COMPOSITION — text minhash + image/audio/video perceptual bands all
+    // posting into one table under their four disjoint namespaces, each
+    // modality's near-dup evidence dropping its own cross-batch dup while
+    // the other channels stay silent.
+    import java.nio.file.Files
+    import graft.sources.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_mm_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_mm_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_mm_corpus").toString
+    val imgs = Multimodal.syntheticImageCorpus(spark, 6, everyK = 1000)
+      .collect().map(a => a.asset_id -> a.payload).toMap
+    val auds = Multimodal.syntheticAudioCorpus(spark, 6, everyK = 1000)
+      .collect().map(a => a.asset_id -> a.payload).toMap
+    val vids = Multimodal.syntheticVideoCorpus(spark, 6, everyK = 1000)
+      .collect().map(a => a.asset_id -> a.payload).toMap
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    def text(seed: Int): String =
+      (0 until 8).map(j => s"w${seed * 17 + j * 5}").mkString(" ")
+    def doc(id: Long, t: String, i: Long, a: Long, v: Long) =
+      MediaDoc(id, t, imgs(i), auds(a), vids(v), emb(id.toInt))
+    // batch 1: four distinct docs
+    val b1 = Seq(doc(1, text(1), 0, 0, 0), doc(2, text(2), 1, 1, 1),
+                 doc(3, text(3), 2, 2, 2), doc(4, text(4), 3, 3, 3))
+    // batch 2: one dup per evidence channel (all other channels novel),
+    // plus one fully novel doc. Docs 10–13 each collide with the STORED
+    // index on their own channel, so the step-1 gate drops them before the
+    // in-batch CC runs — asset sharing among the dropped docs (and with
+    // doc 14) is therefore irrelevant: only doc 14's postings survive to
+    // CC, alone, and only they commit.
+    val b2 = Seq(
+      doc(10, text(1), 4, 4, 4),        // TEXT dup of doc 1
+      doc(11, text(11), 0, 5, 5),       // IMAGE dup of doc 1 (same card)
+      MediaDoc(12, text(12), imgs(4L),  // AUDIO dup of doc 2 (re-container)
+        Multimodal.withTrailingJunkChunk(auds(1L)), vids(4L), emb(12)),
+      MediaDoc(13, text(13), imgs(5L), auds(4L),  // VIDEO dup of doc 3
+        Multimodal.withTrailingJunkAvi(vids(2L)), emb(13)),
+      doc(14, text(14), 5, 5, 5))       // fully novel
+    val mem = MemoryStream[MediaDoc]
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
+      imageCol = Some("image"), audioCol = Some("audio"),
+      videoCol = Some("video")).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val corpusIds = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(corpusIds === Seq(1L, 2L, 3L, 4L, 14L),
+        s"each modality's evidence must drop its own dup (10=text, 11=image, " +
+          s"12=audio, 13=video) and admit the novel doc, got $corpusIds")
+      // all four namespaces coexist in the ONE posting table
+      val bands = spark.read
+        .parquet(graft.etl.Compaction.currentPath(s"$dedupDir/postings"))
+        .select("band").distinct().collect().map(_.getInt(0)).toSet
+      assert(bands.exists(b => b >= 0 && b < 1000),
+        s"text minhash bands missing from the shared table: $bands")
+      assert(bands.exists(b => b >= 1000 && b < 2000), s"image bands missing: $bands")
+      assert(bands.exists(b => b >= 2000 && b < 3000), s"audio bands missing: $bands")
+      assert(bands.exists(_ >= 3000), s"video bands missing: $bands")
     } finally q.stop()
   }
 
