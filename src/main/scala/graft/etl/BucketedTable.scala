@@ -111,7 +111,15 @@ object BucketedTable {
   /** One DROP-COLUMN schema evolution (r14) — the add twin: bucket data
     * written BEFORE `since` still stores the column on disk (no rewrite —
     * reads project it away); data written at or after it simply does not
-    * carry it. */
+    * carry it.
+    *
+    * RENAME is a declared non-goal: a true rename (old data reads under
+    * the new name) needs stable column IDs decoupled from names — the
+    * Iceberg/Delta column-mapping machinery — which this name-keyed
+    * manifest deliberately does not carry. Drop+add expresses the lossy
+    * form (old values are NOT visible under the new name — by design, see
+    * the re-add guard); a deployment that needs lossless rename does a
+    * [[rebucket]]-style rewrite with the projection applied. */
   final case class Dropped(since: Long, name: String)
 
   /** The committed manifest: fixed bucket count plus, per bucket that has
