@@ -818,6 +818,12 @@ object Streams {
     * the running count). The `compactEvery` cadence covers the
     * IVF lists' layout on the batches a retrain doesn't run.
     *
+    * `auditDir = Some(dir)` writes the ADMISSION DECISION LOG — one row
+    * per batch doc naming the gate that decided it (admitted / near_dup /
+    * budget_rejected), batch-keyed and replay-idempotent like every other
+    * effect: the streaming twin of `q_curation_audit`'s per-doc
+    * explainability ("why isn't my doc in the corpus?").
+    *
     * `ivfPqDir` (requires `ivfDir`) extends the lifecycle to the IVF-PQ
     * COMPOSITE — the production two-model layout: codebooks seed from the
     * first admitting batch, every batch encodes against the frozen
@@ -860,7 +866,8 @@ object Streams {
                    ivfRetrainEvery: Int = 0,
                    ivfPqDir: Option[String] = None,
                    pqM: Int = 4, pqK: Int = 16,
-                   ivfRetrainMinGrowth: Double = 0.0)
+                   ivfRetrainMinGrowth: Double = 0.0,
+                   auditDir: Option[String] = None)
       : DataStreamWriter[Row] = {
     // the composite's coarse half IS the IVF index: list assignment,
     // partition pruning, and the retrain corpus all come from its lists
@@ -974,6 +981,36 @@ object Streams {
               .filter(col("cum") <= budget)
               .drop("h", "n_tok", "t0", "cum")
               .localCheckpoint(true)
+        }
+        // ADMISSION DECISION LOG (optional, r14 — the streaming twin of
+        // q_curation_audit's explainability): one row per batch doc naming
+        // the gate that decided it — "admitted", "near_dup" (dropped by the
+        // posting-index collision gate or the in-batch CC), or
+        // "budget_rejected" (dedup-survivor the mixture budget cut; its
+        // postings never commit, so a later budget raise can still admit
+        // it). Batch-bounded anti-join arithmetic over frames this body
+        // already pinned — O(batch), no extra corpus work — landed under
+        // this batch's OWN batch_id partition with dynamic overwrite, so a
+        // replay rewrites identical rows (the survivor set replays
+        // identically) and a fresh lineage lands under new keys: the log is
+        // exactly-once like every other effect here. Read it back with a
+        // plain spark.read.parquet(auditDir).
+        auditDir.foreach { ad =>
+          val dedupOk = deduped.select("doc_id")
+            .withColumn("__dd", lit(true))
+          val budgetOk = kept.select("doc_id")
+            .withColumn("__bk", lit(true))
+          batch.select(col("doc_id"))
+            .join(dedupOk, Seq("doc_id"), "left")
+            .join(budgetOk, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              when(coalesce(col("__bk"), lit(false)), lit("admitted"))
+                .when(coalesce(col("__dd"), lit(false)), lit("budget_rejected"))
+                .otherwise(lit("near_dup")).as("decision"),
+              lit(batchKey).as("batch_id"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(ad)
         }
         // fold the batch's admitted per-source delta into the ledger. Runs
         // even for an all-rejected batch WHEN the ledger does not exist yet:

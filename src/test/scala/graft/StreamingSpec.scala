@@ -1685,6 +1685,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpusIngest admission decision log: every batch doc names its gate, exactly once per (doc, batch)") {
+    // the streaming twin of q_curation_audit's explainability: the funnel
+    // report says WHAT was admitted — the decision log says WHY each doc
+    // was or wasn't ("why isn't my doc in the corpus?"), exactly-once like
+    // every other batch effect
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_adt_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_adt_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_adt_corpus").toString
+    val auditDir = Files.createTempDirectory("graft_adt_audit").toString + "/log"
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    def doc(id: Long, src: String, text: String) =
+      SourcedDoc(id, text, src, emb(id.toInt))
+    val b1 = Seq(doc(1, "A", "alpha bravo charlie delta echo")) // admitted (5 <= 12)
+    val b2 = Seq(
+      doc(2, "A", "alpha bravo charlie delta echo"),  // NEAR_DUP of doc 1
+      doc(3, "A", "kilo lima mike november oscar"),   // 5 tokens
+      doc(4, "A", "papa quebec romeo sierra tango"))  // 5 tokens — one of 3/4
+                                                      // fits (cum 10 <= 12), the
+                                                      // other busts (15 > 12)
+    val mem = MemoryStream[SourcedDoc]
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
+      budgetPerSource = Some(12L), auditDir = Some(auditDir)).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      def log = spark.read.parquet(auditDir)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("decision"), r.getAs[String]("batch_id")))
+      val first = log
+      assert(first.length === 4, s"one decision per batch doc, got ${first.toSeq}")
+      val byDoc = first.map(x => x._1 -> x._2).toMap
+      assert(byDoc(1L) === "admitted")
+      assert(byDoc(2L) === "near_dup",
+        s"the cross-batch dup must be logged as near_dup, got $byDoc")
+      assert(Set(byDoc(3L), byDoc(4L)) === Set("admitted", "budget_rejected"),
+        s"exactly one of docs 3/4 fits the remaining budget, got $byDoc")
+      // the log agrees with the corpus
+      val corpusIds = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(corpusIds === byDoc.collect { case (id, "admitted") => id }.toSet)
+      // re-SENDING b2 is a NEW batch (at-least-once delivery), not a crash
+      // replay: it gets its own batch_id partition whose decisions must be
+      // consistent with the committed state — the previously-admitted doc
+      // is now a near_dup of ITSELF, the budget-rejected one re-evaluates
+      // against unchanged totals and rejects again, and nothing new is
+      // admitted. (A true same-batch crash replay overwrites its own
+      // partition via the same dynamic-overwrite machinery the posting
+      // commits use — ReplayIdempotenceSpec proves that layer.)
+      mem.addData(b2: _*); q.processAllAvailable()
+      val resent = log.groupBy(_._3).maxBy(_._1)._2
+        .map(x => x._1 -> x._2).toMap
+      assert(resent === Map(2L -> "near_dup", 3L -> "budget_rejected",
+        4L -> "near_dup"),
+        s"re-sent data must decide consistently with committed state, got $resent")
+      // one decision per (doc, batch) — never duplicate rows within a batch
+      assert(log.groupBy(x => (x._1, x._3)).values.forall(_.length == 1))
+      assert(graft.etl.BucketedTable.readCurrent(spark, corpusDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSet === corpusIds,
+        "the re-sent batch must admit nothing new")
+    } finally q.stop()
+  }
+
   test("corpusIngest with ALL FOUR modalities on one stream: each evidence channel gates independently in one posting table") {
     // The per-modality tests prove each gate alone; this proves the
     // COMPOSITION — text minhash + image/audio/video perceptual bands all
