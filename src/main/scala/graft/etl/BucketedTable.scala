@@ -303,7 +303,11 @@ object BucketedTable {
     * [[Evolution]]), and every LATER [[commit]]'s frames must carry the
     * column (writers evolve with the table — the same schema agreement any
     * sink already honors). `defaultSql` is any constant SQL expression;
-    * validated here by evaluating it once. Quiet-window contract like
+    * validated STRUCTURALLY here (r15, advice): it must reference no
+    * columns and be deterministic, not merely evaluate once — evaluating
+    * against a probe frame would wave through `id` (the probe's own
+    * column, silently rebinding to a TABLE column at read time) and
+    * `rand()` (a per-read-varying "constant"). Quiet-window contract like
     * every maintenance entry point: pause the owning sink. */
   def evolveAddColumn(spark: SparkSession, tableDir: String, name: String,
                       typeDdl: String, defaultSql: String): Long = {
@@ -319,7 +323,29 @@ object BucketedTable {
         "dropped name needs the drop materialized first (rebucket), else " +
         "pre-drop stored values would resurface under the new declaration")
     // fail at declaration time, not at first read: the default must parse,
-    // be constant, and cast to the declared type
+    // be structurally constant (no column references — scanEvolved later
+    // resolves the expression against the TABLE's frame, so a stray column
+    // name would silently become a per-row "default"), be deterministic
+    // (rand() would vary per read), and cast to the declared type
+    val unresolvedRefs =
+      spark.sessionState.sqlParser.parseExpression(defaultSql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }
+    require(unresolvedRefs.isEmpty,
+      s"evolution default '$defaultSql' references column(s) " +
+        s"${unresolvedRefs.mkString(", ")} — the default must be a " +
+        "constant expression; at read time it would resolve against the " +
+        "table's own columns, not a literal")
+    // resolve functions (rand() is still an UnresolvedFunction at parse
+    // time and would report deterministic) against a zero-column frame,
+    // then check determinism on the ANALYZED expression
+    val analyzed = spark.emptyDataFrame
+      .select(expr(defaultSql).cast(typeDdl).as(name))
+      .queryExecution.analyzed.expressions.head
+    require(analyzed.deterministic,
+      s"evolution default '$defaultSql' is non-deterministic — it would " +
+        "produce a different \"constant\" on every read")
     spark.range(1).select(expr(defaultSql).cast(typeDdl).as(name)).collect()
     val version = Warehouse.claimVersion(tableDir)
     Files.createDirectories(Paths.get(tableDir, s"v=$version"))

@@ -200,7 +200,7 @@ object LlmEmbed {
     * No oracle by design (an eigenbasis is not SQL-expressible); the
     * orthonormality / variance-ordering / determinism contracts live in
     * LlmSpec. Output is integer micro-units end to end (snapped gram,
-    * float-quantized components, floored Llm.dot terms), so the result is
+    * float-quantized components, floored dot terms), so the result is
     * bit-reproducible across runs and partitionings. */
   def qEmbedPca(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
@@ -234,7 +234,7 @@ object LlmEmbed {
       .orderBy("vec_id")
   }
 
-  /** §2.9 Embedding-space outlier detection: each vector's Llm.cosine similarity
+  /** §2.9 Embedding-space outlier detection: each vector's cosine similarity
     * to its own label's centroid; the bottom-3 per label are the mislabel /
     * contamination candidates an embedding-QA pass reviews. The centroid is
     * computed in EXACT integer micro-units — each float element floor-snaps
@@ -247,7 +247,7 @@ object LlmEmbed {
     *
     * Shape at scale: one posexplode + hash agg with map-side partials
     * (output = |labels|·dim rows), centroids re-assembled sorted-inside-
-    * aggregate and broadcast back onto the corpus (labels ≪ corpus), Llm.cosine
+    * aggregate and broadcast back onto the corpus (labels ≪ corpus), cosine
     * per row, one keyed window over (label) for the bottom-k cut. */
   def qEmbedOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)

@@ -9,12 +9,12 @@ import graft.etl.AnnIndex
 import graft.expr.GraftFunctions
 
 /** §2.9 similarity search (split from Llm.scala along the SURVEY family
-  * seams, r14 judge #7 — pure move, zero behavior): exhaustive Llm.cosine kNN
+  * seams, r14 judge #7 — pure move, zero behavior): exhaustive cosine kNN
   * plus every persisted-index probe rung (LSH / IVF / SQ8 / PQ / IVF-PQ,
   * single-probe and batch forms) and the hard-negative miners. Shared
   * vector/hash primitives (Llm.dot, Llm.cosine, sign bands) live in [[Llm]]. */
 object LlmKnn {
-  /** Brute-force top-k Llm.cosine core: one scan, rounded score,
+  /** Brute-force top-k cosine core: one scan, rounded score,
     * TakeOrderedAndProject. */
   private[graft] def knnExact(e: DataFrame, probeId: Long, k: Int): DataFrame = {
     val probe = e.filter(col("vec_id") === probeId).select(col("embedding").as("pv"))
@@ -25,7 +25,7 @@ object LlmKnn {
       .limit(k)
   }
 
-  /** §2.9 BATCH KNN: top-k Llm.cosine neighbors for EVERY probe in a set — the
+  /** §2.9 BATCH KNN: top-k cosine neighbors for EVERY probe in a set — the
     * batch-retrieval shape (score a training batch against the corpus,
     * attach neighbors to each example) rather than m single-probe queries.
     *
@@ -88,7 +88,7 @@ object LlmKnn {
     * `partitionBy(band, bkt)`), probing the probe's own 3×8-bit
     * random-hyperplane buckets plus every Hamming-1 XOR neighbor
     * (multi-probe); fine stage re-ranks the survivors by exact codegen'd
-    * Llm.cosine.
+    * cosine.
     *
     * Scale shape — the same contract as the IVF twin: the query path never
     * hashes the corpus. `ensureLsh` is a metadata-only marker check after
@@ -149,7 +149,7 @@ object LlmKnn {
     * `band=/bkt=` path addressing, no directory-tree discovery), joined to
     * a broadcast (probe_id, band, bkt) cell table so each posting row fans
     * out only to the probes whose cells it sits in; scoring re-ranks each
-    * probe's distinct candidates by exact codegen Llm.cosine and cuts per probe
+    * probe's distinct candidates by exact codegen cosine and cuts per probe
     * on [[graft.plans.TopKPerGroup]] (≤ k rows per probe per map partition
     * shuffled). */
   def qKnnBatchLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -184,7 +184,7 @@ object LlmKnn {
   }
 
   /** §2.9 IVF ANN (no-oracle; recall-tested in LlmSpec): the inverted-file
-    * alternative to [[qKnnCosineLsh]] — Llm.cosine k-means centroids partition
+    * alternative to [[qKnnCosineLsh]] — cosine k-means centroids partition
     * the corpus into `nlist` lists, a query probes only the `nprobe` lists
     * whose centroids are nearest its vector, then re-ranks the list members
     * exactly.
@@ -216,11 +216,11 @@ object LlmKnn {
     * what a bandwidth-bound brute-force pass costs at scale; the top
     * oversampled candidates re-rank exactly on the full-precision vectors.
     *
-    * The symmetric per-vector scale cancels in Llm.cosine, so the coarse score
+    * The symmetric per-vector scale cancels in cosine, so the coarse score
     * is just `int8_dot(qvec, probe_q) / qnorm` — pure integer multiply-adds
     * in one codegen loop ([[graft.expr.Int8Dot]]) and a stored norm; the
     * coarse cut is a TakeOrdered (per-partition top-C + merge, never a full
-    * sort). Recall is near-perfect at 4× oversampling because int8 Llm.cosine
+    * sort). Recall is near-perfect at 4× oversampling because int8 cosine
     * error is ≲1e-2 — the quantized ordering only confuses genuinely-tied
     * neighbors (bounded in LlmSpec). Complements LSH/IVF: no bucketing
     * assumptions, exact-ish results on ANY geometry, at linear-but-4×-
@@ -265,7 +265,7 @@ object LlmKnn {
     * metadata math), so the per-row coarse score is m table lookups in one
     * codegen loop ([[graft.expr.PqAdc]]) — the scan never touches a float
     * vector. Normalizing by the stored reconstruction norm makes the score
-    * a Llm.cosine estimate (probe norm is constant per probe — cancels in
+    * a cosine estimate (probe norm is constant per probe — cancels in
     * ranking). Coarser than SQ8, so the oversampled exact re-rank carries
     * more of the precision burden: oversample 8 here vs SQ8's 4. */
   def qKnnCosinePq(spark: SparkSession, dir: String): DataFrame = {
@@ -282,7 +282,7 @@ object LlmKnn {
   /** The ADC lookup table for one probe: `lut(s·nCodes + c)` holds the
     * inner product of the probe's subvector `s` with codebook centroid
     * `(s, c)` — `pq_adc` then scores a stored code as Σ_s lut(s·nCodes +
-    * code(s)), the asymmetric-distance Llm.dot product. Shared by every
+    * code(s)), the asymmetric-distance dot product. Shared by every
     * PQ-family probe/serve core. */
   private def pqAdcLut(books: Seq[(Int, Int, Array[Double])], m: Int,
                        nCodes: Int, pv: Array[Double]): Array[Double] = {
@@ -637,7 +637,7 @@ object LlmKnn {
     * shared across probes); scoring joins candidates to probes on `list_id`
     * EQUALITY (a broadcast of m·nprobe probe rows), so each candidate row
     * scores only against the probes that actually probe its list — map-side
-    * codegen Llm.cosine, never an m×corpus cross product; the per-probe cut is
+    * codegen cosine, never an m×corpus cross product; the per-probe cut is
     * the custom [[graft.plans.TopKPerGroup]] operator (the only shuffle
     * carries ≤ k rows per probe per map partition). */
   def qKnnBatchIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -685,10 +685,10 @@ object LlmKnn {
     * without the cap the anchor set scales linearly with the corpus, and
     * the ANN variant's driver-side probe batch (and this query's broadcast)
     * would grow unboundedly with it. Similarity is the EXACT integer
-    * micro-Llm.dot (each elementwise product floor-snapped to 1e-6 units
+    * micro-dot (each elementwise product floor-snapped to 1e-6 units
     * before a long fold — order-independent and bit-identical in DuckDB),
     * which makes a top-k ranking query over floating-point vectors fully
-    * oracle-able, unlike the Llm.cosine ANN ladder. Shape: anchors broadcast
+    * oracle-able, unlike the cosine ANN ladder. Shape: anchors broadcast
     * (m rows) against the corpus with a label-mismatch residual → one
     * codegen'd zip_with/aggregate per pair → per-anchor top-5 window.
     * At 100 TB the exhaustive scan per anchor is replaced by feeding the

@@ -140,7 +140,7 @@ object LlmText {
     * quality features (chars/token, stopword ratio, type-token ratio) — the
     * fastText-style learned quality gate every LLM corpus pass runs, with
     * the model INFERENCE expressed as plain Catalyst expressions. The whole
-    * scorer — features, Llm.dot product, sigmoid, threshold — compiles into one
+    * scorer — features, dot product, sigmoid, threshold — compiles into one
     * whole-stage-codegen'd map over the scan: zero shuffles, zero UDFs, so
     * at 100 TB the gate runs at scan speed. The linear term is assembled
     * left-to-right identically in both engines and the sigmoid output is

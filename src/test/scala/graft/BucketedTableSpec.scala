@@ -92,6 +92,26 @@ class BucketedTableSpec extends AnyFunSuite {
     intercept[Exception] {
       BucketedTable.evolveAddColumn(spark, dir, "bad", "int", "not a ( literal")
     }
+    // structural constancy (r15, advice): a column reference parses and
+    // even evaluates against a probe frame exposing `id`, but at read time
+    // it would rebind to a TABLE column — must fail at declaration
+    val colRef = intercept[IllegalArgumentException] {
+      BucketedTable.evolveAddColumn(spark, dir, "bad2", "bigint", "id")
+    }
+    assert(colRef.getMessage.contains("references column"),
+      s"column-reference default must be named as such: ${colRef.getMessage}")
+    intercept[IllegalArgumentException] {
+      BucketedTable.evolveAddColumn(spark, dir, "bad3", "bigint", "k + 1")
+    }
+    // non-deterministic "constants" vary per read — must fail at declaration
+    val nonDet = intercept[IllegalArgumentException] {
+      BucketedTable.evolveAddColumn(spark, dir, "bad4", "double", "rand()")
+    }
+    assert(nonDet.getMessage.contains("non-deterministic"))
+    // deterministic constant FOLDS of functions still pass
+    val okV = BucketedTable.evolveAddColumn(spark, dir, "okc", "int", "1 + 2")
+    assert(okV > ev)
+    BucketedTable.evolveDropColumn(spark, dir, "okc")
     // a post-evolution commit carries REAL values; the untouched bucket
     // keeps default-filling (and stays byte-identical)
     val df3 = Seq((kA, "a2", 42)).toDF("k", "v", "score")
