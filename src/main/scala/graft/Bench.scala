@@ -12,9 +12,13 @@ import java.nio.file.{Files, Paths}
   *    Verify actually pays for;
   *  - n=2 timed runs per query, report the min (adaptive repeats up to 4
   *    while the two best runs disagree by more than the min);
-  *  - a fixed pure-CPU CANARY interleaves through the sweep; the JSON
-  *    carries its median vs a frozen idle band (`canary_sec`,
-  *    `canary_ratio`, `contended`) so a contended total self-identifies;
+  *  - two fixed CANARY probes (pure-CPU and parquet-scan IO) interleave
+  *    through the sweep; the JSON carries their medians vs frozen idle
+  *    bands plus the sweep's aggregate `spread_ratio`, and derives
+  *    `contended`/`suspect` so a contended total self-identifies in any
+  *    contention mode (CPU, IO, or noise-dominated mins);
+  *  - `vs_reference` self-reports the 2× acceptance-gate ratio against the
+  *    frozen BASELINE.md reference (sf0.1 only);
   *  - `n_run`/`n_reported` make the stdout line's slowest-prefix cutoff
   *    explicit (the file sidecar always carries every query);
   *  - the result JSON is printed as the LAST stdout line (bare, parseable;
@@ -22,6 +26,40 @@ import java.nio.file.{Files, Paths}
   *    `[info]` prefix) and is also written to $SPARK_GRAFT_BENCH_OUT if set.
   */
 object Bench {
+  /** Σspread / Σmin over the `topN` SLOWEST successfully-timed queries —
+    * the aggregate convergence signal the r14 artifact carried but
+    * ignored: its contaminated sweep's ten risers read spread ≈ 50–70% of
+    * min (top-10 ratio 0.42) while the pure-CPU canary stayed under its
+    * trip-wire. Restricted to the slowest queries BY MEASUREMENT, not by
+    * choice: computed over ALL reported queries an UNCONTENDED full sf0.1
+    * sweep reads 0.29 (r15 calibration — ~150 sub-second queries each
+    * carry a constant ~0.1 s JIT/GC spread against a tiny denominator), so
+    * the all-queries form cannot separate contention from its own floor;
+    * over the top-10 the same idle sweep reads 0.19 vs r14's 0.42. */
+  private[graft] def spreadRatioOf(minsSpreads: Seq[(Double, Double)],
+                                   topN: Int = 10): Double = {
+    val ok = minsSpreads.filter(_._1 >= 0).sortBy(-_._1).take(topN)
+    val sumMin = ok.map(_._1).sum
+    if (sumMin <= 0) 0.0 else ok.map(_._2).sum / sumMin
+  }
+
+  /** (contended, suspect). Contended when ANY signal trips a hard band:
+    * a probe median > `hardRatio`× its idle band, or top-10 spread_ratio
+    * > 0.35. Suspect (r14 judge #1c) when clean but not CLEAN: any probe
+    * ratio > 1.1 or spread_ratio > 0.22 — "read the total with suspicion,
+    * prefer QueryTimer adjudication" rather than silence. Bands from r15
+    * calibration sweeps on the target machine: idle full sweep 0.19, a
+    * mildly host-contended one (total +23%, CPU probe 1.41×) 0.30, the
+    * r14 contaminated artifact 0.42. */
+  private[graft] def contentionVerdict(hardRatio: Double, cpuRatio: Double,
+                                       ioRatio: Option[Double],
+                                       spreadRatio: Double): (Boolean, Boolean) = {
+    val ratios = cpuRatio +: ioRatio.toSeq
+    val contended = ratios.exists(_ > hardRatio) || spreadRatio > 0.35
+    val suspect = !contended && (ratios.exists(_ > 1.1) || spreadRatio > 0.22)
+    (contended, suspect)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,21 +82,53 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // CONTENTION CANARY (r13 judge #3): adaptive repeats cannot catch
-    // CONSISTENT ambient load (both runs inflate together — three of four
-    // rounds needed a judge re-run to adjudicate a contended driver sweep).
-    // A fixed pure-CPU probe (sum of 64M codegen'd hashes across all
-    // cores, no IO, no data dependence) interleaves through the timed
-    // sweep; its MEDIAN against the frozen idle band lets the artifact
-    // self-identify a contended total. Idle band measured on the target
-    // machine (local[32]): steady-state median 0.22 s (range 0.17–0.23
-    // over 8 post-warmup runs); a 24-core synthetic load moved the median
-    // to 0.33 s. Re-measure and re-freeze if the hardware changes.
-    val canaryIdleSec = 0.22
+    // CONTENTION CANARY v2 (r13 judge #3; r14 judge #1): adaptive repeats
+    // cannot catch CONSISTENT ambient load (both runs inflate together —
+    // four of five rounds needed a judge re-run to adjudicate a contended
+    // driver sweep). Two fixed probes interleave through the timed sweep
+    // and their MEDIANS against frozen idle bands let the artifact
+    // self-identify a contended total:
+    //  - CPU leg: sum of 64M codegen'd hashes across all cores (no IO, no
+    //    data dependence);
+    //  - IO leg (r15 — the r14 sweep was I/O/memory-bandwidth contended at
+    //    10–100× query inflation while the pure-CPU leg read ratio 1.22
+    //    and waved it through): a full-column scan+hash of the sf dir's
+    //    lineitem parquet, which exercises exactly what big sweeps die of
+    //    (page cache, parquet decode, memory bandwidth).
+    // Idle bands are IN-FULL-SWEEP values (the probes ride inside the
+    // sweep, so its own GC/JIT pressure is part of "idle"): short
+    // SPARK_GRAFT_BENCH_ONLY runs read LOWER (CPU 0.12–0.17 on a quiet
+    // JVM) — calibrating on those would flag every full sweep. r15
+    // calibration, local[32]: an idle full sf0.1 sweep read CPU 0.22 / IO
+    // 0.42; a back-to-back repeat on a host-contended period read CPU
+    // 0.31 (ratio 1.41 — trips) with the total inflated +23%, which is
+    // exactly the sensitivity wanted. Bands are machine-specific —
+    // override via SPARK_GRAFT_CANARY_IDLE_CPU / SPARK_GRAFT_CANARY_IDLE_IO
+    // on other hardware; the JSON always EMITS the bands used
+    // (canary_idle_cpu / canary_idle_io) so a consumer can tell a stale
+    // calibration from real contention.
+    val canaryIdleSec = sys.env.get("SPARK_GRAFT_CANARY_IDLE_CPU")
+      .map(_.toDouble).getOrElse(0.22)
     val canaryContendedRatio = 1.35
+    val sfName = Paths.get(sfDir).getFileName.toString
+    // IO idle band is data-size-specific: frozen for the driver's bench sf
+    // (sf0.1) and the verify-recipe smoke sf (sf0.001); on any other sf it
+    // comes from the env override or the IO leg reports its seconds
+    // without a ratio (spread_ratio + CPU leg still gate contention).
+    val canaryIoIdle: Option[Double] =
+      sys.env.get("SPARK_GRAFT_CANARY_IDLE_IO").map(_.toDouble)
+        .orElse(Map("sf0.1" -> 0.45, "sf0.001" -> 0.20).get(sfName))
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(64L * 1000 * 1000).selectExpr("sum(hash(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def canaryIoOnce(): Double = {
+      val t0 = System.nanoTime()
+      // fresh relation each sample (no plan/statistics caching); hash(*)
+      // forces every column through the parquet decoder
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(hash(*))").collect()
       (System.nanoTime() - t0) / 1e9
     }
     // Dev aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run to named
@@ -67,7 +137,11 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    canaryOnce() // codegen/JIT warmup for the canary body itself
+    // codegen/JIT warmup for the canary bodies themselves — 3× each so the
+    // probes read steady-state even in a short SPARK_GRAFT_BENCH_ONLY run
+    // (one warmup leaves the first samples JIT-dominated and a short run's
+    // median lands on them)
+    (1 to 3).foreach { _ => canaryOnce(); canaryIoOnce() }
     names.foreach { n =>
       try evalOnce(n)
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: $e") }
@@ -87,11 +161,14 @@ object Bench {
     // (cap 4 total) — the headline total then converges on an idle-machine
     // number even when the sweep starts under contention.
     val canarySamples = scala.collection.mutable.ArrayBuffer(canaryOnce())
+    val canaryIoSamples = scala.collection.mutable.ArrayBuffer(canaryIoOnce())
     val results: Seq[(String, Double, Double, Option[String])] =
       names.zipWithIndex.map { case (n, qi) =>
-      // one canary sample every 12 queries, riding INSIDE the sweep so the
-      // probe sees exactly the ambient conditions the measurements did
+      // one sample per leg every 12 queries, phase-offset so the two probes
+      // never run back to back, riding INSIDE the sweep so each probe sees
+      // exactly the ambient conditions the measurements did
       if (qi % 12 == 11) canarySamples += canaryOnce()
+      if (qi % 12 == 5) canaryIoSamples += canaryIoOnce()
       def timed(): Either[String, Double] = {
         val t0 = System.nanoTime()
         try Right { evalOnce(n); (System.nanoTime() - t0) / 1e9 }
@@ -107,9 +184,16 @@ object Bench {
       else (n, -1.0, 0.0, Some(runs.collectFirst { case Left(m) => m }.get))
     }
     canarySamples += canaryOnce()
-    val canaryMedian = canarySamples.sorted.apply(canarySamples.length / 2)
+    canaryIoSamples += canaryIoOnce()
+    def median(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+    val canaryMedian = median(canarySamples.toSeq)
+    val canaryIoMedian = median(canaryIoSamples.toSeq)
     val canaryRatio = canaryMedian / canaryIdleSec
-    val contended = canaryRatio > canaryContendedRatio
+    val canaryIoRatio = canaryIoIdle.map(canaryIoMedian / _)
+    val spreadRatioV = spreadRatioOf(results.map(r => (r._2, r._3)))
+    val (contended, suspect) =
+      contentionVerdict(canaryContendedRatio, canaryRatio, canaryIoRatio,
+        spreadRatioV)
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")
     // The driver parses the JSON from a bounded 2000-char tail of stdout, and
     // sbt's trailing "[success] ..." line consumes ~76 of those — the JSON
@@ -125,6 +209,15 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // 2× acceptance gate denominator (r15 judge #2): frozen in BASELINE.md
+    // from two independent uncontended measurements (r13 judge sweep
+    // 129.8 s / 164 queries; r14 builder close band 119.1–132.8 s / 166).
+    // Emitted only at the sf it was measured at (or under an explicit
+    // override), so the artifact self-reports its gate ratio.
+    val referenceSec: Option[Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_REFERENCE_SEC").map(_.toDouble)
+        .orElse(if (sfName == "sf0.1") Some(130.0) else None)
+    val vsReference = referenceSec.map(total / _)
     val nErr = results.count(_._4.isDefined)
     val errPart =
       if (nErr == 0) ""
@@ -133,17 +226,30 @@ object Bench {
           .mkString("{", ",", "}")
         s""","n_errors":$nErr,"errors":$errs"""
       }
-    val sfName = Paths.get(sfDir).getFileName.toString
-    // Self-description (r13 judge #3/#8): n_run vs n_reported makes the
-    // stdout line's slowest-prefix cutoff explicit (round-over-round diffs
-    // of the queries map gain/lose members by timing, not by regression),
-    // and the canary triple lets the artifact adjudicate ambient machine
-    // contention without a judge re-run: contended=true means the probe's
-    // in-sweep median exceeded the frozen idle band by >35%.
+    // Self-description (r13 judge #3/#8; r15 judge #1): n_run vs n_reported
+    // makes the stdout line's slowest-prefix cutoff explicit (round-over-
+    // round diffs of the queries map gain/lose members by timing, not by
+    // regression). The contention block lets the artifact adjudicate
+    // ambient machine load without a judge re-run: contended=true means a
+    // probe's in-sweep median exceeded its frozen idle band by >35% OR
+    // spread_ratio (Σspread/Σmin over the 10 SLOWEST queries — the ones
+    // that drive the total) exceeded 0.35, the signal r14's contaminated
+    // sweep carried (0.42) while its pure-CPU canary read clean.
+    // suspect=true means "below the hard trip-wires but not clean: prefer
+    // QueryTimer adjudication". The idle bands USED are emitted so a
+    // consumer can tell a stale calibration (wrong machine) from real
+    // contention.
     def selfPart(nReported: Int): String =
       s""","n_run":${results.length},"n_reported":$nReported""" +
         s""","canary_sec":${sec(canaryMedian, 2)}""" +
-        s""","canary_ratio":${sec(canaryRatio, 2)},"contended":$contended"""
+        s""","canary_ratio":${sec(canaryRatio, 2)}""" +
+        s""","canary_io_sec":${sec(canaryIoMedian, 2)}""" +
+        canaryIoRatio.map(r => s""","canary_io_ratio":${sec(r, 2)}""").getOrElse("") +
+        s""","canary_idle_cpu":${sec(canaryIdleSec, 2)}""" +
+        canaryIoIdle.map(b => s""","canary_idle_io":${sec(b, 2)}""").getOrElse("") +
+        s""","spread_ratio":${sec(spreadRatioV, 2)}""" +
+        s""","contended":$contended,"suspect":$suspect""" +
+        vsReference.map(v => s""","vs_reference":${sec(v, 2)}""").getOrElse("")
     def render(dp: Int, withSpread: Boolean = false): String = {
       val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + sec(v, dp) }
         .mkString("{", ",", "}")
