@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Cdc, Graph, Llm, LlmEmbed, LlmKnn, LlmMix, LlmRetrieval, LlmText, Relational, Scalars, Windows}
+import graft.queries.{Cdc, Graph, Ingest, Llm, LlmEmbed, LlmKnn, LlmMix, LlmRetrieval, LlmText, Relational, Scalars, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,6 +17,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet"  -> (Relational.qScanParquet _),
+    "q_scan_csv"      -> (Ingest.qScanCsv _), // no-oracle: self-auditing CSV round trip (DuckDB can't observe the temp files); lossless flag + IngestSpec
+    "q_scan_fixedwidth" -> (Ingest.qScanFixedwidth _), // no-oracle: self-auditing FINWIRE round trip; per-type lossless flags + IngestSpec
     "q_filter_pred"   -> (Relational.qFilterPred _),
     "q_proj_derived"  -> (Relational.qProjDerived _),
     "q_case_null"     -> (Relational.qCaseNull _),

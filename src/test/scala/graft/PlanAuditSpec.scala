@@ -34,7 +34,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_sample_decay", // 1-row max-ts broadcast (r10)
     "q_zorder_layout", // 1-row grid-bounds broadcast (r10)
     "q_zorder_probe",  // same 1-row grid-bounds broadcast (r10)
-    "q_sql_recursive") // 12-row month expansion × year spine + 1-row bounds (r10)
+    "q_sql_recursive", // 12-row month expansion × year spine + 1-row bounds (r10)
+    "q_scan_csv", // two 1-row digest frames cross-joined for the audit (r15)
+    "q_scan_fixedwidth") // same 1-row digest crosses, one per record type (r15)
 
   // One evaluation pass over the full inventory; the audits read the
   // final (post-AQE) plans from it — as a string for the structural bans,
