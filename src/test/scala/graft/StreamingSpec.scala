@@ -1724,6 +1724,18 @@ class StreamingSpec extends AnyFunSuite {
         s"the cross-batch dup must be logged as near_dup, got $byDoc")
       assert(Set(byDoc(3L), byDoc(4L)) === Set("admitted", "budget_rejected"),
         s"exactly one of docs 3/4 fits the remaining budget, got $byDoc")
+      // r15: the gate column names the DECIDING mechanism — the text-dup's
+      // row says the text gate, budget rejections say budget, admitted
+      // rows carry no gate
+      val gateByDoc = spark.read.parquet(auditDir)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          Option(r.getAs[String]("gate"))).toMap
+      assert(gateByDoc(1L).isEmpty, s"admitted docs carry no gate: $gateByDoc")
+      assert(gateByDoc(2L) === Some("text"),
+        s"the text near-dup must name the text gate, got $gateByDoc")
+      val budgetDoc = byDoc.collectFirst { case (id, "budget_rejected") => id }.get
+      assert(gateByDoc(budgetDoc) === Some("budget"),
+        s"budget rejections must gate on 'budget', got $gateByDoc")
       // the log agrees with the corpus
       val corpusIds = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
         .collect().map(_.getAs[Long]("doc_id")).toSet
@@ -1791,10 +1803,11 @@ class StreamingSpec extends AnyFunSuite {
       MediaDoc(13, text(13), imgs(5L), auds(4L),  // VIDEO dup of doc 3
         Multimodal.withTrailingJunkAvi(vids(2L)), emb(13)),
       doc(14, text(14), 5, 5, 5))       // fully novel
+    val auditDir = Files.createTempDirectory("graft_mm_audit").toString + "/log"
     val mem = MemoryStream[MediaDoc]
     val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
       imageCol = Some("image"), audioCol = Some("audio"),
-      videoCol = Some("video")).start()
+      videoCol = Some("video"), auditDir = Some(auditDir)).start()
     try {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
@@ -1803,6 +1816,16 @@ class StreamingSpec extends AnyFunSuite {
       assert(corpusIds === Seq(1L, 2L, 3L, 4L, 14L),
         s"each modality's evidence must drop its own dup (10=text, 11=image, " +
           s"12=audio, 13=video) and admit the novel doc, got $corpusIds")
+      // r15 judge #7: each dropped doc's log row names its own modality's
+      // gate — the planted image dup says image, not just "near_dup"
+      val gates = spark.read.parquet(auditDir)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          Option(r.getAs[String]("gate"))).toMap
+      assert(gates(10L) === Some("text"), s"doc 10 is the text dup: $gates")
+      assert(gates(11L) === Some("image"), s"doc 11 is the image dup: $gates")
+      assert(gates(12L) === Some("audio"), s"doc 12 is the audio dup: $gates")
+      assert(gates(13L) === Some("video"), s"doc 13 is the video dup: $gates")
+      assert(gates(14L).isEmpty, s"the admitted novel doc carries no gate: $gates")
       // all four namespaces coexist in the ONE posting table
       val bands = spark.read
         .parquet(graft.etl.Compaction.currentPath(s"$dedupDir/postings"))
