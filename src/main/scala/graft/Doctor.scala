@@ -2,9 +2,7 @@ package graft
 
 import graft.etl.{BucketedTable, Compaction}
 
-import java.nio.file.{Files, Path, Paths}
-
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Path, Paths}
 
 /** Offline consistency fsck for the engine's crash-consistency layers
   * (r14, judge #4): an operator inheriting a crashed or hand-mangled disk
@@ -33,7 +31,14 @@ import scala.jdk.CollectionConverters._
   * `sbt "runMain graft.Doctor <root> [graceGenerations]"` — prints one
   * line per finding and a summary; FAIL findings mean the layer cannot
   * serve reads correctly, WARN findings are crash residue the next
-  * maintenance pass reclaims, INFO findings are reclaimable footprint. */
+  * maintenance pass reclaims, INFO findings are reclaimable footprint.
+  *
+  * Store-agnostic: [[diagnose]] takes the [[GraftFs]] to walk (defaulting
+  * to the process binding), so the same fsck runs against an object-store
+  * implementation. One caveat: the manifest PARSE path rides
+  * [[BucketedTable.readManifest]], which reads through `GraftFs.default` —
+  * when handing Doctor a non-default fs, set the process binding to the
+  * same instance first. */
 object Doctor {
 
   final case class Finding(level: String, layer: String, path: String,
@@ -48,48 +53,41 @@ object Doctor {
   private def info(layer: String, path: String, problem: String,
                    remedy: String) = Finding("INFO", layer, path, problem, remedy)
 
-  private def list(p: Path): Seq[Path] =
-    if (!Files.isDirectory(p)) Nil
-    else {
-      val s = Files.list(p)
-      try s.iterator().asScala.toSeq finally s.close()
-    }
+  private def list(p: Path, fs: GraftFs): Seq[Path] =
+    fs.list(p.toString).map(Paths.get(_))
 
   /** Walk `root` and diagnose every recognized layer instance under it.
     * `grace` mirrors the deployment's `graceGenerations` so the retired-
     * generation footprint check matches the operator's own setting. */
-  def diagnose(root: String, grace: Int = 1): Seq[Finding] = {
-    val rootP = Paths.get(root)
-    require(Files.isDirectory(rootP), s"Doctor: $root is not a directory")
-    val all = {
-      val s = Files.walk(rootP)
-      try s.iterator().asScala.toSeq finally s.close()
-    }
+  def diagnose(root: String, grace: Int = 1,
+               fs: GraftFs = GraftFs.default): Seq[Finding] = {
+    require(fs.isDirectory(root), s"Doctor: $root is not a directory")
+    val all = fs.walk(root).map(Paths.get(_))
     val manifestTables = all.filter(p =>
-      Files.isRegularFile(p) && p.getFileName.toString == "_CURRENT")
+      fs.isFile(p.toString) && p.getFileName.toString == "_CURRENT")
       .map(_.getParent)
     val compactionTables = all.filter(p =>
-      Files.isRegularFile(p) && p.getFileName.toString.endsWith("._CURRENT"))
+      fs.isFile(p.toString) && p.getFileName.toString.endsWith("._CURRENT"))
       .map(p => p.getParent.resolve(
         p.getFileName.toString.stripSuffix("._CURRENT")))
     // never-compacted ANN roots (no pointer yet): the flat dir IS the
     // current generation and still owes its model sidecars
     val flatAnnRoots = all.filter { p =>
       val n = p.getFileName.toString
-      Files.isDirectory(p) && (n == "lists" || n == "codes") &&
+      fs.isDirectory(p.toString) && (n == "lists" || n == "codes") &&
         !compactionTables.contains(p)
     }
-    (manifestTables.flatMap(checkManifestTable) ++
-      compactionTables.flatMap(checkCompactionTable(_, grace)) ++
-      flatAnnRoots.flatMap(p => checkAnnSidecars(p, p))).sortBy(_.path)
+    (manifestTables.flatMap(checkManifestTable(_, fs)) ++
+      compactionTables.flatMap(checkCompactionTable(_, grace, fs)) ++
+      flatAnnRoots.flatMap(p => checkAnnSidecars(p, p, fs))).sortBy(_.path)
   }
 
   /** Layers 1–2: a `dir/_CURRENT` pointer table, bucketed when the current
     * version carries a `_MANIFEST`. */
-  private def checkManifestTable(dir: Path): Seq[Finding] = {
+  private def checkManifestTable(dir: Path, fs: GraftFs): Seq[Finding] = {
     val d = dir.toString
     val cur =
-      try Files.readString(dir.resolve("_CURRENT")).trim.toLong
+      try fs.readString(dir.resolve("_CURRENT").toString).trim.toLong
       catch {
         case e: Exception =>
           return Seq(fail("pointer-table", d,
@@ -98,13 +96,13 @@ object Doctor {
               "N to a temp file and ATOMIC_MOVE it over _CURRENT)"))
       }
     val curDir = dir.resolve(s"v=$cur")
-    if (!Files.isDirectory(curDir))
+    if (!fs.isDirectory(curDir.toString))
       return Seq(fail("pointer-table", d,
         s"_CURRENT names v=$cur but that directory is absent (vacuum never " +
           "removes the current version — this is manual deletion or a " +
           "foreign writer)",
         "re-point _CURRENT at the newest complete version directory on disk"))
-    val staleTmp = list(dir).filter { p =>
+    val staleTmp = list(dir, fs).filter { p =>
       val n = p.getFileName.toString
       n.startsWith("_CURRENT.tmp-") &&
         scala.util.Try(n.stripPrefix("_CURRENT.tmp-").toLong <= cur)
@@ -113,7 +111,7 @@ object Doctor {
     val tmpFindings = staleTmp.map(p => warn("pointer-table", d,
       s"stale staged pointer ${p.getFileName} (a crashed commitPointer)",
       "reclaimed by the table's vacuum; safe to ignore meanwhile"))
-    if (!Files.exists(curDir.resolve("_MANIFEST")))
+    if (!fs.exists(curDir.resolve("_MANIFEST").toString))
       return tmpFindings // plain Warehouse snapshot: pointer + dir is the contract
     val m =
       try BucketedTable.readManifest(d)
@@ -126,7 +124,7 @@ object Doctor {
               "version (its manifest names its own parent) and re-fold")
       }
     val missingRefs = m.buckets.toSeq.sortBy(_._1).collect {
-      case (b, v) if !Files.isDirectory(dir.resolve(s"v=$v")) => (b, v)
+      case (b, v) if !fs.isDirectory(dir.resolve(s"v=$v").toString) => (b, v)
     }
     val refFindings = missingRefs.map { case (b, v) =>
       fail("bucketed-table", d,
@@ -143,7 +141,7 @@ object Doctor {
       var v = m.parent
       var torn = false
       while (!torn && v >= 0 &&
-             Files.exists(dir.resolve(s"v=$v").resolve("_MANIFEST"))) {
+             fs.exists(dir.resolve(s"v=$v").resolve("_MANIFEST").toString)) {
         scala.util.Try(BucketedTable.readManifest(d, Some(v)).parent) match {
           case scala.util.Success(p) if p < v => v = p
           case _ => torn = true
@@ -157,7 +155,7 @@ object Doctor {
         "harmless to current reads (only the current manifest is load-" +
           "bearing); vacuum reclaims it once unreferenced"))
     }
-    val unreferenced = list(dir).filter { p =>
+    val unreferenced = list(dir, fs).filter { p =>
       val n = p.getFileName.toString
       n.startsWith("v=") && {
         val v = scala.util.Try(n.stripPrefix("v=").toLong).getOrElse(Long.MaxValue)
@@ -170,15 +168,47 @@ object Doctor {
         s"${unreferenced.size} version dir(s) no longer referenced by the " +
           "current manifest",
         "BucketedTable.vacuum reclaims them"))
-    tmpFindings ++ refFindings ++ chainFindings ++ footprint
+    // INTERLEAVED-WRITER EVIDENCE (r14 judge #6): two manifests claiming
+    // the SAME parent are a fork — either a fenced/raised loser (its dir is
+    // unreferenced crash residue) or, if the current chain passes through
+    // one sibling while the other once held the pointer, a second writer
+    // that published without the lock/lease and whose buckets the current
+    // chain silently dropped. Offline the two are indistinguishable, so
+    // the finding names the fork and the audit recipe.
+    val forkFindings = {
+      val parents = list(dir, fs).flatMap { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith("v=") ||
+            !fs.exists(p.resolve("_MANIFEST").toString)) None
+        else scala.util.Try(
+          n.stripPrefix("v=").toLong ->
+            BucketedTable.readManifest(d,
+              Some(n.stripPrefix("v=").toLong)).parent).toOption
+      }
+      parents.groupBy(_._2).filter(g => g._2.size > 1 && g._1 >= 0).toSeq
+        .sortBy(_._1).map { case (parent, kids) =>
+          warn("bucketed-table", d,
+            s"manifest fork: versions ${kids.map(_._1).sorted.mkString(", ")} " +
+              s"all claim parent v=$parent — evidence of a second writer " +
+              "(a fenced commit's residue, or an interleaved publish whose " +
+              "buckets the surviving chain dropped)",
+            "audit which sibling the current chain passes through; if the " +
+              "other sibling's buckets are missing from the current " +
+              "manifest, re-fold them from its version dir before vacuum " +
+              "reclaims it; then fix the writer topology (one lease-holding " +
+              "writer per table)")
+        }
+    }
+    tmpFindings ++ refFindings ++ chainFindings ++ footprint ++ forkFindings
   }
 
   /** Layer 3 (+4): a `X._CURRENT` versioned-generation table; ANN model
     * sidecars when X is an index's lists/codes root. */
-  private def checkCompactionTable(logical: Path, grace: Int): Seq[Finding] = {
+  private def checkCompactionTable(logical: Path, grace: Int,
+                                   fs: GraftFs): Seq[Finding] = {
     val d = logical.toString
     val cur =
-      try Compaction.currentVersion(d)
+      try Compaction.currentVersion(d, fs)
       catch {
         case e: Exception =>
           return Seq(fail("compaction-table", d,
@@ -186,8 +216,8 @@ object Doctor {
             "restore the pointer to the newest complete generation " +
               s"(${logical.getFileName}.vN sibling dir)"))
       }
-    val curDir = Paths.get(Compaction.currentPath(d))
-    if (!Files.isDirectory(curDir))
+    val curDir = Paths.get(Compaction.currentPath(d, fs))
+    if (!fs.isDirectory(curDir.toString))
       return Seq(fail("compaction-table", d,
         s"pointer names generation $cur but ${curDir.getFileName} is absent " +
           "(vacuum keeps the current generation — manual deletion or a " +
@@ -195,7 +225,7 @@ object Doctor {
         "re-point the ._CURRENT file at the newest complete generation on disk"))
     val parent = logical.toAbsolutePath.getParent
     val prefix = logical.getFileName.toString
-    val siblings = list(parent)
+    val siblings = list(parent, fs)
     val gens = siblings.flatMap { p =>
       val n = p.getFileName.toString
       if (n.startsWith(prefix + ".v"))
@@ -210,7 +240,7 @@ object Doctor {
           "confirm no compaction of this table is in flight first)")
     }
     val beyondGrace = gens.count(_._1 < cur - grace) +
-      (if (cur >= 1 + grace && Files.isDirectory(logical)) 1 else 0)
+      (if (cur >= 1 + grace && fs.isDirectory(logical.toString)) 1 else 0)
     val footprint =
       if (beyondGrace == 0) Nil
       else Seq(info("compaction-table", d,
@@ -225,16 +255,17 @@ object Doctor {
       "Compaction.recoverInterrupted / the next write-side entry point " +
         "heals it; do not delete the .old-* tree by hand — it may be the " +
         "only complete copy"))
-    future ++ footprint ++ legacy ++ checkAnnSidecars(logical, curDir)
+    future ++ footprint ++ legacy ++ checkAnnSidecars(logical, curDir, fs)
   }
 
   /** Layer 4: model sidecars inside a resolved lists/codes generation. */
-  private def checkAnnSidecars(logical: Path, curDir: Path): Seq[Finding] = {
+  private def checkAnnSidecars(logical: Path, curDir: Path,
+                               fs: GraftFs): Seq[Finding] = {
     val name = logical.getFileName.toString
     val indexDir = logical.toAbsolutePath.getParent
     if (name == "lists") {
-      val embedded = Files.isDirectory(curDir.resolve("_centroids"))
-      val flat = Files.isDirectory(indexDir.resolve("centroids"))
+      val embedded = fs.isDirectory(curDir.resolve("_centroids").toString)
+      val flat = fs.isDirectory(indexDir.resolve("centroids").toString)
       if (embedded || flat) Nil
       else Seq(fail("ann-ivf", logical.toString,
         "the current lists generation has no paired centroid table (no " +
@@ -243,8 +274,8 @@ object Doctor {
         "retrainIvf republishes an embedded model from the lists corpus; " +
           "or restore the centroids/ table"))
     } else if (name == "codes") {
-      val booksOk = Files.isDirectory(curDir.resolve("_codebooks")) ||
-        Files.isDirectory(indexDir.resolve("codebooks"))
+      val booksOk = fs.isDirectory(curDir.resolve("_codebooks").toString) ||
+        fs.isDirectory(indexDir.resolve("codebooks").toString)
       val books =
         if (booksOk) Nil
         else Seq(fail("ann-pq", logical.toString,
@@ -253,14 +284,13 @@ object Doctor {
             "table) — codes cannot be decoded",
           "retrainPq/retrainIvfPq republishes embedded books; or restore " +
             "the codebooks/ table"))
-      val rec = curDir.resolve("_lists_gen").resolve("root")
+      val rec = curDir.resolve("_lists_gen").resolve("root").toString
       val pairing =
-        if (!Files.exists(rec)) Nil // pre-pairing codes: current-lists fallback by design
+        if (!fs.exists(rec)) Nil // pre-pairing codes: current-lists fallback by design
         else {
-          val recorded = scala.util.Try(
-            new String(Files.readAllBytes(rec),
-              java.nio.charset.StandardCharsets.UTF_8).trim).getOrElse("")
-          if (recorded.nonEmpty && Files.isDirectory(Paths.get(recorded))) Nil
+          val recorded =
+            scala.util.Try(fs.readString(rec).trim).getOrElse("")
+          if (recorded.nonEmpty && fs.isDirectory(recorded)) Nil
           else Seq(warn("ann-ivfpq", logical.toString,
             s"_lists_gen names a lists generation that is no longer on disk " +
               s"('$recorded') — composite probes fall back to the CURRENT " +

@@ -2,6 +2,8 @@ package graft.etl
 
 import java.nio.file.{Files, Paths}
 
+import graft.GraftFs
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -102,8 +104,16 @@ object AnnIndex {
     * metadata-only no-op on every later call (idempotent across the Verify /
     * Bench / test processes; a crashed half-build has no marker and is
     * rebuilt with mode=overwrite). */
-  private def readyMarker(indexDir: String) =
-    Paths.get(indexDir, "_GRAFT_INDEX_READY")
+  /** The process-wide [[graft.GraftFs]] binding — every marker, sidecar,
+    * batch-cell listing, and publish move below goes through it (the
+    * object-store swap point). The LOCAL tmp-cache key helpers above
+    * ([[corpusFingerprint]] and the `java.io.tmpdir` path builders) stay
+    * raw NIO by design: they address this machine's scratch cache for the
+    * query-path builds, never the deployed index store. */
+  private def gfs: GraftFs = GraftFs.default
+
+  private def readyMarker(indexDir: String): String =
+    s"$indexDir/_GRAFT_INDEX_READY"
 
   /** THE training recipe every IVF model producer shares — [[build]], the
     * stream bootstrap ([[ensureIvfSeeded]]) and [[retrainIvf]] must fit the
@@ -142,16 +152,10 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(cur(s"$indexDir/lists"))
     writeCentroids(spark, model, s"$indexDir/centroids")
-    Files.write(readyMarker(indexDir), Array.emptyByteArray)
+    gfs.writeBytes(readyMarker(indexDir), Array.emptyByteArray)
   }
 
-  private def deleteRecursively(dir: java.nio.file.Path): Unit =
-    if (Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      val s = Files.walk(dir)
-      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
+  private def deleteRecursively(dir: String): Unit = gfs.deleteRecursively(dir)
 
   /** Build the index iff its ready-marker is absent.
     *
@@ -170,24 +174,24 @@ object AnnIndex {
   def ensureLsh(e: DataFrame, indexDir: String, bands: Int, bits: Int): Unit =
     ensureBuilt(indexDir) { tmp =>
       buildLsh(e, tmp, bands, bits)
-      Files.write(readyMarker(tmp), Array.emptyByteArray)
+      gfs.writeBytes(readyMarker(tmp), Array.emptyByteArray)
     }
 
   private def ensureBuilt(indexDir: String)(doBuild: String => Unit): Unit = synchronized {
-    if (Files.exists(readyMarker(indexDir))) return
-    val target = Paths.get(indexDir)
-    val tmp = Paths.get(indexDir + s".build-${java.util.UUID.randomUUID()}")
-    doBuild(tmp.toString)
+    if (gfs.exists(readyMarker(indexDir))) return
+    val tmp = indexDir + s".build-${java.util.UUID.randomUUID()}"
+    doBuild(tmp)
     try {
-      Option(target.getParent).foreach(Files.createDirectories(_))
-      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Option(Paths.get(indexDir).getParent)
+        .foreach(d => gfs.createDirectories(d.toString))
+      gfs.moveIfAbsent(tmp, indexDir)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException |
            _: java.nio.file.DirectoryNotEmptyException =>
-        if (Files.exists(readyMarker(indexDir))) deleteRecursively(tmp) // lost the race: theirs is complete
+        if (gfs.exists(readyMarker(indexDir))) deleteRecursively(tmp) // lost the race: theirs is complete
         else { // stale partial dir from a crashed legacy build: replace it
-          deleteRecursively(target)
-          Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(indexDir)
+          gfs.moveIfAbsent(tmp, indexDir)
         }
     }
   }
@@ -204,8 +208,8 @@ object AnnIndex {
     * copy and falls back to the flat `{indexDir}/centroids` table [[build]]
     * writes. */
   private def centroidsPathFor(listsRoot: String, indexDir: String): String = {
-    val embedded = Paths.get(listsRoot, "_centroids")
-    if (Files.isDirectory(embedded)) embedded.toString
+    val embedded = s"$listsRoot/_centroids"
+    if (gfs.isDirectory(embedded)) embedded
     else s"$indexDir/centroids"
   }
 
@@ -349,9 +353,10 @@ object AnnIndex {
       // cell dir the delete left data-less (a moved assignment leaves its
       // old cell empty)
       stale.foreach { f =>
-        Files.deleteIfExists(f)
-        Files.deleteIfExists(
-          f.resolveSibling("." + f.getFileName.toString + ".crc"))
+        gfs.deleteIfExists(f)
+        val fp = Paths.get(f)
+        gfs.deleteIfExists(
+          fp.resolveSibling("." + fp.getFileName.toString + ".crc").toString)
       }
       batchKey.foreach(pruneEmptyIvfBatchCells(root, _))
     } else
@@ -362,68 +367,51 @@ object AnnIndex {
     * level (migration marker, or any observed batch subdir — the marker is
     * a plain file and a layout rewrite may not carry it). */
   private def hasBatchLevel(root: String): Boolean = {
-    val p = Paths.get(root)
-    if (!Files.isDirectory(p)) return false
-    if (Files.exists(p.resolve("_GRAFT_BATCH_LAYOUT"))) return true
-    import scala.jdk.CollectionConverters._
-    val s = Files.list(p)
-    try s.iterator().asScala.exists { d =>
-      Files.isDirectory(d) && d.getFileName.toString.startsWith("list_id=") && {
-        val s2 = Files.list(d)
-        try s2.iterator().asScala
-          .exists(_.getFileName.toString.startsWith("batch_id="))
-        finally s2.close()
-      }
+    if (!gfs.isDirectory(root)) return false
+    if (gfs.exists(s"$root/_GRAFT_BATCH_LAYOUT")) return true
+    gfs.list(root).exists { d =>
+      gfs.isDirectory(d) &&
+        Paths.get(d).getFileName.toString.startsWith("list_id=") &&
+        gfs.list(d).exists(
+          c => Paths.get(c).getFileName.toString.startsWith("batch_id="))
     }
-    finally s.close()
   }
 
   /** The key's cell dirs across every list partition (replay-hygiene
     * support for [[appendIvf]]). */
-  private def ivfBatchCellDirs(root: String, key: String): Seq[java.nio.file.Path] = {
-    val p = Paths.get(root)
-    if (!Files.isDirectory(p)) return Nil
-    import scala.jdk.CollectionConverters._
-    val s = Files.list(p)
-    try s.iterator().asScala.toSeq
-      .filter(d => Files.isDirectory(d) &&
-        d.getFileName.toString.startsWith("list_id="))
-      .map(_.resolve(s"batch_id=$key"))
-      .filter(Files.isDirectory(_))
-    finally s.close()
+  private def ivfBatchCellDirs(root: String, key: String): Seq[String] = {
+    if (!gfs.isDirectory(root)) return Nil
+    gfs.list(root)
+      .filter(d => gfs.isDirectory(d) &&
+        Paths.get(d).getFileName.toString.startsWith("list_id="))
+      .map(d => s"$d/batch_id=$key")
+      .filter(gfs.isDirectory)
   }
 
   /** Snapshot of the data files a PREVIOUS attempt of this key wrote —
     * taken before the replay's append, deleted after it (see the replay
     * paragraph on [[appendIvf]]). */
-  private def ivfBatchCellFiles(root: String, key: String): Seq[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
+  private def ivfBatchCellFiles(root: String, key: String): Seq[String] =
     ivfBatchCellDirs(root, key).flatMap { cell =>
-      val s = Files.list(cell)
-      try s.iterator().asScala.toSeq.filter { f =>
-        val n = f.getFileName.toString
-        Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+      gfs.list(cell).filter { f =>
+        val n = Paths.get(f).getFileName.toString
+        gfs.isFile(f) && !n.startsWith("_") && !n.startsWith(".")
       }
-      finally s.close()
     }
-  }
 
   /** Remove the key's cell dirs left DATA-less by the post-append stale
     * delete (an assignment that moved lists empties its old cell). A cell
     * holding only hidden strays (a marker, a missed .crc) is dead — left
     * alone it would survive forever and every later replay/compaction
     * listing would walk a growing set of empty dirs. */
-  private def pruneEmptyIvfBatchCells(root: String, key: String): Unit = {
-    import scala.jdk.CollectionConverters._
+  private def pruneEmptyIvfBatchCells(root: String, key: String): Unit =
     ivfBatchCellDirs(root, key).foreach { cell =>
-      val s = Files.list(cell)
-      val hasData = try s.iterator().asScala.exists { f =>
-        val n = f.getFileName.toString
-        Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
-      } finally s.close()
+      val hasData = gfs.list(cell).exists { f =>
+        val n = Paths.get(f).getFileName.toString
+        gfs.isFile(f) && !n.startsWith("_") && !n.startsWith(".")
+      }
       if (!hasData) deleteRecursively(cell)
     }
-  }
 
   /** Bootstrap an IVF index from the FIRST stream batch: train the seeded
     * cosine k-means on the batch's vectors and persist ONLY the centroid
@@ -439,7 +427,7 @@ object AnnIndex {
     * uses it to skip a retrain of the clustering it just trained. */
   def ensureIvfSeeded(vecs: DataFrame, indexDir: String, nlist: Int,
                       seed: Long = 7L): Boolean = {
-    val had = Files.exists(readyMarker(indexDir))
+    val had = gfs.exists(readyMarker(indexDir))
     if (!had) ensureBuilt(indexDir) { tmp =>
       import org.apache.spark.ml.functions.array_to_vector
       val spark = vecs.sparkSession
@@ -449,7 +437,7 @@ object AnnIndex {
         val k = math.max(1L, math.min(nlist.toLong, withVec.count())).toInt
         writeCentroids(spark, fitCentroids(withVec, k, seed), s"$tmp/centroids")
       } finally withVec.unpersist(false)
-      Files.write(readyMarker(tmp), Array.emptyByteArray)
+      gfs.writeBytes(readyMarker(tmp), Array.emptyByteArray)
     }
     !had
   }
@@ -601,7 +589,7 @@ object AnnIndex {
   def ensureSq8(e: DataFrame, indexDir: String): Unit =
     ensureBuilt(indexDir) { tmp =>
       buildSq8(e, tmp)
-      Files.write(readyMarker(tmp), Array.emptyByteArray)
+      gfs.writeBytes(readyMarker(tmp), Array.emptyByteArray)
     }
 
   /** The persisted quantized corpus `(vec_id, qvec, qnorm)`. */
@@ -716,7 +704,7 @@ object AnnIndex {
   def ensurePq(e: DataFrame, indexDir: String, m: Int, k: Int): Unit =
     ensureBuilt(indexDir) { tmp =>
       buildPq(e, tmp, m, k)
-      Files.write(readyMarker(tmp), Array.emptyByteArray)
+      gfs.writeBytes(readyMarker(tmp), Array.emptyByteArray)
     }
 
   /** The persisted code table `(vec_id, code, rnorm)`. */
@@ -733,8 +721,8 @@ object AnnIndex {
     * embeds its codebooks inside the generation as `_codebooks/`; build-era
     * generations fall back to the flat `{indexDir}/codebooks`. */
   private def codebooksPathFor(codesRoot: String, indexDir: String): String = {
-    val embedded = Paths.get(codesRoot, "_codebooks")
-    if (Files.isDirectory(embedded)) embedded.toString
+    val embedded = s"$codesRoot/_codebooks"
+    if (gfs.isDirectory(embedded)) embedded
     else s"$indexDir/codebooks"
   }
 
@@ -970,7 +958,7 @@ object AnnIndex {
   def ensureIvfPqFromLists(spark: SparkSession, ivfDir: String,
                            indexDir: String, m: Int, k: Int,
                            seed: Long = 7L): Boolean = {
-    val had = Files.exists(readyMarker(indexDir))
+    val had = gfs.exists(readyMarker(indexDir))
     if (!had) ensureBuilt(indexDir) { tmp =>
       import spark.implicits._
       val listsRoot = cur(s"$ivfDir/lists")
@@ -981,7 +969,7 @@ object AnnIndex {
       codebooks.toDF("sub_id", "code_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
       writeListsGenSidecar(s"$tmp/codes", listsRoot)
-      Files.write(readyMarker(tmp), Array.emptyByteArray)
+      gfs.writeBytes(readyMarker(tmp), Array.emptyByteArray)
     }
     !had
   }
@@ -990,12 +978,8 @@ object AnnIndex {
     * encoded against — a hidden sidecar DIR (not a marker file, so layout
     * compactions carry it like `_codebooks/`). [[ivfPqSnapshot]] reads it
     * to pair probe-side centroid ranking with the codes' own clustering. */
-  private def writeListsGenSidecar(codesRoot: String, listsRoot: String): Unit = {
-    val dir = Paths.get(codesRoot, "_lists_gen")
-    Files.createDirectories(dir)
-    Files.write(dir.resolve("root"),
-      listsRoot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-  }
+  private def writeListsGenSidecar(codesRoot: String, listsRoot: String): Unit =
+    gfs.writeString(s"$codesRoot/_lists_gen/root", listsRoot)
 
   /** Repoint the CURRENT codes generation's lists pairing at the CURRENT
     * lists generation. Valid ONLY when the two lists generations are
@@ -1031,14 +1015,10 @@ object AnnIndex {
   def ivfPqSnapshot(spark: SparkSession, ivfDir: String, indexDir: String)
       : (String, Array[(Int, Array[Double])], String, Seq[(Int, Int, Array[Double])]) = {
     val (codesRoot, books) = pqSnapshot(spark, indexDir)
-    val recorded = Paths.get(codesRoot, "_lists_gen", "root")
+    val recorded = s"$codesRoot/_lists_gen/root"
     val listsRoot = {
-      val r =
-        if (Files.exists(recorded))
-          new String(Files.readAllBytes(recorded),
-            java.nio.charset.StandardCharsets.UTF_8).trim
-        else ""
-      if (r.nonEmpty && Files.isDirectory(Paths.get(r))) r
+      val r = if (gfs.exists(recorded)) gfs.readString(recorded).trim else ""
+      if (r.nonEmpty && gfs.isDirectory(r)) r
       else cur(s"$ivfDir/lists")
     }
     val cents = spark.read.parquet(centroidsPathFor(listsRoot, ivfDir)).collect()
@@ -1053,7 +1033,7 @@ object AnnIndex {
                   m: Int, k: Int): Unit =
     ensureBuilt(indexDir) { tmp =>
       buildIvfPq(e, ivfDir, tmp, m, k)
-      Files.write(readyMarker(tmp), Array.emptyByteArray)
+      gfs.writeBytes(readyMarker(tmp), Array.emptyByteArray)
     }
 
   /** Incremental IVF-PQ ingest — composes the two frozen-model append
@@ -1174,39 +1154,31 @@ object AnnIndex {
     * FS listing); called only from batch-keyed writers, since legacy-mode
     * writes keep the legacy shape consistent by themselves. */
   private[etl] def migrateFlatLayout(root: String, depth: Int): Unit = {
-    val rootPath = Paths.get(root)
-    if (!Files.isDirectory(rootPath)) return
+    if (!gfs.isDirectory(root)) return
     // once migrated (or verified already-batch-shaped), a durable marker
     // short-circuits the walk — without it every micro-batch would re-list
     // the full bands x 2^bits cell tree just to find no strays
-    val marker = rootPath.resolve("_GRAFT_BATCH_LAYOUT")
-    if (Files.exists(marker)) return
-    import scala.jdk.CollectionConverters._
-    def leaves(p: java.nio.file.Path, d: Int): Seq[java.nio.file.Path] =
+    val marker = s"$root/_GRAFT_BATCH_LAYOUT"
+    if (gfs.exists(marker)) return
+    def leaves(p: String, d: Int): Seq[String] =
       if (d == 0) Seq(p)
-      else {
-        val s = Files.list(p)
-        try s.iterator().asScala.toSeq
-          .filter(c => Files.isDirectory(c) && c.getFileName.toString.contains("="))
-          .flatMap(leaves(_, d - 1))
-        finally s.close()
-      }
-    leaves(rootPath, depth).foreach { leaf =>
-      val strays = {
-        val s = Files.list(leaf)
-        try s.iterator().asScala.toSeq.filter { f =>
-          val n = f.getFileName.toString
-          Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
-        }
-        finally s.close()
+      else gfs.list(p)
+        .filter(c => gfs.isDirectory(c) &&
+          Paths.get(c).getFileName.toString.contains("="))
+        .flatMap(leaves(_, d - 1))
+    leaves(root, depth).foreach { leaf =>
+      val strays = gfs.list(leaf).filter { f =>
+        val n = Paths.get(f).getFileName.toString
+        gfs.isFile(f) && !n.startsWith("_") && !n.startsWith(".")
       }
       if (strays.nonEmpty) {
-        val base = leaf.resolve("batch_id=-1")
-        Files.createDirectories(base)
-        strays.foreach(f => Files.move(f, base.resolve(f.getFileName.toString)))
+        val base = s"$leaf/batch_id=-1"
+        gfs.createDirectories(base)
+        strays.foreach(f =>
+          gfs.moveIfAbsent(f, s"$base/${Paths.get(f).getFileName}"))
       }
     }
-    Files.write(marker, Array.emptyByteArray)
+    gfs.writeBytes(marker, Array.emptyByteArray)
   }
 
   /** Multi-probe candidate fetch over the persisted posting lists: `cells`
@@ -1234,7 +1206,7 @@ object AnnIndex {
                      cells: Seq[(Int, Int)]): DataFrame = {
     val base = cur(s"$indexDir/buckets")
     val existing = cells.distinct
-      .filter { case (b, k) => Files.exists(Paths.get(base, s"band=$b", s"bkt=$k")) }
+      .filter { case (b, k) => gfs.exists(s"$base/band=$b/bkt=$k") }
     if (existing.isEmpty)
       return spark.range(0).select(col("id").as("vec_id"),
         lit(0).as("band"), lit(0).as("bkt"))

@@ -1,12 +1,11 @@
 package graft.etl
 
-import java.io.File
-import java.nio.file.{Files, Paths}
-
 import scala.jdk.CollectionConverters._
 
+import graft.GraftFs
+
 import org.apache.avro.{LogicalType, LogicalTypes, Schema, SchemaBuilder}
-import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -14,7 +13,9 @@ import org.apache.spark.sql.types._
 /** Avro container-file source/sink (SURVEY.md §2.1) — the one mainstream
   * interchange format the engine had no row for. The distribution ships
   * only the avro CORE jars (no `spark-avro` DataSource module), so this is
-  * a hand-rolled connector over `DataFileReader`/`DataFileWriter`:
+  * a hand-rolled connector over `DataFileStream`/`DataFileWriter`
+  * (stream-based, so all container bytes flow through [[graft.GraftFs]] —
+  * the object-store swap point — instead of `java.io.File` handles):
   *
   *  - READ: one Spark task per `.avro` container file — the natural Avro
   *    parallelism unit (files are splittable at sync-marker granularity;
@@ -239,19 +240,15 @@ object AvroSource {
     * double-count rows. Always address a table by its root (this function
     * is called on the pointer-resolved root by [[readAvro]]); directory
     * aggregation belongs above the table layer. */
-  private def listAvroFiles(path: String): Seq[String] = {
-    val p = Paths.get(path)
+  private def listAvroFiles(path: String, fs: GraftFs): Seq[String] = {
     val files =
-      if (Files.isRegularFile(p)) Seq(p)
+      if (fs.isFile(path)) Seq(path)
       else {
-        require(Files.isDirectory(p), s"AvroSource: no Avro table at $path")
-        val s = Files.walk(p)
-        try s.iterator().asScala.filter(f => Files.isRegularFile(f) &&
-          f.getFileName.toString.endsWith(".avro")).toSeq
-        finally s.close()
+        require(fs.isDirectory(path), s"AvroSource: no Avro table at $path")
+        fs.walk(path).filter(f => fs.isFile(f) && f.endsWith(".avro"))
       }
     require(files.nonEmpty, s"AvroSource: no .avro files under $path")
-    files.map(_.toString).sorted
+    files.sorted
   }
 
   /** Read an Avro container table: schema from one header (driver-side
@@ -281,9 +278,12 @@ object AvroSource {
 
   private def readAvroImpl(spark: SparkSession, path: String,
                            declared: Option[StructType]): DataFrame = {
-    val files = listAvroFiles(Compaction.currentPath(path))
-    val header = new DataFileReader[GenericRecord](
-      new File(files.head), new GenericDatumReader[GenericRecord]())
+    // captured ONCE on the driver at plan-build time and carried into the
+    // executor closures (GraftFs is Serializable by contract)
+    val fs = graft.GraftFs.default
+    val files = listAvroFiles(Compaction.currentPath(path, fs), fs)
+    val header = new DataFileStream[GenericRecord](
+      fs.openRead(files.head), new GenericDatumReader[GenericRecord]())
     val avroJson = try header.getSchema.toString finally header.close()
     val sparkSchema = declared.getOrElse(
       toSparkSchema(new Schema.Parser().parse(avroJson)))
@@ -299,8 +299,8 @@ object AvroSource {
       .flatMap { file =>
         // per-task reader; re-parse the schema executor-side (Schema is not
         // serializable-stable across avro versions; JSON is)
-        val reader = new DataFileReader[GenericRecord](
-          new File(file), new GenericDatumReader[GenericRecord]())
+        val reader = new DataFileStream[GenericRecord](
+          fs.openRead(file), new GenericDatumReader[GenericRecord]())
         // close on task completion, not on iterator exhaustion — a limit/
         // take or a mid-iteration failure never drains the iterator, and
         // an fd per file per bounded query leaks until GC otherwise. With
@@ -380,26 +380,27 @@ object AvroSource {
     * sinks. Returns the number of container files written. */
   def writeAvro(df: DataFrame, path: String,
                 recordName: String = "graft_record"): Int = {
+    val fs = graft.GraftFs.default
     val sparkSchema = df.schema
     val avroJson = toAvroSchema(sparkSchema, recordName).toString
-    Compaction.reclaimOrphans(path)
-    def newWriter(schema: Schema, file: File): DataFileWriter[GenericRecord] = {
+    Compaction.reclaimOrphans(path, fs)
+    def newWriter(schema: Schema, file: String): DataFileWriter[GenericRecord] = {
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
-      w.create(schema, file)
+      w.create(schema, fs.openWrite(file))
       w
     }
-    val newVer = Compaction.currentVersion(path) + 1
+    val newVer = Compaction.currentVersion(path, fs) + 1
     val dst = s"$path.v$newVer"
-    Files.createDirectories(Paths.get(dst))
+    fs.createDirectories(dst)
     val fieldTypes = sparkSchema.fields.map(_.dataType)
     val written = df.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(avroJson)
         val convs = fieldTypes.map(writeConv)
-        val writer = newWriter(schema, new File(f"$dst/part-$idx%05d.avro"))
+        val writer = newWriter(schema, f"$dst/part-$idx%05d.avro")
         try it.foreach { row =>
           val rec = new GenericData.Record(schema)
           var i = 0
@@ -413,8 +414,8 @@ object AvroSource {
     }.sum().toInt
     if (written == 0)
       newWriter(new Schema.Parser().parse(avroJson),
-        new File(s"$dst/part-00000.avro")).close()
-    Compaction.publishRewrite(path, newVer)
+        s"$dst/part-00000.avro").close()
+    Compaction.publishRewrite(path, newVer, fs = fs)
     math.max(written, 1)
   }
 }

@@ -1,7 +1,8 @@
 package graft.etl
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 
+import graft.{GraftFs, NioFs}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
@@ -41,31 +42,31 @@ object Compaction {
 
   // ---- versioned-pointer layout ------------------------------------------
 
-  private def pointerFile(path: String): Path = Paths.get(path + "._CURRENT")
+  private def pointerFile(path: String): String = path + "._CURRENT"
 
   /** The generation the pointer names; 0 = never compacted (flat `path`). */
-  def currentVersion(path: String): Long = {
+  def currentVersion(path: String, fs: GraftFs = GraftFs.default): Long = {
     val p = pointerFile(path)
-    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+    if (fs.exists(p)) fs.readString(p).trim.toLong else 0L
   }
 
   /** Resolve a compactable table root to its CURRENT data directory. Every
     * reader and appender of the compaction-maintained index tables
     * ([[AnnIndex]], [[IncrementalDedup]]) routes through this; generation 0
     * is the plain `path`, so tables that never compact are untouched. */
-  def currentPath(path: String): String = {
-    val v = currentVersion(path)
+  def currentPath(path: String, fs: GraftFs = GraftFs.default): String = {
+    val v = currentVersion(path, fs)
     if (v == 0L) path else s"$path.v$v"
   }
 
   /** Whether the table has any committed data tree (current generation). */
-  def tableExists(path: String): Boolean =
-    Files.isDirectory(Paths.get(currentPath(path)))
+  def tableExists(path: String, fs: GraftFs = GraftFs.default): Boolean =
+    fs.isDirectory(currentPath(path, fs))
 
-  /** Atomic pointer flip — the one shared stage-then-ATOMIC_MOVE protocol,
-    * pointed at this layer's sibling `{path}._CURRENT` location. */
-  private def commitPointer(path: String, version: Long): Unit =
-    Warehouse.commitPointerAt(pointerFile(path), version)
+  /** Atomic pointer flip — the one shared stage-then-atomic-replace
+    * protocol, pointed at this layer's sibling `{path}._CURRENT` location. */
+  private def commitPointer(path: String, version: Long, fs: GraftFs): Unit =
+    Warehouse.commitPointerAt(pointerFile(path), version, fs)
 
   /** Delete every generation older than the `grace` newest retired ones:
     * version dirs `{path}.vK` with K ≤ cur−1−grace, and the flat
@@ -77,28 +78,26 @@ object Compaction {
     * whose analytical scans outlive several in-stream maintenance cycles
     * raises `graceGenerations` on its compaction calls (disk cost: one
     * compacted table copy per kept generation). */
-  private def vacuumRetired(path: String, cur: Long, grace: Int): Unit = {
+  private def vacuumRetired(path: String, cur: Long, grace: Int,
+                            fs: GraftFs): Unit = {
     require(grace >= 1, s"graceGenerations must be >= 1, got $grace")
-    versionDirs(path).filter(_._1 <= cur - 1 - grace)
-      .foreach(p => deleteRecursively(p._2))
-    if (cur >= 1 + grace) deleteRecursively(Paths.get(path))
+    versionDirs(path, fs).filter(_._1 <= cur - 1 - grace)
+      .foreach(p => fs.deleteRecursively(p._2))
+    if (cur >= 1 + grace) fs.deleteRecursively(path)
   }
 
   /** All `{path}.vN` sibling dirs as (version, dir). */
-  private def versionDirs(path: String): Seq[(Long, Path)] = {
+  private def versionDirs(path: String, fs: GraftFs): Seq[(Long, String)] = {
     val abs = Paths.get(path).toAbsolutePath
     val parent = abs.getParent
     val prefix = abs.getFileName.toString + ".v"
-    if (parent == null || !Files.isDirectory(parent)) return Nil
-    import scala.jdk.CollectionConverters._
-    val s = Files.list(parent)
-    try s.iterator().asScala.flatMap { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith(prefix) && Files.isDirectory(p))
+    if (parent == null || !fs.isDirectory(parent.toString)) return Nil
+    fs.list(parent.toString).flatMap { p =>
+      val n = Paths.get(p).getFileName.toString
+      if (n.startsWith(prefix) && fs.isDirectory(p))
         scala.util.Try(n.stripPrefix(prefix).toLong).toOption.map(v => (v, p))
       else None
-    }.toSeq
-    finally s.close()
+    }
   }
 
   /** Rewrite the parquet table at `path` to one file per partition
@@ -120,31 +119,29 @@ object Compaction {
     * format's manifest commit instead. Note READERS are exempt from this
     * contract under the pointer layout — they only resolve and scan, never
     * reclaim. */
-  private[etl] def reclaimOrphans(path: String): Unit = {
-    recoverInterrupted(path)
-    val cur = currentVersion(path)
+  private[etl] def reclaimOrphans(path: String, fs: GraftFs = GraftFs.default): Unit = {
+    recoverInterrupted(path, fs)
+    val cur = currentVersion(path, fs)
     val parent = Paths.get(path).toAbsolutePath.getParent
     val prefix = Paths.get(path).getFileName.toString
     // no existence gate on the table itself: a FRESH table's crashed first
     // publish leaves a future generation dir (and possibly a staged
     // pointer) with neither a flat tree nor a pointer — skipping reclaim
     // there would let the next write land into the orphan's leftover files
-    if (parent != null && Files.isDirectory(parent)) {
-      import scala.jdk.CollectionConverters._
-      val siblings = Files.list(parent)
-      try siblings.iterator().asScala
+    if (parent != null && fs.isDirectory(parent.toString)) {
+      fs.list(parent.toString)
         .filter { p =>
-          val n = p.getFileName.toString
+          val n = Paths.get(p).getFileName.toString
           // pre-pointer-era swap leftovers, plus a crashed publish's staged
           // pointer; live generations are never matched by these prefixes
           n.startsWith(prefix + ".compact-") || n.startsWith(prefix + ".old-") ||
             n.startsWith(prefix + "._CURRENT.tmp-")
         }
-        .toSeq.foreach(deleteRecursively)
-      finally siblings.close()
+        .foreach(fs.deleteRecursively)
       // a publish that died before its pointer flip leaves a complete (or
       // partial) FUTURE generation dir — garbage either way, reclaim it
-      versionDirs(path).filter(_._1 > cur).foreach(p => deleteRecursively(p._2))
+      versionDirs(path, fs).filter(_._1 > cur)
+        .foreach(p => fs.deleteRecursively(p._2))
     }
   }
 
@@ -162,27 +159,20 @@ object Compaction {
     * under the pointer layout an absent flat `path` is the NORMAL
     * vacuumed-generation-0 state, not a crash. Returns true if a restore
     * happened. */
-  def recoverInterrupted(path: String): Boolean = {
+  def recoverInterrupted(path: String, fs: GraftFs = GraftFs.default): Boolean = {
     val parent = Paths.get(path).toAbsolutePath.getParent
     val prefix = Paths.get(path).getFileName.toString
-    if (parent == null || !Files.isDirectory(parent) ||
-        currentVersion(path) > 0L ||
-        Files.exists(Paths.get(path))) return false
-    import scala.jdk.CollectionConverters._
-    val olds = {
-      val s = Files.list(parent)
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(prefix + ".old-"))
-        .toSeq
-      finally s.close()
-    }
+    if (parent == null || !fs.isDirectory(parent.toString) ||
+        currentVersion(path, fs) > 0L || fs.exists(path)) return false
+    val olds = fs.list(parent.toString)
+      .filter(p => Paths.get(p).getFileName.toString.startsWith(prefix + ".old-"))
     if (olds.isEmpty) false
     else {
       // newest by mtime — at most one can exist per crashed run, but be
       // deterministic if an operator somehow accumulated several
-      val chosen = olds.maxBy(Files.getLastModifiedTime(_).toMillis)
-      Files.move(chosen, Paths.get(path))
-      (olds.toSet - chosen).foreach(deleteRecursively)
+      val chosen = olds.maxBy(fs.lastModifiedMillis)
+      fs.moveIfAbsent(chosen, path)
+      (olds.toSet - chosen).foreach(fs.deleteRecursively)
       true
     }
   }
@@ -194,9 +184,10 @@ object Compaction {
     * with [[AvroSource.writeAvro]], which commits its overwrite under the
     * same pointer discipline. */
   private[etl] def publishRewrite(path: String, newVer: Long,
-                                  graceGenerations: Int = 1): Unit = {
-    commitPointer(path, newVer)
-    vacuumRetired(path, newVer, graceGenerations)
+                                  graceGenerations: Int = 1,
+                                  fs: GraftFs = GraftFs.default): Unit = {
+    commitPointer(path, newVer, fs)
+    vacuumRetired(path, newVer, graceGenerations, fs)
   }
 
   /** `coalesceBatchKeyed`: ONLY for the batch_id-partitioned streaming
@@ -226,10 +217,11 @@ object Compaction {
                      numFiles: Int = 1,
                      coalesceBatchKeyed: Boolean = false,
                      preserveBatchKeys: Set[String] = Set.empty,
-                     graceGenerations: Int = 1): (Long, Long) = {
-    reclaimOrphans(path)
-    val src = currentPath(path)
-    val before = dataFileCount(Paths.get(src))
+                     graceGenerations: Int = 1,
+                     fs: GraftFs = GraftFs.default): (Long, Long) = {
+    reclaimOrphans(path, fs)
+    val src = currentPath(path, fs)
+    val before = dataFileCount(src, fs)
     val df0 = spark.read.parquet(src)
     // a pre-r11 FLAT table has no batch level yet — compact it as-is (the
     // first batch-keyed write migrates the layout; failing the maintenance
@@ -248,7 +240,7 @@ object Compaction {
       else df0
     val writeCols =
       if (coalesceBatches) partitionCols :+ "batch_id" else partitionCols
-    val newVer = currentVersion(path) + 1
+    val newVer = currentVersion(path, fs) + 1
     val dst = s"$path.v$newVer"
     val repartitioned =
       if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
@@ -256,9 +248,9 @@ object Compaction {
     val writer = repartitioned.write.mode("overwrite")
     (if (writeCols.nonEmpty) writer.partitionBy(writeCols: _*) else writer)
       .parquet(dst)
-    carryHiddenDirs(Paths.get(src), Paths.get(dst))
-    publishRewrite(path, newVer, graceGenerations)
-    (before, dataFileCount(Paths.get(dst)))
+    carryHiddenDirs(src, dst, fs)
+    publishRewrite(path, newVer, graceGenerations, fs)
+    (before, dataFileCount(dst, fs))
   }
 
   /** Carry a generation's `_`-prefixed SIDECAR directories (e.g. the
@@ -268,25 +260,17 @@ object Compaction {
     * copy, a file-count compaction would silently drop the index's paired
     * model metadata. `_SUCCESS`-style marker FILES are not carried (the
     * rewrite emits its own). */
-  private def carryHiddenDirs(src: Path, dst: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (!Files.isDirectory(src)) return
-    val s = Files.list(src)
-    val hidden =
-      try s.iterator().asScala.filter(p =>
-        Files.isDirectory(p) && p.getFileName.toString.startsWith("_")).toSeq
-      finally s.close()
+  private def carryHiddenDirs(src: String, dst: String, fs: GraftFs): Unit = {
+    if (!fs.isDirectory(src)) return
+    val srcP = Paths.get(src)
+    val hidden = fs.list(src).filter(p =>
+      fs.isDirectory(p) && Paths.get(p).getFileName.toString.startsWith("_"))
     hidden.foreach { dir =>
-      val w = Files.walk(dir)
-      try w.iterator().asScala.foreach { p =>
-        val target = dst.resolve(src.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(target)
-        else {
-          Files.createDirectories(target.getParent)
-          Files.copy(p, target)
-        }
+      fs.walk(dir).foreach { p =>
+        val target = Paths.get(dst).resolve(srcP.relativize(Paths.get(p))).toString
+        if (fs.isDirectory(p)) fs.createDirectories(target)
+        else fs.copy(p, target)
       }
-      finally w.close()
     }
   }
 
@@ -295,28 +279,32 @@ object Compaction {
     * publish (raise it when probes can outlive one maintenance cycle). */
   def compactLshPostings(spark: SparkSession, indexDir: String,
                          preserveBatchKeys: Set[String] = Set.empty,
-                         graceGenerations: Int = 1): (Long, Long) =
+                         graceGenerations: Int = 1,
+                         fs: GraftFs = GraftFs.default): (Long, Long) =
     compactParquet(spark, s"$indexDir/buckets", Seq("band", "bkt"),
       coalesceBatchKeyed = true, preserveBatchKeys = preserveBatchKeys,
-      graceGenerations = graceGenerations)
+      graceGenerations = graceGenerations, fs = fs)
   /** IVF lists — batch-coalescing like LSH/SQ8, because a streaming
     * [[graft.stream.Streams.corpusIngest]] with an `ivfDir` feeds the lists
     * through batch-keyed [[AnnIndex.appendIvf]]; a flat ad-hoc table (no
     * `batch_id` column) compacts layout-only exactly as before. */
   def compactIvfLists(spark: SparkSession, indexDir: String,
                       preserveBatchKeys: Set[String] = Set.empty,
-                      graceGenerations: Int = 1): (Long, Long) =
+                      graceGenerations: Int = 1,
+                      fs: GraftFs = GraftFs.default): (Long, Long) =
     compactParquet(spark, s"$indexDir/lists", Seq("list_id"),
       coalesceBatchKeyed = true, preserveBatchKeys = preserveBatchKeys,
-      graceGenerations = graceGenerations)
+      graceGenerations = graceGenerations, fs = fs)
   def compactSq8(spark: SparkSession, indexDir: String,
                  preserveBatchKeys: Set[String] = Set.empty,
-                 graceGenerations: Int = 1): (Long, Long) =
+                 graceGenerations: Int = 1,
+                 fs: GraftFs = GraftFs.default): (Long, Long) =
     compactParquet(spark, s"$indexDir/sq8", Nil, coalesceBatchKeyed = true,
       preserveBatchKeys = preserveBatchKeys,
-      graceGenerations = graceGenerations)
-  def compactPqCodes(spark: SparkSession, indexDir: String): (Long, Long) =
-    compactParquet(spark, s"$indexDir/codes", Nil)
+      graceGenerations = graceGenerations, fs = fs)
+  def compactPqCodes(spark: SparkSession, indexDir: String,
+                     fs: GraftFs = GraftFs.default): (Long, Long) =
+    compactParquet(spark, s"$indexDir/codes", Nil, fs = fs)
   /** The IVF-PQ composite's per-list code dirs ([[AnnIndex.buildIvfPq]] /
     * `appendIvfPq` — `codes/list_id=` partitioning; the `codebooks` table
     * is a single coalesced file and never fragments). Batch-coalescing like
@@ -325,19 +313,21 @@ object Compaction {
     * [[AnnIndex.appendIvfPq]]; a flat ad-hoc table compacts layout-only. */
   def compactIvfPqCodes(spark: SparkSession, indexDir: String,
                         preserveBatchKeys: Set[String] = Set.empty,
-                        graceGenerations: Int = 1): (Long, Long) =
+                        graceGenerations: Int = 1,
+                        fs: GraftFs = GraftFs.default): (Long, Long) =
     compactParquet(spark, s"$indexDir/codes", Seq("list_id"),
       coalesceBatchKeyed = true, preserveBatchKeys = preserveBatchKeys,
-      graceGenerations = graceGenerations)
+      graceGenerations = graceGenerations, fs = fs)
 
   /** The dedup posting table ([[IncrementalDedup]]) — unpartitioned
     * appends, joined on (band, bkey) per ingest batch. */
   def compactDedupPostings(spark: SparkSession, indexDir: String,
                            preserveBatchKeys: Set[String] = Set.empty,
-                           graceGenerations: Int = 1): (Long, Long) =
+                           graceGenerations: Int = 1,
+                           fs: GraftFs = GraftFs.default): (Long, Long) =
     compactParquet(spark, s"$indexDir/postings", Nil, coalesceBatchKeyed = true,
       preserveBatchKeys = preserveBatchKeys,
-      graceGenerations = graceGenerations)
+      graceGenerations = graceGenerations, fs = fs)
 
   /** Z-ORDERED compaction — the OPTIMIZE ZORDER maintenance form: rewrite
     * the table CLUSTERED on the Morton interleave of two numeric columns
@@ -353,11 +343,12 @@ object Compaction {
   def compactZOrdered(spark: SparkSession, path: String,
                       xCol: String, yCol: String,
                       numFiles: Int = 8,
-                      graceGenerations: Int = 1): (Long, Long) = {
+                      graceGenerations: Int = 1,
+                      fs: GraftFs = GraftFs.default): (Long, Long) = {
     graft.expr.GraftFunctions.ensureRegistered(spark)
-    reclaimOrphans(path)
-    val src = currentPath(path)
-    val before = dataFileCount(Paths.get(src))
+    reclaimOrphans(path, fs)
+    val src = currentPath(path, fs)
+    val before = dataFileCount(src, fs)
     val df = spark.read.parquet(src)
     val b = df.agg(
       org.apache.spark.sql.functions.min(col(xCol).cast("long")),
@@ -368,7 +359,7 @@ object Compaction {
     // degrade to the plain file-count rewrite instead of NPEing on getLong
     if (b.isNullAt(0) || b.isNullAt(2))
       return compactParquet(spark, path, Nil, numFiles,
-        graceGenerations = graceGenerations)
+        graceGenerations = graceGenerations, fs = fs)
     val (xlo, xhi, ylo, yhi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     // Overflow-safe quantization over ARBITRARY long ranges (this is a
     // generic API — a naive `(x - xlo) * 256 div span` overflows long as
@@ -390,35 +381,32 @@ object Compaction {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__zx", "__zy", "__z")
-    val newVer = currentVersion(path) + 1
+    val newVer = currentVersion(path, fs) + 1
     val dst = s"$path.v$newVer"
     zed.write.mode("overwrite").parquet(dst)
-    publishRewrite(path, newVer, graceGenerations)
-    (before, dataFileCount(Paths.get(dst)))
+    publishRewrite(path, newVer, graceGenerations, fs)
+    (before, dataFileCount(dst, fs))
   }
 
-  private def dataFileCount(root: Path): Long = {
+  private def dataFileCount(root: String, fs: GraftFs): Long = {
     import scala.jdk.CollectionConverters._
-    val s = Files.walk(root)
+    val rootP = Paths.get(root)
     // files under `_`-prefixed sidecar dirs (embedded model metadata) are
     // not DATA files — the scan never reads them and the before/after
     // comparison must not count them
-    try s.iterator().asScala.count { p =>
-      val n = p.getFileName.toString
-      Files.isRegularFile(p) && n.endsWith(".parquet") && !n.startsWith(".") &&
-        !root.relativize(p).iterator().asScala.exists(
+    fs.walk(root).count { p =>
+      val pp = Paths.get(p)
+      val n = pp.getFileName.toString
+      fs.isFile(p) && n.endsWith(".parquet") && !n.startsWith(".") &&
+        !rootP.relativize(pp).iterator().asScala.exists(
           _.getFileName.toString.startsWith("_"))
     }
-    finally s.close()
   }
 
   /** Shared recursive delete (ONE copy of the walk-reverse-delete idiom —
-    * also used by [[AvroSource]] and [[graft.stream.Streams]]). */
+    * also used by [[AvroSource]] and [[graft.stream.Streams]]); now a thin
+    * alias for [[GraftFs.deleteRecursively]] kept for its Path-typed
+    * call sites. */
   private[graft] def deleteRecursively(dir: Path): Unit =
-    if (Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      val s = Files.walk(dir)
-      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
+    NioFs.deleteRecursively(dir.toString)
 }

@@ -1,6 +1,5 @@
 package graft.etl
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -45,16 +44,15 @@ object IncrementalDedup {
     Compaction.currentPath(s"$indexDir/postings")
 
   private def hasIndex(indexDir: String): Boolean = {
-    val root = Paths.get(postingsPath(indexDir))
+    val fs = graft.GraftFs.default
+    val root = postingsPath(indexDir)
     // legacy append layout marks the root with _SUCCESS; the batch_id-keyed
     // dynamic-overwrite path ([[commitPostings]] with a batch id) only
     // creates its partition dir — either signals a committed index
-    if (Files.exists(root.resolve("_SUCCESS"))) return true
-    if (!Files.isDirectory(root)) return false
-    import scala.jdk.CollectionConverters._
-    val s = Files.list(root)
-    try s.iterator().asScala.exists(_.getFileName.toString.startsWith("batch_id="))
-    finally s.close()
+    if (fs.exists(s"$root/_SUCCESS")) return true
+    if (!fs.isDirectory(root)) return false
+    fs.list(root).exists(
+      p => java.nio.file.Paths.get(p).getFileName.toString.startsWith("batch_id="))
   }
 
   /** Dedup `batch` (`doc_id`, `text`, …) against the index at `indexDir`

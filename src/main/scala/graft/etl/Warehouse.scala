@@ -1,5 +1,6 @@
 package graft.etl
 
+import graft.GraftFs
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
@@ -64,100 +65,83 @@ object Warehouse {
     * use `mode("overwrite")` (or any writer tolerant of an existing empty
     * dir). */
   def publish(spark: SparkSession, tableDir: String,
-              write: String => Unit): Long = {
-    val version = claimVersion(tableDir)
+              write: String => Unit, fs: GraftFs = GraftFs.default): Long = {
+    val version = claimVersion(tableDir, fs)
     write(s"$tableDir/v=$version")
-    commitPointer(tableDir, version)
+    commitPointer(tableDir, version, fs)
     version
   }
 
-  /** Claim max(existing)+1 by ATOMIC directory creation: versions stay
-    * dense and monotone across process restarts (a clock- or
-    * nanoTime-based id would not be — nanoTime's origin is arbitrary per
-    * JVM), and two concurrent publishers can never land in the same
-    * snapshot dir — the loser of the create races to the next number.
-    * Shared by [[publish]] and [[BucketedTable.commit]] — ONE copy of the
-    * claim discipline. */
-  private[etl] def claimVersion(tableDir: String): Long = {
-    import java.nio.file.{Files, FileAlreadyExistsException, Paths}
-    import scala.jdk.CollectionConverters._
-    Files.createDirectories(Paths.get(tableDir))
-    def existingMax: Long = {
-      val s = Files.list(Paths.get(tableDir))
-      try s.iterator().asScala.map(_.getFileName.toString)
+  /** Claim max(existing)+1 by an ATOMIC create-if-absent claim
+    * ([[GraftFs.createDirectoryClaim]]): versions stay dense and monotone
+    * across process restarts (a clock- or nanoTime-based id would not be —
+    * nanoTime's origin is arbitrary per JVM), and two concurrent publishers
+    * can never land in the same snapshot dir — the loser of the claim races
+    * to the next number. Shared by [[publish]] and [[BucketedTable.commit]]
+    * — ONE copy of the claim discipline. */
+  private[etl] def claimVersion(tableDir: String, fs: GraftFs = GraftFs.default): Long = {
+    fs.createDirectories(tableDir)
+    def existingMax: Long =
+      fs.list(tableDir).map(p => java.nio.file.Paths.get(p).getFileName.toString)
         .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
         .foldLeft(0L)(math.max)
-      finally s.close()
-    }
     var version = existingMax + 1
-    var claimed = false
-    while (!claimed) {
-      try { Files.createDirectory(Paths.get(tableDir, s"v=$version")); claimed = true }
-      catch { case _: FileAlreadyExistsException => version += 1 }
-    }
+    while (!fs.createDirectoryClaim(s"$tableDir/v=$version")) version += 1
     version
   }
 
   /** The COMMIT: stage the pointer content, then one atomic rename onto
     * `_CURRENT`. Shared by both manifest layers. */
-  private[etl] def commitPointer(tableDir: String, version: Long): Unit =
-    commitPointerAt(java.nio.file.Paths.get(tableDir, "_CURRENT"), version)
+  private[etl] def commitPointer(tableDir: String, version: Long,
+                                 fs: GraftFs = GraftFs.default): Unit =
+    commitPointerAt(s"$tableDir/_CURRENT", version, fs)
 
-  /** The ONE copy of the stage-then-ATOMIC_MOVE pointer-commit protocol,
+  /** The ONE copy of the stage-then-atomic-replace pointer-commit protocol,
     * parameterized on where the pointer file lives: inside the table dir
     * (the Warehouse/BucketedTable manifest layers) or as a `{table}._CURRENT`
     * sibling ([[Compaction]]'s generation pointer). Any future protocol
     * change (parent-dir fsync, tmp-collision handling, non-POSIX rename
-    * fallback) lands here once. */
-  private[etl] def commitPointerAt(pointer: java.nio.file.Path,
-                                   version: Long): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
-    val tmp = pointer.resolveSibling(pointer.getFileName.toString + s".tmp-$version")
-    Files.writeString(tmp, version.toString)
-    Files.move(tmp, pointer,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    * fallback) lands here once — or in the [[GraftFs]] implementation when
+    * the store itself changes. */
+  private[etl] def commitPointerAt(pointer: String, version: Long,
+                                   fs: GraftFs = GraftFs.default): Unit = {
+    val tmp = pointer + s".tmp-$version"
+    fs.writeString(tmp, version.toString)
+    fs.atomicReplace(tmp, pointer)
   }
 
   /** The version the `_CURRENT` pointer names (fails if never published). */
-  def currentVersion(tableDir: String): Long = {
-    import java.nio.file.{Files, Paths}
-    Files.readString(Paths.get(tableDir, "_CURRENT")).trim.toLong
-  }
+  def currentVersion(tableDir: String, fs: GraftFs = GraftFs.default): Long =
+    fs.readString(s"$tableDir/_CURRENT").trim.toLong
 
   /** Scan the current snapshot: resolve the pointer ONCE, then read only
     * that immutable dir — the scan cannot straddle a republish. Pass an
     * explicit `version` for time travel. */
   def readCurrent(spark: SparkSession, tableDir: String,
-                  version: Option[Long] = None) = {
-    val v = version.getOrElse(currentVersion(tableDir))
+                  version: Option[Long] = None, fs: GraftFs = GraftFs.default) = {
+    val v = version.getOrElse(currentVersion(tableDir, fs))
     spark.read.parquet(s"$tableDir/v=$v")
   }
 
   /** Drop every snapshot dir except the current one (and any newer), plus
     * any `_CURRENT.tmp-*` left by a publish that crashed between staging
     * its pointer and the atomic rename. Returns dropped snapshot count. */
-  def vacuum(tableDir: String): Int = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val cur = currentVersion(tableDir)
-    val entries = {
-      val s = Files.list(Paths.get(tableDir))
-      try s.iterator().asScala.toSeq finally s.close()
-    }
+  def vacuum(tableDir: String, fs: GraftFs = GraftFs.default): Int = {
+    val cur = currentVersion(tableDir, fs)
+    val entries = fs.list(tableDir)
+    def name(p: String) = java.nio.file.Paths.get(p).getFileName.toString
     // only STALE staged pointers (version <= current): a newer tmp may be a
     // commitPointer mid-flight between staging and its atomic rename
     entries.filter { p =>
-      val n = p.getFileName.toString
+      val n = name(p)
       n.startsWith("_CURRENT.tmp-") &&
         scala.util.Try(n.stripPrefix("_CURRENT.tmp-").toLong <= cur).getOrElse(true)
-    }.foreach(Files.deleteIfExists(_))
+    }.foreach(fs.deleteIfExists)
     val doomed = entries.filter { p =>
-      val n = p.getFileName.toString
+      val n = name(p)
       n.startsWith("v=") && n.stripPrefix("v=").toLong < cur
     }
-    doomed.foreach { d =>
-      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    doomed.foreach(fs.deleteRecursively)
     doomed.size
   }
 }

@@ -368,19 +368,13 @@ object Streams {
     * (the replay rewrites its partition whole) but re-serves answers the
     * consumer already processed. Returns the number dropped. */
   def dropServedBatches(outDir: String, batchKeys: Seq[String]): Int = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
+    val fs = graft.GraftFs.default
     batchKeys.count { k =>
       require(k.nonEmpty && !k.contains("/") && !k.contains(".."),
         s"malformed batch key: $k")
-      val d = Paths.get(outDir, s"batch_id=$k")
-      if (!Files.isDirectory(d)) false
-      else {
-        val s = Files.walk(d)
-        val entries = try s.iterator().asScala.toSeq finally s.close()
-        entries.reverse.foreach(Files.deleteIfExists(_))
-        true
-      }
+      val d = s"$outDir/batch_id=$k"
+      if (!fs.isDirectory(d)) false
+      else { fs.deleteRecursively(d); true }
     }
   }
 
@@ -851,10 +845,11 @@ object Streams {
     * unparsable reads as 0 — which the growth gate treats as UNKNOWN
     * growth and retrains (the conservative direction). One parser for
     * both the increment and the gate, so the format cannot skew. */
-  private def readPendingCount(p: java.nio.file.Path): Long =
-    if (!java.nio.file.Files.exists(p)) 0L
-    else scala.util.Try(new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong).getOrElse(0L)
+  private def readPendingCount(p: String): Long = {
+    val fs = graft.GraftFs.default
+    if (!fs.exists(p)) 0L
+    else scala.util.Try(fs.readString(p).trim.toLong).getOrElse(0L)
+  }
 
   def corpusIngest(docs: DataFrame, dedupDir: String, lshDir: String,
                    corpusDir: String, lshBands: Int = 3, lshBits: Int = 8,
@@ -953,8 +948,8 @@ object Streams {
         // first admitting batch folds it into the ledger and every later
         // batch reads O(|sources|) rows).
         val budgetDir = s"$corpusDir/_budget"
-        val ledgerExists = java.nio.file.Files.exists(
-          java.nio.file.Paths.get(budgetDir, "_CURRENT"))
+        val ledgerExists = graft.GraftFs.default.exists(
+          s"$budgetDir/_CURRENT")
         val priorBase: Option[DataFrame] = budgetPerSource.map { _ =>
           if (ledgerExists) {
             val t = graft.etl.Warehouse.readCurrent(spark, budgetDir)
@@ -1134,10 +1129,9 @@ object Streams {
               // recounts its own batch (the rows themselves stay
               // exactly-once) — the gate is a maintenance heuristic and
               // over-counting only retrains marginally earlier.
-              val pending = java.nio.file.Paths.get(d, "_GRAFT_RETRAIN_PENDING")
-              java.nio.file.Files.write(pending,
-                (readPendingCount(pending) + assigned.count()).toString
-                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val pending = s"$d/_GRAFT_RETRAIN_PENDING"
+              graft.GraftFs.default.writeString(pending,
+                (readPendingCount(pending) + assigned.count()).toString)
             } finally assigned.unpersist(false)
           }
           commitLedger()
@@ -1176,8 +1170,7 @@ object Streams {
         // concurrent reader/crash cases in CompactionSpec.
         if (vacuumEvery > 0 && batchId % vacuumEvery == 0) {
           if (BT.exists(corpusDir)) BT.vacuum(corpusDir)
-          if (java.nio.file.Files.exists(
-              java.nio.file.Paths.get(budgetDir, "_CURRENT")))
+          if (graft.GraftFs.default.exists(s"$budgetDir/_CURRENT"))
             graft.etl.Warehouse.vacuum(budgetDir)
         }
         // an in-stream retrain this batch subsumes an IVF layout compaction
@@ -1202,8 +1195,8 @@ object Streams {
         val ivfRetrainNow = ivfRetrainEvery > 0 && !ivfSeededThisBatch &&
           batchId % ivfRetrainEvery == 0 &&
           ivfDir.exists { d =>
-            val p = java.nio.file.Paths.get(d, "_GRAFT_RETRAIN_PENDING")
-            java.nio.file.Files.exists(p) && (ivfRetrainMinGrowth <= 0 || {
+            val p = s"$d/_GRAFT_RETRAIN_PENDING"
+            graft.GraftFs.default.exists(p) && (ivfRetrainMinGrowth <= 0 || {
               val appended = readPendingCount(p)
               appended <= 0L ||
                 !graft.etl.Compaction.tableExists(s"$d/lists") || {
@@ -1277,8 +1270,8 @@ object Streams {
               // drift consumed — cleared only AFTER the publish, so a crash
               // mid-retrain leaves the flag set and the next cadence batch
               // retries
-              java.nio.file.Files.deleteIfExists(
-                java.nio.file.Paths.get(d, "_GRAFT_RETRAIN_PENDING"))
+              graft.GraftFs.default.deleteIfExists(
+                s"$d/_GRAFT_RETRAIN_PENDING")
             }
         ()
     }

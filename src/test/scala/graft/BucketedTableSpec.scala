@@ -399,6 +399,70 @@ class BucketedTableSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq === cur)
   }
 
+  test("writer lease: an unexpired lease blocks a second writer; release frees it; an expired lease is stolen with a bumped epoch") {
+    val dir = Files.createTempDirectory("graft_bt_lease").resolve("t").toString
+    val a = BucketedTable.acquireWriterLease(dir, "host-a")
+    val blocked = intercept[java.util.ConcurrentModificationException] {
+      BucketedTable.acquireWriterLease(dir, "host-b")
+    }
+    assert(blocked.getMessage.contains("lease held by 'host-a'"))
+    // the HOLDER re-acquiring is a renewal, not a conflict
+    val a2 = BucketedTable.acquireWriterLease(dir, "host-a")
+    assert(a2.epoch === a.epoch + 1)
+    BucketedTable.releaseWriterLease(a2)
+    val b = BucketedTable.acquireWriterLease(dir, "host-b")
+    assert(b.epoch === a2.epoch + 1, "epochs are monotone across owners")
+    // expiry: a zero-TTL lease is immediately stealable by another host
+    BucketedTable.releaseWriterLease(b)
+    val c = BucketedTable.acquireWriterLease(dir, "host-c", ttlMillis = 0L)
+    val d = BucketedTable.acquireWriterLease(dir, "host-d")
+    assert(d.epoch === c.epoch + 1)
+    // a release attempted with the STOLEN (stale) lease must not un-fence
+    // the live owner
+    BucketedTable.releaseWriterLease(c)
+    val still = intercept[java.util.ConcurrentModificationException] {
+      BucketedTable.acquireWriterLease(dir, "host-e")
+    }
+    assert(still.getMessage.contains("lease held by 'host-d'"))
+  }
+
+  test("writer lease fencing: two interleaved writers — the second publish holding the stale epoch is fenced, the new owner's state intact") {
+    val dir = Files.createTempDirectory("graft_bt_fence").resolve("t").toString
+    val kA = 1L
+    val kB = (2L to 100L).find(bucketOf(_) != bucketOf(kA)).get
+    commitRows(dir, Seq(kA -> "a1", kB -> "b1"))
+    // Writer A holds a lease that immediately expires (e.g. a long GC
+    // pause past the TTL); writer B legitimately steals it and commits.
+    // A's later commit passes the PARENT check (it folds against B's
+    // published state — on a no-advisory-lock shared store nothing else
+    // stops it) but must be FENCED by the moved lease epoch.
+    val staleA = BucketedTable.acquireWriterLease(dir, "host-a", ttlMillis = 0L)
+    val liveB = BucketedTable.acquireWriterLease(dir, "host-b")
+    val dfB = withBucket(Seq(kB -> "b-from-B"))
+    BucketedTable.commit(spark, dir, nB, Seq(bucketOf(kB)),
+      d => dfB.write.mode("overwrite")
+        .partitionBy(BucketedTable.BucketCol).parquet(d),
+      lease = Some(liveB))
+    val dfA = withBucket(Seq(kA -> "a-from-stale-A"))
+    val fenced = intercept[java.util.ConcurrentModificationException] {
+      BucketedTable.commit(spark, dir, nB, Seq(bucketOf(kA)),
+        d => dfA.write.mode("overwrite")
+          .partitionBy(BucketedTable.BucketCol).parquet(d),
+        lease = Some(staleA))
+    }
+    assert(fenced.getMessage.contains("fenced"))
+    assert(fenced.getMessage.contains("host-b"),
+      "the fence names the writer that took over")
+    val cur = BucketedTable.readCurrent(spark, dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq
+    assert(cur === Seq(kA -> "a1", kB -> "b-from-B").sorted,
+      s"the new owner's commit and all prior buckets survive — got $cur")
+    // the fenced writer's orphan version dir is reclaimable garbage
+    BucketedTable.vacuum(dir)
+    assert(BucketedTable.readCurrent(spark, dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).sorted.toSeq === cur)
+  }
+
   test("writer race, two REAL threads: the commit lock serializes publish — exactly one wins, one raises, state consistent") {
     import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
     import scala.concurrent.{Await, ExecutionContext, Future}

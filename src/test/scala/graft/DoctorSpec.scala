@@ -83,6 +83,30 @@ class DoctorSpec extends AnyFunSuite {
     assert(f.head.remedy.contains("rebucket"))
   }
 
+  test("bucketed-table layer: a manifest fork (two versions claiming one parent) warns with the interleaved-writer audit remedy") {
+    val root = Files.createTempDirectory("graft_doc_fork").toString
+    val dir = s"$root/dim"
+    commitRows(dir, Seq(1L -> "a"))
+    val v2 = commitRows(dir, Seq(1L -> "a2"))
+    // a second writer publishing without the lock/lease would build its own
+    // manifest against the SAME parent v2 folded against — plant exactly
+    // that sibling (same bytes, different version dir)
+    val forkV = v2 + 1
+    Files.createDirectories(Paths.get(dir, s"v=$forkV"))
+    Files.copy(Paths.get(dir, s"v=$v2", "_MANIFEST"),
+      Paths.get(dir, s"v=$forkV", "_MANIFEST"))
+    val w = Doctor.diagnose(root).filter(f =>
+      f.level == "WARN" && f.problem.contains("manifest fork"))
+    assert(w.nonEmpty, "a parent collision must surface as a fork WARN")
+    assert(w.head.problem.contains(s"$v2") && w.head.problem.contains(s"$forkV"),
+      s"the fork names both siblings — got: ${w.head.problem}")
+    assert(w.head.remedy.contains("lease"),
+      "the remedy points at the writer-lease topology fix")
+    // a healthy sequential table (the same root minus the plant) stays clean
+    Compaction.deleteRecursively(Paths.get(dir, s"v=$forkV"))
+    assert(!Doctor.diagnose(root).exists(_.problem.contains("manifest fork")))
+  }
+
   test("pointer-table layer: a pointer naming an absent version dir fails with a re-point remedy") {
     val root = Files.createTempDirectory("graft_doc_ptr").toString
     val dir = s"$root/w"
