@@ -53,25 +53,41 @@ object Graph {
     val e0 = li.select(concat(lit("S"), col("l_suppkey")).as("src"),
                        concat(lit("P"), col("l_partkey")).as("dst")).distinct()
     val edges = pin(e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
-    // od is pinned too (node-count-sized): it feeds the rank init AND the
-    // 1-row n_nodes broadcast that every round's teleport term re-reads —
-    // unpinned, each broadcast(n) evaluation re-plans an edges-sized
-    // groupBy and only AQE exchange reuse stands between that and 6×
-    // recomputation (the same recompute-on-rescan hazard the edge pin
-    // exists for)
+    // od is pinned too (node-count-sized): it feeds the rank init, the
+    // edge-frame fold below, AND the driver-side n_nodes count — unpinned,
+    // each consumer re-plans an edges-sized groupBy (the same
+    // recompute-on-rescan hazard the edge pin exists for)
     val od = pin(edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
     // outdeg folded onto the edge rows: one static join before the loop
-    // instead of one per round
+    // instead of one per round.
+    //
+    // STATIONARY-EDGES NOTE (r15, measured at 10× sf0.1): once the rank
+    // side outgrows broadcast, each round's SMJ re-shuffles this frame —
+    // the checkpoint's `LogicalRDD` reports UnknownPartitioning under AQE,
+    // so pre-partitioning it on `src` is invisible to EnsureRequirements.
+    // The `InMemoryTableScan` alternative (repartition + persist) DOES
+    // carry partitioning, but was measured SLOWER here (29 s vs 12 s at
+    // 10×): the loop's self-join re-aliasing defeated cache-entry sharing
+    // and the edge join re-materialized per round. At deployment scale the
+    // answer is neither: a 100 TB edge set lives as a bucketed-on-src
+    // table ([[graft.etl.BucketedTable]]) whose scans are born co-located,
+    // and the rounds shuffle only the node-sized rank frame. This query
+    // keeps the 5-round Pregel shape over the in-query pin.
     val edgesW = pin(edges.join(od, "src"))
-    val n = od.agg(count(lit(1)).as("n_nodes"))
-    var ranks = od.crossJoin(broadcast(n))
-      .select(col("src").as("node"), expr("1000000000L div n_nodes").as("r"))
+    // n_nodes is ONE bounded scalar: compute it driver-side (od is pinned
+    // and node-count-sized) instead of re-planning a broadcast 1-row
+    // aggregate in every round's teleport term — that shape cost one
+    // SinglePartition exchange + one job per round (6 of each at any SF).
+    // Integer semantics unchanged: the same `div` arithmetic, now folded
+    // as a literal.
+    val n = od.count()
+    var ranks = od.select(col("src").as("node"), lit(1000000000L / n).as("r"))
     for (_ <- 1 to 5) {
       val contrib = ranks.join(edgesW, col("node") === col("src"))
         .select(col("dst"), expr("r * 17 div 20 div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      ranks = contrib.crossJoin(broadcast(n))
-        .select(col("dst").as("node"), expr("150000000L div n_nodes + s").as("r"))
+      ranks = contrib
+        .select(col("dst").as("node"), (lit(150000000L / n) + col("s")).as("r"))
     }
     ranks.select(col("node"), col("r").as("rank_nano"))
       .orderBy(col("rank_nano").desc, col("node"))

@@ -339,7 +339,13 @@ object Windows {
     val wF = Window.partitionBy("prio").orderBy("day")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val kd = when(col("v").isNotNull, col("day"))
-    val j = spine.join(base, Seq("prio", "day"), "left")
+    // base is GRID-BOUNDED (≤ |priorities| × |days| rows at ANY corpus
+    // scale — the group-by collapses the fact table onto the calendar), so
+    // the fill join broadcasts it EXPLICITLY: statistics-driven planning
+    // flips this to a 3-exchange sort-merge join once the estimate crosses
+    // the threshold (measured at 10× sf0.1) even though the frame itself
+    // never grows with the data.
+    val j = spine.join(broadcast(base), Seq("prio", "day"), "left")
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(wP))
       .withColumn("pd", last(kd, ignoreNulls = true).over(wP))
       .withColumn("nv", first(col("v"), ignoreNulls = true).over(wF))

@@ -52,6 +52,30 @@ object ScaleUp {
     "q_dedup_keep", "q_warehouse_etl", "q_interpolate", "q_graph_triangles",
     "q_join_conditional_key", "q_join_range_scd2", "q_sql_recursive")
 
+  /** ADJUDICATED plan flips: extra shuffle exchanges ALLOWED at 10× beyond
+    * the sf0.001 budget, each with the review that admitted it. These are
+    * the broadcast→sort-merge conversions whose flipped side is genuinely
+    * DATA-SCALED — the join must shuffle at 100 TB, and the sf0.001
+    * broadcast was the small-data plan, not the scale plan. Anything NOT
+    * in this map that exceeds its budget is an unreviewed regression and
+    * fails the gate. (The counterexample that did NOT get an allowance and
+    * was fixed instead: q_interpolate's grid-bounded fill frame now
+    * broadcasts explicitly.) */
+  val AdjudicatedExtra: Map[String, (Int, String)] = Map(
+    "q_pagerank" -> (4,
+      "rank and edge sides are data-scaled; once broadcast no longer fits " +
+        "each of the 5 rounds exchanges both (the Pregel round shape). The " +
+        "measured alternatives and the bucketed-edge deployment answer are " +
+        "documented at the edgesW pin in queries/Graph.scala"),
+    "q_corpus_curate" -> (1,
+      "canonical-group map-back joins the corpus-sized CC-drop set on doc_id — data-scaled, shuffles at scale"),
+    "q_curation_audit" -> (1,
+      "shares q_corpus_curate's survivalFlags frame — same data-scaled membership join"),
+    "q_warehouse_etl" -> (2,
+      "SCD2 point-in-time resolve: DimCustomer grows with the corpus, broadcast side flips to SMJ (both sides exchange)"),
+    "q_graph_triangles" -> (2,
+      "wedge-closure joins against the data-scaled canonical edge set — the O(m^1.5) shape shuffles at scale by design"))
+
   /** Key-shift offsets. BIGINT surrogate keys move by `i·KeyOff` (far above
     * any generated key); the small INT dimension keys by `i·DimOff` (stays
     * in int range: 9·1000 + 24). */
@@ -161,13 +185,21 @@ object ScaleUp {
       once(); (1 to 2).map(_ => once()).min
     }
 
+    // Dev aid while adjudicating one flip: SPARK_GRAFT_SCALE_ONLY=q_a,q_b
+    // restricts the sweep (mirrors Bench/Verify's _ONLY vars). The
+    // committed SCALE.md always comes from a full unfiltered run.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val measured = Headline.filter(q => only.forall(_.contains(q)))
+
     val budgets = PlanBudgets.load()
     case class Row(q: String, t1: Double, t10: Double, ratio: Double,
                    shuffles10: Int, budget: Int) {
+      def allowed: Int = budget + AdjudicatedExtra.get(q).map(_._1).getOrElse(0)
       def timeOk: Boolean = ratio <= RatioCap
-      def planOk: Boolean = shuffles10 <= budget
+      def planOk: Boolean = shuffles10 <= allowed
     }
-    val rows = Headline.map { q =>
+    val rows = measured.map { q =>
       val t1 = time(q, srcDir)
       val t10 = time(q, outDir)
       // post-AQE shuffle count at 10x, measured on a fresh evaluation
@@ -177,18 +209,19 @@ object ScaleUp {
       val r = Row(q, t1, t10, t10 / math.max(t1, Floor), sh, budgets(q))
       println(f"[scale-up] ${r.q}%-24s t1=${r.t1}%6.2f t10=${r.t10}%7.2f " +
         f"ratio=${r.ratio}%5.1f (cap $RatioCap) shuffles=${r.shuffles10}%d/" +
-        f"${r.budget}%d ${if (r.timeOk && r.planOk) "ok" else "VIOLATION"}%s")
+        f"${r.allowed}%d ${if (r.timeOk && r.planOk) "ok" else "VIOLATION"}%s")
       r
     }
 
     def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val bad = rows.filterNot(r => r.timeOk && r.planOk)
     val md = new StringBuilder
-    md ++= s"| query | t(sf0.1) s | t(${Factor}x) s | growth | cap | shuffles@${Factor}x | budget |\n"
+    md ++= s"| query | t(sf0.1) s | t(${Factor}x) s | growth | cap | shuffles@${Factor}x | allowed (budget+adj) |\n"
     md ++= "|---|---|---|---|---|---|---|\n"
     rows.foreach { r =>
       md ++= s"| `${r.q}` | ${f(r.t1)} | ${f(r.t10)} | ${f(r.ratio)}× " +
-        s"| ${f(RatioCap)}× | ${r.shuffles10} | ${r.budget} |\n"
+        s"| ${f(RatioCap)}× | ${r.shuffles10} | ${r.allowed} (${r.budget}+" +
+        s"${r.allowed - r.budget}) |\n"
     }
     println(md)
     println(s"""{"metric":"scale_up","factor":$Factor,"queries":${rows.length},"violations":${bad.length}}""")
