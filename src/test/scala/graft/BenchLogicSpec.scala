@@ -72,6 +72,11 @@ class BenchLogicSpec extends AnyFunSuite {
     // gray zone: suspect (its CPU leg independently tripped hard)
     val (c3, s3) = Bench.contentionVerdict(1.35, 1.0, Some(1.0), 0.30)
     assert(!c3 && s3, "spread_ratio 0.30 must be suspect")
+    // the r15-close CLEAN-sweep profile (totals under the frozen
+    // reference, probes in-band, spread 0.22–0.23 — the 168-query
+    // sweep's floor) must read clean, not suspect
+    val (c4, s4) = Bench.contentionVerdict(1.35, 1.0, Some(0.98), 0.23)
+    assert(!c4 && !s4, "a clean full sweep's floor spread must not alarm")
   }
 
   test("errored queries (-1 sentinel) are excluded from spread_ratio") {
