@@ -50,7 +50,11 @@ object ScaleUp {
     "q_pagerank", "q_corpus_curate", "q_curation_audit", "q_win_range_frame",
     "q_math_funcs", "q_cross_source_keep", "q_dedup_groups", "q_containment",
     "q_dedup_keep", "q_warehouse_etl", "q_interpolate", "q_graph_triangles",
-    "q_join_conditional_key", "q_join_range_scd2", "q_sql_recursive")
+    "q_join_conditional_key", "q_join_range_scd2", "q_sql_recursive",
+    // the core 100-TB dedup/similarity claims, measured where they live:
+    // banded MinHash (pair expansion risk), embedding near-dup (bucketed
+    // cosine), and the exhaustive top-k scan (the linear ANN baseline)
+    "q_dedup_minhash", "q_semdedup", "q_knn_cosine")
 
   /** ADJUDICATED plan flips: extra shuffle exchanges ALLOWED at 10× beyond
     * the sf0.001 budget, each with the review that admitted it. These are
