@@ -34,11 +34,10 @@ import java.nio.file.{Path, Paths}
   * maintenance pass reclaims, INFO findings are reclaimable footprint.
   *
   * Store-agnostic: [[diagnose]] takes the [[GraftFs]] to walk (defaulting
-  * to the process binding), so the same fsck runs against an object-store
-  * implementation. One caveat: the manifest PARSE path rides
-  * [[BucketedTable.readManifest]], which reads through `GraftFs.default` —
-  * when handing Doctor a non-default fs, set the process binding to the
-  * same instance first. */
+  * to the process binding) and threads it through EVERY read — including
+  * the manifest parse path ([[BucketedTable.readManifest]] takes the same
+  * fs parameter, r15 ADVICE), so a non-default fs needs no global
+  * rebinding and can never silently fsck the wrong store. */
 object Doctor {
 
   final case class Finding(level: String, layer: String, path: String,
@@ -114,7 +113,7 @@ object Doctor {
     if (!fs.exists(curDir.resolve("_MANIFEST").toString))
       return tmpFindings // plain Warehouse snapshot: pointer + dir is the contract
     val m =
-      try BucketedTable.readManifest(d)
+      try BucketedTable.readManifest(d, fs = fs)
       catch {
         case e: Exception =>
           return tmpFindings :+ fail("bucketed-table", d,
@@ -142,7 +141,7 @@ object Doctor {
       var torn = false
       while (!torn && v >= 0 &&
              fs.exists(dir.resolve(s"v=$v").resolve("_MANIFEST").toString)) {
-        scala.util.Try(BucketedTable.readManifest(d, Some(v)).parent) match {
+        scala.util.Try(BucketedTable.readManifest(d, Some(v), fs).parent) match {
           case scala.util.Success(p) if p < v => v = p
           case _ => torn = true
         }
@@ -180,16 +179,27 @@ object Doctor {
         val n = p.getFileName.toString
         if (!n.startsWith("v=") ||
             !fs.exists(p.resolve("_MANIFEST").toString)) None
-        else scala.util.Try(
-          n.stripPrefix("v=").toLong ->
-            BucketedTable.readManifest(d,
-              Some(n.stripPrefix("v=").toLong)).parent).toOption
+        else scala.util.Try {
+          // only manifests carrying an EXPLICIT parent= header join fork
+          // grouping: readManifest also reports -1 for header-less pre-r12
+          // legacy manifests, and grouping those would flag every legacy
+          // table's whole history as one giant false fork
+          val lines = fs.readLines(p.resolve("_MANIFEST").toString)
+          lines.find(_.startsWith("parent=")).map(h =>
+            n.stripPrefix("v=").toLong -> h.stripPrefix("parent=").toLong)
+        }.toOption.flatten
       }
-      parents.groupBy(_._2).filter(g => g._2.size > 1 && g._1 >= 0).toSeq
+      // parent=-1 groups are NOT excluded (r15 ADVICE): two competing
+      // table-CREATING commits (both explicitly claiming parent=-1) are
+      // equally strong interleaved-writer evidence with the same
+      // dropped-buckets risk
+      parents.groupBy(_._2).filter(_._2.size > 1).toSeq
         .sortBy(_._1).map { case (parent, kids) =>
+          val claim = if (parent >= 0) s"parent v=$parent"
+                      else "parent -1 (competing table-creating commits)"
           warn("bucketed-table", d,
             s"manifest fork: versions ${kids.map(_._1).sorted.mkString(", ")} " +
-              s"all claim parent v=$parent — evidence of a second writer " +
+              s"all claim $claim — evidence of a second writer " +
               "(a fenced commit's residue, or an interleaved publish whose " +
               "buckets the surviving chain dropped)",
             "audit which sibling the current chain passes through; if the " +

@@ -186,6 +186,10 @@ object AnnIndex {
         .foreach(d => gfs.createDirectories(d.toString))
       gfs.moveIfAbsent(tmp, indexDir)
     } catch {
+      // exception types pinned by the GraftFs.moveIfAbsent contract (r15
+      // ADVICE): every implementation must raise exactly these on an
+      // existing destination, so a lost build race is recoverable on any
+      // store, not just NIO
       case _: java.nio.file.FileAlreadyExistsException |
            _: java.nio.file.DirectoryNotEmptyException =>
         if (gfs.exists(readyMarker(indexDir))) deleteRecursively(tmp) // lost the race: theirs is complete

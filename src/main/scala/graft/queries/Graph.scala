@@ -79,8 +79,15 @@ object Graph {
     // aggregate in every round's teleport term — that shape cost one
     // SinglePartition exchange + one job per round (6 of each at any SF).
     // Integer semantics unchanged: the same `div` arithmetic, now folded
-    // as a literal.
+    // as a literal. NOTE (registry contract, r15 ADVICE): this count makes
+    // query CONSTRUCTION run Spark jobs (as the pins above already do) —
+    // plan-shape tooling that merely builds this query triggers execution.
     val n = od.count()
+    // empty edge set: the previous all-SQL teleport term divided by zero to
+    // an empty result; the driver-side literal fold must not turn that into
+    // a driver ArithmeticException (r15 ADVICE)
+    if (n == 0)
+      return od.select(col("src").as("node"), lit(0L).as("rank_nano")).limit(20)
     var ranks = od.select(col("src").as("node"), lit(1000000000L / n).as("r"))
     for (_ <- 1 to 5) {
       val contrib = ranks.join(edgesW, col("node") === col("src"))

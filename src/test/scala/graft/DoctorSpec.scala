@@ -107,6 +107,32 @@ class DoctorSpec extends AnyFunSuite {
     assert(!Doctor.diagnose(root).exists(_.problem.contains("manifest fork")))
   }
 
+  test("bucketed-table layer: two competing FIRST commits (both parent=-1) surface as a fork too (r15 ADVICE)") {
+    val root = Files.createTempDirectory("graft_doc_fork0").toString
+    val dir = s"$root/dim"
+    val v1 = commitRows(dir, Seq(1L -> "a")) // the real creating commit
+    // a second interleaved CREATOR: its manifest also claims parent=-1
+    val forkV = v1 + 1
+    Files.createDirectories(Paths.get(dir, s"v=$forkV"))
+    Files.copy(Paths.get(dir, s"v=$v1", "_MANIFEST"),
+      Paths.get(dir, s"v=$forkV", "_MANIFEST"))
+    val w = Doctor.diagnose(root).filter(f =>
+      f.level == "WARN" && f.problem.contains("manifest fork"))
+    assert(w.nonEmpty, "competing table-creating commits must surface as a fork")
+    assert(w.head.problem.contains("table-creating"),
+      s"the -1 group names its special shape — got: ${w.head.problem}")
+    // ... but a LEGACY (header-less) manifest pair must NOT false-positive:
+    // strip the parent= headers and the fork grouping skips both
+    Seq(v1, forkV).foreach { v =>
+      val p = Paths.get(dir, s"v=$v", "_MANIFEST")
+      val kept = Files.readAllLines(p).stream()
+        .filter(l => !l.startsWith("parent=")).toArray.mkString("\n")
+      Files.writeString(p, kept)
+    }
+    assert(!Doctor.diagnose(root).exists(_.problem.contains("manifest fork")),
+      "pre-r12 header-less manifests must not group as a false fork")
+  }
+
   test("pointer-table layer: a pointer naming an absent version dir fails with a re-point remedy") {
     val root = Files.createTempDirectory("graft_doc_ptr").toString
     val dir = s"$root/w"

@@ -68,6 +68,67 @@ class GraftFsSpec extends AnyFunSuite {
     again.foreach(_.close())
   }
 
+  test("replaceIfMatch: conditional PUT semantics on NIO (create-only, match, mismatch)") {
+    val d = tmp()
+    val f = s"$d/lease"
+    assert(fs.replaceIfMatch(f, None, "v1") === Some(true), "If-None-Match create")
+    assert(fs.replaceIfMatch(f, None, "v1b") === Some(false),
+      "create-only must lose once the file exists")
+    assert(fs.readString(f) === "v1")
+    assert(fs.replaceIfMatch(f, Some("v1"), "v2") === Some(true), "If-Match swap")
+    assert(fs.replaceIfMatch(f, Some("v1"), "v3") === Some(false),
+      "stale expectation must lose")
+    assert(fs.readString(f) === "v2", "loser must not clobber")
+    assert(fs.replaceIfMatch(s"$d/absent", Some("x"), "y") === Some(false),
+      "If-Match against an absent file fails the precondition")
+  }
+
+  test("replaceIfMatch: exactly one of N same-instant racers wins") {
+    val d = tmp()
+    val f = s"$d/ctr"
+    fs.writeString(f, "base")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val wins = (0 until 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          gate.await()
+          fs.replaceIfMatch(f, Some("base"), s"winner-$i").contains(true)
+        }
+      })
+    }
+    gate.countDown()
+    val won = wins.map(_.get())
+    pool.shutdown()
+    assert(won.count(identity) === 1, s"exactly one CAS winner: $won")
+    assert(fs.readString(f).startsWith("winner-"))
+  }
+
+  test("writer-lease acquisition is exactly-one-wins at ACQUISITION (r15 judge #2)") {
+    import graft.etl.BucketedTable
+    val d = tmp()
+    // seed an EXPIRED lease so every racer sees the same steal opportunity
+    val seed = BucketedTable.acquireWriterLease(d, "seed", ttlMillis = 0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val tries = (0 until 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = {
+          gate.await()
+          try Some(BucketedTable.acquireWriterLease(d, s"racer-$i").epoch)
+          catch { case _: java.util.ConcurrentModificationException => None }
+        }
+      })
+    }
+    gate.countDown()
+    val outcomes = tries.map(_.get())
+    pool.shutdown()
+    assert(outcomes.flatten.size === 1,
+      s"exactly one racer may believe it acquired: $outcomes")
+    assert(outcomes.flatten.head === seed.epoch + 1,
+      "the winner holds the single bumped epoch")
+  }
+
   test("NioFs is serializable (executor-side container readers capture it)") {
     val bo = new java.io.ByteArrayOutputStream()
     val oo = new java.io.ObjectOutputStream(bo)

@@ -47,6 +47,18 @@ class GraphSpec extends AnyFunSuite {
     assert(got.nonEmpty, "sf0.001 near-dup graph should contain triangles")
   }
 
+  test("pagerank: an empty edge set yields an empty rank frame, not a driver ArithmeticException (r15 ADVICE)") {
+    // the driver-side n_nodes literal fold must guard n == 0 — plant an
+    // empty lineitem table (schema only) and run the real query against it
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_empty").toString
+    spark.emptyDataset[(Long, Long)].toDF("l_suppkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Graph.qPagerank(spark, dir)
+    assert(out.columns.toSeq === Seq("node", "rank_nano"),
+      "the empty result keeps the declared schema")
+    assert(out.collect().isEmpty)
+  }
+
   test("triangles: orientation caps hub fan-out (star hub emits no wedges)") {
     // Under id-ordering a hub with id 0 would mint C(10,2)=45 wedges; under
     // degree-ordering every leaf (deg 1) points AT the hub (deg 10), the
