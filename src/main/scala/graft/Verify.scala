@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // CLI args stay authoritative (the driver always passes both); the env
+    // fallback shares Bench's resolution rule (SfEnv, r15 judge #8)
+    val sfDir = SfEnv.resolve("/root/testdata/sf0.01", args.headOption)
+    val outDir = args.lift(1).getOrElse("/tmp/verify_out")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
