@@ -43,6 +43,32 @@ object Bench {
     if (sumMin <= 0) 0.0 else ok.map(_._2).sum / sumMin
   }
 
+  /** Which queries an adjudication pass re-times (r15 judge #1): the 10
+    * SLOWEST (they drive the total, and under CONSISTENT ambient load both
+    * sweep runs inflate together with a small spread — the r14 mode) plus
+    * every query whose spread exceeds max(0.5 s, 25% of its min) (the
+    * noise-dominated risers the spread_ratio trip-wire fires on). Input
+    * tuples are (name, min, spread); errored queries (min < 0) never
+    * re-time. */
+  private[graft] def adjudicationSet(results: Seq[(String, Double, Double)]): Seq[String] = {
+    val ok = results.filter(_._2 >= 0)
+    val bySlow = ok.sortBy(-_._2).take(10).map(_._1)
+    val bySpread = ok.filter(r => r._3 > math.max(0.5, 0.25 * r._2))
+      .sortBy(-_._3).take(10).map(_._1)
+    (bySlow ++ bySpread).distinct
+  }
+
+  /** The adjudicated headline: each query's sweep min replaced by
+    * min(sweep, isolated re-time) — an isolated run can only remove
+    * contamination, never add it (a re-time that lands in ANOTHER loaded
+    * window reads high and the min keeps the sweep value). Errored queries
+    * stay excluded exactly as in the raw total. */
+  private[graft] def adjudicatedTotal(results: Seq[(String, Double)],
+                                      isolated: Map[String, Double]): Double =
+    results.filter(_._2 >= 0).map { case (n, m) =>
+      isolated.get(n).map(math.min(_, m)).getOrElse(m)
+    }.sum
+
   /** (contended, suspect). Contended when ANY signal trips a hard band:
     * a probe median > `hardRatio`× its idle band, or top-10 spread_ratio
     * > 0.35. Suspect (r14 judge #1c) when clean but not CLEAN: any probe
@@ -172,6 +198,11 @@ object Bench {
     // number even when the sweep starts under contention.
     val canarySamples = scala.collection.mutable.ArrayBuffer(canaryOnce())
     val canaryIoSamples = scala.collection.mutable.ArrayBuffer(canaryIoOnce())
+    def timedRun(n: String): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try Right { evalOnce(n); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+    }
     val results: Seq[(String, Double, Double, Option[String])] =
       names.zipWithIndex.map { case (n, qi) =>
       // one sample per leg every 12 queries, phase-offset so the two probes
@@ -179,11 +210,7 @@ object Bench {
       // exactly the ambient conditions the measurements did
       if (qi % 12 == 11) canarySamples += canaryOnce()
       if (qi % 12 == 5) canaryIoSamples += canaryIoOnce()
-      def timed(): Either[String, Double] = {
-        val t0 = System.nanoTime()
-        try Right { evalOnce(n); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-      }
+      def timed(): Either[String, Double] = timedRun(n)
       var runs = Vector(timed(), timed())
       def best2 = runs.collect { case Right(s) => s }.sorted.take(2)
       def spread = if (best2.size < 2) 0.0 else best2(1) - best2(0)
@@ -204,6 +231,43 @@ object Bench {
     val (contended, suspect) =
       contentionVerdict(canaryContendedRatio, canaryRatio, canaryIoRatio,
         spreadRatioV)
+    // SELF-ADJUDICATION (r15 judge #1): canary v2 made a contended sweep
+    // say so, but the acceptance number still needed a judge's QueryTimer
+    // re-run. Close the loop in-process: on a tripped (or suspect) canary,
+    // re-time the drivers of the total — the 10 slowest plus every
+    // wide-spread riser — isolated and sequential AFTER the sweep (ambient
+    // load is bursty; min-of-adaptive-runs in a later window converges on
+    // the idle number), and report an adjudicated_total alongside the raw
+    // one. min(sweep, isolated) per query: a re-time landing in another
+    // loaded window can never make the number worse. Disable with
+    // SPARK_GRAFT_BENCH_NO_ADJUDICATE=1 (calibration runs want raw only).
+    val isolated: Map[String, Double] =
+      if (!(contended || suspect) ||
+          sys.env.contains("SPARK_GRAFT_BENCH_NO_ADJUDICATE")) Map.empty
+      else {
+        val picks = adjudicationSet(results.map(r => (r._1, r._2, r._3)))
+        System.err.println(f"[bench] canary tripped (contended=$contended " +
+          f"suspect=$suspect spread_ratio=$spreadRatioV%.2f): " +
+          s"re-timing ${picks.size} queries isolated")
+        picks.flatMap { n =>
+          var runs = List.empty[Double]
+          var errored = false
+          def run(): Unit = timedRun(n) match {
+            case Right(s) => runs ::= s
+            case Left(_) => errored = true // sweep already reported it
+          }
+          run(); run()
+          // same adaptive-repeat discipline as the sweep: while the two
+          // best runs disagree by more than the min, add one (cap 4)
+          while (!errored && runs.size < 4 &&
+                 { val b = runs.sorted.take(2); b.size == 2 && b(1) - b(0) > b(0) })
+            run()
+          if (errored || runs.isEmpty) None else Some(n -> runs.min)
+        }.toMap
+      }
+    val adjTotalOpt: Option[Double] =
+      if (isolated.isEmpty) None
+      else Some(adjudicatedTotal(results.map(r => (r._1, r._2)), isolated))
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")
     // The driver parses the JSON from a bounded 2000-char tail of stdout, and
     // sbt's trailing "[success] ..." line consumes ~76 of those — the JSON
@@ -259,7 +323,16 @@ object Bench {
         canaryIoIdle.map(b => s""","canary_idle_io":${sec(b, 2)}""").getOrElse("") +
         s""","spread_ratio":${sec(spreadRatioV, 2)}""" +
         s""","contended":$contended,"suspect":$suspect""" +
-        vsReference.map(v => s""","vs_reference":${sec(v, 2)}""").getOrElse("")
+        vsReference.map(v => s""","vs_reference":${sec(v, 2)}""").getOrElse("") +
+        // self-adjudication block (only on tripped sweeps): the isolated-
+        // re-time total and its gate ratio, next to the raw numbers — the
+        // artifact carries BOTH, so a consumer sees what was repaired
+        adjTotalOpt.map { t =>
+          s""","n_adjudicated":${isolated.size}""" +
+            s""","adjudicated_total":${sec(t, 2)}""" +
+            referenceSec.map(r =>
+              s""","vs_reference_adjudicated":${sec(t / r, 2)}""").getOrElse("")
+        }.getOrElse("")
     def render(dp: Int, withSpread: Boolean = false): String = {
       val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + sec(v, dp) }
         .mkString("{", ",", "}")
@@ -268,7 +341,13 @@ object Bench {
         if (!withSpread) ""
         else s""","spread":${results.map { case (k, _, sp, _) =>
           "\"" + k + "\":" + sec(sp, dp) }.mkString("{", ",", "}")}"""
-      s"""{"metric":"total","value":${sec(total, dp max 2)},"unit":"sec","queries":$qs$spreadPart$errPart${selfPart(results.length)},"sf":"$sfName"}"""
+      // per-query isolated re-times: sidecar-only, so the adjudicated
+      // total's composition is auditable query by query
+      val isoPart =
+        if (!withSpread || isolated.isEmpty) ""
+        else s""","adjudicated":${isolated.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + "\":" + sec(v, dp) }.mkString("{", ",", "}")}"""
+      s"""{"metric":"total","value":${sec(total, dp max 2)},"unit":"sec","queries":$qs$spreadPart$isoPart$errPart${selfPart(results.length)},"sf":"$sfName"}"""
     }
     // Budget: the driver keeps a 2000-char stdout tail; sbt's trailing
     // "[success] Total time: ..." line + newlines eat ~76, so the JSON line

@@ -79,6 +79,63 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(!c4 && !s4, "a clean full sweep's floor spread must not alarm")
   }
 
+  test("self-adjudication replays the r15 artifact and lands in the clean band (r15 judge #1)") {
+    // BENCH_r15.json's actual shape: total 234.38 contended (spread_ratio
+    // 0.60), driven by q_sql_recursive 64.05 s (spread 59.54; clean 1.99)
+    // and q_sql_text 22.49 (spread 8.41; clean ~1.5) on top of a mildly
+    // inflated riser set; clean close band was 116.3–126.6 s.
+    val risers = Seq(
+      ("q_sql_recursive", 64.05, 59.54), ("q_sql_text", 22.49, 8.41),
+      ("q_stats_moments", 9.11, 0.17), ("q_markov_transitions", 5.65, 0.43),
+      ("q_curation_audit", 5.27, 0.66), ("q_corpus_curate", 4.84, 0.27),
+      ("q_pagerank", 4.72, 2.77), ("q_ngram_jaccard", 4.58, 3.11),
+      ("q_cross_source_keep", 3.66, 0.37), ("q_map_funcs", 3.47, 1.0),
+      ("q_math_funcs", 3.25, 0.40), ("q_dedup_keep", 2.94, 0.30))
+    val tail = (1 to 156).map(i => (f"q_tail_$i%03d", 0.643, 0.02))
+    val sweep = risers ++ tail
+    assert(math.abs(sweep.map(_._2).sum - 234.38) < 0.5, "replay fidelity")
+
+    val picks = Bench.adjudicationSet(sweep)
+    assert(picks.contains("q_sql_recursive") && picks.contains("q_sql_text"),
+      "the contamination drivers must be re-timed")
+    assert(picks.contains("q_ngram_jaccard"),
+      "a wide-spread riser outside nothing — spread rule picks it")
+    assert(!picks.exists(_.startsWith("q_tail_")),
+      "the quiet sub-second majority is never re-timed")
+    assert(picks.size <= 20, s"bounded re-time cost: ${picks.size}")
+
+    // isolated re-times: the judge's QueryTimer numbers where the sweep was
+    // contaminated; slightly WORSE numbers where the sweep was already clean
+    // (min() must keep the sweep value there)
+    val iso = Map(
+      "q_sql_recursive" -> 1.99, "q_sql_text" -> 1.5,
+      "q_stats_moments" -> 1.2, "q_markov_transitions" -> 1.1,
+      "q_curation_audit" -> 5.50, "q_corpus_curate" -> 4.90,
+      "q_pagerank" -> 3.46, "q_ngram_jaccard" -> 1.4,
+      "q_cross_source_keep" -> 4.0, "q_map_funcs" -> 2.2)
+    val adj = Bench.adjudicatedTotal(sweep.map(r => (r._1, r._2)),
+      iso.view.filterKeys(picks.contains).toMap)
+    val raw = sweep.map(_._2).sum
+    assert(adj < raw * 0.6, f"adjudication must repair the bulk: $adj%.1f vs $raw%.1f")
+    // the clean twin: same data with every contaminated riser at its
+    // isolated value — adjudication converges exactly onto it
+    val cleanTwin = sweep.map { case (n, m, _) =>
+      iso.get(n).map(math.min(_, m)).getOrElse(m) }.sum
+    assert(math.abs(adj - cleanTwin) < 1e-9,
+      "min(sweep, isolated) composition IS the clean twin")
+    assert(adj < 140.0, f"the adjudicated total lands near the clean band: $adj%.1f")
+  }
+
+  test("adjudication can only repair, never worsen, and skips errored queries") {
+    val sweep = Seq(("q_a", 10.0, 5.0), ("q_b", 2.0, 0.1), ("q_err", -1.0, 0.0))
+    // a re-time landing in ANOTHER loaded window reads HIGH: min keeps sweep
+    val adj = Bench.adjudicatedTotal(sweep.map(r => (r._1, r._2)),
+      Map("q_a" -> 14.0, "q_b" -> 1.5))
+    assert(adj === 10.0 + 1.5, "worse isolated time ignored; better one taken")
+    assert(!Bench.adjudicationSet(sweep).contains("q_err"),
+      "errored queries never re-time (their failure is already reported)")
+  }
+
   test("errored queries (-1 sentinel) are excluded from spread_ratio") {
     val withErr = Seq((-1.0, 0.0), (10.0, 0.5), (10.0, 0.5))
     assert(Bench.spreadRatioOf(withErr) === 0.05)
