@@ -2080,6 +2080,39 @@ object Oracle {
         |FROM sc CROSS JOIN p
         |ORDER BY doc_id""".stripMargin,
 
+    // Bigram form (r15 judge #4): same micro-snap-before-long-sum discipline;
+    // every ln argument is an exact small-integer ratio in both engines
+    // (add-1 numerator, c1_prev + V denominator). The doc-initial token
+    // backs off to the unsmoothed unigram exactly as the Spark side does.
+    "q_lm_perplexity2" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, w[i] AS tw,
+        |    CASE WHEN i > 1 THEN w[i - 1] ELSE NULL END AS w_prev
+        |  FROM d, unnest(range(1, len(w) + 1)) AS r(i)),
+        |uni AS (SELECT tw AS w, count(*) AS c1 FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS cu, count(*) AS v FROM uni),
+        |bi AS (SELECT w_prev, tw AS w, count(*) AS c2 FROM tok
+        |       WHERE w_prev IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT tok.doc_id, count(*) AS n_words,
+        |    sum(CAST(floor(CASE WHEN tok.w_prev IS NULL
+        |      THEN ln(CAST(cu AS DOUBLE) / u.c1)
+        |      ELSE ln(CAST(up.c1 + v AS DOUBLE) / (bi.c2 + 1)) END * 1e6)
+        |      AS BIGINT)) AS nll_micro
+        |  FROM tok
+        |  JOIN uni u ON u.w = tok.tw
+        |  LEFT JOIN uni up ON up.w = tok.w_prev
+        |  LEFT JOIN bi ON bi.w_prev = tok.w_prev AND bi.w = tok.tw
+        |  CROSS JOIN t
+        |  GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    floor(CAST(nll_micro AS DOUBLE) / n_words) / 1e6 AS avg_nll
+        |  FROM s),
+        |p AS (SELECT floor(quantile_cont(avg_nll, 0.9) * 1e6) / 1e6 AS p90
+        |      FROM sc)
+        |SELECT doc_id, n_words, avg_nll, avg_nll > p90 AS flagged
+        |FROM sc CROSS JOIN p
+        |ORDER BY doc_id""".stripMargin,
+
     // NB quality gate: Laplace-smoothed two-class word LLR; identical double
     // division and ln arguments both engines, micro-snapped per word before
     // the long per-doc sum (same exposure class as q_lm_perplexity).

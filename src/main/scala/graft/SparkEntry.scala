@@ -159,6 +159,7 @@ object SparkEntry {
     "q_corpus_curate"  -> (graft.etl.CorpusPipeline.qCorpusCurate _),
     "q_curation_audit" -> (graft.etl.CorpusPipeline.qCurationAudit _),
     "q_lm_perplexity"  -> (LlmText.qLmPerplexity _),
+    "q_lm_perplexity2" -> (LlmText.qLmPerplexity2 _),
     "q_content_chunks" -> (LlmText.qContentChunks _),
     "q_chunk_dedup"    -> (Llm.qChunkDedup _),
     "q_split_assign"   -> (LlmMix.qSplitAssign _),

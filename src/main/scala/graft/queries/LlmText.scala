@@ -538,6 +538,68 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  /** §2.9 Bigram-LM perplexity filtering (r15 judge #4 — the order-1 rung
+    * of the CCNet/KenLM family): score every document by the average
+    * negative log-probability of its tokens under the corpus-estimated
+    * BIGRAM model with add-1 (Laplace) smoothing, and flag the worst
+    * decile. The step [[qLmPerplexity]]'s order-0 form cannot take: a
+    * scrambled-word document has EXACTLY the unigram score of its fluent
+    * twin (same bag of words), but its unseen adjacent pairs score at the
+    * smoothing floor here — the conditional-probability signal every real
+    * LM-based curation filter keys on.
+    *
+    * Model: p(w | w_prev) = (c2(w_prev, w) + 1) / (c1(w_prev) + V) for
+    * every non-initial token (V = vocabulary size); the document-initial
+    * token scores under the unsmoothed unigram p(w) = c1(w)/N (in-vocab by
+    * construction, the same backoff-to-unigram boundary KenLM uses at
+    * sentence starts). Shape at scale: the bigram count table is
+    * vocab²-BOUNDED but not vocab-SMALL, so unlike the unigram model it is
+    * NOT force-broadcast — inference is a keyed equi-join on
+    * (w_prev, w) that AQE broadcasts while the table fits and shuffles
+    * keyed when it does not (the plan you want at 100 TB); the w_prev
+    * sequencing is one lag window per doc (doc-keyed, bounded partitions).
+    * Cross-engine discipline unchanged (§5.3): every ln argument is an
+    * exact small-integer ratio, each token's nll floor-snaps to integer
+    * MICRO-units before the per-doc long sum, and the decile cut compares
+    * micro-snapped scores against the micro-snapped exact P90. */
+  def qLmPerplexity2(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+    // one doc-keyed lag window attaches each token's left context; pinned
+    // because it feeds BOTH the bigram model build and the scoring join
+    // (unpinned, the token pass and the window run twice)
+    val seq = Llm.pinShared(toks.withColumn("w_prev",
+      lag("w", 1).over(Window.partitionBy("doc_id").orderBy("pos"))))
+    val uni = Llm.pinShared(seq.groupBy("w").agg(count(lit(1)).as("c1")))
+    val totals = uni.agg(sum(col("c1")).as("cu"), count(lit(1)).as("v"))
+    val bi = seq.filter(col("w_prev").isNotNull)
+      .groupBy("w_prev", "w").agg(count(lit(1)).as("c2"))
+    val scored = Llm.pinShared(seq
+      .join(broadcast(uni), Seq("w")) // unigram leg: vocabulary-bounded
+      .join(broadcast(uni.select(col("w").as("w_prev"),
+        col("c1").as("c1_prev"))), Seq("w_prev"), "left")
+      .join(bi, Seq("w_prev", "w"), "left") // vocab²-bounded: NOT forced
+      .crossJoin(broadcast(totals))
+      .withColumn("nll_micro_tok",
+        when(col("w_prev").isNull, // document-initial: unigram backoff
+          floor(log(col("cu").cast("double") / col("c1")) * 1e6).cast("long"))
+        .otherwise( // add-1 bigram; every SEEN pair has c2 >= 1, unseen
+                    // pairs cannot occur (model estimated on this corpus)
+          floor(log((col("c1_prev") + col("v")).cast("double") / (col("c2") + 1))
+            * 1e6).cast("long")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("nll_micro_tok").as("nll_micro"))
+      .withColumn("avg_nll",
+        floor(col("nll_micro").cast("double") / col("n_words")) / 1e6))
+    val p90 = scored.agg(
+      (floor(percentile(col("avg_nll"), lit(0.9)) * 1e6) / 1e6).as("p90"))
+    scored.crossJoin(broadcast(p90))
+      .withColumn("flagged", col("avg_nll") > col("p90"))
+      .select("doc_id", "n_words", "avg_nll", "flagged")
+      .orderBy("doc_id")
+  }
+
   /** §2.9 Supervised quality gate — a word-level Naive Bayes classifier
     * trained IN the query (the GPT-3/fasttext pattern: positive class = a
     * curated corpus, here src0; negative = the rest) and applied to every

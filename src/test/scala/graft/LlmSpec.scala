@@ -18,6 +18,47 @@ class LlmSpec extends AnyFunSuite {
   private val base =
     "spark scan filter join hash merge sort window batch vector line data key value table part"
 
+  test("bigram perplexity flags scrambled twins the unigram form provably cannot (r15 judge #4)") {
+    // 16 fluent docs built from cyclic rotations of one 10-word sentence
+    // (every adjacent pair is a cyclic FORWARD pair) plus 2 reversed twins
+    // (same BAG of words, every pair a backward pair). The bag is identical
+    // across all 18 docs, so the order-0 model scores every doc the same —
+    // the order-1 model is the smallest one that can see the difference.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppl2").toString
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
+                    "foxtrot", "golf", "hotel", "india", "juliet")
+    def rot(r: Int) = words.drop(r) ++ words.take(r)
+    val fluent = (1 to 16).map(i =>
+      (i.toLong, Seq.fill(3)(rot(i % 4)).flatten.mkString(" ")))
+    val reversedText = Seq.fill(3)(words.reverse).flatten.mkString(" ")
+    val all = fluent ++ Seq(17L -> reversedText, 18L -> reversedText)
+    all.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("src0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val uni = LlmText.qLmPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(uni.values.map(_._1).toSet.size === 1,
+      "identical bags of words: the unigram model scores all 18 docs equally")
+    assert(uni.values.forall(!_._2), "order-0 flags nothing here")
+
+    val bi = LlmText.qLmPerplexity2(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val fluentMax = (1L to 16L).map(bi(_)._1).max
+    val scrambledMin = Seq(17L, 18L).map(bi(_)._1).min
+    assert(scrambledMin > fluentMax,
+      f"backward pairs must score strictly worse: $scrambledMin%.3f vs $fluentMax%.3f")
+    assert(bi.filter(_._2._2).keySet === Set(17L, 18L),
+      "the P90 cut flags exactly the scrambled twins (the worst decile)")
+    // P90-cut PARITY with the unigram form: identical decile discipline —
+    // same output schema, same flag rule; on this corpus the forms differ
+    // exactly where word ORDER is the only signal
+    assert(LlmText.qLmPerplexity2(spark, dir).columns.toSeq ===
+      LlmText.qLmPerplexity(spark, dir).columns.toSeq)
+  }
+
   test("minhash: identical docs collide; disjoint-vocabulary docs do not") {
     val other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val pairs = Llm.minhashPairs(docs(1L -> base, 2L -> base, 3L -> other))
