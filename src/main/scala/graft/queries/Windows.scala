@@ -132,13 +132,24 @@ object Windows {
     *
     * Scale note: the join keeps an EQUI component (custkey) with the interval
     * predicate as residual, so Catalyst plans a sort-merge join, not a nested
-    * loop — the property that keeps this viable at 100 TB. */
+    * loop — the property that keeps this viable at 100 TB.
+    *
+    * The dim frame is PINNED (r16, skew gate): with the window riding
+    * directly between the dim shuffle and the join, AQE's OptimizeSkewedJoin
+    * cannot address the dim side's shuffle blocks and DECLINES to split a
+    * hot fact customer (the rule only matches sort-over-shuffle-stage on
+    * BOTH inputs). Materializing the dimension-sized version table first
+    * puts the join's dim input behind its own fresh exchange, and the
+    * measured hot-key gate (ScaleUp skew section) shows the split firing —
+    * the same shape [[graft.etl.WarehouseEtl]]'s pinned SCD2 versions frame
+    * uses. Cost: one dimension-sized materialization (|customer·dates|,
+    * far below fact scale). */
   def qJoinRangeScd2(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("d_custkey").orderBy("eff")
-    val dim = Tables.orders(spark, dir)
+    val dim = Exprs.pinShared(Tables.orders(spark, dir)
       .select(col("o_custkey").as("d_custkey"), col("o_orderdate").as("eff"))
       .distinct()
-      .withColumn("end_ts", lead(col("eff"), 1).over(w))
+      .withColumn("end_ts", lead(col("eff"), 1).over(w)))
     val fact = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"), col("l_shipdate"))
