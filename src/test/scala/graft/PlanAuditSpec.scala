@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_mix_interleave", // 1-row per-source-stats array broadcast (r8)
     "q_word_pmi", "q_skew_profile", // 1-row totals broadcasts
     "q_lm_perplexity", // 1-row corpus-total and P90 broadcasts
+    "q_lm_perplexity2", // same 1-row corpus-total/P90 broadcasts, bigram form
     "q_interpolate", // |groups| × 1-row-exploded day-range spine cross
     "q_knn_batch", // m-row probe batch (bounded), broadcast
     "q_hybrid_rrf", // inherits its arms' 1-row probe/stats broadcasts (r9)
