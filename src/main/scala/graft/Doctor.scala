@@ -101,6 +101,27 @@ object Doctor {
           "removes the current version — this is manual deletion or a " +
           "foreign writer)",
         "re-point _CURRENT at the newest complete version directory on disk"))
+    // writer-lease health (r16): acquisition RAISES on a corrupt lease
+    // (treating it as absent would reset the epoch counter and re-validate
+    // stale fencing tokens), so the offline fsck names the file and the
+    // operator recipe instead of leaving the table un-acquirable
+    val leaseFindings = {
+      val f = dir.resolve("_WRITER_LEASE").toString
+      if (!fs.isFile(f)) Nil
+      else scala.util.Try {
+        val Array(_, e, exp) = fs.readString(f).trim.split(" ")
+        (e.toLong, exp.toLong)
+      } match {
+        case scala.util.Success(_) => Nil
+        case scala.util.Failure(_) => Seq(warn("writer-lease", d,
+          "_WRITER_LEASE exists but does not parse (writerId epoch " +
+            "expiresAtMillis) — every acquisition will raise until it is " +
+            "repaired; silently resetting it would restart the epoch " +
+            "counter and could re-validate a stale fencing token",
+          "confirm no writer holds the table, then remove the file by " +
+            "hand; the next acquisition re-creates it at epoch 1"))
+      }
+    }
     val staleTmp = list(dir, fs).filter { p =>
       val n = p.getFileName.toString
       n.startsWith("_CURRENT.tmp-") &&
@@ -111,12 +132,12 @@ object Doctor {
       s"stale staged pointer ${p.getFileName} (a crashed commitPointer)",
       "reclaimed by the table's vacuum; safe to ignore meanwhile"))
     if (!fs.exists(curDir.resolve("_MANIFEST").toString))
-      return tmpFindings // plain Warehouse snapshot: pointer + dir is the contract
+      return leaseFindings ++ tmpFindings // plain Warehouse snapshot: pointer + dir is the contract
     val m =
       try BucketedTable.readManifest(d, fs = fs)
       catch {
         case e: Exception =>
-          return tmpFindings :+ fail("bucketed-table", d,
+          return (leaseFindings ++ tmpFindings) :+ fail("bucketed-table", d,
             s"current _MANIFEST (v=$cur) does not parse (${e.getMessage})",
             "the current manifest is written before the pointer flips, so " +
               "this is disk corruption — re-point _CURRENT at the parent " +
@@ -209,7 +230,8 @@ object Doctor {
               "writer per table)")
         }
     }
-    tmpFindings ++ refFindings ++ chainFindings ++ footprint ++ forkFindings
+    leaseFindings ++ tmpFindings ++ refFindings ++ chainFindings ++
+      footprint ++ forkFindings
   }
 
   /** Layer 3 (+4): a `X._CURRENT` versioned-generation table; ANN model

@@ -133,6 +133,24 @@ class DoctorSpec extends AnyFunSuite {
       "pre-r12 header-less manifests must not group as a false fork")
   }
 
+  test("writer-lease layer: a corrupt _WRITER_LEASE warns with the operator recipe; healthy and released leases stay silent (r16)") {
+    val root = Files.createTempDirectory("graft_doc_lease").toString
+    val dir = s"$root/dim"
+    commitRows(dir, Seq(1L -> "a"))
+    // healthy active lease: no finding
+    val l = graft.etl.BucketedTable.acquireWriterLease(dir, "w1")
+    assert(!Doctor.diagnose(root).exists(_.layer == "writer-lease"))
+    // released (expired-in-place) lease: still parses, still silent
+    graft.etl.BucketedTable.releaseWriterLease(l)
+    assert(!Doctor.diagnose(root).exists(_.layer == "writer-lease"))
+    // corruption: WARN naming the epoch-reset hazard and the recipe
+    Files.writeString(Paths.get(dir, "_WRITER_LEASE"), "garbage not a lease")
+    val w = Doctor.diagnose(root).filter(_.layer == "writer-lease")
+    assert(w.nonEmpty && w.head.level === "WARN")
+    assert(w.head.problem.contains("does not parse"))
+    assert(w.head.remedy.contains("remove the file by hand"))
+  }
+
   test("pointer-table layer: a pointer naming an absent version dir fails with a re-point remedy") {
     val root = Files.createTempDirectory("graft_doc_ptr").toString
     val dir = s"$root/w"

@@ -63,6 +63,72 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("hot-key skew variant: ~30% bands, disjoint, referentially intact, other tables shared (r16)") {
+    val dir = Files.createTempDirectory("graft_skewvar").toString
+    ScaleUp.materializeSkew(spark, TestSpark.sfDir, dir)
+    val src = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    val skew = spark.read.parquet(s"$dir/lineitem.parquet")
+    val n = src.count().toDouble
+    assert(skew.count().toLong === n.toLong, "same volume, different key distribution")
+    val topOrder = skew.groupBy("l_orderkey").count()
+      .orderBy(col("count").desc).head
+    val topSupp = skew.groupBy("l_suppkey").count()
+      .orderBy(col("count").desc).head
+    assert(topOrder.getLong(1) / n > 0.25 && topOrder.getLong(1) / n < 0.35,
+      s"one orderkey must carry ~30%: ${topOrder.getLong(1) / n}")
+    assert(topSupp.getLong(1) / n > 0.25 && topSupp.getLong(1) / n < 0.40,
+      s"one supplier must carry ~30%+its organic share: ${topSupp.getLong(1) / n}")
+    // DISJOINT bands: the hot supplier's rows keep diverse orderkeys (this
+    // is what lets q_skew_salt's orderkey-derived salt split the hot
+    // supplier — correlated skew would collapse it onto one salt value)
+    val hotSupp = topSupp.getLong(0)
+    val saltCount = skew.filter(col("l_suppkey") === hotSupp)
+      .select(pmod(col("l_orderkey"), lit(8L))).distinct().count()
+    assert(saltCount === 8L, "the hot supplier's rows must span all 8 salts")
+    // referential integrity: the hot orderkey is an EXISTING order
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    assert(skew.join(o, skew("l_orderkey") === o("o_orderkey"), "left_anti")
+      .count() === 0L)
+    // non-fact tables ride by symlink (same bytes, zero copy cost)
+    assert(Files.isSymbolicLink(java.nio.file.Paths.get(dir, "orders.parquet")))
+  }
+
+  test("auditJoins: scalar stacks and global-agg exchanges are benign; real products and 1-partition shuffles trip (r16)") {
+    def audited(df: org.apache.spark.sql.DataFrame): (Boolean, Boolean, Boolean) = {
+      df.collect() // finalize the adaptive plan — the audit's own contract
+      ScaleUp.auditJoins(df.queryExecution.executedPlan)
+    }
+    val big = spark.range(1000).toDF("k")
+    val big2 = spark.range(1000).toDF("j")
+    // scalar-aggregate crossJoin stack (the q_warehouse_etl report shape)
+    val scalarStack = big.agg(sum("k").as("a"))
+      .crossJoin(big2.agg(count(lit(1)).as("b")))
+      .crossJoin(big.agg(max("k").as("c")))
+    val (n1, s1, _) = audited(scalarStack)
+    assert(!n1, "scalar product stack must not read as a nested-loop hazard")
+    assert(!s1, "global-agg SinglePartition exchanges are the 1-row shape")
+    // a genuine non-scalar product IS the hazard
+    val (n2, _, _) = audited(big.crossJoin(big2))
+    assert(n2, "a real 1000x1000 product must trip the audit")
+    // a 1-partition shuffle OUTSIDE a global agg is the one-reducer smell
+    val (_, s3, _) = audited(big.repartition(1).groupBy("k").count())
+    assert(s3, "repartition(1) must trip the single-reducer check")
+    // an ordinary keyed join is clean
+    val (n4, s4, _) = audited(
+      big.join(big2.withColumnRenamed("j", "k"), "k").groupBy("k").count())
+    assert(!n4 && !s4)
+  }
+
+  test("annRecall helper clears the unit-gate floors on the real sf corpus (r16)") {
+    val hits = ScaleUp.annRecall(spark, TestSpark.sfDir).toMap
+    val floors = graft.etl.AnnQuality.minRecall
+    Seq("lsh", "ivf", "ivfpq").foreach { p =>
+      assert(hits(p) >= floors(p),
+        s"$p: ${hits(p)} below floor ${floors(p)} with the fixture planted " +
+          "inside the real embeddings corpus")
+    }
+  }
+
   test("embedding sign flips preserve norms exactly and scramble cross-copy cosine") {
     val rep = spark.read.parquet(s"$out/embeddings.parquet")
     val pairs = rep.filter(col("vec_id") < 100000000L).as("a")
