@@ -1498,6 +1498,108 @@ object Oracle {
         |FROM n
         |ORDER BY vec_id""".stripMargin,
 
+    // MMR diversity reranking (r16): the 10 greedy steps unrolled as
+    // chained MATERIALIZED CTEs (the q_pagerank unrolled-rounds precedent;
+    // MATERIALIZED is load-bearing twice over — DuckDB otherwise INLINES
+    // each sel_i reference and the sel/pick chain re-expands exponentially,
+    // and every inline re-expansion re-opens the parquet-backed view until
+    // the process hits its file-handle limit). Integer scores throughout:
+    // one-step snap round(cos*10000) (round-then-scale would double-round
+    // across the int cast), lambda=0.7 as 7*rel4 - 3*maxsim4.
+    "q_mmr_rerank" ->
+      """WITH n AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_sum([CAST(x AS DOUBLE) * x for x in embedding])) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT v AS pv, nrm AS pnrm FROM n WHERE vec_id = 0),
+        |cand AS MATERIALIZED (SELECT vec_id,
+        |    CAST(round(list_sum([v[i]*pv[i] for i in generate_series(1, len(v))])
+        |      / (nrm * pnrm) * 10000) AS INT) AS rel4,
+        |    v, nrm
+        |  FROM n, p WHERE vec_id <> 0
+        |  ORDER BY rel4 DESC, vec_id ASC LIMIT 20),
+        |sim AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(round(list_sum([a.v[i]*b.v[i] for i in generate_series(1, len(a.v))])
+        |      / (a.nrm * b.nrm) * 10000) AS INT) AS s4
+        |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+        |pick1 AS MATERIALIZED (SELECT vec_id, rel4, 7 * rel4 AS sc FROM cand
+        |  ORDER BY sc DESC, vec_id ASC LIMIT 1),
+        |sel1 AS MATERIALIZED (SELECT vec_id FROM pick1),
+        |pick2 AS MATERIALIZED (SELECT c.vec_id, c.rel4,
+        |    7 * c.rel4 - 3 * (SELECT max(s4) FROM sim
+        |      WHERE va = c.vec_id AND vb IN (SELECT vec_id FROM sel1)) AS sc
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+        |  ORDER BY sc DESC, c.vec_id ASC LIMIT 1),
+        |sel2 AS MATERIALIZED (SELECT vec_id FROM sel1
+        |  UNION ALL SELECT vec_id FROM pick2),
+        |pick3 AS MATERIALIZED (SELECT c.vec_id, c.rel4,
+        |    7 * c.rel4 - 3 * (SELECT max(s4) FROM sim
+        |      WHERE va = c.vec_id AND vb IN (SELECT vec_id FROM sel2)) AS sc
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+        |  ORDER BY sc DESC, c.vec_id ASC LIMIT 1),
+        |sel3 AS MATERIALIZED (SELECT vec_id FROM sel2
+        |  UNION ALL SELECT vec_id FROM pick3),
+        |pick4 AS MATERIALIZED (SELECT c.vec_id, c.rel4,
+        |    7 * c.rel4 - 3 * (SELECT max(s4) FROM sim
+        |      WHERE va = c.vec_id AND vb IN (SELECT vec_id FROM sel3)) AS sc
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+        |  ORDER BY sc DESC, c.vec_id ASC LIMIT 1),
+        |sel4 AS MATERIALIZED (SELECT vec_id FROM sel3
+        |  UNION ALL SELECT vec_id FROM pick4),
+        |pick5 AS MATERIALIZED (SELECT c.vec_id, c.rel4,
+        |    7 * c.rel4 - 3 * (SELECT max(s4) FROM sim
+        |      WHERE va = c.vec_id AND vb IN (SELECT vec_id FROM sel4)) AS sc
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+        |  ORDER BY sc DESC, c.vec_id ASC LIMIT 1),
+        |sel5 AS MATERIALIZED (SELECT vec_id FROM sel4
+        |  UNION ALL SELECT vec_id FROM pick5),
+        |pick6 AS MATERIALIZED (SELECT c.vec_id, c.rel4,
+        |    7 * c.rel4 - 3 * (SELECT max(s4) FROM sim
+        |      WHERE va = c.vec_id AND vb IN (SELECT vec_id FROM sel5)) AS sc
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel5)
+        |  ORDER BY sc DESC, c.vec_id ASC LIMIT 1),
+        |sel6 AS MATERIALIZED (SELECT vec_id FROM sel5
+        |  UNION ALL SELECT vec_id FROM pick6),
+        |pick7 AS MATERIALIZED (SELECT c.vec_id, c.rel4,
+        |    7 * c.rel4 - 3 * (SELECT max(s4) FROM sim
+        |      WHERE va = c.vec_id AND vb IN (SELECT vec_id FROM sel6)) AS sc
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel6)
+        |  ORDER BY sc DESC, c.vec_id ASC LIMIT 1),
+        |sel7 AS MATERIALIZED (SELECT vec_id FROM sel6
+        |  UNION ALL SELECT vec_id FROM pick7),
+        |pick8 AS MATERIALIZED (SELECT c.vec_id, c.rel4,
+        |    7 * c.rel4 - 3 * (SELECT max(s4) FROM sim
+        |      WHERE va = c.vec_id AND vb IN (SELECT vec_id FROM sel7)) AS sc
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel7)
+        |  ORDER BY sc DESC, c.vec_id ASC LIMIT 1),
+        |sel8 AS MATERIALIZED (SELECT vec_id FROM sel7
+        |  UNION ALL SELECT vec_id FROM pick8),
+        |pick9 AS MATERIALIZED (SELECT c.vec_id, c.rel4,
+        |    7 * c.rel4 - 3 * (SELECT max(s4) FROM sim
+        |      WHERE va = c.vec_id AND vb IN (SELECT vec_id FROM sel8)) AS sc
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel8)
+        |  ORDER BY sc DESC, c.vec_id ASC LIMIT 1),
+        |sel9 AS MATERIALIZED (SELECT vec_id FROM sel8
+        |  UNION ALL SELECT vec_id FROM pick9),
+        |pick10 AS MATERIALIZED (SELECT c.vec_id, c.rel4,
+        |    7 * c.rel4 - 3 * (SELECT max(s4) FROM sim
+        |      WHERE va = c.vec_id AND vb IN (SELECT vec_id FROM sel9)) AS sc
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel9)
+        |  ORDER BY sc DESC, c.vec_id ASC LIMIT 1),
+        |sel10 AS MATERIALIZED (SELECT vec_id FROM sel9
+        |  UNION ALL SELECT vec_id FROM pick10)
+        |SELECT 1 AS rank, vec_id, CAST(rel4 AS DOUBLE) / 10000 AS rel, CAST(sc AS BIGINT) AS mmr_i FROM pick1
+        |UNION ALL SELECT 2 AS rank, vec_id, CAST(rel4 AS DOUBLE) / 10000 AS rel, CAST(sc AS BIGINT) AS mmr_i FROM pick2
+        |UNION ALL SELECT 3 AS rank, vec_id, CAST(rel4 AS DOUBLE) / 10000 AS rel, CAST(sc AS BIGINT) AS mmr_i FROM pick3
+        |UNION ALL SELECT 4 AS rank, vec_id, CAST(rel4 AS DOUBLE) / 10000 AS rel, CAST(sc AS BIGINT) AS mmr_i FROM pick4
+        |UNION ALL SELECT 5 AS rank, vec_id, CAST(rel4 AS DOUBLE) / 10000 AS rel, CAST(sc AS BIGINT) AS mmr_i FROM pick5
+        |UNION ALL SELECT 6 AS rank, vec_id, CAST(rel4 AS DOUBLE) / 10000 AS rel, CAST(sc AS BIGINT) AS mmr_i FROM pick6
+        |UNION ALL SELECT 7 AS rank, vec_id, CAST(rel4 AS DOUBLE) / 10000 AS rel, CAST(sc AS BIGINT) AS mmr_i FROM pick7
+        |UNION ALL SELECT 8 AS rank, vec_id, CAST(rel4 AS DOUBLE) / 10000 AS rel, CAST(sc AS BIGINT) AS mmr_i FROM pick8
+        |UNION ALL SELECT 9 AS rank, vec_id, CAST(rel4 AS DOUBLE) / 10000 AS rel, CAST(sc AS BIGINT) AS mmr_i FROM pick9
+        |UNION ALL SELECT 10 AS rank, vec_id, CAST(rel4 AS DOUBLE) / 10000 AS rel, CAST(sc AS BIGINT) AS mmr_i FROM pick10
+        |ORDER BY rank""".stripMargin,
+
     "q_knn_cosine" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

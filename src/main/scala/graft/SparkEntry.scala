@@ -178,6 +178,7 @@ object SparkEntry {
     "q_cross_source_keep" -> (Llm.qCrossSourceKeep _),
     "q_bm25"           -> (LlmRetrieval.qBm25 _),
     "q_hybrid_rrf"     -> (LlmRetrieval.qHybridRrf _),
+    "q_mmr_rerank"     -> (LlmRetrieval.qMmrRerank _),
     "q_token_bpe"      -> (LlmText.qTokenBpe _),
     "q_bpe_train"      -> (LlmText.qBpeTrain _), // no-oracle: iterative training not SQL-expressible; contracts in LlmSpec
     "q_containment"    -> (Llm.qContainment _),

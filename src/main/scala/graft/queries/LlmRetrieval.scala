@@ -192,4 +192,87 @@ object LlmRetrieval {
       .limit(50)
   }
 
+  /** §2.9 MMR diversity reranking (r16) — maximal marginal relevance, the
+    * standard diversity-aware cut every retrieval/RAG stack runs between
+    * candidate generation and consumption (Carbonell & Goldstein '98):
+    * from the top-`N` relevance candidates, greedily select `k` where each
+    * pick maximizes λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — high
+    * relevance, penalized for redundancy with what is already selected
+    * (near-duplicate hits waste the context window; MMR is dedup applied
+    * at serving time).
+    *
+    * Three stages with three scale contracts:
+    *  1. DATA-SCALED: relevance = one codegen'd cosine scan + top-N cut
+    *     (`TakeOrderedAndProject`) — exactly the [[LlmKnn.knnExact]]
+    *     shape; at 100 TB this stage swaps for a persisted-index probe
+    *     ([[LlmKnn.qKnnCosineIvf]]'s pruned scan) without touching the
+    *     stages above it.
+    *  2. BOUNDED: the N×N candidate similarity matrix — a self-join of a
+    *     20-row frame, computed IN Spark so the pairwise cosines carry the
+    *     same codegen + snap discipline as every other similarity here.
+    *  3. GREEDY: the k-step argmax loop runs on the driver over the
+    *     collected (N + N²) SNAPPED INTEGERS — bounded metadata by
+    *     construction (N=20 fixed, ~420 ints regardless of corpus size),
+    *     the same documented exception class as the BPE-train vocab and
+    *     PCA gram collects. The greedy is inherently sequential (each pick
+    *     conditions on the previous); every real reranker runs it on the
+    *     bounded candidate set, never distributed.
+    *
+    * Cross-engine determinism (§5.3): every cosine snaps ONCE to integer
+    * 1e-4 units (`round(cos·10000)` — one rounding, not round-then-scale,
+    * which can double-round across the int cast); λ=0.7 is exact as the
+    * integer form 7·rel4 − 3·maxsim4 (×10 both terms); the empty-set
+    * penalty is 0 so the seed pick is argmax rel under the SAME formula;
+    * all argmax ties break on vec_id ascending. The oracle unrolls the 10
+    * greedy steps as chained CTEs (the [[Graph.qPagerank]] precedent). */
+  def qMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val N = 20; val K = 10
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val probe = e.filter(col("vec_id") === 0L).select(col("embedding").as("pv"))
+    val cand = e.filter(col("vec_id") =!= 0L).crossJoin(broadcast(probe))
+      .withColumn("rel4", round(Llm.cosine(col("embedding"), col("pv")) * 10000).cast("int"))
+      .select("vec_id", "embedding", "rel4")
+      .orderBy(col("rel4").desc, col("vec_id").asc)
+      .limit(N)
+    // bounded N-row frame feeds the rel list AND both sim-join sides: pin
+    // so the data-scaled relevance scan underneath runs once, not thrice
+    val candP = Llm.pinShared(cand)
+    val rels: Array[(Long, Int)] = candP.select("vec_id", "rel4")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val sims: Map[(Long, Long), Int] = candP.as("a")
+      .join(candP.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(Llm.cosine(col("a.embedding"), col("b.embedding")) * 10000)
+          .cast("int").as("s4"))
+      .collect().flatMap { r =>
+        val (a, b, s) = (r.getLong(0), r.getLong(1), r.getInt(2))
+        Seq((a, b) -> s, (b, a) -> s)
+      }.toMap
+    // greedy over ~N + N²/2 snapped ints (driver-bounded, corpus-free)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Long)]
+    val remaining = scala.collection.mutable.SortedSet(rels.map(_._1): _*)
+    val relOf = rels.toMap
+    for (step <- 1 to math.min(K, rels.length)) {
+      val best = remaining.map { c =>
+        val pen = if (picked.isEmpty) 0
+                  else picked.map(p => sims((c, p._2))).max
+        (7L * relOf(c) - 3L * pen, c)
+      }.maxBy { case (sc, c) => (sc, -c) } // score desc, vec_id asc
+      picked += ((step, best._2, relOf(best._2), best._1))
+      remaining -= best._2
+    }
+    import spark.implicits._
+    // the declared frame re-derives `rel` by joining the picks back through
+    // the pinned candidate frame rather than carrying the collected value:
+    // the selection (rank, vec_id, score) is driver-computed by necessity,
+    // but the output stays a real Spark plan over the candidate data
+    picked.toSeq.map(p => (p._1, p._2, p._4)).toDF("rank", "vec_id", "mmr_i")
+      .join(candP.select(col("vec_id"),
+        (col("rel4").cast("double") / 10000).as("rel")), Seq("vec_id"))
+      .select(col("rank"), col("vec_id"), col("rel"),
+        col("mmr_i").cast("long").as("mmr_i"))
+      .orderBy("rank")
+  }
 }

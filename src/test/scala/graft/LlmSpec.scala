@@ -59,6 +59,55 @@ class LlmSpec extends AnyFunSuite {
       LlmText.qLmPerplexity(spark, dir).columns.toSeq)
   }
 
+  test("MMR reranking trades redundant high-relevance hits for coverage; plain top-k cannot (r16)") {
+    // Planted geometry: a REDUNDANT cluster of 8 near-identical vectors at
+    // rel≈0.90 and 7 mutually-diverse vectors at rel≈0.85. Plain top-10 by
+    // relevance is dominated by the cluster; under λ=0.7 a second cluster
+    // pick scores 7·9000−3·9999 ≈ 33k while a diverse pick scores
+    // 7·8500−3·7650 ≈ 36.5k — MMR takes ONE cluster representative, then
+    // covers the diverse directions, then backfills.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr").toString
+    val dim = 9 // axis 0 probe, axis 1 cluster residual, axes 2..8 diverse
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def axis(i: Int, a: Double, j: Int, b: Double): Array[Double] = {
+      val v = Array.fill(dim)(0.0); v(i) = a; v(j) = b; v
+    }
+    val probe = 0L -> unit(axis(0, 1.0, 1, 0.0))
+    val cluster = (1L to 8L).map(i =>
+      i -> unit(axis(0, 0.9, 1, 0.436 + 0.0001 * i)))
+    val diverse = (9L to 15L).map(i =>
+      i -> unit(axis(0, 0.85, (i - 7).toInt, 0.5268)))
+    val rows = (probe +: (cluster ++ diverse)).map { case (id, v) =>
+      (id, (id % 4).toInt, v) }
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val clusterIds = (1L to 8L).toSet
+    val plain = LlmKnn.qKnnCosine(spark, TestSpark.sfDir) // warm registration
+    val top10 = graft.SparkEntry.queries("q_knn_cosine")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(top10.intersect(clusterIds).size >= 8,
+      s"plain top-10 must be cluster-dominated: $top10")
+    val mmr = LlmRetrieval.qMmrRerank(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(mmr.length === 10)
+    val mmrIds = mmr.map(_._2).toSet
+    assert(mmrIds.intersect(clusterIds).size <= 3,
+      s"MMR must not hoard the redundant cluster: $mmrIds")
+    assert((9L to 15L).forall(mmrIds.contains),
+      s"MMR must cover every diverse direction: $mmrIds")
+    assert(clusterIds.contains(mmr.head._2),
+      "the seed pick is still pure argmax relevance (a cluster member)")
+    // deterministic across runs (greedy over snapped integers)
+    val again = LlmRetrieval.qMmrRerank(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(again.toSeq === mmr.toSeq)
+    assert(plain.columns.nonEmpty)
+  }
+
   test("minhash: identical docs collide; disjoint-vocabulary docs do not") {
     val other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val pairs = Llm.minhashPairs(docs(1L -> base, 2L -> base, 3L -> other))

@@ -28,6 +28,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_interpolate", // |groups| × 1-row-exploded day-range spine cross
     "q_knn_batch", // m-row probe batch (bounded), broadcast
     "q_hybrid_rrf", // inherits its arms' 1-row probe/stats broadcasts (r9)
+    "q_mmr_rerank", // 1-row probe broadcast in the relevance stage (r16)
     "q_warehouse_etl", // DImessages funnel: six 1-row audit aggs cross-joined (r10)
     "q_embed_covariance", // 1-row count cell of the gram frame, broadcast (r10)
     "q_hard_negatives", // m-row anchor slice broadcast, label-mismatch residual (r10)
