@@ -375,14 +375,20 @@ object BucketedTable {
                              lease: Option[WriterLease] = None): Unit =
     withCommitLock(tableDir) {
       verifyLease(lease)
-      val nowV = if (exists(tableDir)) currentVersion(tableDir) else -1L
+      // the raw pointer bytes the check read ARE the CAS expectation: on a
+      // no-advisory-lock store (where withCommitLock degrades) the flip
+      // below is conditional, so a cross-process racer in the check→flip
+      // window loses LOUDLY at the flip instead of being detected after
+      val ptr = s"$tableDir/_CURRENT"
+      val raw = if (gfs.exists(ptr)) Some(gfs.readString(ptr)) else None
+      val nowV = raw.map(_.trim.toLong).getOrElse(-1L)
       if (nowV != parentV)
         throw new java.util.ConcurrentModificationException(
           s"$tableDir: concurrent writer detected — rewrite was built " +
             s"against v=$parentV but the table is now at v=$nowV; pause the " +
             "owning sink for maintenance rewrites (quiet-window contract). " +
             s"The unpublished v=$version will be reclaimed by vacuum.")
-      Warehouse.commitPointer(tableDir, version)
+      Warehouse.commitPointerCas(ptr, version, raw)
     }
 
   /** On-disk (dataVersion, directory) pairs holding the named buckets'
@@ -654,14 +660,18 @@ object BucketedTable {
     // unreferenced (reclaimed by [[vacuum]]) and the racer's commit intact.
     withCommitLock(tableDir) {
       verifyLease(lease)
-      val nowV = if (exists(tableDir)) currentVersion(tableDir) else -1L
+      // conditional flip against the raw bytes this check read — see
+      // publishChecked (closes the no-advisory-lock check→flip window)
+      val ptr = s"$tableDir/_CURRENT"
+      val raw = if (gfs.exists(ptr)) Some(gfs.readString(ptr)) else None
+      val nowV = raw.map(_.trim.toLong).getOrElse(-1L)
       if (nowV != parentV)
         throw new java.util.ConcurrentModificationException(
           s"$tableDir: concurrent writer detected — commit was folded against " +
             s"v=$parentV but the table is now at v=$nowV; this table is " +
             "single-writer (see the BucketedTable concurrency contract). " +
             s"The unpublished v=$version will be reclaimed by vacuum.")
-      Warehouse.commitPointer(tableDir, version)
+      Warehouse.commitPointerCas(ptr, version, raw)
     }
     // Post-rename check, belt and braces for writers that bypass the lock
     // (a different host on a no-advisory-lock shared FS, or pre-r12 code):
@@ -778,6 +788,16 @@ object BucketedTable {
       val n = name(p)
       n.startsWith("_CURRENT.tmp-") &&
         scala.util.Try(n.stripPrefix("_CURRENT.tmp-").toLong <= cur).getOrElse(true)
+    }.foreach(gfs.deleteIfExists)
+    // NioFs.replaceIfMatch stages `.cas-<uuid>` siblings (pointer and lease
+    // flips, r16); a crash between stage and move orphans one. UUID names
+    // carry no version order, so age-gate the sweep — an HOUR-old staged
+    // file cannot belong to a live CAS (the stage→move window is
+    // milliseconds under the caslock)
+    entries.filter { p =>
+      name(p).contains(".cas-") && scala.util.Try(
+        gfs.lastModifiedMillis(p) < System.currentTimeMillis() - 3600L * 1000
+      ).getOrElse(false)
     }.foreach(gfs.deleteIfExists)
     val doomed = entries.filter { p =>
       val n = name(p)

@@ -110,6 +110,31 @@ object Warehouse {
     fs.atomicReplace(tmp, pointer)
   }
 
+  /** CONDITIONAL pointer flip (r16): replace the pointer iff its bytes are
+    * still exactly what the caller's parent check read. On stores with
+    * [[GraftFs.replaceIfMatch]] this closes the one TOCTOU
+    * [[BucketedTable]]'s locked publish cannot on a no-advisory-lock store
+    * — when `tryProcessLock` degrades to None, a cross-process racer can
+    * move the pointer between the parent check and the flip, and the loss
+    * was previously only detected AFTER the rename (post-commit chain
+    * check / lease fence). With conditional PUT the flip itself is
+    * exactly-one-wins: the loser raises BEFORE clobbering, its version dir
+    * reclaimed by vacuum. Degrades to the plain stage+replace where the
+    * primitive is unavailable (the prior behavior, backstopped by the
+    * after-the-fact checks). */
+  private[graft] def commitPointerCas(pointer: String, version: Long,
+                                    expectedRaw: Option[String],
+                                    fs: GraftFs = GraftFs.default): Unit =
+    fs.replaceIfMatch(pointer, expectedRaw, version.toString) match {
+      case Some(true) => ()
+      case Some(false) => throw new java.util.ConcurrentModificationException(
+        s"$pointer: conditional pointer flip lost — another publisher moved " +
+          "the pointer between this commit's parent check and its flip " +
+          "(concurrent writer on a no-advisory-lock store); this publish is " +
+          "abandoned and its version dir reclaimed by vacuum")
+      case None => commitPointerAt(pointer, version, fs)
+    }
+
   /** The version the `_CURRENT` pointer names (fails if never published). */
   def currentVersion(tableDir: String, fs: GraftFs = GraftFs.default): Long =
     fs.readString(s"$tableDir/_CURRENT").trim.toLong

@@ -304,6 +304,30 @@ class InMemoryFsSpec extends AnyFunSuite {
     }
   }
 
+  test("conditional pointer flip: a moved pointer loses LOUDLY at the flip on a no-lock store (r16)") {
+    withFs { fs =>
+      val ptr = "/mem/casptr/_CURRENT"
+      // table-creating commit: If-None-Match create
+      Warehouse.commitPointerCas(ptr, 1, None, fs)
+      assert(fs.readString(ptr) === "1")
+      // ordinary flip against the bytes the parent check read
+      Warehouse.commitPointerCas(ptr, 2, Some("1"), fs)
+      assert(fs.readString(ptr) === "2")
+      // a racer moved the pointer after our check: the flip itself raises,
+      // BEFORE clobbering — previously (plain rename) the clobber happened
+      // and only the post-commit chain check could notice
+      val lost = intercept[java.util.ConcurrentModificationException] {
+        Warehouse.commitPointerCas(ptr, 9, Some("1"), fs)
+      }
+      assert(lost.getMessage.contains("conditional pointer flip lost"))
+      assert(fs.readString(ptr) === "2", "the loser must not clobber")
+      // a second table-creating commit racing the first loses the same way
+      intercept[java.util.ConcurrentModificationException] {
+        Warehouse.commitPointerCas(ptr, 1, None, fs)
+      }
+    }
+  }
+
   test("Doctor fscks a synthetic in-memory tree: healthy clean, broken pointer named") {
     withFs { fs =>
       val root = "/mem/doctor"
