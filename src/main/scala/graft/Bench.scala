@@ -46,15 +46,18 @@ object Bench {
   /** Which queries an adjudication pass re-times (r15 judge #1): the 10
     * SLOWEST (they drive the total, and under CONSISTENT ambient load both
     * sweep runs inflate together with a small spread — the r14 mode) plus
-    * every query whose spread exceeds max(0.5 s, 25% of its min) (the
-    * noise-dominated risers the spread_ratio trip-wire fires on). Input
-    * tuples are (name, min, spread); errored queries (min < 0) never
-    * re-time. */
+    * the widest-spread risers above max(0.5 s, 25% of their min) (the
+    * noise-dominated queries the spread_ratio trip-wire fires on), CAPPED
+    * at the 20 widest — the cap bounds the re-time pass on a sweep where
+    * ambient load smeared spread everywhere, and is stated wherever the
+    * selection rule is documented (BASELINE.md) so a consumer knows a
+    * >20-riser sweep was repaired best-effort, not fully. Input tuples are
+    * (name, min, spread); errored queries (min < 0) never re-time. */
   private[graft] def adjudicationSet(results: Seq[(String, Double, Double)]): Seq[String] = {
     val ok = results.filter(_._2 >= 0)
     val bySlow = ok.sortBy(-_._2).take(10).map(_._1)
     val bySpread = ok.filter(r => r._3 > math.max(0.5, 0.25 * r._2))
-      .sortBy(-_._3).take(10).map(_._1)
+      .sortBy(-_._3).take(20).map(_._1)
     (bySlow ++ bySpread).distinct
   }
 

@@ -108,12 +108,13 @@ object Doctor {
     val leaseFindings = {
       val f = dir.resolve("_WRITER_LEASE").toString
       if (!fs.isFile(f)) Nil
-      else scala.util.Try {
-        val Array(_, e, exp) = fs.readString(f).trim.split(" ")
-        (e.toLong, exp.toLong)
-      } match {
-        case scala.util.Success(_) => Nil
-        case scala.util.Failure(_) => Seq(warn("writer-lease", d,
+      // ONE parser (BucketedTable.parseLease) — an inline copy drifting
+      // from the writer's format would WARN on every healthy lease and the
+      // remove-by-hand remedy would delete a live writer's token
+      else if (scala.util.Try(BucketedTable.parseLease(fs.readString(f)))
+                 .toOption.flatten.isDefined) Nil
+      else {
+        Seq(warn("writer-lease", d,
           "_WRITER_LEASE exists but does not parse (writerId epoch " +
             "expiresAtMillis) — every acquisition will raise until it is " +
             "repaired; silently resetting it would restart the epoch " +

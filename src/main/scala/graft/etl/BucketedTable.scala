@@ -233,6 +233,17 @@ object BucketedTable {
 
   private def leaseFile(tableDir: String): String = s"$tableDir/_WRITER_LEASE"
 
+  /** The ONE parser for `_WRITER_LEASE` content (`writerId epoch
+    * expiresAtMillis`) — shared with [[graft.Doctor]]'s fsck so format
+    * knowledge lives once (a second inline parser drifting out of sync
+    * would make Doctor WARN "corrupt" on every healthy lease and its
+    * remove-by-hand remedy would delete a live writer's token). */
+  private[graft] def parseLease(raw: String): Option[(String, Long, Long)] =
+    scala.util.Try {
+      val Array(w, e, exp) = raw.trim.split(" ")
+      (w, e.toLong, exp.toLong)
+    }.toOption
+
   /** Parse the lease file; returns the RAW content alongside so acquisition
     * can compare-and-swap against exactly what it read. Absent → None. An
     * EXISTING-but-unparsable lease RAISES (r15 ADVICE): treating corruption
@@ -244,19 +255,16 @@ object BucketedTable {
     if (!gfs.exists(f)) None
     else {
       val raw = gfs.readString(f)
-      scala.util.Try {
-        val Array(w, e, exp) = raw.trim.split(" ")
-        (w, e.toLong, exp.toLong)
-      } match {
-        case scala.util.Success(t) => Some((raw, t))
-        case scala.util.Failure(cause) => throw new IllegalStateException(
+      parseLease(raw) match {
+        case Some(t) => Some((raw, t))
+        case None => throw new IllegalStateException(
           s"$tableDir: _WRITER_LEASE exists but does not parse " +
             s"('${raw.take(80).replace('\n', ' ')}') — refusing to treat it " +
             "as absent: that would restart the epoch counter, and a stale " +
             "pre-corruption token could then collide with a freshly-issued " +
             "epoch and pass the publish fence. Operator intervention: " +
             "remove the file by hand only after confirming no writer holds " +
-            "the lease.", cause)
+            "the lease.")
       }
     }
   }
@@ -509,6 +517,13 @@ object BucketedTable {
       s"$tableDir has an in-force DROP for column '$name' — re-adding a " +
         "dropped name needs the drop materialized first (rebucket), else " +
         "pre-drop stored values would resurface under the new declaration")
+    // adding a name that is the CURRENT target of an in-force rename would
+    // collide two live columns (r16 review); the VACATED source of a rename
+    // is fine — scanEvolved aliases the old name away before the fill
+    require(!m.renames.filter(r => r.from == name || r.to == name)
+        .sortBy(_.since).lastOption.exists(_.to == name),
+      s"$tableDir: '$name' is the current name of a renamed column — two " +
+        "live columns cannot share a name")
     // fail at declaration time, not at first read: the default must parse,
     // be structurally constant (no column references — scanEvolved later
     // resolves the expression against the TABLE's frame, so a stray column
@@ -571,6 +586,27 @@ object BucketedTable {
     require(!m.drops.exists(_.name == from),
       s"$tableDir has an in-force DROP for column '$from' — a dropped " +
         "column cannot be renamed")
+    // the remaining manifest-CHECKABLE collisions (r16 review): renaming
+    // onto an in-force ADD's current name would make scanEvolved's
+    // default-fill withColumn REPLACE the just-aliased real data on
+    // pre-add eras — silent corruption, not an error
+    require(!m.evolutions.exists(e =>
+        currentName(m.renames, e.name, e.since) == to),
+      s"$tableDir: '$to' is the current name of an in-force ADDED column — " +
+        "renaming onto it would clobber the add's default-fill on pre-add " +
+        "eras; rename or drop the added column first")
+    // liveness by LATEST touch: a name whose most recent rename lists it as
+    // the SOURCE was renamed away (a later rename TO it re-occupies it)
+    def latestTouch(name: String): Option[Renamed] =
+      m.renames.filter(r => r.from == name || r.to == name)
+        .sortBy(_.since).lastOption
+    latestTouch(from).foreach(r => require(r.from != from,
+      s"$tableDir: '$from' was already renamed to '${r.to}' — a stale-name " +
+        "rename would be dead metadata (chains resolve through the current " +
+        s"name); rename '${r.to}' instead"))
+    latestTouch(to).foreach(r => require(r.to != to,
+      s"$tableDir: '$to' is already the current name of a renamed column " +
+        "— two live columns cannot share a name"))
     val version = Warehouse.claimVersion(tableDir)
     gfs.createDirectories(s"$tableDir/v=$version")
     gfs.writeString(s"$tableDir/v=$version/_MANIFEST",
@@ -605,7 +641,10 @@ object BucketedTable {
     gfs.createDirectories(s"$tableDir/v=$version")
     gfs.writeString(s"$tableDir/v=$version/_MANIFEST",
       manifestBody(m.nBuckets, m.buckets, parentV,
-        m.evolutions.filterNot(_.name == name),
+        // retire the add-declaration by its CURRENT name, so dropping an
+        // added-then-renamed column retires the add too (r16 review)
+        m.evolutions.filterNot(e =>
+          currentName(m.renames, e.name, e.since) == name),
         m.drops :+ Dropped(version, name), m.renames))
     publishChecked(tableDir, version, parentV)
     version

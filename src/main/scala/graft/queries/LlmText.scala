@@ -566,12 +566,18 @@ object LlmText {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .toDF("doc_id", "pos", "w")
-    // one doc-keyed lag window attaches each token's left context; pinned
-    // because it feeds BOTH the bigram model build and the scoring join
-    // (unpinned, the token pass and the window run twice)
-    val seq = Llm.pinShared(toks.withColumn("w_prev",
-      lag("w", 1).over(Window.partitionBy("doc_id").orderBy("pos"))))
-    val uni = Llm.pinShared(seq.groupBy("w").agg(count(lit(1)).as("c1")))
+    // one doc-keyed lag window attaches each token's left context. The
+    // frame is deliberately NOT pinned (r16 review): it is one row per
+    // TOKEN — strictly wider than its source — and Exprs.pinShared's own
+    // policy pins only aggregate-narrow frames (a reliable checkpoint here
+    // would materialize the tokenized corpus in the read path at 100 TB).
+    // Its two consumers (bigram model build, scoring join) re-run the scan
+    // + window instead: two passes over documents beats one full-corpus
+    // write + read. The unigram model builds from the pre-window token
+    // frame (no lag needed), so the window itself runs exactly twice.
+    val seq = toks.withColumn("w_prev",
+      lag("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+    val uni = Llm.pinShared(toks.groupBy("w").agg(count(lit(1)).as("c1")))
     val totals = uni.agg(sum(col("c1")).as("cu"), count(lit(1)).as("v"))
     val bi = seq.filter(col("w_prev").isNotNull)
       .groupBy("w_prev", "w").agg(count(lit(1)).as("c2"))

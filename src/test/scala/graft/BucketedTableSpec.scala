@@ -302,6 +302,43 @@ class BucketedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("rename collision guards: add-fill clobber, stale source, occupied target (r16 review)") {
+    val dir = Files.createTempDirectory("graft_bt_ren3").resolve("t").toString
+    commitRows(dir, Seq(1L -> "a"))
+    BucketedTable.evolveAddColumn(spark, dir, "score", "int", "7")
+    // renaming another column ONTO the add's name: scanEvolved's
+    // default-fill withColumn would REPLACE the just-aliased real data on
+    // pre-add eras — must be refused at declaration, not corrupt at read
+    val clobber = intercept[IllegalArgumentException] {
+      BucketedTable.evolveRenameColumn(spark, dir, "v", "score")
+    }
+    assert(clobber.getMessage.contains("ADDED column"))
+    // ... and the add's name may itself be renamed; the vacated name then
+    // becomes usable again while the STALE source is refused
+    BucketedTable.evolveRenameColumn(spark, dir, "v", "txt")
+    val stale = intercept[IllegalArgumentException] {
+      BucketedTable.evolveRenameColumn(spark, dir, "v", "w")
+    }
+    assert(stale.getMessage.contains("already renamed"))
+    // renaming onto a live rename TARGET collides two live columns
+    val occupied = intercept[IllegalArgumentException] {
+      BucketedTable.evolveRenameColumn(spark, dir, "score", "txt")
+    }
+    assert(occupied.getMessage.contains("current name of a renamed column"))
+    // adding a column under a live rename target is the same collision
+    val addCollide = intercept[IllegalArgumentException] {
+      BucketedTable.evolveAddColumn(spark, dir, "txt", "string", "'x'")
+    }
+    assert(addCollide.getMessage.contains("current name of a renamed column"))
+    // dropping an added-then-renamed column retires the ADD declaration by
+    // its current name
+    BucketedTable.evolveRenameColumn(spark, dir, "score", "pts")
+    BucketedTable.evolveDropColumn(spark, dir, "pts")
+    val m = BucketedTable.readManifest(dir)
+    assert(m.evolutions.isEmpty, "the renamed add must retire with the drop")
+    assert(BucketedTable.readCurrent(spark, dir).columns.toSeq === Seq("k", "txt"))
+  }
+
   test("time travel: an old manifest version reads the table as of that commit") {
     val dir = Files.createTempDirectory("graft_bt_tt").resolve("t").toString
     val v1 = commitRows(dir, Seq(1L -> "x1", 2L -> "y1"))

@@ -355,12 +355,14 @@ object ScaleUp {
       val t1 = time(q, srcDir)
       val t10 = time(q, outDir)
       // post-AQE shuffle count at 10x, measured on a fresh evaluation —
-      // via collect(), which finalizes THIS frame's adaptive plan (a noop
-      // write executes a CLONED QueryExecution and leaves df's own plan at
-      // isFinalPlan=false, i.e. the pre-AQE shape; r16 fix, and the same
-      // discipline PlanBudgets.main uses to freeze the budgets)
+      // via foreach, which executes THIS frame's own QueryExecution and so
+      // finalizes its adaptive plan (a noop write executes a CLONED
+      // QueryExecution and leaves df's plan at isFinalPlan=false, i.e. the
+      // pre-AQE shape; r16 fix) while discarding rows on the executors —
+      // a collect() here would pull a lineitem-scale result (q_math_funcs
+      // at 10x) onto the driver purely to flip a plan flag
       val df = SparkEntry.queries(q)(spark, outDir)
-      df.collect()
+      df.foreach(_ => ())
       val sh = PlanBudgets.shuffleCount(df.queryExecution.executedPlan)
       val r = Row(q, t1, t10, t10 / math.max(t1, Floor), sh, budgets(q))
       println(f"[scale-up] ${r.q}%-24s t1=${r.t1}%6.2f t10=${r.t10}%7.2f " +
@@ -434,7 +436,8 @@ object ScaleUp {
           val tBase = time(q, srcDir) // same proxy confs → the ratio isolates the DATA skew
           val tSkew = time(q, skewDir)
           val df = SparkEntry.queries(q)(spark, skewDir)
-          df.collect() // finalize the adaptive plan (see the queries gate)
+          df.foreach(_ => ()) // finalize the adaptive plan without a
+                              // driver-side result (see the queries gate)
           if (sys.env.contains("SPARK_GRAFT_SCALE_DEBUG"))
             println(s"==== $q executed plan ====\n" +
               df.queryExecution.executedPlan.toString.take(12000))
