@@ -354,15 +354,17 @@ object ScaleUp {
     val rows = if (!sections("queries")) Nil else measured.map { q =>
       val t1 = time(q, srcDir)
       val t10 = time(q, outDir)
-      // post-AQE shuffle count at 10x, measured on a fresh evaluation —
-      // via foreach, which executes THIS frame's own QueryExecution and so
-      // finalizes its adaptive plan (a noop write executes a CLONED
-      // QueryExecution and leaves df's plan at isFinalPlan=false, i.e. the
-      // pre-AQE shape; r16 fix) while discarding rows on the executors —
-      // a collect() here would pull a lineitem-scale result (q_math_funcs
-      // at 10x) onto the driver purely to flip a plan flag
+      // post-AQE shuffle count at 10x, measured on a fresh evaluation.
+      // The evaluation MUST drive df's OWN queryExecution or the audited
+      // plan stays pre-AQE (isFinalPlan=false): a noop write executes a
+      // cloned QueryExecution, and Dataset.foreach/rdd execute the
+      // separate rddQueryExecution (measured: the skew gate read
+      // skewSplit=false through foreach) — so run queryExecution.toRdd
+      // directly, which finalizes the adaptive plan while the discarded
+      // rows stay on the executors (a collect() would pull a
+      // lineitem-scale result onto the driver purely to flip a plan flag)
       val df = SparkEntry.queries(q)(spark, outDir)
-      df.foreach(_ => ())
+      df.queryExecution.toRdd.foreach(_ => ())
       val sh = PlanBudgets.shuffleCount(df.queryExecution.executedPlan)
       val r = Row(q, t1, t10, t10 / math.max(t1, Floor), sh, budgets(q))
       println(f"[scale-up] ${r.q}%-24s t1=${r.t1}%6.2f t10=${r.t10}%7.2f " +
@@ -436,8 +438,10 @@ object ScaleUp {
           val tBase = time(q, srcDir) // same proxy confs → the ratio isolates the DATA skew
           val tSkew = time(q, skewDir)
           val df = SparkEntry.queries(q)(spark, skewDir)
-          df.foreach(_ => ()) // finalize the adaptive plan without a
-                              // driver-side result (see the queries gate)
+          // finalize df's OWN adaptive plan without a driver-side result
+          // (see the queries gate: foreach/noop both execute a different
+          // QueryExecution and leave the audited plan pre-AQE)
+          df.queryExecution.toRdd.foreach(_ => ())
           if (sys.env.contains("SPARK_GRAFT_SCALE_DEBUG"))
             println(s"==== $q executed plan ====\n" +
               df.queryExecution.executedPlan.toString.take(12000))
