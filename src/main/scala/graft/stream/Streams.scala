@@ -812,8 +812,34 @@ object Streams {
     * the running count). The `compactEvery` cadence covers the
     * IVF lists' layout on the batches a retrain doesn't run.
     *
+    * CURATION GATES (r17 — streaming/batch funnel parity): the batch
+    * funnel ([[graft.etl.CorpusPipeline]]) rejects documents a streamed
+    * ingest would previously have admitted and only killed in a later
+    * batch re-curation. Four opt-in parameters close that gap, each
+    * reusing the funnel's OWN shared predicate/gram definitions so the two
+    * paths cannot drift (StreamingSpec proves one-batch admission ≡
+    * `CorpusPipeline.curate` row-for-row, decisions ≡ `q_curation_audit`
+    * drop stages):
+    *   - `holdoutSources`: docs from these sources never enter the corpus
+    *     (the funnel's stage-1 holdout exclusion);
+    *   - `qualityGate`: map-side [[graft.queries.LlmText.qualityZ]] ≥ 0
+    *     (stage 2) — fused into the batch scan, zero extra shuffles;
+    *   - `repetitionGate`: the Gopher repetition rules via
+    *     [[graft.queries.LlmText.withRepetitionMetrics]] (stage 3);
+    *   - `decontaminate`: dedup survivors sharing any word 4-gram
+    *     ([[graft.queries.Llm.gram4Rows]]) with the held-out eval set are
+    *     rejected (stage 6). The eval grams PERSIST in a batch-keyed
+    *     posting table at `corpusDir/_eval_grams` — the same
+    *     replay/compaction discipline as the dedup postings — so
+    *     contamination evidence accumulates across the stream's life and
+    *     each batch's check is O(batch) probe work, never a corpus scan.
+    * Gate order matches the funnel: holdout → quality → repetition →
+    * near-dup → decontaminate → budget; rejected docs consume no budget
+    * and are never indexed.
+    *
     * `auditDir = Some(dir)` writes the ADMISSION DECISION LOG — one row
-    * per batch doc naming the decision (admitted / near_dup /
+    * per batch doc naming the decision (admitted / holdout_excluded /
+    * quality_gate / repetition_filter / near_dup / decontaminated /
     * budget_rejected) AND, since r15 (judge #7), the deciding `gate`: for
     * a near_dup the MODALITY whose band collided (`text` / `image` /
     * `audio` / `video`, or `exact` for the signature-less content-hash
@@ -867,7 +893,11 @@ object Streams {
                    ivfPqDir: Option[String] = None,
                    pqM: Int = 4, pqK: Int = 16,
                    ivfRetrainMinGrowth: Double = 0.0,
-                   auditDir: Option[String] = None)
+                   auditDir: Option[String] = None,
+                   holdoutSources: Seq[String] = Nil,
+                   qualityGate: Boolean = false,
+                   repetitionGate: Boolean = false,
+                   decontaminate: Boolean = false)
       : DataStreamWriter[Row] = {
     // the composite's coarse half IS the IVF index: list assignment,
     // partition pruning, and the retrain corpus all come from its lists
@@ -919,6 +949,64 @@ object Streams {
         graft.etl.Compaction.recoverInterrupted(s"$lshDir/buckets")
         sq8Dir.foreach(d => graft.etl.Compaction.recoverInterrupted(s"$d/sq8"))
         ivfDir.foreach(d => graft.etl.Compaction.recoverInterrupted(s"$d/lists"))
+        val evalGramsTable = s"$corpusDir/_eval_grams"
+        if (decontaminate)
+          graft.etl.Compaction.recoverInterrupted(evalGramsTable)
+        // ── MAP-SIDE CURATION GATES (r17 — streaming/batch funnel parity).
+        // The batch funnel (CorpusPipeline) runs holdout-exclusion, the
+        // quality score and the Gopher repetition rules BEFORE any dedup
+        // work; a streamed ingest must not admit documents that funnel
+        // would reject, and the cheap per-row gates belong at admission
+        // (they shrink the batch before the posting-index joins, exactly
+        // the cheap-gates-first ordering the batch pipeline documents).
+        // The predicates are the SAME shared Column definitions the batch
+        // funnel fuses into its scan (LlmText.qualityZ /
+        // withRepetitionMetrics) — parity by construction, and
+        // StreamingSpec asserts the one-batch admission set equals
+        // CorpusPipeline.curate row-for-row. All gates default OFF: the
+        // pre-r17 plan (and its spec-asserted shapes) is byte-identical
+        // when none is configured.
+        val anyMapGate = holdoutSources.nonEmpty || qualityGate || repetitionGate
+        // per-doc gate flags, cumulative like the batch funnel's s1..s3
+        // (g1 holdout, g2 quality, g3 repetition); pinned because the
+        // interpreted HOF metrics feed the admitted set AND the audit —
+        // the same pin-the-flags discipline CorpusPipeline measured out
+        val gateFlags: Option[DataFrame] = if (!anyMapGate) None else Some {
+          val base = graft.queries.LlmText.withRepetitionMetrics(
+            batch.select(col("doc_id"), col("source"), col("text"))
+              .withColumn("words", split(col("text"), " ")))
+          base
+            .withColumn("g1",
+              if (holdoutSources.nonEmpty) !col("source").isin(holdoutSources: _*)
+              else lit(true))
+            .withColumn("g2", col("g1") && (
+              if (qualityGate)
+                graft.queries.LlmText.qualityZ(col("text"), col("words")) >= 0
+              else lit(true)))
+            .withColumn("g3", col("g2") && (
+              if (repetitionGate) col("n_words") >= 2 && !col("flagged")
+              else lit(true)))
+            .select("doc_id", "g1", "g2", "g3")
+            .localCheckpoint(true)
+        }
+        val admittable = gateFlags match {
+          case Some(f) => batch.join(
+            f.filter(col("g3")).select("doc_id"), Seq("doc_id"), "left_semi")
+          case None => batch
+        }
+        // held-out eval docs never enter the corpus; with `decontaminate`
+        // their word 4-grams feed the persisted eval-gram posting table
+        // (the same gram unit as q_decontaminate / the batch funnel —
+        // Llm.gram4Rows — so the contamination contract cannot drift)
+        val holdoutDocs =
+          if (holdoutSources.nonEmpty)
+            batch.filter(col("source").isin(holdoutSources: _*))
+          else batch.limit(0)
+        val holdoutGrams: Option[DataFrame] =
+          if (!decontaminate) None
+          else Some(graft.queries.Llm
+            .gram4Rows(holdoutDocs.select(col("doc_id"), col("text")))
+            .select("gram").distinct().localCheckpoint(true))
         // the gates variant pins the stored-hit cells for the audit's gate
         // diagnosis (same single index scan, staged); with the audit off,
         // keep the unpinned plan (stored scan streams straight into the
@@ -926,17 +1014,52 @@ object Streams {
         val (keptPosts0, dropGates: Option[DataFrame]) =
           if (auditDir.isDefined) {
             val (k, g) = graft.etl.IncrementalDedup.keptPostingsAndGates(
-              batch, dedupDir, excludeBatchKey = Some(batchKey),
+              admittable, dedupDir, excludeBatchKey = Some(batchKey),
               imageCol = imageCol, audioCol = audioCol, videoCol = videoCol)
             (k, Some(g))
           } else
-            (graft.etl.IncrementalDedup.keptPostings(batch, dedupDir,
+            (graft.etl.IncrementalDedup.keptPostings(admittable, dedupDir,
               excludeBatchKey = Some(batchKey), imageCol = imageCol,
               audioCol = audioCol, videoCol = videoCol), None)
         val keptPosts = keptPosts0.localCheckpoint(true)
-        val deduped = batch
+        val deduped = admittable
           .join(keptPosts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
           .localCheckpoint(true)
+        // ── EVAL-GRAM DECONTAMINATION (r17): dedup survivors sharing any
+        // word 4-gram with the held-out eval set are rejected at admission
+        // — the batch funnel's stage-6 gate, streamed. The gram evidence is
+        // a PERSISTED batch-keyed posting table (same replay discipline as
+        // the dedup postings: reads exclude this batch's own partition so a
+        // crash-replay sees the exact pre-batch state and decides
+        // identically), unioned with THIS batch's holdout grams so
+        // same-batch contamination gates too. O(batch) probe work: the
+        // batch-bounded gram frame semi-joins the gram table — never a
+        // corpus re-scan.
+        val clean =
+          if (!decontaminate) deduped
+          else {
+            val storedGrams = {
+              val root = graft.etl.Compaction.currentPath(evalGramsTable)
+              val fs = graft.GraftFs.default
+              val committed = fs.isDirectory(root) && fs.list(root).exists(p =>
+                java.nio.file.Paths.get(p).getFileName.toString
+                  .startsWith("batch_id="))
+              if (!committed) holdoutGrams.get.limit(0)
+              else spark.read.parquet(root)
+                // string-compare: partition inference may type an
+                // all-numeric batch_id set as int (same guard as the
+                // dedup postings read)
+                .filter(col("batch_id").cast("string") =!= batchKey)
+                .select("gram")
+            }
+            val evalG = storedGrams.unionByName(holdoutGrams.get).distinct()
+            val contaminated = graft.queries.Llm
+              .gram4Rows(deduped.select(col("doc_id"), col("text")))
+              .join(evalG, Seq("gram"), "left_semi")
+              .select("doc_id").distinct()
+            deduped.join(contaminated, Seq("doc_id"), "left_anti")
+              .localCheckpoint(true)
+          }
         // the admission base: per-source cumulative spend BEFORE this batch.
         // One bounded ledger read; a replay is recognized by BOTH the batch
         // id AND the lineage matching the recorded high-water mark — its
@@ -979,11 +1102,11 @@ object Streams {
         // postings never commit, so a later budget raise can still admit
         // them.
         val kept = budgetPerSource match {
-          case None => deduped
+          case None => clean
           case Some(budget) =>
             val w = Window.partitionBy("source").orderBy("h")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            deduped
+            clean
               .withColumn("h", md5(col("doc_id").cast("string")))
               .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
               .join(broadcast(priorBase.get), Seq("source"), "left")
@@ -1009,28 +1132,64 @@ object Streams {
         auditDir.foreach { ad =>
           val dedupOk = deduped.select("doc_id")
             .withColumn("__dd", lit(true))
+          val cleanOk = clean.select("doc_id")
+            .withColumn("__cl", lit(true))
           val budgetOk = kept.select("doc_id")
             .withColumn("__bk", lit(true))
           // gate naming the deciding modality (r15 judge #7): dropGates
           // carries (doc_id, gate) for dedup drops; budget rejections gate
-          // on "budget"; admitted docs carry no gate
+          // on "budget", decontamination on "eval_gram"; map-side gate
+          // decisions name the gate themselves; admitted docs carry none
           val gates = dropGates.get.withColumnRenamed("gate", "__gate")
-          batch.select(col("doc_id"))
+          val withFlags = gateFlags match {
+            case Some(gf) => batch.select(col("doc_id"))
+              .join(gf, Seq("doc_id"), "left")
+            case None => batch.select(col("doc_id"))
+              .withColumn("g1", lit(true)).withColumn("g2", lit(true))
+              .withColumn("g3", lit(true))
+          }
+          // decision = FIRST failing stage in funnel order (the batch
+          // audit's drop_stage semantics, streamed): map gates, then the
+          // dedup collision gate, then decontamination, then budget
+          withFlags
             .join(dedupOk, Seq("doc_id"), "left")
+            .join(cleanOk, Seq("doc_id"), "left")
             .join(budgetOk, Seq("doc_id"), "left")
             .join(gates, Seq("doc_id"), "left")
             .select(col("doc_id"),
-              when(coalesce(col("__bk"), lit(false)), lit("admitted"))
-                .when(coalesce(col("__dd"), lit(false)), lit("budget_rejected"))
+              when(!coalesce(col("g1"), lit(false)), lit("holdout_excluded"))
+                .when(!coalesce(col("g2"), lit(false)), lit("quality_gate"))
+                .when(!coalesce(col("g3"), lit(false)), lit("repetition_filter"))
+                .when(coalesce(col("__bk"), lit(false)), lit("admitted"))
+                .when(coalesce(col("__cl"), lit(false)), lit("budget_rejected"))
+                .when(coalesce(col("__dd"), lit(false)), lit("decontaminated"))
                 .otherwise(lit("near_dup")).as("decision"),
-              when(coalesce(col("__bk"), lit(false)),
+              when(!coalesce(col("g1") && col("g2") && col("g3"), lit(false)),
                   lit(null).cast("string"))
-                .when(coalesce(col("__dd"), lit(false)), lit("budget"))
+                .when(coalesce(col("__bk"), lit(false)),
+                  lit(null).cast("string"))
+                .when(coalesce(col("__cl"), lit(false)), lit("budget"))
+                .when(coalesce(col("__dd"), lit(false)), lit("eval_gram"))
                 .otherwise(col("__gate")).as("gate"),
               lit(batchKey).as("batch_id"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id").parquet(ad)
+        }
+        // eval-gram channel commit: this batch's holdout grams land under
+        // the batch's OWN `batch_id=` partition (dynamic overwrite — a
+        // replay rewrites identical rows; the decontamination read above
+        // excludes this key, so the replay decided from pre-batch state).
+        // Runs regardless of admission outcome: an all-holdout batch
+        // admits nothing, but its grams ARE the batch's durable effect —
+        // every later batch must gate against them.
+        holdoutGrams.foreach { g =>
+          if (!g.isEmpty)
+            g.withColumn("batch_id", lit(batchKey))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(graft.etl.Compaction.currentPath(evalGramsTable))
         }
         // fold the batch's admitted per-source delta into the ledger. Runs
         // even for an all-rejected batch WHEN the ledger does not exist yet:
@@ -1223,6 +1382,13 @@ object Streams {
           if (existsTbl(s"$dedupDir/postings"))
             graft.etl.Compaction.compactDedupPostings(spark, dedupDir, preserve,
               graceGenerations = compactGrace)
+          // the eval-gram posting table accumulates one fragment per
+          // holdout-carrying batch — fold it on the same cadence (same
+          // preserve-own-key replay guard)
+          if (decontaminate && existsTbl(evalGramsTable))
+            graft.etl.Compaction.compactParquet(spark, evalGramsTable,
+              Seq.empty, coalesceBatchKeyed = true,
+              preserveBatchKeys = preserve, graceGenerations = compactGrace)
           if (!ivfRetrainNow) {
             ivfDir.filter(d => existsTbl(s"$d/lists"))
               .foreach(d => graft.etl.Compaction.compactIvfLists(spark, d,
