@@ -186,10 +186,39 @@ object NioFs extends GraftFs {
                               next: String): Option[Boolean] = {
     val t = p(path)
     if (t.getParent != null) Files.createDirectories(t.getParent)
-    val key = t.toAbsolutePath.normalize.toString
+    // monitor key resolves SYMLINKS (r17, ADVICE r16): normalize alone
+    // keys two alias paths of one file onto two monitors, and the second
+    // same-JVM caller then hits FileChannel.lock's
+    // OverlappingFileLockException instead of waiting. The file itself may
+    // not exist yet — resolve through the (just-created) parent.
+    val key =
+      try t.toRealPath().toString
+      catch {
+        case _: java.io.IOException =>
+          try Option(t.toAbsolutePath.getParent)
+            .map(_.toRealPath().resolve(t.getFileName).toString)
+            .getOrElse(t.toAbsolutePath.normalize.toString)
+          catch { case _: java.io.IOException =>
+            t.toAbsolutePath.normalize.toString }
+      }
     val monitor = NioCasMonitors.map.computeIfAbsent(key, _ => new Object)
     monitor.synchronized {
-      tryProcessLock(path + ".caslock") match {
+      // belt for the residual alias window (e.g. a symlink re-pointed
+      // between key resolution and lock): an overlapping same-JVM holder
+      // is transient — its CAS window is milliseconds — so retry briefly
+      // instead of leaking the exception to the caller
+      def lockRetrying(): Option[AutoCloseable] = {
+        var backoff = 1L
+        while (true) {
+          try return tryProcessLock(path + ".caslock")
+          catch {
+            case _: java.nio.channels.OverlappingFileLockException =>
+              Thread.sleep(backoff); backoff = math.min(backoff * 2, 50L)
+          }
+        }
+        None // unreachable
+      }
+      lockRetrying() match {
         case None => None
         case Some(lk) =>
           try {
@@ -251,6 +280,10 @@ object NioFs extends GraftFs {
     } catch {
       case _: UnsupportedOperationException | _: java.io.IOException =>
         ch.close(); None
+      // anything else (notably OverlappingFileLockException from a
+      // same-JVM holder reached through an alias path) must not leak the
+      // channel on its way out (r17, ADVICE r16)
+      case e: Throwable => ch.close(); throw e
     }
   }
 }

@@ -5,6 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // CLI contract (r17, ADVICE r16): zero, one, or two positional args —
+    // a SINGLE arg is always sfDir (outDir defaults to /tmp/verify_out);
+    // anything else fails loudly instead of silently consuming extras
+    require(args.length <= 2,
+      s"usage: graft.Verify [sfDir] [outDir] — got ${args.length} args: " +
+        args.mkString(" "))
     // CLI args stay authoritative (the driver always passes both); the env
     // fallback shares Bench's resolution rule (SfEnv, r15 judge #8)
     val sfDir = SfEnv.resolve("/root/testdata/sf0.01", args.headOption)

@@ -209,4 +209,62 @@ class DoctorSpec extends AnyFunSuite {
       f.level == "WARN" && f.problem.contains("rename-swap"))
     assert(f.nonEmpty && f.head.remedy.contains("recoverInterrupted"))
   }
+
+  test("machine-readable remedy plan (r17 judge #8): JSON parses and names the same entry point as the prose") {
+    val root = Files.createTempDirectory("graft_doc_json").toString
+    // plant four corruptions across layers, each with a scriptable remedy:
+    // 1. unreferenced version dirs (INFO -> BucketedTable.vacuum)
+    commitRows(s"$root/dim", Seq(1L -> "a"))
+    commitRows(s"$root/dim", Seq(1L -> "a2"))
+    // 2. legacy rename-swap leftover (WARN -> Compaction.recoverInterrupted)
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$root/postings")
+    Compaction.compactParquet(spark, s"$root/postings", Nil)
+    Files.createDirectories(Paths.get(s"$root/postings.old-123"))
+    // 3. lists without centroids (FAIL -> AnnIndex.retrainIvf)
+    Seq((0, 1L)).toDF("list_id", "vec_id")
+      .write.partitionBy("list_id").parquet(s"$root/ivf/lists")
+    // 4. an unwidenable forged widen (FAIL -> BucketedTable.rebucket)
+    val cur = BucketedTable.currentVersion(s"$root/dim")
+    val mPath = s"$root/dim/v=$cur/_MANIFEST"
+    val fs = graft.GraftFs.default
+    fs.writeString(mPath,
+      fs.readString(mPath) + s"\newiden=${cur + 1}\tv\tbigint")
+
+    val findings = Doctor.diagnose(root)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = findings.map(f => f -> mapper.readTree(f.renderJson))
+    parsed.foreach { case (f, j) =>
+      // schema: every field present, prose mirrored verbatim
+      assert(j.get("level").asText === f.level)
+      assert(j.get("layer").asText === f.layer)
+      assert(j.get("path").asText === f.path)
+      assert(j.get("problem").asText === f.problem)
+      assert(j.get("remedy").asText === f.remedy)
+      if (!j.get("remedy_fn").isNull) {
+        // the plan and the prose must agree: the entry point's simple name
+        // appears in the human remedy text
+        val simple = j.get("remedy_fn").asText.split('.').last
+        assert(f.remedy.toLowerCase.contains(simple.toLowerCase)
+            || f.problem.toLowerCase.contains(simple.toLowerCase),
+          s"remedy_fn '$simple' not named by the prose of: ${f.render}")
+        assert(j.get("remedy_args").size() > 0,
+          s"a scriptable remedy needs its target argument: ${f.render}")
+      }
+    }
+    // each planted corruption's expected entry point is in the plan
+    val fns = parsed.flatMap { case (_, j) =>
+      Option(j.get("remedy_fn")).filterNot(_.isNull).map(_.asText) }.toSet
+    assert(fns.contains("graft.etl.BucketedTable.vacuum"), s"got $fns")
+    assert(fns.contains("graft.etl.Compaction.recoverInterrupted"), s"got $fns")
+    assert(fns.contains("graft.etl.AnnIndex.retrainIvf"), s"got $fns")
+    assert(fns.contains("graft.etl.BucketedTable.rebucket"), s"got $fns")
+    // and the args point at real, existing targets
+    parsed.foreach { case (_, j) =>
+      if (!j.get("remedy_fn").isNull) {
+        val arg = j.get("remedy_args").get(0).asText
+        assert(fs.exists(arg) || fs.isDirectory(arg),
+          s"remedy target must exist on disk: $arg")
+      }
+    }
+  }
 }

@@ -313,10 +313,27 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // provenance marker (r17, ADVICE r16): a reused variant dir must have
+    // been materialized from THIS source at THIS factor — a stale variant
+    // from a different corpus would silently gate the wrong data
+    def staleProvenance(dir: String, prov: String): Boolean = {
+      val m = Paths.get(dir, "_GRAFT_SRC")
+      !(Files.isRegularFile(m) &&
+        scala.util.Try(Files.readString(m).trim).toOption.contains(prov))
+    }
+    def stampProvenance(dir: String, prov: String): Unit =
+      Files.writeString(Paths.get(dir, "_GRAFT_SRC"), prov)
+    val replicaProv = s"$srcDir|factor=$Factor"
     if (!Files.isDirectory(Paths.get(s"$outDir/lineitem.parquet")) ||
+        staleProvenance(outDir, replicaProv) ||
         sys.env.contains("SPARK_GRAFT_SCALE_FORCE")) {
+      // wipe a mismatched variant whole: symlinks into the OLD corpus are
+      // created only-if-absent and would otherwise survive the rebuild
+      if (Files.isDirectory(Paths.get(outDir)))
+        graft.GraftFs.default.deleteRecursively(outDir)
       println(s"[scale-up] materializing ${Factor}x replica of $srcDir -> $outDir")
       replicate(spark, srcDir, outDir)
+      stampProvenance(outDir, replicaProv)
     } else println(s"[scale-up] reusing replica at $outDir")
 
     def time(name: String, dir: String): Double = {
@@ -406,10 +423,15 @@ object ScaleUp {
     // ---- hot-key skew gate (r15 judge #3) ----------------------------------
     if (sections("skew")) {
       val skewDir = if (args.length > 2) args(2) else "/tmp/graft_scale_skew"
+      val skewProv = s"$srcDir|skew"
       if (!Files.isDirectory(Paths.get(s"$skewDir/lineitem.parquet")) ||
+          staleProvenance(skewDir, skewProv) ||
           sys.env.contains("SPARK_GRAFT_SCALE_FORCE")) {
+        if (Files.isDirectory(Paths.get(skewDir)))
+          graft.GraftFs.default.deleteRecursively(skewDir)
         println(s"[scale-up] materializing hot-key skew variant of $srcDir -> $skewDir")
         materializeSkew(spark, srcDir, skewDir)
+        stampProvenance(skewDir, skewProv)
       } else println(s"[scale-up] reusing skew variant at $skewDir")
       // 100 TB PROXY CONFS for this sweep only: at sf0.1 the hot partition
       // is a few MB, far under the 256 MB default skew trip-wire, and a
