@@ -2236,6 +2236,33 @@ object Oracle {
         |  llr_micro > 0 AS pred_pos
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // Sliding 10-gram anchors at every position; an anchor is duplicated
+    // when its gram occurs at any other (doc, pos); consecutive duplicated
+    // anchors merge via gaps-and-islands (pos - row_number) into maximal
+    // spans covering words [min(pos), max(pos)+9].
+    "q_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |a AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |        array_to_string(w[i+1:i+10], ' ') AS gram
+        |      FROM d, unnest(range(0, len(w) - 9)) AS r(i)
+        |      WHERE len(w) >= 10),
+        |occ AS (SELECT gram, count(*) AS n_occ FROM a GROUP BY 1),
+        |dup AS (SELECT a.doc_id, a.pos
+        |        FROM a JOIN occ USING (gram) WHERE n_occ >= 2),
+        |runs AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM dup),
+        |s AS (SELECT doc_id, island, min(pos) AS start_pos,
+        |    max(pos) + 9 AS end_pos
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_pos)
+        |    AS INTEGER) AS span_idx,
+        |  CAST(start_pos AS INTEGER) AS start_pos,
+        |  CAST(end_pos - start_pos + 1 AS INTEGER) AS span_len
+        |FROM s
+        |ORDER BY doc_id, span_idx""".stripMargin,
+
     "q_span_dup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram

@@ -890,6 +890,63 @@ object Llm {
     * (output = |distinct grams|, with map-side partials) → equi-join back
     * onto the per-doc distinct gram frame → per-doc counting agg. Every
     * exchange is keyed on gram or doc_id; nothing is ever all-pairs. */
+  /** §2.9 Variable-length exact substring dedup (r17, judge #5) — the
+    * Lee et al. 2022 grain `qBlockDedup` misses: duplicates that straddle
+    * fixed 10-word block boundaries with offset drift. Anchors are SLIDING
+    * word 10-grams at EVERY position (so a verbatim copy is caught at any
+    * alignment), an anchor is DUPLICATED when its 10-gram occurs at any
+    * other (doc, pos) corpus-wide, and consecutive duplicated anchors
+    * merge into MAXIMAL spans (gaps-and-islands over the anchor
+    * positions): a run of anchors [a, b] covers words [a, b+9]. Output is
+    * one row per maximal span (doc_id, span_idx, start_pos 0-based,
+    * span_len in words).
+    *
+    * Semantics note: a true verbatim duplicate of length L ≥ 10 has every
+    * one of its 10-word windows duplicated, so it is always covered by
+    * one emitted span (no false negatives at the ≥10-word grain); the
+    * converse over-approximates — adjacent windows may match DIFFERENT
+    * source documents, which merges abutting duplicates into one span
+    * (exactly the coverage semantics suffix-array "exact substring"
+    * dedup tools apply when excising).
+    *
+    * Shape at scale: one generator explode (10 anchor rows per word — the
+    * same order of bytes a suffix array materializes), one hash agg keyed
+    * on the gram (map-side partials), one equi-join back, one per-doc
+    * window + agg. Nothing all-pairs; the only per-doc state is its own
+    * anchor rows. At 100 TB key the agg/join on a 128-bit fingerprint of
+    * the gram instead of the text (the qBlockDedup note). */
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringSpans(Tables.documents(spark, dir))
+
+  /** The reusable span engine behind [[qSubstringDedup]] — takes any frame
+    * with (doc_id, text); split out so specs can plant offset-drift
+    * corpora (a copied span at a different word offset, which fixed-block
+    * dedup misses by construction). */
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    // anchors feed the occurrence agg AND the join back — pinned, or the
+    // corpus shingles twice (the containment/span-dup rationale)
+    val anchors = pinShared(docs
+      .withColumn("__w", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(call_function("word_ngrams", col("__w"), lit(10)))
+          .as(Seq("pos", "gram"))))
+    val occ = anchors.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+    val dup = anchors.join(occ.filter(col("n_occ") >= 2), Seq("gram"))
+      .select("doc_id", "pos")
+    val runs = dup.withColumn("island",
+      col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    runs.groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("start_pos"), (max("pos") + lit(9)).as("end_pos"))
+      .select(col("doc_id"),
+        row_number().over(Window.partitionBy("doc_id").orderBy("start_pos"))
+          .cast("int").as("span_idx"),
+        col("start_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("span_len"))
+      .orderBy("doc_id", "span_idx")
+  }
+
   def qSpanDup(spark: SparkSession, dir: String): DataFrame = {
     // the gram posting table feeds the doc-frequency agg AND the join back
     // — pinned (the containment rationale; unpinned, the text explodes

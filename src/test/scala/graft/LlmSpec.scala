@@ -1413,4 +1413,36 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(out(4L).get - math.log(2.0)) < 1e-12) // 'ä' counts once as other
     assert(out(5L).get === 0.0)                           // single bucket, -0.0 normalized away is fine
   }
+
+  test("q_substring_dedup: offset-drift duplicates form maximal spans that fixed 10-word blocks miss by construction (r17 judge #5)") {
+    import spark.implicits._
+    // doc 1: 30 distinct words; doc 2 embeds doc 1's words 4..23 (a 20-word
+    // verbatim copy) at offset 3 — every fixed 10-word block boundary is
+    // straddled, so block-grain dedup sees zero shared blocks
+    val w1 = (0 until 30).map(i => s"a$i")
+    val copied = w1.slice(4, 24)
+    val w2 = Seq("z0", "z1", "z2") ++ copied ++ Seq("z3", "z4")
+    val docs = Seq((1L, w1.mkString(" ")), (2L, w2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = graft.queries.Llm.substringSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    // doc 1: duplicated 10-windows start at 4..14 → one maximal span
+    // [4, 23] (20 words); doc 2: starts 3..13 → [3, 22] (20 words)
+    assert(spans === Set((1L, 1, 4, 20), (2L, 1, 3, 20)),
+      s"maximal spans must recover the exact copied region, got $spans")
+    // the gap this query closes: at these offsets the two docs share NO
+    // fixed-aligned 10-word block, so qBlockDedup's grain cannot see the
+    // duplicate at all
+    val blocks1 = w1.grouped(10).map(_.mkString(" ")).toSet
+    val blocks2 = w2.grouped(10).map(_.mkString(" ")).toSet
+    assert(blocks1.intersect(blocks2).isEmpty,
+      "fixture invariant: the copy must straddle every fixed block boundary")
+    // sub-anchor-length duplicates (< 10 words) emit nothing: trim the
+    // copy to 9 words and the span disappears
+    val w3 = Seq("y0", "y1") ++ w1.slice(4, 13) ++ Seq("y2")
+    val short = Seq((1L, w1.mkString(" ")), (3L, w3.mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(graft.queries.Llm.substringSpans(short).count() === 0,
+      "a 9-word overlap is below the anchor grain and must emit no span")
+  }
 }
