@@ -200,6 +200,148 @@ object AnnQuality {
     b.toSeq
   }
 
+  /** Distribution-level recall floors (r17, judge #4): (mean recall@10 %
+    * floor, per-probe min recall floor) over [[DistProbes]] seeded-random
+    * REAL-corpus probes, per family, at the ladder's DEFAULT parameters
+    * (nprobe 4/16, SQ8 oversample 4, PQ oversample 8). Calibrated from
+    * runs on the sf0.001 (500-vector) and sf0.1 (2000-vector) embeddings
+    * corpora — measured means: lsh 35–39%, ivf ~62%, sq8 100%, pq 40–69%,
+    * ivfpq ~41% (ANN_REPORT.md holds the full table) — and these floors
+    * sit a safety margin UNDER those. The honest finding this gate
+    * records, which the planted fixture structurally cannot: on this
+    * corpus's OWN similarity distribution (near-uniform Gaussian —
+    * exact neighbors at cos ≈ 0.3, barely above the bulk) the pruned and
+    * quantized families genuinely lose tail neighbors at their default
+    * scan fractions, while the full-scan-plus-exact-rerank family (sq8)
+    * tracks brute force everywhere. A deployment needing high recall on
+    * an unclustered corpus raises nprobe/oversample (paying scan) — the
+    * fixture's 8/11 floors say "finds real near-dup structure", THESE
+    * say what the default ladder trades away when there is none. */
+  val minDistRecall: Map[String, (Double, Int)] = Map(
+    "lsh"   -> (30.0, 0),
+    "ivf"   -> (55.0, 1),
+    "sq8"   -> (95.0, 8),
+    "pq"    -> (35.0, 0),
+    "ivfpq" -> (35.0, 0))
+
+  /** Probe-set size of the distribution gate. */
+  val DistProbes = 100
+
+  final case class DistScore(path: String, k: Int, recalls: Seq[Int]) {
+    def probes: Int = recalls.size
+    def meanPct: Double = 100.0 * recalls.sum / (recalls.size.toDouble * k)
+    def minHits: Int = recalls.min
+  }
+
+  /** Distribution-level recall (r17, judge #4): mean/min recall@`k` over
+    * `nProbes` seeded-random probes drawn from the REAL corpus, for the
+    * five ANN families. The planted fixture ([[score]]) proves each path
+    * finds an engineered cos≈0.9 neighborhood — necessary, not
+    * sufficient; this measures recall on the corpus's OWN similarity
+    * distribution, where exact neighbors may sit barely above the bulk
+    * and pruning genuinely loses tail probes. Probe selection is seeded
+    * (the `nProbes` smallest md5(vec_id) — deterministic per corpus), the
+    * exact baseline is ONE brute-force batch top-k pass (TopKPerGroup over
+    * a broadcast probe frame), and each family scores through its BATCH
+    * engine (batch ≡ single parity is spec'd separately). Index
+    * parameters mirror the fixture harness (nlist 16 / nprobe 4, SQ8
+    * oversample 4, PQ oversample 8). */
+  def distributionScore(spark: SparkSession, e0: DataFrame,
+                        nProbes: Int = DistProbes, k: Int = 10,
+                        nlist: Int = 16, nprobe: Int = 4): Seq[DistScore] = {
+    graft.expr.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val e = e0.select("vec_id", "label", "embedding")
+    val probeIds: Seq[Long] = e.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nProbes).as[Long].collect().toSeq
+    val probeVecs: Map[Long, Array[Float]] = e
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    val probesF: Seq[(Long, Array[Float])] = probeIds.map(p => (p, probeVecs(p)))
+    val probesD: Seq[(Long, Array[Double])] =
+      probesF.map { case (p, v) => (p, v.map(_.toDouble)) }
+
+    // exact baselines: ONE brute-force batch pass, same rounding/tie-break
+    // as every knn path (round 4, cos desc, vec_id asc)
+    val pvDf = probesF.toDF("probe_id", "pv")
+    val exact: Map[Long, Set[Long]] = graft.plans.TopK.perGroup(
+        e.crossJoin(broadcast(pvDf))
+          .withColumn("cos_sim", round(
+            call_function("cosine_similarity", col("embedding"), col("pv")), 4))
+          .select("probe_id", "vec_id", "cos_sim"),
+        Seq("probe_id"), Seq(("cos_sim", false), ("vec_id", true)), k)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+
+    def recallsOf(df: DataFrame): Seq[Int] = {
+      val byProbe = df.select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      probeIds.map(p =>
+        exact(p).intersect(byProbe.getOrElse(p, Set.empty)).size)
+    }
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_annd_$tag").toString
+
+    val lshDir = tmp("lsh"); AnnIndex.buildLsh(e, lshDir, bands = 3, bits = 8)
+    val ivfDir = tmp("ivf"); AnnIndex.build(e, ivfDir, nlist = nlist)
+    val sq8Dir = tmp("sq8"); AnnIndex.buildSq8(e, sq8Dir)
+    val pqDir = tmp("pq"); AnnIndex.buildPq(e, pqDir, m = 4, k = 16)
+    val ivfPqDir = tmp("ivfpq")
+    AnnIndex.buildIvfPq(e, ivfDir, ivfPqDir, m = 4, k = 16)
+
+    // LSH: radius-1 multiprobe cells per probe -> one pruned posting scan
+    val cellsB = probeIds.flatMap(p =>
+      LlmKnn.lshProbeCells(e, p, bands = 3, bits = 8, radius = 1)
+        .map { case (band, bkt) => (p, band, bkt) })
+    val candB = AnnIndex.lshPostingScan(spark, lshDir,
+        cellsB.map(c => (c._2, c._3)).distinct)
+      .join(broadcast(cellsB.toDF("probe_id", "band", "bkt")), Seq("band", "bkt"))
+      .select("probe_id", "vec_id").distinct()
+    val lshRes = graft.plans.TopK.perGroup(
+      e.join(candB, Seq("vec_id"))
+        .join(broadcast(pvDf), Seq("probe_id"))
+        .withColumn("cos_sim", round(
+          call_function("cosine_similarity", col("embedding"), col("pv")), 4))
+        .select("probe_id", "vec_id", "cos_sim"),
+      Seq("probe_id"), Seq(("cos_sim", false), ("vec_id", true)), k)
+
+    Seq(
+      DistScore("lsh", k, recallsOf(lshRes)),
+      DistScore("ivf", k, recallsOf(
+        LlmKnn.knnIvfBatchProbe(spark, ivfDir, probesF, k, nprobe = nprobe))),
+      DistScore("sq8", k, recallsOf(
+        LlmKnn.knnSq8BatchProbe(spark, sq8Dir, e, probesD, k, oversample = 4))),
+      DistScore("pq", k, recallsOf(
+        LlmKnn.knnPqBatchProbe(spark, pqDir, e, probesD, k, oversample = 8))),
+      DistScore("ivfpq", k, recallsOf(
+        LlmKnn.knnIvfPqBatchProbe(spark, ivfDir, ivfPqDir, e, probesD, k,
+          nprobe = nprobe, oversample = 8))))
+  }
+
+  /** Render the distribution table (appended to ANN_REPORT.md). */
+  def distReportMarkdown(scores: Seq[DistScore], corpusDesc: String): String = {
+    val header =
+      s"""
+         |## Distribution-level recall — $corpusDesc
+         |
+         |${scores.head.probes} seeded-random REAL-corpus probes (smallest
+         |md5(vec_id)), recall@${scores.head.k} vs one brute-force batch pass;
+         |floors: `AnnQuality.minDistRecall` (mean %, per-probe min), enforced
+         |by AnnQualitySpec and re-asserted at 1× and 10× density by ScaleUp.
+         |
+         || path | probes | mean recall% | min hits | floor (mean%, min) |
+         ||---|---|---|---|---|""".stripMargin
+    val rows = scores.map { s =>
+      val f = minDistRecall(s.path)
+      f"| ${s.path} | ${s.probes} | ${s.meanPct}%.1f | ${s.minHits} | (${f._1}%.0f, ${f._2}) |"
+    }
+    (header +: rows).mkString("\n") + "\n"
+  }
+
   /** Render the report table (the round-snapshot artifact). */
   def reportMarkdown(scores: Seq[PathScore]): String = {
     val exactBytes = CorpusRows * 4L * Dim

@@ -28,4 +28,27 @@ class AnnQualitySpec extends AnyFunSuite {
             s"${AnnQuality.CorpusRows} rows — not a pruned scan")
     }
   }
+
+  test("distribution-level recall over 100 real-corpus probes clears the calibrated floors (r17 judge #4)") {
+    // the planted fixture proves each path finds an engineered cos≈0.9
+    // neighborhood; this gate measures what the default ladder parameters
+    // deliver on the corpus's OWN similarity distribution (exact
+    // neighbors near the bulk) — the honest number for an unclustered
+    // corpus, calibrated floors in AnnQuality.minDistRecall
+    val e = graft.Tables.embeddings(spark, TestSpark.sfDir)
+    val scores = AnnQuality.distributionScore(spark, e)
+    assert(scores.map(_.path).toSet === AnnQuality.minDistRecall.keySet,
+      "every family must be scored, and only declared families")
+    scores.foreach { s =>
+      assert(s.probes === AnnQuality.DistProbes)
+      val (meanFloor, minFloor) = AnnQuality.minDistRecall(s.path)
+      assert(s.meanPct >= meanFloor,
+        f"${s.path}: mean recall ${s.meanPct}%.1f%% below floor $meanFloor%.0f%%")
+      assert(s.minHits >= minFloor,
+        s"${s.path}: worst probe ${s.minHits}/${s.k} below floor $minFloor")
+    }
+    // the exact-rerank family must track brute force on ANY distribution —
+    // if this drops, the oversample/rerank contract broke, not the corpus
+    assert(scores.find(_.path == "sq8").get.meanPct >= 95.0)
+  }
 }
