@@ -294,6 +294,10 @@ object Bench {
     val referenceSec: Option[Double] =
       sys.env.get("SPARK_GRAFT_BENCH_REFERENCE_SEC").map(_.toDouble)
         .orElse(if (sfName == "sf0.1") Some(130.0) else None)
+    // the board size the 130 s denominator was frozen against (BASELINE.md
+    // r17 re-freeze rule: when the registered board drifts more than 5%
+    // from this, re-freeze the denominator from two clean sweeps)
+    val ReferenceBoard = 166
     val vsReference = referenceSec.map(total / _)
     val nErr = results.count(_._4.isDefined)
     val errPart =
@@ -326,7 +330,14 @@ object Bench {
         canaryIoIdle.map(b => s""","canary_idle_io":${sec(b, 2)}""").getOrElse("") +
         s""","spread_ratio":${sec(spreadRatioV, 2)}""" +
         s""","contended":$contended,"suspect":$suspect""" +
-        vsReference.map(v => s""","vs_reference":${sec(v, 2)}""").getOrElse("") +
+        // board-size self-description (r17, judge #7): vs_reference's
+        // denominator was frozen against a 166-query board — board growth
+        // silently eats the 2x headroom (or pads it on removals), so the
+        // artifact names both sizes and BASELINE.md commits the re-freeze
+        // rule (re-freeze from two clean sweeps when |board/166 - 1| > 5%)
+        s""","n_board":${SparkEntry.queries.size}""" +
+        vsReference.map(v => s""","vs_reference":${sec(v, 2)}""" +
+          s""","reference_n_board":$ReferenceBoard""").getOrElse("") +
         // self-adjudication block (only on tripped sweeps): the isolated-
         // re-time total and its gate ratio, next to the raw numbers — the
         // artifact carries BOTH, so a consumer sees what was repaired

@@ -259,6 +259,62 @@ class IngestSpec extends AnyFunSuite {
     assert(msgs(nonNull).contains("non-nullable"))
   }
 
+  test("Avro projected read: non-projected fields are resolver-skipped at decode, not decoded-and-dropped (r17 judge #6)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_avro_proj").toString
+    // a WIDE file: a fat payload column next to two narrow ones
+    val df = (1L to 200L).map(i =>
+        (i, "x" * 500, s"t$i", i.toDouble)).toDF("id", "payload", "tag", "score")
+    graft.etl.AvroSource.writeAvro(df.coalesce(1), tmp)
+    // correctness: narrow read returns exactly the projected columns, in
+    // projection order, values intact
+    val narrow = graft.etl.AvroSource
+      .readAvroProjected(spark, tmp, Seq("score", "id"))
+    assert(narrow.columns.toSeq === Seq("score", "id"))
+    assert(narrow.collect().map(r => (r.getDouble(0), r.getLong(1))).sorted.toSeq
+      === (1L to 200L).map(i => (i.toDouble, i)).sorted)
+    // the skip is REAL: count string cells materialized by the decode path.
+    // A decode-and-drop implementation would materialize 200 payload + 200
+    // tag strings; the reader-schema skip materializes ZERO for a
+    // string-free projection and exactly 200 when one string column is
+    // projected back in.
+    val ctr = graft.etl.AvroSource.stringDecodeCount
+    graft.etl.AvroSource.stringDecodeProbeOn = true
+    try {
+      ctr.set(0L)
+      graft.etl.AvroSource.readAvroProjected(spark, tmp, Seq("id", "score"))
+        .collect()
+      assert(ctr.get === 0L,
+        s"string-free projection must materialize zero strings, got ${ctr.get}")
+      ctr.set(0L)
+      graft.etl.AvroSource.readAvroProjected(spark, tmp, Seq("id", "tag"))
+        .collect()
+      assert(ctr.get === 200L,
+        s"projecting one string column must materialize exactly its 200 " +
+          s"cells (payload skipped), got ${ctr.get}")
+      ctr.set(0L)
+      graft.etl.AvroSource.readAvro(spark, tmp).collect()
+      assert(ctr.get === 400L,
+        s"the unprojected read decodes all 400 string cells, got ${ctr.get}")
+    } finally graft.etl.AvroSource.stringDecodeProbeOn = false
+    // evolution coexistence: a file PREDATING a projected column reads null
+    // (header/table schema comes from the first listed file — "new" sorts
+    // before "old", so the projection resolves against the wide schema)
+    val tmp2 = Files.createTempDirectory("graft_avro_proj2").toString
+    graft.etl.AvroSource.writeAvro(
+      Seq((999L, 9.9)).toDF("id", "score").coalesce(1), s"$tmp2/old")
+    graft.etl.AvroSource.writeAvro(
+      Seq((1L, "a", 1.0)).toDF("id", "tag", "score").coalesce(1), s"$tmp2/new")
+    val mixed = graft.etl.AvroSource
+      .readAvroProjected(spark, tmp2, Seq("id", "tag"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
+    assert(mixed === Seq((1L, Some("a")), (999L, None)))
+    // an unknown projected column still fails loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.etl.AvroSource.readAvroProjected(spark, tmp, Seq("nope")) }
+    assert(err.getMessage.contains("not in the table schema"))
+  }
+
   test("q_scan_csv: pipe-delimited round-trip equals the parquet read") {
     val li = Tables.lineitem(spark, TestSpark.sfDir)
     val tmp = Files.createTempDirectory("graft_csv").toString
