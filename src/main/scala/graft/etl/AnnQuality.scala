@@ -227,6 +227,19 @@ object AnnQuality {
   /** Probe-set size of the distribution gate. */
   val DistProbes = 100
 
+  /** Corpus-scaled PQ-family sizing — (m, k, oversample) — the rule the
+    * r17 100× decade MEASURED into existence: a product quantizer's code
+    * space (k^m distinct codes) must stay far above the corpus size or
+    * ADC ranking saturates and recall collapses. On the 200k-vector 100×
+    * replica the demo sizing (4×16 books = 65k codes, oversample 8) fell
+    * to 13–14% mean recall@10 while 8×64 books recovered 39% (flat) and
+    * 43–50% at oversample 16–32 (IVF-PQ pays coarse-quantization loss on
+    * top, capped by IVF's own ~65%). This is the FAISS sizing guidance
+    * (bits per code grow with corpus) stated as a rule the gates measure:
+    * demo sizing below 20k vectors, scaled sizing at or above. */
+  def pqParamsFor(n: Long): (Int, Int, Int) =
+    if (n >= 20000L) (8, 64, 16) else (4, 16, 8)
+
   final case class DistScore(path: String, k: Int, recalls: Seq[Int]) {
     def probes: Int = recalls.size
     def meanPct: Double = 100.0 * recalls.sum / (recalls.size.toDouble * k)
@@ -245,7 +258,8 @@ object AnnQuality {
     * a broadcast probe frame), and each family scores through its BATCH
     * engine (batch ≡ single parity is spec'd separately). Index
     * parameters mirror the fixture harness (nlist 16 / nprobe 4, SQ8
-    * oversample 4, PQ oversample 8). */
+    * oversample 4); the PQ family follows the corpus-scaled sizing rule
+    * ([[pqParamsFor]]). */
   def distributionScore(spark: SparkSession, e0: DataFrame,
                         nProbes: Int = DistProbes, k: Int = 10,
                         nlist: Int = 16, nprobe: Int = 4): Seq[DistScore] = {
@@ -289,9 +303,13 @@ object AnnQuality {
     val lshDir = tmp("lsh"); AnnIndex.buildLsh(e, lshDir, bands = 3, bits = 8)
     val ivfDir = tmp("ivf"); AnnIndex.build(e, ivfDir, nlist = nlist)
     val sq8Dir = tmp("sq8"); AnnIndex.buildSq8(e, sq8Dir)
-    val pqDir = tmp("pq"); AnnIndex.buildPq(e, pqDir, m = 4, k = 16)
+    // PQ-family sizing follows the corpus ([[pqParamsFor]] — the 100×
+    // decade's finding: fixed demo books saturate at density)
+    val nCorpus = e.count()
+    val (pqM, pqK, pqOs) = pqParamsFor(nCorpus)
+    val pqDir = tmp("pq"); AnnIndex.buildPq(e, pqDir, m = pqM, k = pqK)
     val ivfPqDir = tmp("ivfpq")
-    AnnIndex.buildIvfPq(e, ivfDir, ivfPqDir, m = 4, k = 16)
+    AnnIndex.buildIvfPq(e, ivfDir, ivfPqDir, m = pqM, k = pqK)
 
     // LSH: radius-1 multiprobe cells per probe -> one pruned posting scan
     val cellsB = probeIds.flatMap(p =>
@@ -316,10 +334,10 @@ object AnnQuality {
       DistScore("sq8", k, recallsOf(
         LlmKnn.knnSq8BatchProbe(spark, sq8Dir, e, probesD, k, oversample = 4))),
       DistScore("pq", k, recallsOf(
-        LlmKnn.knnPqBatchProbe(spark, pqDir, e, probesD, k, oversample = 8))),
+        LlmKnn.knnPqBatchProbe(spark, pqDir, e, probesD, k, oversample = pqOs))),
       DistScore("ivfpq", k, recallsOf(
         LlmKnn.knnIvfPqBatchProbe(spark, ivfDir, ivfPqDir, e, probesD, k,
-          nprobe = nprobe, oversample = 8))))
+          nprobe = nprobe, oversample = pqOs))))
   }
 
   /** Render the distribution table (appended to ANN_REPORT.md). */
