@@ -972,8 +972,13 @@ object Streams {
         // interpreted HOF metrics feed the admitted set AND the audit —
         // the same pin-the-flags discipline CorpusPipeline measured out
         val gateFlags: Option[DataFrame] = if (!anyMapGate) None else Some {
+          // `source` is only needed by the holdout gate — a source-less
+          // stream may still run the quality/repetition gates
+          val gateCols = col("doc_id") +:
+            (if (holdoutSources.nonEmpty) Seq(col("source")) else Nil) :+
+            col("text")
           val base = graft.queries.LlmText.withRepetitionMetrics(
-            batch.select(col("doc_id"), col("source"), col("text"))
+            batch.select(gateCols: _*)
               .withColumn("words", split(col("text"), " ")))
           base
             .withColumn("g1",
