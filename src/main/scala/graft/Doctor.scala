@@ -301,8 +301,12 @@ object Doctor {
         val storedName = m.renames.filter(_.since > v).sortBy(-_.since)
           .foldLeft(BucketedTable.resolveCurrentName(m, w))(
             (n, r) => if (r.to == n) r.from else n)
-        val file = fs.walk(dir.resolve(s"v=$v").toString)
-          .find(p => p.endsWith(".parquet") && fs.isFile(p))
+        // a missing referenced version dir is already a FAIL from the
+        // reference check — don't let the footer walk throw over it
+        val verDir = dir.resolve(s"v=$v").toString
+        val file =
+          if (!fs.isDirectory(verDir)) None
+          else fs.walk(verDir).find(p => p.endsWith(".parquet") && fs.isFile(p))
         file.flatMap(f => parquetFieldType(f, storedName)).toSeq.flatMap {
           stored =>
             if (stored == target.get) Nil
