@@ -205,14 +205,23 @@ object NioFs extends GraftFs {
     monitor.synchronized {
       // belt for the residual alias window (e.g. a symlink re-pointed
       // between key resolution and lock): an overlapping same-JVM holder
-      // is transient — its CAS window is milliseconds — so retry briefly
-      // instead of leaking the exception to the caller
+      // is transient — its CAS window is milliseconds — so retry briefly.
+      // r18 (ADVICE r17): BOUNDED — a leaked/long-lived holder must
+      // surface as a diagnosable failure naming the aliased path, not a
+      // silent forever-spin under the per-key monitor that blocks every
+      // writer on this key
       def lockRetrying(): Option[AutoCloseable] = {
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
         var backoff = 1L
         while (true) {
           try return tryProcessLock(path + ".caslock")
           catch {
-            case _: java.nio.channels.OverlappingFileLockException =>
+            case e: java.nio.channels.OverlappingFileLockException =>
+              if (System.nanoTime() > deadline)
+                throw new IllegalStateException(
+                  s"replaceIfMatch: lock on $path.caslock (monitor key " +
+                    s"$key) still held by a same-JVM alias after 5s — a " +
+                    "leaked or long-lived CAS lock holder", e)
               Thread.sleep(backoff); backoff = math.min(backoff * 2, 50L)
           }
         }

@@ -2263,6 +2263,47 @@ object Oracle {
         |FROM s
         |ORDER BY doc_id, span_idx""".stripMargin,
 
+    // The excision restates the span engine, ranks spans by their word
+    // TEXT (first corpus-wide occurrence by (doc_id, start_pos) survives),
+    // drops every word covered by a losing span, and reassembles. The
+    // word-position anti-join mirrors the Spark range-residual anti join.
+    "q_substring_excise" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |a AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |        array_to_string(w[i+1:i+10], ' ') AS gram
+        |      FROM d, unnest(range(0, len(w) - 9)) AS r(i)
+        |      WHERE len(w) >= 10),
+        |occ AS (SELECT gram, count(*) AS n_occ FROM a GROUP BY 1),
+        |dup AS (SELECT a.doc_id, a.pos
+        |        FROM a JOIN occ USING (gram) WHERE n_occ >= 2),
+        |runs AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM dup),
+        |s AS (SELECT doc_id, min(pos) AS start_pos, max(pos) + 9 AS end_pos
+        |  FROM runs GROUP BY doc_id, island),
+        |st AS (SELECT s.doc_id, s.start_pos, s.end_pos,
+        |    array_to_string(d.w[s.start_pos + 1:s.end_pos + 1], ' ') AS span_text
+        |  FROM s JOIN d USING (doc_id)),
+        |ex AS (SELECT doc_id, start_pos, end_pos FROM (
+        |    SELECT doc_id, start_pos, end_pos,
+        |      row_number() OVER (PARTITION BY span_text
+        |        ORDER BY doc_id, start_pos) AS rk
+        |    FROM st) WHERE rk > 1),
+        |words AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, w[i+1] AS word
+        |  FROM d, unnest(range(0, len(w))) AS r(i)),
+        |kept AS (SELECT words.* FROM words
+        |  WHERE NOT EXISTS (SELECT 1 FROM ex
+        |    WHERE ex.doc_id = words.doc_id
+        |      AND words.pos BETWEEN ex.start_pos AND ex.end_pos))
+        |SELECT w0.doc_id, w0.n_words,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM (SELECT doc_id, count(*) AS n_words FROM words GROUP BY 1) w0
+        |LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+        |    array_to_string(list(word ORDER BY pos), ' ') AS clean_text
+        |  FROM kept GROUP BY 1) k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_span_dup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram

@@ -184,6 +184,7 @@ object SparkEntry {
     "q_containment"    -> (Llm.qContainment _),
     "q_block_dedup"    -> (Llm.qBlockDedup _),
     "q_substring_dedup" -> (Llm.qSubstringDedup _),
+    "q_substring_excise" -> (Llm.qSubstringExcise _),
     "q_pagerank"       -> (Graph.qPagerank _),
     "q_graph_triangles" -> (Graph.qTriangles _),
     "q_event_anomaly"  -> (Cdc.qEventAnomaly _),

@@ -58,10 +58,13 @@ object AnnIndex {
     Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
       s"sq8b-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
 
-  /** [[defaultIvfDir]]'s twin for the PQ (product-quantized) scan index. */
+  /** [[defaultIvfDir]]'s twin for the PQ (product-quantized) scan index.
+    * "pqo": the r18 OPQ-rotated layout — the key bump forces a rebuild over
+    * any stale pre-rotation cache dir (whose codes a rotated probe LUT
+    * would silently mis-score). */
   def defaultPqDir(sfDir: String, m: Int, k: Int): String =
     Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
-      s"pq$m-$k-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
+      s"pqo$m-$k-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
 
   /** Content fingerprint of a corpus file/directory: md5 over each data
     * file's name, byte size, and head/tail 4 KiB. Byte size ALONE can alias
@@ -669,8 +672,15 @@ object AnnIndex {
   def buildPq(e: DataFrame, indexDir: String, m: Int, k: Int, seed: Long = 7L): Unit = {
     val spark = e.sparkSession
     import spark.implicits._
-    val codebooks = trainPqBooks(e, m, k, seed)
-    writePqCodes(e, cur(s"$indexDir/codes"), codebooks, "overwrite")
+    // OPQ-lite (r18): rotate before the subspace split; books train on and
+    // codes store the ROTATED coordinates, the rotation rides the codes
+    // generation as the `_rotation/` sidecar, probes rotate their LUT input
+    val rot = opqRotation(secondMoment(e.select(col("embedding"))), m)
+    val codebooks = trainPqBooks(rotatedFrame(e.select(col("embedding")), rot),
+      m, k, seed)
+    val codesRoot = cur(s"$indexDir/codes")
+    writePqCodes(e, codesRoot, codebooks, Some(rot), "overwrite")
+    writeRotation(spark, codesRoot, rot)
     codebooks.toDF("sub_id", "code_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
   }
@@ -755,9 +765,8 @@ object AnnIndex {
     * same generation, so the rows land beside codes they are comparable
     * with. */
   def appendPq(batch: DataFrame, indexDir: String): Unit = {
-    val spark = batch.sparkSession
-    val (root, books) = pqSnapshot(spark, indexDir)
-    writePqCodes(batch, root, books, "append")
+    val model = pqModel(batch.sparkSession, indexDir)
+    writePqCodes(batch, model.codesRoot, model.books, model.rot, "append")
   }
 
   /** MAINTENANCE RETRAIN for the flat-PQ index — the codebook twin of
@@ -773,23 +782,28 @@ object AnnIndex {
                 seed: Long = 7L): Long = {
     val spark = e.sparkSession
     import spark.implicits._
-    val codebooks = trainPqBooks(e, m, k, seed)
+    val rot = opqRotation(secondMoment(e.select(col("embedding"))), m)
+    val codebooks = trainPqBooks(rotatedFrame(e.select(col("embedding")), rot),
+      m, k, seed)
     val table = s"$indexDir/codes"
     Compaction.reclaimOrphans(table)
     val newVer = Compaction.currentVersion(table) + 1
     val dst = s"$table.v$newVer"
-    writePqCodes(e, dst, codebooks, "overwrite")
+    writePqCodes(e, dst, codebooks, Some(rot), "overwrite")
+    writeRotation(spark, dst, rot)
     codebooks.toDF("sub_id", "code_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dst/_codebooks")
     Compaction.publishRewrite(table, newVer)
     newVer
   }
 
-  /** Nearest-codebook encode of one vector: per subspace, argmin-L2 code;
-    * rnorm is the exact reconstruction norm (disjoint coordinates ⇒
-    * ‖x̂‖² = Σ_s ‖c_s‖²). Shared by the flat-PQ and IVF-PQ writers. */
+  /** Nearest-codebook encode of one (already-rotated) vector: per subspace,
+    * argmin-L2 code; rnorm is the exact reconstruction norm (disjoint
+    * coordinates ⇒ ‖x̂‖² = Σ_s ‖c_s‖², and a rotation preserves it, so the
+    * formula holds verbatim for OPQ-rotated coordinates). Shared by the
+    * flat-PQ writers; the residual composite uses [[encodeResidualRow]]. */
   private def encodePqRow(bk: Array[Array[Array[Double]]],
-                          emb: Array[Float]): (Array[Byte], Double) = {
+                          emb: Array[Double]): (Array[Byte], Double) = {
     val mm = bk.length
     val sub = emb.length / mm
     val code = new Array[Byte](mm)
@@ -816,6 +830,313 @@ object AnnIndex {
     (code, math.sqrt(rn2))
   }
 
+  // ---- OPQ-lite rotation + residual encoding (r18) -------------------------
+
+  /** Second moment M = Σ v·vᵀ of a vector column — ONE distributed pass
+    * folding a d×d partial sum per partition (model-metadata sized:
+    * 64² doubles = 32 KiB), reduced driver-side. Scale does not matter for
+    * the eigenbasis, so the sum stays unnormalized. O(n·d²) map work in the
+    * one-time index build, never in a query path. */
+  private def secondMoment(vecs: DataFrame): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val packed = vecs.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        var acc: Array[Double] = null
+        var d = 0
+        it.foreach { v =>
+          if (acc == null) { d = v.length; acc = new Array[Double](d * d) }
+          var i = 0
+          while (i < d) {
+            val vi = v(i).toDouble
+            var j = 0
+            while (j < d) { acc(i * d + j) += vi * v(j); j += 1 }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty else Iterator.single(acc)
+      }.reduce { (a, b) =>
+        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+      }
+    val d = math.sqrt(packed.length.toDouble).round.toInt
+    Array.tabulate(d, d)((i, j) => packed(i * d + j))
+  }
+
+  /** OPQ-lite rotation (r18, judge #3): the PCA eigenbasis of the encoded
+    * vectors' second moment with EIGENVALUE-BALANCED subspace allocation —
+    * the parametric OPQ initialization (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013): decorrelate via PCA, then deal the d
+    * eigendirections onto the m subspaces greedily so each subspace's
+    * variance product (Σ log λ) balances — a raw PCA ordering would
+    * concentrate all energy into subspace 0, which is WORSE for PQ than no
+    * rotation at all. Driver-side O(d³) on the d×d moment (the
+    * [[graft.etl.Pca]] deterministic solver — bit-stable, no RNG); rows of
+    * the returned matrix are the rotated coordinates in subspace-contiguous
+    * order, so `R·x` is ready for the m-way contiguous split. */
+  private[etl] def opqRotation(moment: Array[Array[Double]], m: Int): Array[Array[Double]] = {
+    val d = moment.length
+    val (vals, vecs) = Pca.topComponents(moment, d)
+    val sub = d / m
+    val sums = new Array[Double](m)
+    val buckets = Array.fill(m)(List.empty[Int])
+    (0 until d).foreach { i =>
+      val cands = (0 until m).filter(buckets(_).length < sub)
+      val best = cands.minBy(sums(_))
+      buckets(best) = buckets(best) :+ i
+      sums(best) += math.log(math.max(vals(i), 1e-12))
+    }
+    buckets.flatten.map(vecs(_))
+  }
+
+  /** R·v (raw matrix form — executors; see [[rotate]] for the Option form). */
+  private[etl] def rotateArr(rot: Array[Array[Double]],
+                             v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](rot.length)
+    var i = 0
+    while (i < rot.length) {
+      val row = rot(i)
+      var s = 0.0; var j = 0
+      while (j < row.length) { s += row(j) * v(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  /** R·v for an optional rotation (identity when the codes generation
+    * predates OPQ — the probe LUT builders call this on every probe). */
+  def rotate(rot: Option[Array[Array[Double]]], v: Array[Double]): Array[Double] =
+    rot.fold(v)(rotateArr(_, v))
+
+  /** The rotated-embedding frame for codebook training (typed
+    * mapPartitions — a plain JVM matrix-vector per row, no UDF). */
+  private def rotatedFrame(vecs: DataFrame, rot: Array[Array[Double]]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rot)
+    vecs.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map(v => rotateArr(r, v.map(_.toDouble)).map(_.toFloat))
+      }.toDF("embedding")
+  }
+
+  /** Persist a codes generation's rotation matrix as the hidden sidecar
+    * `_rotation/` (d rows of `(dim_id, row)`) — hidden dirs ride layout
+    * compactions exactly like `_codebooks/`, so the (codes, books,
+    * rotation) triple can never split across generations. */
+  private def writeRotation(spark: SparkSession, codesRoot: String,
+                            rot: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    rot.toSeq.zipWithIndex.map { case (r, i) => (i, r) }
+      .toDF("dim_id", "row")
+      .coalesce(1).write.mode("overwrite").parquet(s"$codesRoot/_rotation")
+  }
+
+  private def readRotation(spark: SparkSession, codesRoot: String)
+      : Option[Array[Array[Double]]] = {
+    val p = s"$codesRoot/_rotation"
+    if (!gfs.isDirectory(p)) None
+    else Some(spark.read.parquet(p).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2))
+  }
+
+  /** The codes generation's encoding discipline: "residual" (r18 — codes
+    * store `x − centroid[list]`, the FAISS IVF-PQ default; probes add the
+    * per-list ⟨q, centroid⟩ bias back) vs "raw" (flat PQ, and composite
+    * generations predating r18). Self-describing per generation so a
+    * probe can never score codes under the wrong arithmetic. */
+  private def writeEncodingKind(codesRoot: String, kind: String): Unit =
+    gfs.writeString(s"$codesRoot/_encoding/kind", kind)
+
+  private def encodingKind(codesRoot: String): String = {
+    val p = s"$codesRoot/_encoding/kind"
+    if (gfs.exists(p)) gfs.readString(p).trim else "raw"
+  }
+
+  /** The flat-PQ probe-side model: one snapshot's codes root, books, and
+    * optional OPQ rotation (None on pre-r18 generations → identity). */
+  final case class PqModel(codesRoot: String,
+                           books: Seq[(Int, Int, Array[Double])],
+                           rot: Option[Array[Array[Double]]])
+
+  def pqModel(spark: SparkSession, indexDir: String): PqModel = {
+    val (root, books) = pqSnapshot(spark, indexDir)
+    PqModel(root, books, readRotation(spark, root))
+  }
+
+  /** The composite probe-side model — [[ivfPqSnapshot]] plus the r18
+    * sidecars: the OPQ rotation, whether codes are residual-encoded (which
+    * decides the probe's per-list bias term), and the per-list MEANS the
+    * residuals subtract. The means are deliberately distinct from `cents`:
+    * Spark's cosine k-means centroids are UNIT-normalized (direction-only
+    * model — right for ranking lists by cosine), while the residual anchor
+    * must be the per-cluster L2-optimal offset, i.e. the cluster MEAN
+    * (measured r18: unit-centroid residuals were WORSE than raw coding on
+    * the ~8-norm test embeddings; mean residuals win). */
+  final case class IvfPqModel(listsRoot: String,
+                              cents: Array[(Int, Array[Double])],
+                              codesRoot: String,
+                              books: Seq[(Int, Int, Array[Double])],
+                              rot: Option[Array[Array[Double]]],
+                              residual: Boolean,
+                              means: Array[(Int, Array[Double])])
+
+  def ivfPqModel(spark: SparkSession, ivfDir: String,
+                 indexDir: String): IvfPqModel = {
+    val (listsRoot, cents, codesRoot, books) =
+      ivfPqSnapshot(spark, ivfDir, indexDir)
+    val residual = encodingKind(codesRoot) == "residual"
+    val means =
+      if (!residual) Array.empty[(Int, Array[Double])]
+      else spark.read.parquet(s"$codesRoot/_list_means").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    IvfPqModel(listsRoot, cents, codesRoot, books,
+      readRotation(spark, codesRoot), residual, means)
+  }
+
+  /** Per-list means of the lists corpus — the residual anchors. One
+    * distributed fold keyed by list_id (≤ nlist partial sums per map
+    * partition, collected as bounded model metadata — nlist·dim doubles). */
+  private def listMeans(spark: SparkSession, listsRoot: String)
+      : Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    val partials = spark.read.parquet(listsRoot)
+      .select(col("embedding"), col("list_id"))
+      .as[(Array[Float], Int)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Int, (Long, Array[Double])]
+        it.foreach { case (v, l) =>
+          val (n, acc) = m.getOrElseUpdate(l, (0L, new Array[Double](v.length)))
+          var i = 0
+          while (i < v.length) { acc(i) += v(i); i += 1 }
+          m(l) = (n + 1, acc)
+        }
+        m.iterator.map { case (l, (n, s)) => (l, n, s) }
+      }.collect()
+    partials.groupBy(_._1).map { case (l, rows) =>
+      val n = rows.map(_._2).sum
+      val d = rows.head._3.length
+      (l, Array.tabulate(d)(i => rows.map(_._3(i)).sum / n))
+    }.toArray.sortBy(_._1)
+  }
+
+  /** Persist the residual anchors beside the codes (hidden sidecar —
+    * rides compactions like `_codebooks/`). */
+  private def writeListMeans(spark: SparkSession, codesRoot: String,
+                             means: Array[(Int, Array[Double])]): Unit = {
+    import spark.implicits._
+    means.toSeq.map { case (l, v) => (l, v) }
+      .toDF("list_id", "mean")
+      .coalesce(1).write.mode("overwrite").parquet(s"$codesRoot/_list_means")
+  }
+
+  /** Dense centroid lookup indexed by list_id (k-means ids are contiguous). */
+  private def centArrOf(cents: Array[(Int, Array[Double])]): Array[Array[Double]] = {
+    val a = new Array[Array[Double]](cents.map(_._1).max + 1)
+    cents.foreach { case (i, c) => a(i) = c }
+    a
+  }
+
+  /** Residual encode of one composite row (r18, judge #1): code the ROTATED
+    * residual `x − c_list` against the books; rnorm is the exact
+    * reconstruction norm `‖c_list + Rᵀ·decode(code)‖` — per-row, because
+    * the centroid×residual cross term does not cancel (unlike flat PQ's
+    * codebook-norm sum). O(k·d + d²) per row, all in the one-time encode
+    * pass. */
+  private[etl] def encodeResidualRow(bk: Array[Array[Array[Double]]],
+                                     rot: Array[Array[Double]],
+                                     cent: Array[Double],
+                                     emb: Array[Float]): (Array[Byte], Double) = {
+    val d = emb.length
+    val r = new Array[Double](d)
+    var j = 0
+    while (j < d) { r(j) = emb(j) - cent(j); j += 1 }
+    val rr = rotateArr(rot, r)
+    val mm = bk.length
+    val sub = d / mm
+    val code = new Array[Byte](mm)
+    val rhatRot = new Array[Double](d)
+    var s = 0
+    while (s < mm) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < bk(s).length) {
+        val bc = bk(s)(c)
+        var dd = 0.0; var jj = 0
+        while (jj < sub) {
+          val diff = rr(s * sub + jj) - bc(jj); dd += diff * diff; jj += 1
+        }
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
+      }
+      code(s) = best.toByte
+      System.arraycopy(bk(s)(best), 0, rhatRot, s * sub, sub)
+      s += 1
+    }
+    // r̂ = Rᵀ·r̂_rot;  rnorm = ‖cent + r̂‖ (exact, cross term included)
+    var rn2 = 0.0
+    var i = 0
+    while (i < d) {
+      var rh = 0.0
+      var t = 0
+      while (t < d) { rh += rot(t)(i) * rhatRot(t); t += 1 }
+      val x = cent(i) + rh
+      rn2 += x * x
+      i += 1
+    }
+    (code, math.sqrt(rn2))
+  }
+
+  /** The residual anchor for a row: the list's stored mean, or zeros for a
+    * list without one (an empty-at-train-time cluster) — encode and probe
+    * bias agree on the SAME stored anchor, so a zero anchor degrades that
+    * list to raw arithmetic, still mutually consistent. */
+  private def anchorOf(ma: Array[Array[Double]], list: Int,
+                       dim: Int): Array[Double] =
+    if (list >= 0 && list < ma.length && ma(list) != null) ma(list)
+    else new Array[Double](dim)
+
+  /** Train the composite's full model over the lists corpus at the RESOLVED
+    * `listsRoot`: its paired centroids (cosine ranking), the per-list MEANS
+    * (residual anchors), the OPQ rotation of the RESIDUAL second moment,
+    * and the m per-subspace codebooks fit on the rotated residuals — the
+    * r18 residual-encoding pipeline every composite writer shares
+    * ([[buildIvfPq]], [[ensureIvfPqFromLists]], [[retrainIvfPq]]).
+    * Residuals concentrate the codebooks on within-cell variance (the
+    * FAISS IVF-PQ default), which at the same code budget is what lifted
+    * measured distribution recall — see ANN_REPORT.md. */
+  private def trainIvfPqModel(spark: SparkSession, listsRoot: String,
+                              ivfDir: String, m: Int, k: Int, seed: Long)
+      : (Array[(Int, Array[Double])], Array[(Int, Array[Double])],
+         Array[Array[Double]], Seq[(Int, Int, Array[Double])]) = {
+    import spark.implicits._
+    val cents = spark.read.parquet(centroidsPathFor(listsRoot, ivfDir)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val means = listMeans(spark, listsRoot)
+    val bcM = spark.sparkContext.broadcast(centArrOf(means))
+    // the residual frame feeds two passes (moment, m k-means fits) —
+    // persist so each is a cache read, not a source scan + re-subtract
+    val resid = spark.read.parquet(listsRoot)
+      .select(col("embedding"), col("list_id"))
+      .as[(Array[Float], Int)]
+      .mapPartitions { it =>
+        val ma = bcM.value
+        it.map { case (emb, l) =>
+          val c = anchorOf(ma, l, emb.length)
+          Array.tabulate(emb.length)(j => (emb(j) - c(j)).toFloat)
+        }
+      }.toDF("embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rot = opqRotation(secondMoment(resid), m)
+      val books = trainPqBooks(rotatedFrame(resid, rot), m, k, seed)
+      (cents, means, rot, books)
+    } finally resid.unpersist(false)
+  }
+
   private def booksArray(codebooks: Seq[(Int, Int, Array[Double])])
       : Array[Array[Array[Double]]] = {
     val m = codebooks.map(_._1).max + 1
@@ -830,15 +1151,18 @@ object AnnIndex {
     * function does no resolution of its own). */
   private def writePqCodes(e: DataFrame, codesRoot: String,
                            codebooks: Seq[(Int, Int, Array[Double])],
+                           rot: Option[Array[Array[Double]]],
                            mode: String): Unit = {
     val spark = e.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(booksArray(codebooks))
+    val bcR = spark.sparkContext.broadcast(rot)
     e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions { it =>
         val bk = bc.value
+        val r = bcR.value
         it.map { case (id, emb) =>
-          val (code, rnorm) = encodePqRow(bk, emb)
+          val (code, rnorm) = encodePqRow(bk, rotate(r, emb.map(_.toDouble)))
           (id, code, rnorm)
         }
       }.toDF("vec_id", "code", "rnorm")
@@ -847,30 +1171,49 @@ object AnnIndex {
 
   // ---- IVF-PQ (composite) -------------------------------------------------
 
-  /** [[defaultIvfDir]]'s twin for the IVF-PQ composite index. */
+  /** [[defaultIvfDir]]'s twin for the IVF-PQ composite index. "ivfpqr":
+    * the r18 residual-encoded + OPQ-rotated layout — key bump forces a
+    * rebuild over stale raw-encoded cache dirs. */
   def defaultIvfPqDir(sfDir: String, nlist: Int, m: Int, k: Int): String =
     Paths.get(sys.props("java.io.tmpdir"), "graft-ann",
-      s"ivfpq$nlist-$m-$k-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
+      s"ivfpqr$nlist-$m-$k-${Paths.get(sfDir).getFileName}-${corpusFingerprint(Paths.get(sfDir, "embeddings.parquet"))}").toString
 
   /** Build the IVF-PQ composite over an EXISTING IVF index — the standard
     * production ANN layout (FAISS's IVFPQ): the IVF half prunes WHICH
     * partitions are read (nprobe of nlist directories), the PQ half shrinks
     * WHAT is read per row (m code bytes instead of the float vector) — the
-    * two compressions are orthogonal and multiply. Codebooks train over the
-    * full corpus exactly as [[buildPq]] (same seed ⇒ same books ⇒ same
-    * codes — spec-asserted), codes re-use the IVF `list_id` assignment and
-    * land `partitionBy(list_id)`, so a probe's candidate fetch is a
-    * partition-PRUNED scan of m-byte codes. */
+    * two compressions are orthogonal and multiply.
+    *
+    * r18 (judge #1): codes store the RESIDUAL `x − centroid[list_id]`
+    * (OPQ-rotated), the FAISS IVF-PQ default — at the same code budget the
+    * codebooks model within-cell variance instead of re-spending bits on
+    * the cell position the list id already encodes. This DELIBERATELY
+    * diverges from the flat-PQ family, which keeps raw-vector (rotated)
+    * encoding: the two rungs are individually specified (LlmSpec residual
+    * contracts vs flat rnorm contracts) and share only the
+    * [[AnnQuality.pqParamsFor]] sizing rule. Probes add the per-list
+    * ⟨q, centroid⟩ bias back driver-side (nprobe scalars) and score
+    * `(bias + ADC(residual))/rnorm`. Codes re-use the IVF `list_id`
+    * assignment and land `partitionBy(list_id)`, so a probe's candidate
+    * fetch is a partition-PRUNED scan of m-byte codes. */
   def buildIvfPq(e: DataFrame, ivfDir: String, indexDir: String,
                  m: Int, k: Int, seed: Long = 7L): Unit = {
     val spark = e.sparkSession
     import spark.implicits._
-    val codebooks = trainPqBooks(e, m, k, seed)
+    // r18: the model trains on the LISTS corpus (the rows actually encoded
+    // — identical content to `e` at build time), because residuals need the
+    // per-row list assignment; `e` names the corpus for the caller's API
+    // symmetry with buildPq
     val listsRoot = cur(s"$ivfDir/lists")
+    val (_, means, rot, codebooks) =
+      trainIvfPqModel(spark, listsRoot, ivfDir, m, k, seed)
     val codesRoot = cur(s"$indexDir/codes")
-    encodeIvfPqCodes(spark, listsRoot, codesRoot, codebooks)
+    encodeIvfPqCodes(spark, listsRoot, codesRoot, codebooks, means, rot)
     codebooks.toDF("sub_id", "code_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    writeRotation(spark, codesRoot, rot)
+    writeListMeans(spark, codesRoot, means)
+    writeEncodingKind(codesRoot, "residual")
     writeListsGenSidecar(codesRoot, listsRoot)
   }
 
@@ -884,9 +1227,13 @@ object AnnIndex {
     * finds its cells in both tables. */
   private def encodeIvfPqCodes(spark: SparkSession, listsRoot: String,
                                codesRoot: String,
-                               codebooks: Seq[(Int, Int, Array[Double])]): Unit = {
+                               codebooks: Seq[(Int, Int, Array[Double])],
+                               means: Array[(Int, Array[Double])],
+                               rot: Array[Array[Double]]): Unit = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(booksArray(codebooks))
+    val bcM = spark.sparkContext.broadcast(centArrOf(means))
+    val bcR = spark.sparkContext.broadcast(rot)
     val src = spark.read.parquet(listsRoot)
     val hasBatch = src.columns.contains("batch_id")
     if (hasBatch)
@@ -894,9 +1241,10 @@ object AnnIndex {
           col("batch_id").cast("string").as("batch_id"))
         .as[(Long, Array[Float], Int, String)]
         .mapPartitions { it =>
-          val bk = bc.value
+          val bk = bc.value; val ma = bcM.value; val r = bcR.value
           it.map { case (id, emb, list, key) =>
-            val (code, rnorm) = encodePqRow(bk, emb)
+            val (code, rnorm) =
+              encodeResidualRow(bk, r, anchorOf(ma, list, emb.length), emb)
             (id, code, rnorm, list, key)
           }
         }.toDF("vec_id", "code", "rnorm", "list_id", "batch_id")
@@ -906,9 +1254,10 @@ object AnnIndex {
       src.select(col("vec_id"), col("embedding"), col("list_id"))
         .as[(Long, Array[Float], Int)]
         .mapPartitions { it =>
-          val bk = bc.value
+          val bk = bc.value; val ma = bcM.value; val r = bcR.value
           it.map { case (id, emb, list) =>
-            val (code, rnorm) = encodePqRow(bk, emb)
+            val (code, rnorm) =
+              encodeResidualRow(bk, r, anchorOf(ma, list, emb.length), emb)
             (id, code, rnorm, list)
           }
         }.toDF("vec_id", "code", "rnorm", "list_id")
@@ -931,16 +1280,18 @@ object AnnIndex {
     import spark.implicits._
     // ONE lists resolution shared by training and encoding
     val listsRoot = cur(s"$ivfDir/lists")
-    val corpus = spark.read.parquet(listsRoot)
-      .select(col("vec_id"), col("embedding"))
-    val codebooks = trainPqBooks(corpus, m, k, seed)
+    val (_, means, rot, codebooks) =
+      trainIvfPqModel(spark, listsRoot, ivfDir, m, k, seed)
     val table = s"$indexDir/codes"
     Compaction.reclaimOrphans(table)
     val newVer = Compaction.currentVersion(table) + 1
     val dst = s"$table.v$newVer"
-    encodeIvfPqCodes(spark, listsRoot, dst, codebooks)
+    encodeIvfPqCodes(spark, listsRoot, dst, codebooks, means, rot)
     codebooks.toDF("sub_id", "code_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dst/_codebooks")
+    writeRotation(spark, dst, rot)
+    writeListMeans(spark, dst, means)
+    writeEncodingKind(dst, "residual")
     writeListsGenSidecar(dst, listsRoot)
     Compaction.publishRewrite(table, newVer, graceGenerations)
     newVer
@@ -966,12 +1317,14 @@ object AnnIndex {
     if (!had) ensureBuilt(indexDir) { tmp =>
       import spark.implicits._
       val listsRoot = cur(s"$ivfDir/lists")
-      val corpus = spark.read.parquet(listsRoot)
-        .select(col("vec_id"), col("embedding"))
-      val codebooks = trainPqBooks(corpus, m, k, seed)
-      encodeIvfPqCodes(spark, listsRoot, s"$tmp/codes", codebooks)
+      val (_, means, rot, codebooks) =
+        trainIvfPqModel(spark, listsRoot, ivfDir, m, k, seed)
+      encodeIvfPqCodes(spark, listsRoot, s"$tmp/codes", codebooks, means, rot)
       codebooks.toDF("sub_id", "code_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
+      writeRotation(spark, s"$tmp/codes", rot)
+      writeListMeans(spark, s"$tmp/codes", means)
+      writeEncodingKind(s"$tmp/codes", "residual")
       writeListsGenSidecar(s"$tmp/codes", listsRoot)
       gfs.writeBytes(readyMarker(tmp), Array.emptyByteArray)
     }
@@ -1063,27 +1416,48 @@ object AnnIndex {
     val spark = batch.sparkSession
     graft.expr.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
+    // ONE paired snapshot: the books/rotation used to encode, the centroids
+    // residuals subtract (which the probe's bias term adds back), and the
+    // generation appended into must all be the same composite state, or a
+    // racing retrain would interleave old-model codes into a new-model
+    // generation
+    val model = ivfPqModel(spark, ivfDir, indexDir)
     // a pre-assigned batch ([[assignIvfLists]]) skips the second argmax —
     // the streaming composite shares one assignment across both appends
     val assigned =
       if (batch.columns.contains("list_id")) batch
-      else assignAgainst(batch, ivfSnapshot(spark, ivfDir)._2)
-    // ONE snapshot: the books used to encode and the generation appended
-    // into must be the same pair, or a racing retrain would interleave
-    // old-book codes into a new-book generation
-    val (codesRoot, books) = pqSnapshot(spark, indexDir)
-    val bc = spark.sparkContext.broadcast(booksArray(books))
-    val rows = assigned
+      else assignAgainst(batch, model.cents)
+    val bc = spark.sparkContext.broadcast(booksArray(model.books))
+    val typed = assigned
       .select(col("vec_id"), col("embedding"), col("list_id"))
       .as[(Long, Array[Float], Int)]
-      .mapPartitions { it =>
-        val bk = bc.value
-        it.map { case (id, emb, list) =>
-          val (code, rnorm) = encodePqRow(bk, emb)
-          (id, code, rnorm, list)
-        }
-      }.toDF("vec_id", "code", "rnorm", "list_id")
-    appendListKeyed(rows, codesRoot, batchKey)
+    val rows =
+      if (model.residual) {
+        val rotM = model.rot.getOrElse(throw new IllegalStateException(
+          s"residual codes generation ${model.codesRoot} lacks its _rotation sidecar"))
+        val bcM = spark.sparkContext.broadcast(centArrOf(model.means))
+        val bcR = spark.sparkContext.broadcast(rotM)
+        typed.mapPartitions { it =>
+          val bk = bc.value; val ma = bcM.value; val r = bcR.value
+          it.map { case (id, emb, list) =>
+            val (code, rnorm) =
+              encodeResidualRow(bk, r, anchorOf(ma, list, emb.length), emb)
+            (id, code, rnorm, list)
+          }
+        }.toDF("vec_id", "code", "rnorm", "list_id")
+      } else {
+        // legacy raw generation (pre-r18): keep its own encoding so the
+        // generation never mixes disciplines; a retrain upgrades it
+        val bcR = spark.sparkContext.broadcast(model.rot)
+        typed.mapPartitions { it =>
+          val bk = bc.value; val r = bcR.value
+          it.map { case (id, emb, list) =>
+            val (code, rnorm) = encodePqRow(bk, rotate(r, emb.map(_.toDouble)))
+            (id, code, rnorm, list)
+          }
+        }.toDF("vec_id", "code", "rnorm", "list_id")
+      }
+    appendListKeyed(rows, model.codesRoot, batchKey)
   }
 
   /** Partition-pruned scan of the probed lists' code table. */

@@ -205,9 +205,11 @@ object AnnQuality {
     * REAL-corpus probes, per family, at the ladder's DEFAULT parameters
     * (nprobe 4/16, SQ8 oversample 4, PQ oversample 8). Calibrated from
     * runs on the sf0.001 (500-vector) and sf0.1 (2000-vector) embeddings
-    * corpora — measured means: lsh 35–39%, ivf ~62%, sq8 100%, pq 40–69%,
-    * ivfpq ~41% (ANN_REPORT.md holds the full table) — and these floors
-    * sit a safety margin UNDER those. The honest finding this gate
+    * corpora — measured means after the r18 residual+OPQ encode:
+    * lsh 35–39%, ivf ~62%, sq8 100%, pq 46–72%, ivfpq 46–61%
+    * (ANN_REPORT.md holds the full table) — and these floors sit a safety
+    * margin UNDER those; [[minDistRecallFor]] raises the PQ-family floors
+    * at scaled sizing. The honest finding this gate
     * records, which the planted fixture structurally cannot: on this
     * corpus's OWN similarity distribution (near-uniform Gaussian —
     * exact neighbors at cos ≈ 0.3, barely above the bulk) the pruned and
@@ -221,8 +223,23 @@ object AnnQuality {
     "lsh"   -> (30.0, 0),
     "ivf"   -> (55.0, 1),
     "sq8"   -> (95.0, 8),
-    "pq"    -> (35.0, 0),
-    "ivfpq" -> (35.0, 0))
+    "pq"    -> (40.0, 1),
+    "ivfpq" -> (40.0, 0))
+
+  /** Sizing-aware distribution floors (r18, judge #1 done-criterion): the
+    * base [[minDistRecall]] is calibrated at DEMO sizing (sf0.001/sf0.1
+    * corpora — measured means after the residual+OPQ encode: pq 72/46,
+    * ivfpq 61/46); a corpus big enough for [[pqParamsFor]]'s scaled books
+    * must ALSO clear the higher floors those books measurably deliver
+    * (10× decade, 8×64 os32: pq 78.7/min 5, ivfpq 58.4/min 1; 100×
+    * decade, 8×256 os32: pq 80.3/min 5, ivfpq 58.5/min 2 — up from
+    * r17's 41–43% raw-encoded composite), so an encode-path regression
+    * cannot hide under the demo floor. Non-PQ families are sizing-independent and keep their base
+    * floors. */
+  def minDistRecallFor(n: Long): Map[String, (Double, Int)] =
+    if (n >= 20000L)
+      minDistRecall ++ Map("pq" -> (65.0, 2), "ivfpq" -> (55.0, 1))
+    else minDistRecall
 
   /** Probe-set size of the distribution gate. */
   val DistProbes = 100
@@ -236,9 +253,19 @@ object AnnQuality {
     * 43–50% at oversample 16–32 (IVF-PQ pays coarse-quantization loss on
     * top, capped by IVF's own ~65%). This is the FAISS sizing guidance
     * (bits per code grow with corpus) stated as a rule the gates measure:
-    * demo sizing below 20k vectors, scaled sizing at or above. */
+    * demo sizing below 20k vectors, scaled sizing above in two steps.
+    * r18 refinements, both measured at the decades: scaled oversample
+    * 16 → 32 (with residual+OPQ encoding the composite's remaining loss is
+    * coarse-ranking order near the cut; the rerank stays bounded at 32·k
+    * rows per probe while the scan cost is unchanged), and ≥100k vectors
+    * get the FAISS-STANDARD 8-bit codebooks (k=256 — ~780 training points
+    * per sub-centroid at 200k rows): 6-bit books measured 50.9% mean
+    * composite recall at the 100× decade against IVF's 64.8% ceiling —
+    * code resolution, not scan fraction, was the binding loss there. */
   def pqParamsFor(n: Long): (Int, Int, Int) =
-    if (n >= 20000L) (8, 64, 16) else (4, 16, 8)
+    if (n >= 100000L) (8, 256, 32)
+    else if (n >= 20000L) (8, 64, 32)
+    else (4, 16, 8)
 
   final case class DistScore(path: String, k: Int, recalls: Seq[Int]) {
     def probes: Int = recalls.size
@@ -349,7 +376,9 @@ object AnnQuality {
          |${scores.head.probes} seeded-random REAL-corpus probes (smallest
          |md5(vec_id)), recall@${scores.head.k} vs one brute-force batch pass;
          |floors: `AnnQuality.minDistRecall` (mean %, per-probe min), enforced
-         |by AnnQualitySpec and re-asserted at 1× and 10× density by ScaleUp.
+         |by AnnQualitySpec; ScaleUp re-asserts at the 10×/100× decades
+         |against the higher sizing-aware `minDistRecallFor` floors
+         |(SCALE.md r18: ivfpq 58.4/58.5 mean there).
          |
          || path | probes | mean recall% | min hits | floor (mean%, min) |
          ||---|---|---|---|---|""".stripMargin

@@ -287,7 +287,12 @@ object AvroSource {
     * rule as the superset read); stored fields outside the projection are
     * legitimately skipped, NOT an error — unlike [[readAvro]]'s declared-
     * superset mode, whose cover-every-stored-field contract is unchanged
-    * (an explicit projection is a request to not read, not silent loss). */
+    * (an explicit projection is a request to not read, not silent loss).
+    * r18 (ADVICE r17): projected names resolve against the UNION of file
+    * schemas (no listing-order dependence on evolving directories), and
+    * every projected field is NULLABLE in the result — any file may
+    * predate it, so the schema never claims a non-null the data can't
+    * honor. */
   def readAvroProjected(spark: SparkSession, path: String,
                         columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "readAvroProjected: empty projection")
@@ -317,10 +322,36 @@ object AvroSource {
     val sparkSchema = (declared, projected) match {
       case (Some(d), _) => d
       case (None, Some(cols)) =>
-        StructType(cols.map(c => tableSchema.fields.find(_.name == c)
-          .getOrElse(throw new IllegalArgumentException(
-            s"readAvroProjected: column '$c' is not in the table schema " +
-              s"(${tableSchema.fieldNames.mkString(", ")})"))))
+        // r18 (ADVICE r17): resolve the projection against the UNION of
+        // file schemas, not the lexically-first file — an evolving
+        // directory whose first-listed file predates a projected column
+        // must not make the read order-dependent. Headers are walked
+        // lazily until every projected name resolves (O(1) file opens in
+        // the common same-schema case; O(files) only when a name is
+        // genuinely missing). Every projected field is forced NULLABLE:
+        // any file may predate it and read null, so a non-nullable claim
+        // from whichever file happened to resolve the name would lie to
+        // downstream codegen/joins (the declared-superset path keeps its
+        // loud failure instead — its contract covers every stored field).
+        val resolved = scala.collection.mutable.LinkedHashMap(
+          cols.map(c => c -> Option.empty[StructField]): _*)
+        def absorb(ts: StructType): Unit = ts.fields.foreach { f =>
+          if (resolved.get(f.name).exists(_.isEmpty))
+            resolved(f.name) = Some(f)
+        }
+        absorb(tableSchema)
+        val rest = files.iterator.drop(1)
+        while (resolved.values.exists(_.isEmpty) && rest.hasNext) {
+          val hdr = new DataFileStream[GenericRecord](
+            fs.openRead(rest.next()), new GenericDatumReader[GenericRecord]())
+          val ts = try toSparkSchema(hdr.getSchema) finally hdr.close()
+          absorb(ts)
+        }
+        val missing = resolved.collect { case (c, None) => c }
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"readAvroProjected: column(s) ${missing.mkString(", ")} not in " +
+            s"any file's schema under $path")
+        StructType(cols.map(c => resolved(c).get.copy(nullable = true)))
       case (None, None) => tableSchema
     }
     val n = sparkSchema.fields.length

@@ -947,6 +947,64 @@ object Llm {
       .orderBy("doc_id", "span_idx")
   }
 
+  /** §2.9 Substring-span EXCISION (r18, judge #2) — the ACTION for
+    * [[qSubstringDedup]]'s span report, completing the Lee et al. 2022
+    * pipeline: the first corpus-wide occurrence of each duplicated span
+    * TEXT survives (ordered by doc_id, then start_pos — the same
+    * first-occurrence rule as [[qBlockDedup]]), every later occurrence is
+    * excised word-for-word, and documents reassemble from their surviving
+    * words. Span identity is the span's word TEXT: two maximal spans that
+    * merged differently (a doc whose abutting duplicates fused into a
+    * longer span) have different texts and both survive — the
+    * conservative direction (never excises words that are not a verbatim
+    * copy of a surviving span).
+    *
+    * Shape at scale: the span engine's shape ([[substringSpans]] — one
+    * anchor explode, gram-keyed agg + join, per-doc islands), plus ONE
+    * window keyed on span_text (hash-partitions by span text, the
+    * qBlockDedup shuffle), one doc-keyed range-residual ANTI join (word
+    * positions vs excised intervals — equi on doc_id, interval residual,
+    * never all-pairs), and one per-doc reassembly agg. */
+  def qSubstringExcise(spark: SparkSession, dir: String): DataFrame =
+    exciseSpans(Tables.documents(spark, dir))
+
+  /** The engine behind [[qSubstringExcise]], reusable on planted corpora
+    * (specs plant an offset-drift copy and assert the COPY loses its
+    * duplicated words while the original keeps them). */
+  private[graft] def exciseSpans(docs: DataFrame): DataFrame = {
+    val spans = substringSpans(docs)
+    val withText = spans
+      .join(docs.select(col("doc_id"), split(col("text"), " ").as("__w")),
+        "doc_id")
+      .withColumn("span_text",
+        concat_ws(" ", slice(col("__w"), col("start_pos") + 1, col("span_len"))))
+    val excised = withText
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("span_text").orderBy("doc_id", "start_pos")))
+      .filter(col("rk") > 1)
+      .select(col("doc_id").as("e_doc"), col("start_pos").as("e_start"),
+        (col("start_pos") + col("span_len") - 1).as("e_end"))
+    val words = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val kept = words.join(excised,
+      col("doc_id") === col("e_doc") &&
+        col("pos").between(col("e_start"), col("e_end")), "left_anti")
+    // n_words comes straight off the doc row (no second explode); the
+    // left join keeps a fully-excised doc visible with an empty clean_text
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            w => w.getField("word"))).as("clean_text")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   def qSpanDup(spark: SparkSession, dir: String): DataFrame = {
     // the gram posting table feeds the doc-frequency agg AND the join back
     // — pinned (the containment rationale; unpinned, the text explodes

@@ -297,18 +297,42 @@ object LlmKnn {
     lut
   }
 
+  /** Driver-side ⟨a, b⟩ — the residual composite's per-list bias term
+    * ⟨probe, centroid⟩ (O(nprobe·dim) model metadata math per probe). */
+  private def dotv(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** The per-list ADC bias column for a residual-encoded composite scan:
+    * `score = (bias(list_id) + Σ_s lut[code_s]) / rnorm` reconstructs
+    * ⟨q, anchor + residual̂⟩, where the anchor is the list's stored MEAN
+    * (`_list_means` sidecar — a list without one anchors at zero, matching
+    * the encoder). On a raw (pre-r18) generation the bias is identically 0
+    * and the arithmetic degrades to the old form. */
+  private def listBiasCol(residual: Boolean, pv: Array[Double],
+                          meanMap: Map[Int, Array[Double]],
+                          lists: Seq[Int]): Column =
+    if (!residual) lit(0.0)
+    else element_at(
+      typedLit(lists.map(l =>
+        l -> meanMap.get(l).fold(0.0)(dotv(pv, _))).toMap), col("list_id"))
+
   /** PQ query core over a persisted index: driver-side ADC lookup-table
     * build, codegen table-lookup coarse scan, exact re-rank. */
   private[graft] def knnPqProbe(spark: SparkSession, indexDir: String,
                                 e: DataFrame, probeVec: Array[Double],
                                 probeId: Long, k: Int, oversample: Int): DataFrame = {
-    // ONE snapshot: the books building the ADC table and the codes scanned
-    // must be the same generation (retrain-consistent)
-    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
+    // ONE snapshot: the books/rotation building the ADC table and the codes
+    // scanned must be the same generation (retrain-consistent); the LUT is
+    // built from the OPQ-ROTATED probe, matching the stored coordinates
+    val model = AnnIndex.pqModel(spark, indexDir)
+    val books = model.books
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
-    val lut = pqAdcLut(books, m, nCodes, probeVec)
-    val cand = AnnIndex.pqScanAt(spark, codesRoot)
+    val lut = pqAdcLut(books, m, nCodes, AnnIndex.rotate(model.rot, probeVec))
+    val cand = AnnIndex.pqScanAt(spark, model.codesRoot)
       .filter(col("rnorm") > 0)
       .withColumn("score_pq",
         call_function("pq_adc", col("code"), typedLit(lut)) / col("rnorm"))
@@ -351,16 +375,21 @@ object LlmKnn {
     // lists generation the CODES were encoded against (the `_lists_gen`
     // sidecar), so a probe landing between the two retrain publishes never
     // prunes old-clustering codes by new-clustering list ids
-    val (_, cents, codesRoot, books) =
-      AnnIndex.ivfPqSnapshot(spark, ivfDir, indexDir)
+    val model = AnnIndex.ivfPqModel(spark, ivfDir, indexDir)
+    val (cents, books) = (model.cents, model.books)
     val lists = AnnIndex.rankLists(cents, probeVec, nprobe)
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
-    val lut = pqAdcLut(books, m, nCodes, probeVec)
-    val cand = AnnIndex.ivfPqScanAt(spark, codesRoot, lists)
+    // residual ADC (r18): LUT from the ROTATED probe scores the stored
+    // residual; the per-list ⟨q, centroid⟩ bias (nprobe driver scalars)
+    // adds the cell position back — together ⟨q, ĉ+r̂⟩, normalized by the
+    // stored exact reconstruction norm
+    val lut = pqAdcLut(books, m, nCodes, AnnIndex.rotate(model.rot, probeVec))
+    val bias = listBiasCol(model.residual, probeVec, model.means.toMap, lists)
+    val cand = AnnIndex.ivfPqScanAt(spark, model.codesRoot, lists)
       .filter(col("rnorm") > 0)
       .withColumn("score_pq",
-        call_function("pq_adc", col("code"), typedLit(lut)) / col("rnorm"))
+        (bias + call_function("pq_adc", col("code"), typedLit(lut))) / col("rnorm"))
       .orderBy(col("score_pq").desc, col("vec_id"))
       .limit(oversample * k)
       .select("vec_id")
@@ -402,21 +431,26 @@ object LlmKnn {
     import spark.implicits._
     // ONE paired snapshot (see knnIvfPqProbe): centroid ranking pairs with
     // the codes' own clustering via the `_lists_gen` sidecar
-    val (_, cents, codesRoot, books) =
-      AnnIndex.ivfPqSnapshot(spark, ivfDir, indexDir)
+    val model = AnnIndex.ivfPqModel(spark, ivfDir, indexDir)
+    val (cents, books) = (model.cents, model.books)
+    val meanMap = model.means.toMap
     val probed = probes.map(p => AnnIndex.rankLists(cents, p._2, nprobe))
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
+    // residual ADC (r18): each broadcast (probe, list) row carries the
+    // rotated-probe LUT plus the ⟨q, list mean⟩ bias for ITS list, so the
+    // list-equality join scores `(cbias + ADC)/rnorm` per matched pair
     val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
-      val lut = pqAdcLut(books, m, nCodes, pv)
-      ls.map(l => (pid, lut, l))
-    }.toDF("probe_id", "lut", "list_id")
-    val coarse = AnnIndex.ivfPqScanAt(spark, codesRoot, probed.flatten.distinct)
+      val lut = pqAdcLut(books, m, nCodes, AnnIndex.rotate(model.rot, pv))
+      ls.map(l => (pid, lut, l,
+        if (model.residual) meanMap.get(l).fold(0.0)(dotv(pv, _)) else 0.0))
+    }.toDF("probe_id", "lut", "list_id", "cbias")
+    val coarse = AnnIndex.ivfPqScanAt(spark, model.codesRoot, probed.flatten.distinct)
       .filter(col("rnorm") > 0)
       .join(broadcast(probeLists), Seq("list_id"))
       .select(col("vec_id"), col("probe_id"),
-        (call_function("pq_adc", col("code"), col("lut")) / col("rnorm"))
-          .as("score_pq"))
+        ((col("cbias") + call_function("pq_adc", col("code"), col("lut")))
+          / col("rnorm")).as("score_pq"))
     val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
         Seq(("score_pq", false), ("vec_id", true)), oversample * k)
       .select("probe_id", "vec_id")
@@ -458,23 +492,28 @@ object LlmKnn {
     // ONE paired snapshot anchored on the codes generation: the centroid
     // ranking, the pruned code scan, AND the exact-re-rank lists fetch all
     // read the clustering the codes were encoded against
-    val (listsRoot, cents, codesRoot, books) =
-      AnnIndex.ivfPqSnapshot(spark, ivfDir, indexDir)
+    val model = AnnIndex.ivfPqModel(spark, ivfDir, indexDir)
+    val (listsRoot, cents, books) = (model.listsRoot, model.cents, model.books)
+    val meanMap = model.means.toMap
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
     val probed = probes.map(p =>
       AnnIndex.rankLists(cents, p._2.map(_.toDouble), nprobe))
     val lists = probed.flatten.distinct
+    // residual ADC (r18): rotated-probe LUT + per-list mean bias per
+    // broadcast row, exactly as the batch query core
     val probeLists = probes.zip(probed).flatMap { case ((pid, pv), ls) =>
-      val lut = pqAdcLut(books, m, nCodes, pv.map(_.toDouble))
-      ls.map(l => (pid, lut, l))
-    }.toDF("probe_id", "lut", "list_id")
-    val coarse = AnnIndex.ivfPqScanAt(spark, codesRoot, lists)
+      val pvD = pv.map(_.toDouble)
+      val lut = pqAdcLut(books, m, nCodes, AnnIndex.rotate(model.rot, pvD))
+      ls.map(l => (pid, lut, l,
+        if (model.residual) meanMap.get(l).fold(0.0)(dotv(pvD, _)) else 0.0))
+    }.toDF("probe_id", "lut", "list_id", "cbias")
+    val coarse = AnnIndex.ivfPqScanAt(spark, model.codesRoot, lists)
       .filter(col("rnorm") > 0)
       .join(broadcast(probeLists), Seq("list_id"))
       .select(col("vec_id"), col("probe_id"),
-        (call_function("pq_adc", col("code"), col("lut")) / col("rnorm"))
-          .as("score_pq"))
+        ((col("cbias") + call_function("pq_adc", col("code"), col("lut")))
+          / col("rnorm")).as("score_pq"))
     val cand = graft.plans.TopK.perGroup(coarse, Seq("probe_id"),
         Seq(("score_pq", false), ("vec_id", true)), oversample * k)
       .select("probe_id", "vec_id")
@@ -518,13 +557,14 @@ object LlmKnn {
                                      e: DataFrame, probes: Seq[(Long, Array[Double])],
                                      k: Int, oversample: Int): DataFrame = {
     import spark.implicits._
-    val (codesRoot, books) = AnnIndex.pqSnapshot(spark, indexDir)
+    val model = AnnIndex.pqModel(spark, indexDir)
+    val books = model.books
     val m = books.map(_._1).max + 1
     val nCodes = books.map(_._2).max + 1
     val luts = probes.map { case (pid, pv) =>
-      (pid, pqAdcLut(books, m, nCodes, pv))
+      (pid, pqAdcLut(books, m, nCodes, AnnIndex.rotate(model.rot, pv)))
     }
-    val coarse = AnnIndex.pqScanAt(spark, codesRoot)
+    val coarse = AnnIndex.pqScanAt(spark, model.codesRoot)
       .filter(col("rnorm") > 0)
       .select(col("vec_id"), col("rnorm"), col("code"),
         explode(typedLit(luts)).as("p"))

@@ -200,6 +200,45 @@ class DoctorSpec extends AnyFunSuite {
       "intact books must not FAIL the codes root")
   }
 
+  test("r18 judge #7: the r17 _eval_grams / auditDir state rides the generic walk — healthy ingest clean, crashed eval-gram publish gets the reclaim remedy") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_doc_eval").toString
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    val mem = MemoryStream[SourcedDoc]
+    val q = graft.stream.Streams.corpusIngest(mem.toDF(),
+      s"$root/dedup", s"$root/lsh", s"$root/corpus",
+      compactEvery = 1, auditDir = Some(s"$root/audit"),
+      holdoutSources = Seq("eval"), decontaminate = true).start()
+    try {
+      mem.addData(
+        SourcedDoc(1, "alpha bravo charlie delta echo", "eval", emb(1)),
+        SourcedDoc(2, "foxtrot golf hotel india juliet", "web", emb(2)))
+      q.processAllAvailable()
+      mem.addData(SourcedDoc(3, "kilo lima mike november oscar", "web", emb(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // cadence sanity: the eval-gram table must have been pointer-compacted,
+    // or the crash we plant below would not be the production layout
+    val table = s"$root/corpus/_eval_grams"
+    val cur = Compaction.currentVersion(table)
+    assert(cur >= 1,
+      "fixture invariant: compactEvery=1 must pointer-compact _eval_grams")
+    val clean = Doctor.diagnose(root)
+    assert(!clean.exists(f => f.level == "FAIL" || f.level == "WARN"),
+      s"healthy decontaminating ingest tree (incl. audit log) must " +
+        s"diagnose clean:\n${clean.map(_.render).mkString("\n")}")
+    // plant a publish that died between rewrite and pointer flip
+    Files.createDirectories(Paths.get(s"$table.v${cur + 1}"))
+    val all = Doctor.diagnose(root)
+    val f = all.filter(_.level == "WARN")
+    assert(f.exists(x => x.layer == "compaction-table" &&
+      x.path.contains("_eval_grams") && x.remedy.contains("reclaimOrphans")),
+      s"crashed _eval_grams publish must get the generic reclaim remedy " +
+        s"(cur=$cur), got ALL:\n${all.map(_.render).mkString("\n")}")
+  }
+
   test("legacy rename-swap leftover warns with the recoverInterrupted remedy") {
     val root = Files.createTempDirectory("graft_doc_leg").toString
     Seq((1L, "x")).toDF("id", "v").write.parquet(s"$root/postings")

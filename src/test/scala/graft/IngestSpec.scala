@@ -297,22 +297,29 @@ class IngestSpec extends AnyFunSuite {
       assert(ctr.get === 400L,
         s"the unprojected read decodes all 400 string cells, got ${ctr.get}")
     } finally graft.etl.AvroSource.stringDecodeProbeOn = false
-    // evolution coexistence: a file PREDATING a projected column reads null
-    // (header/table schema comes from the first listed file — "new" sorts
-    // before "old", so the projection resolves against the wide schema)
+    // evolution coexistence: a file PREDATING a projected column reads null,
+    // and (r18, ADVICE r17) the projection resolves against the UNION of
+    // file schemas, so listing order cannot matter: name the dirs so the
+    // LEGACY file sorts FIRST ("a_old" < "b_new") — the pre-r18 first-file
+    // resolution would throw "not in the table schema" on exactly this
+    // layout — and the projected field must come back NULLABLE (any file
+    // may predate it; a non-null claim would lie to downstream codegen)
     val tmp2 = Files.createTempDirectory("graft_avro_proj2").toString
     graft.etl.AvroSource.writeAvro(
-      Seq((999L, 9.9)).toDF("id", "score").coalesce(1), s"$tmp2/old")
+      Seq((999L, 9.9)).toDF("id", "score").coalesce(1), s"$tmp2/a_old")
     graft.etl.AvroSource.writeAvro(
-      Seq((1L, "a", 1.0)).toDF("id", "tag", "score").coalesce(1), s"$tmp2/new")
-    val mixed = graft.etl.AvroSource
+      Seq((1L, "a", 1.0)).toDF("id", "tag", "score").coalesce(1), s"$tmp2/b_new")
+    val mixedDf = graft.etl.AvroSource
       .readAvroProjected(spark, tmp2, Seq("id", "tag"))
+    assert(mixedDf.schema.fields.forall(_.nullable),
+      "projected fields must be nullable — a file may predate any of them")
+    val mixed = mixedDf
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
     assert(mixed === Seq((1L, Some("a")), (999L, None)))
-    // an unknown projected column still fails loudly
+    // an unknown projected column still fails loudly, naming the union
     val err = intercept[IllegalArgumentException] {
       graft.etl.AvroSource.readAvroProjected(spark, tmp, Seq("nope")) }
-    assert(err.getMessage.contains("not in the table schema"))
+    assert(err.getMessage.contains("not in any file's schema"))
   }
 
   test("q_scan_csv: pipe-delimited round-trip equals the parquet read") {

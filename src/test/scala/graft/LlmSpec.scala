@@ -391,7 +391,7 @@ class LlmSpec extends AnyFunSuite {
       s"PQ recall too low: $pqRecall/11 (pq=$pq)")
   }
 
-  test("ivfpq: codes match flat PQ (same seed, same books); probe scan partition-prunes; recall holds") {
+  test("ivfpq residual encoding (r18): exact rnorm contract, measured win over raw-budget flat PQ; probe scan partition-prunes; recall holds") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, TestSpark.sfDir)
       .select(col("vec_id"), col("label"), col("embedding"))
@@ -401,14 +401,70 @@ class LlmSpec extends AnyFunSuite {
     graft.etl.AnnIndex.ensurePq(e, flatDir, m = 4, k = 16)
     val compDir = graft.etl.AnnIndex.defaultIvfPqDir(TestSpark.sfDir, nlist = 16, m = 4, k = 16)
     graft.etl.AnnIndex.ensureIvfPq(e, ivfDir, compDir, m = 4, k = 16)
-    // same corpus + same seed => identical codebooks => identical codes:
-    // the composite only ADDS the list partitioning, it never changes scores
-    val flat = graft.etl.AnnIndex.pqScan(spark, flatDir).collect()
-      .map(r => r.getLong(0) -> (r.getAs[Array[Byte]]("code").toSeq, r.getAs[Double]("rnorm"))).toMap
-    val comp = spark.read.parquet(s"$compDir/codes").collect()
-      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Array[Byte]]("code").toSeq, r.getAs[Double]("rnorm"))).toMap
-    assert(comp.size === flat.size)
-    assert(comp === flat, "IVF-PQ codes must equal flat-PQ codes for identical books")
+    // (a) the generation is self-describing: residual marker + rotation +
+    // books all ride the codes snapshot
+    val model = graft.etl.AnnIndex.ivfPqModel(spark, ivfDir, compDir)
+    assert(model.residual, "composite builds must declare residual encoding")
+    assert(model.rot.isDefined, "residual codes must carry their OPQ rotation")
+    val rot = model.rot.get
+    val dim = 64
+    assert(rot.length === dim && rot.forall(_.length === dim))
+    // the rotation is orthonormal (rows from the deterministic PCA basis)
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = (0 until dim).map(t => rot(i)(t) * rot(j)(t)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"rotation rows $i,$j not orthonormal: $d")
+    }
+    val bookMap = model.books.map { case (s, c, v) => (s, c) -> v }.toMap
+    // residual anchors are the per-list MEANS (not the unit cosine
+    // centroids — see IvfPqModel's scaladoc for the measured reason)
+    val meanMap = model.means.toMap
+    assert(meanMap.nonEmpty, "residual generation must carry _list_means")
+    val sub = dim / 4
+    def decode(code: Array[Byte], list: Int): Array[Double] = {
+      // x̂ = mean_list + Rᵀ·(concatenated chosen residual sub-centroids)
+      val anchor = meanMap.getOrElse(list, Array.fill(dim)(0.0))
+      val rhatRot = (0 until 4).flatMap(s => bookMap((s, code(s) & 0xFF))).toArray
+      Array.tabulate(dim)(i =>
+        anchor(i) + (0 until dim).map(t => rot(t)(i) * rhatRot(t)).sum)
+    }
+    val embs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val compRows = spark.read.parquet(graft.etl.Compaction.currentPath(s"$compDir/codes"))
+      .select("vec_id", "code", "rnorm", "list_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Array[Byte]]("code").toSeq,
+        r.getAs[Double]("rnorm"), r.getAs[Int]("list_id")))
+    assert(compRows.length === embs.size)
+    // (b) rnorm contract: the stored norm IS ‖c_list + Rᵀ·decode(code)‖ —
+    // the per-row exact reconstruction norm (replaces the retired r9-r17
+    // flat-code parity contract: residual codes deliberately diverge)
+    // (c) measured: residual coding reconstructs the corpus strictly better
+    // than the flat rotated-raw coding at the SAME (m=4, k=16) byte budget
+    var errResid = 0.0
+    compRows.foreach { case (id, code, rnorm, list) =>
+      val xhat = decode(code.toArray, list)
+      val rn = math.sqrt(xhat.map(x => x * x).sum)
+      assert(math.abs(rnorm - rn) < 1e-9,
+        s"vec $id: stored rnorm $rnorm != recomputed reconstruction norm $rn")
+      val emb = embs(id)
+      errResid += (0 until dim).map(i => { val d = emb(i) - xhat(i); d * d }).sum
+    }
+    val flatModel = graft.etl.AnnIndex.pqModel(spark, flatDir)
+    val flatRot = flatModel.rot.get
+    val flatBookMap = flatModel.books.map { case (s, c, v) => (s, c) -> v }.toMap
+    var errRaw = 0.0
+    graft.etl.AnnIndex.pqScan(spark, flatDir)
+      .select("vec_id", "code").collect().foreach { r =>
+        val code = r.getAs[Array[Byte]]("code")
+        val xhatRot = (0 until 4).flatMap(s => flatBookMap((s, code(s) & 0xFF))).toArray
+        val xhat = Array.tabulate(dim)(i =>
+          (0 until dim).map(t => flatRot(t)(i) * xhatRot(t)).sum)
+        val emb = embs(r.getLong(0))
+        errRaw += (0 until dim).map(i => { val d = emb(i) - xhat(i); d * d }).sum
+      }
+    assert(errResid < errRaw,
+      f"residual coding must beat raw at the same budget: resid MSE=${errResid / embs.size}%.4f raw MSE=${errRaw / embs.size}%.4f")
+    assert(sub === 16) // fixture sanity: 4 subspaces of 16 dims
     // probe path: pruned scan reads <= nprobe of nlist partitions
     val probeVec = e.filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
@@ -1444,5 +1500,41 @@ class LlmSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(graft.queries.Llm.substringSpans(short).count() === 0,
       "a 9-word overlap is below the anchor grain and must emit no span")
+  }
+
+  test("q_substring_excise: the offset-drift COPY loses its duplicated words, the original keeps them (r18 judge #2)") {
+    import spark.implicits._
+    // same fixture as the span test: doc 2 embeds doc 1's words 4..23 at
+    // offset 3 (straddling every fixed block boundary)
+    val w1 = (0 until 30).map(i => s"a$i")
+    val copied = w1.slice(4, 24)
+    val w2 = Seq("z0", "z1", "z2") ++ copied ++ Seq("z3", "z4")
+    val docs = Seq((1L, w1.mkString(" ")), (2L, w2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.queries.Llm.exciseSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1 holds the FIRST corpus-wide occurrence of the span text —
+    // nothing excised, text byte-identical
+    assert(out(1L) === ((30L, 30L, w1.mkString(" "))),
+      s"the original must keep every word, got ${out(1L)}")
+    // doc 2's copy is the LATER occurrence: exactly the 20 copied words
+    // drop, the z-words survive in order
+    assert(out(2L) === ((25L, 5L, "z0 z1 z2 z3 z4")),
+      s"the copy must lose exactly its duplicated span, got ${out(2L)}")
+    // a doc with no duplicated spans passes through untouched
+    val solo = Seq((1L, w1.mkString(" ")),
+      (3L, (0 until 15).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val soloOut = graft.queries.Llm.exciseSpans(solo).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(soloOut(3L) === (0 until 15).map(i => s"q$i").mkString(" "))
+    // registered query end to end on the real corpus: row per document,
+    // kept ≤ total everywhere
+    val real = graft.queries.Llm.qSubstringExcise(spark, TestSpark.sfDir)
+      .collect()
+    assert(real.length ===
+      Tables.documents(spark, TestSpark.sfDir).count())
+    real.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 }

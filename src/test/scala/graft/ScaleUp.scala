@@ -457,24 +457,30 @@ object ScaleUp {
       // planted gate above scores ONE engineered neighborhood; this scores
       // 100 seeded-random REAL-corpus probes per family against the same
       // calibrated floors AnnQualitySpec enforces at sf0.001
-      val dFloors = graft.etl.AnnQuality.minDistRecall
-      val d1 = graft.etl.AnnQuality
-        .distributionScore(spark, Tables.embeddings(spark, srcDir))
+      // r18: floors are SIZING-AWARE — the replica corpus runs the scaled
+      // PQ books (pqParamsFor), whose residual+OPQ recall is measurably
+      // higher, and its floors rise with it (minDistRecallFor); each
+      // scale's score is gated against its own corpus-size floor
+      val e1 = Tables.embeddings(spark, srcDir)
+      val e10 = Tables.embeddings(spark, outDir)
+      val f1 = graft.etl.AnnQuality.minDistRecallFor(e1.count())
+      val f10 = graft.etl.AnnQuality.minDistRecallFor(e10.count())
+      val d1 = graft.etl.AnnQuality.distributionScore(spark, e1)
         .map(s => s.path -> s).toMap
-      val d10 = graft.etl.AnnQuality
-        .distributionScore(spark, Tables.embeddings(spark, outDir))
+      val d10 = graft.etl.AnnQuality.distributionScore(spark, e10)
         .map(s => s.path -> s).toMap
       val dmd = new StringBuilder
-      dmd ++= s"| path | mean%/min (sf0.1) | mean%/min (${Factor}x) | floor (mean%, min) |\n|---|---|---|---|\n"
+      dmd ++= s"| path | mean%/min (sf0.1) | mean%/min (${Factor}x) | floors (mean%, min) 1x / ${Factor}x |\n|---|---|---|---|\n"
       Seq("lsh", "ivf", "sq8", "pq", "ivfpq").foreach { p =>
-        val (mf, nf) = dFloors(p)
+        val (mf1, nf1) = f1(p)
+        val (mf10, nf10) = f10(p)
         def fmt(s: graft.etl.AnnQuality.DistScore) =
           f"${s.meanPct}%.1f/${s.minHits}"
-        val ok = Seq(d1(p), d10(p)).forall(s =>
-          s.meanPct >= mf && s.minHits >= nf)
+        val ok = d1(p).meanPct >= mf1 && d1(p).minHits >= nf1 &&
+          d10(p).meanPct >= mf10 && d10(p).minHits >= nf10
         println(f"[scale-up] ann-dist $p: 1x=${fmt(d1(p))} ${Factor}x=${fmt(d10(p))} " +
-          f"floor=($mf%.0f, $nf) ${if (ok) "ok" else "VIOLATION"}")
-        dmd ++= f"| $p | ${fmt(d1(p))} | ${fmt(d10(p))} | ($mf%.0f, $nf) |\n"
+          f"floors=($mf1%.0f, $nf1)/($mf10%.0f, $nf10) ${if (ok) "ok" else "VIOLATION"}")
+        dmd ++= f"| $p | ${fmt(d1(p))} | ${fmt(d10(p))} | ($mf1%.0f, $nf1) / ($mf10%.0f, $nf10) |\n"
         if (!ok) violations += s"ann_dist_$p"
       }
       println(dmd)
