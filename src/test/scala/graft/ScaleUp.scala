@@ -68,7 +68,11 @@ object ScaleUp {
     // the core 100-TB dedup/similarity claims, measured where they live:
     // banded MinHash (pair expansion risk), embedding near-dup (bucketed
     // cosine), and the exhaustive top-k scan (the linear ANN baseline)
-    "q_dedup_minhash", "q_semdedup", "q_knn_cosine")
+    "q_dedup_minhash", "q_semdedup", "q_knn_cosine",
+    // r18: the span-excision action — sliding-anchor explosion (10
+    // rows/word), span_text-keyed window, range-residual anti join: every
+    // super-linear-risk shape in one query
+    "q_substring_excise")
 
   /** The TRIMMED 100× board (r17, judge #3): the slowest bench queries
     * plus the dedup/ANN headliners — the super-linear-risk families where
@@ -112,7 +116,11 @@ object ScaleUp {
         "BHJ→SMJ and both sides exchange (measured r17; the pigeonhole join is corpus×corpus-keyed by design and must shuffle at scale)"),
     "q_semdedup" -> (1,
       "the banded cosine bucket self-join flips BHJ→SMJ at 100×; one side reuses the bucket exchange, so the flip costs one " +
-        "new shuffle (measured r17)"))
+        "new shuffle (measured r17)"),
+    "q_substring_excise" -> (1,
+      "the reassembly LeftOuter join (per-doc n_words frame ⋈ kept-words aggregate) flips BHJ→SMJ at 10× — BOTH sides are " +
+        "doc-count-scaled one-row-per-document frames, so the join must shuffle on doc_id at scale (measured r18: wall 1.1× at " +
+        "10× data; the excised-span anti join's broadcast side stays bounded by the duplicated-span count on this corpus)"))
 
   /** Key-shift offsets. BIGINT surrogate keys move by `i·KeyOff` (far above
     * any generated key); the small INT dimension keys by `i·DimOff` (stays
