@@ -873,7 +873,7 @@ object AnnIndex {
     * [[graft.etl.Pca]] deterministic solver — bit-stable, no RNG); rows of
     * the returned matrix are the rotated coordinates in subspace-contiguous
     * order, so `R·x` is ready for the m-way contiguous split. */
-  private[etl] def opqRotation(moment: Array[Array[Double]], m: Int): Array[Array[Double]] = {
+  private[graft] def opqRotation(moment: Array[Array[Double]], m: Int): Array[Array[Double]] = {
     val d = moment.length
     val (vals, vecs) = Pca.topComponents(moment, d)
     val sub = d / m
@@ -889,7 +889,7 @@ object AnnIndex {
   }
 
   /** R·v (raw matrix form — executors; see [[rotate]] for the Option form). */
-  private[etl] def rotateArr(rot: Array[Array[Double]],
+  private[graft] def rotateArr(rot: Array[Array[Double]],
                              v: Array[Double]): Array[Double] = {
     val out = new Array[Double](rot.length)
     var i = 0
@@ -1045,7 +1045,7 @@ object AnnIndex {
     * the centroid×residual cross term does not cancel (unlike flat PQ's
     * codebook-norm sum). O(k·d + d²) per row, all in the one-time encode
     * pass. */
-  private[etl] def encodeResidualRow(bk: Array[Array[Array[Double]]],
+  private[graft] def encodeResidualRow(bk: Array[Array[Array[Double]]],
                                      rot: Array[Array[Double]],
                                      cent: Array[Double],
                                      emb: Array[Float]): (Array[Byte], Double) = {

@@ -256,4 +256,70 @@ object PrimitiveProps extends Properties("Primitives") {
           .map(b => 1L << (32 + b)).foldLeft(0L)(_ | _)
         ((base ^ edited) & ~allowed) == 0L
     }
+
+  // ---- r18 residual+OPQ encode math (AnnIndex) ----
+
+  private def dotd(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  private val genMoment: Gen[(Array[Array[Double]], Int)] = for {
+    m <- Gen.oneOf(2, 4)
+    d <- Gen.oneOf(4, 8)
+    seed <- Gen.long
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    // a real second moment: A·Aᵀ of a random matrix (symmetric PSD, the
+    // only shape opqRotation ever receives)
+    val a = Array.fill(d, d)(rnd.nextGaussian())
+    val mom = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(t => a(i)(t) * a(j)(t)).sum)
+    (mom, m)
+  }
+
+  property("opqRotation: orthonormal rows (RRᵀ=I) for any PSD second moment, any balanced m-split") =
+    forAll(genMoment) { case (mom, m) =>
+      val r = graft.etl.AnnIndex.opqRotation(mom, m)
+      val d = mom.length
+      r.length == d && (0 until d).forall(i => (i until d).forall { j =>
+        math.abs(dotd(r(i), r(j)) - (if (i == j) 1.0 else 0.0)) < 1e-9
+      })
+    }
+
+  property("rotateArr preserves inner products (⟨Rv,Rw⟩=⟨v,w⟩) — the ADC score is rotation-invariant") =
+    forAll(genMoment, Gen.long) { case ((mom, m), seed) =>
+      val r = graft.etl.AnnIndex.opqRotation(mom, m)
+      val d = mom.length
+      val rnd = new scala.util.Random(seed)
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val w = Array.fill(d)(rnd.nextGaussian())
+      val rv = graft.etl.AnnIndex.rotateArr(r, v)
+      val rw = graft.etl.AnnIndex.rotateArr(r, w)
+      math.abs(dotd(rv, rw) - dotd(v, w)) < 1e-9
+    }
+
+  property("encodeResidualRow: code is the per-subspace argmin over the rotated residual; rnorm is the exact reconstruction norm") =
+    forAll(genMoment, Gen.choose(2, 5), Gen.long) { case ((mom, m), k, seed) =>
+      val rot = graft.etl.AnnIndex.opqRotation(mom, m)
+      val d = mom.length
+      val sub = d / m
+      val rnd = new scala.util.Random(seed)
+      val books = Array.fill(m, k)(Array.fill(sub)(rnd.nextGaussian()))
+      val cent = Array.fill(d)(rnd.nextGaussian())
+      val emb = Array.fill(d)(rnd.nextGaussian().toFloat)
+      val (code, rnorm) =
+        graft.etl.AnnIndex.encodeResidualRow(books, rot, cent, emb)
+      // independent restatement of the contract
+      val resid = Array.tabulate(d)(i => emb(i) - cent(i))
+      val rr = graft.etl.AnnIndex.rotateArr(rot, resid)
+      val argminOk = (0 until m).forall { s =>
+        val dists = (0 until k).map(c => (0 until sub).map { j =>
+          val diff = rr(s * sub + j) - books(s)(c)(j); diff * diff
+        }.sum)
+        dists((code(s) & 0xFF).toInt) <= dists.min + 1e-12
+      }
+      val rhatRot = (0 until m).flatMap(s => books(s)(code(s) & 0xFF)).toArray
+      val xhat = Array.tabulate(d)(i =>
+        cent(i) + (0 until d).map(t => rot(t)(i) * rhatRot(t)).sum)
+      argminOk && math.abs(rnorm - math.sqrt(xhat.map(x => x * x).sum)) < 1e-9
+    }
 }
