@@ -1005,6 +1005,66 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Streaming-INCREMENTAL substring excision (r18 — closes the r17
+    * batch/stream asymmetry: ingest previously had no counterpart to
+    * [[qSubstringExcise]], so a doc 60% verbatim-copied from the corpus
+    * was admitted untouched unless it was also a whole-doc near-dup).
+    * Given a batch of documents and the corpus's stored anchor-gram set,
+    * excise every word covered by a DUPLICATED sliding 10-gram anchor
+    * occurrence, where an occurrence is duplicated iff its gram is
+    * already in the stored corpus (always an earlier occurrence) or an
+    * earlier `(doc_id, pos)` in THIS batch carries the same gram — the
+    * arrival-order form of the batch query's first-occurrence rule,
+    * stated at the anchor grain (the stored side keeps no positions:
+    * "this 10-gram exists in the corpus" already marks any later
+    * occurrence a loser). Returns `docs` with `text` replaced by the
+    * reassembled surviving words (a fully-excised doc reads "");
+    * whitespace is normalized to single spaces like the batch query.
+    *
+    * Shape at scale: one pinned anchor explode; the stored probe is a
+    * gram-keyed SEMI join of the BATCH's anchors against the posting
+    * table (O(batch) probe work — the corpus-sized side is the hash
+    * build/bucket side, never re-scanned per doc); the within-batch rule
+    * is one gram-keyed window over batch rows; islands/anti-join/
+    * reassembly as [[exciseSpans]]. Nothing all-pairs. */
+  private[graft] def exciseIncremental(docs: DataFrame,
+                                       storedGrams: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val anchors = pinShared(docs
+      .withColumn("__w", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(call_function("word_ngrams", col("__w"), lit(10)))
+          .as(Seq("pos", "gram"))))
+    val storedHit = anchors
+      .join(storedGrams.select("gram").distinct(), Seq("gram"), "left_semi")
+      .select("doc_id", "pos")
+    val batchLoser = anchors
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("gram")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("gram").orderBy("doc_id", "pos")))
+      .filter(col("occ") >= 2 && col("rk") > 1)
+      .select("doc_id", "pos")
+    val losers = storedHit.unionByName(batchLoser).distinct()
+    val runs = losers.withColumn("island",
+      col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    val excisedSpans = runs.groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("e_start"), (max("pos") + lit(9)).as("e_end"))
+      .select(col("doc_id").as("e_doc"), col("e_start"), col("e_end"))
+    val words = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val keptW = words.join(excisedSpans,
+      col("doc_id") === col("e_doc") &&
+        col("pos").between(col("e_start"), col("e_end")), "left_anti")
+    val cleaned = keptW.groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        w => w.getField("word"))).as("__clean"))
+    docs.join(cleaned, Seq("doc_id"), "left")
+      .withColumn("text", coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
+
   def qSpanDup(spark: SparkSession, dir: String): DataFrame = {
     // the gram posting table feeds the doc-frequency agg AND the join back
     // — pinned (the containment rationale; unpinned, the text explodes

@@ -875,9 +875,22 @@ object Streams {
     *     whole-doc MinHash structurally misses), at far higher precision
     *     than the 4-gram scrub; each grain gates only against its own
     *     rows, the two knobs compose, audit gate stays `eval_gram`.
+    *   - `spanExcise` (r18): the ingest-side ACTION closing the last
+    *     batch/stream asymmetry — words of an admitted doc that verbatim-
+    *     duplicate a sliding 10-word anchor already in the published
+    *     corpus (or an earlier occurrence in the same batch) are EXCISED
+    *     before publication, the streaming counterpart of
+    *     `q_substring_excise` ([[graft.queries.Llm.exciseIncremental]]).
+    *     A transform, not a gate: no doc drops (a fully-excised doc
+    *     publishes empty text; its near-dup postings — computed on the
+    *     ORIGINAL text — still gate future copies). The corpus's anchor
+    *     grams persist batch-keyed at `corpusDir/_span_anchors` (the
+    *     _eval_grams replay/compaction discipline), the batch's probe is
+    *     an O(batch) gram-keyed semi-join, and the budget counts the
+    *     words actually published.
     * Gate order matches the funnel: holdout → quality → repetition →
-    * near-dup → decontaminate → budget; rejected docs consume no budget
-    * and are never indexed.
+    * near-dup → decontaminate → span-excise → budget; rejected docs
+    * consume no budget and are never indexed.
     *
     * `auditDir = Some(dir)` writes the ADMISSION DECISION LOG — one row
     * per batch doc naming the decision (admitted / holdout_excluded /
@@ -940,7 +953,8 @@ object Streams {
                    qualityGate: Boolean = false,
                    repetitionGate: Boolean = false,
                    decontaminate: Boolean = false,
-                   spanDecontaminate: Boolean = false)
+                   spanDecontaminate: Boolean = false,
+                   spanExcise: Boolean = false)
       : DataStreamWriter[Row] = {
     // the composite's coarse half IS the IVF index: list assignment,
     // partition pruning, and the retrain corpus all come from its lists
@@ -1008,6 +1022,9 @@ object Streams {
         val anyDecon = decontaminate || spanDecontaminate
         if (anyDecon)
           graft.etl.Compaction.recoverInterrupted(evalGramsTable)
+        val spanAnchorsTable = s"$corpusDir/_span_anchors"
+        if (spanExcise)
+          graft.etl.Compaction.recoverInterrupted(spanAnchorsTable)
         // ── MAP-SIDE CURATION GATES (r17 — streaming/batch funnel parity).
         // The batch funnel (CorpusPipeline) runs holdout-exclusion, the
         // quality score and the Gopher repetition rules BEFORE any dedup
@@ -1199,17 +1216,48 @@ object Streams {
               .agg(sum(size(split(col("text"), " ")).cast("long")).as("t0"))
           } else Seq.empty[(String, Long)].toDF("source", "t0")
         }
+        // ── SPAN-GRAIN EXCISION (r18 — the ingest-side ACTION closing the
+        // last batch/stream asymmetry): an admitted doc's words that
+        // verbatim-duplicate a sliding 10-word anchor already in the
+        // PUBLISHED corpus (or an earlier occurrence in this batch) are
+        // excised before publication — the streaming counterpart of
+        // q_substring_excise, riding a persisted batch-keyed anchor-gram
+        // posting table at `corpusDir/_span_anchors` with the _eval_grams
+        // replay discipline (reads exclude this batch's own partition, so
+        // a crash-replay decides from the exact pre-batch state). A
+        // TRANSFORM, not a gate: no doc is dropped here (a fully-excised
+        // doc publishes empty text and its near-dup postings — computed on
+        // the ORIGINAL text — still gate future copies of the original).
+        // The budget below then counts the words actually published.
+        val excised =
+          if (!spanExcise) clean
+          else {
+            val stored = {
+              val root = graft.etl.Compaction.currentPath(spanAnchorsTable)
+              val fs = graft.GraftFs.default
+              val committed = fs.isDirectory(root) && fs.list(root).exists(p =>
+                java.nio.file.Paths.get(p).getFileName.toString
+                  .startsWith("batch_id="))
+              if (!committed)
+                Seq.empty[String].toDF("gram")
+              else spark.read.parquet(root)
+                .filter(col("batch_id").cast("string") =!= batchKey)
+                .select("gram")
+            }
+            graft.queries.Llm.exciseIncremental(clean, stored)
+              .localCheckpoint(true)
+          }
         // In-batch admission follows the batch query's seeded-hash order
         // (md5 of doc_id — q_source_budget parity); budget-rejected docs
         // consume nothing, are not published, and are NOT indexed — their
         // postings never commit, so a later budget raise can still admit
         // them.
         val kept = budgetPerSource match {
-          case None => clean
+          case None => excised
           case Some(budget) =>
             val w = Window.partitionBy("source").orderBy("h")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            clean
+            excised
               .withColumn("h", md5(col("doc_id").cast("string")))
               .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
               .join(broadcast(priorBase.get), Seq("source"), "left")
@@ -1293,6 +1341,24 @@ object Streams {
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id")
               .parquet(graft.etl.Compaction.currentPath(evalGramsTable))
+        }
+        // span-anchor channel commit (r18): the PUBLISHED (budget-admitted,
+        // post-excision) docs' surviving sliding 10-gram anchors land under
+        // this batch's own partition — the stored set always describes the
+        // corpus as published, so a future copy of an excised span still
+        // hits the first corpus occurrence, which survived. Same dynamic
+        // overwrite replay discipline as the eval grams.
+        if (spanExcise) {
+          val anchors = kept
+            .select(explode(call_function("word_ngrams",
+              split(col("text"), " "), lit(10))).as("gram"))
+            .distinct()
+          if (!anchors.isEmpty)
+            anchors.withColumn("batch_id", lit(batchKey))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(graft.etl.Compaction.currentPath(spanAnchorsTable))
         }
         // fold the batch's admitted per-source delta into the ledger. Runs
         // even for an all-rejected batch WHEN the ledger does not exist yet:
@@ -1490,6 +1556,13 @@ object Streams {
           // preserve-own-key replay guard)
           if (anyDecon && existsTbl(evalGramsTable))
             graft.etl.Compaction.compactParquet(spark, evalGramsTable,
+              Seq.empty, coalesceBatchKeyed = true,
+              preserveBatchKeys = preserve, graceGenerations = compactGrace)
+          // the span-anchor posting table grows one fragment per admitting
+          // batch (corpus-anchor-scaled — the honest cost of exact
+          // substring hygiene); fold it on the same cadence
+          if (spanExcise && existsTbl(spanAnchorsTable))
+            graft.etl.Compaction.compactParquet(spark, spanAnchorsTable,
               Seq.empty, coalesceBatchKeyed = true,
               preserveBatchKeys = preserve, graceGenerations = compactGrace)
           if (!ivfRetrainNow) {

@@ -2189,4 +2189,66 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.read.parquet(gramsPath).count() === gramRows)
     } finally q.stop()
   }
+
+  test("corpusIngest spanExcise (r18): corpus-internal drifted-offset duplication is excised at admission; replay republishes nothing") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val dedupDir = Files.createTempDirectory("graft_sx_dedup").toString
+    val lshDir = Files.createTempDirectory("graft_sx_lsh").toString
+    val corpusDir = Files.createTempDirectory("graft_sx_corpus").toString
+    def emb(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i).toFloat)
+    val w1 = (0 until 30).map(i => s"a$i")
+    val b1 = Seq(SourcedDoc(1, w1.mkString(" "), "web", emb(1)))
+    // doc 2 is MOSTLY fresh (25 z-words) with doc 1's words a4..a15 (a
+    // 12-word verbatim span) embedded at a drifted offset — ~11% shared
+    // 4-gram shingles, far below the MinHash near-dup band threshold, so
+    // the whole-doc gate admits it untouched: exactly the case only the
+    // span grain can see. Doc 3 is clean and must pass byte-identical.
+    val copied = w1.slice(4, 16)
+    val zs = (0 until 25).map(i => s"z$i")
+    val doc2Words = zs.take(7) ++ copied ++ zs.drop(7)
+    val b2 = Seq(
+      SourcedDoc(2, doc2Words.mkString(" "), "web", emb(2)),
+      SourcedDoc(3, "quebec romeo sierra tango uniform victor", "web", emb(3)))
+    val mem = MemoryStream[SourcedDoc]
+    val q = Streams.corpusIngest(mem.toDF(), dedupDir, lshDir, corpusDir,
+      spanExcise = true).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      def corpusText = graft.etl.BucketedTable.readCurrent(spark, corpusDir)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+        .toMap
+      assert(corpusText === Map(1L -> w1.mkString(" ")),
+        "the first occurrence publishes untouched")
+      // the published corpus's anchors are durable, batch-keyed state
+      val anchorsPath =
+        graft.etl.Compaction.currentPath(s"$corpusDir/_span_anchors")
+      val anchorRows = spark.read.parquet(anchorsPath).count()
+      assert(anchorRows === 21, "30 words → 21 sliding 10-gram anchors")
+
+      mem.addData(b2: _*); q.processAllAvailable()
+      val t2 = corpusText
+      assert(t2(1L) === w1.mkString(" "))
+      // the duplicated anchors are the three 10-windows fully inside the
+      // copied run (starts 7,8,9) → one maximal span covering words 7..18
+      // = exactly the 12 copied words; the 25 fresh z-words survive
+      assert(t2(2L) === zs.mkString(" "),
+        s"the drifted-offset copy must lose exactly its duplicated words, got ${t2(2L)}")
+      assert(t2(3L) === "quebec romeo sierra tango uniform victor")
+      // stored anchors describe the corpus AS PUBLISHED: doc 2 contributes
+      // its CLEANED text's 16 anchors (25 words), doc 3 (6 words) none
+      val anchorRows2 = spark.read.parquet(anchorsPath).count()
+      assert(anchorRows2 === anchorRows + 16,
+        s"published-text anchors only, got ${anchorRows2 - anchorRows} new")
+      // replay no-op: same batch re-decides from the batch-excluded stored
+      // state and republishes nothing
+      val v = graft.etl.BucketedTable.currentVersion(corpusDir)
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(corpusText === t2, "a replayed batch must not change the corpus")
+      assert(graft.etl.BucketedTable.currentVersion(corpusDir) === v,
+        "a replayed batch must not publish a new corpus snapshot")
+      assert(spark.read.parquet(anchorsPath).count() === anchorRows2)
+    } finally q.stop()
+  }
 }
