@@ -60,8 +60,8 @@ object CurateProfile {
     time("f4 (+exact dedup)")(f4)
     time("minhash pairs on s4")(
       Llm.minhashPairs(f4.filter(col("s4")).select("doc_id", "text")))
-    time("cc on s4 pairs")(Llm.dedupGroups(
-      Llm.minhashPairs(f4.filter(col("s4")).select("doc_id", "text"))))
+    time("cc on s4 star edges")(Llm.dedupGroups(
+      Llm.minhashCcEdges(f4.filter(col("s4")).select("doc_id", "text"))))
     val evalGrams = Llm.gram4Rows(d0.filter(col("source") === "src0"))
       .select("gram").distinct()
     time("contamination branch")(

@@ -81,7 +81,7 @@ object CorpusPipeline {
     * in-memory funnel. */
   def finishFromExactDeduped(d4: DataFrame, holdout: DataFrame): Seq[(String, DataFrame)] = {
     graft.expr.GraftFunctions.ensureRegistered(d4.sparkSession)
-    val nonCanonical = Llm.dedupGroups(Llm.minhashPairs(d4))
+    val nonCanonical = Llm.dedupGroups(Llm.minhashCcEdges(d4))
       .filter(col("doc_id") =!= col("group_id"))
       .select("doc_id")
     val d5 = d4.join(nonCanonical, Seq("doc_id"), "left_anti")
@@ -192,7 +192,7 @@ object CorpusPipeline {
     val f4 = f3.join(canonical, Seq("doc_id"), "left")
       .withColumn("s4", col("s3") && coalesce(col("cok"), lit(false)))
     val ccDrop = Llm.dedupGroups(
-        Llm.minhashPairs(d0.select("doc_id", "text").join(
+        Llm.minhashCcEdges(d0.select("doc_id", "text").join(
           f4.filter(col("s4")).select("doc_id"), "doc_id")))
       .filter(col("doc_id") =!= col("group_id"))
       .select(col("doc_id"), lit(true).as("ccd"))

@@ -278,7 +278,7 @@ object IncrementalDedup {
       }
 
     // 2) full CC dedup within the surviving batch (q_dedup_keep semantics)
-    val nonCanonical = Llm.dedupGroups(Llm.pairsFromBandRows(survivorPosts))
+    val nonCanonical = Llm.dedupGroups(Llm.bandStarEdges(survivorPosts))
       .filter(col("doc_id") =!= col("group_id"))
       .select("doc_id")
     val kept = survivorPosts.join(nonCanonical, Seq("doc_id"), "left_anti")

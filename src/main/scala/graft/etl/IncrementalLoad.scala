@@ -33,16 +33,27 @@ object IncrementalLoad {
     * definition of the envelope stats + CDC apply + lineage truncation, so
     * the audited and plain folds cannot drift. One action per batch: total
     * and delete counts in a single pass. */
+  /** `lazyPin=true` marks the folded state for a LAZY localCheckpoint
+    * instead of an eager one — correct only when the caller runs an action
+    * over the returned frame before the next fold (runAudited's per-batch
+    * audit aggregation does exactly that), which materializes the pin in
+    * the SAME job instead of paying a separate eager-checkpoint job per
+    * batch (r18 optimization, guide §1.2: fewer passes). [[run]] keeps the
+    * eager pin: without a per-batch action, a lazy mark would let fold N's
+    * plan nest every previous fold — the recursion the checkpoint exists
+    * to cut. */
   private def foldOne(snap: DataFrame, name: String, cdc: DataFrame,
                       keyCols: Seq[String], seqCol: String, flagCol: String,
-                      truncateLineage: Boolean): (DataFrame, BatchReport) = {
+                      truncateLineage: Boolean,
+                      lazyPin: Boolean = false): (DataFrame, BatchReport) = {
     val stats = cdc.agg(
       count(lit(1)).as("n"),
       coalesce(sum(when(col(flagCol) === "D", 1L).otherwise(0L)), lit(0L))
         .as("n_del")).head()
     val (n, nDel) = (stats.getLong(0), stats.getLong(1))
     val folded = Scd2.applyCdc(snap, cdc, keyCols, seqCol, flagCol)
-    val next = if (truncateLineage) folded.localCheckpoint(true) else folded
+    val next =
+      if (truncateLineage) folded.localCheckpoint(!lazyPin) else folded
     (next, BatchReport(name, n, n - nDel, nDel))
   }
 
@@ -77,7 +88,10 @@ object IncrementalLoad {
     batches.foldLeft((snapshot, Vector.empty[AuditedReport])) {
       case ((snap, reports), (name, cdc)) =>
         val (next, r) =
-          foldOne(snap, name, cdc, keyCols, seqCol, flagCol, truncateLineage = true)
+          foldOne(snap, name, cdc, keyCols, seqCol, flagCol,
+            truncateLineage = true, lazyPin = true)
+        // this audit action materializes the lazily-marked checkpoint, so
+        // the per-batch state is pinned in the same job that audits it
         val st = next.agg(
           count(lit(1)).as("n_keys"),
           coalesce(sum(col(checksumCol)), lit(0L)).as("chk")).head()

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -52,15 +53,21 @@ object Graph {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val e0 = li.select(concat(lit("S"), col("l_suppkey")).as("src"),
                        concat(lit("P"), col("l_partkey")).as("dst")).distinct()
-    val edges = pin(e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
-    // od is pinned too (node-count-sized): it feeds the rank init, the
-    // edge-frame fold below, AND the driver-side n_nodes count — unpinned,
-    // each consumer re-plans an edges-sized groupBy (the same
-    // recompute-on-rescan hazard the edge pin exists for)
-    val od = pin(edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
-    // outdeg folded onto the edge rows: one static join before the loop
-    // instead of one per round.
-    //
+    // Symmetrize via ONE explode over the distinct frame instead of
+    // union-of-two-scans of it (r18 optimization): the union form planned
+    // the distinct aggregation subtree twice per consumer, and the edge
+    // frame previously went through THREE eager pins (edges, od, edges⋈od)
+    // plus a separate count job before the loop — four construction-time
+    // jobs at any SF. Folding outdeg on with a window over the symmetric
+    // frame (count per src — identical to the old groupBy count, since the
+    // symmetric edge set is duplicate-free) collapses all of it into ONE
+    // pinned frame: one distinct exchange, one window exchange, one
+    // checkpoint job. outdeg values, edges, and the integer rank
+    // arithmetic are unchanged — bit-identical ranks (oracle-checked).
+    val sym = e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     // STATIONARY-EDGES NOTE (r15, measured at 10× sf0.1): once the rank
     // side outgrows broadcast, each round's SMJ re-shuffles this frame —
     // the checkpoint's `LogicalRDD` reports UnknownPartitioning under AQE,
@@ -73,22 +80,25 @@ object Graph {
     // table ([[graft.etl.BucketedTable]]) whose scans are born co-located,
     // and the rounds shuffle only the node-sized rank frame. This query
     // keeps the 5-round Pregel shape over the in-query pin.
-    val edgesW = pin(edges.join(od, "src"))
-    // n_nodes is ONE bounded scalar: compute it driver-side (od is pinned
-    // and node-count-sized) instead of re-planning a broadcast 1-row
-    // aggregate in every round's teleport term — that shape cost one
-    // SinglePartition exchange + one job per round (6 of each at any SF).
-    // Integer semantics unchanged: the same `div` arithmetic, now folded
-    // as a literal. NOTE (registry contract, r15 ADVICE): this count makes
-    // query CONSTRUCTION run Spark jobs (as the pins above already do) —
-    // plan-shape tooling that merely builds this query triggers execution.
-    val n = od.count()
+    val edgesW = pin(sym.withColumn("outdeg",
+      count(lit(1)).over(Window.partitionBy("src"))))
+    // n_nodes is ONE bounded scalar: compute it driver-side over the
+    // pinned frame (one cheap distinct over cached partitions) instead of
+    // re-planning a broadcast 1-row aggregate in every round's teleport
+    // term — that shape cost one SinglePartition exchange + one job per
+    // round (6 of each at any SF). Integer semantics unchanged: the same
+    // `div` arithmetic, now folded as a literal. NOTE (registry contract,
+    // r15 ADVICE): this count makes query CONSTRUCTION run Spark jobs (as
+    // the pin above already does) — plan-shape tooling that merely builds
+    // this query triggers execution.
+    val nodes = edgesW.select("src").distinct()
+    val n = nodes.count()
     // empty edge set: the previous all-SQL teleport term divided by zero to
     // an empty result; the driver-side literal fold must not turn that into
     // a driver ArithmeticException (r15 ADVICE)
     if (n == 0)
-      return od.select(col("src").as("node"), lit(0L).as("rank_nano")).limit(20)
-    var ranks = od.select(col("src").as("node"), lit(1000000000L / n).as("r"))
+      return nodes.select(col("src").as("node"), lit(0L).as("rank_nano")).limit(20)
+    var ranks = nodes.select(col("src").as("node"), lit(1000000000L / n).as("r"))
     for (_ <- 1 to 5) {
       val contrib = ranks.join(edgesW, col("node") === col("src"))
         .select(col("dst"), expr("r * 17 div 20 div outdeg").as("c"))
@@ -121,7 +131,7 @@ object Graph {
     * corners for the per-node profile — integer counts end to end, so the
     * result is bit-identical cross-engine and under any partitioning. */
   def qTriangles(spark: SparkSession, dir: String): DataFrame =
-    trianglesOver(Llm.minhashPairs(Tables.documents(spark, dir)))
+    trianglesOver(Llm.minhashPairsUnsorted(Tables.documents(spark, dir)))
 
   /** The reusable degree-ordered triangle enumeration behind [[qTriangles]]
     * — takes any canonical (doc_a < doc_b) distinct edge frame, returns

@@ -216,11 +216,26 @@ object Llm {
   def minhashPairs(docs: DataFrame, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
     pairsFromBandRows(minhashBandRows(docs, bands, rowsPerBand))
 
+  /** [[minhashPairs]] without the declared query's global output sort —
+    * for consumers that feed the pairs into an order-agnostic operator
+    * (triangle counting). The sort is a full range-partition exchange (plus
+    * its sampling pass) that [[Graph.trianglesOver]] pinned at the root of
+    * its checkpoint, paying it for nothing (r18 optimization, guide §2.4:
+    * "an orderBy used only to make output deterministic" — here not even
+    * that). Same rows, any order. */
+  private[graft] def minhashPairsUnsorted(docs: DataFrame): DataFrame =
+    pairRowsFromBandRows(minhashBandRows(docs))
+
   /** Candidate pairs from posting rows: the band-bucket self-equi-join.
     * Split out so the incremental path ([[graft.etl.IncrementalDedup]]) can
     * hash a batch ONCE and reuse the postings for corpus-collision check,
     * within-batch pairing, and the index append. */
-  private[graft] def pairsFromBandRows(bandRows0: DataFrame): DataFrame = {
+  private[graft] def pairsFromBandRows(bandRows0: DataFrame): DataFrame =
+    pairRowsFromBandRows(bandRows0).orderBy("doc_a", "doc_b")
+
+  /** [[pairsFromBandRows]] minus the declared query's output sort (the
+    * distinct candidate-pair SET, any order). */
+  private[graft] def pairRowsFromBandRows(bandRows0: DataFrame): DataFrame = {
     // the self-join consumes the band frame twice, and exchange reuse does
     // not fire across the two aliased copies (plan-probed) — unpinned, the
     // full MinHash computation (shingle explode + md5 minima + band keys)
@@ -233,8 +248,42 @@ object Llm {
     a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
               col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** CC-grade candidate EDGES from band postings — per-bucket STAR, not
+    * per-bucket clique: each (band, bkey) bucket contributes one
+    * (bucket-min, member) edge per non-min member instead of all
+    * k·(k-1)/2 member pairs. Within a bucket the star connects exactly the
+    * same vertex set the clique does, so connected components over the
+    * union of buckets are IDENTICAL to components over
+    * [[pairsFromBandRows]]' pairs (LlmSpec pins the equivalence on planted
+    * graphs) — but the edge count is LINEAR in bucket size where the pair
+    * join is quadratic. That is the difference between a skew-safe and a
+    * quadratic-blowup CC input at 100 TB (guide §2.5: one hot band bucket —
+    * viral boilerplate — mints k²/2 pairs under the clique form) and, at
+    * bench scale, removes the band self-join, the pair-level distinct over
+    * the larger pair set, and the declared query's global sort from every
+    * components-consuming path. Canonical doc_a < doc_b by construction
+    * (doc_a is the bucket min); distinct; UNSORTED. */
+  private[graft] def bandStarEdges(bandRows0: DataFrame): DataFrame = {
+    // pinned for the same reason as pairRowsFromBandRows: the frame feeds
+    // the bucket-min aggregation AND the join back; unpinned, the signature
+    // computation would run once per consumer
+    val bandRows = pinShared(bandRows0)
+    val roots = bandRows.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("doc_a"))
+    bandRows.join(roots, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Star-edge CC input over a (doc_id, text) frame — what every
+    * components-consuming MinHash dedup path feeds [[dedupGroups]]:
+    * same components as [[minhashPairs]] (see [[bandStarEdges]]), without
+    * materializing the candidate-pair clique. */
+  private[graft] def minhashCcEdges(docs: DataFrame): DataFrame =
+    bandStarEdges(minhashBandRows(docs))
 
   /** MinHash band-bucket POSTING rows `(doc_id, band, bkey)` — the indexable
     * stage of MinHash-LSH. [[minhashPairs]] self-joins these in one pass for
@@ -369,7 +418,7 @@ object Llm {
     * otherwise). The DuckDB oracle derives the same fixpoint independently via a
     * recursive-CTE transitive closure (unique fixpoint ⇒ same answer). */
   def qDedupGroups(spark: SparkSession, dir: String): DataFrame =
-    dedupGroups(minhashPairs(Tables.documents(spark, dir)))
+    dedupGroups(minhashCcEdges(Tables.documents(spark, dir)))
 
   /** §2.9 The dedup ACTION: the corpus with every non-canonical near-dup
     * dropped — each MinHash component keeps only its min-doc_id member
@@ -378,7 +427,7 @@ object Llm {
     * candidates → components → kept corpus. */
   def qDedupKeep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val dropped = dedupGroups(minhashPairs(docs))
+    val dropped = dedupGroups(minhashCcEdges(docs))
       .filter(col("doc_id") =!= col("group_id"))
     docs.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars_kept"))
@@ -402,7 +451,7 @@ object Llm {
     val priority = when(col("source") === "src1", 0)
       .when(col("source") === "src3", 1)
       .otherwise(2)
-    val groups = dedupGroups(minhashPairs(docs))
+    val groups = dedupGroups(minhashCcEdges(docs))
     val withGrp = docs
       .join(groups, Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
@@ -443,37 +492,65 @@ object Llm {
     var labels = pin(edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("nbmin"))
       .select(col("node"), least(col("node"), col("nbmin")).as("label")))
+    // FRONTIER propagation (r18 optimization, guide §2.3 "shuffle fewer
+    // bytes"): a node's label can only drop when a NEIGHBOR's label dropped
+    // in the previous round (or via its own pointer jump, which needs no
+    // neighbor traffic) — a neighbor whose label is unchanged already
+    // contributed that exact min in the round after it last changed, and
+    // labels never increase. So the per-round neighbor join ships only the
+    // CHANGED labels (the frontier), not the full label table: round 1 is
+    // everything (nothing has been propagated yet), and from round 2 the
+    // frontier is the shrinking active rim of each component — on a 100 TB
+    // near-dup graph the difference between re-shuffling every edge's label
+    // each round and touching only the components still merging. The
+    // fixpoint is unchanged (LlmSpec's chain/planted-graph contracts gate
+    // it); the frontier frame is a lazy filter over the already-pinned
+    // round result, so it adds no job.
+    var frontier = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val neighborLabels = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("label"))
-      // oneHop stays LAZY: it feeds both sides of the jump join and the
-      // union below, but its expensive part — the neighbor-join shuffle +
-      // the min-aggregate exchange — is an identical subtree at each
-      // consumer, so exchange reuse materializes it once and only the
-      // cheap post-shuffle aggregation re-runs per consumer. Pinning it
-      // (the previous shape) cost a SECOND eager checkpoint job per round,
-      // which benched slower than the re-aggregation it saved.
-      val oneHop = labels.unionByName(neighborLabels)
-        .groupBy("node").agg(min(col("label")).as("label"))
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"), lit(null).cast("long").as("prev"))
+      // oneHop stays LAZY: it feeds both sides of the jump join, but its
+      // expensive part — the neighbor-join shuffle + the min-aggregate
+      // exchange — is an identical subtree at each consumer, so exchange
+      // reuse materializes it once and only the cheap post-shuffle
+      // aggregation re-runs per consumer. Pinning it (a previous shape)
+      // cost a SECOND eager checkpoint job per round, which benched slower
+      // than the re-aggregation it saved.
+      //
+      // The PREVIOUS label rides through this same aggregation as a second
+      // aggregate (only the labels row of each node carries a non-null
+      // prev, so max() recovers it exactly) — the r18 round-shape
+      // optimization: the old form re-attached prev with a separate keyed
+      // join after the jump, one more exchange (= one more AQE job) per
+      // round for a value this aggregation already sees.
+      val oneHop = labels.select(col("node"), col("label"), col("label").as("prev"))
+        .unionByName(neighborLabels)
+        .groupBy("node").agg(min(col("label")).as("label"),
+                             max(col("prev")).as("prev"))
       // Pointer jump (label := label(label)): halves remaining chain
       // distance each round — O(log d) rounds total. (A second compose per
       // round — label∘label∘label — was measured at sf0.1 and did NOT cut
       // rounds on the minhash graphs while adding a join per round; the
       // binding constraint is neighbor discovery, not chain compression.)
-      val jumped = oneHop
+      // The jump RESULT is the round result directly: labels are ids of
+      // live nodes, so the lookup is total, and oneHop(x) ≤ x for every
+      // node gives label2 = oneHop(oneHop(v)) ≤ oneHop(v) — the old
+      // union-then-min of {oneHop, jumped} always resolved to the jumped
+      // value, so that second aggregation exchange (and its AQE job) per
+      // round was pure overhead (r18; LlmSpec's chain/clique contracts and
+      // the oracled CC queries gate the equivalence).
+      val next = pin(oneHop
         .join(oneHop.select(col("node").as("label"), col("label").as("label2")),
               "label")
-        .select(col("node"), col("label2").as("label"))
-      // The previous label rides along into the checkpoint, so convergence
-      // is a scan of already-materialized partitions — not a separate
-      // shuffle-join action per round.
-      val next = pin(oneHop.unionByName(jumped)
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .join(labels.withColumnRenamed("label", "prev"), "node"))
-      converged = next.filter(col("label") =!= col("prev")).isEmpty
+        .select(col("node"), col("label2").as("label"), col("prev")))
+      // changed rows double as next round's frontier — same cached scan
+      // the convergence check reads, no extra shuffle or job
+      frontier = next.filter(col("label") =!= col("prev")).select("node", "label")
+      converged = frontier.isEmpty
       labels = next.select("node", "label")
       iter += 1
     }

@@ -141,6 +141,37 @@ class LlmSpec extends AnyFunSuite {
     assert(groups === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("dedupGroups frontier propagation: a long path graph still reaches the fixpoint") {
+    import spark.implicits._
+    // A 40-node path (multi-round propagation — exercises the r18 frontier
+    // optimization: from round 2 the neighbor join ships only changed
+    // labels) plus a 5-clique and an isolated edge. Expected: every path
+    // node labels 0, the clique labels 100, the edge labels 200.
+    val path = (0L until 39L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val pairs = (path ++ clique :+ (200L, 201L)).toDF("doc_a", "doc_b")
+    val groups = Llm.dedupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 39L).forall(groups(_) == 0L))
+    assert((100L to 104L).forall(groups(_) == 100L))
+    assert(groups(200L) == 200L && groups(201L) == 200L)
+  }
+
+  test("bandStarEdges: star CC input yields components identical to the pair cliques") {
+    // The r18 CC-input optimization: per-bucket (min, member) star edges
+    // instead of the k²/2 member pairs. Must cover the same vertex set and
+    // produce IDENTICAL connected components on the real corpus.
+    val d = graft.Tables.documents(spark, TestSpark.sfDir)
+    val viaPairs = Llm.dedupGroups(Llm.minhashPairs(d)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = Llm.dedupGroups(Llm.minhashCcEdges(d)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars === viaPairs)
+    // canonical-form contract: doc_a is the bucket min, so strictly smaller
+    val stars = Llm.minhashCcEdges(d).collect()
+    assert(stars.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
   test("simhash: identical docs have hamming 0; pair survives the <=3 filter") {
     val rows = Llm.simhashPairs(docs(1L -> base, 2L -> base))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
