@@ -204,7 +204,13 @@ object CorpusPipeline {
     // f5 chain (which the gram pass would otherwise re-evaluate)
     val evalGrams = grams4(d0.filter(col("source") === "src0"))
       .select("gram").distinct()
-    val contaminated = grams4(d0)
+    // gram only the non-holdout side (r19): src0 docs' membership in
+    // `contaminated` was always irrelevant (s6 = s5 ∧ ¬con and s5 ⊆ s1
+    // excludes src0), so gramming the full corpus re-exploded the holdout
+    // fifth of it for rows the flag join never used. Both gram passes'
+    // source filters push down to the scan, so together they read each doc
+    // once. Same s6 set (CorpusPipelineSpec + both oracles gate it).
+    val contaminated = grams4(d0.filter(col("source") =!= "src0"))
       .join(evalGrams, Seq("gram"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("con", lit(true))

@@ -47,9 +47,6 @@ object Graph {
     * itself shallow; a production run at higher iteration counts would pin
     * the rank frame every ~10 rounds like the CC operators do. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def pin(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint(true)
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val e0 = li.select(concat(lit("S"), col("l_suppkey")).as("src"),
                        concat(lit("P"), col("l_partkey")).as("dst")).distinct()
@@ -68,20 +65,26 @@ object Graph {
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    // STATIONARY-EDGES NOTE (r15, measured at 10× sf0.1): once the rank
-    // side outgrows broadcast, each round's SMJ re-shuffles this frame —
-    // the checkpoint's `LogicalRDD` reports UnknownPartitioning under AQE,
-    // so pre-partitioning it on `src` is invisible to EnsureRequirements.
-    // The `InMemoryTableScan` alternative (repartition + persist) DOES
-    // carry partitioning, but was measured SLOWER here (29 s vs 12 s at
-    // 10×): the loop's self-join re-aliasing defeated cache-entry sharing
-    // and the edge join re-materialized per round. At deployment scale the
-    // answer is neither: a 100 TB edge set lives as a bucketed-on-src
-    // table ([[graft.etl.BucketedTable]]) whose scans are born co-located,
-    // and the rounds shuffle only the node-sized rank frame. This query
-    // keeps the 5-round Pregel shape over the in-query pin.
-    val edgesW = pin(sym.withColumn("outdeg",
-      count(lit(1)).over(Window.partitionBy("src"))))
+    // STATIONARY EDGES (r19, closing the r15/r18 residual): a plain pin's
+    // LogicalRDD reports UnknownPartitioning under AQE, so once the rank
+    // side outgrew broadcast each round's SMJ re-shuffled this frame (the
+    // `InMemoryTableScan` alternative — repartition + persist — carried
+    // partitioning but benched 29 s vs 12 s at 10× sf0.1: cache-entry
+    // sharing broke under the loop's re-aliasing). Now the frame is
+    // hash-repartitioned on `src` BEFORE the outdeg window (same key, so
+    // the window adds a sort but no second exchange) and the pinned RDD's
+    // real partitioning is DECLARED back on it
+    // ([[graft.queries.Exprs.pinPrePartitioned]] /
+    // [[org.apache.spark.sql.GraftSqlBridge.withHashPartitioning]]):
+    // construction pays the same one exchange the window cost anyway, and
+    // the rounds shuffle only the node-sized rank frame at any scale. At
+    // deployment scale a 100 TB edge set would live as a bucketed-on-src
+    // table ([[graft.etl.BucketedTable]]) — this is the in-query
+    // equivalent. 5-round Pregel shape unchanged; integer ranks unchanged.
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val edgesW = graft.queries.Exprs.pinPrePartitioned(
+      sym.repartition(nPart, col("src")).withColumn("outdeg",
+        count(lit(1)).over(Window.partitionBy("src"))), "src", nPart)
     // n_nodes is ONE bounded scalar: compute it driver-side over the
     // pinned frame (one cheap distinct over cached partitions) instead of
     // re-planning a broadcast 1-row aggregate in every round's teleport

@@ -266,13 +266,18 @@ object Llm {
     * components-consuming path. Canonical doc_a < doc_b by construction
     * (doc_a is the bucket min); distinct; UNSORTED. */
   private[graft] def bandStarEdges(bandRows0: DataFrame): DataFrame = {
-    // pinned for the same reason as pairRowsFromBandRows: the frame feeds
-    // the bucket-min aggregation AND the join back; unpinned, the signature
-    // computation would run once per consumer
-    val bandRows = pinShared(bandRows0)
-    val roots = bandRows.groupBy(col("band"), col("bkey"))
-      .agg(min(col("doc_id")).as("doc_a"))
-    bandRows.join(roots, Seq("band", "bkey"))
+    // bucket-min via ONE window over (band, bkey) instead of the r18
+    // agg + join-back (r19, guide §2.4): the agg/join form consumed the
+    // band frame twice, which forced an eager pin of it (a checkpoint job)
+    // plus the roots aggregation exchange and the join — the window is a
+    // single exchange on the same key, the frame now has ONE consumer, and
+    // the whole signature lineage materializes exactly once inside the CC
+    // edge pin downstream. Same output set: min-over-bucket is the same
+    // root the aggregation produced (LlmSpec pins star≡pairs component
+    // equivalence and the canonical-form contract).
+    val w = Window.partitionBy("band", "bkey")
+    bandRows0
+      .withColumn("doc_a", min(col("doc_id")).over(w))
       .filter(col("doc_id") =!= col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
@@ -483,8 +488,24 @@ object Llm {
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     def pin(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint(true)
-    val edges = pin(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // Symmetrize via ONE explode over the pairs subtree instead of a union
+    // of two scans of it (r19 — the pagerank construction trick, guide
+    // §1.2): the union form planned the whole candidate-edge lineage
+    // (signature aggregation included) once per branch. Same edge multiset.
+    val sym = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // STATIONARY EDGES (r19, guide §2.4/§3.4): the edge table is joined on
+    // `src` EVERY round, but a plain pin reports UnknownPartitioning and
+    // each round's neighbor join re-shuffled it once the frontier outgrew
+    // broadcast — at 100 TB that is a full edge-table shuffle per round.
+    // Pre-partitioning by src + declaring the partitioning on the pinned
+    // frame makes construction pay the one edge shuffle and every round
+    // shuffle only the node-sized frontier; the seed aggregation below
+    // reuses the same partitioning (no exchange), paying the repartition
+    // back immediately even at bench scale.
+    val edges = pin(sym) // DECOMPOSE-TEST: plain pin
     // Seed labels with min(node, min(neighbor)) — this IS round 1's
     // neighbor-min, computed during the init aggregation instead of a full
     // round (one fewer checkpoint + convergence action; the fixpoint is
@@ -512,7 +533,10 @@ object Llm {
     while (!converged && iter < maxIters) {
       val neighborLabels = edges
         .join(frontier.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("label"), lit(null).cast("long").as("prev"))
+        // null typed off the label column (ADVICE r18): keeps dedupGroups
+        // id-type-generic instead of silently long-only
+        .select(col("dst").as("node"), col("label"),
+          lit(null).cast(labels.schema("label").dataType).as("prev"))
       // oneHop stays LAZY: it feeds both sides of the jump join, but its
       // expensive part — the neighbor-join shuffle + the min-aggregate
       // exchange — is an identical subtree at each consumer, so exchange
@@ -543,14 +567,25 @@ object Llm {
       // value, so that second aggregation exchange (and its AQE job) per
       // round was pure overhead (r18; LlmSpec's chain/clique contracts and
       // the oracled CC queries gate the equivalence).
-      val next = pin(oneHop
+      val jumped = oneHop
         .join(oneHop.select(col("node").as("label"), col("label").as("label2")),
               "label")
-        .select(col("node"), col("label2").as("label"), col("prev")))
+        .select(col("node"), col("label2").as("label"), col("prev"))
+      // FUSED pin + convergence check (r19, guide §1.2 — the
+      // IncrementalLoad.runAudited lazy-pin pattern): the round result is
+      // MARKED for a lazy local checkpoint and the changed-row COUNT is the
+      // materializing action — one job per round where the r18 shape paid
+      // an eager checkpoint job plus a separate isEmpty job. count()
+      // computes every partition, so the checkpoint is complete before the
+      // next round reads it. The reliable path keeps the eager pin (a
+      // reliable checkpoint re-computes the RDD to write it, so there is
+      // nothing to fuse) and counts over the pinned data.
+      val next = if (reliable) pin(jumped) else jumped.localCheckpoint(false)
+      val nChanged = next.filter(col("label") =!= col("prev")).count()
+      converged = nChanged == 0
       // changed rows double as next round's frontier — same cached scan
-      // the convergence check reads, no extra shuffle or job
+      // the convergence check read, no extra shuffle or job
       frontier = next.filter(col("label") =!= col("prev")).select("node", "label")
-      converged = frontier.isEmpty
       labels = next.select("node", "label")
       iter += 1
     }
